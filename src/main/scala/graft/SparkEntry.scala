@@ -1,13 +1,30 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator declared in SURVEY.md §2 appears here as one key in
+  * `queries`, with its DuckDB-equivalent SQL in `oracleSql` unless the
+  * operator is not SQL-expressible (sketches, iterative fixpoints) —
+  * those are property-tested in src/test instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    operators.Aggregates.queries("agg_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  private val sets: Seq[(Map[String, QFn], Map[String, String])] = Seq(
+    (operators.Scans.queries, operators.Scans.oracle),
+    (operators.Filters.queries, operators.Filters.oracle),
+    (operators.Aggregates.queries, operators.Aggregates.oracle),
+    (operators.SortsAndSets.queries, operators.SortsAndSets.oracle))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, QFn] = sets.map(_._1).reduce(_ ++ _)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] = sets.map(_._2).reduce(_ ++ _)
 }

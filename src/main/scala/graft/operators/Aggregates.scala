@@ -1,0 +1,185 @@
+package graft.operators
+
+import graft._
+import graft.Stable._
+import org.apache.spark.sql.functions._
+
+/** §2.4 — aggregations.
+  *
+  * All hash aggregations: Spark plans partial (map-side) + final
+  * aggregation automatically, so the shuffle carries pre-combined
+  * state, not raw rows — the property that makes these scale to 100 TB
+  * (shuffle volume ∝ #groups, not #rows).
+  *
+  * Float discipline: money-scale double sums go through
+  * `Stable.dsum` (exact DECIMAL(18,4) accumulation → double) so the
+  * result is independent of partial-aggregation order and matches
+  * DuckDB bit-for-bit. See Stable.scala.
+  */
+object Aggregates {
+
+  val queries: Map[String, QFn] = Map(
+    // FLAGSHIP (TPC-H Q1 shape) — also wired into SparkEntry.entry
+    "agg_pricing_summary" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          r4(dsum(col("l_quantity"))).as("sum_qty"),
+          r4(dsum(col("l_extendedprice"))).as("sum_base_price"),
+          r4(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+          r4(davg(col("l_quantity"))).as("avg_qty"),
+          r4(davg(col("l_extendedprice"))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "agg_distinct_count" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey"))
+        .agg(countDistinct(col("l_partkey")).as("distinct_parts"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_suppkey"))
+    }),
+
+    // HLL sketches are engine-specific → declared without oracle
+    // (driver records a rows-only check); the exact twin above is the
+    // correctness anchor.
+    "agg_approx_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "agg_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_returnflag"), col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), r4(dsum(col("l_quantity"))).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+
+    "agg_rollup" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+    }),
+
+    "agg_cube" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), r4(dsum(col("l_extendedprice"))).as("sum_price"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+
+    "agg_stats" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          r4(stddev_samp(col("l_quantity"))).as("sd_qty"),
+          r4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qty_price"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // exact percentile (NOT approx_percentile — sketches never
+    // hash-match across engines)
+    "agg_percentile" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          r4(expr("percentile(l_quantity, 0.5)")).as("p50_qty"),
+          r4(expr("percentile(l_quantity, 0.9)")).as("p90_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // arrays hash-compare only if explicitly sorted (SURVEY §2.4)
+    "agg_collect_sorted" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_partkey"))).as("parts"))
+        .orderBy(col("l_orderkey"))
+    }),
+
+    // o_totalprice is a continuous double → no ties per customer
+    // (verified against testdata); o_orderkey is the unique payload
+    "agg_first_last_by" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(
+          max_by(col("o_orderkey"), col("o_totalprice")).as("best_order"),
+          min_by(col("o_orderkey"), col("o_totalprice")).as("worst_order"),
+          max(col("o_totalprice")).as("best_price"))
+        .orderBy(col("o_custkey"))
+    }))
+
+  private val dsumQty = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)"
+  private val dsumPrice = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)"
+
+  val oracle: Map[String, String] = Map(
+    "agg_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  round($dsumQty, 4) AS sum_qty,
+         |  round($dsumPrice, 4) AS sum_base_price,
+         |  round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_disc_price,
+         |  round($dsumQty / count(*), 4) AS avg_qty,
+         |  round($dsumPrice / count(*), 4) AS avg_price,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_distinct_count" ->
+      """SELECT l_suppkey, count(DISTINCT l_partkey) AS distinct_parts, count(*) AS n
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    "agg_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n, round($dsumQty, 4) AS sum_qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "agg_cube" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n, round($dsumPrice, 4) AS sum_price
+         |FROM lineitem
+         |GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "agg_stats" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |  min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_percentile" ->
+      """SELECT l_returnflag,
+        |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 4) AS p50_qty,
+        |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity), 4) AS p90_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_collect_sorted" ->
+      """SELECT l_orderkey, list_sort(list(l_partkey)) AS parts
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "agg_first_last_by" ->
+      """SELECT o_custkey,
+        |  arg_max(o_orderkey, o_totalprice) AS best_order,
+        |  arg_min(o_orderkey, o_totalprice) AS worst_order,
+        |  max(o_totalprice) AS best_price
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+}
