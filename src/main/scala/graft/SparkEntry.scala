@@ -19,7 +19,10 @@ object SparkEntry {
     (operators.Scans.queries, operators.Scans.oracle),
     (operators.Filters.queries, operators.Filters.oracle),
     (operators.Aggregates.queries, operators.Aggregates.oracle),
-    (operators.SortsAndSets.queries, operators.SortsAndSets.oracle))
+    (operators.SortsAndSets.queries, operators.SortsAndSets.oracle),
+    (operators.Joins.queries, operators.Joins.oracle),
+    (operators.Windows.queries, operators.Windows.oracle),
+    (operators.Scalars.queries, operators.Scalars.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, QFn] = sets.map(_._1).reduce(_ ++ _)

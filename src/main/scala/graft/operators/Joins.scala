@@ -1,0 +1,214 @@
+package graft.operators
+
+import graft._
+import graft.Stable._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** §2.3 — joins.
+  *
+  * Scale notes (the part that matters at 100 TB):
+  *  - Dimension joins (`join_broadcast`, the star) broadcast the small
+  *    side explicitly — no shuffle of the fact table.
+  *  - Large⋈large equi-joins shuffle both sides on the key once;
+  *    AQE handles skew-splitting at runtime.
+  *  - Every non-equi join here carries an equi-blocking key
+  *    (brand / user_id) so Spark plans a hash/merge join with a
+  *    residual range filter instead of a cartesian BNLJ — the
+  *    difference between O(n²/buckets) and O(n²).
+  *  - The as-of join is the union+window composition: one shuffle on
+  *    the entity key, linear scan per partition — the standard
+  *    Spark-native as-of shape (no native operator exists).
+  */
+object Joins {
+
+  val queries: Map[String, QFn] = Map(
+    "join_inner_hash" -> ((s, d) => {
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"), "inner")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), r4(dsum(col("o_totalprice"))).as("sum_price"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "join_broadcast" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"), "inner")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), r4(dsum(col("l_extendedprice"))).as("sum_price"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // TPC-H Q5 shape: fact ⋈ three dims; dims broadcast, single
+    // shuffle for the final aggregation
+    "join_multiway_star" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA" &&
+          col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+        .groupBy(col("n_name"))
+        .agg(r4(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .orderBy(col("n_name"))
+    }),
+
+    "join_left_outer" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "join_semi" -> ((s, d) => {
+      val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      Tables.customer(s, d)
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // the reference's motivating anti-join: citations pointing outside
+    // the corpus (SURVEY §0.5) — here: customers with no orders
+    "join_anti" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // banded self-join: equi-key p_brand blocks the O(n²); the range
+    // predicate is a residual filter on the hash join
+    "join_theta_range" -> ((s, d) => {
+      val p = Tables.part(s, d)
+      val a = p.select(col("p_brand").as("brand"), col("p_partkey").as("k1"),
+        col("p_retailprice").as("pr1"))
+      val b = p.select(col("p_brand").as("brand"), col("p_partkey").as("k2"),
+        col("p_retailprice").as("pr2"))
+      a.join(b, Seq("brand"))
+        .filter(col("pr1") < col("pr2") && col("pr2") - col("pr1") <= 5.0)
+        .groupBy(col("brand"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("brand"))
+    }),
+
+    // as-of (backward) join: each event gets the latest order of the
+    // same entity at-or-before its timestamp. Spark has no native
+    // as-of operator → union both sides tagged, one window pass:
+    // last(price, ignoreNulls) over (entity ORDER BY t, tag).
+    // Right side pre-aggregated to unique (entity, t) so ties cannot
+    // make the match ambiguous. Oracle: DuckDB native ASOF JOIN.
+    "join_asof" -> ((s, d) => {
+      val rt = Tables.orders(s, d)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_totalprice")).as("price"))
+        .select(col("o_custkey").as("k"), col("o_orderdate").as("t"),
+          lit(null).cast("long").as("event_id"), lit(0).as("is_ev"), col("price"))
+      val ev = Tables.events(s, d)
+        .select(col("user_id").as("k"), col("ts").as("t"),
+          col("event_id"), lit(1).as("is_ev"), lit(null).cast("double").as("price"))
+      val w = Window.partitionBy(col("k")).orderBy(col("t"), col("is_ev"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rt.unionByName(ev)
+        .withColumn("asof_price", last(col("price"), ignoreNulls = true).over(w))
+        .filter(col("is_ev") === 1)
+        .select(col("event_id"), col("k").as("user_id"), col("t").as("ts"),
+          col("asof_price"))
+        .orderBy(col("event_id"))
+    }),
+
+    // interval containment, blocked by the user_id equi-key: views
+    // within ±1h of each purchase by the same user
+    "join_interval_overlap" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val v = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("v_id"), col("user_id").as("v_user"), col("ts").as("v_ts"))
+      p.join(v, col("p_user") === col("v_user") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("v_ts") <= col("p_ts") + expr("INTERVAL 1 HOUR"), "left")
+        .groupBy(col("p_id"))
+        .agg(count(col("v_id")).as("n_views"))
+        .orderBy(col("p_id"))
+    }),
+
+    "join_cross_small" -> ((s, d) => {
+      Tables.region(s, d).crossJoin(Tables.nation(s, d))
+        .select(col("r_name"), col("n_name"))
+        .orderBy(col("r_name"), col("n_name"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "join_inner_hash" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "join_broadcast" ->
+      """SELECT p_brand, count(*) AS n,
+        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "join_multiway_star" ->
+      """SELECT n_name,
+        |  round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "join_left_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_theta_range" ->
+      """SELECT a.p_brand AS brand, count(*) AS n_pairs
+        |FROM part a JOIN part b ON a.p_brand = b.p_brand
+        |WHERE a.p_retailprice < b.p_retailprice
+        |  AND b.p_retailprice - a.p_retailprice <= 5.0
+        |GROUP BY a.p_brand ORDER BY brand""".stripMargin,
+
+    "join_asof" ->
+      """WITH rt AS (
+        |  SELECT o_custkey AS k, o_orderdate AS t, max(o_totalprice) AS price
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts, rt.price AS asof_price
+        |FROM events e ASOF LEFT JOIN rt ON e.user_id = rt.k AND e.ts >= rt.t
+        |ORDER BY e.event_id""".stripMargin,
+
+    "join_interval_overlap" ->
+      """SELECT p.event_id AS p_id, count(v.event_id) AS n_views
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON v.user_id = p.user_id
+        | AND v.ts >= p.ts - INTERVAL 1 HOUR
+        | AND v.ts <= p.ts + INTERVAL 1 HOUR
+        |GROUP BY p.event_id ORDER BY p_id""".stripMargin,
+
+    "join_cross_small" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin)
+}

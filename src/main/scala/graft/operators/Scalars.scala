@@ -1,0 +1,177 @@
+package graft.operators
+
+import graft._
+import graft.Stable._
+import org.apache.spark.sql.functions._
+
+/** §2.8 — scalar function batteries (string / regex / date / math /
+  * case / array / map / JSON).
+  *
+  * Everything here is a built-in Catalyst expression — no UDFs — so
+  * each query stays inside one WholeStageCodegen span over the scan.
+  * Higher-order array functions (`transform`/`filter`/`aggregate`)
+  * replace what a PySpark-era pipeline would do with Python UDFs,
+  * at codegen speed and with no serialization boundary.
+  */
+object Scalars {
+
+  val queries: Map[String, QFn] = Map(
+    "scalar_string" -> ((s, d) => {
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("name_upper"),
+          substring(col("c_name"), 10, 8).as("name_tail"),
+          concat_ws("-", col("c_mktsegment"), col("c_name")).as("seg_name"),
+          length(col("c_name")).as("name_len"),
+          element_at(split(col("c_name"), "#"), 2).as("id_part"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "scalar_regex_extract" -> ((s, d) => {
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          regexp_extract(col("c_name"), "Customer#(\\d+)", 1).cast("long").as("id_num"),
+          regexp_replace(col("c_mktsegment"), "[AEIOU]", "_").as("seg_masked"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "scalar_date" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_2002"),
+          date_add(col("o_orderdate").cast("date"), 30).as("plus30"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "scalar_math" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 1).as("price_r1"),
+          floor(col("l_extendedprice")).as("price_floor"),
+          ceil(col("l_extendedprice")).as("price_ceil"),
+          abs(col("l_discount") - 0.05).as("disc_dev"),
+          r4(pow(lit(1.0) + col("l_discount"), 2)).as("disc_sq"),
+          r4(log(col("l_extendedprice"))).as("price_ln"),
+          (col("l_orderkey") % 7).as("key_mod7"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "scalar_case_coalesce" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          when(col("o_orderpriority") === "1-URGENT", 1)
+            .when(col("o_orderpriority") === "2-HIGH", 2)
+            .otherwise(9).as("severity"),
+          coalesce(expr("nullif(o_orderstatus, 'O')"), lit("OPEN")).as("status_or_open"),
+          greatest(col("o_totalprice"), lit(50000.0)).as("price_floor50k"),
+          least(col("o_totalprice"), lit(200000.0)).as("price_cap200k"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // higher-order functions over the embedding array — the codegen
+    // path for elementwise vector work (no UDF, no shuffle)
+    "scalar_array" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          size(col("embedding")).as("dim"),
+          r4(element_at(col("embedding"), 1).cast("double")).as("first_val"),
+          size(expr("filter(embedding, x -> x > 0)")).as("n_pos"),
+          r4(expr("aggregate(filter(embedding, x -> x > 0), CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE))")).as("sum_pos"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // map built per group then scalars extracted (MAP parquet encoding
+    // differs across engines → plan A of SURVEY §2.8: output scalars)
+    "scalar_map" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(map_from_entries(collect_list(struct(col("event_type"), col("n")))).as("m"))
+        .select(col("user_id"),
+          coalesce(element_at(col("m"), "view"), lit(0L)).as("n_view"),
+          coalesce(element_at(col("m"), "click"), lit(0L)).as("n_click"),
+          coalesce(element_at(col("m"), "purchase"), lit(0L)).as("n_purchase"))
+        .orderBy(col("user_id"))
+    }),
+
+    "scalar_json" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k"), col("value"))
+        .groupBy((col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), r4(dsum(col("value"))).as("sum_value"))
+        .orderBy(col("k_bucket"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "scalar_string" ->
+      """SELECT c_custkey,
+        |  upper(c_name) AS name_upper,
+        |  substring(c_name, 10, 8) AS name_tail,
+        |  concat_ws('-', c_mktsegment, c_name) AS seg_name,
+        |  length(c_name) AS name_len,
+        |  string_split(c_name, '#')[2] AS id_part
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "scalar_regex_extract" ->
+      """SELECT c_custkey,
+        |  CAST(regexp_extract(c_name, 'Customer#(\d+)', 1) AS BIGINT) AS id_num,
+        |  regexp_replace(c_mktsegment, '[AEIOU]', '_', 'g') AS seg_masked
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "scalar_date" ->
+      """SELECT o_orderkey,
+        |  CAST(date_part('year', o_orderdate) AS INT) AS yr,
+        |  CAST(date_part('month', o_orderdate) AS INT) AS mo,
+        |  CAST(date_part('dow', o_orderdate) + 1 AS INT) AS dow,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS days_to_2002,
+        |  CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "scalar_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice, 1) AS price_r1,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+        |  abs(l_discount - 0.05) AS disc_dev,
+        |  round(pow(1.0 + l_discount, 2), 4) AS disc_sq,
+        |  round(ln(l_extendedprice), 4) AS price_ln,
+        |  l_orderkey % 7 AS key_mod7
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "scalar_case_coalesce" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderpriority = '1-URGENT' THEN 1
+        |       WHEN o_orderpriority = '2-HIGH' THEN 2
+        |       ELSE 9 END AS severity,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+        |  greatest(o_totalprice, 50000.0) AS price_floor50k,
+        |  least(o_totalprice, 200000.0) AS price_cap200k
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "scalar_array" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INT) AS dim,
+        |  round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+        |  round(list_aggregate(list_transform(list_filter(embedding, x -> x > 0),
+        |    x -> CAST(x AS DOUBLE)), 'sum'), 4) AS sum_pos
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "scalar_map" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'view') AS n_view,
+        |  count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "scalar_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+        |  count(*) AS n,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin)
+}

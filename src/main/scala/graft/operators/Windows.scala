@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft._
+import graft.Stable._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** §2.5 — window functions.
+  *
+  * Each window spec = one shuffle on the partition key, then a sorted
+  * per-partition pass. Window ORDER BYs always include a unique
+  * tie-break key so rank/ntile/frames are deterministic (SURVEY §2.0
+  * rule 7). Running/moving sums accumulate DECIMAL, not double — a
+  * windowed double sum is evaluation-order-dependent (DuckDB uses
+  * segment trees, Spark a running accumulator) and would not
+  * hash-match.
+  */
+object Windows {
+
+  val queries: Map[String, QFn] = Map(
+    "win_rank_topn_pergroup" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    "win_rank_variants" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(desc("l_quantity"), asc("l_orderkey"), asc("l_linenumber"))
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy(col("l_returnflag"), col("rnk"), col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "win_lag_lead_delta" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          r4(col("o_totalprice") - lag(col("o_totalprice"), 1).over(w)).as("delta_price"),
+          lead(col("o_orderdate"), 1).over(w).as("next_orderdate"))
+        .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    }),
+
+    "win_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          r4(sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w)
+            .cast(DoubleType)).as("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    }),
+
+    // 7-day moving average over the dense daily series (days are dense
+    // in the events table, so a ROWS frame == the RANGE semantics)
+    "win_moving_avg_range" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("value").cast(DecimalType(18, 4))).as("day_sum"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-6, Window.currentRow)
+      daily
+        .select(col("event_type"), col("day"),
+          r4(sum(col("day_sum")).over(w).cast(DoubleType) /
+            count(lit(1)).over(w)).as("ma7"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    "win_global_share" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4))).as("rev_dec"))
+      rev.select(col("l_suppkey"),
+          r4(col("rev_dec").cast(DoubleType) /
+            sum(col("rev_dec")).over(Window.partitionBy()).cast(DoubleType)).as("rev_share"))
+        .orderBy(col("l_suppkey"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "win_rank_topn_pergroup" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "win_rank_variants" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  ntile(4) OVER w AS quartile
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_returnflag
+        |  ORDER BY l_quantity DESC, l_orderkey ASC, l_linenumber ASC)
+        |ORDER BY l_returnflag, rnk, l_orderkey, l_linenumber""".stripMargin,
+
+    "win_lag_lead_delta" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  round(o_totalprice - lag(o_totalprice, 1) OVER w, 4) AS delta_price,
+        |  lead(o_orderdate, 1) OVER w AS next_orderdate
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "win_running_sum" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE), 4) AS running_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "win_moving_avg_range" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS day_sum
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day,
+        |  round(CAST(SUM(day_sum) OVER w AS DOUBLE) / COUNT(*) OVER w, 4) AS ma7
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin,
+
+    "win_global_share" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev_dec
+        |  FROM lineitem GROUP BY l_suppkey)
+        |SELECT l_suppkey,
+        |  round(CAST(rev_dec AS DOUBLE) / CAST(SUM(rev_dec) OVER () AS DOUBLE), 4) AS rev_share
+        |FROM rev ORDER BY l_suppkey""".stripMargin)
+}
