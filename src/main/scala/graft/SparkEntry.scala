@@ -22,7 +22,9 @@ object SparkEntry {
     (operators.SortsAndSets.queries, operators.SortsAndSets.oracle),
     (operators.Joins.queries, operators.Joins.oracle),
     (operators.Windows.queries, operators.Windows.oracle),
-    (operators.Scalars.queries, operators.Scalars.oracle))
+    (operators.Scalars.queries, operators.Scalars.oracle),
+    (operators.TimeSeriesOps.queries, operators.TimeSeriesOps.oracle),
+    (operators.GraphOps.queries, operators.GraphOps.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, QFn] = sets.map(_._1).reduce(_ ++ _)

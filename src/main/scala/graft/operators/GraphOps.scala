@@ -1,0 +1,214 @@
+package graft.operators
+
+import graft._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.10 — graph operators over the citation-graph stand-in.
+  *
+  * Edge derivation (SURVEY §1.2): the bipartite "customer cites
+  * supplier" graph from lineitem ⋈ orders. Supplier vertex ids are
+  * offset by +1,000,000 so the two key spaces stay disjoint — exactly
+  * what the reference's parse stage does when it namespaces patent ids
+  * vs citation targets.
+  *
+  * Design for scale:
+  *  - `edges` is computed once per query and cached when iterated.
+  *  - Iterative algorithms (CC, PageRank) are driver-side loops over
+  *    DataFrames; the per-iteration join has a tiny build side (one
+  *    row per vertex) which Spark broadcasts, so an iteration is one
+  *    map-side join + one aggregation shuffle of #vertices rows —
+  *    the scalable shape (Pregel-in-DataFrames).
+  *  - `localCheckpoint` truncates lineage every few iterations —
+  *    without it, the plan tree doubles per iteration and the
+  *    optimizer re-walks it each action (the classic iterative-Spark
+  *    trap).
+  *  - Triangle/common-neighbor counting orients edges (a < b) before
+  *    self-joining, halving the pair space; common-neighbors runs on
+  *    the low-degree side (suppliers-sharing-customers: per-customer
+  *    degree ~40 at sf0.1 vs ~500 per-supplier).
+  */
+object GraphOps {
+
+  /** distinct (customer → supplier+1e6) edges */
+  def edges(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+      .distinct()
+
+  private val edgesSql =
+    """SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
+
+  /** undirected co-order part pairs, oriented a < b */
+  private def coParts(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("a"))
+    val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("b"))
+    a.join(b, Seq("ok")).filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
+  private val coPartsSql =
+    """SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      |FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) x
+      |JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) y
+      |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "graph_edges" -> ((s, d) => {
+      edges(s, d).orderBy(col("src"), col("dst"))
+    }),
+
+    "graph_degree" -> ((s, d) => {
+      val e = edges(s, d)
+      val out = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("out_deg"))
+      val in = e.groupBy(col("dst").as("v")).agg(count(lit(1)).as("in_deg"))
+      out.join(in, Seq("v"), "full_outer")
+        .select(col("v"),
+          coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+          coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+          (coalesce(col("out_deg"), lit(0L)) + coalesce(col("in_deg"), lit(0L))).as("deg"))
+        .orderBy(col("v"))
+    }),
+
+    // citation-of-citation: customers reachable in 2 undirected hops
+    // (via a shared supplier), per source customer
+    "graph_two_hop" -> ((s, d) => {
+      val e = edges(s, d)
+      val e1 = e.select(col("src").as("a"), col("dst").as("via"))
+      val e2 = e.select(col("src").as("b"), col("dst").as("via"))
+      e1.join(e2, Seq("via"))
+        .filter(col("a") =!= col("b"))
+        .groupBy(col("a").as("src"))
+        .agg(countDistinct(col("b")).as("n_two_hop"))
+        .orderBy(col("src"))
+    }),
+
+    // co-citation density: global triangle count in the part↔part
+    // co-order graph (oriented a<b<c: each triangle counted once)
+    "graph_triangles" -> ((s, d) => {
+      val co = coParts(s, d).cache()
+      val ab = co.select(col("a"), col("b"))
+      val bc = co.select(col("a").as("b"), col("b").as("c"))
+      val ac = co.select(col("a").as("a2"), col("b").as("c2"))
+      ab.join(bc, Seq("b"))
+        .join(ac, col("a") === col("a2") && col("c") === col("c2"))
+        .agg(count(lit(1)).as("n_triangles"))
+    }),
+
+    // top supplier pairs by shared customers — joined through the
+    // low-degree side (per-customer supplier list) to bound the
+    // intermediate pair explosion
+    "graph_common_neighbors" -> ((s, d) => {
+      val e = edges(s, d)
+      val s1 = e.select(col("src"), col("dst").as("s1"))
+      val s2 = e.select(col("src"), col("dst").as("s2"))
+      s1.join(s2, Seq("src"))
+        .filter(col("s1") < col("s2"))
+        .groupBy(col("s1"), col("s2"))
+        .agg(count(lit(1)).as("n_common"))
+        .orderBy(desc("n_common"), col("s1"), col("s2"))
+        .limit(20)
+    }),
+
+    // connected components: min-label propagation to fixpoint over the
+    // symmetrized edge set. Label = min reachable vertex id — matches
+    // the recursive-CTE oracle exactly. Deterministic (min is
+    // order-independent).
+    "graph_connected_components" -> ((s, d) => {
+      val sym = {
+        val e = edges(s, d)
+        e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+          .cache()
+      }
+      var labels = sym.select(col("src").as("v")).distinct()
+        .withColumn("lbl", col("v")).localCheckpoint()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 50) {
+        val prop = sym.join(labels, sym("src") === labels("v"))
+          .groupBy(col("dst").as("v2")).agg(min(col("lbl")).as("nlbl"))
+        val next = labels.join(prop, labels("v") === prop("v2"), "left")
+          .select(col("v"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          .localCheckpoint() // truncate lineage each iteration
+        changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("v"))
+          .filter(col("lbl") =!= col("old")).count()
+        labels = next
+        iter += 1
+      }
+      labels.orderBy(col("v"))
+    }),
+
+    // PageRank, damping 0.85, fixed 10 iterations, on the symmetrized
+    // graph (no dangling vertices by construction). No oracle —
+    // cross-engine FP accumulation over 10 iterations diverges;
+    // property-tested against GraphX staticPageRank instead (§5).
+    "graph_pagerank" -> ((s, d) => {
+      val sym = {
+        val e = edges(s, d)
+        e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+          .cache()
+      }
+      val outDeg = sym.groupBy(col("src")).agg(count(lit(1)).as("odeg")).cache()
+      val withDeg = sym.join(outDeg, Seq("src")).cache()
+      var pr = outDeg.select(col("src").as("v"), lit(1.0).as("pr")).localCheckpoint()
+      for (_ <- 1 to 10) {
+        val contrib = withDeg.join(pr, withDeg("src") === pr("v"))
+          .select(col("dst").as("v2"), (col("pr") / col("odeg")).as("c"))
+          .groupBy(col("v2")).agg(sum(col("c")).as("sc"))
+        pr = pr.join(contrib, pr("v") === col("v2"), "left")
+          .select(col("v"), (lit(0.15) + lit(0.85) * coalesce(col("sc"), lit(0.0))).as("pr"))
+          .localCheckpoint()
+      }
+      pr.select(col("v"), round(col("pr"), 4).as("pr")).orderBy(col("v"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "graph_edges" ->
+      s"""WITH ed AS ($edgesSql)
+         |SELECT src, dst FROM ed ORDER BY src, dst""".stripMargin,
+
+    "graph_degree" ->
+      s"""WITH ed AS ($edgesSql),
+         |o AS (SELECT src AS v, count(*) AS out_deg FROM ed GROUP BY src),
+         |i AS (SELECT dst AS v, count(*) AS in_deg FROM ed GROUP BY dst)
+         |SELECT coalesce(o.v, i.v) AS v,
+         |  coalesce(out_deg, 0) AS out_deg,
+         |  coalesce(in_deg, 0) AS in_deg,
+         |  coalesce(out_deg, 0) + coalesce(in_deg, 0) AS deg
+         |FROM o FULL JOIN i ON o.v = i.v
+         |ORDER BY v""".stripMargin,
+
+    "graph_two_hop" ->
+      s"""WITH ed AS ($edgesSql)
+         |SELECT e1.src AS src, count(DISTINCT e2.src) AS n_two_hop
+         |FROM ed e1 JOIN ed e2 ON e1.dst = e2.dst AND e1.src <> e2.src
+         |GROUP BY e1.src ORDER BY src""".stripMargin,
+
+    "graph_triangles" ->
+      s"""WITH co AS ($coPartsSql)
+         |SELECT count(*) AS n_triangles
+         |FROM co ab JOIN co bc ON ab.b = bc.a JOIN co ac
+         |  ON ac.a = ab.a AND ac.b = bc.b""".stripMargin,
+
+    "graph_common_neighbors" ->
+      s"""WITH ed AS ($edgesSql)
+         |SELECT e1.dst AS s1, e2.dst AS s2, count(*) AS n_common
+         |FROM ed e1 JOIN ed e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |GROUP BY 1, 2
+         |ORDER BY n_common DESC, s1, s2 LIMIT 20""".stripMargin,
+
+    "graph_connected_components" ->
+      s"""WITH RECURSIVE ed AS ($edgesSql),
+         |sym AS (SELECT src AS a, dst AS b FROM ed
+         |        UNION SELECT dst, src FROM ed),
+         |verts AS (SELECT DISTINCT a AS v FROM sym),
+         |walk(v, l) AS (
+         |  SELECT v, v FROM verts
+         |  UNION
+         |  SELECT sym.b, walk.l FROM sym JOIN walk ON sym.a = walk.v)
+         |SELECT v, min(l) AS lbl FROM walk GROUP BY v ORDER BY v""".stripMargin)
+}

@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft._
+import graft.Stable._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** §2.9 — time-series / streaming-shaped operators, batch-first.
+  *
+  * The same `window()` / `session_window()` calls run unchanged under
+  * `readStream` with a watermark — see graft.streaming.StreamPort for
+  * the Structured Streaming port (semantics identical by design;
+  * exercised by MemoryStream tests, no oracle possible for streams).
+  *
+  * Batch versions are verifiable against DuckDB: tumbling/sliding
+  * windows map to time_bucket arithmetic, session windows to the
+  * gaps-and-islands pattern, watermark late-drop to a running-max
+  * window.
+  */
+object TimeSeriesOps {
+
+  val queries: Map[String, QFn] = Map(
+    "ts_tumbling_window" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), r4(dsum(col("value"))).as("sum_value"))
+        .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("ws"), col("event_type"))
+    }),
+
+    // 1h windows sliding every 15min: each event lands in exactly 4
+    // windows; Spark's WindowExec expands them at scan time (no join)
+    "ts_sliding_window" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("ws"), col("event_type"), col("n"))
+        .orderBy(col("ws"), col("event_type"))
+    }),
+
+    // per-user sessions, 30-min inactivity gap; session end = last
+    // event + gap (Spark session_window semantics — the oracle's
+    // gaps-and-islands SQL reproduces exactly that: a new session
+    // starts when ts - prev_ts >= gap)
+    "ts_session_window" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    // watermark semantics in batch: drop events more than 1h behind
+    // the running max event-time in arrival (event_id) order, then
+    // tumbling-window count of the survivors
+    "ts_late_data_semantics" -> ((s, d) => {
+      val w = Window.orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("mx", max(col("ts")).over(w))
+        .filter(col("ts") >= col("mx") - expr("INTERVAL 1 HOUR"))
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("ws"), col("n"))
+        .orderBy(col("ws"))
+    }),
+
+    // deterministic form of dropDuplicatesWithinWatermark: keep the
+    // earliest event per (user_id, event_type), ties broken by event_id
+    "ts_dedup_within_watermark" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("ts").as("first_ts"),
+          col("event_id"))
+        .orderBy(col("user_id"), col("event_type"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "ts_tumbling_window" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+        |  count(*) AS n,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+
+    "ts_sliding_window" ->
+      """SELECT time_bucket(INTERVAL '15 minutes', e.ts) - t.k * INTERVAL '15 minutes' AS ws,
+        |  e.event_type, count(*) AS n
+        |FROM events e CROSS JOIN range(4) t(k)
+        |WHERE e.ts < time_bucket(INTERVAL '15 minutes', e.ts) - t.k * INTERVAL '15 minutes' + INTERVAL '1 hour'
+        |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+
+    "ts_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL '30 minutes' AS session_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "ts_late_data_semantics" ->
+      """WITH m AS (
+        |  SELECT ts, max(ts) OVER (ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mx
+        |  FROM events)
+        |SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, count(*) AS n
+        |FROM m WHERE ts >= mx - INTERVAL '1 hour'
+        |GROUP BY 1 ORDER BY ws""".stripMargin,
+
+    "ts_dedup_within_watermark" ->
+      """SELECT user_id, event_type, ts AS first_ts, event_id FROM (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)
+}
