@@ -24,7 +24,11 @@ object SparkEntry {
     (operators.Windows.queries, operators.Windows.oracle),
     (operators.Scalars.queries, operators.Scalars.oracle),
     (operators.TimeSeriesOps.queries, operators.TimeSeriesOps.oracle),
-    (operators.GraphOps.queries, operators.GraphOps.oracle))
+    (operators.GraphOps.queries, operators.GraphOps.oracle),
+    (operators.TextOps.queries, operators.TextOps.oracle),
+    (operators.DedupOps.queries, operators.DedupOps.oracle),
+    (operators.VectorOps.queries, operators.VectorOps.oracle),
+    (operators.MultimodalOps.queries, operators.MultimodalOps.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, QFn] = sets.map(_._1).reduce(_ ++ _)

@@ -1,0 +1,200 @@
+package graft.operators
+
+import graft._
+import graft.Stable._
+import graft.functions.MinHashAgg
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession, Encoders}
+
+/** §2.11 deduplication family — the core of a training-data pipeline:
+  * exact, n-gram/token Jaccard (oracle-checkable), MinHash+LSH and
+  * SimHash (hash-based, property-tested), embedding cosine.
+  *
+  * Scale design:
+  *  - Exact dedup = one hash aggregation on the text (or its md5) —
+  *    shuffle carries one row per distinct text.
+  *  - Jaccard self-joins are blocked: bounded probe set (doc_id<200)
+  *    for the exact-oracle variants; MinHash/LSH banding for the
+  *    all-pairs path (candidates only where a band collides, the
+  *    at-scale algorithm); SimHash bands 16 bits × 4 for hamming≤k.
+  *  - The MinHash signature is computed by a typed Aggregator whose
+  *    buffer is k longs — constant-size state per doc, so the shuffle
+  *    never carries token sets (see functions.MinHashAgg).
+  */
+object DedupOps {
+
+  /** distinct (doc_id, token) pairs, optionally bounded to doc_id < cap */
+  private def tokenSets(s: SparkSession, d: String, cap: Long = Long.MaxValue): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") < cap)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .distinct()
+
+  /** distinct (doc_id, token-bigram shingle) pairs. Shingles, not
+    * unigrams, are the right MinHash input on a shared-vocabulary
+    * corpus: unigram token sets of any two documents overlap heavily
+    * (measured ~J=0.6 on random testdata docs), which would make every
+    * pair a candidate; bigram sets are diverse. */
+  private def shingleSets(s: SparkSession, d: String, cap: Long = Long.MaxValue): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") < cap)
+      .select(col("doc_id"), expr(
+        """explode(zip_with(
+          |  slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+          |  slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+          |  (x, y) -> concat(x, '_', y)))""".stripMargin).as("term"))
+      .distinct()
+
+  /** exact-Jaccard pairs (a<b) from a (doc_id, term) set table */
+  private def jaccardPairs(tok: DataFrame, threshold: Double): DataFrame = {
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val a = tok.select(col("doc_id").as("a"), col("term"))
+    val b = tok.select(col("doc_id").as("b"), col("term"))
+    val inter = a.join(b, Seq("term")).filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sa")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("sb")), Seq("b"))
+      .select(col("a"), col("b"),
+        round(col("i").cast("double") / (col("sa") + col("sb") - col("i")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  val queries: Map[String, QFn] = Map(
+    // exact duplicate groups (may legitimately be empty on this corpus
+    // — FIXTURES.md: zero exact dupes at small SF; unit tests plant
+    // duplicates in in-memory fixtures)
+    "dedup_exact" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(col("text"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+        .filter(col("n") > 1)
+        .select(md5(col("text")).as("h"), col("n"), col("first_doc"))
+        .orderBy(col("h"))
+    }),
+
+    "dedup_jaccard_exact" -> ((s, d) => {
+      jaccardPairs(tokenSets(s, d, cap = 200L), 0.6)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // shingle (token-bigram) Jaccard — n-gram variant of the above
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      jaccardPairs(shingleSets(s, d, cap = 200L), 0.3).orderBy(col("a"), col("b"))
+    }),
+
+    // MinHash (k=32) + LSH banding (8 bands × 4 rows): candidates where
+    // any band collides, then exact-Jaccard verification of candidates
+    // only. No oracle (signatures are hash-seed-dependent); the
+    // planted-duplicate property test pins recall, and the verified
+    // output equals dedup_jaccard semantics on the candidate set.
+    "dedup_near_minhash" -> ((s, d) => {
+      val k = 32; val bands = 8; val rows = 4
+      val tok = shingleSets(s, d)
+      val minhash = udaf(new MinHashAgg(k))
+      val sigs = tok.groupBy(col("doc_id"))
+        .agg(minhash(col("term")).as("sig"))
+      val bandCols = (0 until bands).map(j => hash(slice(col("sig"), j * rows + 1, rows)))
+      val banded = sigs.select(col("doc_id"), posexplode(array(bandCols: _*)))
+        .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
+      val cand = banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+      val verified = cand.join(jaccardPairs(tok, 0.5), Seq("a", "b"))
+      verified.orderBy(col("a"), col("b"))
+    }),
+
+    // SimHash: 64-bit signature from per-token hashes weighted by tf;
+    // near-dup candidates = equal 16-bit band (4 bands), verified by
+    // hamming distance <= 3. No oracle (hash-based); property-tested.
+    "dedup_simhash" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("h", xxhash64(col("term")))
+      val bitCols = (0 until 64).map { i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, col("tf"))
+          .otherwise(-col("tf"))).as(s"b$i")
+      }
+      val sig = tf.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+        .select(col("doc_id"),
+          (0 until 64).map(i => when(col(s"b$i") > 0, shiftleft(lit(1L), i))
+            .otherwise(lit(0L))).reduce(_ + _).as("simhash"))
+      val bandCols = (0 until 4).map(j =>
+        shiftright(col("simhash"), j * 16).bitwiseAND(lit(65535L)))
+      val banded = sig.select(col("doc_id"), col("simhash"), posexplode(array(bandCols: _*)))
+        .select(col("doc_id"), col("simhash"), col("pos").as("band"), col("col").as("bh"))
+      banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // near-dup by embedding cosine within the same label block
+    "dedup_embedding_cosine" -> ((s, d) => {
+      graft.functions.CosineSimilarity.register(s)
+      val e = Tables.embeddings(s, d)
+      val x = e.select(col("label"), col("vec_id").as("a"), col("embedding").as("ea"))
+      val y = e.select(col("label"), col("vec_id").as("b"), col("embedding").as("eb"))
+      x.join(y, Seq("label"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"),
+          round(expr("cosine_sim(ea, eb)"), 4).as("cos"))
+        .filter(col("cos") >= 0.9)
+        .orderBy(col("a"), col("b"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS first_doc
+        |FROM documents GROUP BY text HAVING count(*) > 1
+        |ORDER BY h""".stripMargin,
+
+    "dedup_jaccard_exact" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE doc_id < 200),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+        |  FROM tok x JOIN tok y ON x.term = y.term AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
+        |FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+        |WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.6
+        |ORDER BY a, b""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |  FROM documents WHERE doc_id < 200),
+        |bi AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(list_zip(ts[1:len(ts)-1], ts[2:len(ts)]),
+        |      p -> p[1] || '_' || p[2])) AS term
+        |  FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM bi GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+        |  FROM bi x JOIN bi y ON x.term = y.term AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
+        |FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+        |WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.3
+        |ORDER BY a, b""".stripMargin,
+
+    "dedup_embedding_cosine" ->
+      """SELECT x.vec_id AS a, y.vec_id AS b,
+        |  round(list_cosine_similarity(
+        |    CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])), 4) AS cos
+        |FROM embeddings x JOIN embeddings y
+        |  ON x.label = y.label AND x.vec_id < y.vec_id
+        |WHERE round(list_cosine_similarity(
+        |    CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])), 4) >= 0.9
+        |ORDER BY a, b""".stripMargin)
+}

@@ -1,0 +1,192 @@
+package graft.operators
+
+import graft._
+import graft.Stable._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** §2.11 text analysis + the training-data-pipeline text operators:
+  * token counting, TF-IDF, language-ID (n-gram/token-profile
+  * heuristic), quality scoring, document fingerprinting.
+  *
+  * All token pipelines are explode → hash-aggregate: the explosion is
+  * map-side (no shuffle of raw text), the shuffle carries (term,count)
+  * pairs. Ratios/averages are built from exact integer sums so the
+  * scores hash-match DuckDB bit-for-bit.
+  */
+object TextOps {
+
+  val queries: Map[String, QFn] = Map(
+    "text_tokenize_counts" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("term"))
+        .limit(50)
+    }),
+
+    "text_tfidf_topterms" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df_ = tok.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      // rank on the ROUNDED score so a last-ulp ln() difference between
+      // engines cannot flip the argmax
+      val scored = tf.join(df_, "term").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"),
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4).as("tfidf"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(desc("tfidf"), asc("term"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("term"), col("tfidf"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_lang_stats" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          r4(sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("lang"))
+    }),
+
+    // token-profile language ID: each language's 20 most frequent
+    // terms form its profile; a document is classified to the profile
+    // it overlaps most (ties → lexicographically first lang)
+    "text_langid_ngram" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tok = docs.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("term"))
+      val lt = tok.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("c"))
+      val wTop = Window.partitionBy(col("lang")).orderBy(desc("c"), asc("term"))
+      val top20 = lt.withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= 20).select(col("lang").as("prof_lang"), col("term"))
+      val dt = tok.select(col("doc_id"), col("term")).distinct()
+      val hits = dt.join(broadcast(top20), "term")
+        .groupBy(col("doc_id"), col("prof_lang")).agg(count(lit(1)).as("hits"))
+      val wBest = Window.partitionBy(col("doc_id")).orderBy(desc("hits"), asc("prof_lang"))
+      val best = hits.withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
+      docs.select(col("doc_id"), col("lang").as("true_lang"))
+        .join(best, "doc_id")
+        .select(col("doc_id"), col("prof_lang").as("pred_lang"), col("hits"),
+          col("true_lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // quality score from exact integer counts: token count, stopword
+    // ratio (top-10 global terms), average token length
+    "text_quality_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val stop = tok.groupBy(col("term")).agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), asc("term")).limit(10)
+        .select(col("term"), lit(1).as("is_stop"))
+      val st = tok.join(broadcast(stop), Seq("term"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(coalesce(col("is_stop"), lit(0))).as("n_stop"),
+          sum(length(col("term"))).as("sum_len"))
+      st.select(col("doc_id"), col("n_tokens"),
+          r4(col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
+          r4(col("sum_len").cast("double") / col("n_tokens")).as("avg_token_len"),
+          r4(least(col("n_tokens").cast("double") / 100.0, lit(1.0)) *
+            (lit(1.0) - col("n_stop").cast("double") / col("n_tokens"))).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // rolling-hash stand-in: md5 is identical in Spark and DuckDB, so
+    // the fingerprint is oracle-checkable; fp8 = first 8 hex chars
+    "text_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("fp"),
+          substring(md5(col("text")), 1, 8).as("fp8"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // BPE-ish regex token classes: alphabetic tokens, long tokens,
+    // consonant-heavy tokens — counted per document via higher-order
+    // filters (no UDF, stays in codegen)
+    "text_token_classes" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_tokens"),
+          expr("size(filter(split(text, ' '), x -> x rlike '^[a-z]+$'))").as("n_alpha"),
+          expr("size(filter(split(text, ' '), x -> length(x) > 5))").as("n_long"))
+        .orderBy(col("doc_id"))
+    }))
+
+  private val tokCte =
+    "SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents"
+
+  val oracle: Map[String, String] = Map(
+    "text_tokenize_counts" ->
+      s"""WITH tok AS ($tokCte)
+         |SELECT term, count(*) AS n FROM tok
+         |GROUP BY term ORDER BY n DESC, term ASC LIMIT 50""".stripMargin,
+
+    "text_tfidf_topterms" ->
+      s"""WITH tok AS ($tokCte),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf
+         |  FROM tf JOIN df USING (term) CROSS JOIN n)
+         |SELECT doc_id, term, tfidf FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY tfidf DESC, term ASC) AS rn FROM scored) t
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "text_lang_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  round(CAST(SUM(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars,
+        |  count(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "text_langid_ngram" ->
+      s"""WITH tok AS ($tokCte),
+         |lt AS (SELECT lang, term, count(*) AS c FROM tok GROUP BY 1, 2),
+         |top20 AS (SELECT lang AS prof_lang, term FROM (
+         |  SELECT lang, term, row_number() OVER (PARTITION BY lang
+         |    ORDER BY c DESC, term ASC) AS rn FROM lt) t WHERE rn <= 20),
+         |dt AS (SELECT DISTINCT doc_id, term FROM tok),
+         |hits AS (SELECT dt.doc_id, top20.prof_lang, count(*) AS hits
+         |  FROM dt JOIN top20 USING (term) GROUP BY 1, 2),
+         |best AS (SELECT doc_id, prof_lang, hits FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY hits DESC, prof_lang ASC) AS rn FROM hits) t WHERE rn = 1)
+         |SELECT d.doc_id, b.prof_lang AS pred_lang, b.hits, d.lang AS true_lang
+         |FROM documents d JOIN best b ON d.doc_id = b.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "text_quality_score" ->
+      s"""WITH tok AS ($tokCte),
+         |stop AS (SELECT term FROM (
+         |  SELECT term, count(*) AS c FROM tok GROUP BY 1
+         |  ORDER BY c DESC, term ASC LIMIT 10) t),
+         |st AS (SELECT doc_id, count(*) AS n_tokens,
+         |    count(*) FILTER (WHERE term IN (SELECT term FROM stop)) AS n_stop,
+         |    SUM(length(term)) AS sum_len
+         |  FROM tok GROUP BY doc_id)
+         |SELECT doc_id, n_tokens,
+         |  round(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stop_ratio,
+         |  round(CAST(sum_len AS DOUBLE) / n_tokens, 4) AS avg_token_len,
+         |  round(least(n_tokens / 100.0, 1.0) *
+         |    (1.0 - CAST(n_stop AS DOUBLE) / n_tokens), 4) AS quality
+         |FROM st ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp, substring(md5(text), 1, 8) AS fp8
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_token_classes" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    x -> regexp_matches(x, '^[a-z]+$'))) AS INT) AS n_alpha,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    x -> length(x) > 5)) AS INT) AS n_long
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,155 @@
+package graft.operators
+
+import graft._
+import graft.Stable._
+import graft.functions.CosineSimilarity
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** §2.11 similarity search over the embedding column.
+  *
+  * Three tiers, in increasing scalability:
+  *  1. `vec_cosine_topk` — brute-force: small probe set × full corpus.
+  *     Probes are broadcast, so the corpus is scanned exactly once
+  *     with the codegen'd CosineSimilarity expression in the loop —
+  *     the right baseline even at 100 TB when the probe set is small.
+  *  2. `vec_knn_join_bucketed` — blocked kNN join: the label column
+  *     partitions both sides, turning all-pairs into per-bucket pairs
+  *     (the IVF-style coarse quantization pattern).
+  *  3. `vec_ann_lsh` — sign-random-projection LSH: 16-bit bucket from
+  *     fixed seeded hyperplanes, neighbors searched within the bucket
+  *     only. Hash-based → no oracle; recall pinned by property test.
+  *
+  * All cosine math runs in double via the native expression; outputs
+  * rounded to 4dp and ranked on the ROUNDED value so cross-engine
+  * last-ulp differences cannot flip an ordering (SURVEY §2.0).
+  */
+object VectorOps {
+
+  private def cosine(a: String, b: String) = expr(s"cosine_sim($a, $b)")
+
+  val queries: Map[String, QFn] = Map(
+    "vec_norm_stats" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .select(col("label"), expr(
+          "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+          .as("nrm"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          r4(davg(col("nrm"))).as("avg_norm"),
+          r4(min(col("nrm"))).as("min_norm"),
+          r4(max(col("nrm"))).as("max_norm"))
+        .orderBy(col("label"))
+    }),
+
+    // top-5 cosine neighbors for the 10 lowest vec_ids (brute force,
+    // probes broadcast — corpus scanned once)
+    "vec_cosine_topk" -> ((s, d) => {
+      CosineSimilarity.register(s)
+      val e = Tables.embeddings(s, d)
+      val probes = e.orderBy(col("vec_id")).limit(10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      val w = Window.partitionBy(col("probe_id")).orderBy(desc("cos"), asc("vec_id"))
+      e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(cosine("pe", "embedding"), 4).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
+    // label-blocked kNN join: top-3 same-label neighbors per probe
+    // (probe set bounded to vec_id < 100)
+    "vec_knn_join_bucketed" -> ((s, d) => {
+      CosineSimilarity.register(s)
+      val e = Tables.embeddings(s, d)
+      val probes = e.filter(col("vec_id") < 100L)
+        .select(col("label"), col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      val w = Window.partitionBy(col("probe_id")).orderBy(desc("cos"), asc("vec_id"))
+      e.join(probes, Seq("label"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("label"), col("vec_id"),
+          round(cosine("pe", "embedding"), 4).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
+    // sign-random-projection ANN: 16 fixed seeded hyperplanes → 16-bit
+    // bucket; top-1 neighbor within the bucket. The scale path: bucket
+    // populations are ~corpus/2^16, so candidate pairs grow linearly.
+    "vec_ann_lsh" -> ((s, d) => {
+      CosineSimilarity.register(s)
+      val bucketBits = (0 until 16).map { i =>
+        when(expr(s"aggregate(zip_with(embedding, ${planeExpr(i)}, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (a, v) -> a + v)") > 0,
+          shiftleft(lit(1L), i)).otherwise(lit(0L))
+      }
+      val e = Tables.embeddings(s, d)
+        .withColumn("bucket", bucketBits.reduce(_ + _))
+        .cache()
+      val x = e.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("ea"))
+      val y = e.select(col("bucket"), col("vec_id").as("b"), col("embedding").as("eb"))
+      val w = Window.partitionBy(col("a")).orderBy(desc("cos"), asc("b"))
+      x.join(y, Seq("bucket"))
+        .filter(col("a") =!= col("b"))
+        .select(col("a"), col("bucket"), col("b"), round(cosine("ea", "eb"), 4).as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("a").as("vec_id"), col("bucket"), col("b").as("nn_id"), col("cos"))
+        .orderBy(col("vec_id"))
+    }))
+
+  /** 16 fixed 64-dim hyperplanes from a seeded PRNG — deterministic
+    * across JVMs (same algorithm, same seed). */
+  lazy val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(16)(Array.fill(64)(rnd.nextDouble() - 0.5))
+  }
+
+  /** SQL array literal for plane i (used inside higher-order exprs) */
+  private def planeExpr(i: Int): String =
+    planes(i).map(v => s"CAST($v AS DOUBLE)").mkString("array(", ", ", ")")
+
+  val oracle: Map[String, String] = Map(
+    "vec_norm_stats" ->
+      """WITH n AS (
+        |  SELECT label, sqrt(list_aggregate(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n,
+        |  round(CAST(SUM(CAST(nrm AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_norm,
+        |  round(min(nrm), 4) AS min_norm,
+        |  round(max(nrm), 4) AS max_norm
+        |FROM n GROUP BY label ORDER BY label""".stripMargin,
+
+    "vec_cosine_topk" ->
+      """WITH probes AS (
+        |  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+        |  ORDER BY vec_id LIMIT 10),
+        |scored AS (
+        |  SELECT p.probe_id, e.vec_id,
+        |    round(list_cosine_similarity(
+        |      CAST(p.pe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4) AS cos
+        |  FROM probes p CROSS JOIN embeddings e WHERE e.vec_id <> p.probe_id)
+        |SELECT probe_id, vec_id, cos, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY cos DESC, vec_id ASC) AS INT) AS rank FROM scored) t
+        |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    "vec_knn_join_bucketed" ->
+      """WITH probes AS (
+        |  SELECT label, vec_id AS probe_id, embedding AS pe
+        |  FROM embeddings WHERE vec_id < 100),
+        |scored AS (
+        |  SELECT p.probe_id, e.label, e.vec_id,
+        |    round(list_cosine_similarity(
+        |      CAST(p.pe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4) AS cos
+        |  FROM probes p JOIN embeddings e ON e.label = p.label
+        |  WHERE e.vec_id <> p.probe_id)
+        |SELECT probe_id, label, vec_id, cos, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY cos DESC, vec_id ASC) AS INT) AS rank FROM scored) t
+        |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin)
+}
