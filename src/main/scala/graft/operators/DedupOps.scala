@@ -101,8 +101,21 @@ object DedupOps {
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-      val verified = cand.join(jaccardPairs(tok, 0.5), Seq("a", "b"))
-      verified.orderBy(col("a"), col("b"))
+      // exact-Jaccard verification of CANDIDATES ONLY — the whole point
+      // of LSH: intersection terms are joined through the (small)
+      // candidate list, never all-pairs
+      val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = cand
+        .join(tok.select(col("doc_id").as("a"), col("term")), Seq("a"))
+        .join(tok.select(col("doc_id").as("b"), col("term")), Seq("b", "term"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))
+      inter
+        .join(sizes.select(col("doc_id").as("a"), col("sz").as("sa")), Seq("a"))
+        .join(sizes.select(col("doc_id").as("b"), col("sz").as("sb")), Seq("b"))
+        .select(col("a"), col("b"),
+          round(col("i").cast("double") / (col("sa") + col("sb") - col("i")), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("a"), col("b"))
     }),
 
     // SimHash: 64-bit signature from per-token hashes weighted by tf;
