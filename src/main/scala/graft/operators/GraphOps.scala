@@ -138,53 +138,65 @@ object GraphOps {
     // symmetrized edge set. Label = min reachable vertex id — matches
     // the recursive-CTE oracle exactly. Deterministic (min is
     // order-independent).
-    "graph_connected_components" -> ((s, d) => {
-      val sym = {
-        val e = edges(s, d)
-        e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
-          .cache()
-      }
-      var labels = sym.select(col("src").as("v")).distinct()
-        .withColumn("lbl", col("v")).localCheckpoint()
-      var changed = 1L
-      var iter = 0
-      while (changed > 0 && iter < 50) {
-        val prop = sym.join(labels, sym("src") === labels("v"))
-          .groupBy(col("dst").as("v2")).agg(min(col("lbl")).as("nlbl"))
-        val next = labels.join(prop, labels("v") === prop("v2"), "left")
-          .select(col("v"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-          .localCheckpoint() // truncate lineage each iteration
-        changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("v"))
-          .filter(col("lbl") =!= col("old")).count()
-        labels = next
-        iter += 1
-      }
-      labels.orderBy(col("v"))
-    }),
+    "graph_connected_components" -> ((s, d) =>
+      connectedComponents(edges(s, d)).orderBy(col("v"))),
 
     // PageRank, damping 0.85, fixed 10 iterations, on the symmetrized
     // graph (no dangling vertices by construction). No oracle —
     // cross-engine FP accumulation over 10 iterations diverges;
     // property-tested against GraphX staticPageRank instead (§5).
-    "graph_pagerank" -> ((s, d) => {
-      val sym = {
-        val e = edges(s, d)
-        e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
-          .cache()
-      }
-      val outDeg = sym.groupBy(col("src")).agg(count(lit(1)).as("odeg")).cache()
-      val withDeg = sym.join(outDeg, Seq("src")).cache()
-      var pr = outDeg.select(col("src").as("v"), lit(1.0).as("pr")).localCheckpoint()
-      for (_ <- 1 to 10) {
-        val contrib = withDeg.join(pr, withDeg("src") === pr("v"))
-          .select(col("dst").as("v2"), (col("pr") / col("odeg")).as("c"))
-          .groupBy(col("v2")).agg(sum(col("c")).as("sc"))
-        pr = pr.join(contrib, pr("v") === col("v2"), "left")
-          .select(col("v"), (lit(0.15) + lit(0.85) * coalesce(col("sc"), lit(0.0))).as("pr"))
-          .localCheckpoint()
-      }
-      pr.select(col("v"), round(col("pr"), 4).as("pr")).orderBy(col("v"))
-    }))
+    "graph_pagerank" -> ((s, d) =>
+      pageRank(edges(s, d), iters = 10)
+        .select(col("v"), round(col("pr"), 4).as("pr")).orderBy(col("v"))))
+
+  /** Connected components by min-label propagation to fixpoint over
+    * the symmetrized edge set. Label = min reachable vertex id.
+    * Deterministic (min is order-independent). Public library API —
+    * works on any (src, dst) edge DataFrame. */
+  def connectedComponents(edgeDf: DataFrame, maxIters: Int = 50): DataFrame = {
+    val sym = edgeDf
+      .union(edgeDf.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    var labels = sym.select(col("src").as("v")).distinct()
+      .withColumn("lbl", col("v")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val prop = sym.join(labels, sym("src") === labels("v"))
+        .groupBy(col("dst").as("v2")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels.join(prop, labels("v") === prop("v2"), "left")
+        .select(col("v"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint() // truncate lineage each iteration
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("v"))
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** PageRank (damping 0.85, unnormalized GraphX-style: pr = 0.15 +
+    * 0.85·Σ pr_in/outdeg) on the symmetrized graph — symmetrization
+    * removes dangling vertices by construction, so total mass is
+    * conserved and scores are comparable to GraphX staticPageRank
+    * (property-tested in GraphSpec). Public library API. */
+  def pageRank(edgeDf: DataFrame, iters: Int): DataFrame = {
+    val sym = edgeDf
+      .union(edgeDf.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    val outDeg = sym.groupBy(col("src")).agg(count(lit(1)).as("odeg")).cache()
+    val withDeg = sym.join(outDeg, Seq("src")).cache()
+    var pr = outDeg.select(col("src").as("v"), lit(1.0).as("pr")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = withDeg.join(pr, withDeg("src") === pr("v"))
+        .select(col("dst").as("v2"), (col("pr") / col("odeg")).as("c"))
+        .groupBy(col("v2")).agg(sum(col("c")).as("sc"))
+      pr = pr.join(contrib, pr("v") === col("v2"), "left")
+        .select(col("v"), (lit(0.15) + lit(0.85) * coalesce(col("sc"), lit(0.0))).as("pr"))
+        .localCheckpoint()
+    }
+    pr
+  }
 
   val oracle: Map[String, String] = Map(
     "graph_edges" ->

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming port of the §2.9 time-series operators.
+  *
+  * Each transform takes ANY events-shaped DataFrame — batch or
+  * streaming — and applies the same declarative plan; under
+  * `readStream` the identical `window()` / `session_window()` calls
+  * run incrementally with watermark-driven state eviction. That is the
+  * design contract: batch output (oracle-verified in
+  * operators.TimeSeriesOps) == the complete-stream output, so the
+  * streaming path needs no separate oracle — StreamPortSpec drives it
+  * with MemoryStream and compares against the batch result.
+  *
+  * At scale: state size is bounded by the watermark (1h of windows per
+  * key), and all aggregations are partial-agg friendly, so a
+  * 1000-executor streaming job shuffles pre-combined window state,
+  * not raw events.
+  */
+object StreamPort {
+
+  /** tumbling 1-hour counts+sums per event type (≙ ts_tumbling_window) */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+
+  /** sliding 1h/15min counts (≙ ts_sliding_window) */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+
+  /** per-user session windows, 30-min gap (≙ ts_session_window) */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
+  /** streaming dedup on (user_id, event_type) within the watermark
+    * (≙ ts_dedup_within_watermark's keep-first semantics) */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** custom stateful operator via mapGroupsWithState: running event
+    * count + max value per user — the KeyValueGroupedDataset custom-
+    * state surface (§2.9 / SURVEY §3) */
+  case class UserEvent(user_id: Long, event_type: String, value: Double)
+  case class UserAgg(user_id: Long, n: Long, max_value: Double)
+
+  def runningUserStats(events: Dataset[UserEvent]): Dataset[UserAgg] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserAgg, UserAgg](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(UserAgg(uid, 0L, Double.MinValue))
+          var n = prev.n
+          var mx = prev.max_value
+          rows.foreach { e => n += 1; if (e.value > mx) mx = e.value }
+          val next = UserAgg(uid, n, mx)
+          state.update(next)
+          next
+      }
+  }
+
+  /** the OutputMode each sink should use (documented at the API
+    * surface so callers do not guess) */
+  val aggregationOutputMode: OutputMode = OutputMode.Update()
+}

@@ -1,0 +1,92 @@
+package graft
+
+import graft.functions.MinHashAgg
+import org.apache.spark.sql.functions._
+
+/** Planted-duplicate tests for the dedup family (the real corpus has
+  * zero exact dupes — FIXTURES.md — so recall must be pinned here)
+  * plus text-operator math checks. */
+class DedupTextSpec extends SparkTestBase {
+
+  private def docsFixture(): String = {
+    val dir = tempDir()
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val other = "completely different words about spark catalyst tungsten shuffles parquet"
+    writeFixture(dir, "documents", Seq(
+      (1L, base, "en", "src0", base.length.toLong),
+      (2L, base, "en", "src1", base.length.toLong),   // exact dup of 1
+      (3L, near, "en", "src2", near.length.toLong),   // near dup of 1
+      (4L, other, "en", "src3", other.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    dir
+  }
+
+  test("dedup_exact finds planted duplicate group, empty on real corpus") {
+    val dir = docsFixture()
+    val rows = operators.DedupOps.queries("dedup_exact")(spark, dir).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(1) == 2L)      // group size
+    assert(rows(0).getLong(2) == 1L)      // first_doc
+    // graceful empty on the real corpus
+    assert(operators.DedupOps.queries("dedup_exact")(spark, sf001).count() == 0)
+  }
+
+  test("dedup_near_minhash recovers planted exact+near duplicates") {
+    val dir = docsFixture()
+    val pairs = operators.DedupOps.queries("dedup_near_minhash")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"exact dup pair missed: $pairs")
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)),
+      s"near dup pair missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), s"false positive: $pairs")
+  }
+
+  test("dedup_simhash: identical docs at hamming 0, distinct docs excluded") {
+    val dir = docsFixture()
+    val rows = operators.DedupOps.queries("dedup_simhash")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue))
+    val exact = rows.find(r => r._1 == 1L && r._2 == 2L)
+    assert(exact.exists(_._3 == 0L), s"identical docs not at hamming 0: ${rows.toSeq}")
+    assert(!rows.exists(r => r._2 == 4L || r._1 == 4L), s"false positive: ${rows.toSeq}")
+  }
+
+  test("MinHashAgg signature estimates Jaccard on planted sets") {
+    val a = (1 to 100).map(i => s"tok$i")
+    val b = (21 to 120).map(i => s"tok$i") // |∩|=80, |∪|=120 → J=0.667
+    val agg = new MinHashAgg(128)
+    def sig(ts: Seq[String]) = ts.foldLeft(agg.zero)((buf, t) => agg.reduce(buf, t))
+    val est = MinHashAgg.estimate(sig(a), sig(b))
+    assert(math.abs(est - 80.0 / 120.0) < 0.15, s"estimate off: $est")
+    // identical sets → identical signatures
+    assert(MinHashAgg.estimate(sig(a), sig(a)) == 1.0)
+  }
+
+  test("text_quality_score math on a hand doc") {
+    val dir = tempDir()
+    import spark.implicits._
+    // 4 tokens, no stopword list interference (all terms tie at count 1
+    // → top-10 picks lexicographic 10, all 4 are stopwords here)
+    writeFixture(dir, "documents",
+      Seq((1L, "aa bb cc dd", "en", "s", 11L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val r = operators.TextOps.queries("text_quality_score")(spark, dir).collect()(0)
+    assert(r.getLong(1) == 4L)                   // n_tokens
+    assert(r.getDouble(2) == 1.0)                // stop_ratio: all 4 in top-10
+    assert(r.getDouble(3) == 2.0)                // avg token length
+    assert(r.getDouble(4) == 0.0)                // quality = 0.04 * (1-1) = 0
+  }
+
+  test("tfidf: shared term scores 0, unique term wins") {
+    val dir = tempDir()
+    import spark.implicits._
+    writeFixture(dir, "documents", Seq(
+      (1L, "shared shared unique1", "en", "s", 21L),
+      (2L, "shared unique2 unique2", "en", "s", 21L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val top = operators.TextOps.queries("text_tfidf_topterms")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top == Map(1L -> "unique1", 2L -> "unique2"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.GraphOps
+import org.apache.spark.sql.functions._
+
+/** Hand-built-graph tests for the iterative operators (no oracle
+  * exists for PageRank; CC's oracle only runs at sf0.01 — these pin
+  * the algorithms themselves). */
+class GraphSpec extends SparkTestBase {
+
+  private def edgeDf(pairs: (Long, Long)*) = {
+    import spark.implicits._
+    pairs.toDF("src", "dst")
+  }
+
+  test("connectedComponents labels two separate components") {
+    // component {1,2,3} and component {10,11}; 20 isolated via self-loop
+    val cc = GraphOps.connectedComponents(edgeDf(1L -> 2L, 2L -> 3L, 10L -> 11L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents on a chain converges past one iteration") {
+    // 0-1-2-3-4-5: min label must walk the whole chain
+    val chain = (0L until 5L).map(i => i -> (i + 1))
+    val cc = GraphOps.connectedComponents(edgeDf(chain: _*))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.values.toSet == Set(0L))
+    assert(cc.size == 6)
+  }
+
+  test("pageRank mass is conserved (sum ≈ N) and uniform on a cycle") {
+    // directed 4-cycle symmetrized → regular graph → uniform PR = 1.0
+    val pr = GraphOps.pageRank(edgeDf(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.size == 4)
+    pr.values.foreach(v => assert(math.abs(v - 1.0) < 1e-9, s"non-uniform: $pr"))
+  }
+
+  test("pageRank matches GraphX staticPageRank on a small graph") {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val pairs = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L, 4L -> 1L, 2L -> 4L)
+    // our implementation symmetrizes; hand GraphX the same symmetric set
+    val sym = (pairs ++ pairs.map(_.swap)).distinct
+    val ours = GraphOps.pageRank(edgeDf(pairs: _*), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val gx = Graph.fromEdges(
+      spark.sparkContext.parallelize(sym.map { case (a, b) => Edge(a, b, 1) }), 1)
+      .staticPageRank(10).vertices.collect().toMap
+    for ((v, p) <- ours)
+      assert(math.abs(p - gx(v)) < 1e-6, s"vertex $v: ours=$p graphx=${gx(v)}")
+  }
+
+  test("degree/two-hop/triangles agree with hand counts on a planted star graph") {
+    val dir = tempDir()
+    // orders 1..3 by customers 1..2; lineitems connect suppliers/parts
+    import spark.implicits._
+    writeFixture(dir, "orders", Seq(
+      (1L, 1L, "O", 10.0, java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), "1-URGENT"),
+      (2L, 2L, "O", 20.0, java.sql.Timestamp.valueOf("2020-01-02 00:00:00"), "5-LOW"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"))
+    // order 1: parts 100,101,102 (forms a triangle); order 2: parts 100,101 (already an edge)
+    def li(ok: Long, pk: Long, sk: Long, ln: Int) =
+      (ok, pk, sk, ln, 1.0, 10.0, 0.0, 0.0, "N", "O", java.sql.Timestamp.valueOf("2020-01-01 00:00:00"))
+    writeFixture(dir, "lineitem", Seq(
+      li(1L, 100L, 7L, 1), li(1L, 101L, 8L, 2), li(1L, 102L, 7L, 3),
+      li(2L, 100L, 9L, 1), li(2L, 101L, 7L, 2))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"))
+
+    val tri = operators.GraphOps.queries("graph_triangles")(spark, dir)
+      .collect()(0).getLong(0)
+    assert(tri == 1L, s"expected exactly the {100,101,102} triangle, got $tri")
+
+    val deg = operators.GraphOps.queries("graph_degree")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // edges: (1,1000007),(1,1000008),(2,1000009),(2,1000007)
+    assert(deg.contains((1L, 2L, 0L)))        // customer 1: out 2
+    assert(deg.contains((1000007L, 0L, 2L)))  // supplier 7: in from both customers
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session + fixture plumbing for all specs. One session per
+  * JVM (tests fork once), same configs as Verify so test behavior ==
+  * driver behavior. */
+trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkTestBase.session
+
+  def sf001 = "/root/testdata/sf0.001"
+
+  /** write an in-memory fixture as <dir>/<name>.parquet so operator
+    * functions (which read tables by name) can run on planted data */
+  def writeFixture(dir: String, name: String, df: DataFrame): Unit =
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$name.parquet")
+
+  def tempDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_fixture").toString
+}
+
+object SparkTestBase {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-tests")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import graft.streaming.StreamPort
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Structured Streaming port: the same declarative plans run under
+  * MemoryStream and must produce the batch answer once the stream is
+  * drained (complete/append parity — the design contract of
+  * graft.streaming.StreamPort). */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+class StreamPortSpec extends SparkTestBase {
+
+  private def events: Seq[Ev] = Seq(
+    Ev(1, Timestamp.valueOf("2024-01-01 10:05:00"), 1, "view", 1.0),
+    Ev(2, Timestamp.valueOf("2024-01-01 10:20:00"), 1, "view", 2.0),
+    Ev(3, Timestamp.valueOf("2024-01-01 11:10:00"), 1, "click", 3.0),
+    Ev(4, Timestamp.valueOf("2024-01-01 10:15:00"), 2, "view", 4.0),
+    Ev(5, Timestamp.valueOf("2024-01-01 12:30:00"), 2, "view", 5.0),
+    Ev(6, Timestamp.valueOf("2024-01-01 10:16:00"), 2, "view", 6.0))
+
+  test("streaming tumbling counts == batch tumbling counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamPort.tumblingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("complete").start()
+    mem.addData(events: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("tumbling")
+      .select("ws", "event_type", "n", "sum_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    q.stop()
+    val batch = StreamPort.tumblingCounts(events.toDF())
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(streamed == batch)
+    assert(batch.contains((Timestamp.valueOf("2024-01-01 10:00:00"), "view", 4L, 13.0)))
+  }
+
+  test("streaming session windows == batch session windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamPort.sessionCounts(mem.toDF())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+    mem.addData(events: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("sessions").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    q.stop()
+    val batch = StreamPort.sessionCounts(events.toDF()).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    assert(streamed == batch)
+    // user 1: events at 10:05/10:20 merge (15min gap < 30), 11:10 separate
+    assert(batch.contains((1L, Timestamp.valueOf("2024-01-01 10:05:00"),
+      Timestamp.valueOf("2024-01-01 10:50:00"), 2L)))
+  }
+
+  test("dropDuplicatesWithinWatermark dedups (user, type) in-stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamPort.dedupWithinWatermark(mem.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    mem.addData(events: _*)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("dedup").select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.length == rows.distinct.length)
+    assert(rows.toSet == Set((1L, "view"), (1L, "click"), (2L, "view")))
+  }
+
+  test("mapGroupsWithState running per-user stats") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamPort.UserEvent]
+    val q = StreamPort.runningUserStats(mem.toDS())
+      .writeStream.format("memory").queryName("userstats")
+      .outputMode("update").start()
+    mem.addData(StreamPort.UserEvent(1, "view", 5.0), StreamPort.UserEvent(1, "click", 2.0))
+    q.processAllAvailable()
+    mem.addData(StreamPort.UserEvent(1, "view", 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("userstats").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).last
+    assert(last == ((1L, 3L, 9.0))) // state carried across batches
+  }
+}
