@@ -14,6 +14,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm the session (codegen compiler, parquet reader, shuffle
+    // machinery) so the first timed query isn't charged for JVM init
+    spark.read.parquet(s"$sfDir/nation.parquet").count()
+    spark.range(1000).repartition(4).groupBy((org.apache.spark.sql.functions.col("id") % 10)).count().count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

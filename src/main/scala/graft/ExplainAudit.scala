@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: dump formatted physical plans for representative queries
+  * so the scale-critical plan properties can be audited (SURVEY §4):
+  * predicate pushdown reaching the parquet scan, column pruning in
+  * ReadSchema, broadcast joins where a side is small, top-K planned as
+  * TakeOrderedAndProject, wide WholeStageCodegen spans.
+  *
+  * Usage: runMain graft.ExplainAudit [sfDir] [query ...]
+  */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (args.length > 1) args.tail.toSeq else Seq(
+      "scan_pruned_filter", "join_broadcast", "join_multiway_star",
+      "topk_global", "win_rank_topn_pergroup", "agg_pricing_summary",
+      "vec_cosine_topk", "ts_tumbling_window")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (n <- names) {
+      println(s"\n========== $n ==========")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
