@@ -140,6 +140,25 @@ object Joins {
       Tables.region(s, d).crossJoin(Tables.nation(s, d))
         .select(col("r_name"), col("n_name"))
         .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // skew-mitigation pattern: the fact side carries a deterministic
+    // salt (derived from data, not rand() — SURVEY §2.0 rule 6), the
+    // dim side is replicated across all salts, and the join key
+    // becomes (key, salt) — a hot key's rows now spread over N
+    // partitions instead of one straggler. Result ≡ the unsalted
+    // join, which is exactly what the oracle checks.
+    "join_skew_salted" -> ((s, d) => {
+      val nSalts = 8
+      val li = Tables.lineitem(s, d)
+        .withColumn("salt", pmod(col("l_linenumber"), lit(nSalts)))
+      val o = Tables.orders(s, d)
+        .withColumn("salt", explode(array((0 until nSalts).map(lit(_)): _*)))
+      li.join(o, li("l_orderkey") === o("o_orderkey") && li("salt") === o("salt"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          r4(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .orderBy(col("o_orderpriority"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -210,5 +229,11 @@ object Joins {
 
     "join_cross_small" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
-        |ORDER BY r_name, n_name""".stripMargin)
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "join_skew_salted" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
 }

@@ -1,0 +1,32 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table helpers — the co-located-join path for repeated
+  * large⋈large joins at scale.
+  *
+  * Writing both join sides bucketed (same key, same bucket count)
+  * lets Spark plan the join with ZERO Exchange: each task reads the
+  * matching bucket files from both tables. On a 1000-executor cluster
+  * joining two 10 TB tables repeatedly, this converts every join from
+  * a full 2×10 TB shuffle into a local merge — the single biggest
+  * at-scale win for a star schema whose fact table is joined on the
+  * same key by many queries. BucketingSpec proves the property by
+  * asserting the physical plan is Exchange-free.
+  */
+object Bucketed {
+
+  /** write `df` as a bucketed (+ optionally sorted) managed table */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int, sorted: Boolean = true): Unit = {
+    val w = df.write.mode("overwrite").bucketBy(buckets, key)
+    (if (sorted) w.sortBy(key) else w).saveAsTable(table)
+  }
+
+  /** bucket-join two pre-bucketed tables on their bucket keys —
+    * plans with no Exchange when bucket counts align */
+  def bucketJoin(spark: SparkSession, left: String, right: String,
+      leftKey: String, rightKey: String): DataFrame =
+    spark.table(left).join(spark.table(right),
+      spark.table(left)(leftKey) === spark.table(right)(rightKey))
+}
