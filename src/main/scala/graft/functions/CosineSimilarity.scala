@@ -56,15 +56,25 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // fresh names: two cosine_sim calls can land in one codegen
+      // span — fixed local names would generate duplicate declarations
+      // and knock the whole stage back to interpreted evaluation
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
       s"""
-         |int n = Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, nx = 0.0, ny = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double xv = (double) $a.getFloat(i);
-         |  double yv = (double) $b.getFloat(i);
-         |  dot += xv * yv; nx += xv * xv; ny += yv * yv;
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = (double) $a.getFloat($i);
+         |  double $yv = (double) $b.getFloat($i);
+         |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
          |}
-         |${ev.value} = dot / Math.sqrt(nx * ny);
+         |${ev.value} = $dot / Math.sqrt($nx * $ny);
        """.stripMargin
     })
 

@@ -37,17 +37,24 @@ object GraphOps {
   private val edgeCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** supplier-vertex offset: must exceed the max customer key at ANY
+    * scale factor. TPC-H custkey = 150k × SF, so even SF 100,000
+    * (≈100 TB) stays below 2e10 — 1e12 keeps the namespaces disjoint
+    * with 6 million× headroom while staying far from Long overflow. */
+  val SupplierVertexOffset = 1000000000000L
+
   def edges(s: SparkSession, d: String): DataFrame =
     edgeCache.getOrElseUpdate((s, d),
       Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
         .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + SupplierVertexOffset).as("dst"))
         .distinct()
         .cache())
 
   private val edgesSql =
-    """SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+    """SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000000000 AS dst
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
 
   /** undirected co-order part pairs, oriented a < b */
@@ -106,8 +113,11 @@ object GraphOps {
       val co = coParts(s, d)
       val sym = co.select(col("a").as("u"), col("b").as("v"))
         .union(co.select(col("b").as("u"), col("a").as("v")))
+      // total order = lexicographic (degree, id) via struct comparison
+      // — injective for any id/degree magnitude (an arithmetic
+      // encoding like dg*C+id silently collides once ids exceed C)
       val vk = sym.groupBy(col("u")).agg(count(lit(1)).as("dg"))
-        .select(col("u").as("vertex"), (col("dg") * lit(1000000L) + col("u")).as("k"))
+        .select(col("u").as("vertex"), struct(col("dg"), col("u")).as("k"))
       val dir = sym
         .join(vk.select(col("vertex").as("u"), col("k").as("ku")), Seq("u"))
         .join(vk.select(col("vertex").as("v"), col("k").as("kv")), Seq("v"))
@@ -183,6 +193,7 @@ object GraphOps {
       labels = next
       iter += 1
     }
+    sym.unpersist()
     labels
   }
 
@@ -198,6 +209,7 @@ object GraphOps {
     val outDeg = sym.groupBy(col("src")).agg(count(lit(1)).as("odeg")).cache()
     val withDeg = sym.join(outDeg, Seq("src")).cache()
     var pr = outDeg.select(col("src").as("v"), lit(1.0).as("pr")).localCheckpoint()
+    var toRelease = List.empty[DataFrame]
     for (i <- 1 to iters) {
       // pr is one row per vertex → broadcast join (no edge shuffle);
       // lineage truncated every 3rd iteration (a checkpoint per
@@ -208,8 +220,14 @@ object GraphOps {
       val next = pr.join(contrib, pr("v") === col("v2"), "left")
         .select(col("v"), (lit(0.15) + lit(0.85) * coalesce(col("sc"), lit(0.0))).as("pr"))
         .cache() // each pr is consumed twice (broadcast build + join)
+      toRelease ::= next
       pr = if (i % 3 == 0 || i == iters) next.localCheckpoint() else next
     }
+    // release intermediate iteration state: only the final checkpointed
+    // result survives (a 10-iteration run would otherwise pin ~10
+    // vertex tables in storage memory for the session lifetime)
+    toRelease.foreach(_.unpersist())
+    sym.unpersist(); outDeg.unpersist(); withDeg.unpersist()
     pr
   }
 

@@ -150,8 +150,11 @@ object Joins {
     // join, which is exactly what the oracle checks.
     "join_skew_salted" -> ((s, d) => {
       val nSalts = 8
+      // salt from a hash spanning the full 0..N-1 range (l_linenumber
+      // alone is 1..7 in TPC-H — salt 0 would never occur and 1/N of
+      // the replicated dim side would be dead weight)
       val li = Tables.lineitem(s, d)
-        .withColumn("salt", pmod(col("l_linenumber"), lit(nSalts)))
+        .withColumn("salt", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(nSalts)))
       val o = Tables.orders(s, d)
         .withColumn("salt", explode(array((0 until nSalts).map(lit(_)): _*)))
       li.join(o, li("l_orderkey") === o("o_orderkey") && li("salt") === o("salt"))

@@ -24,9 +24,15 @@ object Bucketed {
   }
 
   /** bucket-join two pre-bucketed tables on their bucket keys —
-    * plans with no Exchange when bucket counts align */
+    * plans with no Exchange when bucket counts align. The right side
+    * is aliased so self-joins (left == right) resolve to a genuine
+    * two-sided equi-join instead of an ambiguous same-relation
+    * reference. */
   def bucketJoin(spark: SparkSession, left: String, right: String,
-      leftKey: String, rightKey: String): DataFrame =
-    spark.table(left).join(spark.table(right),
-      spark.table(left)(leftKey) === spark.table(right)(rightKey))
+      leftKey: String, rightKey: String): DataFrame = {
+    val l = spark.table(left).alias("bj_l")
+    val r = spark.table(right).alias("bj_r")
+    l.join(r, org.apache.spark.sql.functions.col(s"bj_l.$leftKey") ===
+      org.apache.spark.sql.functions.col(s"bj_r.$rightKey"))
+  }
 }

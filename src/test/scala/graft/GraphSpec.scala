@@ -74,8 +74,9 @@ class GraphSpec extends SparkTestBase {
 
     val deg = operators.GraphOps.queries("graph_degree")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    // edges: (1,1000007),(1,1000008),(2,1000009),(2,1000007)
+    val off = operators.GraphOps.SupplierVertexOffset
+    // edges: (1,off+7),(1,off+8),(2,off+9),(2,off+7)
     assert(deg.contains((1L, 2L, 0L)))        // customer 1: out 2
-    assert(deg.contains((1000007L, 0L, 2L)))  // supplier 7: in from both customers
+    assert(deg.contains((off + 7L, 0L, 2L)))  // supplier 7: in from both customers
   }
 }
