@@ -149,6 +149,21 @@ object DedupOps {
         .orderBy(col("a"), col("b"))
     }),
 
+    // fuzzy string dedup by edit distance, blocked by string length
+    // (|len(a)-len(b)| <= k is a necessary condition for
+    // levenshtein <= k, so the join carries a length-band predicate
+    // that prunes most pairs before the O(len²) DP runs)
+    "dedup_edit_distance" -> ((s, d) => {
+      val p = Tables.part(s, d).filter(col("p_partkey") < 500L)
+        .select(col("p_partkey"), col("p_name"), length(col("p_name")).as("len"))
+      val a = p.select(col("p_partkey").as("a"), col("p_name").as("na"), col("len").as("la"))
+      val b = p.select(col("p_partkey").as("b"), col("p_name").as("nb"), col("len").as("lb"))
+      a.join(b, col("a") < col("b") && abs(col("la") - col("lb")) <= 3)
+        .select(col("a"), col("b"), levenshtein(col("na"), col("nb")).as("dist"))
+        .filter(col("dist") <= 3)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // near-dup by embedding cosine within the same label block
     "dedup_embedding_cosine" -> ((s, d) => {
       graft.functions.CosineSimilarity.register(s)
@@ -199,6 +214,16 @@ object DedupOps {
         |SELECT a, b, round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
         |FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
         |WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.3
+        |ORDER BY a, b""".stripMargin,
+
+    "dedup_edit_distance" ->
+      """WITH p AS (SELECT p_partkey, p_name, length(p_name) AS len
+        |  FROM part WHERE p_partkey < 500)
+        |SELECT a.p_partkey AS a, b.p_partkey AS b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM p a JOIN p b
+        |  ON a.p_partkey < b.p_partkey AND abs(a.len - b.len) <= 3
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
         |ORDER BY a, b""".stripMargin,
 
     "dedup_embedding_cosine" ->

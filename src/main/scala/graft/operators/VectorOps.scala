@@ -77,6 +77,40 @@ object VectorOps {
         .orderBy(col("probe_id"), col("rank"))
     }),
 
+    // IVF-style ANN: coarse quantization against a deterministic
+    // centroid set (the 16 lowest-vec_id vectors — a data-derived,
+    // fully reproducible codebook), then exact search within the cell.
+    // Unlike the LSH variant this is oracle-checkable end-to-end.
+    // At scale the cell assignment is a broadcast of the codebook and
+    // one corpus scan; per-cell search is all-pairs within ~N/16.
+    "vec_ann_ivf" -> ((s, d) => {
+      CosineSimilarity.register(s)
+      val e = Tables.embeddings(s, d)
+      val centroids = e.orderBy(col("vec_id")).limit(16)
+        .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+      // assign every vector to its max-cosine centroid (tie → c_id)
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(desc("ccos"), asc("c_id"))
+      val assigned = e.crossJoin(broadcast(centroids))
+        .select(col("vec_id"), col("embedding"), col("c_id"),
+          round(cosine("ce", "embedding"), 4).as("ccos"))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
+      // exact top-1 neighbor within the cell
+      val x = assigned.select(col("cell"), col("vec_id").as("a"), col("embedding").as("ea"))
+      val y = assigned.select(col("cell"), col("vec_id").as("b"), col("embedding").as("eb"))
+      val wNn = Window.partitionBy(col("a")).orderBy(desc("cos"), asc("b"))
+      x.join(y, Seq("cell"))
+        .filter(col("a") =!= col("b"))
+        .select(col("a"), col("cell"), col("b"),
+          round(cosine("ea", "eb"), 4).as("cos"))
+        .withColumn("rn", row_number().over(wNn))
+        .filter(col("rn") === 1)
+        .select(col("a").as("vec_id"), col("cell"), col("b").as("nn_id"), col("cos"))
+        .orderBy(col("vec_id"))
+    }),
+
     // sign-random-projection ANN: 16 fixed seeded hyperplanes → 16-bit
     // bucket; top-1 neighbor within the bucket. The scale path: bucket
     // populations are ~corpus/2^16, so candidate pairs grow linearly.
@@ -137,6 +171,29 @@ object VectorOps {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
         |    ORDER BY cos DESC, vec_id ASC) AS INT) AS rank FROM scored) t
         |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    "vec_ann_ivf" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS c_id, embedding AS ce FROM embeddings
+        |  ORDER BY vec_id LIMIT 16),
+        |assigned AS (
+        |  SELECT vec_id, embedding, c_id AS cell FROM (
+        |    SELECT e.vec_id, e.embedding, c.c_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        round(list_cosine_similarity(CAST(c.ce AS DOUBLE[]),
+        |          CAST(e.embedding AS DOUBLE[])), 4) DESC, c.c_id ASC) AS rn
+        |    FROM embeddings e CROSS JOIN cents c) t
+        |  WHERE rn = 1),
+        |nn AS (
+        |  SELECT x.vec_id, x.cell, y.vec_id AS b,
+        |    round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+        |      CAST(y.embedding AS DOUBLE[])), 4) AS cos
+        |  FROM assigned x JOIN assigned y
+        |    ON x.cell = y.cell AND x.vec_id <> y.vec_id)
+        |SELECT vec_id, cell, b AS nn_id, cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cos DESC, b ASC) AS rn FROM nn) t
+        |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     "vec_knn_join_bucketed" ->
       """WITH probes AS (
