@@ -24,15 +24,37 @@ object DevGraphBench {
       val t0 = System.nanoTime(); val r = f
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    val e = operators.GraphOps.edges(spark, sfDir).cache()
-    e.count()
+    val edg = operators.GraphOps.edges(spark, sfDir).cache()
+    edg.count()
     time("df pageRank(10)") {
-      operators.GraphOps.pageRank(e, 10).count()
+      operators.GraphOps.pageRank(edg, 10).count()
+    }
+    time("df pageRank(10) 2nd run") {
+      operators.GraphOps.pageRank(edg, 10).count()
+    }
+    // unrolled: all 10 iterations as ONE lazy plan, no per-iteration
+    // checkpoint/action — measures whether the loop is job-overhead
+    // bound rather than compute bound
+    time("df pageRank(10) unrolled") {
+      import org.apache.spark.sql.functions._
+      val sym = edg.union(edg.select(col("dst").as("src"), col("src").as("dst"))).distinct().cache()
+      val outDeg = sym.groupBy(col("src")).agg(count(lit(1)).as("odeg")).cache()
+      val withDeg = sym.join(outDeg, Seq("src")).cache()
+      withDeg.count()
+      var pr = outDeg.select(col("src").as("v"), lit(1.0).as("pr"))
+      for (_ <- 1 to 10) {
+        val contrib = withDeg.join(broadcast(pr), withDeg("src") === pr("v"))
+          .select(col("dst").as("v2"), (col("pr") / col("odeg")).as("c"))
+          .groupBy(col("v2")).agg(sum(col("c")).as("sc"))
+        pr = pr.join(contrib, pr("v") === col("v2"), "left")
+          .select(col("v"), (lit(0.15) + lit(0.85) * coalesce(col("sc"), lit(0.0))).as("pr"))
+      }
+      pr.count()
     }
     time("df connectedComponents") {
-      operators.GraphOps.connectedComponents(e).count()
+      operators.GraphOps.connectedComponents(edg).count()
     }
-    val rdd = e.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    val rdd = edg.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
     val symRdd = rdd.union(rdd.map(x => Edge(x.dstId, x.srcId, 1))).distinct()
     val g = Graph.fromEdges(symRdd, 1).cache()
     g.numEdges

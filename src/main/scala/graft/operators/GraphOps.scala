@@ -53,6 +53,21 @@ object GraphOps {
         .distinct()
         .cache())
 
+  /** symmetrized edge set, memoized like [[edges]] — both iterative
+    * algorithms (CC, PageRank) consume it, so it is materialized once
+    * per (session, dir). Deliberately cached for the session lifetime
+    * (bounded: one small table per testdata dir), unlike per-call
+    * iteration state which is unpersisted on exit. */
+  private val symCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def symEdges(s: SparkSession, d: String): DataFrame =
+    symCache.getOrElseUpdate((s, d), {
+      val e = edges(s, d)
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().cache()
+    })
+
   private val edgesSql =
     """SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000000000 AS dst
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
@@ -157,24 +172,29 @@ object GraphOps {
     // the recursive-CTE oracle exactly. Deterministic (min is
     // order-independent).
     "graph_connected_components" -> ((s, d) =>
-      connectedComponents(edges(s, d)).orderBy(col("v"))),
+      connectedComponents(symEdges(s, d), symmetrized = true).orderBy(col("v"))),
 
     // PageRank, damping 0.85, fixed 10 iterations, on the symmetrized
     // graph (no dangling vertices by construction). No oracle —
     // cross-engine FP accumulation over 10 iterations diverges;
     // property-tested against GraphX staticPageRank instead (§5).
     "graph_pagerank" -> ((s, d) =>
-      pageRank(edges(s, d), iters = 10)
+      pageRank(symEdges(s, d), iters = 10, symmetrized = true)
         .select(col("v"), round(col("pr"), 4).as("pr")).orderBy(col("v"))))
 
   /** Connected components by min-label propagation to fixpoint over
     * the symmetrized edge set. Label = min reachable vertex id.
     * Deterministic (min is order-independent). Public library API —
     * works on any (src, dst) edge DataFrame. */
-  def connectedComponents(edgeDf: DataFrame, maxIters: Int = 50): DataFrame = {
-    val sym = edgeDf
-      .union(edgeDf.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().cache()
+  def connectedComponents(edgeDf: DataFrame, maxIters: Int = 50,
+      symmetrized: Boolean = false): DataFrame = {
+    // symmetrized=true: caller passes an already-symmetric cached edge
+    // set (e.g. the memoized symEdges) and retains ownership of its
+    // cache lifetime
+    val sym =
+      if (symmetrized) edgeDf
+      else edgeDf.union(edgeDf.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().cache()
     var labels = sym.select(col("src").as("v")).distinct()
       .withColumn("lbl", col("v")).localCheckpoint()
     var changed = 1L
@@ -193,7 +213,7 @@ object GraphOps {
       labels = next
       iter += 1
     }
-    sym.unpersist()
+    if (!symmetrized) sym.unpersist()
     labels
   }
 
@@ -202,10 +222,12 @@ object GraphOps {
     * removes dangling vertices by construction, so total mass is
     * conserved and scores are comparable to GraphX staticPageRank
     * (property-tested in GraphSpec). Public library API. */
-  def pageRank(edgeDf: DataFrame, iters: Int): DataFrame = {
-    val sym = edgeDf
-      .union(edgeDf.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().cache()
+  def pageRank(edgeDf: DataFrame, iters: Int,
+      symmetrized: Boolean = false): DataFrame = {
+    val sym =
+      if (symmetrized) edgeDf
+      else edgeDf.union(edgeDf.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().cache()
     val outDeg = sym.groupBy(col("src")).agg(count(lit(1)).as("odeg")).cache()
     val withDeg = sym.join(outDeg, Seq("src")).cache()
     var pr = outDeg.select(col("src").as("v"), lit(1.0).as("pr")).localCheckpoint()
@@ -227,7 +249,8 @@ object GraphOps {
     // result survives (a 10-iteration run would otherwise pin ~10
     // vertex tables in storage memory for the session lifetime)
     toRelease.foreach(_.unpersist())
-    sym.unpersist(); outDeg.unpersist(); withDeg.unpersist()
+    if (!symmetrized) sym.unpersist()
+    outDeg.unpersist(); withDeg.unpersist()
     pr
   }
 
