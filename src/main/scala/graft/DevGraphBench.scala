@@ -10,7 +10,10 @@ import org.apache.spark.graphx.{Edge, Graph}
   * GraphX connectedComponents 16.3s. The Catalyst/Tungsten loops beat
   * the RDD engine ~5× here — which is why GraphOps ships the
   * DataFrame implementations and GraphX serves only as a semantic
-  * cross-check in GraphSpec. */
+  * cross-check in GraphSpec. A fully-unrolled 10-iteration single
+  * plan (no per-iteration action) was also measured and rejected:
+  * 16.5s vs 11.4s — Catalyst planning of the 10-deep nested plan
+  * costs more than the per-iteration actions it avoids. */
 object DevGraphBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -31,25 +34,6 @@ object DevGraphBench {
     }
     time("df pageRank(10) 2nd run") {
       operators.GraphOps.pageRank(edg, 10).count()
-    }
-    // unrolled: all 10 iterations as ONE lazy plan, no per-iteration
-    // checkpoint/action — measures whether the loop is job-overhead
-    // bound rather than compute bound
-    time("df pageRank(10) unrolled") {
-      import org.apache.spark.sql.functions._
-      val sym = edg.union(edg.select(col("dst").as("src"), col("src").as("dst"))).distinct().cache()
-      val outDeg = sym.groupBy(col("src")).agg(count(lit(1)).as("odeg")).cache()
-      val withDeg = sym.join(outDeg, Seq("src")).cache()
-      withDeg.count()
-      var pr = outDeg.select(col("src").as("v"), lit(1.0).as("pr"))
-      for (_ <- 1 to 10) {
-        val contrib = withDeg.join(broadcast(pr), withDeg("src") === pr("v"))
-          .select(col("dst").as("v2"), (col("pr") / col("odeg")).as("c"))
-          .groupBy(col("v2")).agg(sum(col("c")).as("sc"))
-        pr = pr.join(contrib, pr("v") === col("v2"), "left")
-          .select(col("v"), (lit(0.15) + lit(0.85) * coalesce(col("sc"), lit(0.0))).as("pr"))
-      }
-      pr.count()
     }
     time("df connectedComponents") {
       operators.GraphOps.connectedComponents(edg).count()

@@ -31,4 +31,9 @@ object Stable {
   /** order-independent average built from dsum/count.
     * Oracle: CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) */
   def davg(c: Column): Column = dsum(c) / count(lit(1))
+
+  /** the DuckDB-side mirror of [[dsum]], for building oracle SQL —
+    * one definition instead of the fragment hand-copied per module */
+  def dsumSql(expr: String): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(18,4))) AS DOUBLE)"
 }

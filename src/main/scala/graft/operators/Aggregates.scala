@@ -119,15 +119,15 @@ object Aggregates {
         .orderBy(col("o_custkey"))
     }))
 
-  private val dsumQty = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)"
-  private val dsumPrice = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)"
+  private val dsumQty = dsumSql("l_quantity")
+  private val dsumPrice = dsumSql("l_extendedprice")
 
   val oracle: Map[String, String] = Map(
     "agg_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  round($dsumQty, 4) AS sum_qty,
          |  round($dsumPrice, 4) AS sum_base_price,
-         |  round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_disc_price,
+         |  round(${dsumSql("l_extendedprice * (1 - l_discount)")}, 4) AS sum_disc_price,
          |  round($dsumQty / count(*), 4) AS avg_qty,
          |  round($dsumPrice / count(*), 4) AS avg_price,
          |  count(*) AS count_order

@@ -45,13 +45,19 @@ object DedupOps {
           |  (x, y) -> concat(x, '_', y)))""".stripMargin).as("term"))
       .distinct()
 
-  /** exact-Jaccard pairs (a<b) from a (doc_id, term) set table */
-  private def jaccardPairs(tok: DataFrame, threshold: Double): DataFrame = {
+  /** exact-Jaccard pairs (a<b) from a (doc_id, term) set table.
+    * With `candidates` given, intersections are joined through that
+    * (small) pair list instead of all-pairs — the LSH verification
+    * path. */
+  private def jaccardPairs(tok: DataFrame, threshold: Double,
+      candidates: Option[DataFrame] = None): DataFrame = {
     val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val a = tok.select(col("doc_id").as("a"), col("term"))
     val b = tok.select(col("doc_id").as("b"), col("term"))
-    val inter = a.join(b, Seq("term")).filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))
+    val inter = (candidates match {
+      case Some(cand) => cand.join(a, Seq("a")).join(b, Seq("b", "term"))
+      case None => a.join(b, Seq("term")).filter(col("a") < col("b"))
+    }).groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))
     inter
       .join(sizes.select(col("doc_id").as("a"), col("sz").as("sa")), Seq("a"))
       .join(sizes.select(col("doc_id").as("b"), col("sz").as("sb")), Seq("b"))
@@ -104,18 +110,7 @@ object DedupOps {
       // exact-Jaccard verification of CANDIDATES ONLY — the whole point
       // of LSH: intersection terms are joined through the (small)
       // candidate list, never all-pairs
-      val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val inter = cand
-        .join(tok.select(col("doc_id").as("a"), col("term")), Seq("a"))
-        .join(tok.select(col("doc_id").as("b"), col("term")), Seq("b", "term"))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))
-      inter
-        .join(sizes.select(col("doc_id").as("a"), col("sz").as("sa")), Seq("a"))
-        .join(sizes.select(col("doc_id").as("b"), col("sz").as("sb")), Seq("b"))
-        .select(col("a"), col("b"),
-          round(col("i").cast("double") / (col("sa") + col("sb") - col("i")), 4).as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
-        .orderBy(col("a"), col("b"))
+      jaccardPairs(tok, 0.5, candidates = Some(cand)).orderBy(col("a"), col("b"))
     }),
 
     // SimHash: 64-bit signature from per-token hashes weighted by tf;

@@ -166,20 +166,20 @@ object Joins {
 
   val oracle: Map[String, String] = Map(
     "join_inner_hash" ->
-      """SELECT c_mktsegment, count(*) AS n_orders,
-        |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_price
+      s"""SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(${dsumSql("o_totalprice")}, 4) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "join_broadcast" ->
-      """SELECT p_brand, count(*) AS n,
-        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_price
+      s"""SELECT p_brand, count(*) AS n,
+        |  round(${dsumSql("l_extendedprice")}, 4) AS sum_price
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "join_multiway_star" ->
-      """SELECT n_name,
-        |  round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+      s"""SELECT n_name,
+        |  round(${dsumSql("l_extendedprice * (1 - l_discount)")}, 4) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -235,8 +235,8 @@ object Joins {
         |ORDER BY r_name, n_name""".stripMargin,
 
     "join_skew_salted" ->
-      """SELECT o_orderpriority, count(*) AS n,
-        |  round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+      s"""SELECT o_orderpriority, count(*) AS n,
+        |  round(${dsumSql("l_extendedprice * (1 - l_discount)")}, 4) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
 }

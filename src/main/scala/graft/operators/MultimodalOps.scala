@@ -2,7 +2,7 @@ package graft.operators
 
 import graft._
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Encoders, Row}
+import org.apache.spark.sql.Encoders
 
 /** §2.11 multimodal columns: opaque binary payloads + typed metadata,
   * decode/feature-extract as partition-batched typed transforms.
@@ -46,19 +46,21 @@ object MultimodalOps {
       feat = norm)
   }
 
+  /** scan → typed payload → partition-batched decode: one iterator per
+    * partition (mapInPandas analogue); codec init would go before
+    * `it.map` */
+  private def decoded(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"), col("source"))
+      .as(Encoders.product[Payload])
+      .mapPartitions(_.map(decodeStub))(Encoders.product[Features])
+      .toDF()
+
   val queries: Map[String, QFn] = Map(
     // text bytes stand in for an image payload; the pipeline shape is
     // scan → mapPartitions(decode) → per-group aggregation
     "multimodal_features" -> ((s, d) => {
-      val ds = Tables.documents(s, d)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"), col("source"))
-        .as(Encoders.product[Payload])
-      // batch-shaped decode: one iterator per partition (mapInPandas
-      // analogue); codec init would go before `it.map`
-      val feats = ds.mapPartitions { it =>
-        it.map(decodeStub)
-      }(Encoders.product[Features])
-      feats.toDF()
+      decoded(s, d)
         .select(col("doc_id"), col("source"), col("n_bytes"),
           col("width"), col("height"),
           round(element_at(col("feat"), 1), 4).as("f0"),
@@ -69,11 +71,7 @@ object MultimodalOps {
     // per-source feature rollup of the decoded output — demonstrates
     // decode feeding a normal relational aggregation
     "multimodal_source_stats" -> ((s, d) => {
-      val ds = Tables.documents(s, d)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"), col("source"))
-        .as(Encoders.product[Payload])
-      val feats = ds.mapPartitions(_.map(decodeStub))(Encoders.product[Features])
-      feats.toDF()
+      decoded(s, d)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n"),
           sum(col("n_bytes")).as("total_bytes"),

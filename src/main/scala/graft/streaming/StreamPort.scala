@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
 /** Structured Streaming port of the §2.9 time-series operators.
   *
@@ -77,8 +77,4 @@ object StreamPort {
           next
       }
   }
-
-  /** the OutputMode each sink should use (documented at the API
-    * surface so callers do not guess) */
-  val aggregationOutputMode: OutputMode = OutputMode.Update()
 }
