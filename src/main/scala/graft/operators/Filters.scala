@@ -20,7 +20,10 @@ object Filters {
           col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp"))
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_extendedprice"), col("l_shipdate"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // (l_orderkey, l_linenumber) is not unique (see Scans) —
+        // order over all output columns
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_shipdate"))
     }),
 
     "filter_disj_null" -> ((s, d) => {
@@ -39,7 +42,8 @@ object Filters {
           col("l_orderkey"), col("l_linenumber"),
           r4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
           when(col("l_discount") > 0.05, lit("H")).otherwise(lit("L")).as("disc_band"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("revenue"), col("disc_band"))
     }),
 
     "filter_like_regex" -> ((s, d) => {
@@ -54,7 +58,7 @@ object Filters {
       """SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate FROM lineitem
         |WHERE l_returnflag = 'R' AND l_extendedprice BETWEEN 1000.0 AND 5000.0
         |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_shipdate""".stripMargin,
 
     "filter_disj_null" ->
       """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
@@ -65,7 +69,7 @@ object Filters {
       """SELECT l_orderkey, l_linenumber,
         |  round(l_extendedprice * (1 - l_discount), 4) AS revenue,
         |  CASE WHEN l_discount > 0.05 THEN 'H' ELSE 'L' END AS disc_band
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue, disc_band""".stripMargin,
 
     "filter_like_regex" ->
       """SELECT p_partkey, p_name, p_brand, p_type FROM part

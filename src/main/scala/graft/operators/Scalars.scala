@@ -57,7 +57,11 @@ object Scalars {
           r4(pow(lit(1.0) + col("l_discount"), 2)).as("disc_sq"),
           r4(log(col("l_extendedprice"))).as("price_ln"),
           (col("l_orderkey") % 7).as("key_mod7"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // (l_orderkey, l_linenumber) is not unique (see Scans) — order
+        // over every non-derived output column
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("price_r1"),
+          col("price_floor"), col("price_ceil"), col("disc_dev"),
+          col("disc_sq"), col("price_ln"))
     }),
 
     "scalar_case_coalesce" -> ((s, d) => {
@@ -141,7 +145,8 @@ object Scalars {
         |  round(pow(1.0 + l_discount, 2), 4) AS disc_sq,
         |  round(ln(l_extendedprice), 4) AS price_ln,
         |  l_orderkey % 7 AS key_mod7
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, price_r1,
+        |  price_floor, price_ceil, disc_dev, disc_sq, price_ln""".stripMargin,
 
     "scalar_case_coalesce" ->
       """SELECT o_orderkey,

@@ -18,7 +18,10 @@ object Scans {
     "scan_project" -> ((s, d) => {
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // (l_orderkey, l_linenumber) is NOT unique in this synthetic
+        // data (verified: 118k dup groups at sf0.1) — the ORDER BY
+        // must cover every output column to be total
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
         .limit(100)
     }),
 
@@ -54,7 +57,7 @@ object Scans {
   val oracle: Map[String, String] = Map(
     "scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_shipdate LIMIT 100""".stripMargin,
 
     "scan_count" -> "SELECT count(*) AS n FROM lineitem",
 

@@ -38,7 +38,12 @@ object Windows {
           rank().over(w).as("rnk"),
           dense_rank().over(w).as("drnk"),
           ntile(4).over(w).as("quartile"))
-        .orderBy(col("l_returnflag"), col("rnk"), col("l_orderkey"), col("l_linenumber"))
+        // rows fully tied in the window order (the synthetic data has
+        // duplicate (l_orderkey, l_linenumber) keys) may receive either
+        // quartile at an ntile boundary — including quartile in the
+        // output ordering makes the tied (identical) rows' order total
+        .orderBy(col("l_returnflag"), col("rnk"), col("l_orderkey"),
+          col("l_linenumber"), col("quartile"))
     }),
 
     "win_lag_lead_delta" -> ((s, d) => {
@@ -105,7 +110,7 @@ object Windows {
         |FROM lineitem
         |WINDOW w AS (PARTITION BY l_returnflag
         |  ORDER BY l_quantity DESC, l_orderkey ASC, l_linenumber ASC)
-        |ORDER BY l_returnflag, rnk, l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_returnflag, rnk, l_orderkey, l_linenumber, quartile""".stripMargin,
 
     "win_lag_lead_delta" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
