@@ -63,6 +63,48 @@ class StreamPortSpec extends SparkTestBase {
       Timestamp.valueOf("2024-01-01 10:50:00"), 2L)))
   }
 
+  test("streaming sliding counts == batch sliding counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamPort.slidingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode("complete").start()
+    mem.addData(events: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("sliding").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    val batch = StreamPort.slidingCounts(events.toDF()).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    // an event at 10:05 belongs to exactly 4 sliding windows
+    val win1005 = batch.filter(w => w._2 == "view" &&
+      !w._1.before(Timestamp.valueOf("2024-01-01 09:15:00")) &&
+      !w._1.after(Timestamp.valueOf("2024-01-01 10:00:00")))
+    assert(win1005.size == 4, s"expected 4 windows covering 10:05: $win1005")
+  }
+
+  test("incremental delivery across two batches converges to the batch answer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamPort.tumblingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("twobatch")
+      .outputMode("complete").start()
+    val (first, second) = events.splitAt(3)
+    mem.addData(first: _*)
+    q.processAllAvailable()
+    mem.addData(second: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("twobatch").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    q.stop()
+    val batch = StreamPort.tumblingCounts(events.toDF()).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch, "state must merge across batches to the batch answer")
+  }
+
   test("dropDuplicatesWithinWatermark dedups (user, type) in-stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
