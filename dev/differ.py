@@ -84,7 +84,12 @@ def compare(s, d):
                 return (f"COL {c} row {i}: spark={a[i]!r} duck={b[i]!r} "
                         f"maxabsdiff={np.nanmax(np.abs(a - b))}")
         else:
-            if not sv.equals(dv.astype(sv.dtype)):
+            # integer width must match exactly — the driver's compare
+            # may be schema-strict, so a masked int32-vs-int64 here
+            # would pass dev and fail the round
+            if sv.dtype != dv.dtype:
+                return f"DTYPE {c}: spark={sv.dtype} duck={dv.dtype}"
+            if not sv.equals(dv):
                 i = next(i for i in range(len(sv))
                          if not eq(sv[i], dv[i]))
                 return f"COL {c} row {i}: spark={sv[i]!r} duck={dv[i]!r}"

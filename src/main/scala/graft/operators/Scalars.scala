@@ -116,7 +116,7 @@ object Scalars {
         |  upper(c_name) AS name_upper,
         |  substring(c_name, 10, 8) AS name_tail,
         |  concat_ws('-', c_mktsegment, c_name) AS seg_name,
-        |  length(c_name) AS name_len,
+        |  CAST(length(c_name) AS INT) AS name_len,
         |  string_split(c_name, '#')[2] AS id_part
         |FROM customer ORDER BY c_custkey""".stripMargin,
 

@@ -95,7 +95,7 @@ object Windows {
 
   val oracle: Map[String, String] = Map(
     "win_rank_topn_pergroup" ->
-      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+      """SELECT o_custkey, CAST(rn AS INT) AS rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_custkey
         |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
@@ -104,9 +104,9 @@ object Windows {
 
     "win_rank_variants" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
-        |  rank() OVER w AS rnk,
-        |  dense_rank() OVER w AS drnk,
-        |  ntile(4) OVER w AS quartile
+        |  CAST(rank() OVER w AS INT) AS rnk,
+        |  CAST(dense_rank() OVER w AS INT) AS drnk,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile
         |FROM lineitem
         |WINDOW w AS (PARTITION BY l_returnflag
         |  ORDER BY l_quantity DESC, l_orderkey ASC, l_linenumber ASC)
