@@ -52,6 +52,9 @@ def main():
     sys.exit(1 if fails else 0)
 
 def compare(s, d):
+    """Schema-strict compare, mirroring the driver (round-1 post-mortem:
+    the old version stripped timestamp tz and tuple-ized arrays, hiding
+    13 tz-schema failures + 1 differ crash for a whole round)."""
     if sorted(s.columns) != sorted(d.columns):
         return f"SCHEMA: spark={sorted(s.columns)} duck={sorted(d.columns)}"
     if len(s) != len(d):
@@ -60,47 +63,44 @@ def compare(s, d):
     d = d[sorted(d.columns)].reset_index(drop=True)
     for c in s.columns:
         sv, dv = s[c], d[c]
-        # timestamps: strip tz (Spark writes UTC-instant µs; DuckDB naive µs)
+        # dtype must match EXACTLY, tz annotation included: a Spark
+        # timestamp[us, UTC] vs DuckDB naive timestamp is a driver
+        # schema_match=false even when every instant is equal
+        if str(sv.dtype) != str(dv.dtype):
+            return f"DTYPE {c}: spark={sv.dtype} duck={dv.dtype}"
         if str(sv.dtype).startswith("datetime64"):
-            sv = sv.dt.tz_localize(None) if getattr(sv.dt, "tz", None) else sv
-            dv = dv.dt.tz_localize(None) if getattr(dv.dt, "tz", None) else dv
             if not sv.equals(dv):
                 neq = sv != dv
                 i = int(np.argmax(neq.to_numpy()))
                 return f"COL {c} row {i}: spark={sv[i]!r} duck={dv[i]!r}"
             continue
-        # normalize arrays / lists to tuples for comparison
-        if sv.dtype == object or dv.dtype == object:
-            sv = sv.map(norm)
-            dv = dv.map(norm)
+        if sv.dtype == object:
+            # the driver sorts+hashes every column — an ndarray/list
+            # value is unhashable there and crashes the whole compare
+            for side, col in (("spark", sv), ("duck", dv)):
+                bad = col.map(lambda v: isinstance(v, (np.ndarray, list,
+                                                       tuple, dict, set)))
+                if bad.any():
+                    i = int(np.argmax(bad.to_numpy()))
+                    return (f"UNHASHABLE {c} ({side}) row {i}: "
+                            f"{type(col[i]).__name__} — driver differ "
+                            f"crashes on this; serialize to string")
             if not sv.equals(dv):
-                i = next(i for i in range(len(sv)) if sv[i] != dv[i])
+                i = next(i for i in range(len(sv)) if not eq(sv[i], dv[i]))
                 return f"COL {c} row {i}: spark={sv[i]!r} duck={dv[i]!r}"
         elif np.issubdtype(sv.dtype, np.floating):
-            a, b = sv.to_numpy(), dv.to_numpy(dtype=sv.dtype)
+            a, b = sv.to_numpy(), dv.to_numpy()
             neq = ~((a == b) | (np.isnan(a) & np.isnan(b)))
             if neq.any():
                 i = int(np.argmax(neq))
                 return (f"COL {c} row {i}: spark={a[i]!r} duck={b[i]!r} "
                         f"maxabsdiff={np.nanmax(np.abs(a - b))}")
         else:
-            # integer width must match exactly — the driver's compare
-            # may be schema-strict, so a masked int32-vs-int64 here
-            # would pass dev and fail the round
-            if sv.dtype != dv.dtype:
-                return f"DTYPE {c}: spark={sv.dtype} duck={dv.dtype}"
             if not sv.equals(dv):
                 i = next(i for i in range(len(sv))
                          if not eq(sv[i], dv[i]))
                 return f"COL {c} row {i}: spark={sv[i]!r} duck={dv[i]!r}"
     return "OK"
-
-def norm(v):
-    if isinstance(v, np.ndarray):
-        return tuple(v.tolist())
-    if isinstance(v, (list, tuple)):
-        return tuple(v)
-    return v
 
 def eq(a, b):
     try:

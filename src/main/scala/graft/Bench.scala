@@ -32,7 +32,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
+    // Two lines, long-then-short (round-1 post-mortem): the driver may
+    // capture only the TAIL of stdout, and r01's single long line was
+    // cut mid-JSON ("parsed": null, ~20 per-query times lost). The
+    // full contract line goes first; a short, always-complete total
+    // line goes last so any tail capture ends in parseable JSON.
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -24,6 +24,15 @@ object Stable {
   /** round to 4 decimal places — the standard float output discipline */
   def r4(c: Column): Column = round(c, 4)
 
+  /** output discipline for timestamp columns: cast to TIMESTAMP_NTZ at
+    * the query's final select. The session TZ is pinned UTC, so the
+    * wall-clock value is unchanged — but Spark then writes parquet with
+    * `isAdjustedToUTC=false`, matching the tz-naive timestamps every
+    * ANSI engine (the DuckDB oracle included) produces. Without this,
+    * a raw TimestampType output column fails any schema-strict compare
+    * (round-1 post-mortem: 13 queries red on exactly this). */
+  def ntz(c: Column): Column = c.cast("timestamp_ntz")
+
   /** order-independent sum of a double column: exact decimal sum, then
     * back to double. Oracle: CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast(DoubleType)

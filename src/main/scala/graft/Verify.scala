@@ -28,10 +28,24 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Sink-side schema convention (round-1 post-mortem): every query
+    // already casts its timestamp outputs via Stable.ntz, but a raw
+    // TimestampType column slipping through would write tz-adjusted
+    // parquet (isAdjustedToUTC=true) and fail the driver's schema-
+    // strict compare vs the tz-naive DuckDB oracle. Belt: normalize
+    // any remaining top-level TimestampType output to TIMESTAMP_NTZ
+    // (session TZ is UTC — values unchanged).
+    def ntzBelt(df: org.apache.spark.sql.DataFrame) =
+      df.schema.fields.foldLeft(df) { (acc, f) =>
+        if (f.dataType == org.apache.spark.sql.types.TimestampType)
+          acc.withColumn(f.name,
+            org.apache.spark.sql.functions.col(f.name).cast("timestamp_ntz"))
+        else acc
+      }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        try ntzBelt(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -99,11 +99,15 @@ object Aggregates {
         .orderBy(col("l_returnflag"))
     }),
 
-    // arrays hash-compare only if explicitly sorted (SURVEY §2.4)
+    // arrays hash-compare only if explicitly sorted (SURVEY §2.4) —
+    // AND serialized: a raw array<bigint> column is unhashable in the
+    // driver's pandas compare (round-1 post-mortem), so the verified
+    // output joins the sorted list to a string. The array-typed
+    // variant stays covered by RelationalSpec.
     "agg_collect_sorted" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_list(col("l_partkey"))).as("parts"))
+        .agg(array_join(sort_array(collect_list(col("l_partkey"))), ",").as("parts"))
         .orderBy(col("l_orderkey"))
     }),
 
@@ -173,7 +177,7 @@ object Aggregates {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "agg_collect_sorted" ->
-      """SELECT l_orderkey, list_sort(list(l_partkey)) AS parts
+      """SELECT l_orderkey, array_to_string(list_sort(list(l_partkey)), ',') AS parts
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
 
     "agg_first_last_by" ->

@@ -19,7 +19,7 @@ object Filters {
           col("l_extendedprice").between(1000.0, 5000.0) &&
           col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp"))
         .select(col("l_orderkey"), col("l_linenumber"),
-          col("l_extendedprice"), col("l_shipdate"))
+          col("l_extendedprice"), ntz(col("l_shipdate")).as("l_shipdate"))
         // (l_orderkey, l_linenumber) is not unique (see Scans) —
         // order over all output columns
         .orderBy(col("l_orderkey"), col("l_linenumber"),

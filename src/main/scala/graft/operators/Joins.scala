@@ -115,7 +115,7 @@ object Joins {
       rt.unionByName(ev)
         .withColumn("asof_price", last(col("price"), ignoreNulls = true).over(w))
         .filter(col("is_ev") === 1)
-        .select(col("event_id"), col("k").as("user_id"), col("t").as("ts"),
+        .select(col("event_id"), col("k").as("user_id"), ntz(col("t")).as("ts"),
           col("asof_price"))
         .orderBy(col("event_id"))
     }),

@@ -41,7 +41,7 @@ object Scalars {
           year(col("o_orderdate")).as("yr"),
           month(col("o_orderdate")).as("mo"),
           dayofweek(col("o_orderdate")).as("dow"),
-          date_trunc("month", col("o_orderdate")).as("month_start"),
+          ntz(date_trunc("month", col("o_orderdate"))).as("month_start"),
           datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_2002"),
           date_add(col("o_orderdate").cast("date"), 30).as("plus30"))
         .orderBy(col("o_orderkey"))

@@ -17,7 +17,7 @@ object Scans {
   val queries: Map[String, QFn] = Map(
     "scan_project" -> ((s, d) => {
       Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+        .select(col("l_orderkey"), col("l_linenumber"), ntz(col("l_shipdate")).as("l_shipdate"))
         // (l_orderkey, l_linenumber) is NOT unique in this synthetic
         // data (verified: 118k dup groups at sf0.1) — the ORDER BY
         // must cover every output column to be total
@@ -46,10 +46,10 @@ object Scans {
       // (SURVEY §2.1) — model: two differently-shaped sources aligned
       // to a common schema and unioned by name
       val o = Tables.orders(s, d).select(
-        col("o_orderkey").as("id"), col("o_orderdate").as("ts"),
+        col("o_orderkey").as("id"), ntz(col("o_orderdate")).as("ts"),
         col("o_totalprice").as("val"), lit("orders").as("src"))
       val e = Tables.events(s, d).select(
-        col("event_id").as("id"), col("ts"),
+        col("event_id").as("id"), ntz(col("ts")).as("ts"),
         col("value").as("val"), lit("events").as("src"))
       o.unionByName(e).orderBy(col("src"), col("id"))
     }))

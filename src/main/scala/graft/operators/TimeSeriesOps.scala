@@ -24,7 +24,7 @@ object TimeSeriesOps {
       Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), r4(dsum(col("value"))).as("sum_value"))
-        .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+        .select(ntz(col("window.start")).as("ws"), col("event_type"), col("n"), col("sum_value"))
         .orderBy(col("ws"), col("event_type"))
     }),
 
@@ -34,7 +34,7 @@ object TimeSeriesOps {
       Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"))
-        .select(col("window.start").as("ws"), col("event_type"), col("n"))
+        .select(ntz(col("window.start")).as("ws"), col("event_type"), col("n"))
         .orderBy(col("ws"), col("event_type"))
     }),
 
@@ -47,8 +47,8 @@ object TimeSeriesOps {
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n_events"))
         .select(col("user_id"),
-          col("session_window.start").as("session_start"),
-          col("session_window.end").as("session_end"),
+          ntz(col("session_window.start")).as("session_start"),
+          ntz(col("session_window.end")).as("session_end"),
           col("n_events"))
         .orderBy(col("user_id"), col("session_start"))
     }),
@@ -64,7 +64,7 @@ object TimeSeriesOps {
         .filter(col("ts") >= col("mx") - expr("INTERVAL 1 HOUR"))
         .groupBy(window(col("ts"), "1 hour"))
         .agg(count(lit(1)).as("n"))
-        .select(col("window.start").as("ws"), col("n"))
+        .select(ntz(col("window.start")).as("ws"), col("n"))
         .orderBy(col("ws"))
     }),
 
@@ -76,7 +76,7 @@ object TimeSeriesOps {
       Tables.events(s, d)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
-        .select(col("user_id"), col("event_type"), col("ts").as("first_ts"),
+        .select(col("user_id"), col("event_type"), ntz(col("ts")).as("first_ts"),
           col("event_id"))
         .orderBy(col("user_id"), col("event_type"))
     }))

@@ -50,9 +50,9 @@ object Windows {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
       Tables.orders(s, d)
-        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        .select(col("o_custkey"), col("o_orderkey"), ntz(col("o_orderdate")).as("o_orderdate"),
           r4(col("o_totalprice") - lag(col("o_totalprice"), 1).over(w)).as("delta_price"),
-          lead(col("o_orderdate"), 1).over(w).as("next_orderdate"))
+          ntz(lead(col("o_orderdate"), 1).over(w)).as("next_orderdate"))
         .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
     }),
 
@@ -61,7 +61,7 @@ object Windows {
         .orderBy(col("o_orderdate"), col("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.orders(s, d)
-        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        .select(col("o_custkey"), col("o_orderkey"), ntz(col("o_orderdate")).as("o_orderdate"),
           r4(sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w)
             .cast(DoubleType)).as("running_total"))
         .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
@@ -76,7 +76,7 @@ object Windows {
       val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
         .rowsBetween(-6, Window.currentRow)
       daily
-        .select(col("event_type"), col("day"),
+        .select(col("event_type"), ntz(col("day")).as("day"),
           r4(sum(col("day_sum")).over(w).cast(DoubleType) /
             count(lit(1)).over(w)).as("ma7"))
         .orderBy(col("event_type"), col("day"))
