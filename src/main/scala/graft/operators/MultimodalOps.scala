@@ -7,10 +7,13 @@ import org.apache.spark.sql.Encoders
 /** §2.11 multimodal columns: opaque binary payloads + typed metadata,
   * decode/feature-extract as partition-batched typed transforms.
   *
-  * This container has no image/audio codecs, so the DECODE STEP IS A
-  * DETERMINISTIC STUB (byte histogram + hash-derived fake dimensions —
-  * clearly marked below). Everything around it is the real at-scale
-  * plumbing and is what the tests exercise:
+  * Decoding is pluggable (see [[PayloadDecoders]]): binary PPM and
+  * uncompressed 24-bit BMP are decoded FOR REAL in pure JVM code
+  * (header dimensions + pixel luminance histogram); payloads in any
+  * other format fall back to [[OpaqueDecoder]], a deterministic
+  * byte-level stub standing in for codec-library formats (JPEG,
+  * audio) this container cannot decode. The surrounding pipeline is
+  * the real at-scale plumbing and is what the tests exercise:
   *  - binary payload column with typed metadata columns alongside,
   *  - `mapPartitions` over a typed Dataset — the Scala analogue of
   *    `mapInPandas`: the decode function receives an iterator over a
@@ -30,30 +33,21 @@ object MultimodalOps {
   case class Features(doc_id: Long, source: String, n_bytes: Int,
       width: Int, height: Int, feat: Array[Double])
 
-  /** STUB decoder — stands in for image/audio decode (no codecs in
-    * this container). Deterministic: byte histogram over 16 bins,
-    * normalized; fake width/height derived from the payload hash. */
-  def decodeStub(p: Payload): Features = {
-    val bytes = p.payload
-    val hist = new Array[Double](16)
-    var i = 0
-    while (i < bytes.length) { hist((bytes(i) & 0xff) >> 4) += 1.0; i += 1 }
-    val n = math.max(bytes.length, 1)
-    val norm = hist.map(h => math.rint(h / n * 10000) / 10000)
-    val h = java.util.Arrays.hashCode(bytes)
-    Features(p.doc_id, p.source, bytes.length,
-      width = 64 + (math.abs(h) % 64), height = 64 + (math.abs(h >> 8) % 64),
-      feat = norm)
-  }
+  /** byte-level fallback decoder (see [[OpaqueDecoder]] — kept as a
+    * named entry point for tests and callers that want the stub
+    * explicitly) */
+  def decodeStub(p: Payload): Features = OpaqueDecoder.decode(p)
 
   /** scan → typed payload → partition-batched decode: one iterator per
-    * partition (mapInPandas analogue); codec init would go before
-    * `it.map` */
+    * partition (mapInPandas analogue); per-batch setup (codec init,
+    * model load) would go before `it.map`. Dispatches per payload via
+    * magic-byte sniff — PPM/BMP decode for real, the rest hit the
+    * opaque stub. */
   private def decoded(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.documents(s, d)
       .select(col("doc_id"), col("text").cast("binary").as("payload"), col("source"))
       .as(Encoders.product[Payload])
-      .mapPartitions(_.map(decodeStub))(Encoders.product[Features])
+      .mapPartitions(_.map(PayloadDecoders.decode))(Encoders.product[Features])
       .toDF()
 
   val queries: Map[String, QFn] = Map(

@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.operators.MultimodalOps.{Features, Payload}
+
+/** Pluggable multimodal payload decoders (SURVEY §2.11b).
+  *
+  * The multimodal pipeline treats image/audio/video as opaque binary
+  * columns; decoding happens inside the partition-batched transform
+  * (MultimodalOps.decoded). Each decoder sniffs its format from magic
+  * bytes and produces the fixed-width [[Features]] row: real
+  * dimensions from the container header and a 16-bin luminance
+  * histogram over the decoded pixels.
+  *
+  * Two REAL pure-JVM formats are implemented (binary PPM and
+  * uncompressed 24-bit BMP — both decodable without codec libraries);
+  * payloads matching neither fall back to [[OpaqueDecoder]], the
+  * deterministic byte-level stub that stands in for formats whose
+  * codecs aren't in this container (JPEG, audio, video). The dispatch,
+  * batch shape, and output schema are identical across all three, so
+  * swapping a real codec in later is purely additive.
+  */
+trait PayloadDecoder extends Serializable {
+  def name: String
+  /** cheap magic-byte sniff — must not read past the header */
+  def accepts(bytes: Array[Byte]): Boolean
+  /** decode to the fixed-width feature row */
+  def decode(p: Payload): Features
+}
+
+object PayloadDecoder {
+  /** BT.601 integer luma (0–255) → 16-bin index */
+  @inline def lumaBin(r: Int, g: Int, b: Int): Int =
+    ((r * 299 + g * 587 + b * 114) / 1000) >> 4
+
+  /** histogram normalized to sum 1 (±rounding), 4dp — the same output
+    * discipline as every float column in the engine */
+  def normalize(hist: Array[Double], n: Int): Array[Double] = {
+    val d = math.max(n, 1).toDouble
+    hist.map(v => math.rint(v / d * 10000) / 10000)
+  }
+}
+
+/** Binary PPM (P6): `P6 <ws> width <ws> height <ws> 255 <single-ws>`
+  * then width×height RGB byte triples. `#` comments allowed between
+  * header tokens. */
+object PpmDecoder extends PayloadDecoder {
+  import PayloadDecoder._
+  val name = "ppm"
+
+  def accepts(b: Array[Byte]): Boolean =
+    b.length > 2 && b(0) == 'P'.toByte && b(1) == '6'.toByte
+
+  def decode(p: Payload): Features = {
+    val b = p.payload
+    var i = 2
+    def skipWs(): Unit = {
+      var done = false
+      while (!done && i < b.length) {
+        if (b(i) == '#'.toByte) { while (i < b.length && b(i) != '\n'.toByte) i += 1 }
+        else if (Character.isWhitespace(b(i).toChar)) i += 1
+        else done = true
+      }
+    }
+    def readInt(): Int = {
+      skipWs()
+      var v = 0
+      while (i < b.length && b(i) >= '0'.toByte && b(i) <= '9'.toByte) {
+        v = v * 10 + (b(i) - '0'.toByte); i += 1
+      }
+      v
+    }
+    val w = readInt(); val h = readInt(); val maxv = readInt()
+    i += 1 // exactly one whitespace byte separates the header from pixels
+    require(w > 0 && h > 0 && maxv == 255,
+      s"unsupported PPM header: w=$w h=$h maxval=$maxv")
+    require(b.length - i >= w * h * 3,
+      s"truncated PPM payload: need ${w * h * 3} pixel bytes, have ${b.length - i}")
+    val hist = new Array[Double](16)
+    var px = 0
+    while (px < w * h) {
+      hist(lumaBin(b(i) & 0xff, b(i + 1) & 0xff, b(i + 2) & 0xff)) += 1.0
+      i += 3; px += 1
+    }
+    Features(p.doc_id, p.source, b.length, w, h, normalize(hist, w * h))
+  }
+}
+
+/** Uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB): little-endian
+  * header fields, BGR pixel order, rows padded to 4 bytes, bottom-up
+  * (or top-down when height is negative — irrelevant to a histogram). */
+object BmpDecoder extends PayloadDecoder {
+  import PayloadDecoder._
+  val name = "bmp"
+
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+  def accepts(b: Array[Byte]): Boolean =
+    b.length > 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte
+
+  def decode(p: Payload): Features = {
+    val b = p.payload
+    val dataOff = le32(b, 10)
+    val w = le32(b, 18)
+    val h = math.abs(le32(b, 22))
+    val bpp = le16(b, 28)
+    val comp = le32(b, 30)
+    require(bpp == 24 && comp == 0,
+      s"only uncompressed 24bpp BMP supported (bpp=$bpp compression=$comp)")
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    require(b.length >= dataOff + rowBytes * h, "truncated BMP payload")
+    val hist = new Array[Double](16)
+    var y = 0
+    while (y < h) {
+      val ro = dataOff + y * rowBytes
+      var x = 0
+      while (x < w) {
+        val o = ro + x * 3
+        hist(lumaBin(b(o + 2) & 0xff, b(o + 1) & 0xff, b(o) & 0xff)) += 1.0
+        x += 1
+      }
+      y += 1
+    }
+    Features(p.doc_id, p.source, b.length, w, h, normalize(hist, w * h))
+  }
+}
+
+/** Fallback for formats without an in-container codec: deterministic
+  * byte-nibble histogram + hash-derived fake dimensions. CLEARLY A
+  * STUB — it keeps the pipeline runnable end-to-end on arbitrary
+  * payloads; a real JPEG/audio decoder would slot in beside the two
+  * real decoders above. */
+object OpaqueDecoder extends PayloadDecoder {
+  import PayloadDecoder._
+  val name = "opaque"
+  def accepts(bytes: Array[Byte]): Boolean = true
+  def decode(p: Payload): Features = {
+    val bytes = p.payload
+    val hist = new Array[Double](16)
+    var i = 0
+    while (i < bytes.length) { hist((bytes(i) & 0xff) >> 4) += 1.0; i += 1 }
+    val h = java.util.Arrays.hashCode(bytes)
+    Features(p.doc_id, p.source, bytes.length,
+      width = 64 + (math.abs(h) % 64), height = 64 + (math.abs(h >> 8) % 64),
+      feat = normalize(hist, bytes.length))
+  }
+}
+
+/** format dispatch: first sniffing decoder wins; opaque stub last.
+  * A payload that matches a magic-byte sniff but fails to parse (dirty
+  * data, or text that happens to start with "P6"/"BM") degrades to the
+  * opaque path instead of failing the whole partition batch — the only
+  * sane behavior over a 100 TB lake where a per-mille of payloads are
+  * malformed. */
+object PayloadDecoders {
+  val all: Seq[PayloadDecoder] = Seq(PpmDecoder, BmpDecoder, OpaqueDecoder)
+  def decode(p: Payload): Features = {
+    val d = all.find(_.accepts(p.payload)).get
+    if (d eq OpaqueDecoder) d.decode(p)
+    else
+      try d.decode(p)
+      catch { case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException =>
+        OpaqueDecoder.decode(p) }
+  }
+}

@@ -69,6 +69,53 @@ class VectorMultimodalSpec extends SparkTestBase {
     assert(f1.width >= 64 && f1.width < 128 && f1.height >= 64 && f1.height < 128)
   }
 
+  test("PPM decoder: real header dims and pixel luminance histogram") {
+    import graft.operators.{PayloadDecoders, PpmDecoder}
+    // 2×2 P6: black, white, red, blue — luma 0, 255, 76, 29 → bins 0, 15, 4, 1
+    val pixels = Array[Int](0, 0, 0, 255, 255, 255, 255, 0, 0, 0, 0, 255)
+    val payload = "P6\n# fixture\n2 2\n255\n".getBytes("US-ASCII") ++
+      pixels.map(_.toByte)
+    val p = MultimodalOps.Payload(1L, payload, "img")
+    assert(PpmDecoder.accepts(payload))
+    val f = PayloadDecoders.decode(p)
+    assert(f.width == 2 && f.height == 2)
+    assert(f.n_bytes == payload.length)
+    assert(f.feat(0) == 0.25 && f.feat(1) == 0.25 && f.feat(4) == 0.25 &&
+      f.feat(15) == 0.25, f.feat.toSeq)
+    assert(f.feat.sum == 1.0)
+  }
+
+  test("BMP decoder: 24bpp uncompressed, padded rows, BGR order") {
+    import graft.operators.{BmpDecoder, PayloadDecoders}
+    // 2×1 image, one white + one black pixel; row padded 6 → 8 bytes
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val header = "BM".getBytes("US-ASCII") ++ le32(62) ++ le32(0) ++ le32(54) ++ // file header
+      le32(40) ++ le32(2) ++ le32(1) ++ le16(1) ++ le16(24) ++ le32(0) ++        // info header
+      le32(8) ++ le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0)
+    val row = Array[Byte](255.toByte, 255.toByte, 255.toByte, 0, 0, 0, 0, 0) // BGR BGR pad pad
+    val payload = header ++ row
+    assert(payload.length == 62)
+    val p = MultimodalOps.Payload(2L, payload, "img")
+    assert(BmpDecoder.accepts(payload))
+    val f = PayloadDecoders.decode(p)
+    assert(f.width == 2 && f.height == 1)
+    assert(f.feat(15) == 0.5 && f.feat(0) == 0.5, f.feat.toSeq)
+  }
+
+  test("decoder dispatch: non-image bytes and malformed magic fall back to opaque") {
+    import graft.operators.PayloadDecoders
+    val text = MultimodalOps.Payload(3L, "plain text payload".getBytes, "txt")
+    val ft = PayloadDecoders.decode(text)
+    assert(ft.width >= 64 && ft.width < 128) // hash-derived stub dims
+    // starts with the PPM magic but is not a PPM — must degrade, not throw
+    val trap = MultimodalOps.Payload(4L, "P6 is my favorite chord".getBytes, "txt")
+    val fr = PayloadDecoders.decode(trap)
+    assert(fr.n_bytes == trap.payload.length)
+    // each of 16 bins rounds to 4dp → the sum can drift by ≤ 16·5e-5
+    assert(math.abs(fr.feat.sum - 1.0) < 1e-3)
+  }
+
   test("multimodal_features runs the typed mapPartitions pipeline end-to-end") {
     val out = operators.MultimodalOps.queries("multimodal_features")(spark, sf001)
     assert(out.count() == 500)
