@@ -89,9 +89,21 @@ object GraphOps {
     * is a few tens of MB (measured: states are 16-byte rows, edges
     * ~24-byte rows); above it the plan degrades to a co-partitioned
     * shuffle join instead of a guaranteed OOM — the round-1 hints
-    * REQUIRED the broadcast at any scale. */
+    * REQUIRED the broadcast at any scale.
+    *
+    * Overridable per session (`spark.conf.set(...)`) so an operator can
+    * be pinned to the cluster-scale shuffle path — GraphSpec sets the
+    * caps to 0 and asserts the shuffle path produces identical results
+    * to the broadcast path on the same graph. */
+  val BroadcastStateMaxRowsKey = "graft.graph.broadcastStateMaxRows"
+  val BroadcastEdgeMaxRowsKey  = "graft.graph.broadcastEdgeMaxRows"
   val BroadcastStateMaxRows = 4000000L
   val BroadcastEdgeMaxRows  = 2000000L
+
+  private[operators] def stateCap(s: SparkSession): Long =
+    s.conf.get(BroadcastStateMaxRowsKey, BroadcastStateMaxRows.toString).toLong
+  private[operators] def edgeCap(s: SparkSession): Long =
+    s.conf.get(BroadcastEdgeMaxRowsKey, BroadcastEdgeMaxRows.toString).toLong
 
   private val edgesSql =
     """SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000000000 AS dst
@@ -179,7 +191,7 @@ object GraphOps {
       // scale (and took 118 s under memory pressure on the driver box).
       val closing = dir.select(col("u").as("x"), col("v").as("y"))
       val n =
-        (if (dir.count() <= BroadcastEdgeMaxRows)
+        (if (dir.count() <= edgeCap(s))
           wedges.join(broadcast(closing), Seq("x", "y"), "left_semi")
             .agg(count(lit(1)).as("n_triangles"))
         else
@@ -256,7 +268,7 @@ object GraphOps {
     // ones flow through a co-partitioned shuffle join instead of the
     // round-1 unconditional broadcast(labels), which OOMs once the
     // vertex set outgrows an executor.
-    val bcastState = labels.count() <= BroadcastStateMaxRows
+    val bcastState = labels.count() <= stateCap(edgeDf.sparkSession)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
@@ -301,7 +313,7 @@ object GraphOps {
     // exchanged), co-partitioned shuffle join once it cannot — round 1
     // broadcast(pr) unconditionally, an OOM at cluster-scale vertex
     // counts
-    val bcastState = pr.count() <= BroadcastStateMaxRows
+    val bcastState = pr.count() <= stateCap(edgeDf.sparkSession)
     var toRelease = List.empty[DataFrame]
     for (i <- 1 to iters) {
       // lineage truncated every 3rd iteration (a checkpoint per

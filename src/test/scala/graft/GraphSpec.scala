@@ -51,6 +51,28 @@ class GraphSpec extends SparkTestBase {
       assert(math.abs(p - gx(v)) < 1e-6, s"vertex $v: ours=$p graphx=${gx(v)}")
   }
 
+  test("cluster-scale shuffle path (caps=0) equals broadcast path: CC + PageRank") {
+    // pin the operators to the co-partitioned shuffle join they use
+    // once the vertex set outgrows the broadcast cap, and assert exact
+    // result equivalence with the small-graph broadcast path
+    val pairs = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L, 10L -> 11L)
+    val ccB = GraphOps.connectedComponents(edgeDf(pairs: _*))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prB = GraphOps.pageRank(edgeDf(pairs: _*), 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    spark.conf.set(GraphOps.BroadcastStateMaxRowsKey, "0")
+    try {
+      val ccS = GraphOps.connectedComponents(edgeDf(pairs: _*))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(ccS == ccB)
+      val prS = GraphOps.pageRank(edgeDf(pairs: _*), 5)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(prS.keySet == prB.keySet)
+      prS.foreach { case (v, p) =>
+        assert(math.abs(p - prB(v)) < 1e-9, s"vertex $v: shuffle=$p broadcast=${prB(v)}") }
+    } finally spark.conf.unset(GraphOps.BroadcastStateMaxRowsKey)
+  }
+
   test("degree/two-hop/triangles agree with hand counts on a planted star graph") {
     val dir = tempDir()
     // orders 1..3 by customers 1..2; lineitems connect suppliers/parts
@@ -71,6 +93,15 @@ class GraphSpec extends SparkTestBase {
     val tri = operators.GraphOps.queries("graph_triangles")(spark, dir)
       .collect()(0).getLong(0)
     assert(tri == 1L, s"expected exactly the {100,101,102} triangle, got $tri")
+
+    // the cluster-scale closing path (wedge pre-aggregation + shuffle
+    // semi join) must count the same triangles as the broadcast path
+    spark.conf.set(GraphOps.BroadcastEdgeMaxRowsKey, "0")
+    try {
+      val triS = operators.GraphOps.queries("graph_triangles")(spark, dir)
+        .collect()(0).getLong(0)
+      assert(triS == 1L, s"shuffle closing path diverged: $triS")
+    } finally spark.conf.unset(GraphOps.BroadcastEdgeMaxRowsKey)
 
     val deg = operators.GraphOps.queries("graph_degree")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
