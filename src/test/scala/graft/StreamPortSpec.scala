@@ -121,6 +121,32 @@ class StreamPortSpec extends SparkTestBase {
     assert(rows.toSet == Set((1L, "view"), (1L, "click"), (2L, "view")))
   }
 
+  test("file-stream source: readStream over parquet dir == batch answer") {
+    import spark.implicits._
+    // the production source path: files land in a directory, the
+    // stream discovers and processes them incrementally
+    // (Trigger.AvailableNow drains all current files then stops)
+    val dir = tempDir() + "/evstream"
+    val (first, second) = events.splitAt(3)
+    first.toDF().write.mode("append").parquet(dir)
+    second.toDF().write.mode("append").parquet(dir)
+    val src = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Ev]].schema)
+      .option("maxFilesPerTrigger", "1") // force multi-batch incremental processing
+      .parquet(dir)
+    val q = StreamPort.tumblingCounts(src)
+      .writeStream.format("memory").queryName("filestream")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("filestream").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = StreamPort.tumblingCounts(events.toDF()).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch, "file-source incremental result must equal the batch answer")
+  }
+
   test("mapGroupsWithState running per-user stats") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
