@@ -70,7 +70,9 @@ def compare(s, d):
             return f"DTYPE {c}: spark={sv.dtype} duck={dv.dtype}"
         if str(sv.dtype).startswith("datetime64"):
             if not sv.equals(dv):
-                neq = sv != dv
+                # NaT != NaT is True — mask equal-null rows or the
+                # reported "first diff" can be a pair of equal NaTs
+                neq = (sv != dv) & ~(sv.isna() & dv.isna())
                 i = int(np.argmax(neq.to_numpy()))
                 return f"COL {c} row {i}: spark={sv[i]!r} duck={dv[i]!r}"
             continue

@@ -190,19 +190,20 @@ object GraphOps {
       // UNCONDITIONALLY — an O(edges) build that OOMs at cluster
       // scale (and took 118 s under memory pressure on the driver box).
       val closing = dir.select(col("u").as("x"), col("v").as("y"))
-      val n =
-        (if (dir.count() <= edgeCap(s))
-          wedges.join(broadcast(closing), Seq("x", "y"), "left_semi")
-            .agg(count(lit(1)).as("n_triangles"))
-        else
-          wedges.groupBy(col("x"), col("y")).agg(count(lit(1)).as("w"))
-            .join(closing, Seq("x", "y"), "left_semi")
-            .agg(coalesce(sum(col("w")), lit(0L)).as("n_triangles")))
-        .first().getLong(0)
       // the aggregate is a single scalar: computing it eagerly lets the
-      // per-call `dir` cache be released instead of pinning storage for
-      // the session lifetime
-      dir.unpersist()
+      // per-call `dir` cache be released (finally: even a failed action
+      // must not pin an O(edges) relation for the session lifetime)
+      val n =
+        try {
+          (if (dir.count() <= edgeCap(s))
+            wedges.join(broadcast(closing), Seq("x", "y"), "left_semi")
+              .agg(count(lit(1)).as("n_triangles"))
+          else
+            wedges.groupBy(col("x"), col("y")).agg(count(lit(1)).as("w"))
+              .join(closing, Seq("x", "y"), "left_semi")
+              .agg(coalesce(sum(col("w")), lit(0L)).as("n_triangles")))
+          .first().getLong(0)
+        } finally dir.unpersist()
       import s.implicits._
       Seq(n).toDF("n_triangles")
     }),
@@ -271,23 +272,24 @@ object GraphOps {
     val bcastState = labels.count() <= stateCap(edgeDf.sparkSession)
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < maxIters) {
-      val l = if (bcastState) broadcast(labels) else labels
-      val prop = sym.join(l, sym("src") === l("v"))
-        .groupBy(col("dst").as("v2")).agg(min(col("lbl")).as("nlbl"))
-      // carry the previous label through the localCheckpoint so the
-      // convergence count is a cheap scan of the already-materialized
-      // result — round 1 recomputed a second labels⋈next join per
-      // iteration just to count changes, doubling the jobs
-      val next = labels.join(prop, labels("v") === prop("v2"), "left")
-        .select(col("v"), col("lbl").as("prev"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint() // truncate lineage each iteration (eager)
-      changed = next.filter(col("lbl") =!= col("prev")).count()
-      labels = next.select(col("v"), col("lbl"))
-      iter += 1
-    }
-    if (!symmetrized) sym.unpersist()
+    try {
+      while (changed > 0 && iter < maxIters) {
+        val l = if (bcastState) broadcast(labels) else labels
+        val prop = sym.join(l, sym("src") === l("v"))
+          .groupBy(col("dst").as("v2")).agg(min(col("lbl")).as("nlbl"))
+        // carry the previous label through the localCheckpoint so the
+        // convergence count is a cheap scan of the already-materialized
+        // result — round 1 recomputed a second labels⋈next join per
+        // iteration just to count changes, doubling the jobs
+        val next = labels.join(prop, labels("v") === prop("v2"), "left")
+          .select(col("v"), col("lbl").as("prev"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          .localCheckpoint() // truncate lineage each iteration (eager)
+        changed = next.filter(col("lbl") =!= col("prev")).count()
+        labels = next.select(col("v"), col("lbl"))
+        iter += 1
+      }
+    } finally if (!symmetrized) sym.unpersist() // even on a failed action
     labels
   }
 
@@ -315,25 +317,28 @@ object GraphOps {
     // counts
     val bcastState = pr.count() <= stateCap(edgeDf.sparkSession)
     var toRelease = List.empty[DataFrame]
-    for (i <- 1 to iters) {
-      // lineage truncated every 3rd iteration (a checkpoint per
-      // iteration costs more than the ≤3-deep plan it avoids)
-      val p = if (bcastState) broadcast(pr) else pr
-      val contrib = withDeg.join(p, withDeg("src") === p("v"))
-        .select(col("dst").as("v2"), (col("pr") / col("odeg")).as("c"))
-        .groupBy(col("v2")).agg(sum(col("c")).as("sc"))
-      val next = pr.join(contrib, pr("v") === col("v2"), "left")
-        .select(col("v"), (lit(0.15) + lit(0.85) * coalesce(col("sc"), lit(0.0))).as("pr"))
-        .cache() // each pr is consumed twice (broadcast build + join)
-      toRelease ::= next
-      pr = if (i % 3 == 0 || i == iters) next.localCheckpoint() else next
+    try {
+      for (i <- 1 to iters) {
+        // lineage truncated every 3rd iteration (a checkpoint per
+        // iteration costs more than the ≤3-deep plan it avoids)
+        val p = if (bcastState) broadcast(pr) else pr
+        val contrib = withDeg.join(p, withDeg("src") === p("v"))
+          .select(col("dst").as("v2"), (col("pr") / col("odeg")).as("c"))
+          .groupBy(col("v2")).agg(sum(col("c")).as("sc"))
+        val next = pr.join(contrib, pr("v") === col("v2"), "left")
+          .select(col("v"), (lit(0.15) + lit(0.85) * coalesce(col("sc"), lit(0.0))).as("pr"))
+          .cache() // each pr is consumed twice (broadcast build + join)
+        toRelease ::= next
+        pr = if (i % 3 == 0 || i == iters) next.localCheckpoint() else next
+      }
+    } finally {
+      // release intermediate iteration state — also on a failed action:
+      // only the final checkpointed result survives (a 10-iteration run
+      // would otherwise pin ~10 vertex tables in storage memory)
+      toRelease.foreach(_.unpersist())
+      if (!symmetrized) sym.unpersist()
+      outDeg.unpersist(); withDeg.unpersist()
     }
-    // release intermediate iteration state: only the final checkpointed
-    // result survives (a 10-iteration run would otherwise pin ~10
-    // vertex tables in storage memory for the session lifetime)
-    toRelease.foreach(_.unpersist())
-    if (!symmetrized) sym.unpersist()
-    outDeg.unpersist(); withDeg.unpersist()
     pr
   }
 
@@ -367,7 +372,7 @@ object GraphOps {
 
     "graph_common_neighbors" ->
       s"""WITH ed AS ($edgesSql),
-         |ok AS (SELECT src FROM ed GROUP BY src HAVING count(*) <= 1000),
+         |ok AS (SELECT src FROM ed GROUP BY src HAVING count(*) <= $MaxCoCiteDegree),
          |edc AS (SELECT ed.src, ed.dst FROM ed JOIN ok USING (src))
          |SELECT e1.dst AS s1, e2.dst AS s2, count(*) AS n_common
          |FROM edc e1 JOIN edc e2 ON e1.src = e2.src AND e1.dst < e2.dst

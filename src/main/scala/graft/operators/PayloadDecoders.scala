@@ -73,8 +73,12 @@ object PpmDecoder extends PayloadDecoder {
     i += 1 // exactly one whitespace byte separates the header from pixels
     require(w > 0 && h > 0 && maxv == 255,
       s"unsupported PPM header: w=$w h=$h maxval=$maxv")
-    require(b.length - i >= w * h * 3,
-      s"truncated PPM payload: need ${w * h * 3} pixel bytes, have ${b.length - i}")
+    // long arithmetic: a crafted 65536×65536 header would wrap w*h*3 to
+    // 0 in Int and slip past both requires with garbage dimensions
+    require(w.toLong * h * 3 <= Int.MaxValue,
+      s"implausible PPM dimensions: ${w}x$h")
+    require(b.length.toLong - i >= w.toLong * h * 3,
+      s"truncated PPM payload: need ${w.toLong * h * 3} pixel bytes, have ${b.length - i}")
     val hist = new Array[Double](16)
     var px = 0
     while (px < w * h) {
@@ -110,8 +114,16 @@ object BmpDecoder extends PayloadDecoder {
     val comp = le32(b, 30)
     require(bpp == 24 && comp == 0,
       s"only uncompressed 24bpp BMP supported (bpp=$bpp compression=$comp)")
+    // validate header arithmetic in Long: a sign-bit width or an
+    // overflowing rowBytes*h would otherwise skip the pixel loops and
+    // return garbage dimensions without ever throwing (which is what
+    // routes malformed payloads to the opaque fallback)
+    require(w > 0 && h > 0 && dataOff >= 54 &&
+      w.toLong * h * 3 <= Int.MaxValue,
+      s"implausible BMP header: w=$w h=$h dataOffset=$dataOff")
     val rowBytes = ((w * 3 + 3) / 4) * 4
-    require(b.length >= dataOff + rowBytes * h, "truncated BMP payload")
+    require(b.length.toLong >= dataOff.toLong + rowBytes.toLong * h,
+      "truncated BMP payload")
     val hist = new Array[Double](16)
     var y = 0
     while (y < h) {

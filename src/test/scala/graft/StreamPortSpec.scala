@@ -139,7 +139,7 @@ class StreamPortSpec extends SparkTestBase {
       .outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(120000), "file stream did not drain in time")
     val streamed = spark.table("filestream").collect()
       .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
     val batch = StreamPort.tumblingCounts(events.toDF()).collect()
