@@ -56,6 +56,28 @@ object StreamPort {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** watermarked stream-stream interval join: views matched to clicks
+    * by the same user within 30 minutes after the view. Both sides
+    * carry a watermark and the join condition bounds event time on
+    * both ends, so state for either side is evictable once the
+    * watermark passes — the at-scale stream-join contract (unbounded
+    * state otherwise). Works identically on batch DataFrames. */
+  def viewClickJoin(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views.filter(col("event_type") === "view")
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
+    val c = clicks.filter(col("event_type") === "click")
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+    v.join(c,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("interval 30 minutes"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   /** custom stateful operator via mapGroupsWithState: running event
     * count + max value per user — the KeyValueGroupedDataset custom-
     * state surface (§2.9 / SURVEY §3) */

@@ -121,6 +121,32 @@ class StreamPortSpec extends SparkTestBase {
     assert(rows.toSet == Set((1L, "view"), (1L, "click"), (2L, "view")))
   }
 
+  test("stream-stream interval join == batch join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      Ev(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "view", 1.0),
+      Ev(2, Timestamp.valueOf("2024-01-01 10:10:00"), 1, "click", 0.0), // joins view 1
+      Ev(3, Timestamp.valueOf("2024-01-01 10:45:00"), 1, "click", 0.0), // 45min: outside window
+      Ev(4, Timestamp.valueOf("2024-01-01 10:00:00"), 2, "view", 2.0),
+      Ev(5, Timestamp.valueOf("2024-01-01 10:20:00"), 2, "click", 0.0), // joins view 4
+      Ev(6, Timestamp.valueOf("2024-01-01 10:05:00"), 3, "click", 0.0)) // no view for user 3
+    val vMem = MemoryStream[Ev]; val cMem = MemoryStream[Ev]
+    val q = StreamPort.viewClickJoin(vMem.toDF(), cMem.toDF())
+      .writeStream.format("memory").queryName("vcjoin")
+      .outputMode("append").start()
+    vMem.addData(data: _*); cMem.addData(data: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("vcjoin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = StreamPort.viewClickJoin(data.toDF(), data.toDF()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(batch == Set((1L, 1L, 2L), (2L, 4L, 5L)),
+      s"expected exactly the two in-window view→click pairs: $batch")
+  }
+
   test("file-stream source: readStream over parquet dir == batch answer") {
     import spark.implicits._
     // the production source path: files land in a directory, the

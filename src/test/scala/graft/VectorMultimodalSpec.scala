@@ -116,6 +116,32 @@ class VectorMultimodalSpec extends SparkTestBase {
     assert(math.abs(fr.feat.sum - 1.0) < 1e-3)
   }
 
+  test("decoder header-arithmetic attacks degrade to opaque, never garbage") {
+    import graft.operators.{OpaqueDecoder, PayloadDecoders}
+    // 65536×65536 PPM: w*h*3 wraps to 0 in Int — must NOT return a
+    // Features row claiming those dimensions
+    val ppmBomb = MultimodalOps.Payload(9L,
+      "P6\n65536 65536\n255\n".getBytes("US-ASCII") ++ Array.fill(16)(1.toByte), "img")
+    val fp = PayloadDecoders.decode(ppmBomb)
+    val op = OpaqueDecoder.decode(ppmBomb)
+    assert(fp.width == op.width && fp.height == op.height &&
+      fp.feat.sameElements(op.feat), "PPM dimension bomb must fall back")
+    // BMP with sign-bit width: pixel loops would skip and return
+    // negative width without the Long-validated header guard
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val bmpBomb = MultimodalOps.Payload(10L,
+      "BM".getBytes("US-ASCII") ++ le32(62) ++ le32(0) ++ le32(54) ++
+        le32(40) ++ le32(0x80000001) ++ le32(1) ++ le16(1) ++ le16(24) ++ le32(0) ++
+        le32(8) ++ le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0) ++ Array.fill(8)(0.toByte),
+      "img")
+    val fb = PayloadDecoders.decode(bmpBomb)
+    val ob = OpaqueDecoder.decode(bmpBomb)
+    assert(fb.width == ob.width && fb.height == ob.height &&
+      fb.feat.sameElements(ob.feat), "BMP sign-bit width must fall back")
+    assert(fb.width >= 64 && fb.width < 128) // opaque stub dims, not -2147483647
+  }
+
   test("multimodal_features runs the typed mapPartitions pipeline end-to-end") {
     val out = operators.MultimodalOps.queries("multimodal_features")(spark, sf001)
     assert(out.count() == 500)
