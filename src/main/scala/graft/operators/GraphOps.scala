@@ -40,6 +40,16 @@ object GraphOps {
   private val edgeCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** memoize per (session, dir), evicting entries whose session has
+    * stopped — without this the session-keyed maps would strongly
+    * retain DataFrames (and their plans) of dead sessions for the JVM
+    * lifetime */
+  private def memo(cache: scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame],
+      key: (SparkSession, String))(build: => DataFrame): DataFrame = {
+    cache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    cache.getOrElseUpdate(key, build)
+  }
+
   /** supplier-vertex offset: must exceed the max customer key at ANY
     * scale factor. TPC-H custkey = 150k × SF, so even SF 100,000
     * (≈100 TB) stays below 2e10 — 1e12 keeps the namespaces disjoint
@@ -54,7 +64,7 @@ object GraphOps {
   val MaxCoCiteDegree = 1000L
 
   def edges(s: SparkSession, d: String): DataFrame =
-    edgeCache.getOrElseUpdate((s, d),
+    memo(edgeCache, (s, d))(
       Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
         .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
@@ -72,14 +82,14 @@ object GraphOps {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def symEdges(s: SparkSession, d: String): DataFrame =
-    symCache.getOrElseUpdate((s, d), {
+    memo(symCache, (s, d)) {
       val e = edges(s, d)
       // hash-partitioned on the iteration join key at materialization:
       // CC and PageRank join this every iteration, and a pre-partitioned
       // cache means no iteration ever re-exchanges the edge set
       e.union(e.select(col("dst").as("src"), col("src").as("dst")))
         .distinct().repartition(col("src")).cache()
-    })
+    }
 
   /** row caps for choosing an explicit broadcast over a co-partitioned
     * shuffle join. AQE cannot make this call here — the join inputs are
