@@ -144,6 +144,25 @@ object DedupOps {
         .orderBy(col("a"), col("b"))
     }),
 
+    // near-dup CLUSTERING with canonical selection — the step a
+    // training-data pipeline actually runs after pair generation:
+    // connected components over the n-gram-Jaccard pair graph, each
+    // doc labeled with the min doc_id of its cluster (its canonical
+    // representative; singletons are their own canonical). Composes
+    // the dedup family with GraphOps.connectedComponents — at scale
+    // the pair graph comes from the banded LSH candidates instead of
+    // the bounded exact-Jaccard set, with identical downstream shape.
+    "dedup_cluster_canonical" -> ((s, d) => {
+      val pairs = jaccardPairs(shingleSets(s, d, cap = 200L), 0.3)
+        .select(col("a").as("src"), col("b").as("dst"))
+      // self-loops enroll pairless docs as their own singleton cluster
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 200L)
+        .select(col("doc_id").as("src"), col("doc_id").as("dst"))
+      GraphOps.connectedComponents(pairs.unionByName(docs))
+        .select(col("v").as("doc_id"), col("lbl").as("canonical_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // fuzzy string dedup by edit distance, blocked by string length
     // (|len(a)-len(b)| <= k is a necessary condition for
     // levenshtein <= k, so the join carries a length-band predicate
@@ -210,6 +229,34 @@ object DedupOps {
         |FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
         |WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.3
         |ORDER BY a, b""".stripMargin,
+
+    "dedup_cluster_canonical" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |  FROM documents WHERE doc_id < 200),
+        |bi AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(list_zip(ts[1:len(ts)-1], ts[2:len(ts)]),
+        |      p -> p[1] || '_' || p[2])) AS term
+        |  FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM bi GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+        |  FROM bi x JOIN bi y ON x.term = y.term AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a, b FROM inter
+        |  JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+        |  WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.3),
+        |docs AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+        |sym AS (SELECT a AS s, b AS t FROM pairs
+        |        UNION SELECT b, a FROM pairs
+        |        UNION SELECT doc_id, doc_id FROM docs),
+        |walk(v, l) AS (
+        |  SELECT doc_id, doc_id FROM docs
+        |  UNION
+        |  SELECT sym.t, walk.l FROM sym JOIN walk ON sym.s = walk.v)
+        |SELECT v AS doc_id, min(l) AS canonical_id
+        |FROM walk GROUP BY v ORDER BY doc_id""".stripMargin,
 
     "dedup_edit_distance" ->
       """WITH p AS (SELECT p_partkey, p_name, length(p_name) AS len

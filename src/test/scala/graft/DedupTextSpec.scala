@@ -52,6 +52,15 @@ class DedupTextSpec extends SparkTestBase {
     assert(!rows.exists(r => r._2 == 4L || r._1 == 4L), s"false positive: ${rows.toSeq}")
   }
 
+  test("dedup_cluster_canonical groups near-dups under the min doc_id") {
+    val dir = docsFixture()
+    val rows = operators.DedupOps.queries("dedup_cluster_canonical")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs 1/2 (exact) and 3 (near) share bigrams → one cluster with
+    // canonical 1; doc 4 is a singleton canonicalized to itself
+    assert(rows == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L), rows.toString)
+  }
+
   test("MinHashAgg signature estimates Jaccard on planted sets") {
     val a = (1 to 100).map(i => s"tok$i")
     val b = (21 to 120).map(i => s"tok$i") // |∩|=80, |∪|=120 → J=0.667
