@@ -114,12 +114,36 @@ object TextOps {
           expr("size(filter(split(text, ' '), x -> x rlike '^[a-z]+$'))").as("n_alpha"),
           expr("size(filter(split(text, ' '), x -> length(x) > 5))").as("n_long"))
         .orderBy(col("doc_id"))
+    }),
+
+    // deterministic train/val/test split assignment — the dataset-
+    // split step of a training pipeline. Bucket = Knuth multiplicative
+    // hash of doc_id mod 100 (pure integer arithmetic: identical in
+    // every engine, stable across runs/partitionings, and embarrassing-
+    // ly parallel at any scale — no shuffle, no rand()): <80 train,
+    // <90 val, else test.
+    "text_split_assign" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          pmod(col("doc_id") * lit(2654435761L), lit(100L)).as("bucket"))
+        .select(col("doc_id"), col("source"),
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test").as("split"))
+        .orderBy(col("doc_id"))
     }))
 
   private val tokCte =
     "SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents"
 
   val oracle: Map[String, String] = Map(
+    "text_split_assign" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+        |       WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "text_tokenize_counts" ->
       s"""WITH tok AS ($tokCte)
          |SELECT term, count(*) AS n FROM tok
