@@ -66,6 +66,52 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** near-dup cluster labels, unordered: connected components over the
+    * n-gram-Jaccard pair graph (self-loops enroll pairless docs as
+    * their own singleton cluster), canonical = min doc_id of the
+    * cluster. Shared by dedup_cluster_canonical and the
+    * pipeline_clean_corpus composite (which joins it and must not
+    * inherit a wasted sort). */
+  private def clusterCanonical(s: SparkSession, d: String): DataFrame = {
+    val pairs = jaccardPairs(shingleSets(s, d, cap = 200L), 0.3)
+      .select(col("a").as("src"), col("b").as("dst"))
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 200L)
+      .select(col("doc_id").as("src"), col("doc_id").as("dst"))
+    GraphOps.connectedComponents(pairs.unionByName(docs))
+      .select(col("v").as("doc_id"), col("lbl").as("canonical_id"))
+  }
+
+  /** DuckDB CTE chain producing the same cluster labels (`canon`
+    * relation) — composed into both cluster oracles below. Starts with
+    * the CTE list only; callers prepend WITH RECURSIVE. */
+  private val clusterCtesSql =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+      |  FROM documents WHERE doc_id < 200),
+      |bi AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(list_zip(ts[1:len(ts)-1], ts[2:len(ts)]),
+      |      p -> p[1] || '_' || p[2])) AS term
+      |  FROM toks),
+      |sz AS (SELECT doc_id, count(*) AS sz FROM bi GROUP BY doc_id),
+      |inter AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+      |  FROM bi x JOIN bi y ON x.term = y.term AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a, b FROM inter
+      |  JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+      |  WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.3),
+      |docs AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+      |sym AS (SELECT a AS s, b AS t FROM pairs
+      |        UNION SELECT b, a FROM pairs
+      |        UNION SELECT doc_id, doc_id FROM docs),
+      |walk(v, l) AS (
+      |  SELECT doc_id, doc_id FROM docs
+      |  UNION
+      |  SELECT sym.t, walk.l FROM sym JOIN walk ON sym.s = walk.v),
+      |canon AS (SELECT v AS doc_id, min(l) AS canonical_id
+      |          FROM walk GROUP BY v)""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     // exact duplicate groups (may legitimately be empty on this corpus
     // — FIXTURES.md: zero exact dupes at small SF; unit tests plant
@@ -152,16 +198,8 @@ object DedupOps {
     // the dedup family with GraphOps.connectedComponents — at scale
     // the pair graph comes from the banded LSH candidates instead of
     // the bounded exact-Jaccard set, with identical downstream shape.
-    "dedup_cluster_canonical" -> ((s, d) => {
-      val pairs = jaccardPairs(shingleSets(s, d, cap = 200L), 0.3)
-        .select(col("a").as("src"), col("b").as("dst"))
-      // self-loops enroll pairless docs as their own singleton cluster
-      val docs = Tables.documents(s, d).filter(col("doc_id") < 200L)
-        .select(col("doc_id").as("src"), col("doc_id").as("dst"))
-      GraphOps.connectedComponents(pairs.unionByName(docs))
-        .select(col("v").as("doc_id"), col("lbl").as("canonical_id"))
-        .orderBy(col("doc_id"))
-    }),
+    "dedup_cluster_canonical" -> ((s, d) =>
+      clusterCanonical(s, d).orderBy(col("doc_id"))),
 
     // CAPSTONE COMPOSITE — the cleaned-corpus materialization a
     // training pipeline actually ships: keep a doc iff (a) it is its
@@ -170,15 +208,13 @@ object DedupOps {
     // filter (duplicate-trigram ratio ≤ 0.5 with ≥ 5 trigrams, see
     // text_repetition_stats). One declarative plan end-to-end: pair
     // generation → clustering → per-doc quality signal → filter.
-    "pipeline_clean_corpus" -> ((s, d) => {
-      val canon = queries("dedup_cluster_canonical")(s, d)
-      val rep = TextOps.queries("text_repetition_stats")(s, d)
-      canon.filter(col("doc_id") === col("canonical_id"))
-        .join(rep, Seq("doc_id"))
+    "pipeline_clean_corpus" -> ((s, d) =>
+      clusterCanonical(s, d)
+        .filter(col("doc_id") === col("canonical_id"))
+        .join(TextOps.repetitionStats(s, d), Seq("doc_id"))
         .filter(col("rep_ratio") <= 0.5 && col("n_trigrams") >= 5)
         .select(col("doc_id"), col("n_trigrams"), col("rep_ratio"))
-        .orderBy(col("doc_id"))
-    }),
+        .orderBy(col("doc_id"))),
 
     // fuzzy string dedup by edit distance, blocked by string length
     // (|len(a)-len(b)| <= k is a necessary condition for
@@ -248,76 +284,17 @@ object DedupOps {
         |ORDER BY a, b""".stripMargin,
 
     "dedup_cluster_canonical" ->
-      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS ts
-        |  FROM documents WHERE doc_id < 200),
-        |bi AS (
-        |  SELECT DISTINCT doc_id,
-        |    unnest(list_transform(list_zip(ts[1:len(ts)-1], ts[2:len(ts)]),
-        |      p -> p[1] || '_' || p[2])) AS term
-        |  FROM toks),
-        |sz AS (SELECT doc_id, count(*) AS sz FROM bi GROUP BY doc_id),
-        |inter AS (
-        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-        |  FROM bi x JOIN bi y ON x.term = y.term AND x.doc_id < y.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT a, b FROM inter
-        |  JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
-        |  WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.3),
-        |docs AS (SELECT doc_id FROM documents WHERE doc_id < 200),
-        |sym AS (SELECT a AS s, b AS t FROM pairs
-        |        UNION SELECT b, a FROM pairs
-        |        UNION SELECT doc_id, doc_id FROM docs),
-        |walk(v, l) AS (
-        |  SELECT doc_id, doc_id FROM docs
-        |  UNION
-        |  SELECT sym.t, walk.l FROM sym JOIN walk ON sym.s = walk.v)
-        |SELECT v AS doc_id, min(l) AS canonical_id
-        |FROM walk GROUP BY v ORDER BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE $clusterCtesSql
+         |SELECT doc_id, canonical_id FROM canon ORDER BY doc_id""".stripMargin,
 
     "pipeline_clean_corpus" ->
-      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS ts
-        |  FROM documents WHERE doc_id < 200),
-        |bi AS (
-        |  SELECT DISTINCT doc_id,
-        |    unnest(list_transform(list_zip(ts[1:len(ts)-1], ts[2:len(ts)]),
-        |      p -> p[1] || '_' || p[2])) AS term
-        |  FROM toks),
-        |sz AS (SELECT doc_id, count(*) AS sz FROM bi GROUP BY doc_id),
-        |inter AS (
-        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-        |  FROM bi x JOIN bi y ON x.term = y.term AND x.doc_id < y.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT a, b FROM inter
-        |  JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
-        |  WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.3),
-        |docs AS (SELECT doc_id FROM documents WHERE doc_id < 200),
-        |sym AS (SELECT a AS s, b AS t FROM pairs
-        |        UNION SELECT b, a FROM pairs
-        |        UNION SELECT doc_id, doc_id FROM docs),
-        |walk(v, l) AS (
-        |  SELECT doc_id, doc_id FROM docs
-        |  UNION
-        |  SELECT sym.t, walk.l FROM sym JOIN walk ON sym.s = walk.v),
-        |canon AS (SELECT v AS doc_id, min(l) AS canonical_id FROM walk GROUP BY v),
-        |t2 AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-        |tri AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(ts) < 3 THEN []::VARCHAR[]
-        |         ELSE list_transform(range(1, len(ts) - 1),
-        |                i -> ts[i] || '_' || ts[i+1] || '_' || ts[i+2]) END AS tris
-        |  FROM t2),
-        |rep AS (
-        |  SELECT doc_id, CAST(len(tris) AS INT) AS n_trigrams,
-        |    round(1.0 - CAST(len(list_distinct(tris)) AS DOUBLE)
-        |      / greatest(len(tris), 1), 4) AS rep_ratio
-        |  FROM tri)
-        |SELECT c.doc_id, r.n_trigrams, r.rep_ratio
-        |FROM canon c JOIN rep r ON c.doc_id = r.doc_id
-        |WHERE c.doc_id = c.canonical_id AND r.rep_ratio <= 0.5
-        |  AND r.n_trigrams >= 5
-        |ORDER BY c.doc_id""".stripMargin,
+      s"""WITH RECURSIVE $clusterCtesSql,
+         |${TextOps.repCtesSql}
+         |SELECT c.doc_id, r.n_trigrams, r.rep_ratio
+         |FROM canon c JOIN rep r ON c.doc_id = r.doc_id
+         |WHERE c.doc_id = c.canonical_id AND r.rep_ratio <= 0.5
+         |  AND r.n_trigrams >= 5
+         |ORDER BY c.doc_id""".stripMargin,
 
     "dedup_edit_distance" ->
       """WITH p AS (SELECT p_partkey, p_name, length(p_name) AS len

@@ -120,21 +120,8 @@ object TextOps {
     // trigrams — the classic corpus-cleaning signal (a doc whose
     // trigrams mostly repeat is boilerplate/spam). Higher-order
     // expressions only; stays in codegen, no shuffle beyond the scan.
-    "text_repetition_stats" -> ((s, d) => {
-      Tables.documents(s, d)
-        .withColumn("ts", split(col("text"), " "))
-        .withColumn("tris", expr(
-          """IF(size(ts) < 3, array(),
-            |  transform(sequence(1, size(ts) - 2),
-            |    i -> concat(element_at(ts, i), '_', element_at(ts, i + 1),
-            |                '_', element_at(ts, i + 2))))""".stripMargin))
-        .select(col("doc_id"),
-          size(col("tris")).as("n_trigrams"),
-          size(array_distinct(col("tris"))).as("n_distinct"),
-          r4(lit(1.0) - size(array_distinct(col("tris"))).cast("double") /
-            greatest(size(col("tris")), lit(1)).cast("double")).as("rep_ratio"))
-        .orderBy(col("doc_id"))
-    }),
+    "text_repetition_stats" -> ((s, d) =>
+      repetitionStats(s, d).orderBy(col("doc_id"))),
 
     // deterministic train/val/test split assignment — the dataset-
     // split step of a training pipeline. Bucket = Knuth multiplicative
@@ -153,24 +140,49 @@ object TextOps {
         .orderBy(col("doc_id"))
     }))
 
+  /** per-doc trigram repetition stats, unordered — shared by the
+    * text_repetition_stats query and DedupOps' pipeline_clean_corpus
+    * composite (which joins it and must not inherit a wasted sort) */
+  private[operators] def repetitionStats(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d)
+      .withColumn("ts", split(col("text"), " "))
+      .withColumn("tris", expr(
+        """IF(size(ts) < 3, array(),
+          |  transform(sequence(1, size(ts) - 2),
+          |    i -> concat(element_at(ts, i), '_', element_at(ts, i + 1),
+          |                '_', element_at(ts, i + 2))))""".stripMargin))
+      .withColumn("n_trigrams", size(col("tris")))
+      .withColumn("n_distinct", size(array_distinct(col("tris"))))
+      .select(col("doc_id"), col("n_trigrams"), col("n_distinct"),
+        r4(lit(1.0) - col("n_distinct").cast("double") /
+          greatest(col("n_trigrams"), lit(1)).cast("double")).as("rep_ratio"))
+
+  /** DuckDB CTE chain computing the same per-doc repetition stats —
+    * composed into oracles here and in DedupOps */
+  private[operators] val repCtesSql =
+    """t2 AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |tri AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(ts) < 3 THEN []::VARCHAR[]
+      |         ELSE list_transform(range(1, len(ts) - 1),
+      |                i -> ts[i] || '_' || ts[i+1] || '_' || ts[i+2]) END AS tris
+      |  FROM t2),
+      |rep AS (
+      |  SELECT doc_id, CAST(len(tris) AS INT) AS n_trigrams,
+      |    CAST(len(list_distinct(tris)) AS INT) AS n_distinct,
+      |    round(1.0 - CAST(len(list_distinct(tris)) AS DOUBLE)
+      |      / greatest(len(tris), 1), 4) AS rep_ratio
+      |  FROM tri)""".stripMargin
+
   private val tokCte =
     "SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents"
 
   val oracle: Map[String, String] = Map(
     "text_repetition_stats" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-        |tri AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(ts) < 3 THEN []::VARCHAR[]
-        |         ELSE list_transform(range(1, len(ts) - 1),
-        |                i -> ts[i] || '_' || ts[i+1] || '_' || ts[i+2]) END AS tris
-        |  FROM t)
-        |SELECT doc_id,
-        |  CAST(len(tris) AS INT) AS n_trigrams,
-        |  CAST(len(list_distinct(tris)) AS INT) AS n_distinct,
-        |  round(1.0 - CAST(len(list_distinct(tris)) AS DOUBLE)
-        |    / greatest(len(tris), 1), 4) AS rep_ratio
-        |FROM tri ORDER BY doc_id""".stripMargin,
+      s"""WITH $repCtesSql
+         |SELECT doc_id, n_trigrams, n_distinct, rep_ratio
+         |FROM rep ORDER BY doc_id""".stripMargin,
 
     "text_split_assign" ->
       """SELECT doc_id, source,
