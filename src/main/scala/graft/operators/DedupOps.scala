@@ -216,6 +216,26 @@ object DedupOps {
         .select(col("doc_id"), col("n_trigrams"), col("rep_ratio"))
         .orderBy(col("doc_id"))),
 
+    // train/test CONTAMINATION check — the decontamination step run
+    // before training: test-split docs whose exact fingerprint also
+    // appears in a train-split doc (split via the deterministic
+    // assignment of text_split_assign, fingerprint = md5(text)).
+    // Empty on this corpus (zero exact dupes at small SF — same as
+    // dedup_exact); DedupTextSpec plants a leaked doc to pin the
+    // semantics. At scale: one hash join on the fingerprint — shuffle
+    // carries (md5, doc_id) pairs only.
+    "pipeline_contamination_check" -> ((s, d) => {
+      val sp = TextOps.splitAssign(s, d)
+        .select(col("doc_id"), col("split"), md5(col("text")).as("h"))
+      val train = sp.filter(col("split") === "train")
+        .select(col("h"), col("doc_id").as("train_doc"))
+      sp.filter(col("split") === "test")
+        .select(col("h"), col("doc_id").as("test_doc"))
+        .join(train, Seq("h"))
+        .select(col("test_doc"), col("train_doc"), col("h"))
+        .orderBy(col("test_doc"), col("train_doc"))
+    }),
+
     // fuzzy string dedup by edit distance, blocked by string length
     // (|len(a)-len(b)| <= k is a necessary condition for
     // levenshtein <= k, so the join carries a length-band predicate
@@ -295,6 +315,15 @@ object DedupOps {
          |WHERE c.doc_id = c.canonical_id AND r.rep_ratio <= 0.5
          |  AND r.n_trigrams >= 5
          |ORDER BY c.doc_id""".stripMargin,
+
+    "pipeline_contamination_check" ->
+      s"""WITH sp AS (
+         |  SELECT doc_id, md5(text) AS h, ${TextOps.splitCaseSql} AS split
+         |  FROM documents)
+         |SELECT t.doc_id AS test_doc, tr.doc_id AS train_doc, t.h
+         |FROM sp t JOIN sp tr ON t.h = tr.h
+         |WHERE t.split = 'test' AND tr.split = 'train'
+         |ORDER BY test_doc, train_doc""".stripMargin,
 
     "dedup_edit_distance" ->
       """WITH p AS (SELECT p_partkey, p_name, length(p_name) AS len

@@ -129,16 +129,27 @@ object TextOps {
     // every engine, stable across runs/partitionings, and embarrassing-
     // ly parallel at any scale — no shuffle, no rand()): <80 train,
     // <90 val, else test.
-    "text_split_assign" -> ((s, d) => {
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-          pmod(col("doc_id") * lit(2654435761L), lit(100L)).as("bucket"))
-        .select(col("doc_id"), col("source"),
-          when(col("bucket") < 80, "train")
-            .when(col("bucket") < 90, "val")
-            .otherwise("test").as("split"))
-        .orderBy(col("doc_id"))
-    }))
+    "text_split_assign" -> ((s, d) =>
+      splitAssign(s, d).select(col("doc_id"), col("source"), col("split"))
+        .orderBy(col("doc_id"))))
+
+  /** deterministic split assignment, unordered — shared by
+    * text_split_assign and DedupOps' contamination check */
+  private[operators] def splitAssign(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"),
+        pmod(col("doc_id") * lit(2654435761L), lit(100L)).as("bucket"))
+      .select(col("doc_id"), col("source"), col("text"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"))
+
+  /** the split CASE expression in DuckDB form (shared with DedupOps) */
+  private[operators] val splitCaseSql =
+    """CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+      |     WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+      |     ELSE 'test' END""".stripMargin
 
   /** per-doc trigram repetition stats, unordered — shared by the
     * text_repetition_stats query and DedupOps' pipeline_clean_corpus
@@ -185,11 +196,8 @@ object TextOps {
          |FROM rep ORDER BY doc_id""".stripMargin,
 
     "text_split_assign" ->
-      """SELECT doc_id, source,
-        |  CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
-        |       WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
-        |       ELSE 'test' END AS split
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id, source, $splitCaseSql AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_tokenize_counts" ->
       s"""WITH tok AS ($tokCte)

@@ -61,6 +61,25 @@ class DedupTextSpec extends SparkTestBase {
     assert(rows == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L), rows.toString)
   }
 
+  test("pipeline_contamination_check flags a test-split doc leaked from train") {
+    val dir = tempDir()
+    import spark.implicits._
+    // bucket = (doc_id * 61) % 100: doc 1 → 61 (train), doc 13 → 93
+    // (test), doc 2 → 22 (train). Doc 13 duplicates doc 1's text.
+    val base = "the quick brown fox jumps over the lazy dog"
+    writeFixture(dir, "documents", Seq(
+      (1L, base, "en", "s0", base.length.toLong),
+      (13L, base, "en", "s1", base.length.toLong),
+      (2L, "unrelated words entirely", "en", "s2", 24L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = operators.DedupOps.queries("pipeline_contamination_check")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((13L, 1L)), s"expected the planted leak: $rows")
+    // real corpus: zero exact dupes → zero contamination
+    assert(operators.DedupOps.queries("pipeline_contamination_check")(spark, sf001)
+      .count() == 0)
+  }
+
   test("MinHashAgg signature estimates Jaccard on planted sets") {
     val a = (1 to 100).map(i => s"tok$i")
     val b = (21 to 120).map(i => s"tok$i") // |∩|=80, |∪|=120 → J=0.667
