@@ -34,6 +34,32 @@ object Aggregates {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // PIVOT — wide-form cross-tab: revenue by returnflag × linestatus.
+    // The value list is EXPLICIT (Seq("F","O","P")): with it, Spark
+    // plans a single pass of conditional aggregates; without it, a
+    // separate distinct-values job must run first — at 100 TB the
+    // explicit list is the difference between one scan and two.
+    "agg_pivot" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O", "P"))
+        .agg(r4(dsum(col("l_extendedprice"))))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // UNPIVOT — long-form melt of per-part metrics into (metric, value)
+    // rows: the inverse reshape, one narrow scan, no shuffle at all
+    // (the explode is a per-row generator)
+    "agg_unpivot" -> ((s, d) => {
+      Tables.part(s, d)
+        .filter(col("p_partkey") < 1000L)
+        .select(col("p_partkey"), col("p_retailprice"),
+          col("p_size").cast("double").as("p_size"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_retailprice"), col("p_size")), "metric", "value")
+        .orderBy(col("p_partkey"), col("metric"))
+    }),
+
     "agg_distinct_count" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy(col("l_suppkey"))
@@ -179,6 +205,25 @@ object Aggregates {
     "agg_collect_sorted" ->
       """SELECT l_orderkey, array_to_string(list_sort(list(l_partkey)), ',') AS parts
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "agg_pivot" ->
+      """SELECT l_returnflag,
+        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+        |    FILTER (WHERE l_linestatus = 'F') AS DOUBLE), 4) AS F,
+        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+        |    FILTER (WHERE l_linestatus = 'O') AS DOUBLE), 4) AS O,
+        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+        |    FILTER (WHERE l_linestatus = 'P') AS DOUBLE), 4) AS P
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_unpivot" ->
+      """WITH p AS (SELECT p_partkey, p_retailprice,
+        |    CAST(p_size AS DOUBLE) AS p_size
+        |  FROM part WHERE p_partkey < 1000)
+        |SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM p
+        |UNION ALL
+        |SELECT p_partkey, 'p_size', p_size FROM p
+        |ORDER BY p_partkey, metric""".stripMargin,
 
     "agg_first_last_by" ->
       """SELECT o_custkey,
