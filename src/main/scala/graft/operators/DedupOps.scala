@@ -81,10 +81,11 @@ object DedupOps {
       .select(col("v").as("doc_id"), col("lbl").as("canonical_id"))
   }
 
-  /** DuckDB CTE chain producing the same cluster labels (`canon`
-    * relation) — composed into both cluster oracles below. Starts with
-    * the CTE list only; callers prepend WITH RECURSIVE. */
-  private val clusterCtesSql =
+  /** DuckDB CTE chain for bounded token-bigram sets and their pair
+    * intersections (toks/bi/sz/inter) — ONE definition shared by the
+    * dedup_ngram_jaccard oracle and the cluster oracles so the shingle
+    * definition cannot drift between them */
+  private val bigramCtesSql =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS ts
       |  FROM documents WHERE doc_id < 200),
       |bi AS (
@@ -96,21 +97,28 @@ object DedupOps {
       |inter AS (
       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
       |  FROM bi x JOIN bi y ON x.term = y.term AND x.doc_id < y.doc_id
-      |  GROUP BY 1, 2),
-      |pairs AS (
-      |  SELECT a, b FROM inter
-      |  JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
-      |  WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.3),
-      |docs AS (SELECT doc_id FROM documents WHERE doc_id < 200),
-      |sym AS (SELECT a AS s, b AS t FROM pairs
-      |        UNION SELECT b, a FROM pairs
-      |        UNION SELECT doc_id, doc_id FROM docs),
-      |walk(v, l) AS (
-      |  SELECT doc_id, doc_id FROM docs
-      |  UNION
-      |  SELECT sym.t, walk.l FROM sym JOIN walk ON sym.s = walk.v),
-      |canon AS (SELECT v AS doc_id, min(l) AS canonical_id
-      |          FROM walk GROUP BY v)""".stripMargin
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** DuckDB CTE chain producing the cluster labels (`canon` relation)
+    * over the bigram pair graph — composed into both cluster oracles
+    * below. Starts with the CTE list only; callers prepend WITH
+    * RECURSIVE. */
+  private val clusterCtesSql =
+    s"""$bigramCtesSql,
+       |pairs AS (
+       |  SELECT a, b FROM inter
+       |  JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+       |  WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.3),
+       |docs AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+       |sym AS (SELECT a AS s, b AS t FROM pairs
+       |        UNION SELECT b, a FROM pairs
+       |        UNION SELECT doc_id, doc_id FROM docs),
+       |walk(v, l) AS (
+       |  SELECT doc_id, doc_id FROM docs
+       |  UNION
+       |  SELECT sym.t, walk.l FROM sym JOIN walk ON sym.s = walk.v),
+       |canon AS (SELECT v AS doc_id, min(l) AS canonical_id
+       |          FROM walk GROUP BY v)""".stripMargin
 
   val queries: Map[String, QFn] = Map(
     // exact duplicate groups (may legitimately be empty on this corpus
@@ -286,22 +294,11 @@ object DedupOps {
         |ORDER BY a, b""".stripMargin,
 
     "dedup_ngram_jaccard" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
-        |  FROM documents WHERE doc_id < 200),
-        |bi AS (
-        |  SELECT DISTINCT doc_id,
-        |    unnest(list_transform(list_zip(ts[1:len(ts)-1], ts[2:len(ts)]),
-        |      p -> p[1] || '_' || p[2])) AS term
-        |  FROM toks),
-        |sz AS (SELECT doc_id, count(*) AS sz FROM bi GROUP BY doc_id),
-        |inter AS (
-        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-        |  FROM bi x JOIN bi y ON x.term = y.term AND x.doc_id < y.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT a, b, round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
-        |FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
-        |WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.3
-        |ORDER BY a, b""".stripMargin,
+      s"""WITH $bigramCtesSql
+         |SELECT a, b, round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
+         |FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+         |WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.3
+         |ORDER BY a, b""".stripMargin,
 
     "dedup_cluster_canonical" ->
       s"""WITH RECURSIVE $clusterCtesSql

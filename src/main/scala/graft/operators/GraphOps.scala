@@ -300,6 +300,13 @@ object GraphOps {
         iter += 1
       }
     } finally if (!symmetrized) sym.unpersist() // even on a failed action
+    // min-label propagation advances one hop per iteration, so a graph
+    // whose diameter exceeds maxIters would exit with changed > 0 —
+    // returning silently-wrong labels. Fail loudly instead: truncated
+    // components are a correctness bug, not a best-effort answer.
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters iterations " +
+        s"($changed labels still changing) — graph diameter exceeds maxIters")
     labels
   }
 

@@ -134,12 +134,18 @@ object TextOps {
         .orderBy(col("doc_id"))))
 
   /** deterministic split assignment, unordered — shared by
-    * text_split_assign and DedupOps' contamination check */
+    * text_split_assign and DedupOps' contamination check.
+    * doc_id is reduced mod 1e8 BEFORE the Knuth multiply: the raw
+    * product overflows Long at doc_id ≈ 3.5e9 (Spark would wrap
+    * silently, an ANSI engine would error — either way the "identical
+    * in every engine at any scale" contract breaks); the reduced
+    * product caps at ~2.7e17, overflow-free for any doc_id. */
   private[operators] def splitAssign(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), col("source"), col("text"),
-        pmod(col("doc_id") * lit(2654435761L), lit(100L)).as("bucket"))
+        pmod(pmod(col("doc_id"), lit(100000000L)) * lit(2654435761L), lit(100L))
+          .as("bucket"))
       .select(col("doc_id"), col("source"), col("text"),
         when(col("bucket") < 80, "train")
           .when(col("bucket") < 90, "val")
@@ -147,8 +153,8 @@ object TextOps {
 
   /** the split CASE expression in DuckDB form (shared with DedupOps) */
   private[operators] val splitCaseSql =
-    """CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
-      |     WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+    """CASE WHEN ((doc_id % 100000000) * 2654435761) % 100 < 80 THEN 'train'
+      |     WHEN ((doc_id % 100000000) * 2654435761) % 100 < 90 THEN 'val'
       |     ELSE 'test' END""".stripMargin
 
   /** per-doc trigram repetition stats, unordered — shared by the
