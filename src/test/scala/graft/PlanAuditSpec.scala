@@ -52,6 +52,13 @@ class PlanAuditSpec extends SparkTestBase {
     assert(aggs >= 2, s"expected partial+final HashAggregate pair:\n$p")
   }
 
+  test("semi/anti joins plan as LeftSemi/LeftAnti, not inner join + distinct") {
+    assert(plan("join_semi").contains("LeftSemi"),
+      "EXISTS must plan as a semi join (no row multiplication)")
+    assert(plan("join_anti").contains("LeftAnti"),
+      "NOT EXISTS must plan as an anti join")
+  }
+
   test("whole-stage codegen covers the relational hot path") {
     // AQE wraps the plan in AdaptiveSparkPlan and only materializes
     // codegen per query stage at runtime; disable it here so the
