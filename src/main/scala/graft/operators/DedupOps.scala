@@ -71,15 +71,21 @@ object DedupOps {
     * their own singleton cluster), canonical = min doc_id of the
     * cluster. Shared by dedup_cluster_canonical and the
     * pipeline_clean_corpus composite (which joins it and must not
-    * inherit a wasted sort). */
-  private def clusterCanonical(s: SparkSession, d: String): DataFrame = {
-    val pairs = jaccardPairs(shingleSets(s, d, cap = 200L), 0.3)
-      .select(col("a").as("src"), col("b").as("dst"))
-    val docs = Tables.documents(s, d).filter(col("doc_id") < 200L)
-      .select(col("doc_id").as("src"), col("doc_id").as("dst"))
-    GraphOps.connectedComponents(pairs.unionByName(docs))
-      .select(col("v").as("doc_id"), col("lbl").as("canonical_id"))
-  }
+    * inherit a wasted sort). Memoized per (session, dir): the CC loop
+    * runs eagerly at construction, so without the memo each consuming
+    * query would re-run the whole pair-generation + propagation. */
+  private val canonCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def clusterCanonical(s: SparkSession, d: String): DataFrame =
+    GraphOps.memo(canonCache, (s, d)) {
+      val pairs = jaccardPairs(shingleSets(s, d, cap = 200L), 0.3)
+        .select(col("a").as("src"), col("b").as("dst"))
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 200L)
+        .select(col("doc_id").as("src"), col("doc_id").as("dst"))
+      GraphOps.connectedComponents(pairs.unionByName(docs))
+        .select(col("v").as("doc_id"), col("lbl").as("canonical_id"))
+    }
 
   /** DuckDB CTE chain for bounded token-bigram sets and their pair
     * intersections (toks/bi/sz/inter) — ONE definition shared by the

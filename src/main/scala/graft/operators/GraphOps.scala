@@ -43,8 +43,9 @@ object GraphOps {
   /** memoize per (session, dir), evicting entries whose session has
     * stopped — without this the session-keyed maps would strongly
     * retain DataFrames (and their plans) of dead sessions for the JVM
-    * lifetime */
-  private def memo(cache: scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame],
+    * lifetime. Shared with DedupOps' cluster-label memo. */
+  private[operators] def memo(
+      cache: scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame],
       key: (SparkSession, String))(build: => DataFrame): DataFrame = {
     cache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     cache.getOrElseUpdate(key, build)
