@@ -60,6 +60,20 @@ object Aggregates {
         .orderBy(col("p_partkey"), col("metric"))
     }),
 
+    // conditional + boolean aggregate breadth: count_if / bool_and /
+    // bool_or / any predicate rollups per group — same partial-agg
+    // shuffle shape as every hash aggregate here
+    "agg_boolean_stats" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count_if(col("l_discount") > 0.05).as("n_discounted"),
+          bool_and(col("l_quantity") > 0).as("all_positive_qty"),
+          bool_or(col("l_tax") > 0.07).as("any_high_tax"),
+          count_if(col("l_quantity") >= 30).as("n_bulk"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "agg_distinct_count" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy(col("l_suppkey"))
@@ -205,6 +219,14 @@ object Aggregates {
     "agg_collect_sorted" ->
       """SELECT l_orderkey, array_to_string(list_sort(list(l_partkey)), ',') AS parts
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "agg_boolean_stats" ->
+      """SELECT l_returnflag,
+        |  count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+        |  bool_and(l_quantity > 0) AS all_positive_qty,
+        |  bool_or(l_tax > 0.07) AS any_high_tax,
+        |  count(*) FILTER (WHERE l_quantity >= 30) AS n_bulk
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "agg_pivot" ->
       """SELECT l_returnflag,

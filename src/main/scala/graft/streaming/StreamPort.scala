@@ -56,6 +56,16 @@ object StreamPort {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** stream-static enrichment join: the event stream joined to a
+    * static dimension table. The static side keeps NO streaming state
+    * — it is (re)planned per micro-batch and broadcast while small —
+    * which is why this is the standard shape for enriching a 100 TB/day
+    * stream with reference data. Works identically on batch inputs. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(dim, events("user_id") === dim("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_mktsegment"))
+
   /** watermarked stream-stream interval join: views matched to clicks
     * by the same user within 30 minutes after the view. Both sides
     * carry a watermark and the join condition bounds event time on

@@ -121,6 +121,25 @@ class StreamPortSpec extends SparkTestBase {
     assert(rows.toSet == Set((1L, "view"), (1L, "click"), (2L, "view")))
   }
 
+  test("stream-static enrichment join == batch join (no state on the dim side)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY")).toDF("c_custkey", "c_mktsegment")
+    val mem = MemoryStream[Ev]
+    val q = StreamPort.enrichWithDim(mem.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich")
+      .outputMode("append").start()
+    mem.addData(events: _*) // user 3 absent from dim → dropped (inner join)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("enrich").collect()
+      .map(r => (r.getLong(0), r.getString(3))).toSet
+    val batch = StreamPort.enrichWithDim(events.toDF(), dim).collect()
+      .map(r => (r.getLong(0), r.getString(3))).toSet
+    assert(streamed == batch)
+    assert(batch.map(_._2) == Set("BUILDING", "MACHINERY"))
+  }
+
   test("stream-stream interval join == batch join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
