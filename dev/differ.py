@@ -88,8 +88,13 @@ def compare(s, d):
                             f"{type(col[i]).__name__} — driver differ "
                             f"crashes on this; serialize to string")
             if not sv.equals(dv):
-                i = next(i for i in range(len(sv)) if not eq(sv[i], dv[i]))
-                return f"COL {c} row {i}: spark={sv[i]!r} duck={dv[i]!r}"
+                # .equals() can be False while eq() passes every row
+                # (e.g. None vs NaN in an object column) — that is an
+                # equal-null representation difference, not a diff
+                i = next((i for i in range(len(sv)) if not eq(sv[i], dv[i])),
+                         None)
+                if i is not None:
+                    return f"COL {c} row {i}: spark={sv[i]!r} duck={dv[i]!r}"
         elif np.issubdtype(sv.dtype, np.floating):
             a, b = sv.to_numpy(), dv.to_numpy()
             neq = ~((a == b) | (np.isnan(a) & np.isnan(b)))
@@ -99,9 +104,10 @@ def compare(s, d):
                         f"maxabsdiff={np.nanmax(np.abs(a - b))}")
         else:
             if not sv.equals(dv):
-                i = next(i for i in range(len(sv))
-                         if not eq(sv[i], dv[i]))
-                return f"COL {c} row {i}: spark={sv[i]!r} duck={dv[i]!r}"
+                i = next((i for i in range(len(sv))
+                          if not eq(sv[i], dv[i])), None)
+                if i is not None:
+                    return f"COL {c} row {i}: spark={sv[i]!r} duck={dv[i]!r}"
     return "OK"
 
 def eq(a, b):

@@ -83,7 +83,10 @@ object DedupOps {
         .select(col("a").as("src"), col("b").as("dst"))
       val docs = Tables.documents(s, d).filter(col("doc_id") < 200L)
         .select(col("doc_id").as("src"), col("doc_id").as("dst"))
-      GraphOps.connectedComponents(pairs.unionByName(docs))
+      // numParts=1: the pair graph is ≤200 vertices by declared
+      // semantics — single-task stages instead of 32 empty tasks per
+      // CC iteration (pure scheduling overhead at this size)
+      GraphOps.connectedComponents(pairs.unionByName(docs), numParts = 1)
         .select(col("v").as("doc_id"), col("lbl").as("canonical_id"))
     }
 
@@ -222,13 +225,31 @@ object DedupOps {
     // filter (duplicate-trigram ratio ≤ 0.5 with ≥ 5 trigrams, see
     // text_repetition_stats). One declarative plan end-to-end: pair
     // generation → clustering → per-doc quality signal → filter.
-    "pipeline_clean_corpus" -> ((s, d) =>
+    "pipeline_clean_corpus" -> ((s, d) => {
+      // the stats side, bounded and barriered:
+      //  - static doc_id bound: a semantic no-op (the cluster side only
+      //    holds doc_id < 200 and the join is inner) that pushes to the
+      //    parquet scan
+      //  - groupBy(doc_id) aggregate (identity: doc_id is the table's
+      //    key, max of one row): predicates on aggregate outputs cannot
+      //    be pushed below an Aggregate, which blocks a measured
+      //    Catalyst pathology — pushdown substitutes the rep_ratio
+      //    filter below the trigram projection, re-inlining split(text)
+      //    into every element_at lambda, an O(tokens²)-per-doc blow-up
+      //    that ran 8 s single-task over the corpus at sf0.1. Shuffle
+      //    cost of the barrier: one 16-byte row per bounded doc.
+      val rep = TextOps.repetitionStats(s, d)
+        .filter(col("doc_id") < 200L)
+        .groupBy(col("doc_id"))
+        .agg(max(col("n_trigrams")).as("n_trigrams"),
+          max(col("rep_ratio")).as("rep_ratio"))
       clusterCanonical(s, d)
         .filter(col("doc_id") === col("canonical_id"))
-        .join(TextOps.repetitionStats(s, d), Seq("doc_id"))
+        .join(rep, Seq("doc_id"))
         .filter(col("rep_ratio") <= 0.5 && col("n_trigrams") >= 5)
         .select(col("doc_id"), col("n_trigrams"), col("rep_ratio"))
-        .orderBy(col("doc_id"))),
+        .orderBy(col("doc_id"))
+    }),
 
     // train/test CONTAMINATION check — the decontamination step run
     // before training: test-split docs whose exact fingerprint also

@@ -89,8 +89,29 @@ object GraphOps {
       // CC and PageRank join this every iteration, and a pre-partitioned
       // cache means no iteration ever re-exchanges the edge set
       e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct().repartition(col("src")).cache()
+        .distinct().repartition(graphParts(s, d), col("src")).cache()
     }
+
+  /** partition count for the iterative graph state, sized to the edge
+    * source's bytes (one partition per ~2 MB of lineitem parquet,
+    * clamped to [1, defaultParallelism]). Read from file metadata — no
+    * Spark job. Rationale: every CC/PageRank iteration schedules a
+    * task per partition per stage, so a 10 MB local graph on the
+    * global 32-partition default pays 32× the scheduling for zero
+    * parallelism gain (and on a contended box that overhead, not
+    * compute, dominates the bench); at cluster scale the same rule
+    * reaches defaultParallelism and the loops fan out fully. The
+    * divisor is deliberately small enough that the derived edge set
+    * (a distinct projection, ~20× smaller than the source file) still
+    * spans several partitions — 1 partition would serialize the
+    * per-iteration joins themselves. */
+  private[operators] def graphParts(s: SparkSession, d: String): Int = {
+    val path = new org.apache.hadoop.fs.Path(s"$d/lineitem.parquet")
+    val bytes = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getContentSummary(path).getLength
+    math.max(1L, math.min(s.sparkContext.defaultParallelism.toLong,
+      bytes / (2L << 20))).toInt
+  }
 
   /** row caps for choosing an explicit broadcast over a co-partitioned
     * shuffle join. AQE cannot make this call here — the join inputs are
@@ -246,14 +267,16 @@ object GraphOps {
     // the recursive-CTE oracle exactly. Deterministic (min is
     // order-independent).
     "graph_connected_components" -> ((s, d) =>
-      connectedComponents(symEdges(s, d), symmetrized = true).orderBy(col("v"))),
+      connectedComponents(symEdges(s, d), symmetrized = true,
+        numParts = graphParts(s, d)).orderBy(col("v"))),
 
     // PageRank, damping 0.85, fixed 10 iterations, on the symmetrized
     // graph (no dangling vertices by construction). No oracle —
     // cross-engine FP accumulation over 10 iterations diverges;
     // property-tested against GraphX staticPageRank instead (§5).
     "graph_pagerank" -> ((s, d) =>
-      pageRank(symEdges(s, d), iters = 10, symmetrized = true)
+      pageRank(symEdges(s, d), iters = 10, symmetrized = true,
+        numParts = graphParts(s, d))
         .select(col("v"), round(col("pr"), 4).as("pr")).orderBy(col("v"))))
 
   /** Connected components by min-label propagation to fixpoint over
@@ -261,46 +284,88 @@ object GraphOps {
     * Deterministic (min is order-independent). Public library API —
     * works on any (src, dst) edge DataFrame. */
   def connectedComponents(edgeDf: DataFrame, maxIters: Int = 50,
-      symmetrized: Boolean = false): DataFrame = {
+      symmetrized: Boolean = false, numParts: Int = 0): DataFrame = {
+    val spark = edgeDf.sparkSession
+    // state partition count: callers with a measured/estimated graph
+    // size pass it (queries use graphParts; the bounded dedup cluster
+    // passes 1); default falls back to the session shuffle parallelism
+    val p = if (numParts > 0) numParts
+      else spark.sessionState.conf.numShufflePartitions
     // symmetrized=true: caller passes an already-symmetric,
     // pre-partitioned cached edge set (the memoized symEdges) and
     // retains its cache; otherwise the loop builds its own
     // hash-partitioned cached copy, released on exit. Partitioning the
-    // edge set on the join key ONCE means no iteration re-exchanges it
-    // — only the per-vertex label table moves.
+    // edge set on the join key ONCE means no iteration ever re-exchanges
+    // it — only the per-vertex label table moves.
+    //
+    // The edge derivation + label init below run under the SESSION conf
+    // (AQE on, full shuffle width): they scan/join the raw inputs and
+    // want full parallelism. Only the iteration loop runs under the
+    // pinned conf (see below).
     val sym =
       if (symmetrized) edgeDf
       else edgeDf.union(edgeDf.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct().repartition(col("src")).cache()
+        .distinct().repartition(p, col("src")).cache()
     var labels = sym.select(col("src").as("v")).distinct()
-      .withColumn("lbl", col("v")).localCheckpoint()
+      .withColumn("lbl", col("v")).repartition(p, col("v")).localCheckpoint()
     // join strategy by MEASURED vertex count (see BroadcastStateMaxRows
     // — AQE can't replan joins over cached/checkpointed inputs): small
     // label tables broadcast (edge side never exchanged at all), big
     // ones flow through a co-partitioned shuffle join instead of the
     // round-1 unconditional broadcast(labels), which OOMs once the
-    // vertex set outgrows an executor.
-    val bcastState = labels.count() <= stateCap(edgeDf.sparkSession)
+    // vertex set outgrows an executor. Broadcasting only pays when it
+    // saves exchanging the edge side across MANY partitions; under a
+    // handful of partitions the broadcast build is itself an extra job
+    // per iteration, so the shuffle join is strictly cheaper.
+    val bcastState = labels.count() <= stateCap(spark) && p > 4
+    // Iterative-loop execution discipline (the Pregel-on-DataFrames
+    // standard): AQE OFF and shuffle width pinned to p for the loop's
+    // actions — every join here is over cached/checkpointed state whose
+    // partitioning is already explicit, and AQE only hurts: it splits
+    // each materializing action into one job PER shuffle query stage,
+    // each paying driver re-planning latency (measured ~40 jobs instead
+    // of ~6 for a 10-iteration PageRank). Restored in the finally.
+    val conf = spark.conf
+    val aqeWas = conf.get("spark.sql.adaptive.enabled", "true")
+    val shufWas = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.shuffle.partitions", p.toString)
+    try {
     var changed = 1L
     var iter = 0
+    var pinned = List.empty[DataFrame] // per-iteration caches to release
     try {
       while (changed > 0 && iter < maxIters) {
         val l = if (bcastState) broadcast(labels) else labels
         val prop = sym.join(l, sym("src") === l("v"))
           .groupBy(col("dst").as("v2")).agg(min(col("lbl")).as("nlbl"))
-        // carry the previous label through the localCheckpoint so the
-        // convergence count is a cheap scan of the already-materialized
-        // result — round 1 recomputed a second labels⋈next join per
-        // iteration just to count changes, doubling the jobs
-        val next = labels.join(prop, labels("v") === prop("v2"), "left")
+          .repartition(p, col("v2")) // pin the state exchange width to p
+        // carry the previous label so the convergence count and the
+        // cache materialization are ONE job — round 1 ran a second
+        // labels⋈next join per iteration just to count changes, and
+        // round 2 still paid a separate eager-checkpoint job per
+        // iteration before the count
+        val nextFull = labels.join(prop, labels("v") === prop("v2"), "left")
           .select(col("v"), col("lbl").as("prev"),
             least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-          .localCheckpoint() // truncate lineage each iteration (eager)
-        changed = next.filter(col("lbl") =!= col("prev")).count()
-        labels = next.select(col("v"), col("lbl"))
+          .cache()
+        pinned ::= nextFull
+        changed = nextFull.filter(col("lbl") =!= col("prev")).count()
+        labels = nextFull.select(col("v"), col("lbl"))
         iter += 1
+        // truncate lineage every 3rd iteration (and at convergence, so
+        // the returned frame scans a checkpointed RDD, not the cache
+        // chain about to be released): plans stay ≤3 joins deep and the
+        // checkpoint job price is paid once per 3 iterations, not per 1
+        if (iter % 3 == 0 || changed == 0) {
+          labels = labels.localCheckpoint()
+          pinned.foreach(_.unpersist()); pinned = Nil
+        }
       }
-    } finally if (!symmetrized) sym.unpersist() // even on a failed action
+    } finally {
+      pinned.foreach(_.unpersist())
+      if (!symmetrized) sym.unpersist() // even on a failed action
+    }
     // min-label propagation advances one hop per iteration, so a graph
     // whose diameter exceeds maxIters would exit with changed > 0 —
     // returning silently-wrong labels. Fail loudly instead: truncated
@@ -309,6 +374,10 @@ object GraphOps {
       s"connectedComponents did not converge in $maxIters iterations " +
         s"($changed labels still changing) — graph diameter exceeds maxIters")
     labels
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqeWas)
+      conf.set("spark.sql.shuffle.partitions", shufWas)
+    }
   }
 
   /** PageRank (damping 0.85, unnormalized GraphX-style: pr = 0.15 +
@@ -317,35 +386,55 @@ object GraphOps {
     * conserved and scores are comparable to GraphX staticPageRank
     * (property-tested in GraphSpec). Public library API. */
   def pageRank(edgeDf: DataFrame, iters: Int,
-      symmetrized: Boolean = false): DataFrame = {
+      symmetrized: Boolean = false, numParts: Int = 0): DataFrame = {
+    val spark = edgeDf.sparkSession
+    val parts = if (numParts > 0) numParts
+      else spark.sessionState.conf.numShufflePartitions
+    // edge derivation + rank init run under the session conf (AQE on,
+    // full width) — they scan the raw inputs and want parallelism; only
+    // the iteration loop below is conf-pinned, as in connectedComponents
     val sym =
       if (symmetrized) edgeDf
       else edgeDf.union(edgeDf.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct().repartition(col("src")).cache()
-    val outDeg = sym.groupBy(col("src")).agg(count(lit(1)).as("odeg")).cache()
+        .distinct().repartition(parts, col("src")).cache()
+    val outDeg = sym.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+      .repartition(parts, col("src")).cache()
     // degree-annotated edges, cached pre-partitioned on src (sym is
     // src-partitioned, so the join preserves that partitioning): each
     // iteration reuses it and only the rank vector moves
     val withDeg = sym.join(outDeg, Seq("src")).cache()
     var pr = outDeg.select(col("src").as("v"), lit(1.0).as("pr")).localCheckpoint()
     // join strategy by MEASURED vertex count, as in connectedComponents:
-    // broadcast the rank vector while it fits (edge side never
-    // exchanged), co-partitioned shuffle join once it cannot — round 1
+    // broadcast the rank vector while it fits AND the edge side spans
+    // enough partitions for the broadcast to save real exchange work
+    // (under a handful of partitions the per-iteration broadcast build
+    // job costs more than the shuffle join it replaces) — round 1
     // broadcast(pr) unconditionally, an OOM at cluster-scale vertex
     // counts
-    val bcastState = pr.count() <= stateCap(edgeDf.sparkSession)
+    val bcastState = pr.count() <= stateCap(spark) && parts > 4
+    // iterative-loop execution discipline: AQE off + shuffle width
+    // pinned to parts (restored in the finally) — see connectedComponents
+    val conf = spark.conf
+    val aqeWas = conf.get("spark.sql.adaptive.enabled", "true")
+    val shufWas = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.shuffle.partitions", parts.toString)
     var toRelease = List.empty[DataFrame]
+    try {
     try {
       for (i <- 1 to iters) {
         // lineage truncated every 3rd iteration (a checkpoint per
-        // iteration costs more than the ≤3-deep plan it avoids)
+        // iteration costs more than the ≤3-deep plan it avoids); in
+        // the shuffle-join path those checkpoints are the ONLY jobs —
+        // three iterations of single-digit-task stages per job
         val p = if (bcastState) broadcast(pr) else pr
         val contrib = withDeg.join(p, withDeg("src") === p("v"))
           .select(col("dst").as("v2"), (col("pr") / col("odeg")).as("c"))
           .groupBy(col("v2")).agg(sum(col("c")).as("sc"))
+          .repartition(parts, col("v2")) // pin the state exchange width
         val next = pr.join(contrib, pr("v") === col("v2"), "left")
           .select(col("v"), (lit(0.15) + lit(0.85) * coalesce(col("sc"), lit(0.0))).as("pr"))
-          .cache() // each pr is consumed twice (broadcast build + join)
+          .cache() // each pr is consumed twice within an iteration
         toRelease ::= next
         pr = if (i % 3 == 0 || i == iters) next.localCheckpoint() else next
       }
@@ -358,6 +447,10 @@ object GraphOps {
       outDeg.unpersist(); withDeg.unpersist()
     }
     pr
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqeWas)
+      conf.set("spark.sql.shuffle.partitions", shufWas)
+    }
   }
 
   val oracle: Map[String, String] = Map(

@@ -121,7 +121,12 @@ object BmpDecoder extends PayloadDecoder {
     require(w > 0 && h > 0 && dataOff >= 54 &&
       w.toLong * h * 3 <= Int.MaxValue,
       s"implausible BMP header: w=$w h=$h dataOffset=$dataOff")
-    val rowBytes = ((w * 3 + 3) / 4) * 4
+    // row stride in Long: w near Int.MaxValue/3 passes the area guard
+    // with h=1, but w*3+3 in Int would wrap negative and make the
+    // truncation require below vacuously true
+    val rowBytesL = (w.toLong * 3 + 3) / 4 * 4
+    require(rowBytesL * h <= Int.MaxValue, s"implausible BMP stride: w=$w h=$h")
+    val rowBytes = rowBytesL.toInt
     require(b.length.toLong >= dataOff.toLong + rowBytes.toLong * h,
       "truncated BMP payload")
     val hist = new Array[Double](16)

@@ -159,7 +159,14 @@ object TextOps {
 
   /** per-doc trigram repetition stats, unordered — shared by the
     * text_repetition_stats query and DedupOps' pipeline_clean_corpus
-    * composite (which joins it and must not inherit a wasted sort) */
+    * composite (which joins it and must not inherit a wasted sort).
+    *
+    * PUSHDOWN HAZARD for consumers: filtering on the COMPUTED columns
+    * (rep_ratio / n_distinct) makes Catalyst substitute the predicate
+    * below these projections, re-inlining split(text) into every
+    * element_at lambda — an O(tokens²)-per-doc expression blow-up
+    * (measured: 8 s vs 0.2 s at sf0.1). Bound such filters with a
+    * static doc_id predicate, or consume unfiltered. */
   private[operators] def repetitionStats(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     Tables.documents(s, d)
