@@ -151,6 +151,41 @@ object Aggregates {
         .orderBy(col("l_orderkey"))
     }),
 
+    // fixed-width histogram: bin = floor(price / width). Explicit
+    // integer binning, NOT histogram_numeric (whose adaptive bin
+    // boundaries are engine-specific and unverifiable); floor of an
+    // IEEE division is bit-deterministic cross-engine. One hash agg,
+    // shuffle ∝ #bins.
+    "agg_histogram_fixed" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(floor(col("o_totalprice") / 25000).cast("long").as("bin"),
+          col("o_totalprice"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), r4(dsum(col("o_totalprice"))).as("sum_price"))
+        .orderBy(col("bin"))
+    }),
+
+    // MERGEABLE distinct-count sketches — the property that matters at
+    // 100 TB: per-nation HLL sketches are built in one pass, then
+    // UNIONED up the region hierarchy without touching the raw data
+    // again (re-aggregation from the sketch state, the standard
+    // datasketches rollup). No oracle (sketch bytes are
+    // engine-specific); the estimate-vs-exact property is pinned in
+    // RelationalSpec.
+    "agg_hll_union" -> ((s, d) => {
+      val perNation = Tables.customer(s, d)
+        .groupBy(col("c_nationkey"))
+        .agg(hll_sketch_agg(col("c_custkey")).as("sk"),
+          count(lit(1)).as("n_rows"))
+      perNation
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_regionkey"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_customers"),
+          sum(col("n_rows")).as("exact_rows"))
+        .orderBy(col("n_regionkey"))
+    }),
+
     // o_totalprice is a continuous double → no ties per customer
     // (verified against testdata); o_orderkey is the unique payload
     "agg_first_last_by" -> ((s, d) => {
@@ -246,6 +281,12 @@ object Aggregates {
         |UNION ALL
         |SELECT p_partkey, 'p_size', p_size FROM p
         |ORDER BY p_partkey, metric""".stripMargin,
+
+    "agg_histogram_fixed" ->
+      s"""SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bin,
+         |  count(*) AS n,
+         |  round(${dsumSql("o_totalprice")}, 4) AS sum_price
+         |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin,
 
     "agg_first_last_by" ->
       """SELECT o_custkey,

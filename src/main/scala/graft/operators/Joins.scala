@@ -142,6 +142,37 @@ object Joins {
         .orderBy(col("r_name"), col("n_name"))
     }),
 
+    // BUCKETIZED range self-join — the scale path for |Δt| ≤ W
+    // proximity joins: bucket both sides by floor(t / W), equi-join on
+    // (user, bucket) and (user, bucket+1), and range-filter the
+    // residual. A pair within W spans at most one bucket boundary, so
+    // two equi-joins cover exactly the inequality-join result while
+    // the shuffle stays hash-partitioned — no BNLJ, no per-user
+    // cartesian beyond adjacent buckets. Semantics: unordered event
+    // pairs of the same user within 120 s, counted per user.
+    "join_range_bucketed" -> ((s, d) => {
+      val W = 120000000L // 120 s in µs
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("bk", expr(s"us div $W"))
+      val x = ev.select(col("user_id"), col("event_id").as("x_id"),
+        col("us").as("x_us"), col("bk").as("x_bk"))
+      val y = ev.select(col("user_id"), col("event_id").as("y_id"),
+        col("us").as("y_us"), col("bk").as("y_bk"))
+      // same bucket ⇒ |Δ| < W by construction; id order dedupes the pair
+      val same = x.join(y, Seq("user_id"))
+        .filter(col("x_bk") === col("y_bk") && col("x_id") < col("y_id"))
+      // adjacent buckets: y is strictly later; residual range filter
+      val adj = x.join(y, Seq("user_id"))
+        .filter(col("x_bk") + 1 === col("y_bk") &&
+          col("y_us") - col("x_us") <= W)
+      same.select(col("user_id"))
+        .unionByName(adj.select(col("user_id")))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("user_id"))
+    }),
+
     // skew-mitigation pattern: the fact side carries a deterministic
     // salt (derived from data, not rand() — SURVEY §2.0 rule 6), the
     // dim side is replicated across all salts, and the join key
@@ -233,6 +264,13 @@ object Joins {
     "join_cross_small" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin,
+
+    "join_range_bucketed" ->
+      """SELECT e1.user_id, count(*) AS n_pairs
+        |FROM events e1 JOIN events e2
+        |  ON e1.user_id = e2.user_id AND e1.event_id < e2.event_id
+        | AND abs(epoch_us(e1.ts) - epoch_us(e2.ts)) <= 120000000
+        |GROUP BY 1 ORDER BY e1.user_id""".stripMargin,
 
     "join_skew_salted" ->
       s"""SELECT o_orderpriority, count(*) AS n,

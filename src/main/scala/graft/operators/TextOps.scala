@@ -123,6 +123,38 @@ object TextOps {
     "text_repetition_stats" -> ((s, d) =>
       repetitionStats(s, d).orderBy(col("doc_id"))),
 
+    // PII scrubbing — the redaction pass a training pipeline runs
+    // before anything ships: detect + replace emails and long digit
+    // runs, report per-doc counts and the fingerprint of the redacted
+    // text. Pure per-row regex (codegen'd, no UDF, no shuffle beyond
+    // the final sort). The patterns avoid backslash classes ([.], not
+    // \.) so the same literal is valid Java regex AND RE2 — one
+    // definition serves Spark and the oracle.
+    "text_pii_redact" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(expr(s"regexp_extract_all(text, '$EmailRe', 0)")).as("n_emails"),
+          size(expr(s"regexp_extract_all(text, '$LongNumRe', 0)")).as("n_long_numbers"),
+          md5(regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+            LongNumRe, "<NUM>")).as("redacted_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // deterministic stratified sampling: per-language keep rates (en
+    // 50%, others 20%) decided by the same Knuth multiplicative hash
+    // as the split assignment, over 1000 buckets. No rand() — the
+    // sample is reproducible across runs, partitionings, and engines,
+    // and embarrassingly parallel (a per-row filter at the scan).
+    "sample_stratified" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          pmod(pmod(col("doc_id"), lit(100000000L)) * lit(2654435761L), lit(1000L))
+            .as("bucket"))
+        .filter(col("bucket") <
+          when(col("lang") === "en", lit(500L)).otherwise(lit(200L)))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
     // deterministic train/val/test split assignment — the dataset-
     // split step of a training pipeline. Bucket = Knuth multiplicative
     // hash of doc_id mod 100 (pure integer arithmetic: identical in
@@ -132,6 +164,13 @@ object TextOps {
     "text_split_assign" -> ((s, d) =>
       splitAssign(s, d).select(col("doc_id"), col("source"), col("split"))
         .orderBy(col("doc_id"))))
+
+  /** PII regexes, valid as BOTH Java regex (Spark) and RE2 (DuckDB):
+    * character classes only, no backslash escapes — the dot is [.].
+    * Exposed for the planted-fixture tests. */
+  private[operators] val EmailRe =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  private[operators] val LongNumRe = "[0-9]{6,}"
 
   /** deterministic split assignment, unordered — shared by
     * text_split_assign and DedupOps' contamination check.
@@ -211,6 +250,20 @@ object TextOps {
     "text_split_assign" ->
       s"""SELECT doc_id, source, $splitCaseSql AS split
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_pii_redact" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$LongNumRe')) AS INT) AS n_long_numbers,
+         |  md5(regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+         |    '$LongNumRe', '<NUM>', 'g')) AS redacted_fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ((doc_id % 100000000) * 2654435761) % 1000 <
+        |  CASE WHEN lang = 'en' THEN 500 ELSE 200 END
+        |ORDER BY doc_id""".stripMargin,
 
     "text_tokenize_counts" ->
       s"""WITH tok AS ($tokCte)

@@ -68,6 +68,22 @@ object TimeSeriesOps {
         .orderBy(col("ws"))
     }),
 
+    // metric downsampling: raw events → per-(type, minute) summary
+    // rows (count / min / max / exact sum) — the standard
+    // high-frequency → storage-resolution reduction. One hash agg;
+    // shuffle ∝ #series × #minutes, not #events.
+    "ts_downsample_1m" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("minute"))
+        .agg(count(lit(1)).as("n"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"),
+          r4(dsum(col("value"))).as("sum_value"))
+        .select(col("event_type"), ntz(col("minute")).as("minute"),
+          col("n"), col("min_value"), col("max_value"), col("sum_value"))
+        .orderBy(col("event_type"), col("minute"))
+    }),
+
     // deterministic form of dropDuplicatesWithinWatermark: keep the
     // earliest event per (user_id, event_type), ties broken by event_id
     "ts_dedup_within_watermark" -> ((s, d) => {
@@ -122,6 +138,12 @@ object TimeSeriesOps {
         |SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, count(*) AS n
         |FROM m WHERE ts >= mx - INTERVAL '1 hour'
         |GROUP BY 1 ORDER BY ws""".stripMargin,
+
+    "ts_downsample_1m" ->
+      """SELECT event_type, date_trunc('minute', ts) AS minute,
+        |  count(*) AS n, min(value) AS min_value, max(value) AS max_value,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, minute""".stripMargin,
 
     "ts_dedup_within_watermark" ->
       """SELECT user_id, event_type, ts AS first_ts, event_id FROM (

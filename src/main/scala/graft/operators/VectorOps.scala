@@ -117,6 +117,29 @@ object VectorOps {
         .orderBy(col("vec_id"))
     }),
 
+    // int8 scalar quantization — the storage/bandwidth reduction an
+    // embedding store applies before ANN serving (4× smaller vectors,
+    // distance ≈ preserved): per-vector min/max affine scale, code =
+    // floor((x-min)·255/(max-min)). Pure per-row higher-order
+    // expressions (codegen'd, no UDF, no shuffle); floor of IEEE
+    // double arithmetic on float-exact inputs is bit-deterministic
+    // cross-engine, so the code checksum is oracle-checkable.
+    "vec_quantize_int8" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("e"))
+        .select(col("vec_id"), col("e"),
+          array_min(col("e")).as("mn"), array_max(col("e")).as("mx"))
+        .select(col("vec_id"),
+          r4(col("mn")).as("v_min"), r4(col("mx")).as("v_max"),
+          expr("""CASE WHEN mx = mn THEN 0L ELSE
+                 |  aggregate(transform(e,
+                 |    x -> CAST(floor((x - mn) * 255 / (mx - mn)) AS BIGINT)),
+                 |    0L, (acc, v) -> acc + v) END""".stripMargin)
+            .as("code_sum"))
+        .orderBy(col("vec_id"))
+    }),
+
     // sign-random-projection ANN: 16 fixed seeded hyperplanes → 16-bit
     // bucket; top-1 neighbor within the bucket. The scale path: bucket
     // populations are ~corpus/2^16, so candidate pairs grow linearly.
@@ -207,6 +230,19 @@ object VectorOps {
         |  SELECT *, row_number() OVER (PARTITION BY vec_id
         |    ORDER BY cos DESC, b ASC) AS rn FROM nn) t
         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "vec_quantize_int8" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, e, list_aggregate(e, 'min') AS mn,
+        |    list_aggregate(e, 'max') AS mx FROM e)
+        |SELECT vec_id, round(mn, 4) AS v_min, round(mx, 4) AS v_max,
+        |  CASE WHEN mx = mn THEN 0 ELSE
+        |    CAST(list_aggregate(list_transform(e,
+        |      x -> CAST(floor((x - mn) * 255 / (mx - mn)) AS BIGINT)),
+        |      'sum') AS BIGINT) END AS code_sum
+        |FROM m ORDER BY vec_id""".stripMargin,
 
     "vec_knn_join_bucketed" ->
       """WITH probes AS (

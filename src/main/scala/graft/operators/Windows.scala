@@ -82,6 +82,20 @@ object Windows {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // distribution-position functions: percent_rank / cume_dist /
+    // decile over a TOTAL window order ((price, orderkey) is unique, so
+    // ranks — and therefore the quotients — are engine-independent)
+    "win_percent_dist" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          r4(percent_rank().over(w)).as("pct_rank"),
+          r4(cume_dist().over(w)).as("cum_dist"),
+          ntile(10).over(w).as("decile"))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    }),
+
     "win_global_share" -> ((s, d) => {
       val rev = Tables.lineitem(s, d)
         .groupBy(col("l_suppkey"))
@@ -139,6 +153,16 @@ object Windows {
         |WINDOW w AS (PARTITION BY event_type ORDER BY day
         |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY event_type, day""".stripMargin,
+
+    "win_percent_dist" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  round(percent_rank() OVER w, 4) AS pct_rank,
+        |  round(cume_dist() OVER w, 4) AS cum_dist,
+        |  CAST(ntile(10) OVER w AS INT) AS decile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
 
     "win_global_share" ->
       """WITH rev AS (
