@@ -71,10 +71,53 @@ object MultimodalOps {
           sum(col("n_bytes")).as("total_bytes"),
           round(avg(col("width")), 4).as("avg_width"))
         .orderBy(col("source"))
+    }),
+
+    // FRAME SAMPLING over an opaque binary stream — the video-style
+    // access pattern: fixed-stride 1 KiB "frames" every 4 KiB, each
+    // fingerprinted. Pure binary substring arithmetic (codegen'd, no
+    // UDF, no decode needed), so unlike the decode path this IS
+    // SQL-expressible and oracle-checked byte-for-byte. The generator
+    // (explode over a per-row sequence) is map-side — no shuffle;
+    // frames ∝ payload bytes / stride.
+    "multimodal_frame_sample" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .withColumn("n_bytes", length(col("payload")))
+        .filter(col("n_bytes") >= FrameLen)
+        .select(col("doc_id"), col("payload"),
+          explode(expr(s"sequence(0, (n_bytes - $FrameLen) div $FrameStride)"))
+            .as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx").cast("int").as("frame_idx"),
+          (col("frame_idx") * FrameStride).cast("long").as("offset"),
+          md5(expr(s"substring(payload, frame_idx * $FrameStride + 1, $FrameLen)"))
+            .as("frame_fp"))
+        .orderBy(col("doc_id"), col("frame_idx"))
     }))
 
-  /** intentionally empty: mapPartitions paths are not SQL-expressible;
-    * the driver records rows-only checks and MultimodalSpec covers the
-    * feature math. */
-  val oracle: Map[String, String] = Map.empty
+  /** frame-sampling geometry: 1 KiB frame every 4 KiB of payload */
+  val FrameLen = 1024
+  val FrameStride = 4096
+
+  /** Only the binary-arithmetic query is SQL-expressible; the
+    * mapPartitions decode paths stay rows-only (MultimodalSpec covers
+    * the feature math). */
+  val oracle: Map[String, String] = Map(
+    // DuckDB 1.0 has no BLOB substring, so the oracle slices the
+    // VARCHAR: the corpus is verified pure ASCII (octet_length ==
+    // length for every doc), so byte offsets == char offsets and
+    // md5(varchar) hashes the same bytes Spark's binary slice yields
+    "multimodal_frame_sample" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n_bytes
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, text,
+         |    unnest(range(0, (n_bytes - $FrameLen) // $FrameStride + 1)) AS frame_idx
+         |  FROM p WHERE n_bytes >= $FrameLen)
+         |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+         |  CAST(frame_idx * $FrameStride AS BIGINT) AS offset,
+         |  md5(substring(text, CAST(frame_idx * $FrameStride + 1 AS INT), $FrameLen))
+         |    AS frame_fp
+         |FROM f ORDER BY doc_id, frame_idx""".stripMargin)
 }

@@ -84,6 +84,46 @@ object TimeSeriesOps {
         .orderBy(col("event_type"), col("minute"))
     }),
 
+    // conversion funnel: per user, how many views convert (a purchase
+    // by the same user within 1 h after the view). Directional range
+    // join blocked on the user equi-key — same scale shape as
+    // join_interval_overlap but with funnel semantics (view → purchase
+    // order matters) and a per-user conversion-rate rollup.
+    "ts_funnel_conversion" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val v = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("v_id"), col("ts").as("v_ts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      v.join(p, col("user_id") === col("p_user") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"), "left")
+        .groupBy(col("user_id"))
+        .agg(countDistinct(col("v_id")).as("n_views"),
+          countDistinct(when(col("p_ts").isNotNull, col("v_id"))).as("n_converted"))
+        .select(col("user_id"), col("n_views"), col("n_converted"),
+          r4(col("n_converted").cast("double") / col("n_views")).as("conv_rate"))
+        .orderBy(col("user_id"))
+    }),
+
+    // cohort retention: users grouped by first-activity day, distinct
+    // active users per (cohort, day offset) — the standard retention
+    // triangle. Two hash aggs + one co-keyed join; shuffle ∝ distinct
+    // (user, day) pairs, never raw events.
+    "ts_cohort_retention" -> ((s, d) => {
+      val act = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .distinct()
+      val first = act.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      act.join(first, Seq("user_id"))
+        .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(ntz(col("cohort_day")).as("cohort_day"), col("day_offset"),
+          col("n_users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
     // deterministic form of dropDuplicatesWithinWatermark: keep the
     // earliest event per (user_id, event_type), ties broken by event_id
     "ts_dedup_within_watermark" -> ((s, d) => {
@@ -144,6 +184,30 @@ object TimeSeriesOps {
         |  count(*) AS n, min(value) AS min_value, max(value) AS max_value,
         |  round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY event_type, minute""".stripMargin,
+
+    "ts_funnel_conversion" ->
+      """WITH v AS (SELECT user_id, event_id AS v_id, ts AS v_ts
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, ts AS p_ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT v.user_id, count(DISTINCT v.v_id) AS n_views,
+        |  count(DISTINCT CASE WHEN p.p_ts IS NOT NULL THEN v.v_id END) AS n_converted,
+        |  round(CAST(count(DISTINCT CASE WHEN p.p_ts IS NOT NULL THEN v.v_id END)
+        |    AS DOUBLE) / count(DISTINCT v.v_id), 4) AS conv_rate
+        |FROM v LEFT JOIN p ON p.user_id = v.user_id
+        |  AND p.p_ts >= v.v_ts AND p.p_ts <= v.v_ts + INTERVAL 1 HOUR
+        |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
+
+    "ts_cohort_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id)
+        |SELECT f.cohort_day,
+        |  CAST(date_diff('day', CAST(f.cohort_day AS DATE), CAST(act.day AS DATE)) AS INT)
+        |    AS day_offset,
+        |  count(DISTINCT act.user_id) AS n_users
+        |FROM act JOIN f ON act.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
 
     "ts_dedup_within_watermark" ->
       """SELECT user_id, event_type, ts AS first_ts, event_id FROM (
