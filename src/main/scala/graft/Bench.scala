@@ -11,6 +11,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       // events.ts is TIMESTAMP(NANOS) parquet — read as raw long, see Tables
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
