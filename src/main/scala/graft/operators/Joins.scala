@@ -120,6 +120,31 @@ object Joins {
         .orderBy(col("event_id"))
     }),
 
+    // NEAREST-neighbor as-of variant: each event matches the same
+    // customer's temporally CLOSEST order (either direction), ties on
+    // |Δ| broken toward the earlier order, then lower price. Equi-join
+    // on the entity key + one window pass picks the argmin — the
+    // kdb-style `aj` nearest flavor the backward join above cannot
+    // express. Per-entity fan-out = orders per customer (bounded), so
+    // the join stays a plain hash join at any scale.
+    "join_asof_nearest" -> ((s, d) => {
+      val rt = Tables.orders(s, d)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_totalprice")).as("price"))
+        .select(col("o_custkey").as("k"), col("o_orderdate").as("t"), col("price"))
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val w = Window.partitionBy(col("event_id"))
+        .orderBy(abs(unix_micros(col("ts")) - unix_micros(col("t"))),
+          col("t"), col("price"))
+      ev.join(rt, col("user_id") === col("k"), "inner")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), ntz(col("ts")).as("ts"),
+          ntz(col("t")).as("nearest_t"), col("price").as("nearest_price"))
+        .orderBy(col("event_id"))
+    }),
+
     // interval containment, blocked by the user_id equi-key: views
     // within ±1h of each purchase by the same user
     "join_interval_overlap" -> ((s, d) => {
@@ -251,6 +276,18 @@ object Joins {
         |SELECT e.event_id, e.user_id, e.ts, rt.price AS asof_price
         |FROM events e ASOF LEFT JOIN rt ON e.user_id = rt.k AND e.ts >= rt.t
         |ORDER BY e.event_id""".stripMargin,
+
+    "join_asof_nearest" ->
+      """WITH rt AS (
+        |  SELECT o_custkey AS k, o_orderdate AS t, max(o_totalprice) AS price
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT event_id, user_id, ts, nearest_t, nearest_price FROM (
+        |  SELECT e.event_id, e.user_id, e.ts, rt.t AS nearest_t,
+        |    rt.price AS nearest_price,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY abs(epoch_us(e.ts) - epoch_us(rt.t)), rt.t, rt.price) AS rn
+        |  FROM events e JOIN rt ON e.user_id = rt.k) x
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
     "join_interval_overlap" ->
       """SELECT p.event_id AS p_id, count(v.event_id) AS n_views

@@ -88,6 +88,20 @@ object StreamPort {
         col("view_ts"), col("click_ts"))
   }
 
+  /** foreachBatch file sink, idempotent per micro-batch: batch `id` is
+    * always written to the same `batch_id=<id>` directory with
+    * overwrite, so a RETRIED batch (failure between write and commit)
+    * rewrites identical bytes instead of duplicating them — the
+    * standard exactly-once-to-files recipe, and the reason foreachBatch
+    * (not a row-level sink) is the production path for parquet/Delta
+    * style outputs. The partitioned layout doubles as lineage: readers
+    * get `batch_id` back as a partition column. */
+  def writeBatch(out: String)(batch: DataFrame, id: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$out/batch_id=$id")
+
+  def foreachBatchParquetSink(df: DataFrame, out: String) =
+    df.writeStream.foreachBatch(writeBatch(out) _)
+
   /** custom stateful operator via mapGroupsWithState: running event
     * count + max value per user — the KeyValueGroupedDataset custom-
     * state surface (§2.9 / SURVEY §3) */

@@ -208,4 +208,29 @@ class StreamPortSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).last
     assert(last == ((1L, 3L, 9.0))) // state carried across batches
   }
+
+  test("foreachBatch parquet sink: per-batch dirs, idempotent on batch retry") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = tempDir() + "/sink"
+    val mem = MemoryStream[Ev]
+    val q = StreamPort.foreachBatchParquetSink(
+      mem.toDF().select(col("event_id"), col("user_id"), col("value")), out)
+      .start()
+    mem.addData(events.take(3): _*)
+    q.processAllAvailable()
+    mem.addData(events.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+    val sunk = spark.read.parquet(out)
+    // every input row landed exactly once, batch lineage as a partition col
+    assert(sunk.count() == events.size)
+    assert(sunk.select("batch_id").distinct().count() == 2)
+    // RETRY of an already-committed batch rewrites the same directory:
+    // rerunning batch 1's write must not duplicate rows
+    StreamPort.writeBatch(out)(
+      events.drop(3).toDF().select(col("event_id"), col("user_id"), col("value")), 1L)
+    assert(spark.read.parquet(out).count() == events.size,
+      "retried batch duplicated rows — sink not idempotent")
+  }
 }
