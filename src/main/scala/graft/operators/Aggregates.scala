@@ -151,6 +151,21 @@ object Aggregates {
         .orderBy(col("l_orderkey"))
     }),
 
+    // bitwise aggregates: OR/AND/XOR-fold of line numbers per order —
+    // the bitmap-accumulation shape (per-group bit-set union is how
+    // bitmap indexes and feature-flag rollups aggregate). Pure integer
+    // partial aggregation, identical in every engine.
+    "agg_bitwise" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 5000L)
+        .groupBy(col("l_orderkey"))
+        .agg(expr("bit_or(l_linenumber)").as("ln_or"),
+          expr("bit_and(l_linenumber)").as("ln_and"),
+          expr("bit_xor(l_linenumber)").as("ln_xor"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_orderkey"))
+    }),
+
     // fixed-width histogram: bin = floor(price / width). Explicit
     // integer binning, NOT histogram_numeric (whose adaptive bin
     // boundaries are engine-specific and unverifiable); floor of an
@@ -281,6 +296,15 @@ object Aggregates {
         |UNION ALL
         |SELECT p_partkey, 'p_size', p_size FROM p
         |ORDER BY p_partkey, metric""".stripMargin,
+
+    "agg_bitwise" ->
+      """SELECT l_orderkey,
+        |  bit_or(l_linenumber) AS ln_or,
+        |  bit_and(l_linenumber) AS ln_and,
+        |  bit_xor(l_linenumber) AS ln_xor,
+        |  count(*) AS n
+        |FROM lineitem WHERE l_orderkey < 5000
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
 
     "agg_histogram_fixed" ->
       s"""SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bin,

@@ -64,6 +64,22 @@ object Scalars {
           col("disc_sq"), col("price_ln"))
     }),
 
+    // bitwise scalar breadth: and/or/xor/shift/popcount — pure integer
+    // ops, identical in every engine (the bit-twiddling layer under
+    // bloom filters, bitmap indexes, and hash partitioners)
+    "scalar_bitwise" -> ((s, d) => {
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") < 1000L)
+        .select(col("o_orderkey"),
+          (col("o_orderkey").bitwiseAND(lit(255L))).as("k_and"),
+          (col("o_orderkey").bitwiseOR(lit(4096L))).as("k_or"),
+          (col("o_orderkey").bitwiseXOR(col("o_custkey"))).as("k_xor"),
+          shiftleft(col("o_orderkey"), 3).as("k_shl"),
+          shiftright(col("o_orderkey"), 2).as("k_shr"),
+          bit_count(col("o_orderkey")).as("k_pop"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "scalar_case_coalesce" -> ((s, d) => {
       Tables.orders(s, d)
         .select(col("o_orderkey"),
@@ -147,6 +163,17 @@ object Scalars {
         |  l_orderkey % 7 AS key_mod7
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, price_r1,
         |  price_floor, price_ceil, disc_dev, disc_sq, price_ln""".stripMargin,
+
+    "scalar_bitwise" ->
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS k_and,
+        |  o_orderkey | 4096 AS k_or,
+        |  xor(o_orderkey, o_custkey) AS k_xor,
+        |  o_orderkey << 3 AS k_shl,
+        |  o_orderkey >> 2 AS k_shr,
+        |  CAST(bit_count(o_orderkey) AS INT) AS k_pop
+        |FROM orders WHERE o_orderkey < 1000
+        |ORDER BY o_orderkey""".stripMargin,
 
     "scalar_case_coalesce" ->
       """SELECT o_orderkey,

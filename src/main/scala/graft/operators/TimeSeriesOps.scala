@@ -84,6 +84,36 @@ object TimeSeriesOps {
         .orderBy(col("event_type"), col("minute"))
     }),
 
+    // GAP FILL + carry-forward — the time-series densification every
+    // metrics store provides: materialize the full (event_type, hour)
+    // grid over the observed span, fill missing hours with n=0 and the
+    // last known hourly sum (leading gaps → 0). Grid = one sequence()
+    // generator crossed with the (tiny, broadcast) type dim; the fill
+    // is one window pass per type — no per-gap joins. Grid rows ∝
+    // span × #series, independent of event volume.
+    "ts_gap_fill" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"), r4(dsum(col("value"))).as("sum_value"))
+      val span = Tables.events(s, d)
+        .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+          date_trunc("hour", max(col("ts"))).as("hi"))
+      val hours = span
+        .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour"))
+      val types = Tables.events(s, d).select(col("event_type")).distinct()
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      types.crossJoin(hours)
+        .join(hourly, Seq("event_type", "hour"), "left")
+        .select(col("event_type"), col("hour"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(last(col("sum_value"), ignoreNulls = true).over(w), lit(0.0))
+            .as("filled_sum"))
+        .select(col("event_type"), ntz(col("hour")).as("hour"),
+          col("n"), col("filled_sum"))
+        .orderBy(col("event_type"), col("hour"))
+    }),
+
     // conversion funnel: per user, how many views convert (a purchase
     // by the same user within 1 h after the view). Directional range
     // join blocked on the user equi-key — same scale shape as
@@ -184,6 +214,25 @@ object TimeSeriesOps {
         |  count(*) AS n, min(value) AS min_value, max(value) AS max_value,
         |  round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY event_type, minute""".stripMargin,
+
+    "ts_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT date_trunc('hour', min(ts)) AS lo,
+        |                date_trunc('hour', max(ts)) AS hi FROM events),
+        |hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+        |  FROM span),
+        |grid AS (SELECT t.event_type, h.hour
+        |  FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN hours h)
+        |SELECT g.event_type, g.hour, coalesce(hourly.n, 0) AS n,
+        |  coalesce(last_value(hourly.sum_value IGNORE NULLS) OVER (
+        |    PARTITION BY g.event_type ORDER BY g.hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS filled_sum
+        |FROM grid g LEFT JOIN hourly
+        |  ON hourly.event_type = g.event_type AND hourly.hour = g.hour
+        |ORDER BY g.event_type, g.hour""".stripMargin,
 
     "ts_funnel_conversion" ->
       """WITH v AS (SELECT user_id, event_id AS v_id, ts AS v_ts

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming port of the §2.9 time-series operators.
   *
@@ -107,6 +107,57 @@ object StreamPort {
     * state surface (§2.9 / SURVEY §3) */
   case class UserEvent(user_id: Long, event_type: String, value: Double)
   case class UserAgg(user_id: Long, n: Long, max_value: Double)
+
+  /** custom sessionization via flatMapGroupsWithState — the
+    * full-control state surface: per-user open-session state, sessions
+    * CLOSED inline when a new event arrives past the gap, and closed
+    * by EventTimeTimeout when a key goes idle (watermark passes the
+    * session end + gap). Emits only closed sessions (append mode), with
+    * `session_end = last event + gap` so closed output matches the
+    * built-in `session_window` semantics row-for-row. State per key is
+    * one (start, end, n) triple — bounded, watermark-evicted. */
+  case class SessEvent(user_id: Long, ts: java.sql.Timestamp)
+  case class SessState(start: Long, end: Long, n: Long) // epoch millis
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+
+  def sessionize(events: Dataset[SessEvent], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    def close(uid: Long, s: SessState): Session =
+      Session(uid, new java.sql.Timestamp(s.start),
+        new java.sql.Timestamp(s.end + gapMs), s.n)
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[SessEvent], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(close(uid, s))
+          } else {
+            // micro-batch rows are unordered — sort by event time so
+            // the gap scan sees them in sequence
+            val sorted = rows.map(_.ts.getTime).toArray.sorted
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            for (t <- sorted) cur match {
+              case Some(s) if t - s.end < gapMs =>
+                cur = Some(SessState(s.start, math.max(s.end, t), s.n + 1))
+              case Some(s) =>
+                closed ::= close(uid, s)
+                cur = Some(SessState(t, t, 1))
+              case None =>
+                cur = Some(SessState(t, t, 1))
+            }
+            state.update(cur.get)
+            state.setTimeoutTimestamp(cur.get.end + gapMs)
+            closed.reverse.iterator
+          }
+      }
+  }
 
   def runningUserStats(events: Dataset[UserEvent]): Dataset[UserAgg] = {
     import events.sparkSession.implicits._

@@ -209,6 +209,43 @@ class StreamPortSpec extends SparkTestBase {
     assert(last == ((1L, 3L, 9.0))) // state carried across batches
   }
 
+  test("flatMapGroupsWithState sessionizer emits closed sessions matching session_window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamPort.SessEvent]
+    val q = StreamPort.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("fmgws_sessions")
+      .outputMode("append").start()
+    // session A: 10:00 + 10:10 (same 30-min-gap session)
+    mem.addData(
+      StreamPort.SessEvent(1, Timestamp.valueOf("2024-01-01 10:00:00")),
+      StreamPort.SessEvent(1, Timestamp.valueOf("2024-01-01 10:10:00")))
+    q.processAllAvailable()
+    // 13:00 closes A inline (gap exceeded) and opens B
+    mem.addData(StreamPort.SessEvent(1, Timestamp.valueOf("2024-01-01 13:00:00")))
+    q.processAllAvailable()
+    // 14:30 closes B and opens C (left open)
+    mem.addData(StreamPort.SessEvent(1, Timestamp.valueOf("2024-01-01 14:30:00")))
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("fmgws_sessions").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    assert(closed == Set(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"),
+        Timestamp.valueOf("2024-01-01 10:40:00"), 2L),
+      (1L, Timestamp.valueOf("2024-01-01 13:00:00"),
+        Timestamp.valueOf("2024-01-01 13:30:00"), 1L)), s"got $closed")
+    // closed sessions equal the built-in session_window rows for the
+    // same events (C is still open, so compare the closed prefix)
+    val batch = StreamPort.sessionCounts(Seq(
+      Ev(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "view", 0.0),
+      Ev(2, Timestamp.valueOf("2024-01-01 10:10:00"), 1, "view", 0.0),
+      Ev(3, Timestamp.valueOf("2024-01-01 13:00:00"), 1, "view", 0.0)).toDF())
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    assert(batch == closed)
+  }
+
   test("foreachBatch parquet sink: per-batch dirs, idempotent on batch retry") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
