@@ -59,6 +59,43 @@ class PlanAuditSpec extends SparkTestBase {
       "NOT EXISTS must plan as an anti join")
   }
 
+  test("join_range_bucketed: bucket keys become equi-join keys (no cartesian/BNLJ)") {
+    val p = plan("join_range_bucketed")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range join must stay a hash/merge join via the bucket equi-keys:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"expected an equi-join operator:\n$p")
+  }
+
+  test("join_asof_nearest: entity equi-join, residual handled by the window argmin") {
+    val p = plan("join_asof_nearest")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"nearest-asof must join on the entity key, not all-pairs:\n$p")
+    assert(p.contains("Window"), s"argmin must be a single window pass:\n$p")
+  }
+
+  test("ts_gap_fill: per-series fill is one window pass over the grid") {
+    val p = plan("ts_gap_fill")
+    // exactly one Window operator (the carry-forward), no per-gap joins
+    assert(p.linesIterator.count(_.contains("Window")) >= 1, p)
+    assert(!p.contains("CartesianProduct"),
+      s"the type×calendar grid must broadcast, not cartesian-shuffle:\n$p")
+  }
+
+  test("agg_histogram_fixed / agg_bitwise: partial aggregation before the shuffle") {
+    for (q <- Seq("agg_histogram_fixed", "agg_bitwise")) {
+      val aggs = plan(q).linesIterator.count(_.contains("HashAggregate"))
+      assert(aggs >= 2, s"$q: expected partial+final HashAggregate pair")
+    }
+  }
+
+  test("text_pii_redact: pure codegen expressions, no UDF in the plan") {
+    val p = plan("text_pii_redact")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"PII redaction must stay in codegen'd built-ins:\n$p")
+  }
+
   test("whole-stage codegen covers the relational hot path") {
     // AQE wraps the plan in AdaptiveSparkPlan and only materializes
     // codegen per query stage at runtime; disable it here so the
