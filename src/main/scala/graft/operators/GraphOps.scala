@@ -270,6 +270,15 @@ object GraphOps {
       connectedComponents(symEdges(s, d), symmetrized = true,
         numParts = graphParts(s, d)).orderBy(col("v"))),
 
+    // k-core decomposition (k=3): the maximal subgraph where every
+    // vertex keeps degree ≥ k, by iterative peeling. No oracle
+    // (iterate-to-fixpoint is not ANSI-SQL-expressible here);
+    // GraphSpec pins the semantics on hand graphs (planted clique
+    // survives, pendant chains peel).
+    "graph_kcore" -> ((s, d) =>
+      kCore(symEdges(s, d), k = 3, symmetrized = true,
+        numParts = graphParts(s, d)).orderBy(col("v"))),
+
     // PageRank, damping 0.85, fixed 10 iterations, on the symmetrized
     // graph (no dangling vertices by construction). No oracle —
     // cross-engine FP accumulation over 10 iterations diverges;
@@ -374,6 +383,79 @@ object GraphOps {
       s"connectedComponents did not converge in $maxIters iterations " +
         s"($changed labels still changing) — graph diameter exceeds maxIters")
     labels
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqeWas)
+      conf.set("spark.sql.shuffle.partitions", shufWas)
+    }
+  }
+
+  /** k-core by iterative peeling: drop vertices of degree < k, delete
+    * their edges, repeat to fixpoint; returns the surviving vertices
+    * with their in-core degree. Same loop discipline as
+    * connectedComponents — AQE off + pinned width for the loop only,
+    * ONE stats job per iteration (total + surviving vertex counts from
+    * a single aggregate over the cached degree table), lineage
+    * truncated every 3rd iteration. The edge set SHRINKS monotonically,
+    * so per-iteration cost falls as the peel proceeds. Public library
+    * API. */
+  def kCore(edgeDf: DataFrame, k: Int, maxIters: Int = 100,
+      symmetrized: Boolean = false, numParts: Int = 0): DataFrame = {
+    val spark = edgeDf.sparkSession
+    val p = if (numParts > 0) numParts
+      else spark.sessionState.conf.numShufflePartitions
+    val sym0 =
+      if (symmetrized) edgeDf
+      else edgeDf.union(edgeDf.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().repartition(p, col("src")).cache()
+    val conf = spark.conf
+    val aqeWas = conf.get("spark.sql.adaptive.enabled", "true")
+    val shufWas = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.shuffle.partitions", p.toString)
+    try {
+      var cur = sym0
+      var pinned = List.empty[DataFrame]
+      var converged = false
+      var iter = 0
+      try {
+        while (!converged && iter < maxIters) {
+          val deg = cur.groupBy(col("src")).agg(count(lit(1)).as("deg")).cache()
+          pinned ::= deg
+          // one job: materializes the degree cache AND returns both
+          // the current vertex count and the survivor count
+          // count_if, not sum(when(...)): sum over ZERO rows is NULL
+          // (the fully-peeled empty graph would crash the getLong)
+          val row = deg.agg(count(lit(1)).as("total"),
+            count_if(col("deg") >= k).as("good")).first()
+          val (total, good) = (row.getLong(0), row.getLong(1))
+          if (good == total) converged = true
+          else {
+            val keep = deg.filter(col("deg") >= k).select(col("src").as("gv"))
+            val next = cur
+              .join(keep.select(col("gv").as("src")), Seq("src"), "left_semi")
+              .join(keep.select(col("gv").as("dst")), Seq("dst"), "left_semi")
+              .select(col("src"), col("dst"))
+              .repartition(p, col("src"))
+            cur =
+              if ((iter + 1) % 3 == 0) { // truncate lineage periodically
+                val cp = next.localCheckpoint()
+                pinned.foreach(_.unpersist()); pinned = Nil
+                cp
+              } else {
+                val c = next.cache(); pinned ::= c; c
+              }
+            iter += 1
+          }
+        }
+        if (!converged) throw new IllegalStateException(
+          s"kCore did not converge in $maxIters iterations")
+        // in-core degrees of the surviving vertices (cur is the core)
+        cur.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+          .localCheckpoint()
+      } finally {
+        pinned.foreach(_.unpersist())
+        if (!symmetrized) sym0.unpersist()
+      }
     } finally {
       conf.set("spark.sql.adaptive.enabled", aqeWas)
       conf.set("spark.sql.shuffle.partitions", shufWas)

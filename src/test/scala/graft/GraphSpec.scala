@@ -73,6 +73,20 @@ class GraphSpec extends SparkTestBase {
     } finally spark.conf.unset(GraphOps.BroadcastStateMaxRowsKey)
   }
 
+  test("kCore: planted clique survives the peel, pendant chain does not") {
+    // triangle {1,2,3} with pendant chain 3-4-5: the 2-core is exactly
+    // the triangle (each vertex in-core degree 2); chain peels away
+    val core2 = GraphOps.kCore(edgeDf(1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 4L, 4L -> 5L), k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core2 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"got $core2")
+    // a pure chain has NO 2-core
+    val empty = GraphOps.kCore(edgeDf(1L -> 2L, 2L -> 3L, 3L -> 4L), k = 2).count()
+    assert(empty == 0L)
+    // k=1 keeps every non-isolated vertex
+    val core1 = GraphOps.kCore(edgeDf(1L -> 2L, 3L -> 4L), k = 1).count()
+    assert(core1 == 4L)
+  }
+
   test("degree/two-hop/triangles agree with hand counts on a planted star graph") {
     val dir = tempDir()
     // orders 1..3 by customers 1..2; lineitems connect suppliers/parts
