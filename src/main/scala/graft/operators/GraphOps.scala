@@ -324,9 +324,11 @@ object GraphOps {
     // round-1 unconditional broadcast(labels), which OOMs once the
     // vertex set outgrows an executor. Broadcasting only pays when it
     // saves exchanging the edge side across MANY partitions; under a
-    // handful of partitions the broadcast build is itself an extra job
-    // per iteration, so the shuffle join is strictly cheaper.
-    val bcastState = labels.count() <= stateCap(spark) && p > 4
+    // handful the broadcast BUILD is itself one extra driver job per
+    // iteration, and on a loaded box per-job latency — not compute —
+    // dominates an iterative query (round-2 driver bench post-mortem),
+    // so the shuffle join wins until the edge side is genuinely wide.
+    val bcastState = labels.count() <= stateCap(spark) && p > 8
     // Iterative-loop execution discipline (the Pregel-on-DataFrames
     // standard): AQE OFF and shuffle width pinned to p for the loop's
     // actions — every join here is over cached/checkpointed state whose
@@ -493,7 +495,7 @@ object GraphOps {
     // job costs more than the shuffle join it replaces) — round 1
     // broadcast(pr) unconditionally, an OOM at cluster-scale vertex
     // counts
-    val bcastState = pr.count() <= stateCap(spark) && parts > 4
+    val bcastState = pr.count() <= stateCap(spark) && parts > 8
     // iterative-loop execution discipline: AQE off + shuffle width
     // pinned to parts (restored in the finally) — see connectedComponents
     val conf = spark.conf

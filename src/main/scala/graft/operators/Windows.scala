@@ -96,6 +96,22 @@ object Windows {
         .orderBy(col("o_orderpriority"), col("o_orderkey"))
     }),
 
+    // frame-navigation functions: first/last/nth value over an
+    // explicit full-partition frame (the default frame stops at
+    // CURRENT ROW, where last_value is just the current row — the
+    // classic window-frame trap, made explicit here)
+    "win_first_last_nth" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("first_order"),
+          last(col("o_orderkey")).over(w).as("last_order"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     "win_global_share" -> ((s, d) => {
       val rev = Tables.lineitem(s, d)
         .groupBy(col("l_suppkey"))
@@ -163,6 +179,16 @@ object Windows {
         |WINDOW w AS (PARTITION BY o_orderpriority
         |  ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    "win_first_last_nth" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER w AS first_order,
+        |  last_value(o_orderkey) OVER w AS last_order,
+        |  nth_value(o_orderkey, 2) OVER w AS second_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "win_global_share" ->
       """WITH rev AS (
