@@ -64,6 +64,19 @@ object Scalars {
           col("disc_sq"), col("price_ln"))
     }),
 
+    // cryptographic hash breadth: md5 + sha256 are bit-identical in
+    // every engine (the fingerprint/content-address layer of a data
+    // pipeline); hex output compared byte-for-byte
+    "scalar_hash" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(col("text")).as("h_md5"),
+          sha2(col("text"), 256).as("h_sha256"),
+          md5(concat(col("source"), lit(":"), col("doc_id").cast("string")))
+            .as("h_key"))
+        .orderBy(col("doc_id"))
+    }),
+
     // bitwise scalar breadth: and/or/xor/shift/popcount — pure integer
     // ops, identical in every engine (the bit-twiddling layer under
     // bloom filters, bitmap indexes, and hash partitioners)
@@ -163,6 +176,13 @@ object Scalars {
         |  l_orderkey % 7 AS key_mod7
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, price_r1,
         |  price_floor, price_ceil, disc_dev, disc_sq, price_ln""".stripMargin,
+
+    "scalar_hash" ->
+      """SELECT doc_id,
+        |  md5(text) AS h_md5,
+        |  sha256(text) AS h_sha256,
+        |  md5(source || ':' || CAST(doc_id AS VARCHAR)) AS h_key
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "scalar_bitwise" ->
       """SELECT o_orderkey,

@@ -84,6 +84,26 @@ object TimeSeriesOps {
         .orderBy(col("event_type"), col("minute"))
     }),
 
+    // anomaly scoring: per-series (event_type) hourly sums z-scored
+    // against the series' own mean/stddev; hours with |z| ≥ 2 flagged.
+    // The filter applies to the ROUNDED score (SURVEY §2.0: never
+    // branch on an unrounded float — a last-ulp cross-engine
+    // difference at the threshold would flip row membership).
+    "ts_anomaly_zscore" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(r4(dsum(col("value"))).as("hsum"))
+      val w = Window.partitionBy(col("event_type"))
+      hourly
+        .select(col("event_type"), col("hour"), col("hsum"),
+          r4((col("hsum") - avg(col("hsum")).over(w)) /
+            stddev_samp(col("hsum")).over(w)).as("z"))
+        .filter(abs(col("z")) >= 2.0)
+        .select(col("event_type"), ntz(col("hour")).as("hour"),
+          col("hsum"), col("z"))
+        .orderBy(col("event_type"), col("hour"))
+    }),
+
     // GAP FILL + carry-forward — the time-series densification every
     // metrics store provides: materialize the full (event_type, hour)
     // grid over the observed span, fill missing hours with n=0 and the
@@ -214,6 +234,18 @@ object TimeSeriesOps {
         |  count(*) AS n, min(value) AS min_value, max(value) AS max_value,
         |  round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY event_type, minute""".stripMargin,
+
+    "ts_anomaly_zscore" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS hsum
+        |  FROM events GROUP BY 1, 2),
+        |z AS (
+        |  SELECT event_type, hour, hsum,
+        |    round((hsum - avg(hsum) OVER w) / stddev_samp(hsum) OVER w, 4) AS z
+        |  FROM hourly WINDOW w AS (PARTITION BY event_type))
+        |SELECT event_type, hour, hsum, z FROM z
+        |WHERE abs(z) >= 2.0 ORDER BY event_type, hour""".stripMargin,
 
     "ts_gap_fill" ->
       """WITH hourly AS (
