@@ -16,7 +16,10 @@ object ExplainAudit {
     val names = if (args.length > 1) args.tail.toSeq else Seq(
       "scan_pruned_filter", "join_broadcast", "join_multiway_star",
       "topk_global", "win_rank_topn_pergroup", "agg_pricing_summary",
-      "vec_cosine_topk", "ts_tumbling_window")
+      "vec_cosine_topk", "ts_tumbling_window",
+      // round-3 shapes worth auditing
+      "join_range_bucketed", "join_asof_nearest", "ts_gap_fill",
+      "text_pii_redact", "vec_quantize_int8", "multimodal_frame_sample")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

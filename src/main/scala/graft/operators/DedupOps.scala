@@ -66,6 +66,26 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** MinHash(k=32) signatures → 8×4 LSH band collisions → exact-Jaccard
+    * verification (J ≥ 0.5) of candidates only — shared by the pair
+    * query and the full-corpus LSH clustering. Intersection terms join
+    * through the (small) candidate list, never all-pairs. */
+  private def minhashVerifiedPairs(s: SparkSession, d: String): DataFrame = {
+    val k = 32; val bands = 8; val rows = 4
+    val tok = shingleSets(s, d)
+    val minhash = udaf(new MinHashAgg(k))
+    val sigs = tok.groupBy(col("doc_id"))
+      .agg(minhash(col("term")).as("sig"))
+    val bandCols = (0 until bands).map(j => hash(slice(col("sig"), j * rows + 1, rows)))
+    val banded = sigs.select(col("doc_id"), posexplode(array(bandCols: _*)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    jaccardPairs(tok, 0.5, candidates = Some(cand))
+  }
+
   /** near-dup cluster labels, unordered: connected components over the
     * n-gram-Jaccard pair graph (self-loops enroll pairless docs as
     * their own singleton cluster), canonical = min doc_id of the
@@ -157,23 +177,24 @@ object DedupOps {
     // only. No oracle (signatures are hash-seed-dependent); the
     // planted-duplicate property test pins recall, and the verified
     // output equals dedup_jaccard semantics on the candidate set.
-    "dedup_near_minhash" -> ((s, d) => {
-      val k = 32; val bands = 8; val rows = 4
-      val tok = shingleSets(s, d)
-      val minhash = udaf(new MinHashAgg(k))
-      val sigs = tok.groupBy(col("doc_id"))
-        .agg(minhash(col("term")).as("sig"))
-      val bandCols = (0 until bands).map(j => hash(slice(col("sig"), j * rows + 1, rows)))
-      val banded = sigs.select(col("doc_id"), posexplode(array(bandCols: _*)))
-        .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
-      val cand = banded.as("x").join(banded.as("y"),
-          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-      // exact-Jaccard verification of CANDIDATES ONLY — the whole point
-      // of LSH: intersection terms are joined through the (small)
-      // candidate list, never all-pairs
-      jaccardPairs(tok, 0.5, candidates = Some(cand)).orderBy(col("a"), col("b"))
+    "dedup_near_minhash" -> ((s, d) =>
+      minhashVerifiedPairs(s, d).orderBy(col("a"), col("b"))),
+
+    // FULL-CORPUS near-dup clustering, the at-scale composition the
+    // bounded dedup_cluster_canonical documents: pair graph from the
+    // MinHash-LSH verified candidates (no all-pairs anywhere), then
+    // the same connected-components + min-doc_id canonical step over
+    // every document. No oracle (hash-seeded candidates); the planted
+    // fixture pins that exact+near dups cluster under one canonical.
+    "dedup_cluster_lsh" -> ((s, d) => {
+      val pairs = minhashVerifiedPairs(s, d)
+        .select(col("a").as("src"), col("b").as("dst"))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id").as("src"), col("doc_id").as("dst"))
+      GraphOps.connectedComponents(pairs.unionByName(docs),
+          numParts = GraphOps.partsFor(s, d, "documents"))
+        .select(col("v").as("doc_id"), col("lbl").as("canonical_id"))
+        .orderBy(col("doc_id"))
     }),
 
     // SimHash: 64-bit signature from per-token hashes weighted by tf;

@@ -105,8 +105,13 @@ object GraphOps {
     * (a distinct projection, ~20× smaller than the source file) still
     * spans several partitions — 1 partition would serialize the
     * per-iteration joins themselves. */
-  private[operators] def graphParts(s: SparkSession, d: String): Int = {
-    val path = new org.apache.hadoop.fs.Path(s"$d/lineitem.parquet")
+  private[operators] def graphParts(s: SparkSession, d: String): Int =
+    partsFor(s, d, "lineitem")
+
+  /** same bytes→partitions rule for any source table (used by the
+    * documents-derived dedup cluster graphs) */
+  private[operators] def partsFor(s: SparkSession, d: String, table: String): Int = {
+    val path = new org.apache.hadoop.fs.Path(s"$d/$table.parquet")
     val bytes = path.getFileSystem(s.sparkContext.hadoopConfiguration)
       .getContentSummary(path).getLength
     math.max(1L, math.min(s.sparkContext.defaultParallelism.toLong,
@@ -409,6 +414,10 @@ object GraphOps {
       if (symmetrized) edgeDf
       else edgeDf.union(edgeDf.select(col("dst").as("src"), col("src").as("dst")))
         .distinct().repartition(p, col("src")).cache()
+    // materialize the edge derivation under the SESSION conf (AQE on,
+    // full width) before pinning — same split as CC/PageRank: only the
+    // peel loop runs at the pinned width
+    sym0.count()
     val conf = spark.conf
     val aqeWas = conf.get("spark.sql.adaptive.enabled", "true")
     val shufWas = conf.get("spark.sql.shuffle.partitions")

@@ -52,6 +52,15 @@ class DedupTextSpec extends SparkTestBase {
     assert(!rows.exists(r => r._2 == 4L || r._1 == 4L), s"false positive: ${rows.toSeq}")
   }
 
+  test("dedup_cluster_lsh: full-corpus LSH clustering matches the planted structure") {
+    val dir = docsFixture()
+    val rows = operators.DedupOps.queries("dedup_cluster_lsh")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every doc labeled; dup group {1,2,3} under canonical 1, doc 4 alone
+    assert(rows(1L) == 1L && rows(2L) == 1L && rows(3L) == 1L)
+    assert(rows(4L) == 4L)
+  }
+
   test("dedup_cluster_canonical groups near-dups under the min doc_id") {
     val dir = docsFixture()
     val rows = operators.DedupOps.queries("dedup_cluster_canonical")(spark, dir)
