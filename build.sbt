@@ -10,6 +10,12 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites share one SparkSession, and the iterative graph loops pin
+// session-global conf (AQE, shuffle width) for their duration —
+// parallel suites could race those pins against the plan-shape
+// assertions in PlanAuditSpec. Serialize: Spark jobs queue on the
+// single scheduler anyway, so this costs little wall-clock.
+Test / parallelExecution := false
 run / fork := true
 // Pass the forked main's stdout straight through (no "[info] " log
 // prefix): the driver parses Bench/Verify stdout lines as bare JSON,
