@@ -3,6 +3,7 @@ package graft.operators
 import graft._
 import graft.Stable._
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** §2.4 — aggregations.
   *
@@ -211,6 +212,50 @@ object Aggregates {
           min_by(col("o_orderkey"), col("o_totalprice")).as("worst_order"),
           max(col("o_totalprice")).as("best_price"))
         .orderBy(col("o_custkey"))
+    }),
+
+    // several DISTINCT aggregates over DIFFERENT columns in one pass —
+    // Spark plans this with an Expand (one replicated stream per
+    // distinct set) feeding a single shuffle; the at-scale alternative
+    // to N self-joined single-distinct queries.
+    "agg_count_distinct_multi" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("nd_parts"),
+          countDistinct(col("l_suppkey")).as("nd_supps"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // weighted average: both the numerator (price·qty) and the weight
+    // sum accumulate as exact DECIMAL(18,4) (order-independent), and
+    // only the final quotient is floating — deterministic at any
+    // partitioning. Headroom: |price·qty| ≤ ~5.5e6/row caps the sum at
+    // ~1.7e13 for sf1's 6M rows, inside DECIMAL(18,4)'s 1e14 range;
+    // beyond that, widen the accumulator precision.
+    "agg_weighted_avg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(r4(dsum(col("l_extendedprice") * col("l_quantity")) /
+            dsum(col("l_quantity"))).as("wavg_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // deterministic mode: the most frequent l_quantity per group, ties
+    // broken toward the SMALLEST value — built-in mode() leaves ties
+    // engine-defined, so the portable form is count + argmax window.
+    // Shuffle ∝ (group, value) pairs; the window partitions are
+    // #distinct-values wide, never #rows.
+    "agg_mode_deterministic" -> ((s, d) => {
+      val cnt = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(desc("n"), asc("l_quantity"))
+      cnt.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("n"))
+        .orderBy(col("l_returnflag"))
     }))
 
   private val dsumQty = dsumSql("l_quantity")
@@ -317,5 +362,28 @@ object Aggregates {
         |  arg_max(o_orderkey, o_totalprice) AS best_order,
         |  arg_min(o_orderkey, o_totalprice) AS worst_order,
         |  max(o_totalprice) AS best_price
-        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "agg_count_distinct_multi" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS nd_parts,
+        |  count(DISTINCT l_suppkey) AS nd_supps,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_weighted_avg" ->
+      s"""SELECT l_returnflag,
+         |  round(${dsumSql("l_extendedprice * l_quantity")} /
+         |    ${dsumSql("l_quantity")}, 4) AS wavg_price,
+         |  count(*) AS n
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_mode_deterministic" ->
+      """WITH cnt AS (
+        |  SELECT l_returnflag, l_quantity, count(*) AS n
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, l_quantity AS mode_qty, n FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY n DESC, l_quantity ASC) AS rn FROM cnt) t
+        |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin)
 }

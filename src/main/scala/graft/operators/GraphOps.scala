@@ -267,6 +267,37 @@ object GraphOps {
         .limit(20)
     }),
 
+    // neighborhood Jaccard similarity — the normalized variant of
+    // common-neighbors: for supplier pairs sharing a customer,
+    // |N(a)∩N(b)| / |N(a)∪N(b)| where N(·) is the customer set over
+    // the SAME degree-capped edge set the pair enumeration uses (cap
+    // is part of the declared semantics, mirrored in the oracle).
+    // Shape: one capped wedge self-join (identical cost profile to
+    // graph_common_neighbors) + two broadcastable degree joins. Rank
+    // on the ROUNDED score so a last-ulp quotient difference cannot
+    // reorder the top-20.
+    "graph_neighbor_jaccard" -> ((s, d) => {
+      val e = edges(s, d)
+      val ok = e.groupBy(col("src")).agg(count(lit(1)).as("cdeg"))
+        .filter(col("cdeg") <= MaxCoCiteDegree).select(col("src"))
+      val ec = e.join(ok, Seq("src"), "left_semi")
+      val sd = ec.groupBy(col("dst")).agg(count(lit(1)).as("sdeg"))
+      val s1 = ec.select(col("src"), col("dst").as("s1"))
+      val s2 = ec.select(col("src"), col("dst").as("s2"))
+      val inter = s1.join(s2, Seq("src"))
+        .filter(col("s1") < col("s2"))
+        .groupBy(col("s1"), col("s2"))
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(sd.select(col("dst").as("s1"), col("sdeg").as("d1")), Seq("s1"))
+        .join(sd.select(col("dst").as("s2"), col("sdeg").as("d2")), Seq("s2"))
+        .select(col("s1"), col("s2"),
+          Stable.r4(col("i").cast("double") / (col("d1") + col("d2") - col("i")))
+            .as("jaccard"))
+        .orderBy(desc("jaccard"), col("s1"), col("s2"))
+        .limit(20)
+    }),
+
     // connected components: min-label propagation to fixpoint over the
     // symmetrized edge set. Label = min reachable vertex id — matches
     // the recursive-CTE oracle exactly. Deterministic (min is
@@ -582,6 +613,20 @@ object GraphOps {
          |FROM edc e1 JOIN edc e2 ON e1.src = e2.src AND e1.dst < e2.dst
          |GROUP BY 1, 2
          |ORDER BY n_common DESC, s1, s2 LIMIT 20""".stripMargin,
+
+    "graph_neighbor_jaccard" ->
+      s"""WITH ed AS ($edgesSql),
+         |ok AS (SELECT src FROM ed GROUP BY src HAVING count(*) <= $MaxCoCiteDegree),
+         |edc AS (SELECT ed.src, ed.dst FROM ed JOIN ok USING (src)),
+         |sd AS (SELECT dst, count(*) AS sdeg FROM edc GROUP BY dst),
+         |inter AS (
+         |  SELECT e1.dst AS s1, e2.dst AS s2, count(*) AS i
+         |  FROM edc e1 JOIN edc e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |  GROUP BY 1, 2)
+         |SELECT s1, s2,
+         |  round(CAST(i AS DOUBLE) / (a.sdeg + b.sdeg - i), 4) AS jaccard
+         |FROM inter JOIN sd a ON a.dst = s1 JOIN sd b ON b.dst = s2
+         |ORDER BY jaccard DESC, s1, s2 LIMIT 20""".stripMargin,
 
     "graph_connected_components" ->
       s"""WITH RECURSIVE ed AS ($edgesSql),

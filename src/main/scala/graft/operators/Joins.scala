@@ -198,6 +198,26 @@ object Joins {
         .orderBy(col("user_id"))
     }),
 
+    // FULL OUTER join of two independently-aggregated activity views:
+    // per-customer order counts vs per-user event counts. The key
+    // spaces overlap but neither contains the other, so both unmatched
+    // sides of the full outer result are exercised. Large⋈large shape:
+    // each side partial-aggregates before one shuffle on the key; no
+    // broadcast (a full outer can't broadcast anyway — both sides must
+    // see every key). Counts are coalesced to 0 so the output carries
+    // no nullable measure columns.
+    "join_full_outer" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      val e = Tables.events(s, d)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      o.join(e, col("o_custkey") === col("user_id"), "full_outer")
+        .select(coalesce(col("o_custkey"), col("user_id")).as("k"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+        .orderBy(col("k"))
+    }),
+
     // skew-mitigation pattern: the fact side carries a deterministic
     // salt (derived from data, not rand() — SURVEY §2.0 rule 6), the
     // dim side is replicated across all salts, and the join key
@@ -308,6 +328,15 @@ object Joins {
         |  ON e1.user_id = e2.user_id AND e1.event_id < e2.event_id
         | AND abs(epoch_us(e1.ts) - epoch_us(e2.ts)) <= 120000000
         |GROUP BY 1 ORDER BY e1.user_id""".stripMargin,
+
+    "join_full_outer" ->
+      """WITH o AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1),
+        |e AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1)
+        |SELECT coalesce(o_custkey, user_id) AS k,
+        |  coalesce(n_orders, 0) AS n_orders,
+        |  coalesce(n_events, 0) AS n_events
+        |FROM o FULL JOIN e ON o_custkey = user_id
+        |ORDER BY k""".stripMargin,
 
     "join_skew_salted" ->
       s"""SELECT o_orderpriority, count(*) AS n,

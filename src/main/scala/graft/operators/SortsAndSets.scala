@@ -49,6 +49,26 @@ object SortsAndSets {
       val a = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
       val b = c.filter(col("c_acctbal") > 5000.0).select(col("c_custkey"))
       a.except(b).orderBy(col("c_custkey"))
+    }),
+
+    // multiset (bag) variants: INTERSECT ALL keeps min(multA, multB)
+    // copies per value, EXCEPT ALL keeps max(multA - multB, 0). On a
+    // low-cardinality projection (nation keys) both sides carry real
+    // multiplicities, so the bag semantics differ from the distinct
+    // variants above. Plans as a counted hash aggregate per side +
+    // one join — shuffle ∝ distinct values, never raw rows.
+    "set_intersect_all" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val a = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_nationkey"))
+      val b = c.filter(col("c_acctbal") > 5000.0).select(col("c_nationkey"))
+      a.intersectAll(b).orderBy(col("c_nationkey"))
+    }),
+
+    "set_except_all" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val a = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_nationkey"))
+      val b = c.filter(col("c_acctbal") > 5000.0).select(col("c_nationkey"))
+      a.exceptAll(b).orderBy(col("c_nationkey"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -79,5 +99,17 @@ object SortsAndSets {
       """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |EXCEPT
         |SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
-        |ORDER BY c_custkey""".stripMargin)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "set_intersect_all" ->
+      """SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT ALL
+        |SELECT c_nationkey FROM customer WHERE c_acctbal > 5000.0
+        |ORDER BY c_nationkey""".stripMargin,
+
+    "set_except_all" ->
+      """SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT ALL
+        |SELECT c_nationkey FROM customer WHERE c_acctbal > 5000.0
+        |ORDER BY c_nationkey""".stripMargin)
 }

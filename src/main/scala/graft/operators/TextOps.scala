@@ -163,7 +163,59 @@ object TextOps {
     // <90 val, else test.
     "text_split_assign" -> ((s, d) =>
       splitAssign(s, d).select(col("doc_id"), col("source"), col("split"))
-        .orderBy(col("doc_id"))))
+        .orderBy(col("doc_id"))),
+
+    // top-3 token bigrams per language. Bigrams are built map-side
+    // (no per-token shuffle); the shuffle carries partial
+    // (lang, bigram, count) state only. Rank ties break toward the
+    // lexicographically first bigram.
+    //
+    // Built with zip_with over two shifted slices, NOT the
+    // transform-over-sequence shape [[repetitionStats]] uses: here the
+    // split array has a SINGLE downstream reference, so CollapseProject
+    // inlines it into the consumer — with element_at lambdas that
+    // re-inlines split(text) into every element lookup (O(tokens²) per
+    // doc, measured 9.6 s vs 0.3 s at sf0.1). zip_with touches the
+    // array only via slice, so an inlined split re-evaluates O(1)
+    // times per row regardless of collapsing.
+    "text_ngram_topk" -> ((s, d) => {
+      val big = Tables.documents(s, d)
+        .withColumn("ts", split(col("text"), " "))
+        .withColumn("bgs", expr(
+          """IF(size(ts) < 2, array(),
+            |  zip_with(slice(ts, 1, size(ts) - 1), slice(ts, 2, size(ts) - 1),
+            |    (a, b) -> concat(a, ' ', b)))""".stripMargin))
+        .select(col("lang"), explode(col("bgs")).as("bigram"))
+      val cnt = big.groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("lang")).orderBy(desc("n"), asc("bigram"))
+      cnt.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("lang"), col("rn"), col("bigram"), col("n"))
+        .orderBy(col("lang"), col("rn"))
+    }),
+
+    // inverted-index build — the retrieval-side artifact of a training
+    // pipeline: per term, document frequency + the first 10 posting
+    // doc_ids. The posting cap is applied BEFORE any list is
+    // materialized (row_number ≤ 10 per term), so no executor ever
+    // holds an unbounded posting array — a hot stopword term costs a
+    // counted aggregate, not an OOM. Terms with df < 5 are dropped
+    // (rare-term noise floor, keeps the index bounded).
+    "pipeline_inverted_index" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .distinct()
+      val df_ = tok.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 5)
+      val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+      val heads = tok.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .groupBy(col("term"))
+        .agg(array_join(sort_array(collect_list(col("doc_id"))), ",")
+          .as("postings_head"))
+      df_.join(heads, Seq("term"))
+        .select(col("term"), col("df"), col("postings_head"))
+        .orderBy(col("term"))
+    }))
 
   /** PII regexes, valid as BOTH Java regex (Spark) and RE2 (DuckDB):
     * character classes only, no backslash escapes — the dot is [.].
@@ -325,6 +377,34 @@ object TextOps {
     "text_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp, substring(md5(text), 1, 8) AS fp8
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_ngram_topk" ->
+      """WITH t2 AS (SELECT lang, string_split(text, ' ') AS ts FROM documents),
+        |bg AS (
+        |  SELECT lang, unnest(CASE WHEN len(ts) < 2 THEN []::VARCHAR[]
+        |    ELSE list_transform(range(1, len(ts)),
+        |           i -> ts[i] || ' ' || ts[i+1]) END) AS bigram
+        |  FROM t2),
+        |cnt AS (SELECT lang, bigram, count(*) AS n FROM bg GROUP BY 1, 2)
+        |SELECT lang, rn, bigram, n FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY n DESC, bigram ASC) AS INT) AS rn FROM cnt) t
+        |WHERE rn <= 3 ORDER BY lang, rn""".stripMargin,
+
+    "pipeline_inverted_index" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |df AS (SELECT term, count(*) AS df FROM tok GROUP BY term
+        |  HAVING count(*) >= 5),
+        |heads AS (
+        |  SELECT term, array_to_string(list_sort(list(doc_id)), ',')
+        |    AS postings_head
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY term
+        |          ORDER BY doc_id) AS rn FROM tok) t
+        |  WHERE rn <= 10 GROUP BY term)
+        |SELECT term, df, postings_head FROM df JOIN heads USING (term)
+        |ORDER BY term""".stripMargin,
 
     "text_token_classes" ->
       """SELECT doc_id,

@@ -140,6 +140,34 @@ object VectorOps {
         .orderBy(col("vec_id"))
     }),
 
+    // codebook balance audit — the health check run before IVF
+    // serving: assign every vector to its max-cosine cell of a FIXED
+    // 8-centroid codebook (the 8 lowest vec_ids) and report per-cell
+    // population and cosine dispersion (a skewed histogram or low
+    // min-cos means the codebook needs retraining). One broadcast +
+    // one corpus scan; the argmax is a partial-agg max over a
+    // (cos, -c_id) struct — no per-vector window sort, and the shuffle
+    // carries one tiny row per vector. Ties → lower c_id, decided on
+    // the ROUNDED cosine.
+    "vec_cell_stats" -> ((s, d) => {
+      CosineSimilarity.register(s)
+      val e = Tables.embeddings(s, d)
+      val centroids = e.filter(col("vec_id") < 8L)
+        .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+      val assigned = e.crossJoin(broadcast(centroids))
+        .select(col("vec_id"),
+          round(cosine("ce", "embedding"), 4).as("ccos"), col("c_id"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("ccos"), (-col("c_id")).as("neg_id"))).as("best"))
+        .select(col("vec_id"), col("best.ccos").as("cos"),
+          (-col("best.neg_id")).as("cell"))
+      assigned.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"),
+          r4(davg(col("cos"))).as("avg_cos"),
+          r4(min(col("cos"))).as("min_cos"))
+        .orderBy(col("cell"))
+    }),
+
     // sign-random-projection ANN: 16 fixed seeded hyperplanes → 16-bit
     // bucket; top-1 neighbor within the bucket. The scale path: bucket
     // populations are ~corpus/2^16, so candidate pairs grow linearly.
@@ -243,6 +271,26 @@ object VectorOps {
         |      x -> CAST(floor((x - mn) * 255 / (mx - mn)) AS BIGINT)),
         |      'sum') AS BIGINT) END AS code_sum
         |FROM m ORDER BY vec_id""".stripMargin,
+
+    "vec_cell_stats" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS c_id, embedding AS ce FROM embeddings
+        |  WHERE vec_id < 8),
+        |assigned AS (
+        |  SELECT vec_id, ccos AS cos, c_id AS cell FROM (
+        |    SELECT e.vec_id, c.c_id,
+        |      round(list_cosine_similarity(CAST(c.ce AS DOUBLE[]),
+        |        CAST(e.embedding AS DOUBLE[])), 4) AS ccos,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        round(list_cosine_similarity(CAST(c.ce AS DOUBLE[]),
+        |          CAST(e.embedding AS DOUBLE[])), 4) DESC, c.c_id ASC) AS rn
+        |    FROM embeddings e CROSS JOIN cents c) t
+        |  WHERE rn = 1)
+        |SELECT cell, count(*) AS n,
+        |  round(CAST(SUM(CAST(cos AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4)
+        |    AS avg_cos,
+        |  round(min(cos), 4) AS min_cos
+        |FROM assigned GROUP BY cell ORDER BY cell""".stripMargin,
 
     "vec_knn_join_bucketed" ->
       """WITH probes AS (

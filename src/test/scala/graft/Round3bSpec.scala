@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Planted-fixture semantics for the round-3 widening batch: bag set
+  * ops, full outer join, deterministic mode / weighted average /
+  * multi-distinct, bigram top-k, the capped inverted index,
+  * neighborhood Jaccard, and the codebook balance audit. */
+class Round3bSpec extends SparkTestBase {
+
+  private def custRow(k: Long, nat: Int, bal: Double, seg: String) =
+    (k, s"Customer#$k", nat, bal, seg)
+
+  test("set_intersect_all / set_except_all keep bag multiplicities") {
+    val dir = tempDir()
+    import spark.implicits._
+    // nation 1: 3 BUILDING rows, 2 of any segment with bal > 5000
+    // nation 2: 1 BUILDING row, 0 rows with bal > 5000
+    writeFixture(dir, "customer", Seq(
+      custRow(1L, 1, 6000.0, "BUILDING"),
+      custRow(2L, 1, 7000.0, "MACHINERY"),
+      custRow(3L, 1, 100.0, "BUILDING"),
+      custRow(4L, 1, 200.0, "BUILDING"),
+      custRow(5L, 2, 300.0, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+    val inter = operators.SortsAndSets.queries("set_intersect_all")(spark, dir)
+      .collect().map(_.getInt(0)).toSeq
+    // min(3 BUILDING, 2 high-bal) = 2 copies of nation 1; nation 2 drops
+    assert(inter == Seq(1, 1), s"got $inter")
+    val exc = operators.SortsAndSets.queries("set_except_all")(spark, dir)
+      .collect().map(_.getInt(0)).toSeq
+    // max(3 - 2, 0) = 1 copy of nation 1; nation 2 keeps its 1 - 0 = 1
+    assert(exc == Seq(1, 2), s"got $exc")
+  }
+
+  test("join_full_outer surfaces both unmatched sides with zeroed counts") {
+    val dir = tempDir()
+    import spark.implicits._
+    writeFixture(dir, "orders", Seq(
+      (1L, 10L, "O", 10.0, java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), "5-LOW"),
+      (2L, 10L, "O", 20.0, java.sql.Timestamp.valueOf("2020-01-02 00:00:00"), "5-LOW"),
+      (3L, 11L, "O", 30.0, java.sql.Timestamp.valueOf("2020-01-03 00:00:00"), "5-LOW"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"))
+    writeFixture(dir, "events", Seq(
+      (1L, 1700000000000000000L, 10L, "view", 1.0, "{}"),
+      (2L, 1700000001000000000L, 12L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val out = operators.Joins.queries("join_full_outer")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // 10: both sides; 11: orders only; 12: events only
+    assert(out == Seq((10L, 2L, 1L), (11L, 1L, 0L), (12L, 0L, 1L)), s"got $out")
+  }
+
+  private def liRow(ok: Long, pk: Long, sk: Long, ln: Int, qty: Double,
+      price: Double, flag: String) =
+    (ok, pk, sk, ln, qty, price, 0.0, 0.0, flag, "O",
+      java.sql.Timestamp.valueOf("2020-01-01 00:00:00"))
+
+  private val liCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    "l_returnflag", "l_linestatus", "l_shipdate")
+
+  test("agg_mode_deterministic ties break to the smallest value; weighted avg and multi-distinct hand-check") {
+    val dir = tempDir()
+    import spark.implicits._
+    // flag A: qty 5.0 ×2, qty 3.0 ×2 (tie → 3.0), qty 9.0 ×1
+    writeFixture(dir, "lineitem", Seq(
+      liRow(1L, 100L, 7L, 1, 5.0, 10.0, "A"),
+      liRow(1L, 101L, 7L, 2, 5.0, 20.0, "A"),
+      liRow(2L, 100L, 8L, 1, 3.0, 30.0, "A"),
+      liRow(2L, 102L, 8L, 2, 3.0, 40.0, "A"),
+      liRow(3L, 103L, 9L, 1, 9.0, 50.0, "A"))
+      .toDF(liCols: _*))
+    val mode = operators.Aggregates.queries("agg_mode_deterministic")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(mode == Seq(("A", 3.0, 2L)), s"got $mode")
+    val wavg = operators.Aggregates.queries("agg_weighted_avg")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    // Σ(price·qty) = 50+100+90+120+450 = 810; Σqty = 25 → 32.4
+    assert(wavg == Seq(("A", 32.4)), s"got $wavg")
+    val nd = operators.Aggregates.queries("agg_count_distinct_multi")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(nd == Seq(("A", 4L, 3L, 5L)), s"got $nd")
+  }
+
+  private def doc(id: Long, text: String, lang: String = "en") =
+    (id, text, lang, "s0", text.length.toLong)
+
+  test("text_ngram_topk counts bigrams per language with lexicographic tie-break") {
+    val dir = tempDir()
+    import spark.implicits._
+    writeFixture(dir, "documents", Seq(
+      doc(1L, "a b a b c"),     // bigrams: "a b"×2, "b a", "b c"
+      doc(2L, "a b x"),         // "a b", "b x"
+      doc(3L, "uno dos", "es")) // single bigram, and a one-bigram lang
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = operators.TextOps.queries("text_ngram_topk")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3))).toSeq
+    // en: "a b"×3 first; then ties at n=1 resolve alphabetically
+    assert(out == Seq(
+      ("en", 1, "a b", 3L), ("en", 2, "b a", 1L), ("en", 3, "b c", 1L),
+      ("es", 1, "uno dos", 1L)), s"got $out")
+  }
+
+  test("pipeline_inverted_index caps postings at the 10 lowest doc_ids and floors df at 5") {
+    val dir = tempDir()
+    import spark.implicits._
+    // "hot" in 12 docs (df=12, postings capped to the 10 lowest ids);
+    // "warm" in docs 1-5 (df=5, full list); "rare" in docs 6-12 (df=7)
+    val rows = (1L to 12L).map(i =>
+      doc(i, if (i <= 5) "hot warm" else "hot rare"))
+    writeFixture(dir, "documents", rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = operators.TextOps.queries("pipeline_inverted_index")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out.keySet == Set("hot", "warm", "rare"), s"got ${out.keySet}")
+    assert(out("hot") == ((12L, (1L to 10L).mkString(","))))
+    assert(out("warm") == ((5L, "1,2,3,4,5")))
+    assert(out("rare") == ((7L, (6L to 12L).mkString(","))))
+  }
+
+  test("graph_neighbor_jaccard on a planted bipartite graph") {
+    val dir = tempDir()
+    import spark.implicits._
+    // customers 1,2 cite suppliers {1,2}; customer 3 cites supplier 1
+    // → N(s1)={1,2,3}, N(s2)={1,2}: i=2, jaccard 2/(3+2-2)=0.6667
+    writeFixture(dir, "orders", Seq(
+      (1L, 1L, "O", 1.0, java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), "5-LOW"),
+      (2L, 2L, "O", 1.0, java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), "5-LOW"),
+      (3L, 3L, "O", 1.0, java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), "5-LOW"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"))
+    writeFixture(dir, "lineitem", Seq(
+      liRow(1L, 100L, 1L, 1, 1.0, 1.0, "N"), liRow(1L, 101L, 2L, 2, 1.0, 1.0, "N"),
+      liRow(2L, 100L, 1L, 1, 1.0, 1.0, "N"), liRow(2L, 101L, 2L, 2, 1.0, 1.0, "N"),
+      liRow(3L, 100L, 1L, 1, 1.0, 1.0, "N"))
+      .toDF(liCols: _*))
+    val off = operators.GraphOps.SupplierVertexOffset
+    val out = operators.GraphOps.queries("graph_neighbor_jaccard")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq((off + 1L, off + 2L, 0.6667)), s"got $out")
+  }
+
+  test("vec_cell_stats assigns every vector to its max-cosine cell") {
+    val dir = tempDir()
+    import spark.implicits._
+    def oneHot(i: Int, scale: Float): Array[Float] =
+      Array.tabulate(8)(j => if (j == i) scale else 0.0f)
+    // centroids 0..7 are one-hot; vector 10 is centroid 3's direction
+    // scaled ×2 (cos 1.0 with cell 3), vector 11 sits between cells 0
+    // and 1 (cos equal → tie breaks to cell 0)
+    val rows = (0 until 8).map(i => (i.toLong, oneHot(i, 1.0f), 0)) ++ Seq(
+      (10L, oneHot(3, 2.0f), 0),
+      (11L, Array.tabulate(8)(j => if (j <= 1) 1.0f else 0.0f), 0))
+    writeFixture(dir, "embeddings", rows.toDF("vec_id", "embedding", "label"))
+    val out = operators.VectorOps.queries("vec_cell_stats")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // every centroid self-assigns; cell 3 additionally gets vector 10,
+    // cell 0 gets vector 11 on the tie
+    assert(out == Map(0L -> 2L, 1L -> 1L, 2L -> 1L, 3L -> 2L,
+      4L -> 1L, 5L -> 1L, 6L -> 1L, 7L -> 1L), s"got $out")
+    val avg = operators.VectorOps.queries("vec_cell_stats")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(avg(3L) == 1.0) // centroid 3 and its scaled copy both cos 1
+  }
+}
