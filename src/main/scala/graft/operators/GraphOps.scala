@@ -64,6 +64,40 @@ object GraphOps {
     * oracle SQL). */
   val MaxCoCiteDegree = 1000L
 
+  /** degree-capped edge set + its co-citation pair intersection
+    * counts, memoized like [[edges]]: graph_common_neighbors and
+    * graph_neighbor_jaccard consume the IDENTICAL wedge self-join
+    * aggregate, so the expensive pair enumeration (Σ cdeg² wedge rows)
+    * runs once per (session, dir). Cache size is bounded by distinct
+    * co-cited supplier PAIRS (≪ supplier², sparse in practice), not by
+    * wedges — the aggregation collapses before caching. */
+  private val coCiteCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val cappedCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** the degree-capped edge set shared by the co-citation queries */
+  private def cappedEdges(s: SparkSession, d: String): DataFrame =
+    memo(cappedCache, (s, d)) {
+      val e = edges(s, d)
+      val ok = e.groupBy(col("src")).agg(count(lit(1)).as("cdeg"))
+        .filter(col("cdeg") <= MaxCoCiteDegree).select(col("src"))
+      e.join(ok, Seq("src"), "left_semi").cache()
+    }
+
+  /** (s1, s2, i) — co-cited supplier pairs with shared-customer count */
+  private def coCitePairs(s: SparkSession, d: String): DataFrame =
+    memo(coCiteCache, (s, d)) {
+      val ec = cappedEdges(s, d)
+      val s1 = ec.select(col("src"), col("dst").as("s1"))
+      val s2 = ec.select(col("src"), col("dst").as("s2"))
+      s1.join(s2, Seq("src"))
+        .filter(col("s1") < col("s2"))
+        .groupBy(col("s1"), col("s2"))
+        .agg(count(lit(1)).as("i"))
+        .cache()
+    }
+
   def edges(s: SparkSession, d: String): DataFrame =
     memo(edgeCache, (s, d))(
       Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
@@ -252,20 +286,11 @@ object GraphOps {
     // excluded (the standard co-occurrence guard — one hot source with
     // 10k neighbors would alone emit 5·10⁷ pairs; capping makes the
     // blow-up per source ≤ MaxCoCiteDegree²/2 by construction).
-    "graph_common_neighbors" -> ((s, d) => {
-      val e = edges(s, d)
-      val ok = e.groupBy(col("src")).agg(count(lit(1)).as("cdeg"))
-        .filter(col("cdeg") <= MaxCoCiteDegree).select(col("src"))
-      val ec = e.join(ok, Seq("src"), "left_semi")
-      val s1 = ec.select(col("src"), col("dst").as("s1"))
-      val s2 = ec.select(col("src"), col("dst").as("s2"))
-      s1.join(s2, Seq("src"))
-        .filter(col("s1") < col("s2"))
-        .groupBy(col("s1"), col("s2"))
-        .agg(count(lit(1)).as("n_common"))
+    "graph_common_neighbors" -> ((s, d) =>
+      coCitePairs(s, d)
+        .select(col("s1"), col("s2"), col("i").as("n_common"))
         .orderBy(desc("n_common"), col("s1"), col("s2"))
-        .limit(20)
-    }),
+        .limit(20)),
 
     // neighborhood Jaccard similarity — the normalized variant of
     // common-neighbors: for supplier pairs sharing a customer,
@@ -277,18 +302,9 @@ object GraphOps {
     // on the ROUNDED score so a last-ulp quotient difference cannot
     // reorder the top-20.
     "graph_neighbor_jaccard" -> ((s, d) => {
-      val e = edges(s, d)
-      val ok = e.groupBy(col("src")).agg(count(lit(1)).as("cdeg"))
-        .filter(col("cdeg") <= MaxCoCiteDegree).select(col("src"))
-      val ec = e.join(ok, Seq("src"), "left_semi")
-      val sd = ec.groupBy(col("dst")).agg(count(lit(1)).as("sdeg"))
-      val s1 = ec.select(col("src"), col("dst").as("s1"))
-      val s2 = ec.select(col("src"), col("dst").as("s2"))
-      val inter = s1.join(s2, Seq("src"))
-        .filter(col("s1") < col("s2"))
-        .groupBy(col("s1"), col("s2"))
-        .agg(count(lit(1)).as("i"))
-      inter
+      val sd = cappedEdges(s, d)
+        .groupBy(col("dst")).agg(count(lit(1)).as("sdeg"))
+      coCitePairs(s, d)
         .join(sd.select(col("dst").as("s1"), col("sdeg").as("d1")), Seq("s1"))
         .join(sd.select(col("dst").as("s2"), col("sdeg").as("d2")), Seq("s2"))
         .select(col("s1"), col("s2"),
