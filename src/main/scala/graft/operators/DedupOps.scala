@@ -167,6 +167,27 @@ object DedupOps {
         .orderBy(col("a"), col("b"))
     }),
 
+    // directional containment |A∩B| / |A| — the asymmetric near-dup
+    // signal Jaccard misses: a short document wholly embedded in a
+    // longer one scores low Jaccard but containment ≈ 1 (the
+    // sub-document / quotation case a cleaning pipeline must catch).
+    // Same bounded probe set and token-set shape as
+    // dedup_jaccard_exact; pairs are ORDERED (a ≠ b), threshold on
+    // the rounded score.
+    "dedup_containment" -> ((s, d) => {
+      val tok = tokenSets(s, d, cap = 200L)
+      val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val a = tok.select(col("doc_id").as("a"), col("term"))
+      val b = tok.select(col("doc_id").as("b"), col("term"))
+      a.join(b, Seq("term")).filter(col("a") =!= col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))
+        .join(sizes.select(col("doc_id").as("a"), col("sz").as("sa")), Seq("a"))
+        .select(col("a"), col("b"),
+          round(col("i").cast("double") / col("sa"), 4).as("containment"))
+        .filter(col("containment") >= 0.8)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // shingle (token-bigram) Jaccard — n-gram variant of the above
     "dedup_ngram_jaccard" -> ((s, d) => {
       jaccardPairs(shingleSets(s, d, cap = 200L), 0.3).orderBy(col("a"), col("b"))
@@ -339,6 +360,20 @@ object DedupOps {
         |SELECT a, b, round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
         |FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
         |WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.6
+        |ORDER BY a, b""".stripMargin,
+
+    "dedup_containment" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE doc_id < 200),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+        |  FROM tok x JOIN tok y ON x.term = y.term AND x.doc_id <> y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, round(CAST(i AS DOUBLE) / sa.sz, 4) AS containment
+        |FROM inter JOIN sz sa ON sa.doc_id = a
+        |WHERE round(CAST(i AS DOUBLE) / sa.sz, 4) >= 0.8
         |ORDER BY a, b""".stripMargin,
 
     "dedup_ngram_jaccard" ->

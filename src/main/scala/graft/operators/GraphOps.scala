@@ -322,6 +322,18 @@ object GraphOps {
       connectedComponents(symEdges(s, d), symmetrized = true,
         numParts = graphParts(s, d)).orderBy(col("v"))),
 
+    // community detection by deterministic label propagation: 5
+    // synchronous rounds of "adopt the most frequent neighbor label,
+    // ties → smallest label". Fixed iteration count — deterministic by
+    // construction (LPA fixpoints are famously order-dependent; a
+    // pinned round count with a total tie order is reproducible across
+    // engines, runs, and partitionings, and needs NO per-iteration
+    // convergence action). No oracle (iterative); Round3bSpec pins the
+    // two-clique semantics by hand simulation.
+    "graph_label_propagation" -> ((s, d) =>
+      labelPropagation(symEdges(s, d), iters = 5, symmetrized = true,
+        numParts = graphParts(s, d)).orderBy(col("v"))),
+
     // k-core decomposition (k=3): the maximal subgraph where every
     // vertex keeps degree ≥ k, by iterative peeling. No oracle
     // (iterate-to-fixpoint is not ANSI-SQL-expressible here);
@@ -525,6 +537,56 @@ object GraphOps {
     * removes dangling vertices by construction, so total mass is
     * conserved and scores are comparable to GraphX staticPageRank
     * (property-tested in GraphSpec). Public library API. */
+  /** Deterministic synchronous label propagation: every vertex starts
+    * as its own label; each round every vertex adopts the most
+    * frequent label among its neighbors, ties broken toward the
+    * SMALLEST label (argmax over a (count, -label) struct — a total
+    * order, so the result is independent of partitioning and
+    * evaluation order). Runs a FIXED number of rounds: synchronous LPA
+    * can oscillate on bipartite structures, so convergence detection
+    * is both unnecessary (a pinned count is already deterministic) and
+    * unsafe (it might never trigger); fixed rounds also mean zero
+    * per-iteration driver actions — the whole computation is ONE job.
+    *
+    * Scale shape: the edge set stays hash-partitioned on the
+    * propagation key; each round exchanges one (vertex, label) row per
+    * vertex plus the counted (vertex, label) partials — never raw
+    * edges. Same loop conf discipline as [[connectedComponents]]. */
+  def labelPropagation(edgeDf: DataFrame, iters: Int = 5,
+      symmetrized: Boolean = false, numParts: Int = 0): DataFrame = {
+    val spark = edgeDf.sparkSession
+    val p = if (numParts > 0) numParts
+      else spark.sessionState.conf.numShufflePartitions
+    val sym0 =
+      if (symmetrized) edgeDf
+      else edgeDf.union(edgeDf.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().repartition(p, col("src")).cache()
+    sym0.count() // materialize under the session conf (AQE, full width)
+    val conf = spark.conf
+    val aqeWas = conf.get("spark.sql.adaptive.enabled", "true")
+    val shufWas = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.shuffle.partitions", p.toString)
+    try {
+      var labels = sym0.select(col("src").as("v")).distinct()
+        .select(col("v"), col("v").as("lbl"))
+      for (_ <- 1 to iters) {
+        val nl = sym0.select(col("src"), col("dst"))
+          .join(labels, col("dst") === col("v"))
+          .select(col("src"), col("lbl"))
+        val cnt = nl.groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+        labels = cnt.groupBy(col("src"))
+          .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("b"))
+          .select(col("src").as("v"), (-col("b.nl")).as("lbl"))
+      }
+      labels.localCheckpoint() // one eager job for all rounds
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqeWas)
+      conf.set("spark.sql.shuffle.partitions", shufWas)
+      if (!symmetrized) sym0.unpersist()
+    }
+  }
+
   def pageRank(edgeDf: DataFrame, iters: Int,
       symmetrized: Boolean = false, numParts: Int = 0): DataFrame = {
     val spark = edgeDf.sparkSession

@@ -193,6 +193,27 @@ object TextOps {
         .orderBy(col("lang"), col("rn"))
     }),
 
+    // per-document token entropy — the vocabulary-diversity quality
+    // signal (low entropy = repetitive/boilerplate text). Computed via
+    // the order-independent decomposition H = ln(n) − Σ c·ln(c) / n:
+    // each per-term contribution is rounded to 4dp FIRST (cross-engine
+    // ln() can differ in the last ulp — same discipline as the TF-IDF
+    // ranking) and the sum accumulates as exact DECIMAL(18,4), so the
+    // result is independent of partial-aggregation order.
+    "text_entropy_stats" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+      tf.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          dsum(round(col("c").cast("double") * log(col("c")), 4)).as("sc"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          r4(log(col("n_tokens").cast("double")) - col("sc") / col("n_tokens"))
+            .as("entropy"))
+        .orderBy(col("doc_id"))
+    }),
+
     // inverted-index build — the retrieval-side artifact of a training
     // pipeline: per term, document frequency + the first 10 posting
     // doc_ids. The posting cap is applied BEFORE any list is
@@ -390,6 +411,18 @@ object TextOps {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY lang
         |    ORDER BY n DESC, bigram ASC) AS INT) AS rn FROM cnt) t
         |WHERE rn <= 3 ORDER BY lang, rn""".stripMargin,
+
+    "text_entropy_stats" ->
+      s"""WITH tok AS ($tokCte),
+         |tf AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2),
+         |st AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |    count(*) AS n_distinct,
+         |    CAST(SUM(CAST(round(CAST(c AS DOUBLE) * ln(c), 4)
+         |      AS DECIMAL(18,4))) AS DOUBLE) AS sc
+         |  FROM tf GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_distinct,
+         |  round(ln(CAST(n_tokens AS DOUBLE)) - sc / n_tokens, 4) AS entropy
+         |FROM st ORDER BY doc_id""".stripMargin,
 
     "pipeline_inverted_index" ->
       """WITH tok AS (

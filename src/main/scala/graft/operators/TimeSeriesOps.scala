@@ -84,6 +84,28 @@ object TimeSeriesOps {
         .orderBy(col("event_type"), col("minute"))
     }),
 
+    // OHLC bars — the financial downsampling shape: per (series,
+    // hour), the opening value (first by event time), high, low, and
+    // closing value (last by event time). Open/close are argmin/argmax
+    // by a (ts, event_id) struct — a total order, so ties at the same
+    // timestamp cannot make the bar engine-dependent. One hash
+    // aggregate with partial min_by/max_by state: shuffle ∝ #bars,
+    // never #events.
+    "ts_ohlc_bars" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(
+          min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+          r4(max(col("value"))).as("high"),
+          r4(min(col("value"))).as("low"),
+          max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), ntz(col("hour")).as("hour"),
+          r4(col("open")).as("open"), col("high"), col("low"),
+          r4(col("close")).as("close"), col("n"))
+        .orderBy(col("event_type"), col("hour"))
+    }),
+
     // anomaly scoring: per-series (event_type) hourly sums z-scored
     // against the series' own mean/stddev; hours with |z| ≥ 2 flagged.
     // The filter applies to the ROUNDED score (SURVEY §2.0: never
@@ -234,6 +256,25 @@ object TimeSeriesOps {
         |  count(*) AS n, min(value) AS min_value, max(value) AS max_value,
         |  round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY event_type, minute""".stripMargin,
+
+    "ts_ohlc_bars" ->
+      """WITH e AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour, ts, event_id, value
+        |  FROM events),
+        |w AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, hour
+        |      ORDER BY ts, event_id) AS rf,
+        |    row_number() OVER (PARTITION BY event_type, hour
+        |      ORDER BY ts DESC, event_id DESC) AS rl
+        |  FROM e)
+        |SELECT event_type, hour,
+        |  round(max(CASE WHEN rf = 1 THEN value END), 4) AS open,
+        |  round(max(value), 4) AS high,
+        |  round(min(value), 4) AS low,
+        |  round(max(CASE WHEN rl = 1 THEN value END), 4) AS close,
+        |  count(*) AS n
+        |FROM w GROUP BY 1, 2 ORDER BY event_type, hour""".stripMargin,
 
     "ts_anomaly_zscore" ->
       """WITH hourly AS (

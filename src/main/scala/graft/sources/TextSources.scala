@@ -31,4 +31,18 @@ object TextSources {
 
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("header", "true").csv(path)
+
+  /** ORC — the columnar interchange peer to parquet (warehouse
+    * migrations, Hive-era estates). Unlike the text formats, ORC
+    * carries its own types, min/max stripe statistics, and predicate
+    * pushdown, so reads prune columns AND skip stripes like the
+    * parquet path; TextSourcesSpec asserts the pushed filter appears
+    * in the scan. Schema still supplied explicitly on read: trusting
+    * file-embedded schemas silently widens types across mixed-writer
+    * estates. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
 }

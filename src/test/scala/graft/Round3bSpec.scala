@@ -139,6 +139,26 @@ class Round3bSpec extends SparkTestBase {
     assert(out == Seq((off + 1L, off + 2L, 0.6667)), s"got $out")
   }
 
+  test("labelPropagation: two bridged cliques settle into two communities") {
+    import spark.implicits._
+    // 4-cliques {1,2,3,4} and {5,6,7,8} bridged by 4–5. Hand-simulated
+    // deterministic LPA (most frequent neighbor label, ties → min):
+    // by round 3 clique A is all label 1 and clique B all label 5,
+    // and rounds 4–5 are stable.
+    def clique(vs: Seq[Long]) =
+      for (a <- vs; b <- vs if a != b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(5L, 6L, 7L, 8L)) ++
+      Seq((4L, 5L), (5L, 4L))).toDF("src", "dst")
+    val out = operators.GraphOps.labelPropagation(edges, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 5L), s"got $out")
+    // determinism: a second run produces the identical labeling
+    val out2 = operators.GraphOps.labelPropagation(edges, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2 == out)
+  }
+
   test("vec_cell_stats assigns every vector to its max-cosine cell") {
     val dir = tempDir()
     import spark.implicits._

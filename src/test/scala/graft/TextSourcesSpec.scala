@@ -31,6 +31,23 @@ class TextSourcesSpec extends SparkTestBase {
     assert(back.exceptAll(tricky).count() == 0 && tricky.exceptAll(back).count() == 0)
   }
 
+  test("ORC round-trips lineitem and pushes predicates into the scan") {
+    val dir = tempDir() + "/li_orc"
+    val li = Tables.lineitem(spark, sf001)
+    TextSources.writeOrc(li, dir)
+    val back = TextSources.readOrc(spark, dir, Tables.lineitemSchema)
+    assert(back.schema == li.schema)
+    assert(back.exceptAll(li).count() == 0 && li.exceptAll(back).count() == 0)
+    // the filter must reach the ORC scan as a pushed predicate, and
+    // the projection must prune the read schema to the two columns
+    val q = back.filter(col("l_quantity") > 30.0)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"),
+      s"expected pushed ORC filter, plan was:\n$plan")
+    assert(!plan.contains("l_extendedprice"), "projection must prune unused columns")
+  }
+
   test("CSV round-trip of a numeric/timestamp-free projection of orders") {
     val dir = tempDir() + "/orders_csv"
     val o = Tables.orders(spark, sf001)
