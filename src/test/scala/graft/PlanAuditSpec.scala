@@ -96,6 +96,52 @@ class PlanAuditSpec extends SparkTestBase {
       s"PII redaction must stay in codegen'd built-ins:\n$p")
   }
 
+  test("join_full_outer: both sides pre-aggregate before one full outer join") {
+    val p = plan("join_full_outer")
+    assert(p.contains("FullOuter"), s"expected a FullOuter join:\n$p")
+    // each side carries a partial+final HashAggregate pair, so the
+    // join inputs are one row per key, never raw fact rows
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4,
+      s"both sides must aggregate before the join:\n$p")
+  }
+
+  test("set_intersect_all / set_except_all: bag ops plan as counted aggregates, not row-pair joins") {
+    for (q <- Seq("set_intersect_all", "set_except_all")) {
+      val p = plan(q)
+      // Spark lowers INTERSECT/EXCEPT ALL to count aggregation +
+      // Generate(replicate_rows) — shuffle ∝ distinct values
+      assert(p.contains("Generate replicaterows") || p.contains("ReplicateRows") ||
+        p.contains("replicaterows"),
+        s"$q: expected the counted replicate_rows lowering:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q must not plan a cartesian:\n$p")
+    }
+  }
+
+  test("ts_ohlc_bars: one aggregate pass, no self-join for open/close") {
+    val p = plan("ts_ohlc_bars")
+    assert(!p.contains("Join"), s"min_by/max_by must avoid a first/last self-join:\n$p")
+    assert(p.linesIterator.count(_.contains("Aggregate")) >= 2,
+      s"expected partial+final aggregate pair:\n$p")
+  }
+
+  test("pipeline_inverted_index: posting cap applies before list collection") {
+    val p = plan("pipeline_inverted_index")
+    // the row_number window (cap) must appear below the collect_list
+    // aggregate in the plan text (executed earlier = printed later)
+    val lines = p.linesIterator.toSeq
+    val winIdx = lines.indexWhere(_.contains("row_number"))
+    val collectIdx = lines.indexWhere(_.contains("collect_list"))
+    assert(winIdx >= 0 && collectIdx >= 0 && winIdx > collectIdx,
+      s"row_number cap must be computed before collect_list:\n$p")
+  }
+
+  test("vec_cell_stats: codebook broadcasts; argmax is an aggregate, not a window sort") {
+    val p = plan("vec_cell_stats")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 8-row codebook must broadcast:\n$p")
+    assert(!p.contains("Window"), s"the per-vector argmax must be an aggregate:\n$p")
+  }
+
   test("whole-stage codegen covers the relational hot path") {
     // AQE wraps the plan in AdaptiveSparkPlan and only materializes
     // codegen per query stage at runtime; disable it here so the
