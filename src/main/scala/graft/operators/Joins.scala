@@ -198,6 +198,44 @@ object Joins {
         .orderBy(col("user_id"))
     }),
 
+    // as-of join WITH TOLERANCE — last-touch attribution with expiry:
+    // each view event matches the same user's latest purchase at or
+    // before it, but only if that purchase is ≤ 1 hour old; older
+    // matches expire to -1 (kdb's `aj` tolerance flavor; the backward
+    // join above never expires). Same union+window composition: one
+    // shuffle on the user key, the matched purchase's OWN timestamp
+    // carried through the window so staleness is computable per row.
+    // Sentinels (-1) instead of nullable outputs keep the result frame
+    // free of null timestamps.
+    "join_asof_tolerance" -> ((s, d) => {
+      val TolUs = 3600000000L // 1 h
+      val e = Tables.events(s, d)
+      val p = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("event_id")).as("pid"))
+        .select(col("user_id").as("k"), col("ts").as("t"),
+          lit(null).cast("long").as("event_id"), lit(0).as("is_v"),
+          col("pid"), col("ts").as("pt"))
+      val v = e.filter(col("event_type") === "view")
+        .select(col("user_id").as("k"), col("ts").as("t"),
+          col("event_id"), lit(1).as("is_v"),
+          lit(null).cast("long").as("pid"),
+          lit(null).cast("timestamp").as("pt"))
+      val w = Window.partitionBy(col("k")).orderBy(col("t"), col("is_v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val age = unix_micros(col("t")) - unix_micros(col("last_pt"))
+      p.unionByName(v)
+        .withColumn("last_pid", last(col("pid"), ignoreNulls = true).over(w))
+        .withColumn("last_pt", last(col("pt"), ignoreNulls = true).over(w))
+        .filter(col("is_v") === 1)
+        .select(col("event_id"), col("k").as("user_id"), ntz(col("t")).as("ts"),
+          when(col("last_pt").isNotNull && age <= TolUs, col("last_pid"))
+            .otherwise(lit(-1L)).as("attr_id"),
+          when(col("last_pt").isNotNull && age <= TolUs,
+            expr("(unix_micros(t) - unix_micros(last_pt)) div 1000000"))
+            .otherwise(lit(-1L)).as("age_s"))
+        .orderBy(col("event_id"))
+    }),
+
     // FULL OUTER join of two independently-aggregated activity views:
     // per-customer order counts vs per-user event counts. The key
     // spaces overlap but neither contains the other, so both unmatched
@@ -328,6 +366,23 @@ object Joins {
         |  ON e1.user_id = e2.user_id AND e1.event_id < e2.event_id
         | AND abs(epoch_us(e1.ts) - epoch_us(e2.ts)) <= 120000000
         |GROUP BY 1 ORDER BY e1.user_id""".stripMargin,
+
+    "join_asof_tolerance" ->
+      """WITH p AS (
+        |  SELECT user_id AS k, ts AS t, max(event_id) AS pid
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |v AS (SELECT user_id, event_id, ts FROM events
+        |  WHERE event_type = 'view')
+        |SELECT v.event_id, v.user_id, v.ts,
+        |  CASE WHEN p.t IS NOT NULL
+        |        AND epoch_us(v.ts) - epoch_us(p.t) <= 3600000000
+        |       THEN p.pid ELSE -1 END AS attr_id,
+        |  CASE WHEN p.t IS NOT NULL
+        |        AND epoch_us(v.ts) - epoch_us(p.t) <= 3600000000
+        |       THEN (epoch_us(v.ts) - epoch_us(p.t)) // 1000000
+        |       ELSE -1 END AS age_s
+        |FROM v ASOF LEFT JOIN p ON v.user_id = p.k AND v.ts >= p.t
+        |ORDER BY v.event_id""".stripMargin,
 
     "join_full_outer" ->
       """WITH o AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1),

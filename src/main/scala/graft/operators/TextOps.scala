@@ -193,6 +193,35 @@ object TextOps {
         .orderBy(col("lang"), col("rn"))
     }),
 
+    // dataset card — the per-source summary a training pipeline
+    // publishes with a dataset release: document and token volume,
+    // language spread, train-split share (the same deterministic
+    // split rule as text_split_assign), and exact-duplicate count
+    // within the source. One scan + two hash aggregates; the dup
+    // detection groups on (source, md5) so the shuffle carries
+    // fingerprints, never text.
+    "pipeline_dataset_card" -> ((s, d) => {
+      val base = splitAssign(s, d)
+        .withColumn("ntok", size(split(col("text"), " ")))
+        .withColumn("h", md5(col("text")))
+      val main = base.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok").cast("long")).as("total_tokens"),
+          count_if(col("split") === "train").as("n_train"))
+      val langs = Tables.documents(s, d).groupBy(col("source"))
+        .agg(countDistinct(col("lang")).as("n_langs"))
+      val dups = base.groupBy(col("source"), col("h"))
+        .agg(count(lit(1)).as("nh"))
+        .filter(col("nh") > 1)
+        .groupBy(col("source")).agg(sum(col("nh")).as("n_dup_docs"))
+      main.join(langs, Seq("source"))
+        .join(dups, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          col("n_langs"), col("n_train"),
+          coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"))
+        .orderBy(col("source"))
+    }),
+
     // per-document token entropy — the vocabulary-diversity quality
     // signal (low entropy = repetitive/boilerplate text). Computed via
     // the order-independent decomposition H = ln(n) − Σ c·ln(c) / n:
@@ -411,6 +440,29 @@ object TextOps {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY lang
         |    ORDER BY n DESC, bigram ASC) AS INT) AS rn FROM cnt) t
         |WHERE rn <= 3 ORDER BY lang, rn""".stripMargin,
+
+    "pipeline_dataset_card" ->
+      s"""WITH base AS (
+         |  SELECT source, lang, $splitCaseSql AS split,
+         |    len(string_split(text, ' ')) AS ntok, md5(text) AS h
+         |  FROM documents),
+         |main AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+         |    count(*) FILTER (WHERE split = 'train') AS n_train
+         |  FROM base GROUP BY source),
+         |langs AS (
+         |  SELECT source, count(DISTINCT lang) AS n_langs
+         |  FROM documents GROUP BY source),
+         |dups AS (
+         |  SELECT source, CAST(SUM(nh) AS BIGINT) AS n_dup_docs FROM (
+         |    SELECT source, h, count(*) AS nh FROM base GROUP BY 1, 2
+         |    ) g WHERE nh > 1 GROUP BY source)
+         |SELECT m.source, m.n_docs, m.total_tokens, l.n_langs, m.n_train,
+         |  coalesce(d.n_dup_docs, 0) AS n_dup_docs
+         |FROM main m JOIN langs l USING (source)
+         |LEFT JOIN dups d USING (source)
+         |ORDER BY m.source""".stripMargin,
 
     "text_entropy_stats" ->
       s"""WITH tok AS ($tokCte),

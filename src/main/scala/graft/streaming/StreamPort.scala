@@ -49,6 +49,24 @@ object StreamPort {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** streaming OHLC bars per (1-hour window, type) (≙ ts_ohlc_bars):
+    * open/close are min_by/max_by over the (ts, event_id) total order
+    * — mergeable aggregate state, so late partial bars merge correctly
+    * and the shuffle carries one bar per (window, type), never raw
+    * events */
+  def ohlcBars(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"), col("n"))
+
   /** streaming dedup on (user_id, event_type) within the watermark
     * (≙ ts_dedup_within_watermark's keep-first semantics) */
   def dedupWithinWatermark(events: DataFrame): DataFrame =

@@ -139,6 +139,45 @@ class Round3bSpec extends SparkTestBase {
     assert(out == Seq((off + 1L, off + 2L, 0.6667)), s"got $out")
   }
 
+  test("join_asof_tolerance: attribution expires after one hour") {
+    val dir = tempDir()
+    import spark.implicits._
+    val base = 1700000000000000000L // ns
+    def ns(min: Long) = base + min * 60L * 1000000000L
+    writeFixture(dir, "events", Seq(
+      (1L, ns(0), 1L, "view", 1.0, "{}"),      // before any purchase → -1
+      (2L, ns(10), 1L, "purchase", 9.0, "{}"),
+      (3L, ns(40), 1L, "view", 1.0, "{}"),     // 30 min after → attributed
+      (4L, ns(130), 1L, "view", 1.0, "{}"),    // 120 min after → expired
+      (5L, ns(5), 2L, "view", 1.0, "{}"))      // other user, no purchase
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val out = operators.Joins.queries("join_asof_tolerance")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(out == Map(
+      1L -> ((-1L, -1L)),
+      3L -> ((2L, 1800L)),
+      4L -> ((-1L, -1L)),
+      5L -> ((-1L, -1L))), s"got $out")
+  }
+
+  test("pipeline_dataset_card: per-source volumes, split share, and dup count") {
+    val dir = tempDir()
+    import spark.implicits._
+    writeFixture(dir, "documents", Seq(
+      (1L, "a b c", "en", "s0", 5L),
+      (2L, "a b c", "fr", "s0", 5L),   // exact dup of doc 1 (same source)
+      (3L, "x y", "en", "s0", 3L),
+      (4L, "a b c", "en", "s1", 5L))   // same text, different source → no dup
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = operators.TextOps.queries("pipeline_dataset_card")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5)))).toMap
+    // s0: 3 docs, 3+3+2=8 tokens, 2 langs, dup pair (docs 1,2) → 2
+    assert(out("s0") == ((3L, 8L, 2L, 2L)), s"got ${out("s0")}")
+    assert(out("s1") == ((1L, 3L, 1L, 0L)), s"got ${out("s1")}")
+  }
+
   test("labelPropagation: two bridged cliques settle into two communities") {
     import spark.implicits._
     // 4-cliques {1,2,3,4} and {5,6,7,8} bridged by 4–5. Hand-simulated

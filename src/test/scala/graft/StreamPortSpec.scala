@@ -43,6 +43,33 @@ class StreamPortSpec extends SparkTestBase {
     assert(batch.contains((Timestamp.valueOf("2024-01-01 10:00:00"), "view", 4L, 13.0)))
   }
 
+  test("streaming OHLC bars == batch OHLC bars, open/close by event-time order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamPort.ohlcBars(mem.toDF())
+      .writeStream.format("memory").queryName("ohlc")
+      .outputMode("complete").start()
+    // two add batches: the second delivers an EARLIER event for the
+    // 10:00 view bar (event 6) — the mergeable min_by state must
+    // re-open the bar at the older timestamp
+    mem.addData(events.filter(_.event_id != 6): _*)
+    q.processAllAvailable()
+    mem.addData(events.filter(_.event_id == 6): _*)
+    q.processAllAvailable()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0), r.getString(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6))
+    val streamed = spark.table("ohlc").collect().map(key).toSet
+    q.stop()
+    val batch = StreamPort.ohlcBars(events.toDF()).collect().map(key).toSet
+    assert(streamed == batch)
+    // hand check: 10:00 view bar = events 1 (10:05, 1.0), 2 (10:20, 2.0),
+    // 4 (10:15, 4.0), 6 (10:16, 6.0) → open 1.0 high 6.0 low 1.0 close 2.0
+    assert(batch.contains((Timestamp.valueOf("2024-01-01 10:00:00"), "view",
+      1.0, 6.0, 1.0, 2.0, 4L)))
+  }
+
   test("streaming session windows == batch session windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
