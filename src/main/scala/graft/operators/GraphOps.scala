@@ -322,6 +322,29 @@ object GraphOps {
       connectedComponents(symEdges(s, d), symmetrized = true,
         numParts = graphParts(s, d)).orderBy(col("v"))),
 
+    // bounded multi-source BFS: min hop-distance ≤ 3 from the seed set
+    // (customers with id ≤ 10 present in the graph) over the
+    // symmetrized edges. Engine side is min-propagation — each round
+    // one join + min aggregate, shuffle ∝ labeled vertices — while the
+    // oracle is a depth-bounded recursive CTE that ENUMERATES paths
+    // and min-aggregates: same answer, exponentially more rows, which
+    // is exactly why the engine does propagation instead (the one
+    // iterative operator cheap enough at bounded depth to
+    // oracle-check).
+    "graph_bfs_distance" -> ((s, d) => {
+      val sym = symEdges(s, d)
+      var dist = sym.select(col("src").as("v")).distinct()
+        .filter(col("v") <= 10L)
+        .select(col("v"), lit(0L).as("dist"))
+      for (_ <- 1 to 3) {
+        val nd = sym.join(dist, col("src") === col("v"))
+          .select(col("dst").as("v"), (col("dist") + 1L).as("dist"))
+        dist = dist.unionByName(nd)
+          .groupBy(col("v")).agg(min(col("dist")).as("dist"))
+      }
+      dist.orderBy(col("v"))
+    }),
+
     // community detection by deterministic label propagation: 5
     // synchronous rounds of "adopt the most frequent neighbor label,
     // ties → smallest label". Fixed iteration count — deterministic by
@@ -715,5 +738,16 @@ object GraphOps {
          |  SELECT v, v FROM verts
          |  UNION
          |  SELECT sym.b, walk.l FROM sym JOIN walk ON sym.a = walk.v)
-         |SELECT v, min(l) AS lbl FROM walk GROUP BY v ORDER BY v""".stripMargin)
+         |SELECT v, min(l) AS lbl FROM walk GROUP BY v ORDER BY v""".stripMargin,
+
+    "graph_bfs_distance" ->
+      s"""WITH RECURSIVE ed AS ($edgesSql),
+         |sym AS (SELECT src AS a, dst AS b FROM ed
+         |        UNION SELECT dst, src FROM ed),
+         |walk(v, d) AS (
+         |  SELECT DISTINCT a AS v, CAST(0 AS BIGINT) AS d FROM sym WHERE a <= 10
+         |  UNION ALL
+         |  SELECT sym.b, walk.d + 1 FROM sym JOIN walk ON sym.a = walk.v
+         |  WHERE walk.d < 3)
+         |SELECT v, min(d) AS dist FROM walk GROUP BY v ORDER BY v""".stripMargin)
 }

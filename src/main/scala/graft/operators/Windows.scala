@@ -112,6 +112,32 @@ object Windows {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // longest same-type streak per user — the gaps-and-islands
+    // pattern: island id = rn(user) − rn(user, type) is constant
+    // exactly within a run of consecutive equal types. Event order is
+    // the total (ts, event_id), so ties cannot reshape islands; the
+    // per-user argmax breaks length ties toward the first island in
+    // event order (then type) for full determinism. Two window passes
+    // + two hash aggregates, all partitioned by user — one shuffle.
+    "win_conditional_streak" -> ((s, d) => {
+      val wAll = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wTyp = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val islands = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("grp",
+          row_number().over(wAll) - row_number().over(wTyp))
+      val runs = islands.groupBy(col("user_id"), col("event_type"), col("grp"))
+        .agg(count(lit(1)).as("len"), min(col("event_id")).as("first_ev"))
+      val wBest = Window.partitionBy(col("user_id"))
+        .orderBy(desc("len"), col("first_ev"), col("event_type"))
+      runs.withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("streak_type"),
+          col("len").as("streak_len"))
+        .orderBy(col("user_id"))
+    }),
+
     "win_global_share" -> ((s, d) => {
       val rev = Tables.lineitem(s, d)
         .groupBy(col("l_suppkey"))
@@ -197,5 +223,21 @@ object Windows {
         |  FROM lineitem GROUP BY l_suppkey)
         |SELECT l_suppkey,
         |  round(CAST(rev_dec AS DOUBLE) / CAST(SUM(rev_dec) OVER () AS DOUBLE), 4) AS rev_share
-        |FROM rev ORDER BY l_suppkey""".stripMargin)
+        |FROM rev ORDER BY l_suppkey""".stripMargin,
+
+    "win_conditional_streak" ->
+      """WITH islands AS (
+        |  SELECT user_id, event_type, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    - row_number() OVER (PARTITION BY user_id, event_type
+        |        ORDER BY ts, event_id) AS grp
+        |  FROM events),
+        |runs AS (
+        |  SELECT user_id, event_type, grp, count(*) AS len,
+        |    min(event_id) AS first_ev
+        |  FROM islands GROUP BY 1, 2, 3)
+        |SELECT user_id, event_type AS streak_type, len AS streak_len FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY len DESC, first_ev, event_type) AS rn FROM runs) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin)
 }

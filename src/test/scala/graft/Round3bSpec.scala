@@ -198,6 +198,52 @@ class Round3bSpec extends SparkTestBase {
     assert(out2 == out)
   }
 
+  test("win_conditional_streak: islands split on type change; ties go to the first run") {
+    val dir = tempDir()
+    import spark.implicits._
+    val base = 1700000000000000000L
+    def ns(min: Long) = base + min * 60L * 1000000000L
+    writeFixture(dir, "events", Seq(
+      // user 1: V V C V V V → longest streak 3 views
+      (1L, ns(0), 1L, "view", 1.0, "{}"),
+      (2L, ns(1), 1L, "view", 1.0, "{}"),
+      (3L, ns(2), 1L, "click", 1.0, "{}"),
+      (4L, ns(3), 1L, "view", 1.0, "{}"),
+      (5L, ns(4), 1L, "view", 1.0, "{}"),
+      (6L, ns(5), 1L, "view", 1.0, "{}"),
+      // user 2: V V C C → length tie, the earlier (view) run wins
+      (7L, ns(0), 2L, "view", 1.0, "{}"),
+      (8L, ns(1), 2L, "view", 1.0, "{}"),
+      (9L, ns(2), 2L, "click", 1.0, "{}"),
+      (10L, ns(3), 2L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val out = operators.Windows.queries("win_conditional_streak")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out == Map(1L -> (("view", 3L)), 2L -> (("view", 2L))), s"got $out")
+  }
+
+  test("graph_bfs_distance: hop distances from the seed set, depth-capped at 3") {
+    val dir = tempDir()
+    import spark.implicits._
+    // chain: c1 –s7– c20 –s8– c30; seed = c1 (≤ 10)
+    writeFixture(dir, "orders", Seq(
+      (1L, 1L, "O", 1.0, java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), "5-LOW"),
+      (2L, 20L, "O", 1.0, java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), "5-LOW"),
+      (3L, 30L, "O", 1.0, java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), "5-LOW"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"))
+    writeFixture(dir, "lineitem", Seq(
+      liRow(1L, 100L, 7L, 1, 1.0, 1.0, "N"),
+      liRow(2L, 100L, 7L, 1, 1.0, 1.0, "N"), liRow(2L, 101L, 8L, 2, 1.0, 1.0, "N"),
+      liRow(3L, 101L, 8L, 1, 1.0, 1.0, "N"))
+      .toDF(liCols: _*))
+    val off = operators.GraphOps.SupplierVertexOffset
+    val out = operators.GraphOps.queries("graph_bfs_distance")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // c30 is 4 hops out — beyond the depth cap, absent from the result
+    assert(out == Map(1L -> 0L, (off + 7L) -> 1L, 20L -> 2L, (off + 8L) -> 3L),
+      s"got $out")
+  }
+
   test("vec_cell_stats assigns every vector to its max-cosine cell") {
     val dir = tempDir()
     import spark.implicits._
