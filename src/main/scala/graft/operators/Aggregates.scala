@@ -4,6 +4,7 @@ import graft._
 import graft.Stable._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** §2.4 — aggregations.
   *
@@ -242,6 +243,36 @@ object Aggregates {
         .orderBy(col("l_returnflag"))
     }),
 
+    // MERGEABLE MOMENTS — the re-aggregation pattern for mean/variance
+    // at scale (the numeric cousin of agg_hll_union): per-nation
+    // partial state (n, Σx, Σx²) accumulates as exact decimals, then
+    // ROLLS UP to region by summing the state — no rescan of raw rows,
+    // and the merge is exact because decimal addition is associative.
+    // Mean/variance derive from the merged state in double only at the
+    // very end (two exact-decimal-derived doubles → identical IEEE
+    // arithmetic in every engine).
+    "agg_moments_mergeable" -> ((s, d) => {
+      val dec = DecimalType(18, 4)
+      val st1 = Tables.customer(s, d)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast(dec)).as("s1"),
+          sum((col("c_acctbal") * col("c_acctbal")).cast(dec)).as("s2"))
+      val st2 = st1
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_regionkey"))
+        .agg(sum(col("n")).as("n"), sum(col("s1")).as("s1"),
+          sum(col("s2")).as("s2"))
+      val mean = col("s1").cast(DoubleType) / col("n")
+      st2.join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name"), col("n"),
+          r4(mean).as("mean_bal"),
+          r4(col("s2").cast(DoubleType) / col("n") - mean * mean).as("var_bal"))
+        .orderBy(col("r_name"))
+    }),
+
     // deterministic mode: the most frequent l_quantity per group, ties
     // broken toward the SMALLEST value — built-in mode() leaves ties
     // engine-defined, so the portable form is count + argmax window.
@@ -377,6 +408,24 @@ object Aggregates {
          |    ${dsumSql("l_quantity")}, 4) AS wavg_price,
          |  count(*) AS n
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_moments_mergeable" ->
+      """WITH st1 AS (
+        |  SELECT c_nationkey, count(*) AS n,
+        |    SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS s1,
+        |    SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(18,4))) AS s2
+        |  FROM customer GROUP BY c_nationkey),
+        |st2 AS (
+        |  SELECT n_regionkey, CAST(SUM(n) AS BIGINT) AS n,
+        |    SUM(s1) AS s1, SUM(s2) AS s2
+        |  FROM st1 JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_regionkey)
+        |SELECT r_name, n,
+        |  round(CAST(s1 AS DOUBLE) / n, 4) AS mean_bal,
+        |  round(CAST(s2 AS DOUBLE) / n
+        |    - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 4) AS var_bal
+        |FROM st2 JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY r_name""".stripMargin,
 
     "agg_mode_deterministic" ->
       """WITH cnt AS (

@@ -322,6 +322,35 @@ object GraphOps {
       connectedComponents(symEdges(s, d), symmetrized = true,
         numParts = graphParts(s, d)).orderBy(col("v"))),
 
+    // degree assortativity — Pearson correlation of endpoint degrees
+    // over the symmetric edge list (do high-degree vertices attach to
+    // high-degree vertices?). All five sufficient statistics (m, Σx,
+    // Σy, Σxy, Σx², Σy²) are EXACT integer sums of integer degrees —
+    // deterministic at any partitioning with zero float discipline
+    // needed — and only the final Pearson formula runs in double
+    // (m·Σxy would overflow int64, so the last step is double by
+    // necessity AND by safety). Two broadcastable degree joins; the
+    // shuffle carries one stats row.
+    "graph_degree_assortativity" -> ((s, d) => {
+      val sym = symEdges(s, d)
+      val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+      val xy = sym
+        .join(deg.select(col("src"), col("dg").as("dx")), Seq("src"))
+        .join(deg.select(col("src").as("dst"), col("dg").as("dy")), Seq("dst"))
+      val st = xy.agg(count(lit(1)).as("m"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+      val m = col("m").cast("double")
+      def dbl(c: String) = col(c).cast("double")
+      st.select(col("m"),
+        Stable.r4((m * dbl("sxy") - dbl("sx") * dbl("sy")) /
+          sqrt((m * dbl("sxx") - dbl("sx") * dbl("sx")) *
+               (m * dbl("syy") - dbl("sy") * dbl("sy"))))
+          .as("assortativity"))
+    }),
+
     // bounded multi-source BFS: min hop-distance ≤ 3 from the seed set
     // (customers with id ≤ 10 present in the graph) over the
     // symmetrized edges. Engine side is min-propagation — each round
@@ -739,6 +768,29 @@ object GraphOps {
          |  UNION
          |  SELECT sym.b, walk.l FROM sym JOIN walk ON sym.a = walk.v)
          |SELECT v, min(l) AS lbl FROM walk GROUP BY v ORDER BY v""".stripMargin,
+
+    "graph_degree_assortativity" ->
+      s"""WITH ed AS ($edgesSql),
+         |sym AS (SELECT src, dst FROM ed
+         |        UNION SELECT dst AS src, src AS dst FROM ed),
+         |deg AS (SELECT src, count(*) AS dg FROM sym GROUP BY src),
+         |xy AS (
+         |  SELECT a.dg AS dx, b.dg AS dy FROM sym
+         |  JOIN deg a ON a.src = sym.src
+         |  JOIN deg b ON b.src = sym.dst),
+         |st AS (
+         |  SELECT count(*) AS m,
+         |    CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+         |    CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+         |    CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+         |    CAST(SUM(dy * dy) AS BIGINT) AS syy
+         |  FROM xy)
+         |SELECT m,
+         |  round((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+         |    sqrt((CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+         |         (CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 4)
+         |    AS assortativity
+         |FROM st""".stripMargin,
 
     "graph_bfs_distance" ->
       s"""WITH RECURSIVE ed AS ($edgesSql),

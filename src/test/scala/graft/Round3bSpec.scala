@@ -244,6 +244,41 @@ class Round3bSpec extends SparkTestBase {
       s"got $out")
   }
 
+  test("agg_moments_mergeable: two-level state merge equals the direct computation") {
+    val dir = sf001
+    import org.apache.spark.sql.functions._
+    val merged = operators.Aggregates.queries("agg_moments_mergeable")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    // direct: one flat aggregate over the joined rows, no intermediate
+    // per-nation state — mergeability means both paths agree exactly
+    val direct = Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, dir), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n"),
+        Stable.r4(Stable.dsum(col("c_acctbal")) / count(lit(1))).as("mean"))
+      .orderBy(col("r_name"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(merged.map(t => (t._1, t._2, t._3)) == direct, s"$merged vs $direct")
+    // variance is non-negative and finite for every region
+    assert(merged.forall(t => t._4 >= 0.0 && !t._4.isNaN))
+  }
+
+  test("graph_degree_assortativity: a star graph is perfectly disassortative") {
+    val dir = tempDir()
+    import spark.implicits._
+    // one order per leaf customer 1..3, all citing supplier 7 → star:
+    // hub degree 3, leaves degree 1, assortativity exactly -1
+    writeFixture(dir, "orders", (1L to 3L).map(i =>
+      (i, i, "O", 1.0, java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), "5-LOW"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"))
+    writeFixture(dir, "lineitem", (1L to 3L).map(i =>
+      liRow(i, 100L, 7L, 1, 1.0, 1.0, "N")).toDF(liCols: _*))
+    val out = operators.GraphOps.queries("graph_degree_assortativity")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(out == Seq((6L, -1.0)), s"got $out")
+  }
+
   test("vec_cell_stats assigns every vector to its max-cosine cell") {
     val dir = tempDir()
     import spark.implicits._
