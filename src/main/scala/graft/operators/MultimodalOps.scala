@@ -73,6 +73,21 @@ object MultimodalOps {
         .orderBy(col("source"))
     }),
 
+    // byte-level payload audit — the storage-side health check that
+    // needs NO decode: per-source payload count, total bytes, and
+    // distinct content fingerprints (uniq < n ⇒ byte-identical
+    // payloads to dedup before any expensive decode). Pure binary
+    // arithmetic → fully oracle-checked like the frame sampler.
+    "multimodal_payload_stats" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("source"), col("text").cast("binary").as("payload"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("payload")).cast("long")).as("total_bytes"),
+          countDistinct(md5(col("payload"))).as("uniq_payloads"))
+        .orderBy(col("source"))
+    }),
+
     // FRAME SAMPLING over an opaque binary stream — the video-style
     // access pattern: fixed-stride 1 KiB "frames" every 4 KiB, each
     // fingerprinted. Pure binary substring arithmetic (codegen'd, no
@@ -107,6 +122,15 @@ object MultimodalOps {
     // VARCHAR: the corpus is verified pure ASCII (octet_length ==
     // length for every doc), so byte offsets == char offsets and
     // md5(varchar) hashes the same bytes Spark's binary slice yields
+    // md5(varchar) == md5 of the UTF-8 bytes Spark hashes via the
+    // binary cast (corpus verified pure ASCII), so the fingerprints
+    // agree byte-for-byte
+    "multimodal_payload_stats" ->
+      """SELECT source, count(*) AS n,
+        |  CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
+        |  count(DISTINCT md5(text)) AS uniq_payloads
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
     "multimodal_frame_sample" ->
       s"""WITH p AS (
          |  SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n_bytes
