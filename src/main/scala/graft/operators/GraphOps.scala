@@ -195,6 +195,53 @@ object GraphOps {
       |JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) y
       |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey""".stripMargin
 
+  /** degree-oriented triangle count over the co-part graph — the
+    * shared engine behind graph_triangles and the clustering
+    * coefficient. Eager by design: the result is one scalar, and
+    * computing it inside the call lets the per-call `dir` cache be
+    * released (even on failure) instead of pinning an O(edges)
+    * relation for the session. */
+  private def triangleCount(s: SparkSession, d: String): Long = {
+    val co = coParts(s, d)
+    val sym = co.select(col("a").as("u"), col("b").as("v"))
+      .union(co.select(col("b").as("u"), col("a").as("v")))
+    // total order = lexicographic (degree, id) via struct comparison
+    // — injective for any id/degree magnitude (an arithmetic
+    // encoding like dg*C+id silently collides once ids exceed C)
+    val vk = sym.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+      .select(col("u").as("vertex"), struct(col("dg"), col("u")).as("k"))
+    val dir = sym
+      .join(vk.select(col("vertex").as("u"), col("k").as("ku")), Seq("u"))
+      .join(vk.select(col("vertex").as("v"), col("k").as("kv")), Seq("v"))
+      .filter(col("ku") < col("kv"))
+      .select(col("u"), col("v"), col("kv"))
+      .cache()
+    val w1 = dir.select(col("u"), col("v").as("x"), col("kv").as("kx"))
+    val w2 = dir.select(col("u"), col("v").as("y"), col("kv").as("ky"))
+    val wedges = w1.join(w2, Seq("u")).filter(col("kx") < col("ky"))
+      .select(col("x"), col("y"))
+    // closing join strategy by MEASURED edge count (dir is cached;
+    // the count is a metadata-cheap action). Small graph: broadcast
+    // the closing edge set so the wedge stream (Σ outdeg² rows) is
+    // filtered map-side and never exchanged. Large graph: pre-
+    // aggregate wedges per (x, y) — map-side combine collapses
+    // duplicate wedges — and shuffle only distinct candidate pairs
+    // into a co-partitioned semi join. Round 1 broadcast
+    // UNCONDITIONALLY — an O(edges) build that OOMs at cluster
+    // scale (and took 118 s under memory pressure on the driver box).
+    val closing = dir.select(col("u").as("x"), col("v").as("y"))
+    try {
+      (if (dir.count() <= edgeCap(s))
+        wedges.join(broadcast(closing), Seq("x", "y"), "left_semi")
+          .agg(count(lit(1)).as("n_triangles"))
+      else
+        wedges.groupBy(col("x"), col("y")).agg(count(lit(1)).as("w"))
+          .join(closing, Seq("x", "y"), "left_semi")
+          .agg(coalesce(sum(col("w")), lit(0L)).as("n_triangles")))
+      .first().getLong(0)
+    } finally dir.unpersist()
+  }
+
   val queries: Map[String, QFn] = Map(
     "graph_edges" -> ((s, d) => {
       edges(s, d).orderBy(col("src"), col("dst"))
@@ -233,50 +280,30 @@ object GraphOps {
     // outdeg = O(√m) — the standard O(m^1.5) triangle algorithm,
     // ~10× faster than naive a<b<c self-joins on skewed graphs.
     "graph_triangles" -> ((s, d) => {
-      val co = coParts(s, d)
-      val sym = co.select(col("a").as("u"), col("b").as("v"))
-        .union(co.select(col("b").as("u"), col("a").as("v")))
-      // total order = lexicographic (degree, id) via struct comparison
-      // — injective for any id/degree magnitude (an arithmetic
-      // encoding like dg*C+id silently collides once ids exceed C)
-      val vk = sym.groupBy(col("u")).agg(count(lit(1)).as("dg"))
-        .select(col("u").as("vertex"), struct(col("dg"), col("u")).as("k"))
-      val dir = sym
-        .join(vk.select(col("vertex").as("u"), col("k").as("ku")), Seq("u"))
-        .join(vk.select(col("vertex").as("v"), col("k").as("kv")), Seq("v"))
-        .filter(col("ku") < col("kv"))
-        .select(col("u"), col("v"), col("kv"))
-        .cache()
-      val w1 = dir.select(col("u"), col("v").as("x"), col("kv").as("kx"))
-      val w2 = dir.select(col("u"), col("v").as("y"), col("kv").as("ky"))
-      val wedges = w1.join(w2, Seq("u")).filter(col("kx") < col("ky"))
-        .select(col("x"), col("y"))
-      // closing join strategy by MEASURED edge count (dir is cached;
-      // the count is a metadata-cheap action). Small graph: broadcast
-      // the closing edge set so the wedge stream (Σ outdeg² rows) is
-      // filtered map-side and never exchanged. Large graph: pre-
-      // aggregate wedges per (x, y) — map-side combine collapses
-      // duplicate wedges — and shuffle only distinct candidate pairs
-      // into a co-partitioned semi join. Round 1 broadcast
-      // UNCONDITIONALLY — an O(edges) build that OOMs at cluster
-      // scale (and took 118 s under memory pressure on the driver box).
-      val closing = dir.select(col("u").as("x"), col("v").as("y"))
-      // the aggregate is a single scalar: computing it eagerly lets the
-      // per-call `dir` cache be released (finally: even a failed action
-      // must not pin an O(edges) relation for the session lifetime)
-      val n =
-        try {
-          (if (dir.count() <= edgeCap(s))
-            wedges.join(broadcast(closing), Seq("x", "y"), "left_semi")
-              .agg(count(lit(1)).as("n_triangles"))
-          else
-            wedges.groupBy(col("x"), col("y")).agg(count(lit(1)).as("w"))
-              .join(closing, Seq("x", "y"), "left_semi")
-              .agg(coalesce(sum(col("w")), lit(0L)).as("n_triangles")))
-          .first().getLong(0)
-        } finally dir.unpersist()
       import s.implicits._
-      Seq(n).toDF("n_triangles")
+      Seq(triangleCount(s, d)).toDF("n_triangles")
+    }),
+
+    // global clustering coefficient = 3·triangles / wedges, with
+    // wedges = Σ_v C(deg_v, 2) over the co-part graph — how much of
+    // the neighborhood structure actually closes. Both sufficient
+    // statistics are exact integers (the triangle count reuses the
+    // degree-oriented O(m^1.5) machinery, the wedge total is one
+    // degree aggregate); only the final ratio is double. Eager scalars
+    // like graph_triangles, for the same cache-release reason.
+    "graph_clustering_coefficient" -> ((s, d) => {
+      val tri = triangleCount(s, d)
+      val co = coParts(s, d)
+      val wedges = co.select(col("a").as("v"))
+        .unionByName(co.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+        .agg(expr("sum((dg * (dg - 1)) div 2)").as("n_wedges"))
+        .first().getLong(0)
+      import s.implicits._
+      Seq((wedges, tri)).toDF("n_wedges", "n_triangles")
+        .select(col("n_wedges"), col("n_triangles"),
+          Stable.r4(lit(3.0) * col("n_triangles") / col("n_wedges"))
+            .as("global_cc"))
     }),
 
     // top supplier pairs by shared customers — joined through the
@@ -768,6 +795,19 @@ object GraphOps {
          |  UNION
          |  SELECT sym.b, walk.l FROM sym JOIN walk ON sym.a = walk.v)
          |SELECT v, min(l) AS lbl FROM walk GROUP BY v ORDER BY v""".stripMargin,
+
+    "graph_clustering_coefficient" ->
+      s"""WITH co AS ($coPartsSql),
+         |deg AS (SELECT v, count(*) AS dg FROM (
+         |  SELECT a AS v FROM co UNION ALL SELECT b FROM co) t GROUP BY v),
+         |w AS (SELECT CAST(SUM((dg * (dg - 1)) // 2) AS BIGINT) AS n_wedges
+         |  FROM deg),
+         |tri AS (SELECT count(*) AS n_triangles
+         |  FROM co ab JOIN co bc ON ab.b = bc.a JOIN co ac
+         |    ON ac.a = ab.a AND ac.b = bc.b)
+         |SELECT n_wedges, n_triangles,
+         |  round(3.0 * n_triangles / n_wedges, 4) AS global_cc
+         |FROM w, tri""".stripMargin,
 
     "graph_degree_assortativity" ->
       s"""WITH ed AS ($edgesSql),

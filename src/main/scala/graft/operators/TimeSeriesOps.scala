@@ -84,6 +84,38 @@ object TimeSeriesOps {
         .orderBy(col("event_type"), col("minute"))
     }),
 
+    // interval union — merge each user's overlapping 30-minute
+    // activity intervals into maximal covered spans (the coverage /
+    // uptime primitive). Gaps-and-islands on intervals: a new island
+    // starts where the event time exceeds the running max of all
+    // previous interval ends; island id = running count of starts.
+    // All arithmetic on epoch µs integers — exact in both engines —
+    // and the event order is the total (t0, event_id).
+    "ts_interval_union" -> ((s, d) => {
+      val SpanUs = 1800000000L // 30 min
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t0"))
+        .withColumn("t1", col("t0") + SpanUs)
+      val wPrev = Window.partitionBy(col("user_id"))
+        .orderBy(col("t0"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy(col("user_id"))
+        .orderBy(col("t0"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val isl = ev
+        .withColumn("starts", when(
+          col("t0") > coalesce(max(col("t1")).over(wPrev), lit(Long.MinValue)),
+          1L).otherwise(0L))
+        .withColumn("isl", sum(col("starts")).over(wRun))
+      isl.groupBy(col("user_id"), col("isl"))
+        .agg(min(col("t0")).as("s"), max(col("t1")).as("e"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(expr("(e - s) div 1000000")).as("covered_s"))
+        .orderBy(col("user_id"))
+    }),
+
     // OHLC bars — the financial downsampling shape: per (series,
     // hour), the opening value (first by event time), high, low, and
     // closing value (last by event time). Open/close are argmin/argmax
@@ -256,6 +288,28 @@ object TimeSeriesOps {
         |  count(*) AS n, min(value) AS min_value, max(value) AS max_value,
         |  round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY event_type, minute""".stripMargin,
+
+    "ts_interval_union" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t0,
+        |    epoch_us(ts) + 1800000000 AS t1
+        |  FROM events),
+        |isl AS (
+        |  SELECT user_id, t0, t1,
+        |    SUM(starts) OVER (PARTITION BY user_id ORDER BY t0, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |  FROM (
+        |    SELECT *, CASE WHEN t0 > coalesce(max(t1) OVER (
+        |        PARTITION BY user_id ORDER BY t0, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |        -9223372036854775808) THEN 1 ELSE 0 END AS starts
+        |    FROM ev) t),
+        |runs AS (
+        |  SELECT user_id, isl, min(t0) AS s, max(t1) AS e
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_intervals,
+        |  CAST(SUM((e - s) // 1000000) AS BIGINT) AS covered_s
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "ts_ohlc_bars" ->
       """WITH e AS (

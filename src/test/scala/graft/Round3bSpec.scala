@@ -244,6 +244,41 @@ class Round3bSpec extends SparkTestBase {
       s"got $out")
   }
 
+  test("ts_interval_union merges overlapping spans and sums exact coverage") {
+    val dir = tempDir()
+    import spark.implicits._
+    val base = 1700000000000000000L
+    def ns(min: Long) = base + min * 60L * 1000000000L
+    writeFixture(dir, "events", Seq(
+      (1L, ns(0), 1L, "view", 1.0, "{}"),    // [0, 30)
+      (2L, ns(10), 1L, "view", 1.0, "{}"),   // [10, 40) — overlaps → merge
+      (3L, ns(100), 1L, "view", 1.0, "{}"),  // [100, 130) — new island
+      (4L, ns(0), 2L, "view", 1.0, "{}"))    // user 2: one interval
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val out = operators.TimeSeriesOps.queries("ts_interval_union")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // user 1: [0,40) ∪ [100,130) = 2400 s + 1800 s
+    assert(out == Map(1L -> ((2L, 4200L)), 2L -> ((1L, 1800L))), s"got $out")
+  }
+
+  test("graph_clustering_coefficient: a closed triangle has cc = 1") {
+    val dir = tempDir()
+    import spark.implicits._
+    // one order with parts {100, 101, 102} → co-part graph = K3:
+    // 3 wedges, 1 triangle, global cc = 3·1/3 = 1.0
+    writeFixture(dir, "orders", Seq(
+      (1L, 1L, "O", 1.0, java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), "5-LOW"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"))
+    writeFixture(dir, "lineitem", Seq(
+      liRow(1L, 100L, 7L, 1, 1.0, 1.0, "N"),
+      liRow(1L, 101L, 7L, 2, 1.0, 1.0, "N"),
+      liRow(1L, 102L, 7L, 3, 1.0, 1.0, "N"))
+      .toDF(liCols: _*))
+    val out = operators.GraphOps.queries("graph_clustering_coefficient")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq((3L, 1L, 1.0)), s"got $out")
+  }
+
   test("agg_moments_mergeable: two-level state merge equals the direct computation") {
     val dir = sf001
     import org.apache.spark.sql.functions._
