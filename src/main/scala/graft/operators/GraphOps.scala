@@ -195,13 +195,27 @@ object GraphOps {
       |JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) y
       |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey""".stripMargin
 
+  /** memoized per (session, dir) like the edge caches — but holding
+    * the SCALAR census, not a relation: the count is a pure function
+    * of the input dir, graph_triangles and the clustering coefficient
+    * both need it, and re-running the O(m^1.5) wedge join to recompute
+    * one long would double the bench's heaviest query for nothing */
+  private val triCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+
+  private def triangleCount(s: SparkSession, d: String): Long = {
+    triCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    triCache.getOrElseUpdate((s, d), triangleCountUncached(s, d))
+  }
+
   /** degree-oriented triangle count over the co-part graph — the
     * shared engine behind graph_triangles and the clustering
     * coefficient. Eager by design: the result is one scalar, and
     * computing it inside the call lets the per-call `dir` cache be
     * released (even on failure) instead of pinning an O(edges)
-    * relation for the session. */
-  private def triangleCount(s: SparkSession, d: String): Long = {
+    * relation for the session. private[graft] so GraphSpec can drive
+    * the broadcast-vs-shuffle closing paths PAST the scalar memo. */
+  private[graft] def triangleCountUncached(s: SparkSession, d: String): Long = {
     val co = coParts(s, d)
     val sym = co.select(col("a").as("u"), col("b").as("v"))
       .union(co.select(col("b").as("u"), col("a").as("v")))

@@ -109,11 +109,13 @@ class GraphSpec extends SparkTestBase {
     assert(tri == 1L, s"expected exactly the {100,101,102} triangle, got $tri")
 
     // the cluster-scale closing path (wedge pre-aggregation + shuffle
-    // semi join) must count the same triangles as the broadcast path
+    // semi join) must count the same triangles as the broadcast path.
+    // Call the UNCACHED census directly: the query key serves the
+    // per-(session, dir) scalar memo, which would short-circuit the
+    // second path entirely
     spark.conf.set(GraphOps.BroadcastEdgeMaxRowsKey, "0")
     try {
-      val triS = operators.GraphOps.queries("graph_triangles")(spark, dir)
-        .collect()(0).getLong(0)
+      val triS = operators.GraphOps.triangleCountUncached(spark, dir)
       assert(triS == 1L, s"shuffle closing path diverged: $triS")
     } finally spark.conf.unset(GraphOps.BroadcastEdgeMaxRowsKey)
 
