@@ -97,6 +97,11 @@ object DedupOps {
   private val canonCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** see GraphOps.clearMemos — Bench drops all session memos after
+    * its warmup pass */
+  private[graft] def clearMemos(s: SparkSession): Unit =
+    canonCache.filterInPlace { case ((sess, _), _) => sess != s }
+
   private def clusterCanonical(s: SparkSession, d: String): DataFrame =
     GraphOps.memo(canonCache, (s, d)) {
       val pairs = jaccardPairs(shingleSets(s, d, cap = 200L), 0.3)

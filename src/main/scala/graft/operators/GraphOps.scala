@@ -3,6 +3,7 @@ package graft.operators
 import graft._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** §2.10 — graph operators over the citation-graph stand-in.
   *
@@ -44,11 +45,23 @@ object GraphOps {
     * stopped — without this the session-keyed maps would strongly
     * retain DataFrames (and their plans) of dead sessions for the JVM
     * lifetime. Shared with DedupOps' cluster-label memo. */
-  private[operators] def memo(
-      cache: scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame],
-      key: (SparkSession, String))(build: => DataFrame): DataFrame = {
+  private[operators] def memo[V](
+      cache: scala.collection.concurrent.TrieMap[(SparkSession, String), V],
+      key: (SparkSession, String))(build: => V): V = {
     cache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     cache.getOrElseUpdate(key, build)
+  }
+
+  /** drop every session-lifetime memo for `s` — Bench calls this after
+    * its warmup pass so that, even when the warmup dir EQUALS the
+    * timed dir, no timed query reads a pre-computed scalar or a
+    * memoized-but-uncached relation (clearCache() strips the cache
+    * markers; without this the memoized DataFrames would recompute
+    * uncached on every timed action) */
+  private[graft] def clearMemos(s: SparkSession): Unit = {
+    Seq(edgeCache, symCache, cappedCache, coCiteCache)
+      .foreach(_.filterInPlace { case ((sess, _), _) => sess != s })
+    triCache.filterInPlace { case ((sess, _), _) => sess != s }
   }
 
   /** supplier-vertex offset: must exceed the max customer key at ANY
@@ -203,10 +216,8 @@ object GraphOps {
   private val triCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
 
-  private def triangleCount(s: SparkSession, d: String): Long = {
-    triCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-    triCache.getOrElseUpdate((s, d), triangleCountUncached(s, d))
-  }
+  private def triangleCount(s: SparkSession, d: String): Long =
+    memo(triCache, (s, d))(triangleCountUncached(s, d))
 
   /** degree-oriented triangle count over the co-part graph — the
     * shared engine behind graph_triangles and the clustering
@@ -308,16 +319,21 @@ object GraphOps {
     "graph_clustering_coefficient" -> ((s, d) => {
       val tri = triangleCount(s, d)
       val co = coParts(s, d)
+      // coalesce: sum over ZERO degree rows (empty co-part graph) is
+      // NULL — same guard triangleCount's shuffle branch carries
       val wedges = co.select(col("a").as("v"))
         .unionByName(co.select(col("b").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("dg"))
-        .agg(expr("sum((dg * (dg - 1)) div 2)").as("n_wedges"))
+        .agg(coalesce(expr("sum((dg * (dg - 1)) div 2)"), lit(0L))
+          .as("n_wedges"))
         .first().getLong(0)
+      // a wedge-free graph has nothing to close: cc = 0 by convention
+      // (avoids 0/0 → NaN), mirrored in the oracle CASE
+      val cc = if (wedges == 0L) 0.0 else 3.0 * tri / wedges
       import s.implicits._
       Seq((wedges, tri)).toDF("n_wedges", "n_triangles")
         .select(col("n_wedges"), col("n_triangles"),
-          Stable.r4(lit(3.0) * col("n_triangles") / col("n_wedges"))
-            .as("global_cc"))
+          Stable.r4(lit(cc)).as("global_cc"))
     }),
 
     // top supplier pairs by shared customers — joined through the
@@ -366,13 +382,16 @@ object GraphOps {
     // degree assortativity — Pearson correlation of endpoint degrees
     // over the symmetric edge list (do high-degree vertices attach to
     // high-degree vertices?). All five sufficient statistics (m, Σx,
-    // Σy, Σxy, Σx², Σy²) are EXACT integer sums of integer degrees —
-    // deterministic at any partitioning with zero float discipline
-    // needed — and only the final Pearson formula runs in double
-    // (m·Σxy would overflow int64, so the last step is double by
-    // necessity AND by safety). Two broadcastable degree joins; the
-    // shuffle carries one stats row.
+    // Σy, Σxy, Σx², Σy²) are EXACT sums — deterministic at any
+    // partitioning with zero float discipline needed — and only the
+    // final Pearson formula runs in double. The product sums
+    // accumulate as DECIMAL(38,0) (Spark) / HUGEINT (oracle): a
+    // degree-1e6 hub alone pushes Σ(dx·dy) toward 1e18, so int64
+    // accumulation would wrap silently at exactly the scale this
+    // operator documents itself for. Two broadcastable degree joins;
+    // the shuffle carries one stats row.
     "graph_degree_assortativity" -> ((s, d) => {
+      val dec = DecimalType(38, 0)
       val sym = symEdges(s, d)
       val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("dg"))
       val xy = sym
@@ -380,9 +399,9 @@ object GraphOps {
         .join(deg.select(col("src").as("dst"), col("dg").as("dy")), Seq("dst"))
       val st = xy.agg(count(lit(1)).as("m"),
         sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
-        sum(col("dx") * col("dy")).as("sxy"),
-        sum(col("dx") * col("dx")).as("sxx"),
-        sum(col("dy") * col("dy")).as("syy"))
+        sum(col("dx").cast(dec) * col("dy").cast(dec)).as("sxy"),
+        sum(col("dx").cast(dec) * col("dx").cast(dec)).as("sxx"),
+        sum(col("dy").cast(dec) * col("dy").cast(dec)).as("syy"))
       val m = col("m").cast("double")
       def dbl(c: String) = col(c).cast("double")
       st.select(col("m"),
@@ -814,13 +833,14 @@ object GraphOps {
       s"""WITH co AS ($coPartsSql),
          |deg AS (SELECT v, count(*) AS dg FROM (
          |  SELECT a AS v FROM co UNION ALL SELECT b FROM co) t GROUP BY v),
-         |w AS (SELECT CAST(SUM((dg * (dg - 1)) // 2) AS BIGINT) AS n_wedges
-         |  FROM deg),
+         |w AS (SELECT CAST(coalesce(SUM((dg * (dg - 1)) // 2), 0) AS BIGINT)
+         |  AS n_wedges FROM deg),
          |tri AS (SELECT count(*) AS n_triangles
          |  FROM co ab JOIN co bc ON ab.b = bc.a JOIN co ac
          |    ON ac.a = ab.a AND ac.b = bc.b)
          |SELECT n_wedges, n_triangles,
-         |  round(3.0 * n_triangles / n_wedges, 4) AS global_cc
+         |  CASE WHEN n_wedges = 0 THEN 0.0
+         |       ELSE round(3.0 * n_triangles / n_wedges, 4) END AS global_cc
          |FROM w, tri""".stripMargin,
 
     "graph_degree_assortativity" ->
@@ -835,9 +855,9 @@ object GraphOps {
          |st AS (
          |  SELECT count(*) AS m,
          |    CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
-         |    CAST(SUM(dx * dy) AS BIGINT) AS sxy,
-         |    CAST(SUM(dx * dx) AS BIGINT) AS sxx,
-         |    CAST(SUM(dy * dy) AS BIGINT) AS syy
+         |    SUM(CAST(dx AS HUGEINT) * dy) AS sxy,
+         |    SUM(CAST(dx AS HUGEINT) * dx) AS sxx,
+         |    SUM(CAST(dy AS HUGEINT) * dy) AS syy
          |  FROM xy)
          |SELECT m,
          |  round((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /

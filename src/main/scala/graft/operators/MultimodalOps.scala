@@ -118,10 +118,6 @@ object MultimodalOps {
     * mapPartitions decode paths stay rows-only (MultimodalSpec covers
     * the feature math). */
   val oracle: Map[String, String] = Map(
-    // DuckDB 1.0 has no BLOB substring, so the oracle slices the
-    // VARCHAR: the corpus is verified pure ASCII (octet_length ==
-    // length for every doc), so byte offsets == char offsets and
-    // md5(varchar) hashes the same bytes Spark's binary slice yields
     // md5(varchar) == md5 of the UTF-8 bytes Spark hashes via the
     // binary cast (corpus verified pure ASCII), so the fingerprints
     // agree byte-for-byte
@@ -131,6 +127,10 @@ object MultimodalOps {
         |  count(DISTINCT md5(text)) AS uniq_payloads
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
+    // DuckDB 1.0 has no BLOB substring, so the oracle slices the
+    // VARCHAR: the corpus is verified pure ASCII (octet_length ==
+    // length for every doc), so byte offsets == char offsets and
+    // md5(varchar) hashes the same bytes Spark's binary slice yields
     "multimodal_frame_sample" ->
       s"""WITH p AS (
          |  SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n_bytes

@@ -197,9 +197,11 @@ object TextOps {
     // publishes with a dataset release: document and token volume,
     // language spread, train-split share (the same deterministic
     // split rule as text_split_assign), and exact-duplicate count
-    // within the source. One scan + two hash aggregates; the dup
-    // detection groups on (source, md5) so the shuffle carries
-    // fingerprints, never text.
+    // within the source. ONE scan feeding two hash aggregates (the
+    // language spread rides the main aggregate — a second scan just
+    // for countDistinct(lang) would dominate the query at corpus
+    // scale); the dup detection groups on (source, md5) so the
+    // shuffle carries fingerprints, never text.
     "pipeline_dataset_card" -> ((s, d) => {
       val base = splitAssign(s, d)
         .withColumn("ntok", size(split(col("text"), " ")))
@@ -207,15 +209,13 @@ object TextOps {
       val main = base.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("ntok").cast("long")).as("total_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
           count_if(col("split") === "train").as("n_train"))
-      val langs = Tables.documents(s, d).groupBy(col("source"))
-        .agg(countDistinct(col("lang")).as("n_langs"))
       val dups = base.groupBy(col("source"), col("h"))
         .agg(count(lit(1)).as("nh"))
         .filter(col("nh") > 1)
         .groupBy(col("source")).agg(sum(col("nh")).as("n_dup_docs"))
-      main.join(langs, Seq("source"))
-        .join(dups, Seq("source"), "left")
+      main.join(dups, Seq("source"), "left")
         .select(col("source"), col("n_docs"), col("total_tokens"),
           col("n_langs"), col("n_train"),
           coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"))
@@ -284,10 +284,10 @@ object TextOps {
   private[operators] def splitAssign(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), col("text"),
+      .select(col("doc_id"), col("source"), col("lang"), col("text"),
         pmod(pmod(col("doc_id"), lit(100000000L)) * lit(2654435761L), lit(100L))
           .as("bucket"))
-      .select(col("doc_id"), col("source"), col("text"),
+      .select(col("doc_id"), col("source"), col("lang"), col("text"),
         when(col("bucket") < 80, "train")
           .when(col("bucket") < 90, "val")
           .otherwise("test").as("split"))
@@ -449,19 +449,16 @@ object TextOps {
          |main AS (
          |  SELECT source, count(*) AS n_docs,
          |    CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+         |    count(DISTINCT lang) AS n_langs,
          |    count(*) FILTER (WHERE split = 'train') AS n_train
          |  FROM base GROUP BY source),
-         |langs AS (
-         |  SELECT source, count(DISTINCT lang) AS n_langs
-         |  FROM documents GROUP BY source),
          |dups AS (
          |  SELECT source, CAST(SUM(nh) AS BIGINT) AS n_dup_docs FROM (
          |    SELECT source, h, count(*) AS nh FROM base GROUP BY 1, 2
          |    ) g WHERE nh > 1 GROUP BY source)
-         |SELECT m.source, m.n_docs, m.total_tokens, l.n_langs, m.n_train,
+         |SELECT m.source, m.n_docs, m.total_tokens, m.n_langs, m.n_train,
          |  coalesce(d.n_dup_docs, 0) AS n_dup_docs
-         |FROM main m JOIN langs l USING (source)
-         |LEFT JOIN dups d USING (source)
+         |FROM main m LEFT JOIN dups d USING (source)
          |ORDER BY m.source""".stripMargin,
 
     "text_entropy_stats" ->

@@ -116,9 +116,13 @@ object Windows {
     // pattern: island id = rn(user) − rn(user, type) is constant
     // exactly within a run of consecutive equal types. Event order is
     // the total (ts, event_id), so ties cannot reshape islands; the
-    // per-user argmax breaks length ties toward the first island in
-    // event order (then type) for full determinism. Two window passes
-    // + two hash aggregates, all partitioned by user — one shuffle.
+    // per-user argmax breaks length ties toward the first run IN EVENT
+    // ORDER — keyed by the run's (min ts, min event_id), NOT by
+    // event_id alone, whose numbering need not follow time. Runs of
+    // one user occupy disjoint consecutive spans, so min-ts ordering
+    // is exactly first-in-event-order; min event_id (globally unique)
+    // settles equal-boundary-timestamp runs. Two window passes + two
+    // hash aggregates, all partitioned by user — one shuffle.
     "win_conditional_streak" -> ((s, d) => {
       val wAll = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
@@ -129,9 +133,10 @@ object Windows {
         .withColumn("grp",
           row_number().over(wAll) - row_number().over(wTyp))
       val runs = islands.groupBy(col("user_id"), col("event_type"), col("grp"))
-        .agg(count(lit(1)).as("len"), min(col("event_id")).as("first_ev"))
+        .agg(count(lit(1)).as("len"), min(col("ts")).as("first_ts"),
+          min(col("event_id")).as("first_ev"))
       val wBest = Window.partitionBy(col("user_id"))
-        .orderBy(desc("len"), col("first_ev"), col("event_type"))
+        .orderBy(desc("len"), col("first_ts"), col("first_ev"))
       runs.withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
         .select(col("user_id"), col("event_type").as("streak_type"),
           col("len").as("streak_len"))
@@ -227,17 +232,17 @@ object Windows {
 
     "win_conditional_streak" ->
       """WITH islands AS (
-        |  SELECT user_id, event_type, event_id,
+        |  SELECT user_id, event_type, ts, event_id,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |    - row_number() OVER (PARTITION BY user_id, event_type
         |        ORDER BY ts, event_id) AS grp
         |  FROM events),
         |runs AS (
         |  SELECT user_id, event_type, grp, count(*) AS len,
-        |    min(event_id) AS first_ev
+        |    min(ts) AS first_ts, min(event_id) AS first_ev
         |  FROM islands GROUP BY 1, 2, 3)
         |SELECT user_id, event_type AS streak_type, len AS streak_len FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id
-        |    ORDER BY len DESC, first_ev, event_type) AS rn FROM runs) t
+        |    ORDER BY len DESC, first_ts, first_ev) AS rn FROM runs) t
         |WHERE rn = 1 ORDER BY user_id""".stripMargin)
 }
