@@ -59,7 +59,7 @@ object GraphOps {
     * markers; without this the memoized DataFrames would recompute
     * uncached on every timed action) */
   private[graft] def clearMemos(s: SparkSession): Unit = {
-    Seq(edgeCache, symCache, cappedCache, coCiteCache)
+    Seq(edgeCache, symCache, cappedCache, coCiteCache, coPartCache)
       .foreach(_.filterInPlace { case ((sess, _), _) => sess != s })
     triCache.filterInPlace { case ((sess, _), _) => sess != s }
   }
@@ -193,14 +193,22 @@ object GraphOps {
     """SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000000000 AS dst
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
 
-  /** undirected co-order part pairs, oriented a < b */
-  private def coParts(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")).distinct()
-    val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("a"))
-    val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("b"))
-    a.join(b, Seq("ok")).filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
-  }
+  /** undirected co-order part pairs, oriented a < b — memoized+cached
+    * like [[edges]] (bounded: one distinct-pair relation per dir): the
+    * triangle census consumes it twice per computation (orientation +
+    * closing) and the clustering coefficient adds a degree pass, so an
+    * unmemoized derivation re-runs the co-order self-join each time */
+  private val coPartCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def coParts(s: SparkSession, d: String): DataFrame =
+    memo(coPartCache, (s, d)) {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")).distinct()
+      val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("a"))
+      val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("b"))
+      a.join(b, Seq("ok")).filter(col("a") < col("b"))
+        .select(col("a"), col("b")).distinct().cache()
+    }
 
   private val coPartsSql =
     """SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
