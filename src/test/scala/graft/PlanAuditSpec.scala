@@ -142,6 +142,36 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Window"), s"the per-vector argmax must be an aggregate:\n$p")
   }
 
+  test("win_conditional_streak: one user-key shuffle feeds both window passes") {
+    val p = plan("win_conditional_streak")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"gaps-and-islands must not join at all:\n$p")
+    assert(p.linesIterator.count(_.contains("Window")) >= 2,
+      s"expected the rn-pair and argmax window passes:\n$p")
+  }
+
+  test("ts_interval_union: interval merge is window passes, no self-join") {
+    val p = plan("ts_interval_union")
+    assert(!p.contains("Join"), s"coverage must not pair intervals via a join:\n$p")
+    assert(p.contains("Window"), s"expected the running-max/island windows:\n$p")
+  }
+
+  test("agg_moments_mergeable: dimensions broadcast; two aggregate levels merge state") {
+    val p = plan("agg_moments_mergeable")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"nation/region dims must broadcast:\n$p")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4,
+      s"expected partial+final pairs at both rollup levels:\n$p")
+  }
+
+  test("graph_degree_assortativity / graph_bfs_distance: equi-joins only, never a cartesian") {
+    for (q <- Seq("graph_degree_assortativity", "graph_bfs_distance")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must stay on hash/merge equi-joins:\n$p")
+    }
+  }
+
   test("whole-stage codegen covers the relational hot path") {
     // AQE wraps the plan in AdaptiveSparkPlan and only materializes
     // codegen per query stage at runtime; disable it here so the
