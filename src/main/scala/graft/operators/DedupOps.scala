@@ -265,6 +265,20 @@ object DedupOps {
     "dedup_cluster_canonical" -> ((s, d) =>
       clusterCanonical(s, d).orderBy(col("doc_id"))),
 
+    // cluster-size histogram over the same labels — the release
+    // metric a dedup pass publishes ("how much of the corpus sits in
+    // near-dup clusters of size k"): cluster sizes, then counts per
+    // size. Rides the memoized labels; two tiny hash aggregates, no
+    // new propagation.
+    "dedup_cluster_stats" -> ((s, d) => {
+      val sizes = clusterCanonical(s, d)
+        .groupBy(col("canonical_id")).agg(count(lit(1)).as("cluster_size"))
+      sizes.groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          (col("cluster_size") * count(lit(1))).as("n_docs"))
+        .orderBy(col("cluster_size"))
+    }),
+
     // CAPSTONE COMPOSITE — the cleaned-corpus materialization a
     // training pipeline actually ships: keep a doc iff (a) it is its
     // near-dup cluster's canonical representative (min doc_id, see
@@ -391,6 +405,14 @@ object DedupOps {
     "dedup_cluster_canonical" ->
       s"""WITH RECURSIVE $clusterCtesSql
          |SELECT doc_id, canonical_id FROM canon ORDER BY doc_id""".stripMargin,
+
+    "dedup_cluster_stats" ->
+      s"""WITH RECURSIVE $clusterCtesSql,
+         |sizes AS (SELECT canonical_id, count(*) AS cluster_size
+         |          FROM canon GROUP BY canonical_id)
+         |SELECT cluster_size, count(*) AS n_clusters,
+         |  cluster_size * count(*) AS n_docs
+         |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
 
     "pipeline_clean_corpus" ->
       s"""WITH RECURSIVE $clusterCtesSql,

@@ -178,6 +178,22 @@ class Round3bSpec extends SparkTestBase {
     assert(out("s1") == ((1L, 3L, 1L, 0L)), s"got ${out("s1")}")
   }
 
+  test("dedup_cluster_stats: size histogram over planted near-dup clusters") {
+    val dir = tempDir()
+    import spark.implicits._
+    // docs 1+2 share all bigrams (one cluster of 2); 3 and 4 are
+    // disjoint singletons → histogram: size 1 × 2 clusters, size 2 × 1
+    writeFixture(dir, "documents", Seq(
+      doc(1L, "alpha beta gamma delta"),
+      doc(2L, "alpha beta gamma delta"),
+      doc(3L, "epsilon zeta eta theta"),
+      doc(4L, "iota kappa lambda mu"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = operators.DedupOps.queries("dedup_cluster_stats")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 2L, 2L), (2L, 1L, 2L)), s"got $out")
+  }
+
   test("labelPropagation: two bridged cliques settle into two communities") {
     import spark.implicits._
     // 4-cliques {1,2,3,4} and {5,6,7,8} bridged by 4–5. Hand-simulated
