@@ -193,6 +193,33 @@ object TextOps {
         .orderBy(col("lang"), col("rn"))
     }),
 
+    // Count-Min frequent terms — the sketch-vs-exact audit: one
+    // constant-memory mergeable sketch pass over the token stream
+    // (functions.CountMinAgg: d·w longs of partial-agg state per
+    // partition regardless of vocabulary — the estimate never
+    // undercounts), compared against the exact top-10. Exact counting
+    // shuffles one pair per DISTINCT term; at web-scale vocabularies
+    // the sketch is what survives. The two bounded driver-side
+    // collects are a 10-row top list and ONE 32 KB sketch row — both
+    // constant in corpus size. No oracle (the bucket layout is
+    // JVM-hash-defined); Round3bSpec pins est == exact on a
+    // collision-free fixture and est ≥ exact always.
+    "text_cm_frequent_terms" -> ((s, d) => {
+      import s.implicits._
+      val D = 4; val W = 1024
+      val tok = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("term"))
+      val sketch = tok.as[String]
+        .select(new graft.functions.CountMinAgg(D, W).toColumn).head()
+      val exact = tok.groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("term")).limit(10)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      exact.toSeq.map { case (t, n) =>
+        (t, n, graft.functions.CountMinAgg.estimate(sketch, t, D, W))
+      }.toDF("term", "exact_n", "cm_est")
+        .orderBy(desc("exact_n"), asc("term"))
+    }),
+
     // dataset card — the per-source summary a training pipeline
     // publishes with a dataset release: document and token volume,
     // language spread, train-split share (the same deterministic

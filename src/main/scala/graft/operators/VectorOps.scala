@@ -6,6 +6,7 @@ import graft.functions.CosineSimilarity
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.DecimalType
 
 /** §2.11 similarity search over the embedding column.
   *
@@ -165,6 +166,55 @@ object VectorOps {
         .agg(count(lit(1)).as("n"),
           r4(davg(col("cos"))).as("avg_cos"),
           r4(min(col("cos"))).as("min_cos"))
+        .orderBy(col("cell"))
+    }),
+
+    // K-MEANS CODEBOOK TRAINING — the production IVF path round 1
+    // lacked (its codebook is the √N lowest ids, chosen to stay
+    // oracle-checkable): 3 Lloyd iterations with deterministic
+    // lowest-id initialization. Every step is order-independent by
+    // construction — assignment argmax on the ROUNDED cosine with
+    // c_id tie-break, and centroid updates as exact DECIMAL(28,8)
+    // component sums (float inputs are double-exact; the decimal sum
+    // is associative) divided by exact counts — so the trained
+    // codebook is bit-identical across runs, partitionings, and
+    // cluster layouts, which is what makes the determinism double-run
+    // gate passable for an ITERATIVE float computation. Per iteration:
+    // one broadcast of k centroids + one corpus scan + a (cell, dim)
+    // hash agg (shuffle ∝ k·64, never ∝ corpus). Output: per-cell
+    // population and mean cosine-to-centroid after training. No oracle
+    // (k-means is not ANSI-SQL-expressible); VectorMultimodalSpec
+    // plants two separated direction clusters and checks recovery.
+    "vec_kmeans_cells" -> ((s, d) => {
+      CosineSimilarity.register(s)
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val k = math.ceil(math.sqrt(e.count().toDouble)).toInt
+      var centroids = e.orderBy(col("vec_id")).limit(k)
+        .select(col("vec_id").cast("int").as("c_id"), col("embedding").as("ce"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(desc("ccos"), asc("c_id"))
+      def assign(cents: org.apache.spark.sql.DataFrame) =
+        e.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("embedding"), col("c_id"),
+            round(cosine("ce", "embedding"), 4).as("ccos"))
+          .withColumn("rn", row_number().over(wAssign))
+          .filter(col("rn") === 1)
+      for (_ <- 1 to 3) {
+        val members = assign(centroids)
+          .select(col("c_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        // exact decimal mean per (cell, dimension) — order-independent
+        // (float components are double-exact; the final double→float
+        // narrowing is deterministic rounding)
+        val dims = members.groupBy(col("c_id"), col("pos"))
+          .agg((sum(col("x").cast(DecimalType(28, 8))).cast("double") /
+            count(lit(1))).as("m"))
+        centroids = dims.groupBy(col("c_id"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), p -> p.m)")
+            .cast("array<float>").as("ce"))
+      }
+      assign(centroids)
+        .groupBy(col("c_id").as("cell"))
+        .agg(count(lit(1)).as("n"), r4(davg(col("ccos"))).as("avg_cos"))
         .orderBy(col("cell"))
     }),
 

@@ -178,6 +178,34 @@ class Round3bSpec extends SparkTestBase {
     assert(out("s1") == ((1L, 3L, 1L, 0L)), s"got ${out("s1")}")
   }
 
+  test("text_cm_frequent_terms: count-min estimates never undercount; exact on a tiny vocab") {
+    val dir = tempDir()
+    import spark.implicits._
+    writeFixture(dir, "documents", Seq(
+      doc(1L, "apple apple apple pear"),
+      doc(2L, "apple pear plum"),
+      doc(3L, "plum plum quince"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = operators.TextOps.queries("text_cm_frequent_terms")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    // count-min guarantee: min-of-cells can never undercount
+    assert(out.forall { case (_, n, est) => est >= n }, s"got ${out.toSeq}")
+    // 4 terms in a 1024-wide sketch: collision-free, so est == exact
+    val m = out.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(m("apple") == ((4L, 4L)) && m("plum") == ((3L, 3L)) &&
+      m("pear") == ((2L, 2L)) && m("quince") == ((1L, 1L)), s"got $m")
+    // merge soundness: the distributed sketch (many partitions) must
+    // equal a single-pass local sketch
+    val local = new graft.functions.CountMinAgg(4, 1024)
+    val terms = Seq("apple", "apple", "apple", "pear", "apple", "pear",
+      "plum", "plum", "plum", "quince")
+    val s1 = terms.take(5).foldLeft(local.zero)(local.reduce)
+    val s2 = terms.drop(5).foldLeft(local.zero)(local.reduce)
+    val merged = local.merge(s1, s2)
+    assert(graft.functions.CountMinAgg.estimate(merged, "apple", 4, 1024) == 4L)
+  }
+
   test("dedup_cluster_stats: size histogram over planted near-dup clusters") {
     val dir = tempDir()
     import spark.implicits._

@@ -142,6 +142,27 @@ class VectorMultimodalSpec extends SparkTestBase {
     assert(fb.width >= 64 && fb.width < 128) // opaque stub dims, not -2147483647
   }
 
+  test("vec_kmeans_cells recovers two planted direction clusters deterministically") {
+    val dir = tempDir()
+    // 4 vectors, ids interleaved so the lowest-sqrt(4)=2 ids seed one
+    // centroid per true cluster: A ≈ +x (ids 0, 2), B ≈ +y (ids 1, 3)
+    writeFixture(dir, "embeddings", vecDf(
+      (0L, Seq(1f, 0.05f, 0f, 0f), 0),
+      (1L, Seq(0.05f, 1f, 0f, 0f), 0),
+      (2L, Seq(1f, 0.1f, 0f, 0f), 0),
+      (3L, Seq(0.1f, 1f, 0f, 0f), 0)))
+    val run1 = operators.VectorOps.queries("vec_kmeans_cells")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    // both cells keep their two members, tightly clustered around the
+    // trained centroid
+    assert(run1.map(t => (t._1, t._2)) == Seq((0, 2L), (1, 2L)), s"got $run1")
+    assert(run1.forall(_._3 >= 0.99), s"expected tight cells, got $run1")
+    // the decimal-exact updates make the whole iteration reproducible
+    val run2 = operators.VectorOps.queries("vec_kmeans_cells")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(run2 == run1)
+  }
+
   test("multimodal_features runs the typed mapPartitions pipeline end-to-end") {
     val out = operators.MultimodalOps.queries("multimodal_features")(spark, sf001)
     assert(out.count() == 500)
