@@ -56,6 +56,7 @@ object Bench {
     spark.catalog.clearCache()
     graft.operators.GraphOps.clearMemos(spark)
     graft.operators.DedupOps.clearMemos(spark)
+    graft.operators.VectorOps.clearMemos(spark)
     System.gc()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -187,35 +187,33 @@ object VectorOps {
     // plants two separated direction clusters and checks recovery.
     "vec_kmeans_cells" -> ((s, d) => {
       CosineSimilarity.register(s)
-      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val k = math.ceil(math.sqrt(e.count().toDouble)).toInt
-      var centroids = e.orderBy(col("vec_id")).limit(k)
-        .select(col("vec_id").cast("int").as("c_id"), col("embedding").as("ce"))
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(desc("ccos"), asc("c_id"))
-      def assign(cents: org.apache.spark.sql.DataFrame) =
-        e.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("embedding"), col("c_id"),
-            round(cosine("ce", "embedding"), 4).as("ccos"))
-          .withColumn("rn", row_number().over(wAssign))
-          .filter(col("rn") === 1)
-      for (_ <- 1 to 3) {
-        val members = assign(centroids)
-          .select(col("c_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        // exact decimal mean per (cell, dimension) — order-independent
-        // (float components are double-exact; the final double→float
-        // narrowing is deterministic rounding)
-        val dims = members.groupBy(col("c_id"), col("pos"))
-          .agg((sum(col("x").cast(DecimalType(28, 8))).cast("double") /
-            count(lit(1))).as("m"))
-        centroids = dims.groupBy(col("c_id"))
-          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), p -> p.m)")
-            .cast("array<float>").as("ce"))
-      }
-      assign(centroids)
+      assignToCodebook(s, trainedCodebook(s, d), d)
         .groupBy(col("c_id").as("cell"))
         .agg(count(lit(1)).as("n"), r4(davg(col("ccos"))).as("avg_cos"))
         .orderBy(col("cell"))
+    }),
+
+    // ANN search over the TRAINED codebook — the end-to-end production
+    // IVF path: k-means cells (shared, memoized training) + exact
+    // top-1 within each cell, same search shape as `vec_ann_ivf` but
+    // with data-adapted cell boundaries instead of lowest-id seeds.
+    // No oracle (k-means is not SQL-expressible); VectorMultimodalSpec
+    // checks the planted-cluster neighbors match brute force.
+    "vec_ann_ivf_trained" -> ((s, d) => {
+      CosineSimilarity.register(s)
+      val assigned = assignToCodebook(s, trainedCodebook(s, d), d)
+        .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
+      val x = assigned.select(col("cell"), col("vec_id").as("a"), col("embedding").as("ea"))
+      val y = assigned.select(col("cell"), col("vec_id").as("b"), col("embedding").as("eb"))
+      val wNn = Window.partitionBy(col("a")).orderBy(desc("cos"), asc("b"))
+      x.join(y, Seq("cell"))
+        .filter(col("a") =!= col("b"))
+        .select(col("a"), col("cell"), col("b"),
+          round(cosine("ea", "eb"), 4).as("cos"))
+        .withColumn("rn", row_number().over(wNn))
+        .filter(col("rn") === 1)
+        .select(col("a").as("vec_id"), col("cell"), col("b").as("nn_id"), col("cos"))
+        .orderBy(col("vec_id"))
     }),
 
     // sign-random-projection ANN: 16 fixed seeded hyperplanes → 16-bit
@@ -244,6 +242,63 @@ object VectorOps {
         .select(col("a").as("vec_id"), col("bucket"), col("b").as("nn_id"), col("cos"))
         .orderBy(col("vec_id"))
     }))
+
+  /** assign every vector to its max-cosine codebook cell (tie → lower
+    * c_id, decided on the ROUNDED cosine) — shared by the k-means
+    * consumers */
+  private def assignToCodebook(s: SparkSession, codebook: DataFrame,
+      d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(desc("ccos"), asc("c_id"))
+    e.crossJoin(broadcast(codebook))
+      .select(col("vec_id"), col("embedding"), col("c_id"),
+        round(cosine("ce", "embedding"), 4).as("ccos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+  }
+
+  /** K-MEANS CODEBOOK TRAINING — the production IVF path round 1
+    * lacked (its oracle-checkable codebook is the √N lowest ids):
+    * 3 Lloyd iterations from deterministic lowest-id initialization.
+    * Every step is order-independent by construction — assignment
+    * argmax on the ROUNDED cosine with c_id tie-break, and centroid
+    * updates as exact DECIMAL(28,8) component sums (float inputs are
+    * double-exact; decimal addition is associative) divided by exact
+    * counts — so the trained codebook is bit-identical across runs,
+    * partitionings, and cluster layouts: that is what makes the
+    * determinism gate passable for an ITERATIVE float computation.
+    * Per iteration: one k-row broadcast + one corpus scan + a
+    * (cell, dim) hash agg — shuffle ∝ k·64, never ∝ corpus.
+    * Memoized per (session, dir): two declared queries consume the
+    * same training. */
+  private val codebookCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** see GraphOps.clearMemos — Bench drops all session memos after
+    * its warmup pass */
+  private[graft] def clearMemos(s: SparkSession): Unit =
+    codebookCache.filterInPlace { case ((sess, _), _) => sess != s }
+
+  private def trainedCodebook(s: SparkSession, d: String): DataFrame =
+    GraphOps.memo(codebookCache, (s, d)) {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val k = math.ceil(math.sqrt(e.count().toDouble)).toInt
+      var centroids = e.orderBy(col("vec_id")).limit(k)
+        .select(col("vec_id").cast("int").as("c_id"), col("embedding").as("ce"))
+      for (_ <- 1 to 3) {
+        val members = assignToCodebook(s, centroids, d)
+          .select(col("c_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        // exact decimal mean per (cell, dimension) — order-independent
+        // (the final double→float narrowing is deterministic rounding)
+        val dims = members.groupBy(col("c_id"), col("pos"))
+          .agg((sum(col("x").cast(DecimalType(28, 8))).cast("double") /
+            count(lit(1))).as("m"))
+        centroids = dims.groupBy(col("c_id"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), p -> p.m)")
+            .cast("array<float>").as("ce"))
+      }
+      centroids.cache()
+    }
 
   /** 16 fixed 64-dim hyperplanes from a seeded PRNG — deterministic
     * across JVMs (same algorithm, same seed). */

@@ -49,6 +49,17 @@ object StreamPort {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** streaming Count-Min frequency sketch over a term stream (≙ the
+    * batch `text_cm_frequent_terms` sketch): the Aggregator's d·w-long
+    * buffer IS the streaming state — constant regardless of how many
+    * distinct terms flow past, where an exact streaming count would
+    * grow state per distinct key without bound. Micro-batches merge by
+    * cell-wise addition (associative), so the drained-stream sketch
+    * equals the batch sketch exactly. */
+  def cmSketch(terms: Dataset[String], d: Int = 4, w: Int = 1024): DataFrame =
+    terms.select(new graft.functions.CountMinAgg(d, w).toColumn.name("sketch"))
+      .toDF("sketch")
+
   /** streaming OHLC bars per (1-hour window, type) (≙ ts_ohlc_bars):
     * open/close are min_by/max_by over the (ts, event_id) total order
     * — mergeable aggregate state, so late partial bars merge correctly

@@ -43,6 +43,29 @@ class StreamPortSpec extends SparkTestBase {
     assert(batch.contains((Timestamp.valueOf("2024-01-01 10:00:00"), "view", 4L, 13.0)))
   }
 
+  test("streaming count-min sketch over two batches equals the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val terms = Seq("apple", "apple", "pear", "apple", "plum", "pear")
+    val mem = MemoryStream[String]
+    val q = StreamPort.cmSketch(mem.toDS())
+      .writeStream.format("memory").queryName("cm")
+      .outputMode("complete").start()
+    mem.addData(terms.take(3): _*)
+    q.processAllAvailable()
+    mem.addData(terms.drop(3): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("cm").collect()(0).getSeq[Long](0).toArray
+    q.stop()
+    val batch = StreamPort.cmSketch(terms.toDS()).collect()(0).getSeq[Long](0).toArray
+    assert(streamed.sameElements(batch))
+    // estimates from the drained stream are exact on this tiny vocab
+    import graft.functions.CountMinAgg
+    assert(CountMinAgg.estimate(streamed, "apple", 4, 1024) == 3L)
+    assert(CountMinAgg.estimate(streamed, "pear", 4, 1024) == 2L)
+    assert(CountMinAgg.estimate(streamed, "plum", 4, 1024) == 1L)
+  }
+
   test("streaming OHLC bars == batch OHLC bars, open/close by event-time order") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

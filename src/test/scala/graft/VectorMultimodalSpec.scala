@@ -163,6 +163,20 @@ class VectorMultimodalSpec extends SparkTestBase {
     assert(run2 == run1)
   }
 
+  test("vec_ann_ivf_trained: within-cluster neighbors match brute force on planted clusters") {
+    val dir = tempDir()
+    writeFixture(dir, "embeddings", vecDf(
+      (0L, Seq(1f, 0.05f, 0f, 0f), 0),
+      (1L, Seq(0.05f, 1f, 0f, 0f), 0),
+      (2L, Seq(1f, 0.1f, 0f, 0f), 0),
+      (3L, Seq(0.1f, 1f, 0f, 0f), 0)))
+    val nn = operators.VectorOps.queries("vec_ann_ivf_trained")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // the trained cells separate +x from +y, so each vector's top-1 is
+    // its same-cluster partner — which is also the brute-force answer
+    assert(nn == Map(0L -> 2L, 2L -> 0L, 1L -> 3L, 3L -> 1L), s"got $nn")
+  }
+
   test("multimodal_features runs the typed mapPartitions pipeline end-to-end") {
     val out = operators.MultimodalOps.queries("multimodal_features")(spark, sf001)
     assert(out.count() == 500)
