@@ -19,15 +19,20 @@ import scala.util.hashing.MurmurHash3
   * exact-as-sketched). The same state can roll up source → corpus the
   * way `agg_hll_union` rolls up distinct sketches.
   *
-  * Hashing: MurmurHash3.stringHash with seed = row index — a pure
-  * function of (term, row), identical on every JVM/executor, so the
-  * sketch is deterministic across runs and cluster layouts.
+  * Hashing: MurmurHash3.stringHash with seed = row ^ 0x9e3779b9 (the
+  * exact seed matters to anyone re-reading a persisted sketch) — a
+  * pure function of (term, row), identical on every JVM/executor, so
+  * the sketch is deterministic across runs and cluster layouts.
+  *
+  * Null terms are ignored (SQL-aggregate convention: nulls don't
+  * count), so a nullable upstream column cannot fail the aggregation.
   */
 class CountMinAgg(d: Int, w: Int) extends Aggregator[String, Array[Long], Array[Long]] {
 
   override def zero: Array[Long] = Array.fill(d * w)(0L)
 
   override def reduce(buf: Array[Long], term: String): Array[Long] = {
+    if (term == null) return buf
     var r = 0
     while (r < d) {
       buf(r * w + CountMinAgg.bucket(term, r, w)) += 1L

@@ -95,27 +95,8 @@ object VectorOps {
       val k = math.ceil(math.sqrt(e.count().toDouble)).toInt
       val centroids = e.orderBy(col("vec_id")).limit(k)
         .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
-      // assign every vector to its max-cosine centroid (tie → c_id)
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(desc("ccos"), asc("c_id"))
-      val assigned = e.crossJoin(broadcast(centroids))
-        .select(col("vec_id"), col("embedding"), col("c_id"),
-          round(cosine("ce", "embedding"), 4).as("ccos"))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
-      // exact top-1 neighbor within the cell
-      val x = assigned.select(col("cell"), col("vec_id").as("a"), col("embedding").as("ea"))
-      val y = assigned.select(col("cell"), col("vec_id").as("b"), col("embedding").as("eb"))
-      val wNn = Window.partitionBy(col("a")).orderBy(desc("cos"), asc("b"))
-      x.join(y, Seq("cell"))
-        .filter(col("a") =!= col("b"))
-        .select(col("a"), col("cell"), col("b"),
-          round(cosine("ea", "eb"), 4).as("cos"))
-        .withColumn("rn", row_number().over(wNn))
-        .filter(col("rn") === 1)
-        .select(col("a").as("vec_id"), col("cell"), col("b").as("nn_id"), col("cos"))
-        .orderBy(col("vec_id"))
+      perCellTop1(assignToCodebook(s, centroids, d)
+        .select(col("vec_id"), col("embedding"), col("c_id").as("cell")))
     }),
 
     // int8 scalar quantization — the storage/bandwidth reduction an
@@ -201,19 +182,8 @@ object VectorOps {
     // checks the planted-cluster neighbors match brute force.
     "vec_ann_ivf_trained" -> ((s, d) => {
       CosineSimilarity.register(s)
-      val assigned = assignToCodebook(s, trainedCodebook(s, d), d)
-        .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
-      val x = assigned.select(col("cell"), col("vec_id").as("a"), col("embedding").as("ea"))
-      val y = assigned.select(col("cell"), col("vec_id").as("b"), col("embedding").as("eb"))
-      val wNn = Window.partitionBy(col("a")).orderBy(desc("cos"), asc("b"))
-      x.join(y, Seq("cell"))
-        .filter(col("a") =!= col("b"))
-        .select(col("a"), col("cell"), col("b"),
-          round(cosine("ea", "eb"), 4).as("cos"))
-        .withColumn("rn", row_number().over(wNn))
-        .filter(col("rn") === 1)
-        .select(col("a").as("vec_id"), col("cell"), col("b").as("nn_id"), col("cos"))
-        .orderBy(col("vec_id"))
+      perCellTop1(assignToCodebook(s, trainedCodebook(s, d), d)
+        .select(col("vec_id"), col("embedding"), col("c_id").as("cell")))
     }),
 
     // sign-random-projection ANN: 16 fixed seeded hyperplanes → 16-bit
@@ -243,9 +213,26 @@ object VectorOps {
         .orderBy(col("vec_id"))
     }))
 
+  /** exact top-1 neighbor within each cell of a (cell, vec_id,
+    * embedding) assignment — the per-cell search shared by both IVF
+    * variants (one tie-break/rounding definition, not three copies) */
+  private def perCellTop1(assigned: DataFrame): DataFrame = {
+    val x = assigned.select(col("cell"), col("vec_id").as("a"), col("embedding").as("ea"))
+    val y = assigned.select(col("cell"), col("vec_id").as("b"), col("embedding").as("eb"))
+    val wNn = Window.partitionBy(col("a")).orderBy(desc("cos"), asc("b"))
+    x.join(y, Seq("cell"))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("cell"), col("b"),
+        round(cosine("ea", "eb"), 4).as("cos"))
+      .withColumn("rn", row_number().over(wNn))
+      .filter(col("rn") === 1)
+      .select(col("a").as("vec_id"), col("cell"), col("b").as("nn_id"), col("cos"))
+      .orderBy(col("vec_id"))
+  }
+
   /** assign every vector to its max-cosine codebook cell (tie → lower
     * c_id, decided on the ROUNDED cosine) — shared by the k-means
-    * consumers */
+    * consumers AND the lowest-id IVF variant */
   private def assignToCodebook(s: SparkSession, codebook: DataFrame,
       d: String): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
@@ -293,9 +280,15 @@ object VectorOps {
         val dims = members.groupBy(col("c_id"), col("pos"))
           .agg((sum(col("x").cast(DecimalType(28, 8))).cast("double") /
             count(lit(1))).as("m"))
-        centroids = dims.groupBy(col("c_id"))
+        val updated = dims.groupBy(col("c_id"))
           .agg(expr("transform(array_sort(collect_list(struct(pos, m))), p -> p.m)")
-            .cast("array<float>").as("ce"))
+            .cast("array<float>").as("ce_new"))
+        // carry forward centroids whose cell went empty (duplicate
+        // seed vectors lose every member to the lower c_id on the
+        // rounded-cosine tie) — the codebook must stay k cells wide,
+        // not silently shrink
+        centroids = centroids.join(updated, Seq("c_id"), "left")
+          .select(col("c_id"), coalesce(col("ce_new"), col("ce")).as("ce"))
       }
       centroids.cache()
     }

@@ -58,7 +58,7 @@ object StreamPort {
     * equals the batch sketch exactly. */
   def cmSketch(terms: Dataset[String], d: Int = 4, w: Int = 1024): DataFrame =
     terms.select(new graft.functions.CountMinAgg(d, w).toColumn.name("sketch"))
-      .toDF("sketch")
+      .toDF()
 
   /** streaming OHLC bars per (1-hour window, type) (≙ ts_ohlc_bars):
     * open/close are min_by/max_by over the (ts, event_id) total order

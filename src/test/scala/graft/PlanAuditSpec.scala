@@ -148,6 +148,12 @@ class PlanAuditSpec extends SparkTestBase {
       s"gaps-and-islands must not join at all:\n$p")
     assert(p.linesIterator.count(_.contains("Window")) >= 2,
       s"expected the rn-pair and argmax window passes:\n$p")
+    // the named property: hash-partitioning on user_id satisfies every
+    // downstream (user, …) clustering, so ONE hash exchange serves
+    // both window specs, the island aggregate, and the argmax (the
+    // only other exchange is the final output range sort)
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected exactly one hash exchange, got $hashEx:\n$p")
   }
 
   test("ts_interval_union: interval merge is window passes, no self-join") {

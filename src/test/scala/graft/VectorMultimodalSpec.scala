@@ -157,7 +157,10 @@ class VectorMultimodalSpec extends SparkTestBase {
     // trained centroid
     assert(run1.map(t => (t._1, t._2)) == Seq((0, 2L), (1, 2L)), s"got $run1")
     assert(run1.forall(_._3 >= 0.99), s"expected tight cells, got $run1")
-    // the decimal-exact updates make the whole iteration reproducible
+    // the decimal-exact updates make the whole iteration reproducible:
+    // drop the codebook memo first so run2 RE-TRAINS rather than
+    // reading run1's cached result (a memo hit would make this vacuous)
+    operators.VectorOps.clearMemos(spark)
     val run2 = operators.VectorOps.queries("vec_kmeans_cells")(spark, dir)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(run2 == run1)
