@@ -454,6 +454,40 @@ object GraphOps {
       labelPropagation(symEdges(s, d), iters = 5, symmetrized = true,
         numParts = graphParts(s, d)).orderBy(col("v"))),
 
+    // modularity of the LPA partition — the quality score community
+    // detection is judged by: Q = Σ_c [e_c/2m − (d_c/2m)²], computed
+    // from EXACT integer sufficient statistics (intra-community edge
+    // ends and Σ d_c² are plain counted sums; only the two final
+    // divisions run in double, so the score is deterministic at any
+    // partitioning). One labeled-edge join (labels broadcastable or
+    // co-partitioned like every per-vertex state) + two tiny
+    // aggregates. No oracle (depends on the iterative LPA labels);
+    // Round3bSpec pins Q = 0 for one community and Q > 0.3 for two
+    // planted cliques.
+    "graph_modularity" -> ((s, d) => {
+      val sym = symEdges(s, d)
+      val labels = labelPropagation(sym, iters = 5, symmetrized = true,
+        numParts = graphParts(s, d))
+      val el = sym
+        .join(labels.select(col("v").as("src"), col("lbl").as("ls")), Seq("src"))
+        .join(labels.select(col("v").as("dst"), col("lbl").as("ld")), Seq("dst"))
+      // per community: directed intra-edge count + degree sum (edge ends)
+      val per = el.groupBy(col("ls"))
+        .agg(count_if(col("ls") === col("ld")).as("e_in"), count(lit(1)).as("dc"))
+      val st = per.agg(sum(col("e_in")).as("in_tot"),
+        sum(col("dc")).as("m2"),
+        sum(col("dc") * col("dc")).as("dc2"),
+        count(lit(1)).as("n_comm")).first()
+      val (inTot, m2, dc2, nComm) =
+        (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
+      val q = if (m2 == 0L) 0.0
+        else inTot.toDouble / m2 - dc2.toDouble / m2 / m2
+      import s.implicits._
+      Seq((nComm, m2 / 2, q)).toDF("n_communities", "m_edges", "q_raw")
+        .select(col("n_communities"), col("m_edges"),
+          Stable.r4(col("q_raw")).as("modularity"))
+    }),
+
     // k-core decomposition (k=3): the maximal subgraph where every
     // vertex keeps degree ≥ k, by iterative peeling. No oracle
     // (iterate-to-fixpoint is not ANSI-SQL-expressible here);

@@ -358,6 +358,31 @@ class Round3bSpec extends SparkTestBase {
     assert(out == Seq((6L, -1.0)), s"got $out")
   }
 
+  test("graph_modularity: zero for one community, high for two planted cliques") {
+    import spark.implicits._
+    // single triangle = one community → Q = 1 − 1 = 0 exactly
+    def mod(edges: Seq[(Long, Long)]): (Long, Double) = {
+      val sym = (edges ++ edges.map(_.swap)).distinct.toDF("src", "dst")
+      val labels = operators.GraphOps.labelPropagation(sym, iters = 5)
+      val el = sym
+        .join(labels.select(col("v").as("src"), col("lbl").as("ls")), Seq("src"))
+        .join(labels.select(col("v").as("dst"), col("lbl").as("ld")), Seq("dst"))
+      val per = el.groupBy(col("ls"))
+        .agg(count_if(col("ls") === col("ld")).as("e_in"), count(lit(1)).as("dc"))
+      val st = per.agg(sum(col("e_in")), sum(col("dc")),
+        sum(col("dc") * col("dc")), count(lit(1))).first()
+      val q = st.getLong(0).toDouble / st.getLong(1) -
+        st.getLong(2).toDouble / st.getLong(1) / st.getLong(1)
+      (st.getLong(3), q)
+    }
+    val (n1, q1) = mod(Seq((1L, 2L), (2L, 3L), (1L, 3L)))
+    assert(n1 == 1L && math.abs(q1) < 1e-12, s"got $n1, $q1")
+    def clique(vs: Seq[Long]) = for (a <- vs; b <- vs if a < b) yield (a, b)
+    val (n2, q2) = mod(clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(5L, 6L, 7L, 8L)) :+ (4L, 5L))
+    assert(n2 == 2L && q2 > 0.3, s"two cliques should score high, got $n2, $q2")
+  }
+
   test("vec_cell_stats assigns every vector to its max-cosine cell") {
     val dir = tempDir()
     import spark.implicits._
