@@ -178,6 +178,20 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("vec_ann_ivf / vec_ann_ivf_trained: per-cell search joins on the cell equi-key") {
+    for (q <- Seq("vec_ann_ivf", "vec_ann_ivf_trained")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q: the per-cell search must never degrade to all-pairs:\n$p")
+    }
+  }
+
+  test("graph_modularity: labeled-edge join is equi-keyed, no cartesian") {
+    val p = plan("graph_modularity")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"modularity must join labels on the vertex equi-keys:\n$p")
+  }
+
   test("whole-stage codegen covers the relational hot path") {
     // AQE wraps the plan in AdaptiveSparkPlan and only materializes
     // codegen per query stage at runtime; disable it here so the
