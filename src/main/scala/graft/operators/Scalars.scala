@@ -137,7 +137,25 @@ object Scalars {
         .groupBy((col("k") % 10).as("k_bucket"))
         .agg(count(lit(1)).as("n"), r4(dsum(col("value"))).as("sum_value"))
         .orderBy(col("k_bucket"))
-    }))
+    }),
+
+    // three-valued-logic breadth: null-safe equality (<=> / IS NOT
+    // DISTINCT FROM), IS NULL as a value, coalesce defaults, and the
+    // nvl2 CASE shape — over a synthesized nullable column (the data
+    // has no physical NULLs; nullif creates them, same trick as
+    // filter_disj_null)
+    "scalar_null_semantics" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          expr("nullif(o_orderpriority, '5-LOW')").as("pri_n"))
+        .select(col("o_orderkey"),
+          col("pri_n").isNull.cast("int").as("is_null"),
+          expr("pri_n <=> '1-URGENT'").cast("int").as("ns_eq_urgent"),
+          expr("pri_n <=> CAST(NULL AS STRING)").cast("int").as("ns_eq_null"),
+          coalesce(col("pri_n"), lit("(none)")).as("pri_filled"),
+          expr("CASE WHEN pri_n IS NOT NULL THEN CAST(length(pri_n) AS BIGINT) ELSE CAST(-1 AS BIGINT) END")
+            .as("nvl2_len"))
+        .orderBy(col("o_orderkey"))))
 
   val oracle: Map[String, String] = Map(
     "scalar_string" ->
@@ -225,5 +243,17 @@ object Scalars {
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
         |  count(*) AS n,
         |  round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
-        |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin)
+        |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin,
+
+    "scalar_null_semantics" ->
+      """SELECT o_orderkey,
+        |  CAST(pri_n IS NULL AS INT) AS is_null,
+        |  CAST(pri_n IS NOT DISTINCT FROM '1-URGENT' AS INT) AS ns_eq_urgent,
+        |  CAST(pri_n IS NOT DISTINCT FROM NULL AS INT) AS ns_eq_null,
+        |  coalesce(pri_n, '(none)') AS pri_filled,
+        |  CASE WHEN pri_n IS NOT NULL THEN CAST(length(pri_n) AS BIGINT)
+        |       ELSE CAST(-1 AS BIGINT) END AS nvl2_len
+        |FROM (SELECT o_orderkey, nullif(o_orderpriority, '5-LOW') AS pri_n
+        |      FROM orders) t
+        |ORDER BY o_orderkey""".stripMargin)
 }

@@ -143,6 +143,25 @@ object Windows {
         .orderBy(col("user_id"))
     }),
 
+    // period-over-period change per series — the dashboard primitive:
+    // hourly event-type sums with absolute and percentage deltas vs
+    // the previous hour (first hour → 0 by convention, not null).
+    // The hourly sums are decimal-exact, so the deltas divide two
+    // identical doubles in every engine.
+    "win_pct_change" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(r4(dsum(col("value"))).as("hsum"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      hourly
+        .withColumn("prev", lag(col("hsum"), 1).over(w))
+        .select(col("event_type"), ntz(col("hour")).as("hour"), col("hsum"),
+          r4(coalesce(col("hsum") - col("prev"), lit(0.0))).as("delta"),
+          r4(coalesce((col("hsum") - col("prev")) / col("prev") * 100.0,
+            lit(0.0))).as("pct_change"))
+        .orderBy(col("event_type"), col("hour"))
+    }),
+
     "win_global_share" -> ((s, d) => {
       val rev = Tables.lineitem(s, d)
         .groupBy(col("l_suppkey"))
@@ -229,6 +248,18 @@ object Windows {
         |SELECT l_suppkey,
         |  round(CAST(rev_dec AS DOUBLE) / CAST(SUM(rev_dec) OVER () AS DOUBLE), 4) AS rev_share
         |FROM rev ORDER BY l_suppkey""".stripMargin,
+
+    "win_pct_change" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS hsum
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, hour, hsum,
+        |  round(coalesce(hsum - lag(hsum) OVER w, 0.0), 4) AS delta,
+        |  round(coalesce((hsum - lag(hsum) OVER w) / lag(hsum) OVER w * 100.0,
+        |    0.0), 4) AS pct_change
+        |FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY hour)
+        |ORDER BY event_type, hour""".stripMargin,
 
     "win_conditional_streak" ->
       """WITH islands AS (

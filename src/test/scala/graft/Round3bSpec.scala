@@ -358,6 +358,22 @@ class Round3bSpec extends SparkTestBase {
     assert(out == Seq((6L, -1.0)), s"got $out")
   }
 
+  test("win_pct_change: first period is 0 by convention, deltas are exact") {
+    val dir = tempDir()
+    import spark.implicits._
+    val base = 1700000000000000000L
+    def ns(h: Long) = base + h * 3600L * 1000000000L
+    writeFixture(dir, "events", Seq(
+      (1L, ns(0), 1L, "view", 10.0, "{}"),
+      (2L, ns(1), 1L, "view", 15.0, "{}"),
+      (3L, ns(2), 1L, "view", 12.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val out = operators.Windows.queries("win_pct_change")(spark, dir)
+      .collect().map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSeq
+    assert(out == Seq((10.0, 0.0, 0.0), (15.0, 5.0, 50.0), (12.0, -3.0, -20.0)),
+      s"got $out")
+  }
+
   test("graph_modularity: zero for one community, high for two planted cliques") {
     import spark.implicits._
     // single triangle = one community → Q = 1 − 1 = 0 exactly
