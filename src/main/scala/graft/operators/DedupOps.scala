@@ -98,9 +98,9 @@ object DedupOps {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   /** see GraphOps.clearMemos — Bench drops all session memos after
-    * its warmup pass */
+    * its warmup pass (and between timed reps); eviction unpersists */
   private[graft] def clearMemos(s: SparkSession): Unit =
-    canonCache.filterInPlace { case ((sess, _), _) => sess != s }
+    GraphOps.evict(canonCache, s)
 
   private def clusterCanonical(s: SparkSession, d: String): DataFrame =
     GraphOps.memo(canonCache, (s, d)) {

@@ -48,20 +48,47 @@ object GraphOps {
   private[operators] def memo[V](
       cache: scala.collection.concurrent.TrieMap[(SparkSession, String), V],
       key: (SparkSession, String))(build: => V): V = {
-    cache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    cache.filterInPlace { case ((sess, _), v) =>
+      val keep = !sess.sparkContext.isStopped
+      if (!keep) unpersistQuietly(v) // blocks die with the session; belt
+      keep
+    }
     cache.getOrElseUpdate(key, build)
   }
 
+  /** a memoized value may be a cache()'d DataFrame — release its
+    * storage when evicting so callers other than Bench (which
+    * clearCache()s anyway) don't leak cached blocks for the session
+    * lifetime (ADVICE r3). Quiet: unpersist on a dying session throws,
+    * and eviction must still complete. */
+  private def unpersistQuietly(v: Any): Unit = v match {
+    case ds: org.apache.spark.sql.Dataset[_] =>
+      try ds.unpersist()
+      catch { case scala.util.control.NonFatal(_) => () }
+    case _ => ()
+  }
+
+  /** evict every entry of `cache` owned by session `s`, unpersisting
+    * evicted DataFrames — shared by the per-module clearMemos */
+  private[operators] def evict[V](
+      cache: scala.collection.concurrent.TrieMap[(SparkSession, String), V],
+      s: SparkSession): Unit =
+    cache.filterInPlace { case ((sess, _), v) =>
+      val keep = sess != s
+      if (!keep) unpersistQuietly(v)
+      keep
+    }
+
   /** drop every session-lifetime memo for `s` — Bench calls this after
-    * its warmup pass so that, even when the warmup dir EQUALS the
-    * timed dir, no timed query reads a pre-computed scalar or a
-    * memoized-but-uncached relation (clearCache() strips the cache
-    * markers; without this the memoized DataFrames would recompute
-    * uncached on every timed action) */
+    * its warmup pass (and between timed reps) so that, even when the
+    * warmup dir EQUALS the timed dir, no timed query reads a
+    * pre-computed scalar or a memoized-but-uncached relation
+    * (clearCache() strips the cache markers; without this the memoized
+    * DataFrames would recompute uncached on every timed action) */
   private[graft] def clearMemos(s: SparkSession): Unit = {
     Seq(edgeCache, symCache, cappedCache, coCiteCache, coPartCache, lpaCache)
-      .foreach(_.filterInPlace { case ((sess, _), _) => sess != s })
-    triCache.filterInPlace { case ((sess, _), _) => sess != s }
+      .foreach(evict(_, s))
+    evict(triCache, s)
   }
 
   /** supplier-vertex offset: must exceed the max customer key at ANY

@@ -262,9 +262,9 @@ object VectorOps {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   /** see GraphOps.clearMemos — Bench drops all session memos after
-    * its warmup pass */
+    * its warmup pass (and between timed reps); eviction unpersists */
   private[graft] def clearMemos(s: SparkSession): Unit =
-    codebookCache.filterInPlace { case ((sess, _), _) => sess != s }
+    GraphOps.evict(codebookCache, s)
 
   private def trainedCodebook(s: SparkSession, d: String): DataFrame =
     GraphOps.memo(codebookCache, (s, d)) {
