@@ -262,10 +262,39 @@ object GraphOps {
   private val lpaCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** LPA round count — shared by the engine loop and the unrolled
+    * oracle SQL so the two can never drift apart */
+  val LpaRounds = 5
+
   private def lpaLabels(s: SparkSession, d: String): DataFrame =
     memo(lpaCache, (s, d))(
-      labelPropagation(symEdges(s, d), iters = 5, symmetrized = true,
+      labelPropagation(symEdges(s, d), iters = LpaRounds, symmetrized = true,
         numParts = graphParts(s, d)))
+
+  /** CTE prefix unrolling the [[LpaRounds]] synchronous LPA rounds in
+    * ANSI SQL — possible because every round is pure integer counting
+    * with a total (count DESC, label ASC) argmax order: round i adopts,
+    * per vertex, the most frequent neighbor label of round i−1. Ends at
+    * CTE `l5` = (v, lbl). Shared by the LPA and modularity oracles. */
+  private def lpaUnrolledSql: String = {
+    val rounds = (1 to LpaRounds).map { i =>
+      s"""cnt$i AS (
+         |  SELECT sym.src, p.lbl, count(*) AS c
+         |  FROM sym JOIN l${i - 1} p ON sym.dst = p.v
+         |  GROUP BY sym.src, p.lbl),
+         |l$i AS (
+         |  SELECT src AS v, lbl FROM (
+         |    SELECT src, lbl, row_number() OVER (PARTITION BY src
+         |      ORDER BY c DESC, lbl ASC) AS rn
+         |    FROM cnt$i) t
+         |  WHERE rn = 1)""".stripMargin
+    }
+    s"""ed AS ($edgesSql),
+       |sym AS (SELECT src, dst FROM ed
+       |        UNION SELECT dst AS src, src AS dst FROM ed),
+       |l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM sym),
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
 
   /** degree-oriented triangle count over the co-part graph — the
     * shared engine behind graph_triangles and the clustering
@@ -368,13 +397,20 @@ object GraphOps {
       val tri = triangleCount(s, d)
       val co = coParts(s, d)
       // coalesce: sum over ZERO degree rows (empty co-part graph) is
-      // NULL — same guard triangleCount's shuffle branch carries
+      // NULL — same guard triangleCount's shuffle branch carries.
+      // Σ dg·(dg−1) accumulates as DECIMAL(38,0) (oracle: HUGEINT) —
+      // a dg≈3e9 hub wraps the int64 product at exactly the scale this
+      // operator documents. Each term is even, so halving the exact
+      // sum equals summing the halves; longValueExact keeps the
+      // declared BIGINT output LOUD on overflow instead of wrapped.
+      val dec = DecimalType(38, 0)
       val wedges = co.select(col("a").as("v"))
         .unionByName(co.select(col("b").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("dg"))
-        .agg(coalesce(expr("sum((dg * (dg - 1)) div 2)"), lit(0L))
-          .as("n_wedges"))
-        .first().getLong(0)
+        .agg(coalesce(sum(col("dg").cast(dec) * (col("dg") - 1).cast(dec)),
+          lit(0).cast(dec)).as("w2"))
+        .first().getDecimal(0)
+        .toBigInteger.shiftRight(1).longValueExact()
       // a wedge-free graph has nothing to close: cc = 0 by convention
       // (avoids 0/0 → NaN), mirrored in the oracle CASE
       val cc = if (wedges == 0L) 0.0 else 3.0 * tri / wedges
@@ -488,8 +524,11 @@ object GraphOps {
     // construction (LPA fixpoints are famously order-dependent; a
     // pinned round count with a total tie order is reproducible across
     // engines, runs, and partitionings, and needs NO per-iteration
-    // convergence action). No oracle (iterative); Round3bSpec pins the
-    // two-clique semantics by hand simulation.
+    // convergence action). That same construction makes it
+    // ORACLE-CHECKABLE: integer counts + integer tie order, no floats,
+    // so the 5 rounds unroll as DuckDB CTE stages (lpaUnrolledSql).
+    // Round3bSpec additionally pins the two-clique semantics by hand
+    // simulation.
     "graph_label_propagation" -> ((s, d) =>
       lpaLabels(s, d).orderBy(col("v"))),
 
@@ -500,10 +539,16 @@ object GraphOps {
     // divisions run in double, so the score is deterministic at any
     // partitioning). One labeled-edge join (labels broadcastable or
     // co-partitioned like every per-vertex state) + two tiny
-    // aggregates. No oracle (depends on the iterative LPA labels);
-    // Round3bSpec pins Q = 0 for one community and Q > 0.3 for two
+    // aggregates. Oracle-checked by unrolling the 5 deterministic LPA
+    // rounds as DuckDB CTE stages (see lpaUnrolledSql); Round3bSpec
+    // additionally pins Q = 0 for one community and Q > 0.3 for two
     // planted cliques.
     "graph_modularity" -> ((s, d) => {
+      // Σ d_c² accumulates as DECIMAL(38,0) (oracle: HUGEINT): d_c is
+      // bounded only by 2m, so at the 100 TB scale this operator
+      // documents an int64 square wraps silently once one community's
+      // edge-end count passes ~3e9 — same hardening as assortativity
+      val dec = DecimalType(38, 0)
       val sym = symEdges(s, d)
       val labels = lpaLabels(s, d)
       val el = sym
@@ -514,12 +559,12 @@ object GraphOps {
         .agg(count_if(col("ls") === col("ld")).as("e_in"), count(lit(1)).as("dc"))
       val st = per.agg(sum(col("e_in")).as("in_tot"),
         sum(col("dc")).as("m2"),
-        sum(col("dc") * col("dc")).as("dc2"),
+        sum(col("dc").cast(dec) * col("dc").cast(dec)).as("dc2"),
         count(lit(1)).as("n_comm")).first()
-      val (inTot, m2, dc2, nComm) =
-        (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
+      val (inTot, m2, nComm) = (st.getLong(0), st.getLong(1), st.getLong(3))
+      val dc2 = st.getDecimal(2)
       val q = if (m2 == 0L) 0.0
-        else inTot.toDouble / m2 - dc2.toDouble / m2 / m2
+        else inTot.toDouble / m2 - dc2.doubleValue / m2 / m2
       import s.implicits._
       Seq((nComm, m2 / 2, q)).toDF("n_communities", "m_edges", "q_raw")
         .select(col("n_communities"), col("m_edges"),
@@ -913,8 +958,8 @@ object GraphOps {
       s"""WITH co AS ($coPartsSql),
          |deg AS (SELECT v, count(*) AS dg FROM (
          |  SELECT a AS v FROM co UNION ALL SELECT b FROM co) t GROUP BY v),
-         |w AS (SELECT CAST(coalesce(SUM((dg * (dg - 1)) // 2), 0) AS BIGINT)
-         |  AS n_wedges FROM deg),
+         |w AS (SELECT CAST(coalesce(SUM(CAST(dg AS HUGEINT) * (dg - 1)), 0) // 2
+         |  AS BIGINT) AS n_wedges FROM deg),
          |tri AS (SELECT count(*) AS n_triangles
          |  FROM co ab JOIN co bc ON ab.b = bc.a JOIN co ac
          |    ON ac.a = ab.a AND ac.b = bc.b)
@@ -944,6 +989,34 @@ object GraphOps {
          |    sqrt((CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
          |         (CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 4)
          |    AS assortativity
+         |FROM st""".stripMargin,
+
+    "graph_label_propagation" ->
+      s"""WITH $lpaUnrolledSql
+         |SELECT v, lbl FROM l$LpaRounds ORDER BY v""".stripMargin,
+
+    "graph_modularity" ->
+      s"""WITH $lpaUnrolledSql,
+         |el AS (
+         |  SELECT ls.lbl AS ls, ld.lbl AS ld
+         |  FROM sym s
+         |  JOIN l$LpaRounds ls ON s.src = ls.v
+         |  JOIN l$LpaRounds ld ON s.dst = ld.v),
+         |per AS (
+         |  SELECT ls, count(*) FILTER (WHERE ls = ld) AS e_in,
+         |    count(*) AS dc
+         |  FROM el GROUP BY ls),
+         |st AS (
+         |  SELECT CAST(SUM(e_in) AS BIGINT) AS in_tot,
+         |    CAST(SUM(dc) AS BIGINT) AS m2,
+         |    SUM(CAST(dc AS HUGEINT) * dc) AS dc2,
+         |    count(*) AS n_comm
+         |  FROM per)
+         |SELECT n_comm AS n_communities,
+         |  CAST(m2 // 2 AS BIGINT) AS m_edges,
+         |  CASE WHEN m2 = 0 THEN 0.0 ELSE
+         |    round(CAST(in_tot AS DOUBLE) / m2
+         |      - CAST(dc2 AS DOUBLE) / m2 / m2, 4) END AS modularity
          |FROM st""".stripMargin,
 
     "graph_bfs_distance" ->

@@ -19,6 +19,12 @@ import org.apache.spark.sql.expressions.Window
   */
 object TimeSeriesOps {
 
+  /** bucket count for the ts_late_data_semantics distributed prefix
+    * max — bounds the rows through the one remaining unpartitioned
+    * window (the per-bucket boundary aggregate) while giving the
+    * within-bucket windows cluster-width parallelism */
+  val PrefixMaxBuckets = 128
+
   val queries: Map[String, QFn] = Map(
     "ts_tumbling_window" -> ((s, d) => {
       Tables.events(s, d)
@@ -55,12 +61,45 @@ object TimeSeriesOps {
 
     // watermark semantics in batch: drop events more than 1h behind
     // the running max event-time in arrival (event_id) order, then
-    // tumbling-window count of the survivors
+    // tumbling-window count of the survivors.
+    //
+    // The running max is a DISTRIBUTED two-pass prefix max (VERDICT
+    // r3 fix), not a single unpartitioned window over the raw stream
+    // (which funnels ALL events through one task at scale):
+    //   pass 1 — range-bucket by event_id (PrefixMaxBuckets buckets)
+    //            and take each bucket's max ts;
+    //   pass 2 — cumulative max over the TINY per-bucket aggregate
+    //            (one row per bucket; the only unpartitioned window,
+    //            over ≤PrefixMaxBuckets rows) gives every bucket the
+    //            max of all PRIOR buckets, broadcast back;
+    //   combine — greatest(prior-bucket max, running max WITHIN the
+    //            bucket, a partitioned window) == the global prefix
+    //            max, identically to the one-pass formulation (the
+    //            oracle SQL is unchanged).
     "ts_late_data_semantics" -> ((s, d) => {
-      val w = Window.orderBy(col("event_id"))
+      val ev = Tables.events(s, d).select(col("event_id"), col("ts"))
+      // bucket id from the event_id range — declarative (one-row
+      // bounds aggregate, cross-joined broadcast), no driver action;
+      // width arithmetic in integer DIV so no magnitude overflows
+      val bounds = ev.agg(min(col("event_id")).as("lo"),
+        max(col("event_id")).as("hi"))
+      val bucketed = ev.crossJoin(broadcast(bounds))
+        .withColumn("bk", expr(
+          s"CAST((event_id - lo) DIV greatest(CAST(1 AS BIGINT), " +
+            s"(hi - lo + ${PrefixMaxBuckets - 1}) DIV $PrefixMaxBuckets) AS INT)"))
+        .drop("lo", "hi")
+      val perBucket = bucketed.groupBy(col("bk")).agg(max(col("ts")).as("bmax"))
+      val wPrior = Window.orderBy(col("bk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val prior = perBucket
+        .withColumn("prior_mx", max(col("bmax")).over(wPrior))
+        .select(col("bk"), col("prior_mx"))
+      val wIn = Window.partitionBy(col("bk")).orderBy(col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.events(s, d)
-        .withColumn("mx", max(col("ts")).over(w))
+      bucketed.join(broadcast(prior), Seq("bk"))
+        // greatest skips NULLs, so bucket 0 (no prior) uses the
+        // within-bucket running max alone
+        .withColumn("mx", greatest(col("prior_mx"), max(col("ts")).over(wIn)))
         .filter(col("ts") >= col("mx") - expr("INTERVAL 1 HOUR"))
         .groupBy(window(col("ts"), "1 hour"))
         .agg(count(lit(1)).as("n"))

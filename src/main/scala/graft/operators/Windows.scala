@@ -29,6 +29,17 @@ object Windows {
         .orderBy(col("o_custkey"), col("rn"))
     }),
 
+    // CARDINALITY CAVEAT (shared with win_percent_dist): the partition
+    // key here has 3–5 distinct values, so each window partition is a
+    // large fraction of the corpus through ONE WindowExec task. That is
+    // inherent to the declared semantics — rank/ntile/percent_rank need
+    // a total order PER KEY, and a global per-key rank cannot be
+    // composed from independent sub-partitions without a second
+    // merge pass. At 100 TB, either (a) rank within a
+    // higher-cardinality key, (b) pre-aggregate before ranking (what
+    // win_global_share does), or (c) use approx quantiles when the
+    // rank itself isn't required. Do not copy this shape blindly onto
+    // a low-cardinality key at scale.
     "win_rank_variants" -> ((s, d) => {
       val w = Window.partitionBy(col("l_returnflag"))
         .orderBy(desc("l_quantity"), asc("l_orderkey"), asc("l_linenumber"))
@@ -84,7 +95,10 @@ object Windows {
 
     // distribution-position functions: percent_rank / cume_dist /
     // decile over a TOTAL window order ((price, orderkey) is unique, so
-    // ranks — and therefore the quotients — are engine-independent)
+    // ranks — and therefore the quotients — are engine-independent).
+    // Same low-cardinality-partition caveat as win_rank_variants:
+    // o_orderpriority has 5 values, each ~1/5 of the table through one
+    // WindowExec task — inherent to per-key total-order semantics.
     "win_percent_dist" -> ((s, d) => {
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("o_totalprice"), col("o_orderkey"))
@@ -145,7 +159,10 @@ object Windows {
 
     // period-over-period change per series — the dashboard primitive:
     // hourly event-type sums with absolute and percentage deltas vs
-    // the previous hour (first hour → 0 by convention, not null).
+    // the previous hour (first hour → 0 by convention, not null; a
+    // ZERO previous hour → 0 too, explicitly — x/0 in Spark is
+    // Infinity/NaN and oracle agreement would otherwise hang on the
+    // engines' IEEE division conventions instead of the query's own).
     // The hourly sums are decimal-exact, so the deltas divide two
     // identical doubles in every engine.
     "win_pct_change" -> ((s, d) => {
@@ -157,19 +174,28 @@ object Windows {
         .withColumn("prev", lag(col("hsum"), 1).over(w))
         .select(col("event_type"), ntz(col("hour")).as("hour"), col("hsum"),
           r4(coalesce(col("hsum") - col("prev"), lit(0.0))).as("delta"),
-          r4(coalesce((col("hsum") - col("prev")) / col("prev") * 100.0,
-            lit(0.0))).as("pct_change"))
+          r4(when(col("prev") === 0.0, lit(0.0)).otherwise(
+            coalesce((col("hsum") - col("prev")) / col("prev") * 100.0,
+              lit(0.0)))).as("pct_change"))
         .orderBy(col("event_type"), col("hour"))
     }),
 
+    // per-supplier share of global revenue. The global total is a
+    // BROADCAST SCALAR (one-row decimal sum, cross-joined back), not
+    // an empty-partition window (VERDICT r3 fix): `sum over ()`
+    // funnels the whole per-supplier aggregate through a single
+    // WindowExec task, while the scalar cross join keeps every stage
+    // fully parallel — same exact-decimal total, same oracle.
     "win_global_share" -> ((s, d) => {
       val rev = Tables.lineitem(s, d)
         .groupBy(col("l_suppkey"))
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
           .cast(DecimalType(18, 4))).as("rev_dec"))
-      rev.select(col("l_suppkey"),
+      val total = rev.agg(sum(col("rev_dec")).as("tot"))
+      rev.crossJoin(broadcast(total))
+        .select(col("l_suppkey"),
           r4(col("rev_dec").cast(DoubleType) /
-            sum(col("rev_dec")).over(Window.partitionBy()).cast(DoubleType)).as("rev_share"))
+            col("tot").cast(DoubleType)).as("rev_share"))
         .orderBy(col("l_suppkey"))
     }))
 
@@ -256,8 +282,9 @@ object Windows {
         |  FROM events GROUP BY 1, 2)
         |SELECT event_type, hour, hsum,
         |  round(coalesce(hsum - lag(hsum) OVER w, 0.0), 4) AS delta,
-        |  round(coalesce((hsum - lag(hsum) OVER w) / lag(hsum) OVER w * 100.0,
-        |    0.0), 4) AS pct_change
+        |  round(CASE WHEN lag(hsum) OVER w = 0.0 THEN 0.0
+        |    ELSE coalesce((hsum - lag(hsum) OVER w) / lag(hsum) OVER w * 100.0,
+        |      0.0) END, 4) AS pct_change
         |FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY hour)
         |ORDER BY event_type, hour""".stripMargin,
 

@@ -192,6 +192,35 @@ class PlanAuditSpec extends SparkTestBase {
       s"modularity must join labels on the vertex equi-keys:\n$p")
   }
 
+  test("ts_late_data_semantics: no unpartitioned window over the raw event stream") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val sp = SparkEntry.queries("ts_late_data_semantics")(spark, sf001)
+      .queryExecution.sparkPlan
+    val unpart = sp.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    // the two-pass prefix max may keep ONE unpartitioned window — the
+    // bucket-boundary cumulative max — but only over the per-bucket
+    // AGGREGATE (≤ PrefixMaxBuckets rows): every unpartitioned window
+    // must have an aggregate below it, proving the raw stream never
+    // funnels through a single WindowExec task (the r3 scale-killer)
+    unpart.foreach { w =>
+      val aggsBelow = w.child.collect { case a: BaseAggregateExec => a }
+      assert(aggsBelow.nonEmpty,
+        s"unpartitioned window runs over a non-aggregated input:\n$sp")
+    }
+    // and the within-bucket running max must exist as a PARTITIONED window
+    assert(sp.collect { case w: WindowExec if w.partitionSpec.nonEmpty => w }.nonEmpty,
+      s"expected the bucket-partitioned running-max window:\n$sp")
+  }
+
+  test("win_global_share: broadcast scalar total — no WindowExec at all") {
+    val p = plan("win_global_share")
+    assert(!p.contains("Window"),
+      s"the global total must be a broadcast scalar, not an empty-frame window:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the one-row total must broadcast:\n$p")
+  }
+
   test("whole-stage codegen covers the relational hot path") {
     // AQE wraps the plan in AdaptiveSparkPlan and only materializes
     // codegen per query stage at runtime; disable it here so the

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-4 additions: the keyed-upsert merge and the distributed
+  * prefix-max rewrite of the batch-watermark query. */
+class Round4Spec extends SparkTestBase {
+
+  private def ordersDf(rows: (Long, Long, String, Double)*) = {
+    import spark.implicits._
+    rows.map { case (k, c, d, p) => (k, c, "O", p,
+      java.sql.Timestamp.valueOf(d), "5-LOW") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+  }
+
+  test("pipeline_upsert_snapshot: updates win over base, inserts appear, others pass through") {
+    val dir = tempDir()
+    // keys: 7 → repriced update; 11 → source of an insert; 5 → untouched
+    writeFixture(dir, "orders", ordersDf(
+      (5L, 100L, "1995-01-01 00:00:00", 10.0),
+      (7L, 101L, "1995-01-02 00:00:00", 20.0),
+      (11L, 102L, "1995-01-03 00:00:00", 30.0)))
+    val out = operators.Scans.queries("pipeline_upsert_snapshot")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(3), r.getString(4)))
+    assert(out.toSeq == Seq(
+      (5L, 10.0, "base"),                                   // untouched
+      (7L, 21.0, "delta"),                                  // repriced 5%
+      (11L, 30.0, "base"),                                  // update source, key kept
+      (11L + operators.Scans.UpsertNewKeyOffset, 30.0, "delta"))) // insert
+  }
+
+  test("pipeline_upsert_snapshot: merge output is keyed — one row per key") {
+    val out = operators.Scans.queries("pipeline_upsert_snapshot")(spark, sf001)
+    val n = out.count()
+    val keys = out.select(countDistinct(col("o_orderkey"))).head.getLong(0)
+    assert(n == keys, s"merge must emit exactly one row per key ($n rows, $keys keys)")
+    // all three merge outcomes occur on real data
+    val srcs = out.select(col("src")).distinct().collect().map(_.getString(0)).toSet
+    assert(srcs == Set("base", "delta"))
+  }
+
+  test("ts_late_data_semantics: bucketed prefix max equals the single-window semantics") {
+    val dir = tempDir()
+    import spark.implicits._
+    def ns(hms: Long) = (1577836800L + hms) * 1000000000L // 2020-01-01 UTC + s
+    // arrival order (event_id) deliberately scrambles event time: the
+    // running max must come from ARRIVAL order, crossing bucket
+    // boundaries (PrefixMaxBuckets ≫ 6 rows → every row its own bucket)
+    writeFixture(dir, "events", Seq(
+      (1L, ns(36000), 1L, "a", 1.0, "{}"),  // 10:00
+      (2L, ns(46800), 1L, "a", 1.0, "{}"),  // 13:00 — max jumps
+      (3L, ns(37800), 1L, "a", 1.0, "{}"),  // 10:30 — >1h late → dropped
+      (4L, ns(45000), 1L, "a", 1.0, "{}"),  // 12:30 — within 1h of 13:00
+      (5L, ns(50400), 1L, "a", 1.0, "{}"),  // 14:00
+      (6L, ns(47100), 1L, "a", 1.0, "{}"))  // 13:05 — within 1h of 14:00
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = operators.TimeSeriesOps.queries("ts_late_data_semantics")(spark, dir)
+      .select(col("ws").cast("string"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // survivors: 10:00 (first), 13:00, 12:30, 14:00, 13:05 — hour buckets
+    assert(got == Seq(
+      ("2020-01-01 10:00:00", 1L),
+      ("2020-01-01 12:00:00", 1L),
+      ("2020-01-01 13:00:00", 2L),
+      ("2020-01-01 14:00:00", 1L)), s"got $got")
+  }
+}
