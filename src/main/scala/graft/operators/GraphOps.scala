@@ -580,14 +580,58 @@ object GraphOps {
       kCore(symEdges(s, d), k = 3, symmetrized = true,
         numParts = graphParts(s, d)).orderBy(col("v"))),
 
-    // PageRank, damping 0.85, fixed 10 iterations, on the symmetrized
-    // graph (no dangling vertices by construction). No oracle —
-    // cross-engine FP accumulation over 10 iterations diverges;
-    // property-tested against GraphX staticPageRank instead (§5).
+    // PageRank, damping 0.85, fixed PrRounds iterations, on the
+    // symmetrized graph (no dangling vertices by construction).
+    // Oracle-checked (r4): the per-vertex contribution sum accumulates
+    // as exact DECIMAL(28,12) (the Stable.dsum discipline at 12 dp),
+    // so each iteration is order-independent and engine-independent —
+    // the remaining arithmetic (pr/odeg division, 0.15 + 0.85·sc) is
+    // plain IEEE double, identical in any engine. That makes the 10
+    // rounds unrollable as DuckDB CTE stages (prUnrolledSql), same
+    // construction as LPA. Still property-tested against GraphX
+    // staticPageRank (§5) — the 12 dp quantization error per
+    // contribution is ≤5e-13, far under that test's 1e-6 tolerance.
     "graph_pagerank" -> ((s, d) =>
-      pageRank(symEdges(s, d), iters = 10, symmetrized = true,
+      pageRank(symEdges(s, d), iters = PrRounds, symmetrized = true,
         numParts = graphParts(s, d))
         .select(col("v"), round(col("pr"), 4).as("pr")).orderBy(col("v"))))
+
+  /** PageRank round count — shared by the engine loop and the unrolled
+    * oracle SQL so the two cannot drift */
+  val PrRounds = 10
+
+  /** CTE prefix unrolling the [[PrRounds]] PageRank iterations in ANSI
+    * SQL — possible because the only order-dependent step, the
+    * per-vertex contribution sum, accumulates as exact DECIMAL(28,12)
+    * in the engine (see pageRank), and everything else is IEEE double
+    * arithmetic both engines share bit-for-bit. Ends at CTE
+    * `p$PrRounds` = (v, pr).
+    *
+    * CTE-inlining discipline: each p$i is referenced exactly ONCE (by
+    * s${i+1}) — the per-round vertex frame joins `deg` (the symmetric
+    * graph's full vertex set), never p${i-1} a second time. A double
+    * reference would let an inlining planner expand the chain
+    * exponentially (2^10 copies of p0). */
+  private def prUnrolledSql: String = {
+    val rounds = (1 to PrRounds).map { i =>
+      s"""s$i AS (
+         |  SELECT e.dst AS v,
+         |    CAST(SUM(CAST(p.pr / e.odeg AS DECIMAL(28,12))) AS DOUBLE) AS sc
+         |  FROM ew e JOIN p${i - 1} p ON e.src = p.v
+         |  GROUP BY e.dst),
+         |p$i AS (
+         |  SELECT d.src AS v, CAST(0.15 AS DOUBLE)
+         |      + CAST(0.85 AS DOUBLE) * coalesce(s.sc, 0) AS pr
+         |  FROM deg d LEFT JOIN s$i s ON d.src = s.v)""".stripMargin
+    }
+    s"""ed AS ($edgesSql),
+       |sym AS (SELECT src, dst FROM ed
+       |        UNION SELECT dst AS src, src AS dst FROM ed),
+       |deg AS (SELECT src, count(*) AS odeg FROM sym GROUP BY src),
+       |ew AS (SELECT s.src, s.dst, d.odeg FROM sym s JOIN deg d USING (src)),
+       |p0 AS (SELECT src AS v, CAST(1.0 AS DOUBLE) AS pr FROM deg),
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
 
   /** Connected components by min-label propagation to fixpoint over
     * the symmetrized edge set. Label = min reachable vertex id.
@@ -867,9 +911,15 @@ object GraphOps {
         // the shuffle-join path those checkpoints are the ONLY jobs —
         // three iterations of single-digit-task stages per job
         val p = if (bcastState) broadcast(pr) else pr
+        // contribution sum as exact DECIMAL(28,12) (Stable.dsum
+        // discipline at 12 dp): order-independent across partial/final
+        // aggregation AND engines, which is what lets graph_pagerank
+        // carry a DuckDB oracle (prUnrolledSql). The quantization is
+        // ≤5e-13 per contribution — invisible at the 4 dp output.
         val contrib = withDeg.join(p, withDeg("src") === p("v"))
-          .select(col("dst").as("v2"), (col("pr") / col("odeg")).as("c"))
-          .groupBy(col("v2")).agg(sum(col("c")).as("sc"))
+          .select(col("dst").as("v2"),
+            (col("pr") / col("odeg")).cast(DecimalType(28, 12)).as("c"))
+          .groupBy(col("v2")).agg(sum(col("c")).cast("double").as("sc"))
           .repartition(parts, col("v2")) // pin the state exchange width
         val next = pr.join(contrib, pr("v") === col("v2"), "left")
           .select(col("v"), (lit(0.15) + lit(0.85) * coalesce(col("sc"), lit(0.0))).as("pr"))
@@ -1018,6 +1068,10 @@ object GraphOps {
          |    round(CAST(in_tot AS DOUBLE) / m2
          |      - CAST(dc2 AS DOUBLE) / m2 / m2, 4) END AS modularity
          |FROM st""".stripMargin,
+
+    "graph_pagerank" ->
+      s"""WITH $prUnrolledSql
+         |SELECT v, round(pr, 4) AS pr FROM p$PrRounds ORDER BY v""".stripMargin,
 
     "graph_bfs_distance" ->
       s"""WITH RECURSIVE ed AS ($edgesSql),
