@@ -116,24 +116,41 @@ object GraphOps {
   private val cappedCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  /** the degree-capped edge set shared by the co-citation queries */
-  private def cappedEdges(s: SparkSession, d: String): DataFrame =
+  /** per-source sorted neighbor sets, degree-capped — the shared root
+    * of both co-citation derivations. ONE map-side-combined shuffle
+    * builds the sets; the cap is a pipeline filter on set size (the
+    * r3 shape spent a degree aggregate + a semi join — two extra
+    * exchanges — to express the same guard). */
+  private def cappedNbrSets(s: SparkSession, d: String): DataFrame =
     memo(cappedCache, (s, d)) {
-      val e = edges(s, d)
-      val ok = e.groupBy(col("src")).agg(count(lit(1)).as("cdeg"))
-        .filter(col("cdeg") <= MaxCoCiteDegree).select(col("src"))
-      e.join(ok, Seq("src"), "left_semi").cache()
+      edges(s, d).groupBy(col("src"))
+        .agg(array_sort(collect_set(col("dst"))).as("ds"))
+        .filter(size(col("ds")) <= MaxCoCiteDegree)
+        .cache()
     }
 
-  /** (s1, s2, i) — co-cited supplier pairs with shared-customer count */
+  /** the degree-capped edge set (graph_neighbor_jaccard's degree
+    * side) — a pipeline-side explode of the memoized neighbor sets,
+    * no shuffle of its own */
+  private def cappedEdges(s: SparkSession, d: String): DataFrame =
+    cappedNbrSets(s, d).select(col("src"), explode(col("ds")).as("dst"))
+
+  /** (s1, s2, i) — co-cited supplier pairs with shared-customer
+    * count. Pair enumeration is a group-and-explode over the capped
+    * neighbor sets (same rewrite as coParts, r4): the s1<s2 pairs
+    * fan out pipeline-side from each sorted set — bounded by the
+    * degree cap, ≤ cap²/2 per source by construction — and only the
+    * pair aggregation shuffles. The r3 wedge self-join paid two
+    * edge-set exchanges plus the join itself for the same Σ cdeg²
+    * stream. */
   private def coCitePairs(s: SparkSession, d: String): DataFrame =
     memo(coCiteCache, (s, d)) {
-      val ec = cappedEdges(s, d)
-      val s1 = ec.select(col("src"), col("dst").as("s1"))
-      val s2 = ec.select(col("src"), col("dst").as("s2"))
-      s1.join(s2, Seq("src"))
-        .filter(col("s1") < col("s2"))
-        .groupBy(col("s1"), col("s2"))
+      cappedNbrSets(s, d)
+        .select(explode(expr(
+          """flatten(transform(ds, (x, i) ->
+            |  transform(slice(ds, i + 2, size(ds)), y ->
+            |    struct(x AS s1, y AS s2))))""".stripMargin)).as("p"))
+        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
         .agg(count(lit(1)).as("i"))
         .cache()
     }
@@ -230,11 +247,27 @@ object GraphOps {
 
   private def coParts(s: SparkSession, d: String): DataFrame =
     memo(coPartCache, (s, d)) {
-      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")).distinct()
-      val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("a"))
-      val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("b"))
-      a.join(b, Seq("ok")).filter(col("a") < col("b"))
-        .select(col("a"), col("b")).distinct().cache()
+      // group-and-explode derivation, not a self-join (r4, measured at
+      // sf0.1: 2.9 s vs 6.0 s, identical 1.196 M rows): ONE map-side-
+      // combined shuffle carries (order, part-set) rows, the a<b pairs
+      // explode from each sorted set pipeline-side, and only the final
+      // cross-order distinct shuffles pairs. The self-join spends two
+      // extra exchanges shuffling the raw projection twice and the
+      // joined pair stream once. ASSUMPTION (holds by construction
+      // here, lineitems per order ≤ 7): group sizes are bounded, so
+      // one group's C(p,2) pair fan-out is pipeline work, not a skew
+      // hazard. For unbounded co-occurrence groups (web-scale
+      // basket data) cap the set (slice) or fall back to the
+      // self-join, which spreads a hot key's pair generation across
+      // the join's probe side.
+      Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+            |  transform(slice(ps, i + 2, size(ps)), y ->
+            |    struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+        .select(col("p.a"), col("p.b")).distinct().cache()
     }
 
   private val coPartsSql =
@@ -299,49 +332,59 @@ object GraphOps {
   /** degree-oriented triangle count over the co-part graph — the
     * shared engine behind graph_triangles and the clustering
     * coefficient. Eager by design: the result is one scalar, and
-    * computing it inside the call lets the per-call `dir` cache be
-    * released (even on failure) instead of pinning an O(edges)
-    * relation for the session. private[graft] so GraphSpec can drive
-    * the broadcast-vs-shuffle closing paths PAST the scalar memo. */
+    * computing it inside the call lets the per-call caches be
+    * released (even on failure) instead of pinning O(edges)
+    * relations for the session. private[graft] so GraphSpec can drive
+    * the broadcast-vs-shuffle paths PAST the scalar memo.
+    *
+    * Census = adjacency-intersect (edge iterator), r4 — replaced the
+    * wedge-join formulation after measuring both at sf0.1 (census
+    * 3.2 s vs 5.7–10 s): per directed edge (u,v), triangles closing
+    * through it = |N⁺(u) ∩ N⁺(v)| over the degree-oriented
+    * out-neighbor arrays. The Σ outdeg² wedge work still happens, but
+    * inside a codegen'd array_intersect over m pre-grouped rows
+    * instead of materializing Σ outdeg² wedge ROWS through a join
+    * probe. Orientation (total (degree, id) order via struct
+    * comparison — injective at any magnitude, where an arithmetic
+    * dg*C+id encoding silently collides once ids exceed C) bounds
+    * every array by O(√m), so a joined row is O(√m) wide — no skew
+    * hazard from hubs, the same guarantee that bounded the wedge
+    * stream.
+    *
+    * Join strategy by MEASURED edge count (dir is cached; the count
+    * is a metadata-cheap action): under the cap the adjacency table
+    * (n rows, Σ sizes = m) broadcasts and the edge stream never
+    * exchanges; above it, two co-partitioned shuffle joins on the
+    * vertex key — the round-1 lesson stands, an unconditional
+    * O(edges) broadcast build OOMs at cluster scale. */
   private[graft] def triangleCountUncached(s: SparkSession, d: String): Long = {
     val co = coParts(s, d)
     val sym = co.select(col("a").as("u"), col("b").as("v"))
       .union(co.select(col("b").as("u"), col("a").as("v")))
-    // total order = lexicographic (degree, id) via struct comparison
-    // — injective for any id/degree magnitude (an arithmetic
-    // encoding like dg*C+id silently collides once ids exceed C)
     val vk = sym.groupBy(col("u")).agg(count(lit(1)).as("dg"))
       .select(col("u").as("vertex"), struct(col("dg"), col("u")).as("k"))
     val dir = sym
       .join(vk.select(col("vertex").as("u"), col("k").as("ku")), Seq("u"))
       .join(vk.select(col("vertex").as("v"), col("k").as("kv")), Seq("v"))
       .filter(col("ku") < col("kv"))
-      .select(col("u"), col("v"), col("kv"))
+      .select(col("u"), col("v"))
       .cache()
-    val w1 = dir.select(col("u"), col("v").as("x"), col("kv").as("kx"))
-    val w2 = dir.select(col("u"), col("v").as("y"), col("kv").as("ky"))
-    val wedges = w1.join(w2, Seq("u")).filter(col("kx") < col("ky"))
-      .select(col("x"), col("y"))
-    // closing join strategy by MEASURED edge count (dir is cached;
-    // the count is a metadata-cheap action). Small graph: broadcast
-    // the closing edge set so the wedge stream (Σ outdeg² rows) is
-    // filtered map-side and never exchanged. Large graph: pre-
-    // aggregate wedges per (x, y) — map-side combine collapses
-    // duplicate wedges — and shuffle only distinct candidate pairs
-    // into a co-partitioned semi join. Round 1 broadcast
-    // UNCONDITIONALLY — an O(edges) build that OOMs at cluster
-    // scale (and took 118 s under memory pressure on the driver box).
-    val closing = dir.select(col("u").as("x"), col("v").as("y"))
+    val adj = dir.groupBy(col("u"))
+      .agg(array_sort(collect_list(col("v"))).as("ns")).cache()
+    val nu = adj.select(col("u"), col("ns").as("nu"))
+    val nv = adj.select(col("u").as("v"), col("ns").as("nv"))
     try {
-      (if (dir.count() <= edgeCap(s))
-        wedges.join(broadcast(closing), Seq("x", "y"), "left_semi")
-          .agg(count(lit(1)).as("n_triangles"))
+      // inner joins are exact: an edge whose endpoint has no
+      // out-neighbors contributes |∅ ∩ ·| = 0 and may drop
+      val joined = if (dir.count() <= edgeCap(s))
+        dir.join(broadcast(nu), Seq("u")).join(broadcast(nv), Seq("v"))
       else
-        wedges.groupBy(col("x"), col("y")).agg(count(lit(1)).as("w"))
-          .join(closing, Seq("x", "y"), "left_semi")
-          .agg(coalesce(sum(col("w")), lit(0L)).as("n_triangles")))
-      .first().getLong(0)
-    } finally dir.unpersist()
+        dir.join(nu, Seq("u")).join(nv, Seq("v"))
+      joined
+        .select(size(array_intersect(col("nu"), col("nv"))).as("t"))
+        .agg(coalesce(sum(col("t")), lit(0L)).as("n_triangles"))
+        .first().getLong(0)
+    } finally { dir.unpersist(); adj.unpersist() }
   }
 
   val queries: Map[String, QFn] = Map(
@@ -375,12 +418,12 @@ object GraphOps {
     }),
 
     // co-citation density: global triangle count in the part↔part
-    // co-order graph. Degree-oriented wedge counting: every edge is
-    // directed low→high in the (degree, id) total order, wedges are
-    // enumerated around their lowest-order vertex, and a semi-join
-    // closes them. Bounds the wedge explosion to Σ outdeg² with
-    // outdeg = O(√m) — the standard O(m^1.5) triangle algorithm,
-    // ~10× faster than naive a<b<c self-joins on skewed graphs.
+    // co-order graph. Degree-oriented adjacency intersection: every
+    // edge is directed low→high in the (degree, id) total order and
+    // each edge counts |N⁺(u) ∩ N⁺(v)| over sorted out-neighbor
+    // arrays — the Σ outdeg² work of the standard O(m^1.5) algorithm,
+    // kept inside a codegen'd array_intersect instead of a wedge-row
+    // join (see triangleCountUncached).
     "graph_triangles" -> ((s, d) => {
       import s.implicits._
       Seq(triangleCount(s, d)).toDF("n_triangles")
