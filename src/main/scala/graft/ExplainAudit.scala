@@ -19,7 +19,12 @@ object ExplainAudit {
       "vec_cosine_topk", "ts_tumbling_window",
       // round-3 shapes worth auditing
       "join_range_bucketed", "join_asof_nearest", "ts_gap_fill",
-      "text_pii_redact", "vec_quantize_int8", "multimodal_frame_sample")
+      "text_pii_redact", "vec_quantize_int8", "multimodal_frame_sample",
+      // round-4 shapes: keyed upsert (one key shuffle + one window),
+      // distributed prefix max (no unpartitioned window over raw
+      // events), broadcast-scalar share (no WindowExec at all)
+      "pipeline_upsert_snapshot", "ts_late_data_semantics",
+      "win_global_share")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

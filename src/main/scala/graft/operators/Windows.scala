@@ -36,10 +36,12 @@ object Windows {
     // a total order PER KEY, and a global per-key rank cannot be
     // composed from independent sub-partitions without a second
     // merge pass. At 100 TB, either (a) rank within a
-    // higher-cardinality key, (b) pre-aggregate before ranking (what
-    // win_global_share does), or (c) use approx quantiles when the
-    // rank itself isn't required. Do not copy this shape blindly onto
-    // a low-cardinality key at scale.
+    // higher-cardinality key — win_rank_topn_pergroup IS that shape
+    // (per-custkey partitions, corpus/|customers| rows per WindowExec
+    // task), (b) pre-aggregate before ranking (what win_global_share
+    // does), or (c) use approx quantiles when the rank itself isn't
+    // required. Do not copy this shape blindly onto a low-cardinality
+    // key at scale.
     "win_rank_variants" -> ((s, d) => {
       val w = Window.partitionBy(col("l_returnflag"))
         .orderBy(desc("l_quantity"), asc("l_orderkey"), asc("l_linenumber"))
