@@ -16,6 +16,14 @@ import org.apache.spark.sql.expressions.Window
   */
 object TextOps {
 
+  /** winnowing parameters (text_winnow_fingerprint): character k-gram
+    * size and window width — shared with the oracle SQL so the two
+    * cannot drift. Noise threshold k = 8, guarantee threshold
+    * t = k + w − 1 = 11: any shared substring of ≥ 11 chars yields a
+    * shared fingerprint. */
+  val WinnowK = 8
+  val WinnowW = 4
+
   val queries: Map[String, QFn] = Map(
     "text_tokenize_counts" -> ((s, d) => {
       Tables.documents(s, d)
@@ -101,6 +109,42 @@ object TextOps {
       Tables.documents(s, d)
         .select(col("doc_id"), md5(col("text")).as("fp"),
           substring(md5(col("text")), 1, 8).as("fp8"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // WINNOWING document fingerprint (Schleimer et al., SIGMOD'03) —
+    // the local fingerprinting scheme plagiarism/near-dup detectors
+    // use: hash every character k-gram, then keep the MINIMUM hash of
+    // each window of w consecutive k-gram hashes. Guarantee: any two
+    // docs sharing a substring of ≥ k+w−1 chars share a fingerprint —
+    // unlike whole-doc md5 (text_fingerprint), which a single edited
+    // byte breaks. Entirely per-row codegen'd higher-order functions
+    // (sequence→transform→slice→array_min): no UDF, no shuffle beyond
+    // the final sort, per-doc state bounded by text length — the
+    // 100 TB shape. The k-gram hash is the first 15 md5 hex digits as
+    // a 60-bit int — engine-identical (Spark conv(·,16,10) == DuckDB
+    // '0x'-cast), which is what makes a WINNOWING operator
+    // hash-oracle-checkable. Docs shorter than k+w−1 = 11 chars have
+    // no full window and are dropped (declared semantics, mirrored in
+    // the oracle).
+    "text_winnow_fingerprint" -> ((s, d) => {
+      val k = WinnowK
+      val w = WinnowW
+      Tables.documents(s, d)
+        .select(col("doc_id"), lower(col("text")).as("t"))
+        .filter(length(col("t")) >= k + w - 1)
+        .withColumn("hs", expr(
+          s"""transform(sequence(1, length(t) - ${k - 1}),
+             |  i -> cast(conv(substr(md5(substr(t, i, $k)), 1, 15), 16, 10)
+             |            as bigint))""".stripMargin))
+        .withColumn("fps", expr(
+          s"""array_sort(array_distinct(
+             |  transform(sequence(1, size(hs) - ${w - 1}),
+             |    j -> array_min(slice(hs, j, $w)))))""".stripMargin))
+        .select(col("doc_id"), size(col("fps")).as("n_fp"),
+          element_at(col("fps"), 1).as("fp_min"),
+          expr("array_join(transform(slice(fps, 1, 8), x -> cast(x as string)), ',')")
+            .as("fp_sample"))
         .orderBy(col("doc_id"))
     }),
 
@@ -454,6 +498,26 @@ object TextOps {
     "text_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp, substring(md5(text), 1, 8) AS fp8
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_winnow_fingerprint" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, lower(text) AS t FROM documents
+         |  WHERE length(lower(text)) >= ${WinnowK + WinnowW - 1}),
+         |h AS (
+         |  SELECT doc_id,
+         |    list_transform(range(1, length(t) - ${WinnowK - 2}),
+         |      i -> CAST(('0x' || substr(md5(substr(t, i, $WinnowK)), 1, 15))
+         |           AS BIGINT)) AS hs
+         |  FROM base),
+         |f AS (
+         |  SELECT doc_id,
+         |    list_sort(list_distinct(
+         |      list_transform(range(1, len(hs) - ${WinnowW - 2}),
+         |        j -> list_min(list_slice(hs, j, j + ${WinnowW - 1}))))) AS fps
+         |  FROM h)
+         |SELECT doc_id, CAST(len(fps) AS INT) AS n_fp, fps[1] AS fp_min,
+         |  array_to_string(list_slice(fps, 1, 8), ',') AS fp_sample
+         |FROM f ORDER BY doc_id""".stripMargin,
 
     "text_ngram_topk" ->
       """WITH t2 AS (SELECT lang, string_split(text, ' ') AS ts FROM documents),

@@ -40,6 +40,41 @@ class Round4Spec extends SparkTestBase {
     assert(srcs == Set("base", "delta"))
   }
 
+  test("text_winnow_fingerprint: shared substring >= k+w-1 chars -> shared fingerprint") {
+    val dir = tempDir()
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog"
+    writeFixture(dir, "documents", Seq(
+      (1L, "en", "web", shared + " and then some trailing words here"),
+      (2L, "en", "web", "a totally different prefix before " + shared),
+      (3L, "en", "web", "nothing in common with either of the others at all"),
+      (4L, "en", "web", "tiny")) // < 11 chars: no full window, dropped
+      .toDF("doc_id", "lang", "source", "text"))
+    val rows = operators.TextOps.queries("text_winnow_fingerprint")(spark, dir)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L), "doc 4 must drop")
+    // recompute full fingerprint sets independently to check overlap
+    // (the query's fp_sample only carries the first 8)
+    def fps(text: String): Set[Long] = {
+      val t = text.toLowerCase
+      val k = operators.TextOps.WinnowK; val w = operators.TextOps.WinnowW
+      val hs = (0 to t.length - k).map { i =>
+        java.lang.Long.parseLong(
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(
+            t.substring(i, i + k)).substring(0, 15), 16)
+      }
+      (0 to hs.length - w).map(j => hs.slice(j, j + w).min).toSet
+    }
+    val s1 = fps("the quick brown fox jumps over the lazy dog and then some trailing words here")
+    val s2 = fps("a totally different prefix before the quick brown fox jumps over the lazy dog")
+    val s3 = fps("nothing in common with either of the others at all")
+    assert((s1 & s2).nonEmpty, "docs sharing a 43-char substring must share fingerprints")
+    assert((s1 & s3).isEmpty && (s2 & s3).isEmpty,
+      "the unrelated doc shares no 11-char run, so no fingerprints")
+    // and the query's n_fp matches the independent computation
+    assert(rows(0).getInt(1) == s1.size && rows(2).getInt(1) == s3.size)
+  }
+
   test("ts_late_data_semantics: bucketed prefix max equals the single-window semantics") {
     val dir = tempDir()
     import spark.implicits._
