@@ -117,15 +117,23 @@ object GraphOps {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   /** per-source sorted neighbor sets, degree-capped — the shared root
-    * of both co-citation derivations. ONE map-side-combined shuffle
-    * builds the sets; the cap is a pipeline filter on set size (the
-    * r3 shape spent a degree aggregate + a semi join — two extra
-    * exchanges — to express the same guard). */
+    * of both co-citation derivations. The degree guard runs BEFORE the
+    * collect: a count aggregate (map-side-combined longs, never rows)
+    * names the under-cap sources and a semi join drops hub edges, so
+    * no collect_set buffer ever holds more than MaxCoCiteDegree
+    * entries. Filtering on size(ds) AFTER collecting would be two
+    * exchanges cheaper but materializes every hub's full neighbor set
+    * in a single aggregation buffer first — at web scale a 1e8-degree
+    * hub is an executor OOM in exactly the query whose declared
+    * semantics exist to exclude it. */
   private def cappedNbrSets(s: SparkSession, d: String): DataFrame =
     memo(cappedCache, (s, d)) {
-      edges(s, d).groupBy(col("src"))
+      val e = edges(s, d)
+      val ok = e.groupBy(col("src")).agg(count(lit(1)).as("cdeg"))
+        .filter(col("cdeg") <= MaxCoCiteDegree).select(col("src"))
+      e.join(ok, Seq("src"), "left_semi")
+        .groupBy(col("src"))
         .agg(array_sort(collect_set(col("dst"))).as("ds"))
-        .filter(size(col("ds")) <= MaxCoCiteDegree)
         .cache()
     }
 
