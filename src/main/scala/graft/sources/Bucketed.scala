@@ -35,4 +35,28 @@ object Bucketed {
     l.join(r, org.apache.spark.sql.functions.col(s"bj_l.$leftKey") ===
       org.apache.spark.sql.functions.col(s"bj_r.$rightKey"))
   }
+
+  /** EXCHANGE-FREE keyed upsert of two pre-bucketed snapshots — the
+    * at-scale form of `pipeline_upsert_snapshot`'s MERGE. The
+    * union + per-key row_number merge cannot ride bucketing (a Union's
+    * output partitioning is unknown to Catalyst even when both inputs
+    * are bucketed on the key), but a FULL OUTER bucket join with
+    * delta-wins column coalesce is the same latest-row-wins semantics
+    * whenever each side holds at most one row per key (true of
+    * snapshot + delta batches by definition) — and on aligned bucket
+    * counts (+ sortBy) it plans as a zero-Exchange, zero-Sort local
+    * merge per bucket. A weekly 10 TB refresh becomes an append-only
+    * bucket read instead of a full shuffle. BucketingSpec proves both
+    * the plan property and row equality with the union+window
+    * reference. */
+  def upsertBucketed(spark: SparkSession, base: String, delta: String,
+      key: String): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col}
+    val cols = spark.table(base).columns.toSeq
+    spark.table(base).alias("ub_b")
+      .join(spark.table(delta).alias("ub_d"),
+        col(s"ub_b.$key") === col(s"ub_d.$key"), "full_outer")
+      .select(cols.map(c =>
+        coalesce(col(s"ub_d.$c"), col(s"ub_b.$c")).as(c)): _*)
+  }
 }
