@@ -131,6 +131,71 @@ object StreamPort {
   def foreachBatchParquetSink(df: DataFrame, out: String) =
     df.writeStream.foreachBatch(writeBatch(out) _)
 
+  /** streaming keyed-upsert sink (CDC-apply) — the stream form of
+    * `pipeline_upsert_snapshot`: each micro-batch is a change set, and
+    * the sink maintains a latest-row-wins SNAPSHOT under `out` as
+    * versioned directories `v=<batchId>`.
+    *
+    * Idempotency (the exactly-once contract foreachBatch requires):
+    * batch N always reads the newest snapshot version STRICTLY BELOW N
+    * and overwrites `v=N` — a retried batch re-merges from the same
+    * parent and rewrites identical bytes, never compounding. Versioned
+    * dirs also give readers time travel for free; a production sink
+    * would prune old versions by retention.
+    *
+    * Merge = the same full-outer + changes-win coalesce as
+    * `sources.Bucketed.upsertBucketed` (at scale both sides would be
+    * bucketed on the key → exchange-free). A batch carrying several
+    * rows for one key is first collapsed to its maximum row in the
+    * (all-columns) struct order — a deterministic total order, so a
+    * retried batch collapses identically. */
+  def applyUpsertBatch(out: String, key: String)(batch: DataFrame, id: Long): Unit = {
+    val spark = batch.sparkSession
+    val cols = batch.columns.toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key))
+      .orderBy(struct(cols.map(col): _*).desc)
+    val changes = batch.withColumn("up_rn", row_number().over(w))
+      .filter(col("up_rn") === 1).drop("up_rn")
+    val merged = snapshotVersionBefore(spark, out, id) match {
+      case None => changes
+      case Some(v) =>
+        spark.read.parquet(s"$out/v=$v").alias("up_b")
+          .join(changes.alias("up_d"),
+            col(s"up_b.$key") === col(s"up_d.$key"), "full_outer")
+          .select(cols.map(c =>
+            coalesce(col(s"up_d.$c"), col(s"up_b.$c")).as(c)): _*)
+    }
+    merged.write.mode("overwrite").parquet(s"$out/v=$id")
+  }
+
+  def upsertSnapshotSink(df: DataFrame, out: String, key: String) =
+    df.writeStream.foreachBatch(applyUpsertBatch(out, key) _)
+
+  /** newest committed snapshot version strictly below `beforeId` (so a
+    * retried batch never reads its own partial output). Listed through
+    * the Hadoop FileSystem API, so the sink works on any cluster
+    * filesystem, not just local disk. */
+  private def snapshotVersionBefore(spark: org.apache.spark.sql.SparkSession,
+      out: String, beforeId: Long): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+      .filter(_ < beforeId)
+      .sorted(Ordering[Long].reverse)
+      .headOption
+  }
+
+  /** read the current snapshot (newest version) */
+  def readSnapshot(spark: org.apache.spark.sql.SparkSession, out: String): DataFrame =
+    snapshotVersionBefore(spark, out, Long.MaxValue) match {
+      case Some(v) => spark.read.parquet(s"$out/v=$v")
+      case None => throw new IllegalStateException(s"no snapshot under $out")
+    }
+
   /** custom stateful operator via mapGroupsWithState: running event
     * count + max value per user — the KeyValueGroupedDataset custom-
     * state surface (§2.9 / SURVEY §3) */

@@ -320,4 +320,31 @@ class StreamPortSpec extends SparkTestBase {
     assert(spark.read.parquet(out).count() == events.size,
       "retried batch duplicated rows — sink not idempotent")
   }
+
+  test("upsert snapshot sink: latest-wins across batches, idempotent on retry") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = tempDir() + "/snap"
+    case class Kv(k: Long, v: Double)
+    val mem = MemoryStream[(Long, Double)]
+    val q = StreamPort.upsertSnapshotSink(
+      mem.toDF().toDF("k", "v"), out, "k").start()
+    mem.addData((1L, 1.0), (2L, 2.0))
+    q.processAllAvailable()
+    mem.addData((2L, 20.0), (3L, 3.0), (3L, 30.0)) // 3 appears twice in one batch
+    q.processAllAvailable()
+    q.stop()
+    val snap = StreamPort.readSnapshot(spark, out)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    // k2 updated by batch 1; within-batch dup of k3 collapses to the
+    // max struct row (30.0) deterministically
+    assert(snap == Seq((1L, 1.0), (2L, 20.0), (3L, 30.0)), s"got $snap")
+    // RETRY batch 1: re-applying the same change set must rebuild the
+    // identical snapshot (reads the version below 1, not its own)
+    StreamPort.applyUpsertBatch(out, "k")(
+      Seq((2L, 20.0), (3L, 3.0), (3L, 30.0)).toDF("k", "v"), 1L)
+    val snap2 = StreamPort.readSnapshot(spark, out)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(snap2 == snap, "retried batch changed the snapshot")
+  }
 }
