@@ -20,6 +20,10 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object Aggregates {
 
+  /** fixed bin width for agg_quantile_hist (price units) — shared with
+    * the oracle SQL so engine and oracle bin identically */
+  val QuantileHistWidth = 100L
+
   val queries: Map[String, QFn] = Map(
     // FLAGSHIP (TPC-H Q1 shape) — also wired into SparkEntry.entry
     "agg_pricing_summary" -> ((s, d) => {
@@ -138,6 +142,40 @@ object Aggregates {
         .agg(
           r4(expr("percentile(l_quantity, 0.5)")).as("p50_qty"),
           r4(expr("percentile(l_quantity, 0.9)")).as("p90_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // MERGEABLE histogram quantiles — the at-scale counterpart to
+    // agg_percentile, paired exactly like text_cm_frequent_terms pairs
+    // with exact term counting: exact percentile sorts every value per
+    // group (state ∝ rows — the thing that breaks at 100 TB), while a
+    // fixed-bin histogram carries ≤ QuantileHistBins counting cells of
+    // sum-mergeable state per group regardless of row count. Estimate =
+    // upper edge of the first bin whose cumulative count reaches q·n
+    // (deterministic: pure integer counts until the final multiply).
+    // The cumulative window runs over the per-group HISTOGRAM (≤ bins
+    // rows/group), not the data — bounded input by construction.
+    "agg_quantile_hist" -> ((s, d) => {
+      val w = QuantileHistWidth
+      // floor-then-cast, not cast-then-divide: Spark's double→bigint
+      // cast truncates while DuckDB's ROUNDS — floor() is the one
+      // binning both engines agree on (prices are positive)
+      val hist = Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          floor(col("l_extendedprice") / w).cast("bigint").as("bin"))
+        .groupBy(col("l_returnflag"), col("bin")).agg(count(lit(1)).as("c"))
+      val win = Window.partitionBy(col("l_returnflag")).orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy(col("l_returnflag"))
+      val cum = hist
+        .withColumn("cum", sum(col("c")).over(win))
+        .withColumn("n", sum(col("c")).over(tot))
+      def est(q: Double, name: String) =
+        min(when(col("cum") * lit(100L) >= col("n") * lit((q * 100).toLong),
+          (col("bin") + 1) * w)).as(name)
+      cum.groupBy(col("l_returnflag"))
+        .agg(max(col("n")).as("n"),
+          est(0.50, "p50_est"), est(0.90, "p90_est"), est(0.99, "p99_est"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -341,6 +379,27 @@ object Aggregates {
         |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 4) AS p50_qty,
         |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity), 4) AS p90_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_quantile_hist" ->
+      s"""WITH hist AS (
+         |  SELECT l_returnflag,
+         |    CAST(floor(l_extendedprice / $QuantileHistWidth) AS BIGINT) AS bin,
+         |    count(*) AS c
+         |  FROM lineitem GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT l_returnflag, bin, c,
+         |    SUM(c) OVER (PARTITION BY l_returnflag ORDER BY bin
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    SUM(c) OVER (PARTITION BY l_returnflag) AS n
+         |  FROM hist)
+         |SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+         |  CAST(min(CASE WHEN cum * 100 >= n * 50
+         |    THEN (bin + 1) * $QuantileHistWidth END) AS BIGINT) AS p50_est,
+         |  CAST(min(CASE WHEN cum * 100 >= n * 90
+         |    THEN (bin + 1) * $QuantileHistWidth END) AS BIGINT) AS p90_est,
+         |  CAST(min(CASE WHEN cum * 100 >= n * 99
+         |    THEN (bin + 1) * $QuantileHistWidth END) AS BIGINT) AS p99_est
+         |FROM cum GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "agg_collect_sorted" ->
       """SELECT l_orderkey, array_to_string(list_sort(list(l_partkey)), ',') AS parts

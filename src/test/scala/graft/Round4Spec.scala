@@ -40,6 +40,28 @@ class Round4Spec extends SparkTestBase {
     assert(srcs == Set("base", "delta"))
   }
 
+  test("agg_quantile_hist: estimate is the bin upper edge of the discrete quantile") {
+    val w = operators.Aggregates.QuantileHistWidth
+    val est = operators.Aggregates.queries("agg_quantile_hist")(spark, sf001)
+      .collect()
+      .map(r => r.getString(0) -> Seq(50 -> r.getLong(2), 90 -> r.getLong(3),
+        99 -> r.getLong(4))).toMap
+    // discrete q-quantile per flag: the smallest value whose rank
+    // reaches ceil(q·n) — exactly what the histogram's cumulative-count
+    // threshold selects, so disc < est <= disc + binWidth always
+    val byFlag = Tables.lineitem(spark, sf001)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).sorted }
+    for ((flag, qs) <- est; (q, e) <- qs) {
+      val vals = byFlag(flag)
+      val n = vals.length.toLong
+      val disc = vals(((n * q + 99) / 100 - 1).toInt)
+      assert(e > disc - 1e-9 && e <= disc + w + 1e-9,
+        s"$flag p$q: est $e must be the bin upper edge of discrete quantile $disc (width $w)")
+    }
+  }
+
   test("text_winnow_fingerprint: shared substring >= k+w-1 chars -> shared fingerprint") {
     val dir = tempDir()
     import spark.implicits._
