@@ -213,6 +213,22 @@ class PlanAuditSpec extends SparkTestBase {
       s"expected the bucket-partitioned running-max window:\n$sp")
   }
 
+  test("agg_quantile_hist: every window runs over the aggregated histogram, not rows") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val sp = SparkEntry.queries("agg_quantile_hist")(spark, sf001)
+      .queryExecution.sparkPlan
+    val wins = sp.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty)
+    // the cumulative/total windows must sit ABOVE the (group, bin)
+    // hash aggregate — their input is the bounded histogram (≤ bins
+    // rows per group), never the raw lineitem scan
+    wins.foreach { w =>
+      assert(w.child.collect { case a: BaseAggregateExec => a }.nonEmpty,
+        s"window over non-aggregated input:\n$sp")
+    }
+  }
+
   test("win_global_share: broadcast scalar total — no WindowExec at all") {
     val p = plan("win_global_share")
     assert(!p.contains("Window"),
