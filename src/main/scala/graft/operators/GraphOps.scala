@@ -622,13 +622,22 @@ object GraphOps {
           Stable.r4(col("q_raw")).as("modularity"))
     }),
 
-    // k-core decomposition (k=3): the maximal subgraph where every
-    // vertex keeps degree ≥ k, by iterative peeling. No oracle
-    // (iterate-to-fixpoint is not ANSI-SQL-expressible here);
-    // GraphSpec pins the semantics on hand graphs (planted clique
-    // survives, pendant chains peel).
+    // k-core decomposition (k = KcoreK): the maximal subgraph where
+    // every vertex keeps degree ≥ k, by iterative peeling.
+    // Oracle-checked (r4 continuation): each peel round is ONE select
+    // over the current edge set — an edge survives iff BOTH endpoint
+    // degrees are ≥ k, and on a symmetric edge set both degrees are
+    // window counts (PARTITION BY src / PARTITION BY dst). That makes
+    // the fixpoint loop expressible as a DuckDB recursive CTE whose
+    // recursive term references the working table exactly once; the
+    // oracle runs a fixed KcoreOracleRounds ≥ the observed convergence
+    // round count, and peeling is idempotent at the fixpoint, so the
+    // capped state equals the engine's converged state (a
+    // non-convergence at sf0.01 would surface as a hash mismatch, not
+    // a silent pass). GraphSpec still pins the semantics on hand
+    // graphs (planted clique survives, pendant chains peel).
     "graph_kcore" -> ((s, d) =>
-      kCore(symEdges(s, d), k = 3, symmetrized = true,
+      kCore(symEdges(s, d), k = KcoreK, symmetrized = true,
         numParts = graphParts(s, d)).orderBy(col("v"))),
 
     // PageRank, damping 0.85, fixed PrRounds iterations, on the
@@ -650,6 +659,17 @@ object GraphOps {
   /** PageRank round count — shared by the engine loop and the unrolled
     * oracle SQL so the two cannot drift */
   val PrRounds = 10
+
+  /** k-core k, shared by the engine loop and the oracle SQL */
+  val KcoreK = 3
+
+  /** peel-round cap for the k-core oracle's recursive CTE. The engine
+    * iterates to the true fixpoint; the oracle re-derives the state for
+    * a fixed number of rounds (peeling is idempotent once converged, so
+    * any cap ≥ the convergence round count yields the fixpoint — and a
+    * cap that were too small fails loudly as a hash mismatch). 30 is
+    * ~6× the convergence count observed at sf0.01. */
+  val KcoreOracleRounds = 30
 
   /** CTE prefix unrolling the [[PrRounds]] PageRank iterations in ANSI
     * SQL — possible because the only order-dependent step, the
@@ -1123,6 +1143,30 @@ object GraphOps {
     "graph_pagerank" ->
       s"""WITH $prUnrolledSql
          |SELECT v, round(pr, 4) AS pr FROM p$PrRounds ORDER BY v""".stripMargin,
+
+    // the peel loop as a recursive CTE: the working table holds ONE
+    // round's surviving symmetric edges, and the recursive term keeps
+    // an edge iff both endpoint window-degrees are ≥ k — exactly the
+    // engine's "drop vertices with deg < k and their edges" round.
+    // After convergence each extra round re-emits the identical set, so
+    // the iter = cap slice IS the fixpoint (see KcoreOracleRounds).
+    "graph_kcore" ->
+      s"""WITH RECURSIVE ed AS ($edgesSql),
+         |sym AS (SELECT src, dst FROM ed
+         |        UNION SELECT dst AS src, src AS dst FROM ed),
+         |peel(iter, src, dst) AS (
+         |  SELECT 0, src, dst FROM sym
+         |  UNION ALL
+         |  SELECT iter + 1, src, dst FROM (
+         |    SELECT iter, src, dst,
+         |      count(*) OVER (PARTITION BY iter, src) AS sdeg,
+         |      count(*) OVER (PARTITION BY iter, dst) AS ddeg
+         |    FROM peel) q
+         |  WHERE sdeg >= $KcoreK AND ddeg >= $KcoreK
+         |    AND iter < $KcoreOracleRounds)
+         |SELECT src AS v, count(*) AS deg FROM peel
+         |WHERE iter = $KcoreOracleRounds
+         |GROUP BY src ORDER BY v""".stripMargin,
 
     "graph_bfs_distance" ->
       s"""WITH RECURSIVE ed AS ($edgesSql),
