@@ -359,7 +359,59 @@ object DedupOps {
           round(expr("cosine_sim(ea, eb)"), 4).as("cos"))
         .filter(col("cos") >= 0.9)
         .orderBy(col("a"), col("b"))
+    }),
+
+    // near-dup candidate pairs from shared WINNOWING fingerprints
+    // (r4 continuation) — the posting-list composition the winnowing
+    // scheme exists for: explode each document's fingerprint set,
+    // group by fingerprint, and emit a < b pairs only from postings
+    // with 2..WinnowPostingCap documents (a fingerprint shared by MANY
+    // docs is boilerplate, not plagiarism — the cap is the semantic
+    // twin of pipeline_inverted_index's posting cap AND the scale
+    // bound: pair fan-out per posting is ≤ cap²/2 regardless of corpus
+    // size, and the group-and-explode derivation shuffles each
+    // (fp, doc) row exactly once). Pairs sharing ≥ WinnowMinShared
+    // fingerprints also carry the fingerprint-estimated overlap
+    // |A∩B| / |A∪B| — the resemblance estimate dedup decisions use.
+    // Fully oracle-expressible, unlike MinHash banding: the
+    // fingerprints are content-derived md5 k-gram hashes, not
+    // seeded-permutation sketches.
+    "dedup_winnow_pairs" -> ((s, d) => {
+      val fps = TextOps.winnowFpArrays(s, d)
+      val wf = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
+      val post = wf.groupBy(col("fp"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")).between(2, WinnowPostingCap))
+      val pairs = post.select(explode(expr(
+        """flatten(transform(sequence(1, size(ds) - 1),
+          |  i -> transform(sequence(i + 1, size(ds)),
+          |    j -> named_struct('a', element_at(ds, i),
+          |                      'b', element_at(ds, j)))))""".stripMargin))
+        .as("p"))
+        .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      val shared = pairs.groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= WinnowMinShared)
+      // |fps| per doc from the SAME exploded relation (fps are
+      // distinct, so the count is the set size) — not a second
+      // size(fps) projection that would re-evaluate the fingerprint
+      // chain per doc
+      val nf = wf.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+      shared
+        .join(nf.select(col("doc_id").as("doc_a"), col("n_fp").as("nfa")), Seq("doc_a"))
+        .join(nf.select(col("doc_id").as("doc_b"), col("n_fp").as("nfb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          r4(col("n_shared").cast("double") /
+            (col("nfa") + col("nfb") - col("n_shared"))).as("overlap_est"))
+        .orderBy(col("doc_a"), col("doc_b"))
     }))
+
+  /** posting cap / shared-fingerprint threshold for dedup_winnow_pairs
+    * — shared with the oracle SQL so the two cannot drift. At sf0.01:
+    * cap 8 keeps 2,095 of 4,500+ multi-doc postings and minShared 3
+    * yields 164 pairs. */
+  val WinnowPostingCap = 8
+  val WinnowMinShared = 3
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
@@ -450,5 +502,23 @@ object DedupOps {
         |  ON x.label = y.label AND x.vec_id < y.vec_id
         |WHERE round(list_cosine_similarity(
         |    CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])), 4) >= 0.9
-        |ORDER BY a, b""".stripMargin)
+        |ORDER BY a, b""".stripMargin,
+
+    "dedup_winnow_pairs" ->
+      s"""WITH ${TextOps.winnowFpsSqlCtes},
+         |wf AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+         |ok AS (SELECT fp FROM wf GROUP BY fp
+         |       HAVING count(*) BETWEEN 2 AND $WinnowPostingCap),
+         |wfo AS (SELECT wf.doc_id, wf.fp FROM wf JOIN ok USING (fp)),
+         |pr AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |  FROM wfo a JOIN wfo b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared),
+         |nf AS (SELECT doc_id, len(fps) AS n_fp FROM f)
+         |SELECT doc_a, doc_b, n_shared,
+         |  round(CAST(n_shared AS DOUBLE)
+         |    / (na.n_fp + nb.n_fp - n_shared), 4) AS overlap_est
+         |FROM pr JOIN nf na ON na.doc_id = doc_a
+         |        JOIN nf nb ON nb.doc_id = doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin)
 }

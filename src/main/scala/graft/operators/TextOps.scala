@@ -24,6 +24,65 @@ object TextOps {
   val WinnowK = 8
   val WinnowW = 4
 
+  /** winnowing fingerprint arrays (doc_id, fps: sorted distinct
+    * bigints) — shared by text_winnow_fingerprint and
+    * DedupOps.dedup_winnow_pairs. One self-protecting per-row
+    * expression, no UDF, no shuffle.
+    *
+    * EVALUATION-COUNT DISCIPLINE: the lowered text and the k-gram hash
+    * array are bound as LAMBDA VARIABLES over one-element array
+    * wrappers (`transform(array(x), v -> ...)`), not as projection
+    * aliases. A projection alias is only computed once if Catalyst
+    * keeps the Project boundary — and CollapseProject WILL inline a
+    * single-referenced alias into a consumer (e.g. `explode(fps)` in
+    * dedup_winnow_pairs), after which `slice(hs, j, w)` re-evaluates
+    * the whole md5 transform per WINDOW and `substr(t, i, k)`
+    * re-lowers the whole document per K-GRAM — the measured
+    * O(len²·md5) blow-up (single task pinned >7 min at sf0.1; same
+    * pathology class as pipeline_clean_corpus's barrier note). A
+    * lambda variable is evaluated exactly once per element by
+    * construction, so the cost is O(len·w) per document regardless of
+    * how the optimizer collapses the surrounding projections — the
+    * guarantee lives in the expression, not in plan shape. */
+  def winnowFpArrays(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val k = WinnowK
+    val w = WinnowW
+    Tables.documents(s, d)
+      .filter(length(lower(col("text"))) >= k + w - 1)
+      .select(col("doc_id"), expr(
+        s"""element_at(transform(array(lower(text)), t ->
+           |  element_at(transform(array(
+           |      transform(sequence(1, length(t) - ${k - 1}),
+           |        i -> cast(conv(substr(md5(substr(t, i, $k)), 1, 15), 16, 10)
+           |                  as bigint))),
+           |    hs -> array_sort(array_distinct(
+           |      transform(sequence(1, size(hs) - ${w - 1}),
+           |        j -> array_min(slice(hs, j, $w)))))), 1)), 1)""".stripMargin)
+        .as("fps"))
+  }
+
+  /** DuckDB CTE chain ending at `f` = (doc_id, fps) — the oracle twin
+    * of [[winnowFpArrays]] (k-gram hash = first 15 md5 hex digits as a
+    * 60-bit int, engine-identical). Splice as `WITH $winnowFpsSqlCtes,
+    * ...`. */
+  def winnowFpsSqlCtes: String =
+    s"""base AS (
+       |  SELECT doc_id, lower(text) AS t FROM documents
+       |  WHERE length(lower(text)) >= ${WinnowK + WinnowW - 1}),
+       |h AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, length(t) - ${WinnowK - 2}),
+       |      i -> CAST(('0x' || substr(md5(substr(t, i, $WinnowK)), 1, 15))
+       |           AS BIGINT)) AS hs
+       |  FROM base),
+       |f AS (
+       |  SELECT doc_id,
+       |    list_sort(list_distinct(
+       |      list_transform(range(1, len(hs) - ${WinnowW - 2}),
+       |        j -> list_min(list_slice(hs, j, j + ${WinnowW - 1}))))) AS fps
+       |  FROM h)""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "text_tokenize_counts" -> ((s, d) => {
       Tables.documents(s, d)
@@ -128,19 +187,7 @@ object TextOps {
     // no full window and are dropped (declared semantics, mirrored in
     // the oracle).
     "text_winnow_fingerprint" -> ((s, d) => {
-      val k = WinnowK
-      val w = WinnowW
-      Tables.documents(s, d)
-        .select(col("doc_id"), lower(col("text")).as("t"))
-        .filter(length(col("t")) >= k + w - 1)
-        .withColumn("hs", expr(
-          s"""transform(sequence(1, length(t) - ${k - 1}),
-             |  i -> cast(conv(substr(md5(substr(t, i, $k)), 1, 15), 16, 10)
-             |            as bigint))""".stripMargin))
-        .withColumn("fps", expr(
-          s"""array_sort(array_distinct(
-             |  transform(sequence(1, size(hs) - ${w - 1}),
-             |    j -> array_min(slice(hs, j, $w)))))""".stripMargin))
+      winnowFpArrays(s, d)
         .select(col("doc_id"), size(col("fps")).as("n_fp"),
           element_at(col("fps"), 1).as("fp_min"),
           expr("array_join(transform(slice(fps, 1, 8), x -> cast(x as string)), ',')")
@@ -500,21 +547,7 @@ object TextOps {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_winnow_fingerprint" ->
-      s"""WITH base AS (
-         |  SELECT doc_id, lower(text) AS t FROM documents
-         |  WHERE length(lower(text)) >= ${WinnowK + WinnowW - 1}),
-         |h AS (
-         |  SELECT doc_id,
-         |    list_transform(range(1, length(t) - ${WinnowK - 2}),
-         |      i -> CAST(('0x' || substr(md5(substr(t, i, $WinnowK)), 1, 15))
-         |           AS BIGINT)) AS hs
-         |  FROM base),
-         |f AS (
-         |  SELECT doc_id,
-         |    list_sort(list_distinct(
-         |      list_transform(range(1, len(hs) - ${WinnowW - 2}),
-         |        j -> list_min(list_slice(hs, j, j + ${WinnowW - 1}))))) AS fps
-         |  FROM h)
+      s"""WITH $winnowFpsSqlCtes
          |SELECT doc_id, CAST(len(fps) AS INT) AS n_fp, fps[1] AS fp_min,
          |  array_to_string(list_slice(fps, 1, 8), ',') AS fp_sample
          |FROM f ORDER BY doc_id""".stripMargin,
