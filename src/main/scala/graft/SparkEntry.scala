@@ -28,7 +28,8 @@ object SparkEntry {
     (operators.TextOps.queries, operators.TextOps.oracle),
     (operators.DedupOps.queries, operators.DedupOps.oracle),
     (operators.VectorOps.queries, operators.VectorOps.oracle),
-    (operators.MultimodalOps.queries, operators.MultimodalOps.oracle))
+    (operators.MultimodalOps.queries, operators.MultimodalOps.oracle),
+    (operators.MiningOps.queries, operators.MiningOps.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, QFn] = sets.map(_._1).reduce(_ ++ _)

@@ -1,0 +1,229 @@
+package graft.operators
+
+import graft._
+import graft.Stable._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** §2.11e — mining and operations diagnostics: the queries a team
+  * actually runs AROUND a 100 TB pipeline — association rules over
+  * co-occurrence, key-skew profiling before picking a partitioning,
+  * per-column data profiling at ingest, and incremental aggregate
+  * maintenance (merge yesterday's partial states with today's delta
+  * instead of recomputing the world).
+  *
+  * All four are oracle-expressible end-to-end: integer counts,
+  * decimal-exact sums, and ratios that divide the same integers in
+  * both engines.
+  */
+object MiningOps {
+
+  /** minimum pair support for mine_assoc_rules — shared with the
+    * oracle SQL. At sf0.01 the 25-brand universe yields 300 pairs with
+    * support 196..465, so 50 keeps the full rule table while still
+    * demonstrating the pushed-down support filter. */
+  val MinSupport = 50
+
+  /** top-N keys reported by diag_key_skew. */
+  val SkewTopN = 20
+
+  /** brand-level association rules (support / confidence / lift) over
+    * the co-purchase relation — market-basket mining, the classic
+    * batch-analytics op. Shape discipline: the (order, brand) relation
+    * aggregates to per-order SORTED brand sets in ONE map-side-
+    * combined shuffle, a<b pairs explode from each set pipeline-side
+    * (bounded: ≤ C(25,2) per order by the brand universe), and only
+    * the pair aggregation shuffles — the coParts group-and-explode
+    * rewrite, not a self-join. Brand totals and the order count are
+    * small aggregates broadcast back; lift divides exact longs in
+    * both engines. */
+  def assocRules(s: org.apache.spark.sql.SparkSession, d: String,
+      minSupport: Int): org.apache.spark.sql.DataFrame = {
+    val ob = Tables.lineitem(s, d)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+      .distinct()
+    val pairs = ob.groupBy(col("ok"))
+      .agg(array_sort(collect_set(col("b"))).as("bs"))
+      .select(explode(expr(
+        """flatten(transform(bs, (x, i) ->
+          |  transform(slice(bs, i + 2, size(bs)), y ->
+          |    struct(x AS ba, y AS bb))))""".stripMargin)).as("p"))
+      .groupBy(col("p.ba").as("brand_a"), col("p.bb").as("brand_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    val totals = ob.groupBy(col("b")).agg(count(lit(1)).as("sb"))
+    val n = ob.agg(countDistinct(col("ok")).as("n_orders"))
+    pairs
+      .join(broadcast(totals.select(col("b").as("brand_a"), col("sb").as("sa"))),
+        Seq("brand_a"))
+      .join(broadcast(totals.select(col("b").as("brand_b"), col("sb").as("sb"))),
+        Seq("brand_b"))
+      .crossJoin(broadcast(n))
+      .select(col("brand_a"), col("brand_b"), col("support"),
+        r4(col("support").cast(DoubleType) / col("sa")).as("conf_a_b"),
+        r4(col("support").cast(DoubleType) / col("sb")).as("conf_b_a"),
+        r4(col("support").cast(DoubleType) * col("n_orders") /
+          (col("sa") * col("sb"))).as("lift"))
+      .orderBy(col("brand_a"), col("brand_b"))
+  }
+
+  val queries: Map[String, QFn] = Map(
+
+    "mine_assoc_rules" -> ((s, d) => assocRules(s, d, MinSupport)),
+
+    // key-distribution skew profile — what you run BEFORE choosing a
+    // shuffle key at 100 TB. Top-N hot keys by row count with absolute
+    // and cumulative corpus share. The per-key counts are one hash
+    // agg; the top-N is TakeOrderedAndProject (no global sort); the
+    // cumulative window runs over the N-row result only (bounded, not
+    // a corpus-wide single-partition window); the total is a broadcast
+    // scalar cross join, the win_global_share discipline.
+    "diag_key_skew" -> ((s, d) => {
+      val counts = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum(col("n")).as("tot"))
+      val top = counts.orderBy(desc("n"), col("l_partkey")).limit(SkewTopN)
+      val w = Window.orderBy(desc("n"), col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      top.crossJoin(broadcast(tot))
+        .withColumn("rank", row_number().over(Window.orderBy(desc("n"), col("l_partkey"))))
+        .select(col("rank"), col("l_partkey"), col("n"),
+          r4(col("n").cast(DoubleType) / col("tot")).as("share"),
+          r4(sum(col("n")).over(w).cast(DoubleType) / col("tot")).as("cum_share"))
+        .orderBy(col("rank"))
+    }),
+
+    // per-column ingest profile of the orders table: null count,
+    // distinct count, min/max (as strings, so one schema carries all
+    // column types). ONE scan computes every column's statistics in a
+    // single multi-count-distinct aggregate (Catalyst expands the
+    // distinct aggregates itself); the per-column rows then unpivot
+    // from that one aggregated row — profiling cost is a scan plus a
+    // constant-size expansion, never a per-column rescan.
+    "diag_column_profile" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("o_orderdate_s", date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate_s", "o_orderpriority")
+      val aggs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap { c =>
+        Seq(count(col(c)).as(s"${c}_nn"),
+          countDistinct(col(c)).as(s"${c}_nd"),
+          min(col(c).cast("string")).as(s"${c}_mn"),
+          max(col(c).cast("string")).as(s"${c}_mx"))
+      }
+      val one = o.agg(aggs.head, aggs.tail: _*)
+      val stacked = cols.map { c =>
+        val name = if (c == "o_orderdate_s") "o_orderdate" else c
+        s"'$name', ${c}_nn, ${c}_nd, ${c}_mn, ${c}_mx"
+      }.mkString(", ")
+      one.select(expr(
+        s"stack(${cols.size}, $stacked) AS (column_name, n_nonnull, n_distinct, min_s, max_s)"),
+        col("n_rows"))
+        .select(col("column_name"), col("n_rows"),
+          (col("n_rows") - col("n_nonnull")).as("n_null"),
+          col("n_distinct"), col("min_s"), col("max_s"))
+        .orderBy(col("column_name"))
+    }),
+
+    // incremental aggregate maintenance: the nightly-refresh shape.
+    // Partial states (count / decimal sum / min / max per priority)
+    // are computed INDEPENDENTLY for the base period and the delta
+    // period, then merged by a second-level aggregate — sum of counts,
+    // sum of decimal sums, min of mins, max of maxes — never touching
+    // the base rows again. At 100 TB the base partials are a few rows
+    // persisted from yesterday; only the delta scans. The oracle
+    // recomputes from scratch: merge ≡ recompute is the whole point,
+    // and every merged state is exactly mergeable (longs, decimals,
+    // extrema — no averages carried as averages).
+    "agg_incremental_merge" -> ((s, d) => {
+      val split = lit("1997-01-01 00:00:00").cast("timestamp")
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("o_totalprice").cast(DecimalType(18, 4))).as("psum"),
+            min(col("o_totalprice")).as("pmin"),
+            max(col("o_totalprice")).as("pmax"))
+      val orders = Tables.orders(s, d)
+      val base = partial(orders.filter(col("o_orderdate") < split))
+      val delta = partial(orders.filter(col("o_orderdate") >= split))
+      base.unionByName(delta)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("cnt")).as("n_orders"),
+          r4(sum(col("psum")).cast(DoubleType)).as("sum_price"),
+          min(col("pmin")).as("min_price"),
+          max(col("pmax")).as("max_price"))
+        .orderBy(col("o_orderpriority"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "mine_assoc_rules" ->
+      s"""WITH ob AS (
+         |  SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+         |supp AS (
+         |  SELECT a.b AS brand_a, c.b AS brand_b, count(*) AS support
+         |  FROM ob a JOIN ob c ON a.ok = c.ok AND a.b < c.b
+         |  GROUP BY 1, 2 HAVING count(*) >= $MinSupport),
+         |bt AS (SELECT b, count(*) AS sb FROM ob GROUP BY 1),
+         |tot AS (SELECT count(DISTINCT ok) AS n_orders FROM ob)
+         |SELECT brand_a, brand_b, support,
+         |  round(CAST(support AS DOUBLE) / ta.sb, 4) AS conf_a_b,
+         |  round(CAST(support AS DOUBLE) / tb.sb, 4) AS conf_b_a,
+         |  round(CAST(support AS DOUBLE) * tot.n_orders / (ta.sb * tb.sb), 4) AS lift
+         |FROM supp JOIN bt ta ON ta.b = brand_a
+         |          JOIN bt tb ON tb.b = brand_b
+         |          CROSS JOIN tot
+         |ORDER BY brand_a, brand_b""".stripMargin,
+
+    "diag_key_skew" ->
+      s"""WITH counts AS (
+         |  SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY 1),
+         |tot AS (SELECT sum(n) AS tot FROM counts),
+         |top AS (
+         |  SELECT l_partkey, n,
+         |    row_number() OVER (ORDER BY n DESC, l_partkey) AS rank
+         |  FROM counts ORDER BY n DESC, l_partkey LIMIT $SkewTopN)
+         |SELECT CAST(rank AS INT) AS rank, l_partkey, n,
+         |  round(CAST(n AS DOUBLE) / tot, 4) AS share,
+         |  round(CAST(sum(n) OVER (ORDER BY rank) AS DOUBLE) / tot, 4) AS cum_share
+         |FROM top CROSS JOIN tot
+         |ORDER BY rank""".stripMargin,
+
+    "diag_column_profile" ->
+      """WITH o AS (
+        |  SELECT *, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s
+        |  FROM orders),
+        |one AS (SELECT
+        |  count(*) AS n_rows,
+        |  count(o_orderkey) AS k_nn, count(DISTINCT o_orderkey) AS k_nd,
+        |    min(CAST(o_orderkey AS VARCHAR)) AS k_mn, max(CAST(o_orderkey AS VARCHAR)) AS k_mx,
+        |  count(o_custkey) AS c_nn, count(DISTINCT o_custkey) AS c_nd,
+        |    min(CAST(o_custkey AS VARCHAR)) AS c_mn, max(CAST(o_custkey AS VARCHAR)) AS c_mx,
+        |  count(o_orderstatus) AS s_nn, count(DISTINCT o_orderstatus) AS s_nd,
+        |    min(o_orderstatus) AS s_mn, max(o_orderstatus) AS s_mx,
+        |  count(o_totalprice) AS p_nn, count(DISTINCT o_totalprice) AS p_nd,
+        |    min(CAST(o_totalprice AS VARCHAR)) AS p_mn, max(CAST(o_totalprice AS VARCHAR)) AS p_mx,
+        |  count(o_orderdate_s) AS d_nn, count(DISTINCT o_orderdate_s) AS d_nd,
+        |    min(o_orderdate_s) AS d_mn, max(o_orderdate_s) AS d_mx,
+        |  count(o_orderpriority) AS r_nn, count(DISTINCT o_orderpriority) AS r_nd,
+        |    min(o_orderpriority) AS r_mn, max(o_orderpriority) AS r_mx
+        |  FROM o)
+        |SELECT column_name, n_rows, n_rows - n_nonnull AS n_null,
+        |  n_distinct, min_s, max_s
+        |FROM (
+        |  SELECT 'o_orderkey' AS column_name, n_rows, k_nn AS n_nonnull, k_nd AS n_distinct, k_mn AS min_s, k_mx AS max_s FROM one
+        |  UNION ALL SELECT 'o_custkey', n_rows, c_nn, c_nd, c_mn, c_mx FROM one
+        |  UNION ALL SELECT 'o_orderstatus', n_rows, s_nn, s_nd, s_mn, s_mx FROM one
+        |  UNION ALL SELECT 'o_totalprice', n_rows, p_nn, p_nd, p_mn, p_mx FROM one
+        |  UNION ALL SELECT 'o_orderdate', n_rows, d_nn, d_nd, d_mn, d_mx FROM one
+        |  UNION ALL SELECT 'o_orderpriority', n_rows, r_nn, r_nd, r_mn, r_mx FROM one)
+        |ORDER BY column_name""".stripMargin,
+
+    "agg_incremental_merge" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_price,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
+}

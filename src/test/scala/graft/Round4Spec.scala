@@ -122,4 +122,102 @@ class Round4Spec extends SparkTestBase {
       ("2020-01-01 13:00:00", 2L),
       ("2020-01-01 14:00:00", 1L)), s"got $got")
   }
+
+  test("mine_assoc_rules: support, confidence, and lift on a hand-checked basket set") {
+    val dir = tempDir()
+    import spark.implicits._
+    // baskets: o1{A,B} o2{A,B} o3{A,C} o4{B}  (brand per part)
+    writeFixture(dir, "part", Seq(
+      (1L, "A"), (2L, "B"), (3L, "C"))
+      .toDF("p_partkey", "p_brand"))
+    writeFixture(dir, "lineitem", Seq(
+      (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 3L), (4L, 2L),
+      (2L, 1L)) // duplicate (order, part) row — must not inflate support
+      .toDF("l_orderkey", "l_partkey"))
+    val rows = operators.MiningOps.assocRules(spark, dir, 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    // supp(A,B)=2 of n=4; A in 3, B in 3 → confs 2/3, lift 2*4/9
+    // supp(A,C)=1; C in 1 → conf_a_b 1/3, conf_b_a 1, lift 4/3
+    assert(rows.toSeq == Seq(
+      ("A", "B", 2L, 0.6667, 0.6667, 0.8889),
+      ("A", "C", 1L, 0.3333, 1.0, 1.3333)), s"got ${rows.toSeq}")
+  }
+
+  test("diag_key_skew: shares and cumulative shares on a skewed key column") {
+    val dir = tempDir()
+    import spark.implicits._
+    writeFixture(dir, "lineitem",
+      (Seq.fill(5)(10L) ++ Seq.fill(3)(20L) ++ Seq.fill(2)(30L))
+        .map(k => (k, k)).toDF("l_orderkey", "l_partkey"))
+    val rows = operators.MiningOps.queries("diag_key_skew")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.toSeq == Seq(
+      (1, 10L, 5L, 0.5, 0.5),
+      (2, 20L, 3L, 0.3, 0.8),
+      (3, 30L, 2L, 0.2, 1.0)), s"got ${rows.toSeq}")
+  }
+
+  test("diag_column_profile: null, distinct, and extrema per column in one pass") {
+    val dir = tempDir()
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampType), StructField("o_orderpriority", StringType)))
+    def ts(v: String) = java.sql.Timestamp.valueOf(v)
+    writeFixture(dir, "orders", spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, 100L, "O", 10.5, ts("1995-01-01 00:00:00"), "1-URGENT"),
+        Row(2L, null, "F", 20.5, ts("1996-06-15 00:00:00"), "1-URGENT"),
+        Row(3L, 100L, "O", 30.5, ts("1997-12-31 00:00:00"), null))), schema))
+    val got = operators.MiningOps.queries("diag_column_profile")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5))).toSeq
+    assert(got == Seq(
+      ("o_custkey", 3L, 1L, 1L, "100", "100"),
+      ("o_orderdate", 3L, 0L, 3L, "1995-01-01 00:00:00", "1997-12-31 00:00:00"),
+      ("o_orderkey", 3L, 0L, 3L, "1", "3"),
+      ("o_orderpriority", 3L, 1L, 1L, "1-URGENT", "1-URGENT"),
+      ("o_orderstatus", 3L, 0L, 2L, "F", "O"),
+      ("o_totalprice", 3L, 0L, 3L, "10.5", "30.5")), s"got $got")
+  }
+
+  test("agg_incremental_merge: merged base+delta partials equal the direct aggregate") {
+    val dir = tempDir()
+    // keys straddle the 1997-01-01 split in both priority groups
+    writeFixture(dir, "orders", ordersDf(
+      (1L, 100L, "1995-01-01 00:00:00", 10.0),
+      (2L, 101L, "1996-06-01 00:00:00", 30.0),
+      (3L, 102L, "1997-02-01 00:00:00", 20.0),
+      (4L, 103L, "1998-03-01 00:00:00", 40.0)))
+    val got = operators.MiningOps.queries("agg_incremental_merge")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == Seq(("5-LOW", 4L, 100.0, 10.0, 40.0)), s"got $got")
+  }
+
+  test("dedup_winnow_pairs: shared-substring docs pair; boilerplate postings over the cap do not") {
+    val dir = tempDir()
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    // every fingerprint of `boiler` lands in 10 docs > WinnowPostingCap=8,
+    // so the boilerplate family must produce NO pairs; each doc's unique
+    // head keeps its boundary k-grams distinct
+    val boiler = " standard disclaimer text appended to every record in this corpus"
+    val docs = Seq(
+      (1L, "en", "web", shared + " with a unique tail here"),
+      (2L, "en", "web", "another unique head before " + shared)) ++
+      (3L to 12L).map(i => (i, "en", "web", s"doc number $i головная part" + boiler))
+    writeFixture(dir, "documents", docs.toDF("doc_id", "lang", "source", "text"))
+    val rows = operators.DedupOps.queries("dedup_winnow_pairs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)),
+      s"only the planted pair may survive, got ${rows.toSeq}")
+    val (_, _, nShared, overlap) = rows.head
+    assert(nShared >= operators.DedupOps.WinnowMinShared)
+    assert(overlap > 0.0 && overlap <= 1.0)
+  }
 }
