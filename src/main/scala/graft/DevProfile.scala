@@ -68,7 +68,35 @@ object DevProfile {
         s.conf.set(operators.GraphOps.BroadcastStateMaxRowsKey, "0")
         try SparkEntry.queries("graph_connected_components")(s, dir).count()
         finally s.conf.unset(operators.GraphOps.BroadcastStateMaxRowsKey)
-      }))
+      }),
+      // dedup_winnow_pairs stage breakdown
+      "winnow_fps" -> ((s, dir) =>
+        operators.TextOps.winnowFpArrays(s, dir).count()),
+      "winnow_explode" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        operators.TextOps.winnowFpArrays(s, dir)
+          .select(col("doc_id"), explode(col("fps")).as("fp")).count()
+      }),
+      "winnow_post_count" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        operators.TextOps.winnowFpArrays(s, dir)
+          .select(col("doc_id"), explode(col("fps")).as("fp"))
+          .groupBy(col("fp")).agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 2).count()
+      }),
+      "winnow_post_collect" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        operators.TextOps.winnowFpArrays(s, dir)
+          .select(col("doc_id"), size(col("fps")).as("n_fp"),
+            explode(col("fps")).as("fp"))
+          .groupBy(col("fp"))
+          .agg(sort_array(collect_list(struct(col("doc_id"), col("n_fp"))))
+            .as("ds"))
+          .filter(size(col("ds")).between(2, operators.DedupOps.WinnowPostingCap))
+          .count()
+      }),
+      "winnow_pairs_full" -> ((s, dir) =>
+        SparkEntry.queries("dedup_winnow_pairs")(s, dir).count()))
 
     val order = args.drop(1) match {
       case more if more.nonEmpty => more.toSeq

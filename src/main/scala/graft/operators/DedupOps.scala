@@ -377,29 +377,34 @@ object DedupOps {
     // fingerprints are content-derived md5 k-gram hashes, not
     // seeded-permutation sketches.
     "dedup_winnow_pairs" -> ((s, d) => {
-      val fps = TextOps.winnowFpArrays(s, d)
-      val wf = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
+      // SINGLE-PASS shape: |fps| rides along with every exploded
+      // (fp, doc) row, so postings emit pairs WITH both set sizes and
+      // the overlap estimate needs no join back — the fingerprint
+      // chain evaluates once, the plan is exactly two shuffles (fp
+      // posting agg, pair agg). The earlier two-join form re-evaluated
+      // the scan-side fingerprint derivation for the |fps| relation
+      // and paid two more exchanges (measured 8.1 s vs ~1 s at sf0.1).
+      val wf = TextOps.winnowFpArrays(s, d)
+        .select(col("doc_id"), size(col("fps")).as("n_fp"),
+          explode(col("fps")).as("fp"))
       val post = wf.groupBy(col("fp"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("n_fp"))))
+          .as("ds"))
         .filter(size(col("ds")).between(2, WinnowPostingCap))
-      val pairs = post.select(explode(expr(
+      post.select(explode(expr(
         """flatten(transform(sequence(1, size(ds) - 1),
           |  i -> transform(sequence(i + 1, size(ds)),
           |    j -> named_struct('a', element_at(ds, i),
           |                      'b', element_at(ds, j)))))""".stripMargin))
         .as("p"))
-        .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-      val shared = pairs.groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("n_shared"))
+        .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+          col("p.a.n_fp").as("nfa"), col("p.b.n_fp").as("nfb"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        // nfa/nfb are functionally dependent on the grouping keys —
+        // max() is just the aggregate-safe way to carry them through
+        .agg(count(lit(1)).as("n_shared"),
+          max(col("nfa")).as("nfa"), max(col("nfb")).as("nfb"))
         .filter(col("n_shared") >= WinnowMinShared)
-      // |fps| per doc from the SAME exploded relation (fps are
-      // distinct, so the count is the set size) — not a second
-      // size(fps) projection that would re-evaluate the fingerprint
-      // chain per doc
-      val nf = wf.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
-      shared
-        .join(nf.select(col("doc_id").as("doc_a"), col("n_fp").as("nfa")), Seq("doc_a"))
-        .join(nf.select(col("doc_id").as("doc_b"), col("n_fp").as("nfb")), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"), col("n_shared"),
           r4(col("n_shared").cast("double") /
             (col("nfa") + col("nfb") - col("n_shared"))).as("overlap_est"))

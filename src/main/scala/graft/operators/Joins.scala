@@ -276,7 +276,41 @@ object Joins {
         .agg(count(lit(1)).as("n"),
           r4(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // explicit Bloom-filter semi-join pre-filtering (r4): lineitems of
+    // high-value orders (o_totalprice > BloomPriceMin, ~5% of orders).
+    // The qualifying order keys build ONE bloom binary
+    // (functions.BloomPrefilter — Spark's own BloomFilterAggregate /
+    // BloomFilterMightContain Catalyst expressions); the probe side
+    // drops ~95% of lineitem BEFORE the join shuffle via the foldable
+    // might_contain literal; the trailing exact LeftSemi join removes
+    // the false positives, so the result is byte-identical to the
+    // plain semi join the oracle runs. The driver-side head() is one
+    // 128 KiB sketch — the same materialization Spark's
+    // InjectRuntimeFilter performs, made deterministic and testable.
+    "join_bloom_prefilter" -> ((s, d) => {
+      val hi = Tables.orders(s, d)
+        .filter(col("o_totalprice") > BloomPriceMin)
+        .select(col("o_orderkey"))
+      val bloom = graft.functions.BloomPrefilter.bloomOf(
+        hi, col("o_orderkey"), BloomEstItems, BloomNumBits)
+      Tables.lineitem(s, d)
+        .filter(graft.functions.BloomPrefilter.mightContain(bloom, col("l_orderkey")))
+        .join(hi.withColumnRenamed("o_orderkey", "l_orderkey"),
+          Seq("l_orderkey"), "left_semi")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), r4(dsum(col("l_quantity"))).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
     }))
+
+  /** join_bloom_prefilter sizing — shared with the oracle threshold.
+    * Price min keeps ~5% of orders (p95 ≈ 475k at every SF); 100k
+    * estimated items covers sf0.1's ~7.5k qualifying keys with a
+    * comfortable margin; 2^20 bits = 128 KiB sketch. */
+  val BloomPriceMin = 475000.0
+  val BloomEstItems = 100000L
+  val BloomNumBits  = 1048576L
 
   val oracle: Map[String, String] = Map(
     "join_inner_hash" ->
@@ -397,5 +431,15 @@ object Joins {
       s"""SELECT o_orderpriority, count(*) AS n,
         |  round(${dsumSql("l_extendedprice * (1 - l_discount)")}, 4) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // the bloom pre-filter is semantically transparent: the oracle is
+    // the plain semi join it accelerates
+    "join_bloom_prefilter" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+        |  round(${dsumSql("l_quantity")}, 4) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders WHERE o_totalprice > 475000.0)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 }

@@ -28,6 +28,11 @@ object MiningOps {
   /** top-N keys reported by diag_key_skew. */
   val SkewTopN = 20
 
+  /** pipeline_range_bucket sizing: histogram bin width over
+    * o_totalprice (≤ ~500 bins at every SF) and the bucket count. */
+  val RangeBucketBinWidth = 1000
+  val RangeBuckets = 10
+
   /** brand-level association rules (support / confidence / lift) over
     * the co-purchase relation — market-basket mining, the classic
     * batch-analytics op. Shape discipline: the (order, brand) relation
@@ -127,6 +132,46 @@ object MiningOps {
         .orderBy(col("column_name"))
     }),
 
+    // range-partitioner construction without a global sort — the
+    // histogram-driven binning every 100 TB repartition/sort actually
+    // uses. Phase 1: a (bin, count) hash aggregate (bounded state, same
+    // mergeable-histogram discipline as agg_quantile_hist) plus a
+    // cumulative window over the ≤500-row aggregate yields the 9
+    // decile boundaries. Phase 2: the boundaries collect into ONE
+    // 9-element array, broadcast back, and every row computes its
+    // bucket with a per-row array scan (`filter(edges, ...)`) — no
+    // join, no sort, no shuffle beyond the bounded histogram. Ties sit
+    // in the lower bucket (strict >); a bin spanning several deciles
+    // duplicates its edge and legitimately empties a bucket — both
+    // conventions integer-exact and mirrored in the oracle.
+    "pipeline_range_bucket" -> ((s, d) => {
+      val w = RangeBucketBinWidth
+      val nb = RangeBuckets
+      val hist = Tables.orders(s, d)
+        .groupBy(floor(col("o_totalprice") / w).cast("long").as("bin"))
+        .agg(count(lit(1)).as("c"))
+      val win = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum(col("c")).over(win))
+        .crossJoin(broadcast(hist.agg(sum(col("c")).as("n"))))
+      val edges = cum
+        .select(col("bin"), col("cum"), col("n"),
+          explode(expr(s"sequence(1, ${nb - 1})")).as("d"))
+        .filter(col("cum") * nb >= col("d") * col("n"))
+        .groupBy(col("d")).agg(min(col("bin")).as("b"))
+        .agg(sort_array(collect_list(((col("b") + 1) * w).cast("double")))
+          .as("edges"))
+      Tables.orders(s, d).crossJoin(broadcast(edges))
+        .select(col("o_totalprice"),
+          (lit(1) + size(expr("filter(edges, e -> o_totalprice > e)")))
+            .as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          r4(min(col("o_totalprice"))).as("min_price"),
+          r4(max(col("o_totalprice"))).as("max_price"))
+        .orderBy(col("bucket"))
+    }),
+
     // incremental aggregate maintenance: the nightly-refresh shape.
     // Partial states (count / decimal sum / min / max per priority)
     // are computed INDEPENDENTLY for the base period and the delta
@@ -220,6 +265,29 @@ object MiningOps {
         |  UNION ALL SELECT 'o_orderdate', n_rows, d_nn, d_nd, d_mn, d_mx FROM one
         |  UNION ALL SELECT 'o_orderpriority', n_rows, r_nn, r_nd, r_mn, r_mx FROM one)
         |ORDER BY column_name""".stripMargin,
+
+    "pipeline_range_bucket" ->
+      s"""WITH hist AS (
+         |  SELECT CAST(floor(o_totalprice / $RangeBucketBinWidth) AS BIGINT) AS bin,
+         |         count(*) AS c
+         |  FROM orders GROUP BY 1),
+         |cum AS (SELECT bin, c, sum(c) OVER (ORDER BY bin) AS cum FROM hist),
+         |tot AS (SELECT count(*) AS n FROM orders),
+         |ed AS (
+         |  SELECT d, min(bin) AS b
+         |  FROM cum CROSS JOIN tot
+         |       CROSS JOIN (SELECT range AS d FROM range(1, $RangeBuckets)) ds
+         |  WHERE cum * $RangeBuckets >= d * n
+         |  GROUP BY d),
+         |edges AS (
+         |  SELECT list_sort(list(CAST((b + 1) * $RangeBucketBinWidth AS DOUBLE))) AS e
+         |  FROM ed)
+         |SELECT CAST(1 + len(list_filter(e, x -> o_totalprice > x)) AS INT) AS bucket,
+         |  count(*) AS n_orders,
+         |  round(min(o_totalprice), 4) AS min_price,
+         |  round(max(o_totalprice), 4) AS max_price
+         |FROM orders CROSS JOIN edges
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "agg_incremental_merge" ->
       """SELECT o_orderpriority, count(*) AS n_orders,

@@ -48,7 +48,19 @@ object TextOps {
       : org.apache.spark.sql.DataFrame = {
     val k = WinnowK
     val w = WinnowW
+    // COMPUTE FAN-OUT: the per-doc fingerprint chain is interpreted
+    // (higher-order functions never codegen) at ~1.5 ms per document —
+    // the dominant cost of every winnow consumer — so it must run at
+    // full cluster width. Upstream scan parallelism cannot be trusted
+    // for that: split COUNT ≠ effective parallelism (a single-row-group
+    // parquet file yields 32 byte-range splits of which one produces
+    // every row — measured 7.5 s single-task at sf0.1 vs sub-second
+    // fanned out). The explicit doc_id repartition pins the width, and
+    // it is NOT an extra cost class: the posting stage downstream
+    // already shuffles ~290 (fp, doc, n_fp) rows ≈ 7 KB per doc, more
+    // than the ~0.3 KB of raw text this exchange carries.
     Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .filter(length(lower(col("text"))) >= k + w - 1)
       .select(col("doc_id"), expr(
         s"""element_at(transform(array(lower(text)), t ->
@@ -60,6 +72,19 @@ object TextOps {
            |      transform(sequence(1, size(hs) - ${w - 1}),
            |        j -> array_min(slice(hs, j, $w)))))), 1)), 1)""".stripMargin)
         .as("fps"))
+      // AGGREGATE BARRIER (doc_id is unique; max of one row is the
+      // identity): a consumer that explodes `fps` gets an inferred
+      // `size(fps) > 0 AND isnotnull(fps)` predicate from
+      // InferFiltersFromGenerate, and predicate pushdown carries that
+      // filter — with the WHOLE fingerprint chain inlined, evaluated
+      // twice per doc — through the repartition down to the scan side,
+      // exactly the single-task stage the fan-out exists to avoid
+      // (measured: 6.5 s scan-side filter at sf0.1). Predicates cannot
+      // cross an Aggregate whose output they reference, and the
+      // groupBy rides the doc_id hash partitioning just installed, so
+      // the barrier adds NO exchange — the chain evaluates exactly
+      // once per doc, at full width, in the partial-agg projection.
+      .groupBy(col("doc_id")).agg(max(col("fps")).as("fps"))
   }
 
   /** DuckDB CTE chain ending at `f` = (doc_id, fps) — the oracle twin

@@ -237,6 +237,77 @@ class PlanAuditSpec extends SparkTestBase {
       s"the one-row total must broadcast:\n$p")
   }
 
+  test("mine_assoc_rules: pair derivation is group-and-explode; totals broadcast; no cartesian") {
+    val p = plan("mine_assoc_rules")
+    assert(!p.contains("CartesianProduct"),
+      s"basket pairs must explode from per-order sets, not an all-pairs join:\n$p")
+    // brand totals and the one-row order count join back as broadcasts
+    assert(p.contains("BroadcastExchange"),
+      s"the bounded brand totals must broadcast:\n$p")
+    assert(p.contains("Generate"),
+      s"expected the pair explode (Generate) over the sorted brand sets:\n$p")
+  }
+
+  test("diag_key_skew: top-N is TakeOrderedAndProject; windows only over the bounded top rows") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("diag_key_skew")(spark, sf001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"hot-key top-N must not globally sort the per-key counts:\n$p")
+    // the cumulative-share windows are unpartitioned BUT bounded: they
+    // must sit above the limit, never over the raw per-key aggregate
+    val sp = df.queryExecution.sparkPlan
+    sp.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }.foreach { w =>
+      assert(w.child.collect {
+        case l: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => l
+        case g: org.apache.spark.sql.execution.GlobalLimitExec => g
+      }.nonEmpty, s"unpartitioned window must run over the N-row limit:\n$sp")
+    }
+  }
+
+  test("diag_column_profile: all six columns profiled from ONE scan of orders") {
+    val p = plan("diag_column_profile")
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("orders"))
+    assert(scans == 1, s"column profiling must be one scan + expand, got $scans scans:\n$p")
+    assert(p.contains("Expand"),
+      s"multi-count-distinct must plan as a single Expand-based aggregate:\n$p")
+  }
+
+  test("agg_incremental_merge: both partials pre-aggregate before the merge level") {
+    val p = plan("agg_incremental_merge")
+    // base partial + delta partial + merge agg, each with its own
+    // partial/final pair — at minimum 4 HashAggregate nodes; the merge
+    // must never see raw order rows
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 4, s"expected partial+final aggregates at both levels:\n$p")
+    assert(p.contains("Union"), s"expected the partial-state union:\n$p")
+  }
+
+  test("dedup_winnow_pairs: no cartesian; posting cap bounds the pair explode") {
+    val p = plan("dedup_winnow_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"winnow pairs must derive from postings, never an all-pairs join:\n$p")
+    assert(p.contains("Generate"),
+      s"expected the posting explode (Generate):\n$p")
+  }
+
+  test("join_bloom_prefilter: might_contain prunes BELOW the semi join; no second scan shuffle") {
+    val p = plan("join_bloom_prefilter")
+    assert(p.contains("might_contain"),
+      s"probe side must carry the bloom pre-filter predicate:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"exactness must come from the trailing semi join:\n$p")
+    // the filter must be a scan-side Filter (below the join), not a
+    // post-join residual: in the plan string the might_contain line
+    // appears after (deeper than) the join operator line
+    val lines = p.linesIterator.toVector
+    val joinIdx = lines.indexWhere(_.contains("LeftSemi"))
+    val bloomIdx = lines.indexWhere(_.contains("might_contain"))
+    assert(joinIdx >= 0 && bloomIdx > joinIdx,
+      s"bloom filter must sit below the join in the plan tree:\n$p")
+  }
+
   test("whole-stage codegen covers the relational hot path") {
     // AQE wraps the plan in AdaptiveSparkPlan and only materializes
     // codegen per query stage at runtime; disable it here so the

@@ -199,6 +199,35 @@ class Round4Spec extends SparkTestBase {
     assert(got == Seq(("5-LOW", 4L, 100.0, 10.0, 40.0)), s"got $got")
   }
 
+  test("pipeline_range_bucket: histogram deciles spread one-order-per-bin evenly") {
+    val dir = tempDir()
+    // one order per 1000-wide bin: decile edges land at d*1000 and
+    // every bucket holds exactly its one order
+    writeFixture(dir, "orders", ordersDf(
+      (1L to 10L).map(i => (i, 100L + i, s"1995-01-0${(i % 9) + 1} 00:00:00",
+        i * 1000.0 - 500.0)): _*))
+    val got = operators.MiningOps.queries("pipeline_range_bucket")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got == (1 to 10).map(i => (i, 1L, i * 1000.0 - 500.0, i * 1000.0 - 500.0)),
+      s"got $got")
+  }
+
+  test("join_bloom_prefilter: equals the plain semi join on a fixture straddling the threshold") {
+    val dir = tempDir()
+    import spark.implicits._
+    writeFixture(dir, "orders", ordersDf(
+      (1L, 100L, "1995-01-01 00:00:00", 480000.0),  // qualifies
+      (2L, 101L, "1995-01-02 00:00:00", 475000.0),  // at threshold: excluded (strict >)
+      (3L, 102L, "1995-01-03 00:00:00", 499000.0))) // qualifies
+    writeFixture(dir, "lineitem", Seq(
+      (1L, "A", 5.0), (1L, "R", 7.0), (2L, "A", 11.0), (3L, "A", 13.0), (9L, "A", 17.0))
+      .toDF("l_orderkey", "l_returnflag", "l_quantity"))
+    val got = operators.Joins.queries("join_bloom_prefilter")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    // orders 1 and 3 qualify → lineitems (1,A,5), (1,R,7), (3,A,13)
+    assert(got == Seq(("A", 2L, 18.0), ("R", 1L, 7.0)), s"got $got")
+  }
+
   test("dedup_winnow_pairs: shared-substring docs pair; boilerplate postings over the cap do not") {
     val dir = tempDir()
     import spark.implicits._
