@@ -101,27 +101,31 @@ object MiningOps {
     }),
 
     // per-column ingest profile of the orders table: null count,
-    // distinct count, min/max (as strings, so one schema carries all
-    // column types). ONE scan computes every column's statistics in a
-    // single multi-count-distinct aggregate (Catalyst expands the
-    // distinct aggregates itself); the per-column rows then unpivot
-    // from that one aggregated row — profiling cost is a scan plus a
-    // constant-size expansion, never a per-column rescan.
+    // distinct count, min/max (VALUE extrema in each column's own
+    // type, rendered as strings only at the end — two result values
+    // cast per column instead of every input row; timestamps format
+    // order-preservingly as yyyy-MM-dd HH:mm:ss). ONE scan computes
+    // every column's statistics in a single multi-count-distinct
+    // aggregate (Catalyst expands the distinct aggregates itself); the
+    // per-column rows then unpivot from that one aggregated row —
+    // profiling cost is a scan plus a constant-size expansion, never a
+    // per-column rescan.
     "diag_column_profile" -> ((s, d) => {
       val o = Tables.orders(s, d)
-        .withColumn("o_orderdate_s", date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
-        "o_totalprice", "o_orderdate_s", "o_orderpriority")
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      def str(c: String, agged: org.apache.spark.sql.Column) =
+        if (c == "o_orderdate") date_format(agged, "yyyy-MM-dd HH:mm:ss")
+        else agged.cast("string")
       val aggs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap { c =>
         Seq(count(col(c)).as(s"${c}_nn"),
           countDistinct(col(c)).as(s"${c}_nd"),
-          min(col(c).cast("string")).as(s"${c}_mn"),
-          max(col(c).cast("string")).as(s"${c}_mx"))
+          str(c, min(col(c))).as(s"${c}_mn"),
+          str(c, max(col(c))).as(s"${c}_mx"))
       }
       val one = o.agg(aggs.head, aggs.tail: _*)
       val stacked = cols.map { c =>
-        val name = if (c == "o_orderdate_s") "o_orderdate" else c
-        s"'$name', ${c}_nn, ${c}_nd, ${c}_mn, ${c}_mx"
+        s"'$c', ${c}_nn, ${c}_nd, ${c}_mn, ${c}_mx"
       }.mkString(", ")
       one.select(expr(
         s"stack(${cols.size}, $stacked) AS (column_name, n_nonnull, n_distinct, min_s, max_s)"),
@@ -237,24 +241,22 @@ object MiningOps {
          |ORDER BY rank""".stripMargin,
 
     "diag_column_profile" ->
-      """WITH o AS (
-        |  SELECT *, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s
-        |  FROM orders),
-        |one AS (SELECT
+      """WITH one AS (SELECT
         |  count(*) AS n_rows,
         |  count(o_orderkey) AS k_nn, count(DISTINCT o_orderkey) AS k_nd,
-        |    min(CAST(o_orderkey AS VARCHAR)) AS k_mn, max(CAST(o_orderkey AS VARCHAR)) AS k_mx,
+        |    CAST(min(o_orderkey) AS VARCHAR) AS k_mn, CAST(max(o_orderkey) AS VARCHAR) AS k_mx,
         |  count(o_custkey) AS c_nn, count(DISTINCT o_custkey) AS c_nd,
-        |    min(CAST(o_custkey AS VARCHAR)) AS c_mn, max(CAST(o_custkey AS VARCHAR)) AS c_mx,
+        |    CAST(min(o_custkey) AS VARCHAR) AS c_mn, CAST(max(o_custkey) AS VARCHAR) AS c_mx,
         |  count(o_orderstatus) AS s_nn, count(DISTINCT o_orderstatus) AS s_nd,
         |    min(o_orderstatus) AS s_mn, max(o_orderstatus) AS s_mx,
         |  count(o_totalprice) AS p_nn, count(DISTINCT o_totalprice) AS p_nd,
-        |    min(CAST(o_totalprice AS VARCHAR)) AS p_mn, max(CAST(o_totalprice AS VARCHAR)) AS p_mx,
-        |  count(o_orderdate_s) AS d_nn, count(DISTINCT o_orderdate_s) AS d_nd,
-        |    min(o_orderdate_s) AS d_mn, max(o_orderdate_s) AS d_mx,
+        |    CAST(min(o_totalprice) AS VARCHAR) AS p_mn, CAST(max(o_totalprice) AS VARCHAR) AS p_mx,
+        |  count(o_orderdate) AS d_nn, count(DISTINCT o_orderdate) AS d_nd,
+        |    strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS d_mn,
+        |    strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS d_mx,
         |  count(o_orderpriority) AS r_nn, count(DISTINCT o_orderpriority) AS r_nd,
         |    min(o_orderpriority) AS r_mn, max(o_orderpriority) AS r_mx
-        |  FROM o)
+        |  FROM orders)
         |SELECT column_name, n_rows, n_rows - n_nonnull AS n_null,
         |  n_distinct, min_s, max_s
         |FROM (
