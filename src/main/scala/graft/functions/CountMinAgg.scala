@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.expressions.Aggregator
-import scala.util.hashing.MurmurHash3
 
 /** Typed Count-Min sketch aggregator — the mergeable frequency sketch
   * (SURVEY §2.12's Aggregator tier, alongside [[MinHashAgg]]): folds a
@@ -19,10 +18,12 @@ import scala.util.hashing.MurmurHash3
   * exact-as-sketched). The same state can roll up source → corpus the
   * way `agg_hll_union` rolls up distinct sketches.
   *
-  * Hashing: MurmurHash3.stringHash with seed = row ^ 0x9e3779b9 (the
-  * exact seed matters to anyone re-reading a persisted sketch) — a
-  * pure function of (term, row), identical on every JVM/executor, so
-  * the sketch is deterministic across runs and cluster layouts.
+  * Hashing: the [[Md5Hash]] basis — one md5 per term to a 60-bit
+  * integer, then d affine permutations (indices [[Md5Hash.CmSeedBase]]
+  * onward, disjoint from MinHash's) taken mod w. Pure data, identical
+  * on every JVM/executor AND in DuckDB SQL — the basis that flipped
+  * text_cm_frequent_terms from property-tested to hash-oracled. The
+  * exact constants matter to anyone re-reading a persisted sketch.
   *
   * Null terms are ignored (SQL-aggregate convention: nulls don't
   * count), so a nullable upstream column cannot fail the aggregation.
@@ -33,9 +34,10 @@ class CountMinAgg(d: Int, w: Int) extends Aggregator[String, Array[Long], Array[
 
   override def reduce(buf: Array[Long], term: String): Array[Long] = {
     if (term == null) return buf
+    val h = Md5Hash.hash60(term)
     var r = 0
     while (r < d) {
-      buf(r * w + CountMinAgg.bucket(term, r, w)) += 1L
+      buf(r * w + (Md5Hash.perm(h, Md5Hash.CmSeedBase + r) % w).toInt) += 1L
       r += 1
     }
     buf
@@ -55,10 +57,8 @@ class CountMinAgg(d: Int, w: Int) extends Aggregator[String, Array[Long], Array[
 
 object CountMinAgg {
   /** deterministic row-r bucket for a term */
-  def bucket(term: String, r: Int, w: Int): Int = {
-    val h = MurmurHash3.stringHash(term, r ^ 0x9e3779b9)
-    java.lang.Math.floorMod(h, w)
-  }
+  def bucket(term: String, r: Int, w: Int): Int =
+    (Md5Hash.perm(Md5Hash.hash60(term), Md5Hash.CmSeedBase + r) % w).toInt
 
   /** point estimate = min over the term's d cells (≥ true count) */
   def estimate(sketch: Array[Long], term: String, d: Int, w: Int): Long = {

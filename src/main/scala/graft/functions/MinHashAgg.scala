@@ -2,11 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
-import scala.util.hashing.MurmurHash3
 
 /** Typed MinHash-signature aggregator (SURVEY §2.12's planned custom
   * UDAF): folds a document's token stream into a k-wide signature of
-  * per-seed minimum hashes.
+  * per-permutation minimum hashes.
   *
   * The buffer is a mutable Array[Long] of k running minima — constant
   * size regardless of document length, so the shuffle for the
@@ -14,19 +13,28 @@ import scala.util.hashing.MurmurHash3
   * That is what makes MinHash dedup feasible at 100 TB: the full
   * token explosion never crosses the wire.
   *
-  * Hashing: MurmurHash3.stringHash with seed = band index — a pure
-  * function of (term, i), identical on every JVM/executor, so
-  * signatures are deterministic across runs and cluster layouts.
+  * Hashing: the [[Md5Hash]] basis — ONE md5 per term to a 60-bit
+  * integer, then k fixed affine permutations mod 2^63. Pure data, so
+  * signatures are deterministic across JVMs/executors AND
+  * recomputable in DuckDB SQL: the md5 basis is what flipped
+  * dedup_near_minhash / dedup_cluster_lsh from property-tested to
+  * hash-oracled. (Also cheaper than the former per-seed murmur: one
+  * digest + k multiply-adds versus k string hashes.)
   */
 class MinHashAgg(k: Int) extends Aggregator[String, Array[Long], Array[Long]] {
+
+  // constants materialized once per aggregator instance, not per row
+  private val as = Array.tabulate(k)(Md5Hash.permA)
+  private val bs = Array.tabulate(k)(Md5Hash.permB)
 
   override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
 
   override def reduce(buf: Array[Long], term: String): Array[Long] = {
+    val h = Md5Hash.hash60(term)
     var i = 0
     while (i < k) {
-      val h = MinHashAgg.hash(term, i)
-      if (h < buf(i)) buf(i) = h
+      val p = (as(i) * h + bs(i)) & Long.MaxValue
+      if (p < buf(i)) buf(i) = p
       i += 1
     }
     buf
@@ -45,12 +53,9 @@ class MinHashAgg(k: Int) extends Aggregator[String, Array[Long], Array[Long]] {
 }
 
 object MinHashAgg {
-  /** deterministic per-seed 64-bit-ish hash (two murmur32 halves) */
-  def hash(term: String, seed: Int): Long = {
-    val lo = MurmurHash3.stringHash(term, seed)
-    val hi = MurmurHash3.stringHash(term, seed ^ 0x5bd1e995)
-    (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
-  }
+  /** deterministic per-permutation hash — the exact per-term value the
+    * aggregator minimizes (exposed for tests and sketch re-readers) */
+  def hash(term: String, i: Int): Long = Md5Hash.perm(Md5Hash.hash60(term), i)
 
   /** estimated Jaccard similarity of two signatures */
   def estimate(a: Array[Long], b: Array[Long]): Double = {

@@ -69,21 +69,69 @@ object DedupOps {
   /** MinHash(k=32) signatures → 8×4 LSH band collisions → exact-Jaccard
     * verification (J ≥ 0.5) of candidates only — shared by the pair
     * query and the full-corpus LSH clustering. Intersection terms join
-    * through the (small) candidate list, never all-pairs. */
+    * through the (small) candidate list, never all-pairs.
+    *
+    * The band key is the raw 4-long signature slice (arrays are
+    * joinable), not a rehash of it: with the [[MinHashAgg]] md5 basis
+    * that makes the whole candidate chain recomputable in DuckDB —
+    * see [[minhashCtesSql]] — so both LSH queries are hash-oracled. */
+  private val MinHashK = 32; private val LshBands = 8; private val LshRows = 4
+
   private def minhashVerifiedPairs(s: SparkSession, d: String): DataFrame = {
-    val k = 32; val bands = 8; val rows = 4
     val tok = shingleSets(s, d)
-    val minhash = udaf(new MinHashAgg(k))
+    val minhash = udaf(new MinHashAgg(MinHashK))
     val sigs = tok.groupBy(col("doc_id"))
       .agg(minhash(col("term")).as("sig"))
-    val bandCols = (0 until bands).map(j => hash(slice(col("sig"), j * rows + 1, rows)))
+    val bandCols = (0 until LshBands).map(j => slice(col("sig"), j * LshRows + 1, LshRows))
     val banded = sigs.select(col("doc_id"), posexplode(array(bandCols: _*)))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bsig"))
     val cand = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
     jaccardPairs(tok, 0.5, candidates = Some(cand))
+  }
+
+  /** DuckDB CTE chain recomputing [[minhashVerifiedPairs]] exactly —
+    * full-corpus bigram sets, md5-60-bit base hash, the k=32 affine
+    * permutations as a literal `seeds` VALUES table (same constants as
+    * the Spark aggregator, emitted by [[graft.functions.Md5Hash]]),
+    * band collision on the 4-long slice, exact-Jaccard verification.
+    * Final relation: `mpairs(a, b, jaccard)`. */
+  private def minhashCtesSql: String = {
+    import graft.functions.Md5Hash
+    s"""mtoks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |mbi AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(list_zip(ts[1:len(ts)-1], ts[2:len(ts)]),
+       |      p -> p[1] || '_' || p[2])) AS term
+       |  FROM mtoks),
+       |hsh AS (SELECT doc_id, ${Md5Hash.duckHash60("term")} AS h FROM mbi),
+       |seeds(i, a, b) AS (VALUES ${Md5Hash.duckSeedRows(MinHashK)}),
+       |msig AS (
+       |  SELECT doc_id, s.i, min(${Md5Hash.duckPerm("s.a", "s.b", "hsh.h")}) AS mh
+       |  FROM hsh CROSS JOIN seeds s GROUP BY doc_id, s.i),
+       |mband AS (
+       |  SELECT doc_id, i // $LshRows AS band, list(mh ORDER BY i) AS bsig
+       |  FROM msig GROUP BY doc_id, i // $LshRows),
+       |mcand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM mband x JOIN mband y
+       |    ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+       |msz AS (SELECT doc_id, count(*) AS sz FROM mbi GROUP BY doc_id),
+       |minter AS (
+       |  SELECT c.a, c.b, count(*) AS n
+       |  FROM mcand c
+       |  JOIN mbi x ON x.doc_id = c.a
+       |  JOIN mbi y ON y.doc_id = c.b AND y.term = x.term
+       |  GROUP BY c.a, c.b),
+       |mpairs AS (
+       |  SELECT t.a, t.b,
+       |    round(CAST(t.n AS DOUBLE) / (sa.sz + sb.sz - t.n), 4) AS jaccard
+       |  FROM minter t
+       |  JOIN msz sa ON sa.doc_id = t.a JOIN msz sb ON sb.doc_id = t.b
+       |  WHERE round(CAST(t.n AS DOUBLE) / (sa.sz + sb.sz - t.n), 4) >= 0.5)"""
+      .stripMargin
   }
 
   /** near-dup cluster labels, unordered: connected components over the
@@ -114,6 +162,39 @@ object DedupOps {
       GraphOps.connectedComponents(pairs.unionByName(docs), numParts = 1)
         .select(col("v").as("doc_id"), col("lbl").as("canonical_id"))
     }
+
+  /** SimHash signature width: 60 bits — the Md5Hash base-hash width,
+    * so every signature bit is recomputable on the oracle side */
+  private val SimHashBits = 60
+
+  /** DuckDB CTE chain recomputing the dedup_simhash signature —
+    * tf-weighted bit votes over the md5-60-bit term hash, one
+    * generated sum-CASE per bit, bands = 15-bit quotient/remainder
+    * arithmetic (no shift builtins needed). Final relation:
+    * `sband(doc_id, simhash, band, bh)`. */
+  private def simhashCtesSql: String = {
+    import graft.functions.Md5Hash
+    val bitSums = (0 until SimHashBits).map { i =>
+      s"sum(CASE WHEN (h // ${1L << i}) % 2 = 1 THEN tf ELSE -tf END) AS b$i"
+    }.mkString(",\n    ")
+    val sigSum = (0 until SimHashBits).map { i =>
+      s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString(" + ")
+    val bandRows = (0 until 4).map(j => s"($j, ${1L << (15 * j)})").mkString(", ")
+    s"""stf AS (
+       |  SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |        FROM documents)
+       |  GROUP BY doc_id, term),
+       |sh AS (SELECT doc_id, tf, ${Md5Hash.duckHash60("term")} AS h FROM stf),
+       |sbits AS (SELECT doc_id,
+       |    $bitSums
+       |  FROM sh GROUP BY doc_id),
+       |ssig AS (SELECT doc_id, $sigSum AS simhash FROM sbits),
+       |sband AS (
+       |  SELECT doc_id, simhash, bj.j AS band, (simhash // bj.p) % 32768 AS bh
+       |  FROM ssig CROSS JOIN (VALUES $bandRows) AS bj(j, p))""".stripMargin
+  }
 
   /** DuckDB CTE chain for bounded token-bigram sets and their pair
     * intersections (toks/bi/sz/inter) — ONE definition shared by the
@@ -200,9 +281,10 @@ object DedupOps {
 
     // MinHash (k=32) + LSH banding (8 bands × 4 rows): candidates where
     // any band collides, then exact-Jaccard verification of candidates
-    // only. No oracle (signatures are hash-seed-dependent); the
-    // planted-duplicate property test pins recall, and the verified
-    // output equals dedup_jaccard semantics on the candidate set.
+    // only. HASH-ORACLED: the md5-affine signature basis (Md5Hash)
+    // is engine-identical, so DuckDB recomputes the entire
+    // sign→band→verify chain (minhashCtesSql); the planted-duplicate
+    // property test additionally pins recall.
     "dedup_near_minhash" -> ((s, d) =>
       minhashVerifiedPairs(s, d).orderBy(col("a"), col("b"))),
 
@@ -210,8 +292,9 @@ object DedupOps {
     // bounded dedup_cluster_canonical documents: pair graph from the
     // MinHash-LSH verified candidates (no all-pairs anywhere), then
     // the same connected-components + min-doc_id canonical step over
-    // every document. No oracle (hash-seeded candidates); the planted
-    // fixture pins that exact+near dups cluster under one canonical.
+    // every document. HASH-ORACLED end-to-end: md5-basis candidates
+    // (minhashCtesSql) + the recursive-CTE component walk; the planted
+    // fixture additionally pins that exact+near dups cluster together.
     "dedup_cluster_lsh" -> ((s, d) => {
       val pairs = minhashVerifiedPairs(s, d)
         .select(col("a").as("src"), col("b").as("dst"))
@@ -223,25 +306,28 @@ object DedupOps {
         .orderBy(col("doc_id"))
     }),
 
-    // SimHash: 64-bit signature from per-token hashes weighted by tf;
-    // near-dup candidates = equal 16-bit band (4 bands), verified by
-    // hamming distance <= 3. No oracle (hash-based); property-tested.
+    // SimHash: 60-bit signature from per-token md5-basis hashes
+    // weighted by tf; near-dup candidates = equal 15-bit band (4
+    // bands), verified by hamming distance <= 3. HASH-ORACLED: the
+    // Md5Hash 60-bit base hash is engine-identical, so DuckDB rebuilds
+    // the exact signature bit-by-bit (simhashCtesSql); the property
+    // test additionally pins hamming-0 on identical docs.
     "dedup_simhash" -> ((s, d) => {
       val tf = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
-        .withColumn("h", xxhash64(col("term")))
-      val bitCols = (0 until 64).map { i =>
+        .withColumn("h", expr(graft.functions.Md5Hash.sparkHash60("term")))
+      val bitCols = (0 until SimHashBits).map { i =>
         sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, col("tf"))
           .otherwise(-col("tf"))).as(s"b$i")
       }
       val sig = tf.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
         .select(col("doc_id"),
-          (0 until 64).map(i => when(col(s"b$i") > 0, shiftleft(lit(1L), i))
+          (0 until SimHashBits).map(i => when(col(s"b$i") > 0, shiftleft(lit(1L), i))
             .otherwise(lit(0L))).reduce(_ + _).as("simhash"))
       val bandCols = (0 until 4).map(j =>
-        shiftright(col("simhash"), j * 16).bitwiseAND(lit(65535L)))
+        shiftright(col("simhash"), j * 15).bitwiseAND(lit(32767L)))
       val banded = sig.select(col("doc_id"), col("simhash"), posexplode(array(bandCols: _*)))
         .select(col("doc_id"), col("simhash"), col("pos").as("band"), col("col").as("bh"))
       banded.as("x").join(banded.as("y"),
@@ -458,6 +544,32 @@ object DedupOps {
          |FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
          |WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.3
          |ORDER BY a, b""".stripMargin,
+
+    "dedup_near_minhash" ->
+      s"""WITH $minhashCtesSql
+         |SELECT a, b, jaccard FROM mpairs ORDER BY a, b""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH $simhashCtesSql
+         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+         |FROM sband x JOIN sband y
+         |  ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+         |ORDER BY a, b""".stripMargin,
+
+    "dedup_cluster_lsh" ->
+      s"""WITH RECURSIVE $minhashCtesSql,
+         |mdocs AS (SELECT doc_id FROM documents),
+         |msym AS (SELECT a AS s, b AS t FROM mpairs
+         |         UNION SELECT b, a FROM mpairs
+         |         UNION SELECT doc_id, doc_id FROM mdocs),
+         |mwalk(v, l) AS (
+         |  SELECT doc_id, doc_id FROM mdocs
+         |  UNION
+         |  SELECT msym.t, mwalk.l FROM msym JOIN mwalk ON msym.s = mwalk.v)
+         |SELECT v AS doc_id, min(l) AS canonical_id
+         |FROM mwalk GROUP BY v ORDER BY doc_id""".stripMargin,
 
     "dedup_cluster_canonical" ->
       s"""WITH RECURSIVE $clusterCtesSql

@@ -317,9 +317,10 @@ object TextOps {
     // shuffles one pair per DISTINCT term; at web-scale vocabularies
     // the sketch is what survives. The two bounded driver-side
     // collects are a 10-row top list and ONE 32 KB sketch row — both
-    // constant in corpus size. No oracle (the bucket layout is
-    // JVM-hash-defined); Round3bSpec pins est == exact on a
-    // collision-free fixture and est ≥ exact always.
+    // constant in corpus size. HASH-ORACLED: the Md5Hash bucket basis
+    // is engine-identical, so DuckDB rebuilds the full d×w cell grid
+    // and takes the same per-term min; Round3bSpec additionally pins
+    // est == exact on a collision-free fixture and est ≥ exact always.
     "text_cm_frequent_terms" -> ((s, d) => {
       import s.implicits._
       val D = 4; val W = 1024
@@ -609,6 +610,28 @@ object TextOps {
          |  coalesce(d.n_dup_docs, 0) AS n_dup_docs
          |FROM main m LEFT JOIN dups d USING (source)
          |ORDER BY m.source""".stripMargin,
+
+    "text_cm_frequent_terms" -> {
+      import graft.functions.Md5Hash
+      s"""WITH occ AS (
+         |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+         |oh AS (SELECT term, ${Md5Hash.duckHash60("term")} AS h FROM occ),
+         |cseeds(r, a, b) AS (VALUES ${Md5Hash.duckSeedRows(4, Md5Hash.CmSeedBase)}),
+         |cells AS (
+         |  SELECT s.r, ${Md5Hash.duckPerm("s.a", "s.b", "oh.h")} % 1024 AS bkt,
+         |    count(*) AS cnt
+         |  FROM oh CROSS JOIN cseeds s GROUP BY 1, 2),
+         |top AS (
+         |  SELECT term, h, count(*) AS exact_n FROM oh GROUP BY term, h
+         |  ORDER BY exact_n DESC, term LIMIT 10)
+         |SELECT t.term, t.exact_n, min(c.cnt) AS cm_est
+         |FROM top t
+         |CROSS JOIN cseeds s
+         |JOIN cells c ON c.r = s.r
+         |  AND c.bkt = ${Md5Hash.duckPerm("s.a", "s.b", "t.h")} % 1024
+         |GROUP BY t.term, t.exact_n
+         |ORDER BY exact_n DESC, term""".stripMargin
+    },
 
     "text_entropy_stats" ->
       s"""WITH tok AS ($tokCte),

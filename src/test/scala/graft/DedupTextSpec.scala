@@ -89,6 +89,22 @@ class DedupTextSpec extends SparkTestBase {
       .count() == 0)
   }
 
+  test("Md5Hash basis is engine-identical (values pinned against DuckDB)") {
+    import graft.functions.Md5Hash
+    // DuckDB: SELECT CAST(('0x' || substr(md5('hello'),1,15)) AS BIGINT)
+    assert(Md5Hash.hash60("hello") == 419982666956583591L)
+    // DuckDB: (CAST(a AS HUGEINT) * h + b) % 2^63 on the same constants
+    assert(((4611686018427387903L * 1152921504606846975L + 99L) &
+      Long.MaxValue) == 3458764513820541028L)
+    // constants are non-negative and the multiplier odd — the
+    // preconditions that make JVM wraparound equal HUGEINT mod
+    (0 until 140).foreach { i =>
+      assert(Md5Hash.permA(i) > 0 && (Md5Hash.permA(i) & 1L) == 1L)
+      assert(Md5Hash.permB(i) >= 0L)
+      assert(Md5Hash.perm(Md5Hash.hash60(s"t$i"), i) >= 0L)
+    }
+  }
+
   test("MinHashAgg signature estimates Jaccard on planted sets") {
     val a = (1 to 100).map(i => s"tok$i")
     val b = (21 to 120).map(i => s"tok$i") // |∩|=80, |∪|=120 → J=0.667
