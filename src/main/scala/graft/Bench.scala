@@ -13,6 +13,11 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // dev-only filter (comma-separated query names): the driver runs
+    // with no args, so the contract output is unchanged; a filtered
+    // run times (and warms) just the named queries for iteration
+    val only: Option[Set[String]] =
+      if (args.nonEmpty) Some(args(0).split(",").toSet) else None
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -52,7 +57,8 @@ object Bench {
     // abort the bench, not silently degrade into timing a thrashed JVM.
     // A warmup failure is LOGGED (ADVICE r3): the query then runs cold
     // in the timed pass, and that degraded timing must be attributable.
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(q => only.forall(_.contains(q._1)))
+        .foreach { case (name, fn) =>
       try fn(spark, warmDir).count()
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(
@@ -83,7 +89,9 @@ object Bench {
     // materialized — each rep pays the query's full derivation, the
     // same protocol the r3 judge used for its isolated re-measurements.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq
+      .filter(q => only.forall(_.contains(q._1)))
+      .sortBy(_._1).map { case (name, fn) =>
       var best = -1.0
       var rep = 0
       // a failed query reports -1, not its time-to-exception — a

@@ -265,13 +265,23 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
-  test("diag_column_profile: all six columns profiled from ONE scan of orders") {
+  test("diag_column_profile: split aggregates — hash-agg distincts, no sorted expand") {
     val p = plan("diag_column_profile")
+    // TWO column-pruned scans by design (DevColProfile: the fused
+    // form put min/max(string)'s var-length buffers into the expanded
+    // aggregate → SortAggregate with a 7-key sort of every expanded
+    // row, 3× slower). The distinct side must stay hash-aggregated.
     val scans = p.linesIterator.count(l =>
       l.contains("FileScan parquet") && l.contains("orders"))
-    assert(scans == 1, s"column profiling must be one scan + expand, got $scans scans:\n$p")
+    assert(scans == 2, s"expected the split two-aggregate shape, got $scans scans:\n$p")
     assert(p.contains("Expand"),
-      s"multi-count-distinct must plan as a single Expand-based aggregate:\n$p")
+      s"multi-count-distinct must plan as an Expand-based aggregate:\n$p")
+    // the Expand feeds HashAggregate dedup, never a sort of expanded rows
+    val expandIdx = p.linesIterator.indexWhere(_.contains("Expand"))
+    val sortedExpand = p.linesIterator.zipWithIndex.exists { case (l, i) =>
+      l.contains("SortAggregate") && (i - expandIdx).abs <= 3 && expandIdx >= 0
+    }
+    assert(!sortedExpand, s"expanded distinct rows must hash-aggregate, not sort:\n$p")
   }
 
   test("agg_incremental_merge: both partials pre-aggregate before the merge level") {
