@@ -209,6 +209,58 @@ object MiningOps {
           min(col("pmin")).as("min_price"),
           max(col("pmax")).as("max_price"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // referential-integrity audit — the ingest gate a pipeline runs
+    // before trusting a drop: per FK edge, child row count, orphan
+    // rows (no parent), distinct orphan keys. ONE left join per edge
+    // (count_if(parent IS NULL) rides the same pass — no separate
+    // anti-join rescan); small parents broadcast, the fact-to-fact
+    // edge (lineitem→orders) stays a shuffled hash join that AQE can
+    // re-plan at scale. The third edge audits orders against the
+    // POSITIVE-BALANCE customers only, so the query demonstrably
+    // counts real orphans, not just zeros on clean data.
+    "diag_fk_violations" -> ((s, d) => {
+      def edge(name: String, child: org.apache.spark.sql.DataFrame, ck: String,
+          parent: org.apache.spark.sql.DataFrame, pk: String) =
+        child.select(col(ck))
+          .join(parent.select(col(pk)), col(ck) === col(pk), "left")
+          .agg(count(lit(1)).as("n_child"),
+            count_if(col(pk).isNull).as("n_orphans"),
+            countDistinct(when(col(pk).isNull, col(ck))).as("n_orphan_keys"))
+          .select(lit(name).as("fk_edge"), col("n_child"),
+            col("n_orphans"), col("n_orphan_keys"))
+      val edges = Seq(
+        edge("orders->customer", Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey"),
+        edge("lineitem->orders", Tables.lineitem(s, d), "l_orderkey",
+          Tables.orders(s, d), "o_orderkey"),
+        edge("orders->customer_active", Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d).filter(col("c_acctbal") > 0), "c_custkey"))
+      edges.reduce(_ unionByName _).orderBy(col("fk_edge"))
+    }),
+
+    // event-type transition mining: per-user consecutive (prev, next)
+    // event pairs via lag over the (user, time) order, counted
+    // globally with each transition's share of all transitions. The
+    // window partitions by user_id — high-cardinality, so no
+    // single-partition hazard — and the only other shuffle is the
+    // bounded (5×5 transition matrix) aggregate; the global total
+    // broadcasts back as a scalar (win_global_share discipline).
+    "mine_seq_transitions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val trans = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      trans
+        .crossJoin(broadcast(trans.agg(sum(col("n")).as("total"))))
+        .select(col("prev_type"), col("next_type"), col("n"),
+          r4(col("n") / col("total")).as("share"))
+        .orderBy(desc("n"), col("prev_type"), col("next_type"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -300,5 +352,41 @@ object MiningOps {
       """SELECT o_orderpriority, count(*) AS n_orders,
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_price,
         |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "diag_fk_violations" ->
+      """WITH e1 AS (
+        |  SELECT 'orders->customer' AS fk_edge, count(*) AS n_child,
+        |    count(*) FILTER (c_custkey IS NULL) AS n_orphans,
+        |    count(DISTINCT CASE WHEN c_custkey IS NULL THEN o_custkey END)
+        |      AS n_orphan_keys
+        |  FROM orders LEFT JOIN customer ON o_custkey = c_custkey),
+        |e2 AS (
+        |  SELECT 'lineitem->orders' AS fk_edge, count(*) AS n_child,
+        |    count(*) FILTER (o_orderkey IS NULL) AS n_orphans,
+        |    count(DISTINCT CASE WHEN o_orderkey IS NULL THEN l_orderkey END)
+        |      AS n_orphan_keys
+        |  FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey),
+        |e3 AS (
+        |  SELECT 'orders->customer_active' AS fk_edge, count(*) AS n_child,
+        |    count(*) FILTER (c_custkey IS NULL) AS n_orphans,
+        |    count(DISTINCT CASE WHEN c_custkey IS NULL THEN o_custkey END)
+        |      AS n_orphan_keys
+        |  FROM orders LEFT JOIN (SELECT c_custkey FROM customer
+        |    WHERE c_acctbal > 0) c ON o_custkey = c_custkey)
+        |SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3
+        |ORDER BY fk_edge""".stripMargin,
+
+    "mine_seq_transitions" ->
+      """WITH tr AS (
+        |  SELECT prev_type, event_type AS next_type, count(*) AS n FROM (
+        |    SELECT event_type, lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |    FROM events) x
+        |  WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM tr)
+        |SELECT prev_type, next_type, n,
+        |  round(CAST(n AS DOUBLE) / total, 4) AS share
+        |FROM tr CROSS JOIN tot
+        |ORDER BY n DESC, prev_type, next_type""".stripMargin)
 }

@@ -409,6 +409,47 @@ object TextOps {
       df_.join(heads, Seq("term"))
         .select(col("term"), col("df"), col("postings_head"))
         .orderBy(col("term"))
+    }),
+
+    // Zipf power-law fit over the rank-frequency curve: the corpus
+    // health check a training pipeline runs (natural text slopes near
+    // −1; scraped boilerplate or synthetic spam bends the curve).
+    // Top-500 terms by exact count (TakeOrderedAndProject — no global
+    // sort), rank by (count desc, term), then the least-squares slope
+    // of ln(freq) ~ ln(rank) from DECIMAL-EXACT sums of 4dp-rounded
+    // logs (the text_entropy_stats discipline: rounding before the
+    // sum makes the accumulation order-independent and
+    // engine-identical; only the final slope/intercept divisions are
+    // double). Constant state: 500 (x, y) points regardless of corpus
+    // size — the vocabulary never leaves the top-k aggregate.
+    "text_zipf_slope" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      val top = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("term")).limit(500)
+      // sums stay exact: x,y ≤ 6.3 at 4dp; 500 points → sx fits
+      // DECIMAL(14,4), the cross-products DECIMAL(18,8); every
+      // decimal op below stays inside precision 38, so NO decimal
+      // rounding happens in either engine before the final division
+      val dsm = org.apache.spark.sql.types.DecimalType(14, 4)
+      val dpr = org.apache.spark.sql.types.DecimalType(18, 8)
+      val xy = top
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("n"), col("term"))))
+        .select(round(log(col("rank").cast("double")), 4).cast(dec).as("x"),
+          round(log(col("n").cast("double")), 4).cast(dec).as("y"))
+      xy.agg(count(lit(1)).cast(org.apache.spark.sql.types.DecimalType(6, 0)).as("k"),
+          sum(col("x")).cast(dsm).as("sx"), sum(col("y")).cast(dsm).as("sy"),
+          sum(col("x") * col("x")).cast(dpr).as("sxx"),
+          sum(col("x") * col("y")).cast(dpr).as("sxy"))
+        .withColumn("slope_d",
+          (col("k") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("k") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        .select(col("k").cast("long").as("n_points"),
+          r4(col("slope_d")).as("slope"),
+          r4((col("sy").cast("double") - col("sx").cast("double") * col("slope_d"))
+            / col("k").cast("double")).as("intercept"))
     }))
 
   /** PII regexes, valid as BOTH Java regex (Spark) and RE2 (DuckDB):
@@ -632,6 +673,33 @@ object TextOps {
          |GROUP BY t.term, t.exact_n
          |ORDER BY exact_n DESC, term""".stripMargin
     },
+
+    "text_zipf_slope" ->
+      s"""WITH tok AS ($tokCte),
+         |top AS (
+         |  SELECT term, count(*) AS n FROM tok GROUP BY term
+         |  ORDER BY n DESC, term LIMIT 500),
+         |xy AS (
+         |  SELECT
+         |    CAST(round(ln(CAST(row_number() OVER (ORDER BY n DESC, term)
+         |      AS DOUBLE)), 4) AS DECIMAL(18,4)) AS x,
+         |    CAST(round(ln(CAST(n AS DOUBLE)), 4) AS DECIMAL(18,4)) AS y
+         |  FROM top),
+         |s AS (
+         |  SELECT CAST(count(*) AS DECIMAL(6,0)) AS k,
+         |    CAST(sum(x) AS DECIMAL(14,4)) AS sx,
+         |    CAST(sum(y) AS DECIMAL(14,4)) AS sy,
+         |    CAST(sum(x * x) AS DECIMAL(18,8)) AS sxx,
+         |    CAST(sum(x * y) AS DECIMAL(18,8)) AS sxy
+         |  FROM xy),
+         |sl AS (
+         |  SELECT *, CAST(k * sxy - sx * sy AS DOUBLE)
+         |    / CAST(k * sxx - sx * sx AS DOUBLE) AS slope_d FROM s)
+         |SELECT CAST(k AS BIGINT) AS n_points,
+         |  round(slope_d, 4) AS slope,
+         |  round((CAST(sy AS DOUBLE) - CAST(sx AS DOUBLE) * slope_d)
+         |    / CAST(k AS DOUBLE), 4) AS intercept
+         |FROM sl""".stripMargin,
 
     "text_entropy_stats" ->
       s"""WITH tok AS ($tokCte),

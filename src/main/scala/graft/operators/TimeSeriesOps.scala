@@ -278,6 +278,39 @@ object TimeSeriesOps {
         .select(col("user_id"), col("event_type"), ntz(col("ts")).as("first_ts"),
           col("event_id"))
         .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // trailing-K exponential moving average (α=1/2) per user — the
+    // decay metric a monitoring pipeline keeps per entity, in EXACT
+    // integer arithmetic: values quantize to cents via the decimal
+    // cast (half-up, engine-identical), weights are powers of two
+    // (2^(K-m+i) for element i of the m collected values, K=20), and
+    // the weighted sum stays a BIGINT until ONE final division — so
+    // the result is bit-identical across engines and run orders,
+    // where a naive pow(0.5, j) double fold would drift by
+    // association order. Window partitions by user_id
+    // (high-cardinality); the frame materializes ≤K values per row.
+    "ts_ewma" -> ((s, d) => {
+      val K = 20
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-(K - 1), Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .withColumn("cents",
+          (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)) * 10000)
+            .cast("long"))
+        .withColumn("arr", collect_list(col("cents")).over(w))
+        .withColumn("m", size(col("arr")))
+        .withColumn("raw", expr(
+          s"""aggregate(
+             |  transform(arr, (x, i) -> x * shiftleft(CAST(1 AS BIGINT), $K - m + i)),
+             |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin))
+        .withColumn("denom",
+          expr(s"shiftleft(CAST(1 AS BIGINT), $K) - shiftleft(CAST(1 AS BIGINT), $K - m)"))
+        .select(col("event_id"), col("user_id"),
+          r4(col("raw") / (col("denom") * 10000.0)).as("ewma"))
+        .orderBy(col("event_id"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -430,5 +463,25 @@ object TimeSeriesOps {
         |    row_number() OVER (PARTITION BY user_id, event_type
         |      ORDER BY ts, event_id) AS rn
         |  FROM events) t
-        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    // lag j = a.rn - b.rn carries weight 2^(19-j) — the same
+    // 2^(K-m+i) the Spark array formulation applies (i = m-1-j);
+    // integer sums, one double division, identical op order
+    "ts_ewma" ->
+      """WITH rnk AS (
+        |  SELECT event_id, user_id, ts,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT a.event_id, a.user_id,
+        |  round(CAST(sum(b.cents * (CAST(1 AS BIGINT) << (19 - (a.rn - b.rn))))
+        |      AS DOUBLE)
+        |    / (((CAST(1 AS BIGINT) << 20)
+        |        - (CAST(1 AS BIGINT) << (20 - least(a.rn, 20)))) * 10000.0),
+        |    4) AS ewma
+        |FROM rnk a JOIN rnk b
+        |  ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 19 AND a.rn
+        |GROUP BY a.event_id, a.user_id, a.rn
+        |ORDER BY a.event_id""".stripMargin)
 }

@@ -249,4 +249,85 @@ class Round4Spec extends SparkTestBase {
     assert(nShared >= operators.DedupOps.WinnowMinShared)
     assert(overlap > 0.0 && overlap <= 1.0)
   }
+
+  test("diag_fk_violations: planted orphans are counted per edge") {
+    val dir = tempDir()
+    import spark.implicits._
+    writeFixture(dir, "customer", Seq(
+      (1L, 100.0), (2L, -50.0), (3L, 10.0))
+      .toDF("c_custkey", "c_acctbal"))
+    // custkey 9 has no parent at all; custkey 2 exists but is inactive
+    writeFixture(dir, "orders", ordersDf(
+      (10L, 1L, "1995-01-01 00:00:00", 1.0),
+      (11L, 2L, "1995-01-02 00:00:00", 1.0),
+      (12L, 9L, "1995-01-03 00:00:00", 1.0),
+      (13L, 9L, "1995-01-04 00:00:00", 1.0)))
+    // lineitem order 99 is an orphan of orders
+    writeFixture(dir, "lineitem", Seq((10L, 1L), (99L, 2L))
+      .toDF("l_orderkey", "l_partkey"))
+    val got = operators.MiningOps.queries("diag_fk_violations")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("lineitem->orders", 2L, 1L, 1L),
+      ("orders->customer", 4L, 2L, 1L),
+      ("orders->customer_active", 4L, 3L, 2L)), s"got ${got.toSeq}")
+    // real corpus: TPC-H referential integrity holds on the raw edges
+    val clean = operators.MiningOps.queries("diag_fk_violations")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(clean("orders->customer") == 0L && clean("lineitem->orders") == 0L)
+  }
+
+  test("mine_seq_transitions: lag pairs per user, counted globally") {
+    val dir = tempDir()
+    import spark.implicits._
+    def ns(s: Long) = (1577836800L + s) * 1000000000L
+    // user 1: a→b→a ; user 2: b→a — transitions a→b, b→a, b→a
+    writeFixture(dir, "events", Seq(
+      (1L, ns(10), 1L, "a", 1.0, "{}"),
+      (2L, ns(20), 1L, "b", 1.0, "{}"),
+      (3L, ns(30), 1L, "a", 1.0, "{}"),
+      (4L, ns(10), 2L, "b", 1.0, "{}"),
+      (5L, ns(20), 2L, "a", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = operators.MiningOps.queries("mine_seq_transitions")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.toSeq == Seq(("b", "a", 2L, 0.6667), ("a", "b", 1L, 0.3333)),
+      s"got ${got.toSeq}")
+  }
+
+  test("ts_ewma: exact powers-of-two weighting on a hand series") {
+    val dir = tempDir()
+    import spark.implicits._
+    def ns(s: Long) = (1577836800L + s) * 1000000000L
+    writeFixture(dir, "events", Seq(
+      (1L, ns(10), 1L, "a", 1.0, "{}"),
+      (2L, ns(20), 1L, "a", 2.0, "{}"),
+      (3L, ns(30), 1L, "a", 4.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = operators.TimeSeriesOps.queries("ts_ewma")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    // m=1: 1.0 ; m=2: (1·1+2·2)/3 ; m=3: (1·1+2·2+4·4)/7
+    assert(got(1L) == 1.0)
+    assert(got(2L) == 1.6667, s"got ${got(2L)}")
+    assert(got(3L) == 3.0, s"got ${got(3L)}")
+  }
+
+  test("text_zipf_slope: uniform frequencies fit slope 0 at the constant intercept") {
+    val dir = tempDir()
+    import spark.implicits._
+    // every term appears exactly twice → y constant → slope exactly 0,
+    // intercept = ln(2) rounded
+    writeFixture(dir, "documents", Seq(
+      (1L, "en", "web", "alpha beta gamma delta"),
+      (2L, "en", "web", "alpha beta gamma delta"))
+      .toDF("doc_id", "lang", "source", "text"))
+    val r = operators.TextOps.queries("text_zipf_slope")(spark, dir).head()
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == 0.0, s"slope ${r.getDouble(1)}")
+    assert(r.getDouble(2) == 0.6931, s"intercept ${r.getDouble(2)}")
+    // real corpus: a Zipf-ish curve must slope downward
+    val real = operators.TextOps.queries("text_zipf_slope")(spark, sf001).head()
+    assert(real.getDouble(1) < 0.0)
+  }
 }
