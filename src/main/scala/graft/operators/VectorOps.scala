@@ -190,13 +190,23 @@ object VectorOps {
         .select(col("vec_id"), col("embedding"), col("c_id").as("cell")))
     }),
 
-    // sign-random-projection ANN: 16 fixed seeded hyperplanes → 16-bit
+    // sign-random-projection ANN: 16 fixed ±1 hyperplanes → 16-bit
     // bucket; top-1 neighbor within the bucket. The scale path: bucket
     // populations are ~corpus/2^16, so candidate pairs grow linearly.
+    // HASH-ORACLED since the sign-plane rewrite: each bucket bit is
+    // the sign of an exact INTEGER sum — components quantize through
+    // the engine-identical decimal cast (float widened to double
+    // exactly, then DECIMAL(20,8), then 1e-8 units as BIGINT), so the
+    // fold is order-independent, the accumulator type is stable, and
+    // DuckDB recomputes the identical bucket for every vector.
     "vec_ann_lsh" -> ((s, d) => {
       CosineSimilarity.register(s)
       val bucketBits = (0 until 16).map { i =>
-        when(expr(s"aggregate(zip_with(embedding, ${planeExpr(i)}, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (a, v) -> a + v)") > 0,
+        when(expr(s"""aggregate(
+          |  zip_with(embedding, ${planeExpr(i)},
+          |    (x, y) -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(20,8))
+          |                   * 100000000 AS BIGINT) * y),
+          |  CAST(0 AS BIGINT), (a, v) -> a + v)""".stripMargin) > 0,
           shiftleft(lit(1L), i)).otherwise(lit(0L))
       }
       // no cache: the bucket bits are 16 codegen'd higher-order exprs,
@@ -321,16 +331,29 @@ object VectorOps {
       centroids.cache()
     }
 
-  /** 16 fixed 64-dim hyperplanes from a seeded PRNG — deterministic
-    * across JVMs (same algorithm, same seed). */
-  lazy val planes: Array[Array[Double]] = {
-    val rnd = new scala.util.Random(42)
-    Array.fill(16)(Array.fill(64)(rnd.nextDouble() - 0.5))
-  }
+  /** 16 fixed 64-dim ±1 SIGN hyperplanes from the Md5Hash constant
+    * stream (indices 200+, disjoint from the MinHash/Count-Min seed
+    * ranges) — pure data emitted as identical literals into the Spark
+    * expression and the DuckDB oracle. Sign projections are the
+    * classic SimHash-for-vectors variant of random projection
+    * (preserves the cosine-LSH guarantee), and their dot products
+    * accumulate as EXACT decimals of exactly-widened floats — so
+    * every bucket bit is engine-identical and vec_ann_lsh is
+    * hash-oracled, where the former real-valued planes' double fold
+    * was association-order-dependent. */
+  lazy val planes: Array[Array[Int]] =
+    Array.tabulate(16, 64)((i, j) =>
+      if (((graft.functions.Md5Hash.permA(200 + i * 64 + j) >> 7) & 1L) == 1L) 1
+      else -1)
 
   /** SQL array literal for plane i (used inside higher-order exprs) */
   private def planeExpr(i: Int): String =
-    planes(i).map(v => s"CAST($v AS DOUBLE)").mkString("array(", ", ", ")")
+    planes(i).mkString("array(", ", ", ")")
+
+  /** DuckDB VALUES rows `(p, j, s)` for all 16×64 plane signs */
+  private def planeRowsSql: String =
+    (0 until 16).flatMap(i => (0 until 64).map(j =>
+      s"($i, $j, ${planes(i)(j)})")).mkString(", ")
 
   /** CTE prefix unrolling the [[LloydRounds]] sample-based Lloyd
     * iterations in ANSI SQL — possible because every training step is
@@ -506,5 +529,36 @@ object VectorOps {
         |SELECT probe_id, label, vec_id, cos, rank FROM (
         |  SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
         |    ORDER BY cos DESC, vec_id ASC) AS INT) AS rank FROM scored) t
-        |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin)
+        |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+
+    // bucket bit p = sign of the exact integer sum Σ ±d_j (1e-8
+    // units) — the same ±1 literals and the same exactly-widened
+    // decimal quantization as the Spark expression, so buckets match
+    // bit-for-bit
+    "vec_ann_lsh" ->
+      s"""WITH pl(p, j, s) AS (VALUES $planeRowsSql),
+         |dims AS (
+         |  SELECT vec_id, j.j AS j,
+         |    CAST(CAST(CAST(embedding[j.j + 1] AS DOUBLE) AS DECIMAL(20,8))
+         |         * 100000000 AS BIGINT) AS d
+         |  FROM embeddings CROSS JOIN (SELECT range AS j FROM range(64)) j),
+         |bits AS (
+         |  SELECT d.vec_id, pl.p,
+         |    CASE WHEN sum(d.d * pl.s) > 0
+         |      THEN CAST(1 AS BIGINT) << pl.p ELSE CAST(0 AS BIGINT) END AS bit
+         |  FROM dims d JOIN pl ON pl.j = d.j
+         |  GROUP BY d.vec_id, pl.p),
+         |bk AS (SELECT vec_id, CAST(sum(bit) AS BIGINT) AS bucket
+         |       FROM bits GROUP BY vec_id),
+         |e AS (SELECT b.vec_id, b.bucket, emb.embedding
+         |      FROM bk b JOIN embeddings emb USING (vec_id)),
+         |scored AS (
+         |  SELECT x.vec_id AS a, x.bucket, y.vec_id AS b,
+         |    round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+         |      CAST(y.embedding AS DOUBLE[])), 4) AS cos
+         |  FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id)
+         |SELECT a AS vec_id, bucket, b AS nn_id, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY a
+         |    ORDER BY cos DESC, b ASC) AS rn FROM scored) t
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin)
 }
