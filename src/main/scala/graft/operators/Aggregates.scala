@@ -24,6 +24,45 @@ object Aggregates {
     * the oracle SQL so engine and oracle bin identically */
   val QuantileHistWidth = 100L
 
+  /** register count for the own-HLL pair (agg_hll_md5*) */
+  val HllM = 512
+
+  /** max register rank for m=512: 63-bit hash − 9 index bits → 54-bit
+    * rank window, rank ∈ 0 (empty) .. 55 */
+  private val HllMaxRank = 55
+
+  /** α·m²·2^55 — the numerator of the raw HLL estimate over the
+    * 2^55-scaled register sum, inlined as ONE double literal into the
+    * Spark expression AND the DuckDB oracle so both divide the exact
+    * same constant (Double.toString round-trips) */
+  private val HllNumerator: Double =
+    0.7213 / (1.0 + 1.079 / HllM) * HllM * HllM * math.pow(2.0, HllMaxRank)
+
+  /** HLL estimate from a register array column: exact integer register
+    * sum (Σ2^(55−M) as DECIMAL(38,0) — scale-0 decimal addition never
+    * loses digits), then ONE double division; small range (raw ≤ 2.5m,
+    * zeros present) switches to linear counting m·ln(m/V). The DuckDB
+    * oracles apply the identical formula to their recomputed
+    * registers ([[hllEstimateSql]]). */
+  private def hllEstimate(reg: String): org.apache.spark.sql.Column = {
+    val s = s"""aggregate($reg, CAST(0 AS DECIMAL(38,0)),
+       |  (a, r) -> a + CAST(shiftleft(CAST(1 AS BIGINT),
+       |    $HllMaxRank - CAST(r AS INT)) AS DECIMAL(38,0)))""".stripMargin
+    val zeros = s"size(filter($reg, r -> r = 0))"
+    val raw = s"$HllNumerator / CAST(($s) AS DOUBLE)"
+    expr(s"""round(CASE WHEN $raw <= ${2.5 * HllM} AND $zeros > 0
+       |  THEN ${HllM.toDouble} * ln(${HllM.toDouble} / ($zeros))
+       |  ELSE $raw END, 4)""".stripMargin)
+  }
+
+  /** DuckDB side of [[hllEstimate]] given SQL exprs for the 2^55-scaled
+    * register sum and the zero-register count */
+  private[operators] def hllEstimateSql(sumExpr: String, zerosExpr: String): String =
+    s"""round(CASE WHEN $HllNumerator / CAST(($sumExpr) AS DOUBLE) <= ${2.5 * HllM}
+       |    AND ($zerosExpr) > 0
+       |  THEN ${HllM.toDouble} * ln(${HllM.toDouble} / ($zerosExpr))
+       |  ELSE $HllNumerator / CAST(($sumExpr) AS DOUBLE) END, 4)""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     // FLAGSHIP (TPC-H Q1 shape) — also wired into SparkEntry.entry
     "agg_pricing_summary" -> ((s, d) => {
@@ -325,6 +364,56 @@ object Aggregates {
       cnt.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("n"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // own-HLL distinct estimate, HASH-ORACLED (functions.HllAgg on the
+    // Md5Hash basis): the register array each group builds is
+    // bit-for-bit what DuckDB rebuilds from the raw rows, and the
+    // estimation formula (α·m²/Σ2⁻ᴹ with linear-counting small-range
+    // correction) runs identically on both — exact integer register
+    // sums (DECIMAL(38,0) / HUGEINT), one double division at the end.
+    // Complements agg_approx_distinct (Spark's native Datasketches
+    // surface, engine-internal layout → no oracle possible there).
+    "agg_hll_md5" -> ((s, d) => {
+      val hll = udaf(new graft.functions.HllAgg(HllM))
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(hll(col("l_partkey").cast("string")).as("reg"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          hllEstimate("reg").as("approx_parts"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // sketch ROLLUP on the own HLL: per-nation registers merge to
+    // region by element-wise max — associative/commutative/idempotent,
+    // so union-then-estimate is exact-as-sketched and equals the
+    // oracle's direct region-level registers. The 100 TB shape: the
+    // raw rows aggregate ONCE (per nation); the rollup re-aggregates
+    // m longs per nation, never rescanning customers.
+    "agg_hll_md5_union" -> ((s, d) => {
+      val hll = udaf(new graft.functions.HllAgg(HllM))
+      val perNation = Tables.customer(s, d)
+        .groupBy(col("c_nationkey"))
+        .agg(hll(col("c_custkey").cast("string")).as("reg"),
+          count(lit(1)).as("n_rows"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+      val rows = perNation
+        .groupBy(col("n_regionkey")).agg(sum(col("n_rows")).as("exact_rows"))
+      // element-wise max then back to an array in pos order
+      val reg = perNation
+        .select(col("n_regionkey"), posexplode(col("reg")))
+        .groupBy(col("n_regionkey"), col("pos"))
+        .agg(max(col("col")).as("m"))
+        .groupBy(col("n_regionkey"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("n_regionkey"),
+          expr("transform(pm, x -> x.m)").as("reg"))
+      reg.join(rows, Seq("n_regionkey"))
+        .select(col("n_regionkey"), col("exact_rows"),
+          hllEstimate("reg").as("approx_customers"))
+        .orderBy(col("n_regionkey"))
     }))
 
   private val dsumQty = dsumSql("l_quantity")
@@ -493,5 +582,61 @@ object Aggregates {
         |SELECT l_returnflag, l_quantity AS mode_qty, n FROM (
         |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
         |    ORDER BY n DESC, l_quantity ASC) AS rn FROM cnt) t
-        |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin)
+        |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+
+    "agg_hll_md5" -> {
+      s"""WITH src AS (
+         |  SELECT l_returnflag AS g, CAST(l_partkey AS VARCHAR) AS v
+         |  FROM lineitem),
+         |${hllRegisterCtesSql}
+         |SELECT e.g AS l_returnflag, e.exact_n AS exact_parts,
+         |  ${hllEstimateSql("st.s", "st.zeros")} AS approx_parts
+         |FROM ex e JOIN st ON st.g = e.g
+         |ORDER BY l_returnflag""".stripMargin
+    },
+
+    "agg_hll_md5_union" -> {
+      s"""WITH src AS (
+         |  SELECT n.n_regionkey AS g, CAST(c.c_custkey AS VARCHAR) AS v
+         |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+         |${hllRegisterCtesSql}
+         |SELECT e.g AS n_regionkey, e.exact_n AS exact_rows,
+         |  ${hllEstimateSql("st.s", "st.zeros")} AS approx_customers
+         |FROM ex e JOIN st ON st.g = e.g
+         |ORDER BY n_regionkey""".stripMargin
+    })
+
+  /** DuckDB CTE chain rebuilding the [[graft.functions.HllAgg]]
+    * registers over a `src(g, v)` relation — identical hash (md5-60 +
+    * affine permutation [[graft.functions.HllAgg.SeedIdx]]), identical
+    * bucket/rank split, max per register, zero-filled grid. Ends at
+    * `st(g, s, zeros)` (2^55-scaled register sum + empty-register
+    * count) and `ex(g, exact_n)` (the exact distinct twin). */
+  private def hllRegisterCtesSql: String = {
+    import graft.functions.{Md5Hash, HllAgg}
+    val a = Md5Hash.permA(HllAgg.SeedIdx)
+    val b = Md5Hash.permB(HllAgg.SeedIdx)
+    val idxBits = java.lang.Integer.numberOfTrailingZeros(HllM)
+    val window = 63 - idxBits
+    val rankCase = (0 until window)
+      .map(i => s"WHEN w >= ${1L << (window - 1 - i)} THEN ${i + 1}")
+      .mkString("CASE ", " ", s" ELSE ${window + 1} END")
+    s"""hv AS (SELECT g, ${Md5Hash.duckPerm(a.toString, b.toString,
+          Md5Hash.duckHash60("v"))} AS h FROM src),
+       |rk AS (
+       |  SELECT g, CAST(h & ${HllM - 1} AS INT) AS b, $rankCase AS r
+       |  FROM (SELECT g, h, h >> $idxBits AS w FROM hv) t),
+       |mx AS (SELECT g, b, max(r) AS m FROM rk GROUP BY 1, 2),
+       |grid AS (SELECT DISTINCT g FROM src),
+       |regs AS (
+       |  SELECT grid.g, gs.b, coalesce(mx.m, 0) AS m
+       |  FROM grid CROSS JOIN (SELECT range AS b FROM range($HllM)) gs
+       |  LEFT JOIN mx ON mx.g = grid.g AND mx.b = gs.b),
+       |st AS (
+       |  SELECT g, sum(CAST(1 AS BIGINT) << ($HllMaxRank - CAST(m AS INT))) AS s,
+       |    count(*) FILTER (m = 0) AS zeros
+       |  FROM regs GROUP BY g),
+       |ex AS (SELECT g, count(DISTINCT v) AS exact_n FROM src GROUP BY g)"""
+      .stripMargin
+  }
 }

@@ -313,6 +313,29 @@ class Round4Spec extends SparkTestBase {
     assert(got(3L) == 3.0, s"got ${got(3L)}")
   }
 
+  test("HllAgg: estimate within HLL error bounds; merge equals direct") {
+    import graft.functions.HllAgg
+    val agg = new HllAgg(512)
+    def regs(vs: Seq[String]) = vs.foldLeft(agg.zero)((b, v) => agg.reduce(b, v))
+    // register-level merge soundness: union == element-wise max
+    val a = regs((1 to 5000).map(i => s"a$i"))
+    val b = regs((2500 to 7500).map(i => s"a$i"))
+    val direct = regs(((1 to 5000) ++ (2500 to 7500)).map(i => s"a$i"))
+    assert(agg.merge(a.clone(), b).toSeq == direct.toSeq)
+    // estimate accuracy: σ ≈ 1.04/√512 ≈ 4.6%; 3σ bound on one draw
+    val n = 10000
+    val r = regs((1 to n).map(i => s"v$i"))
+    val s = r.map(m => math.pow(2.0, -m)).sum
+    val est = 0.7213 / (1.0 + 1.079 / 512) * 512.0 * 512.0 / s
+    assert(math.abs(est - n) < 0.15 * n, s"estimate $est for true $n")
+    // the query agrees with its own exact twin within the same bound
+    val rows = operators.Aggregates.queries("agg_hll_md5")(spark, sf001)
+      .collect().map(r2 => (r2.getLong(1), r2.getDouble(2)))
+    rows.foreach { case (exact, approx) =>
+      assert(math.abs(approx - exact) < 0.15 * exact + 10,
+        s"approx $approx vs exact $exact") }
+  }
+
   test("text_zipf_slope: uniform frequencies fit slope 0 at the constant intercept") {
     val dir = tempDir()
     import spark.implicits._
