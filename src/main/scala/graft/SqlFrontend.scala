@@ -18,10 +18,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - `cosine_sim(a, b)` — the codegen'd [[functions.CosineSimilarity]]
   *    Catalyst expression (vector similarity from SQL at expression
   *    speed, not UDF speed);
-  *  - `minhash_sig(token)` / `cm_sketch(term)` — the mergeable sketch
+  *  - `minhash_sig(token)` / `cm_sketch(term)` / `hll_reg(value)` —
+  *    the mergeable sketch
   *    [[org.apache.spark.sql.expressions.Aggregator]]s behind the
-  *    dedup/frequency operators, registered as SQL aggregate
-  *    functions;
+  *    dedup/frequency/distinct operators, registered as SQL aggregate
+  *    functions (all on the engine-identical Md5Hash basis);
   *  - the Levenshtein band-extraction rule (GraftExtensions) applies
   *    to SQL-authored plans identically — extensions operate on the
   *    logical plan, not on the API that built it.
@@ -59,6 +60,9 @@ object SqlFrontend {
       org.apache.spark.sql.functions.udaf(new functions.MinHashAgg(MinHashK)))
     spark.udf.register("cm_sketch",
       org.apache.spark.sql.functions.udaf(new functions.CountMinAgg(CmDepth, CmWidth)))
+    spark.udf.register("hll_reg",
+      org.apache.spark.sql.functions.udaf(
+        new functions.HllAgg(operators.Aggregates.HllM)))
   }
 
   /** One-call convenience: register the catalog and run `query`. */

@@ -253,6 +253,38 @@ object StreamPort {
       }
   }
 
+  /** streaming mirror of the batch `mine_seq_transitions`: per-user
+    * (prev, next) event-type pairs via flatMapGroupsWithState. State
+    * per key is ONE (ts, event_id, type) triple — the last event seen
+    * — so a transition spanning a micro-batch boundary is emitted
+    * exactly once when its successor arrives. Micro-batch rows sort by
+    * (ts, event_id) before the scan (batch parity: the same total
+    * order the batch lag window uses); the downstream aggregation
+    * (groupBy prev/next + count, update mode) is the caller's. */
+  case class TypedEvent(user_id: Long, ts: java.sql.Timestamp,
+      event_id: Long, event_type: String)
+  case class Transition(user_id: Long, prev_type: String, next_type: String)
+  case class LastEvent(ts: Long, event_id: Long, tpe: String)
+
+  def transitionPairs(events: Dataset[TypedEvent]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[TypedEvent], state: GroupState[LastEvent]) =>
+          val sorted = rows.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+          var prev = state.getOption
+          val out = Array.newBuilder[Transition]
+          for (e <- sorted) {
+            prev.foreach(p => out += Transition(uid, p.tpe, e.event_type))
+            prev = Some(LastEvent(e.ts.getTime, e.event_id, e.event_type))
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   def runningUserStats(events: Dataset[UserEvent]): Dataset[UserAgg] = {
     import events.sparkSession.implicits._
     events

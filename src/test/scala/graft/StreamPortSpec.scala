@@ -347,4 +347,44 @@ class StreamPortSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
     assert(snap2 == snap, "retried batch changed the snapshot")
   }
+
+  test("streaming transition pairs across batches equal the batch lag-window pairs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def te(id: Long, ts: String, uid: Long, tpe: String) =
+      StreamPort.TypedEvent(uid, Timestamp.valueOf(ts), id, tpe)
+    // user 1: view->click->purchase, the click->purchase transition
+    // SPANS the batch boundary (state carries the last event);
+    // user 2: a single event — no transitions
+    val b1 = Seq(te(1, "2024-01-01 10:00:00", 1, "view"),
+      te(2, "2024-01-01 10:05:00", 1, "click"),
+      te(3, "2024-01-01 10:00:00", 2, "view"))
+    val b2 = Seq(te(4, "2024-01-01 10:10:00", 1, "purchase"))
+    val mem = MemoryStream[StreamPort.TypedEvent]
+    val q = StreamPort.transitionPairs(mem.toDS())
+      .writeStream.format("memory").queryName("trans")
+      .outputMode("append").start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    val streamed = spark.table("trans")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    q.stop()
+    assert(streamed == Set((1L, "view", "click"), (1L, "click", "purchase")),
+      s"got $streamed")
+    // batch parity on the events table: streamed pair counts == the
+    // mine_seq_transitions aggregate
+    val all = (b1 ++ b2).map(e =>
+      (e.event_id, new java.sql.Timestamp(e.ts.getTime), e.user_id,
+        e.event_type, 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = tempDir()
+    writeFixture(dir, "events", all.withColumn("ts",
+      expr("CAST(unix_micros(ts) AS BIGINT) * 1000")))
+    val batch = operators.MiningOps.queries("mine_seq_transitions")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val streamedCounts = spark.table("trans")
+      .groupBy(col("prev_type"), col("next_type")).count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamedCounts == batch, s"stream $streamedCounts vs batch $batch")
+  }
 }
