@@ -6,7 +6,7 @@ import graft.functions.CosineSimilarity
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** §2.11 similarity search over the embedding column.
   *
@@ -225,6 +225,72 @@ object VectorOps {
         .filter(col("rn") === 1)
         .select(col("a").as("vec_id"), col("bucket"), col("b").as("nn_id"), col("cos"))
         .orderBy(col("vec_id"))
+    }),
+
+    // second-moment (Gram) matrix of the embedding corpus — the
+    // mergeable statistic behind PCA whitening, covariance drift
+    // monitoring, and dimensionality audits of an embedding store.
+    // Shape is the one that survives 100 TB: each partition folds its
+    // rows into ONE exact d²/2-cell accumulator (see gramInt), so the
+    // only shuffle carries O(d²·partitions) partial rows regardless
+    // of corpus size. Exactness: components quantize through the
+    // engine-identical 1e-8 decimal cast (the vec_ann_lsh basis),
+    // products are exact integers, and sums accumulate as
+    // DECIMAL(38,0) — order-independent, so the matrix is
+    // bit-identical across engines and partitionings and the query
+    // carries a full oracle.
+    "vec_gram_matrix" -> ((s, d) => {
+      gramInt(s, d)
+        .select(col("i"), col("j"),
+          r4(col("gi").cast(DoubleType) / GramUnit / GramUnit).as("gram"))
+        .orderBy(col("i"), col("j"))
+    }),
+
+    // top principal direction by power iteration — the spectral
+    // summary (dominant variance axis) of the embedding corpus. The
+    // distributed work is exactly one Gram aggregation (see
+    // vec_gram_matrix: one scan, one bounded shuffle); the iteration
+    // itself runs on the d×d matrix, which is driver-sized BY
+    // CONSTRUCTION (d=64 → 4096 entries — the same bounded-scalar
+    // pattern as the k-means codebook), so no per-round corpus pass
+    // exists to optimize. Every round is exact: the matrix-vector
+    // product multiplies DECIMAL(38,0) Gram entries by 1e-12-unit
+    // integer components (order-independent integer sums), the
+    // normalizer is the SIGNED max-abs component (tie → lowest i,
+    // making the sign convention deterministic: the peak component
+    // converges to +1), and requantization rounds the double ratio at
+    // 12 dp — the proven double→decimal cast discipline. DuckDB
+    // replays the identical [[PowerRounds]] rounds as unrolled CTEs,
+    // so an ITERATIVE eigensolve is hash-oracled.
+    "vec_pca_power" -> ((s, d) => {
+      val rows = gramInt(s, d).collect()
+      val dim = rows.iterator.map(_.getInt(0)).max
+      val g = Array.fill(dim + 1, dim + 1)(BigInt(0))
+      rows.foreach { r =>
+        g(r.getInt(0))(r.getInt(1)) = BigInt(r.getDecimal(2).toBigInteger)
+      }
+      var v = Array.fill(dim + 1)(BigInt(PowerScale))
+      for (_ <- 1 to PowerRounds) {
+        val u = Array.tabulate(dim + 1) { i =>
+          if (i == 0) BigInt(0)
+          else (1 to dim).map(j => g(i)(j) * v(j)).sum
+        }
+        var um = BigInt(0) // signed max-abs, tie → lowest i (strict >)
+        for (i <- 1 to dim) if (u(i).abs > um.abs) um = u(i)
+        require(um != 0, "power iteration hit the zero vector")
+        val umD = um.toDouble
+        v = Array.tabulate(dim + 1) { i =>
+          if (i == 0) BigInt(0)
+          else BigInt(new java.math.BigDecimal(u(i).toDouble / umD)
+            .setScale(12, java.math.RoundingMode.HALF_UP)
+            .movePointRight(12).longValueExact())
+        }
+      }
+      import s.implicits._
+      (1 to dim).map(i => (i, v(i).toDouble / PowerScale))
+        .toDF("i", "pc1raw")
+        .select(col("i"), r4(col("pc1raw")).as("pc1"))
+        .orderBy(col("i"))
     }))
 
   /** exact top-1 neighbor within each cell of a (cell, vec_id,
@@ -282,8 +348,10 @@ object VectorOps {
 
   /** see GraphOps.clearMemos — Bench drops all session memos after
     * its warmup pass (and between timed reps); eviction unpersists */
-  private[graft] def clearMemos(s: SparkSession): Unit =
+  private[graft] def clearMemos(s: SparkSession): Unit = {
     GraphOps.evict(codebookCache, s)
+    GraphOps.evict(gramCache, s)
+  }
 
   /** Lloyd round count and training-sample size factor — shared by the
     * engine loop and the unrolled oracle SQL so they cannot drift */
@@ -355,6 +423,151 @@ object VectorOps {
     (0 until 16).flatMap(i => (0 until 64).map(j =>
       s"($i, $j, ${planes(i)(j)})")).mkString(", ")
 
+  /** 1e-8 component quantization unit (the vec_ann_lsh integer basis)
+    * and the 1e-12 power-iteration vector scale — shared with the
+    * oracle SQL so the two sides can never drift */
+  val GramUnit = 1e8
+  val PowerScale = 1000000000000L
+  val PowerRounds = 6
+
+  /** memo for the exact integer Gram matrix (i, j, gi): gi = Σ_rows
+    * xi·xj in 1e-16 units, both indexes 1-based — two declared
+    * queries consume the same matrix */
+  private val gramCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Why mapPartitions (policy exception (d), like the multimodal
+    * decoders): the Gram is a per-partition ACCUMULATION — O(d²)
+    * state updated by every row, shuffling only d²·partitions partial
+    * rows (MLlib's computeGramianMatrix shape). The declarative
+    * alternatives both lose: a nested higher-order `transform` emits
+    * the d²/2 products per row through an INTERPRETED lambda (HOFs
+    * have no doGenCode — measured 3.6 s at sf0.1 against 0.3 s for
+    * this loop), and a component self-join shuffles the corpus-sized
+    * (vec_id, i, xi) table. Exactness: upper-triangle partials
+    * accumulate in a Long fast lane flushed into BigInt every
+    * [[GramFlushRows]] rows (a Long would wrap past ~3.8e3 rows of
+    * max-magnitude products), and each partial ships as exact
+    * (quot, rem) 1e18-limb longs rebuilt into DECIMAL(38,0) — no
+    * precision cliff at any corpus size. */
+  private def gramInt(s: SparkSession, d: String): DataFrame =
+    GraphOps.memo(gramCache, (s, d)) {
+      import s.implicits._
+      val limb = java.math.BigInteger.valueOf(1000000000000000000L)
+      val partials = Tables.embeddings(s, d)
+        .select(col("embedding")).as[Seq[Float]]
+        .mapPartitions { rows =>
+          var dim = -1
+          var q: Array[Long] = null          // quantized row components
+          var fast: Array[Long] = null       // upper-triangle Long lane
+          var slow: Array[java.math.BigInteger] = null
+          var headroom = GramLongHeadroom    // |fast| bound until flush
+          def flush(): Unit = {
+            var t = 0
+            while (t < fast.length) {
+              if (fast(t) != 0L) {
+                slow(t) = slow(t).add(java.math.BigInteger.valueOf(fast(t)))
+                fast(t) = 0L
+              }
+              t += 1
+            }
+            headroom = GramLongHeadroom
+          }
+          rows.foreach { e =>
+            if (dim < 0) {
+              dim = e.length
+              q = new Array[Long](dim)
+              fast = new Array[Long](dim * (dim + 1) / 2)
+              slow = Array.fill(fast.length)(java.math.BigInteger.ZERO)
+            }
+            var maxAbs = 0.0
+            var i = 0
+            while (i < dim) { // engine-identical 1e-8 quantization
+              q(i) = new java.math.BigDecimal(e(i).toDouble)
+                .setScale(8, java.math.RoundingMode.HALF_UP)
+                .movePointRight(8).longValueExact()
+              val a = math.abs(q(i).toDouble)
+              if (a > maxAbs) maxAbs = a
+              i += 1
+            }
+            // flush BEFORE accumulating once this row's worst-case
+            // product could push any cell past the Long lane's bound
+            headroom -= maxAbs * maxAbs
+            if (headroom <= 0) {
+              flush()
+              headroom -= maxAbs * maxAbs
+              require(headroom > 0, "single row exceeds the Gram Long lane")
+            }
+            var t = 0
+            i = 0
+            while (i < dim) {
+              var j = i
+              while (j < dim) {
+                fast(t) += q(i) * q(j)
+                t += 1; j += 1
+              }
+              i += 1
+            }
+          }
+          if (dim < 0) Iterator.empty
+          else {
+            flush()
+            var t = -1
+            (for (i <- 1 to dim; j <- i to dim) yield {
+              t += 1
+              val Array(quot, rem) = slow(t).divideAndRemainder(limb)
+              (i, j, quot.longValueExact(), rem.longValueExact())
+            }).iterator
+          }
+        }.toDF("i", "j", "quot", "rem")
+      val dec = DecimalType(38, 0)
+      val upper = partials.groupBy(col("i"), col("j"))
+        .agg(sum(col("quot").cast(dec) * lit(1000000000000000000L).cast(dec)
+          + col("rem").cast(dec)).as("gi"))
+      upper.union(upper.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("gi")))
+        .localCheckpoint() // both consumers read the materialized matrix
+    }
+
+  /** Long-lane magnitude budget before a BigInt flush (half of
+    * Long.MaxValue — headroom is decremented by each row's worst-case
+    * |q|² product, an upper bound on any cell's growth) */
+  private val GramLongHeadroom = 4.6e18
+
+  /** DuckDB mirror of [[gramInt]] — CTE `g` = (i, j, gi HUGEINT) */
+  private def gramSql: String =
+    """ex AS (
+      |  SELECT vec_id,
+      |    CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+      |    CAST(CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(20,8))
+      |         * 100000000 AS BIGINT) AS xi
+      |  FROM embeddings),
+      |g AS (
+      |  SELECT a.i AS i, b.i AS j, SUM(CAST(a.xi AS HUGEINT) * b.xi) AS gi
+      |  FROM ex a JOIN ex b USING (vec_id) GROUP BY a.i, b.i)""".stripMargin
+
+  /** CTE suffix unrolling the [[PowerRounds]] power-iteration rounds —
+    * ends at CTE `v{PowerRounds}` = (j, vq) with vq the 1e-12-unit
+    * integer component. Each round: exact HUGEINT mat-vec product,
+    * signed max-abs normalizer (tie → lowest i), 12 dp double
+    * requantization — the exact arithmetic the Spark side runs. */
+  private def powerUnrolledSql: String = {
+    val rounds = (1 to PowerRounds).map { r =>
+      s"""u$r AS (
+         |  SELECT g.i, SUM(g.gi * v.vq) AS u
+         |  FROM g JOIN v${r - 1} v ON g.j = v.j GROUP BY g.i),
+         |m$r AS (SELECT u AS um FROM u$r ORDER BY abs(u) DESC, i ASC LIMIT 1),
+         |v$r AS (
+         |  SELECT u$r.i AS j,
+         |    CAST(CAST(CAST(u$r.u AS DOUBLE) / CAST(m$r.um AS DOUBLE)
+         |         AS DECIMAL(14,12)) * $PowerScale AS HUGEINT) AS vq
+         |  FROM u$r, m$r)""".stripMargin
+    }
+    s"""$gramSql,
+       |v0 AS (SELECT DISTINCT i AS j, CAST($PowerScale AS HUGEINT) AS vq FROM g),
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
   /** CTE prefix unrolling the [[LloydRounds]] sample-based Lloyd
     * iterations in ANSI SQL — possible because every training step is
     * deterministic arithmetic with a total order: assignment is an
@@ -411,6 +624,18 @@ object VectorOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "vec_gram_matrix" ->
+      s"""WITH $gramSql
+         |SELECT i, j,
+         |  round(CAST(gi AS DOUBLE) / $GramUnit / $GramUnit, 4) AS gram
+         |FROM g ORDER BY i, j""".stripMargin,
+
+    "vec_pca_power" ->
+      s"""WITH $powerUnrolledSql
+         |SELECT j AS i,
+         |  round(CAST(vq AS DOUBLE) / $PowerScale, 4) AS pc1
+         |FROM v$PowerRounds ORDER BY i""".stripMargin,
+
     "vec_kmeans_cells" ->
       s"""WITH $kmeansUnrolledSql
          |SELECT c_id AS cell, count(*) AS n,

@@ -166,6 +166,37 @@ class VectorMultimodalSpec extends SparkTestBase {
     assert(run2 == run1)
   }
 
+  test("vec_gram_matrix is symmetric with non-negative diagonal on a planted corpus") {
+    val dir = tempDir()
+    writeFixture(dir, "embeddings", vecDf(
+      (0L, Seq(1f, 2f, 0f), 0), (1L, Seq(-1f, 0.5f, 3f), 0),
+      (2L, Seq(0.25f, -2f, 1f), 1)))
+    val g = operators.VectorOps.queries("vec_gram_matrix")(spark, dir)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(g.size == 9) // full 3×3
+    for (((i, j), v) <- g) assert(g((j, i)) == v, s"asymmetry at ($i,$j)")
+    for (i <- 1 to 3) assert(g((i, i)) >= 0.0)
+    // hand value: G(1,1) = 1 + 1 + 0.0625
+    assert(math.abs(g((1, 1)) - 2.0625) < 1e-9, s"G11=${g((1, 1))}")
+  }
+
+  test("vec_pca_power recovers the dominant planted axis with a +1 peak") {
+    val dir = tempDir()
+    // variance concentrated on axis 2; peak component converges to +1
+    // by the signed max-abs normalizer even though the raw vectors
+    // point in NEGATIVE axis-2 directions (second moments are
+    // sign-free)
+    writeFixture(dir, "embeddings", vecDf(
+      (0L, Seq(0.1f, -5f, 0f, 0f), 0), (1L, Seq(-0.2f, -4f, 0.1f, 0f), 0),
+      (2L, Seq(0.15f, -6f, 0f, 0.1f), 0), (3L, Seq(0f, -5f, -0.1f, 0f), 0)))
+    val v = operators.VectorOps.queries("vec_pca_power")(spark, dir)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(v.size == 4)
+    assert(v(2) == 1.0, s"peak must be +1 at the dominant axis: $v")
+    assert((Set(1, 3, 4) - 2).forall(i => math.abs(v(i)) < 0.1),
+      s"off-axis components must be small: $v")
+  }
+
   test("vec_ann_ivf_trained: within-cluster neighbors match brute force on planted clusters") {
     val dir = tempDir()
     writeFixture(dir, "embeddings", vecDf(
