@@ -261,9 +261,78 @@ object MiningOps {
         .select(col("prev_type"), col("next_type"), col("n"),
           r4(col("n") / col("total")).as("share"))
         .orderBy(desc("n"), col("prev_type"), col("next_type"))
+    }),
+
+    // χ² independence test of lang × source over the document corpus —
+    // the balance audit a corpus curator runs ("is language mix the
+    // same across sources, or does one crawl skew the distribution?").
+    // ONE corpus shuffle (the (lang, source) hash agg, bounded by the
+    // label-universe product); row/column marginals and N derive from
+    // that bounded table and broadcast back, so scale cost is a single
+    // aggregated scan. Determinism: expected counts multiply marginals
+    // as DOUBLES in a fixed op order (a Long product of two marginals
+    // would overflow at ~1e12-row corpora), each cell's (o−e)²/e term
+    // quantizes to DECIMAL(18,6), and the χ² total is the exact sum of
+    // those decimals — order-independent, so the statistic and the
+    // derived Cramér's V hash-match DuckDB.
+    "diag_chi2_independence" -> ((s, d) => {
+      val obs = Tables.documents(s, d)
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+      val rowT = obs.groupBy(col("lang")).agg(sum(col("o")).as("rt"))
+      val colT = obs.groupBy(col("source")).agg(sum(col("o")).as("ct"))
+      val tot = obs.agg(sum(col("o")).as("n"),
+        count_distinct(col("lang")).as("nr"),
+        count_distinct(col("source")).as("nc"))
+      val dec6 = DecimalType(18, 6)
+      // full R×C grid from the marginals, zero-filling unobserved
+      // cells — a groupBy-only table omits them, and each contributes
+      // a nonzero (0−e)²/e = e term (caught by the planted
+      // deterministic-association fixture: chi2 halved without this)
+      val term = rowT.crossJoin(colT)
+        .join(obs, Seq("lang", "source"), "left")
+        .withColumn("o", coalesce(col("o"), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .withColumn("e", col("rt").cast(DoubleType) * col("ct").cast(DoubleType)
+          / col("n").cast(DoubleType))
+        .withColumn("t", (col("o").cast(DoubleType) - col("e"))
+          * (col("o").cast(DoubleType) - col("e")) / col("e"))
+      term
+        .groupBy(col("n"), col("nr"), col("nc"))
+        .agg(sum(col("t").cast(dec6)).as("chi2d"))
+        .select(col("n"),
+          ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+          r4(col("chi2d").cast(DoubleType)).as("chi2"),
+          r4(sqrt(col("chi2d").cast(DoubleType) / col("n").cast(DoubleType)
+            / least(col("nr") - 1, col("nc") - 1).cast(DoubleType)))
+            .as("cramers_v"))
     }))
 
   val oracle: Map[String, String] = Map(
+    "diag_chi2_independence" ->
+      """WITH obs AS (
+        |  SELECT lang, source, count(*) AS o FROM documents
+        |  GROUP BY lang, source),
+        |rt AS (SELECT lang, SUM(o) AS rt FROM obs GROUP BY lang),
+        |ct AS (SELECT source, SUM(o) AS ct FROM obs GROUP BY source),
+        |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n, count(DISTINCT lang) AS nr,
+        |               count(DISTINCT source) AS nc FROM obs),
+        |term AS (
+        |  SELECT n, nr, nc,
+        |    (CAST(coalesce(obs.o, 0) AS DOUBLE)
+        |      - CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * (CAST(coalesce(obs.o, 0) AS DOUBLE)
+        |      - CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / (CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / CAST(n AS DOUBLE))
+        |      AS t
+        |  FROM rt CROSS JOIN ct
+        |  LEFT JOIN obs USING (lang, source), tot)
+        |SELECT n, (nr - 1) * (nc - 1) AS dof,
+        |  round(CAST(SUM(CAST(t AS DECIMAL(18,6))) AS DOUBLE), 4) AS chi2,
+        |  round(sqrt(CAST(SUM(CAST(t AS DECIMAL(18,6))) AS DOUBLE)
+        |    / CAST(n AS DOUBLE) / CAST(least(nr - 1, nc - 1) AS DOUBLE)), 4)
+        |    AS cramers_v
+        |FROM term GROUP BY n, nr, nc""".stripMargin,
+
     "mine_assoc_rules" ->
       s"""WITH ob AS (
          |  SELECT DISTINCT l_orderkey AS ok, p_brand AS b

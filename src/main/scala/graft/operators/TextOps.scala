@@ -2,6 +2,7 @@ package graft.operators
 
 import graft._
 import graft.Stable._
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -450,6 +451,57 @@ object TextOps {
           r4(col("slope_d")).as("slope"),
           r4((col("sy").cast("double") - col("sx").cast("double") * col("slope_d"))
             / col("k").cast("double")).as("intercept"))
+    }),
+
+    // staged quality-filter funnel — the acceptance report every
+    // training-data pipeline publishes: how many documents survive
+    // each cumulative gate (size → language → token floor →
+    // repetition cap → exact dedup) and how many each gate drops.
+    // ONE pass computes every per-doc flag (a token aggregate on
+    // high-cardinality doc_id, a first-per-fingerprint window on
+    // high-cardinality md5 — no single-partition hazard), then ONE
+    // keyless aggregate folds the cumulative conjunctions into six
+    // counters; stack() unpivots the single row. Counting the whole
+    // funnel costs one corpus scan regardless of stage count — the
+    // naive per-stage recount scans S times. The repetition gate
+    // compares an exact-integer ratio to the dyadic 0.25 (bit-exact
+    // in every engine); thresholds live in [[FunnelMinChars]] etc so
+    // the oracle cannot drift.
+    "pipeline_quality_funnel" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tc = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("ntok"), max(col("c")).as("topc"))
+      val wFp = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val flags = docs
+        .withColumn("rn", row_number().over(wFp))
+        .join(tc, Seq("doc_id"))
+        .select(
+          (col("n_chars") >= FunnelMinChars).as("f1"),
+          (col("lang") =!= FunnelLangBlock).as("f2"),
+          (col("ntok") >= FunnelMinTokens).as("f3"),
+          (col("topc").cast("double") / col("ntok") <= FunnelMaxTopShare).as("f4"),
+          (col("rn") === 1).as("f5"))
+      def cum(fs: Column*) = sum(when(fs.reduce(_ && _), 1L).otherwise(0L))
+      flags
+        .agg(count(lit(1)).as("c0"),
+          cum(col("f1")).as("c1"),
+          cum(col("f1"), col("f2")).as("c2"),
+          cum(col("f1"), col("f2"), col("f3")).as("c3"),
+          cum(col("f1"), col("f2"), col("f3"), col("f4")).as("c4"),
+          cum(col("f1"), col("f2"), col("f3"), col("f4"), col("f5")).as("c5"))
+        .select(expr(
+          """stack(6,
+            |  0, 'ingest',         c0, CAST(0 AS BIGINT),
+            |  1, 'min_chars',      c1, c0 - c1,
+            |  2, 'lang_allow',     c2, c1 - c2,
+            |  3, 'min_tokens',     c3, c2 - c3,
+            |  4, 'repetition_cap', c4, c3 - c4,
+            |  5, 'exact_dedup',    c5, c4 - c5)
+            |AS (stage, filter, survivors, dropped)""".stripMargin))
+        .orderBy(col("stage"))
     }))
 
   /** PII regexes, valid as BOTH Java regex (Spark) and RE2 (DuckDB):
@@ -528,7 +580,47 @@ object TextOps {
   private val tokCte =
     "SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents"
 
+  /** pipeline_quality_funnel gate thresholds — named so the Spark
+    * query and the oracle SQL share one definition. MaxTopShare is
+    * DYADIC (0.25): the exact-integer ratio compare is then bit-exact
+    * in every engine. */
+  val FunnelMinChars = 150
+  val FunnelMinTokens = 40
+  val FunnelMaxTopShare = 0.25
+  val FunnelLangBlock = "zh"
+
   val oracle: Map[String, String] = Map(
+    "pipeline_quality_funnel" ->
+      s"""WITH tc AS (
+         |  SELECT doc_id, SUM(c) AS ntok, MAX(c) AS topc FROM (
+         |    SELECT doc_id, term, count(*) AS c FROM ($tokCte) GROUP BY 1, 2)
+         |  GROUP BY doc_id),
+         |flags AS (
+         |  SELECT d.n_chars >= $FunnelMinChars AS f1,
+         |    d.lang <> '$FunnelLangBlock' AS f2,
+         |    tc.ntok >= $FunnelMinTokens AS f3,
+         |    CAST(tc.topc AS DOUBLE) / tc.ntok <= $FunnelMaxTopShare AS f4,
+         |    row_number() OVER (PARTITION BY md5(d.text) ORDER BY d.doc_id)
+         |      = 1 AS f5
+         |  FROM documents d JOIN tc USING (doc_id)),
+         |c AS (
+         |  SELECT count(*) AS c0,
+         |    count(*) FILTER (WHERE f1) AS c1,
+         |    count(*) FILTER (WHERE f1 AND f2) AS c2,
+         |    count(*) FILTER (WHERE f1 AND f2 AND f3) AS c3,
+         |    count(*) FILTER (WHERE f1 AND f2 AND f3 AND f4) AS c4,
+         |    count(*) FILTER (WHERE f1 AND f2 AND f3 AND f4 AND f5) AS c5
+         |  FROM flags)
+         |SELECT * FROM (
+         |  SELECT 0 AS stage, 'ingest' AS filter, c0 AS survivors,
+         |    CAST(0 AS BIGINT) AS dropped FROM c
+         |  UNION ALL SELECT 1, 'min_chars', c1, c0 - c1 FROM c
+         |  UNION ALL SELECT 2, 'lang_allow', c2, c1 - c2 FROM c
+         |  UNION ALL SELECT 3, 'min_tokens', c3, c2 - c3 FROM c
+         |  UNION ALL SELECT 4, 'repetition_cap', c4, c3 - c4 FROM c
+         |  UNION ALL SELECT 5, 'exact_dedup', c5, c4 - c5 FROM c)
+         |ORDER BY stage""".stripMargin,
+
     "text_repetition_stats" ->
       s"""WITH $repCtesSql
          |SELECT doc_id, n_trigrams, n_distinct, rep_ratio

@@ -353,4 +353,49 @@ class Round4Spec extends SparkTestBase {
     val real = operators.TextOps.queries("text_zipf_slope")(spark, sf001).head()
     assert(real.getDouble(1) < 0.0)
   }
+
+  test("pipeline_quality_funnel: each planted reject falls at its own gate") {
+    val dir = tempDir()
+    import spark.implicits._
+    val good = (1 to 40).map(i => s"w$i").mkString(" ") // 40 distinct tokens
+    writeFixture(dir, "documents", Seq(
+      (1L, good, "en", "web", 200L),                   // survives every gate
+      (2L, good, "en", "web", 100L),                   // < FunnelMinChars
+      (3L, good, "zh", "web", 200L),                   // blocked language
+      (4L, "a b c", "en", "web", 200L),                // < FunnelMinTokens
+      (5L, Seq.fill(50)("x").mkString(" "), "en", "web", 200L), // top share 1.0
+      (6L, good, "en", "web", 200L))                   // exact dup of doc 1
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = operators.TextOps.queries("pipeline_quality_funnel")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      (0, "ingest", 6L, 0L),
+      (1, "min_chars", 5L, 1L),
+      (2, "lang_allow", 4L, 1L),
+      (3, "min_tokens", 3L, 1L),
+      (4, "repetition_cap", 2L, 1L),
+      (5, "exact_dedup", 1L, 1L)), rows.toSeq.toString)
+  }
+
+  test("diag_chi2_independence: independent table -> 0, deterministic association -> max V") {
+    import spark.implicits._
+    def docs(rows: Seq[(String, String)]): String = {
+      val dir = tempDir()
+      writeFixture(dir, "documents", rows.zipWithIndex.map { case ((l, s), i) =>
+        (i.toLong, s"text $i", l, s, 10L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      dir
+    }
+    // perfectly independent 2×2 (every cell = product of marginals/N)
+    val ind = docs(for { l <- Seq("en", "de"); s <- Seq("web", "book") }
+      yield (l, s))
+    val r1 = operators.MiningOps.queries("diag_chi2_independence")(spark, ind).head()
+    assert(r1.getLong(1) == 1L) // dof (2-1)(2-1)
+    assert(r1.getDouble(2) == 0.0 && r1.getDouble(3) == 0.0, r1.toString)
+    // deterministic association: lang fixes source → chi2 = N, V = 1
+    val dep = docs(Seq.fill(3)(("en", "web")) ++ Seq.fill(3)(("de", "book")))
+    val r2 = operators.MiningOps.queries("diag_chi2_independence")(spark, dep).head()
+    assert(r2.getDouble(2) == 6.0, s"chi2 must equal N: $r2")
+    assert(r2.getDouble(3) == 1.0, s"V must be 1: $r2")
+  }
 }
