@@ -108,11 +108,82 @@ object MultimodalOps {
           md5(expr(s"substring(payload, frame_idx * $FrameStride + 1, $FrameLen)"))
             .as("frame_fp"))
         .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // perceptual-hash near-dup pairs over DECODED payloads — the
+    // image-dedup pattern (dHash, the DIFFERENCE hash: bits compare
+    // histogram bins to cyclic neighbors — a mean-threshold aHash
+    // degenerates to all-zeros on near-uniform histograms), banded
+    // 4×16 bits, candidate pairs only where a band collides (the
+    // simhash/LSH discipline — no all-pairs anywhere), exact Hamming
+    // distance ≤ [[MaxPhashHamming]] confirms. Pigeonhole: 4
+    // equal-width bands over 64 bits make band recall COMPLETE for
+    // Hamming ≤ 3 (up to the posting cap below) — every reported pair
+    // is exact-checked. Hash + bands are map-side; the only corpus
+    // shuffle carries 4 (band, value, doc) rows per payload. No
+    // oracle: the hash rides the mapPartitions decode (MultimodalSpec
+    // plants byte-identical and disjoint payloads).
+    "multimodal_phash_pairs" -> ((s, d) => {
+      // 64-bit difference hash: quarter b (offset 2^b) compares every
+      // bin to its cyclic neighbor 2^b away — one offset (16 bits)
+      // leaves near-uniform text histograms in a handful of giant
+      // buckets (every posting blew the cap → zero discriminative
+      // bands at sf0.01); four offsets split them finely enough that
+      // buckets are small AND a near-dup still matches somewhere
+      val hashed = decoded(s, d)
+        .withColumn("ph", expr(
+          """aggregate(flatten(transform(array(1, 2, 4, 8), (o, b) ->
+            |  transform(feat, (x, i) ->
+            |    IF(x > element_at(feat, CAST((i + o) % size(feat) AS INT) + 1),
+            |       shiftleft(1L, b * size(feat) + i), 0L)))),
+            |  0L, (a, v) -> a + v)""".stripMargin))
+      val bands = hashed.select(col("doc_id"), col("ph"),
+        explode(expr(
+          // unsigned shift: bit 63 makes ph negative, and an arithmetic
+          // shiftright would sign-extend band 3 into negative values
+          "transform(sequence(0, 3), b -> struct(b AS band, shiftrightunsigned(ph, b * 16) % 65536 AS bv))"))
+          .as("bd"))
+        .select(col("doc_id"), col("ph"), col("bd.band").as("band"), col("bd.bv").as("bv"))
+      // posting-list pair derivation with the winnow/inverted-index
+      // skew discipline, TRUNCATING instead of dropping: a band value
+      // shared by more than [[PhashPostingCap]] payloads keeps its
+      // cap LOWEST (doc_id, ph) entries as deterministic exemplars
+      // (an uncapped bucket join degenerates toward all-pairs on
+      // skewed hashes — measured 20 s at sf0.1 vs 0.7 s capped; a
+      // hard drop instead returns an empty answer on a corpus whose
+      // payloads are ALL near-identical under the hash, the honest
+      // but useless extreme). Pairs fan out bounded by cap²/2 per
+      // posting, and the posting universe is itself bounded by the
+      // 4·2¹⁶ band values — total output bounded at ANY corpus size.
+      val post = bands.groupBy(col("band"), col("bv"))
+        .agg(slice(sort_array(collect_list(struct(col("doc_id"), col("ph")))),
+          1, PhashPostingCap).as("ds"))
+        .filter(size(col("ds")) >= 2)
+      post.select(explode(expr(
+        """flatten(transform(sequence(1, size(ds) - 1),
+          |  i -> transform(sequence(i + 1, size(ds)),
+          |    j -> named_struct('a', element_at(ds, i),
+          |                      'b', element_at(ds, j)))))""".stripMargin))
+        .as("p"))
+        .select(col("p.a.doc_id").as("a"), col("p.b.doc_id").as("b"),
+          bit_count(col("p.a.ph").bitwiseXOR(col("p.b.ph"))).as("hamming"))
+        .distinct() // one row per pair however many bands collide
+        .filter(col("hamming") <= MaxPhashHamming)
+        .orderBy(col("a"), col("b"))
     }))
 
   /** frame-sampling geometry: 1 KiB frame every 4 KiB of payload */
   val FrameLen = 1024
   val FrameStride = 4096
+
+  /** max Hamming distance for a phash near-dup pair — 3 keeps the
+    * 4-band collision recall complete (pigeonhole over 16 bits) */
+  val MaxPhashHamming = 3
+
+  /** band-posting skew cap: band values shared by more payloads are
+    * non-discriminative and dropped (the winnow/inverted-index cap
+    * discipline) */
+  val PhashPostingCap = 16
 
   /** Only the binary-arithmetic query is SQL-expressible; the
     * mapPartitions decode paths stay rows-only (MultimodalSpec covers

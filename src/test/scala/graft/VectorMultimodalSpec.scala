@@ -197,6 +197,24 @@ class VectorMultimodalSpec extends SparkTestBase {
       s"off-axis components must be small: $v")
   }
 
+  test("multimodal_phash_pairs: byte-identical payloads pair at hamming 0, disjoint ones don't") {
+    val dir = tempDir()
+    import spark.implicits._
+    writeFixture(dir, "documents", Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again", "en", "web"),
+      (2L, "the quick brown fox jumps over the lazy dog again", "en", "crawl"),
+      // letters live in high-nibble bins 6-7 of the opaque stub's
+      // byte histogram; digits in bin 3 — a genuinely different byte
+      // distribution, not merely different words
+      (3L, "0123456789 0123456789 0123456789 0123456789 012345", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source"))
+    val pairs = MultimodalOps.queries("multimodal_phash_pairs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.contains((1L, 2L, 0)), s"identical payloads must pair: ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"disjoint payload must not pair: ${pairs.toSeq}")
+  }
+
   test("vec_ann_ivf_trained: within-cluster neighbors match brute force on planted clusters") {
     val dir = tempDir()
     writeFixture(dir, "embeddings", vecDf(
