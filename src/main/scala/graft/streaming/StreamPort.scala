@@ -117,6 +117,32 @@ object StreamPort {
         col("view_ts"), col("click_ts"))
   }
 
+  /** LEFT OUTER stream-stream join — the attribution report's real
+    * shape: every view appears, matched clicks attached, UNMATCHED
+    * views emitted with null click columns only once the watermark
+    * passes the end of their join window (before that a match could
+    * still arrive — the null row is a watermark-closure event, not a
+    * per-batch miss). Same bounded-state contract as the inner
+    * [[viewClickJoin]]: the time-bounded condition plus both
+    * watermarks make either side's state evictable. On a batch
+    * DataFrame the identical plan is a plain left outer join. */
+  def viewClickJoinLeftOuter(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views.filter(col("event_type") === "view")
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
+    val c = clicks.filter(col("event_type") === "click")
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+    v.join(c,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("interval 30 minutes"),
+      "leftOuter")
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   /** foreachBatch file sink, idempotent per micro-batch: batch `id` is
     * always written to the same `batch_id=<id>` directory with
     * overwrite, so a RETRIED batch (failure between write and commit)

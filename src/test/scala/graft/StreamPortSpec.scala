@@ -216,6 +216,39 @@ class StreamPortSpec extends SparkTestBase {
       s"expected exactly the two in-window view→click pairs: $batch")
   }
 
+  test("left-outer stream-stream join: unmatched view emits nulls after watermark closure") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Seq(
+      Ev(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "view", 0.0),
+      Ev(2, Timestamp.valueOf("2024-01-01 10:10:00"), 1, "click", 0.0), // joins view 1
+      Ev(3, Timestamp.valueOf("2024-01-01 10:00:00"), 2, "view", 0.0)) // never clicked
+    val vMem = MemoryStream[Ev]; val cMem = MemoryStream[Ev]
+    val q = StreamPort.viewClickJoinLeftOuter(vMem.toDF(), cMem.toDF())
+      .writeStream.format("memory").queryName("vcleft")
+      .outputMode("append").start()
+    vMem.addData(base: _*); cMem.addData(base: _*)
+    q.processAllAvailable()
+    // before watermark closure the unmatched view must NOT have been
+    // emitted — a match could still arrive
+    val early = spark.table("vcleft").collect().map(_.getLong(1)).toSet
+    assert(early == Set(1L), s"only the matched view may emit early: $early")
+    // push BOTH watermarks past view_ts + 30min (disjoint users so the
+    // pushers cannot join each other inner-side)
+    vMem.addData(Ev(98, Timestamp.valueOf("2024-01-01 14:00:00"), 8, "view", 0.0))
+    cMem.addData(Ev(99, Timestamp.valueOf("2024-01-01 14:00:00"), 9, "click", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("vcleft").collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(rows.contains((1L, 2L)), s"matched pair must survive: $rows")
+    assert(rows.contains((3L, -1L)), s"unmatched view must emit nulls: $rows")
+    // batch equivalence on the closed region: same plan, plain left join
+    val batch = StreamPort.viewClickJoinLeftOuter(base.toDF(), base.toDF())
+      .collect().map(r => (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(batch == Set((1L, 2L), (3L, -1L)), s"batch left join: $batch")
+  }
+
   test("file-stream source: readStream over parquet dir == batch answer") {
     import spark.implicits._
     // the production source path: files land in a directory, the
