@@ -457,16 +457,16 @@ object TextOps {
     // training-data pipeline publishes: how many documents survive
     // each cumulative gate (size → language → token floor →
     // repetition cap → exact dedup) and how many each gate drops.
-    // ONE pass computes every per-doc flag (a token aggregate on
-    // high-cardinality doc_id, a first-per-fingerprint window on
-    // high-cardinality md5 — no single-partition hazard), then ONE
+    // Two column-pruned corpus passes compute every per-doc flag (a
+    // token aggregate on high-cardinality doc_id; a metadata pass
+    // with the first-per-fingerprint window on high-cardinality md5 —
+    // no single-partition hazard), joined once on doc_id; then ONE
     // keyless aggregate folds the cumulative conjunctions into six
-    // counters; stack() unpivots the single row. Counting the whole
-    // funnel costs one corpus scan regardless of stage count — the
-    // naive per-stage recount scans S times. The repetition gate
-    // compares an exact-integer ratio to the dyadic 0.25 (bit-exact
-    // in every engine); thresholds live in [[FunnelMinChars]] etc so
-    // the oracle cannot drift.
+    // counters and stack() unpivots the single row. Cost is
+    // independent of stage count — the naive per-stage recount scans
+    // S times. The repetition gate compares an exact-integer ratio to
+    // the dyadic 0.25 (bit-exact in every engine); thresholds live in
+    // [[FunnelMinChars]] etc so the oracle cannot drift.
     "pipeline_quality_funnel" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val tc = docs

@@ -318,6 +318,38 @@ class PlanAuditSpec extends SparkTestBase {
       s"bloom filter must sit below the join in the plan tree:\n$p")
   }
 
+  test("pipeline_quality_funnel: fingerprint window is md5-partitioned; flag fold is one keyless agg") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val sp = SparkEntry.queries("pipeline_quality_funnel")(spark, sf001)
+      .queryExecution.sparkPlan
+    // the first-per-fingerprint window must partition by the
+    // high-cardinality md5, never run unpartitioned over the corpus
+    val wins = sp.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      s"fingerprint window must be partitioned:\n$sp")
+    assert(!sp.toString.contains("CartesianProduct"),
+      s"funnel must stay on equi-joins:\n$sp")
+  }
+
+  test("diag_chi2_independence: marginal joins broadcast; observed cells aggregate partially") {
+    val p = plan("diag_chi2_independence")
+    assert(!p.contains("CartesianProduct"),
+      s"marginal grid must build from broadcast tiny sides:\n$p")
+    // the corpus-side (lang, source) count must map-side combine:
+    // partial + final HashAggregate around its exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"observed-cell count must pre-aggregate before the shuffle:\n$p")
+  }
+
+  test("multimodal_phash_pairs: pairs derive from capped postings, never a bucket self-join") {
+    val p = plan("multimodal_phash_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin")
+      && !p.contains("ShuffledHashJoin") && !p.contains("BroadcastHashJoin"),
+      s"pair fan-out must be the posting-list explode, not a join:\n$p")
+    assert(p.contains("Generate explode"),
+      s"expected the posting-pair explode generator:\n$p")
+  }
+
   test("whole-stage codegen covers the relational hot path") {
     // AQE wraps the plan in AdaptiveSparkPlan and only materializes
     // codegen per query stage at runtime; disable it here so the
