@@ -66,11 +66,18 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
-  /** events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanosecond
-    * timestamp type, so the raw column is read as nanos-since-epoch
-    * (requires spark.sql.legacy.parquet.nanosAsLong=true, set by
-    * Verify/Bench/tests) and truncated to µs in [[events]], exactly the
-    * ns→µs truncation DuckDB applies when IT reads the same file. */
+  /** events.ts arrives as parquet TIMESTAMP(NANOS) in some testdata
+    * generations and TIMESTAMP(MICROS, ntz) in others (the driver
+    * regenerated the tables between rounds with a different writer).
+    * Both are INT64 physically, so the raw column is read as a plain
+    * long and [[table]] rescales it to µs based on the file's OWN
+    * logical type — probed once per (session, dir) from the footer
+    * via Spark's schema inference (under
+    * spark.sql.legacy.parquet.nanosAsLong=true, set by
+    * Verify/Bench/tests, a NANOS column infers as LongType while a
+    * MICROS column infers as a timestamp type). DuckDB applies the
+    * same ns→µs truncation when IT reads a NANOS file, so the two
+    * engines agree in either generation. */
   val eventsRawSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -103,14 +110,28 @@ object Tables {
     "documents" -> documentsSchema,
     "embeddings" -> embeddingsSchema)
 
+  /** per-(session, dir) memo of the events.ts unit probe: true when
+    * the file's logical type is TIMESTAMP(NANOS). Footer-only read —
+    * no Spark job. */
+  private val tsNanosCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Boolean]
+
+  private def eventsTsIsNanos(spark: SparkSession, sfDir: String): Boolean =
+    tsNanosCache.getOrElseUpdate((spark, sfDir), {
+      val inferred = spark.read.parquet(s"$sfDir/events.parquet")
+        .schema("ts").dataType
+      inferred == LongType // nanosAsLong renders NANOS as a bare long
+    })
+
   /** Load one testdata table with its static schema. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val raw = spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      raw.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else raw
+    if (name == "events") {
+      import org.apache.spark.sql.functions.{expr, timestamp_micros}
+      val micros =
+        if (eventsTsIsNanos(spark, sfDir)) expr("ts div 1000") else expr("ts")
+      raw.withColumn("ts", timestamp_micros(micros))
+    } else raw
   }
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")

@@ -3,7 +3,7 @@ package graft.operators
 import graft._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** §2.10 — graph operators over the citation-graph stand-in.
   *
@@ -654,7 +654,75 @@ object GraphOps {
     "graph_pagerank" -> ((s, d) =>
       pageRank(symEdges(s, d), iters = PrRounds, symmetrized = true,
         numParts = graphParts(s, d))
-        .select(col("v"), round(col("pr"), 4).as("pr")).orderBy(col("v"))))
+        .select(col("v"), round(col("pr"), 4).as("pr")).orderBy(col("v"))),
+
+    // Adamic-Adar link prediction over the co-citation relation: for
+    // supplier pairs sharing customers, Σ_c 1/ln(deg(c)) over the
+    // shared customers c — common-neighbors where rare shared
+    // neighbors count MORE. Same degree-capped group-and-explode
+    // derivation as graph_common_neighbors (pairs fan out
+    // pipeline-side, only the pair agg shuffles); the per-customer
+    // weight 1/ln(deg) is quantized ONCE to DECIMAL(18,12) (the
+    // diag_chi2 discipline) so the pair sums are exact decimal
+    // addition — order- and engine-independent; sources with a single
+    // neighbor (ln 1 = 0) generate no pairs and are excluded in both
+    // engines. Rank on the ROUNDED score.
+    "graph_adamic_adar" -> ((s, d) => {
+      val dec12 = DecimalType(18, 12)
+      cappedNbrSets(s, d)
+        .filter(size(col("ds")) >= 2)
+        .select(
+          round(lit(1.0) / log(size(col("ds")).cast(DoubleType)), 12)
+            .cast(dec12).as("w"),
+          explode(expr(
+            """flatten(transform(ds, (x, i) ->
+              |  transform(slice(ds, i + 2, size(ds)), y ->
+              |    struct(x AS s1, y AS s2))))""".stripMargin)).as("p"))
+        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        .agg(sum(col("w")).as("aa"))
+        .select(col("s1"), col("s2"),
+          Stable.r4(col("aa").cast(DoubleType)).as("aa_score"))
+        .orderBy(desc("aa_score"), col("s1"), col("s2"))
+        .limit(20)
+    }),
+
+    // Katz centrality, attenuation α = 1/20, KatzRounds fixed rounds
+    // on the symmetrized graph: x ← 1 + α·A·x from x₀ = 1. EXACT by
+    // quantization: the state lives in micro-units (x·10⁶) as
+    // DECIMAL(38,0) integers, the neighbor sums are exact decimal
+    // addition, and the α step is integer FLOOR division by 20 —
+    // bit-identical in any engine, so the rounds unroll as DuckDB
+    // CTEs (katzUnrolledSql, the pagerank/LPA construction). The
+    // declared semantics ARE the quantized recurrence (floor error
+    // ≤ 1e-6 per round — invisible at the r4 output). Loop shape:
+    // KatzRounds joins against the pre-partitioned cached symmetric
+    // edge set; per-round shuffle carries vertex state only.
+    "graph_katz_bounded" -> ((s, d) => {
+      val dec = DecimalType(38, 0)
+      val sym = symEdges(s, d)
+      val verts = sym.select(col("src").as("v")).distinct()
+      val x0 = verts.withColumn("x", lit(1000000L).cast(dec))
+      val xFinal = (1 to KatzRounds).foldLeft(x0) { (x, _) =>
+        val contrib = sym.join(x.withColumnRenamed("v", "xv"),
+            sym("src") === col("xv"))
+          .groupBy(sym("dst").as("cv"))
+          .agg(sum(col("x")).as("sx"))
+        verts.join(contrib, verts("v") === contrib("cv"), "left")
+          .select(verts("v"),
+            (lit(1000000L).cast(dec) +
+              floor(coalesce(col("sx"), lit(0).cast(dec)) / 20).cast(dec))
+              .as("x"))
+      }
+      // 4 dp HALF_UP applied in INTEGER space: (x + 50) div 100 — the
+      // micro-unit states land exactly on .5 boundaries for ~1% of
+      // vertices, where round(double) diverges across engines (Spark
+      // rounds the shortest-decimal rendering, DuckDB the binary
+      // value). Integer rounding is engine-independent by construction;
+      // the final /1e4 divides identical exact integers in both.
+      xFinal.select(col("v"),
+          (floor((col("x") + 50) / 100).cast(DoubleType) / 10000.0).as("katz"))
+        .orderBy(col("v"))
+    }))
 
   /** PageRank round count — shared by the engine loop and the unrolled
     * oracle SQL so the two cannot drift */
@@ -662,6 +730,10 @@ object GraphOps {
 
   /** k-core k, shared by the engine loop and the oracle SQL */
   val KcoreK = 3
+
+  /** Katz iteration count — shared by the engine loop and the
+    * unrolled oracle SQL so the two cannot drift */
+  val KatzRounds = 3
 
   /** peel-round cap for the k-core oracle's recursive CTE. The engine
     * iterates to the true fixpoint; the oracle re-derives the state for
@@ -701,6 +773,29 @@ object GraphOps {
        |deg AS (SELECT src, count(*) AS odeg FROM sym GROUP BY src),
        |ew AS (SELECT s.src, s.dst, d.odeg FROM sym s JOIN deg d USING (src)),
        |p0 AS (SELECT src AS v, CAST(1.0 AS DOUBLE) AS pr FROM deg),
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  /** CTE prefix unrolling the [[KatzRounds]] quantized-Katz
+    * iterations — possible because the state is integer micro-units
+    * (HUGEINT here ≡ DECIMAL(38,0) in the engine): exact sums, exact
+    * floor division by 20. Same single-reference inlining discipline
+    * as prUnrolledSql. Ends at CTE `k$KatzRounds` = (v, x). */
+  private def katzUnrolledSql: String = {
+    val rounds = (1 to KatzRounds).map { i =>
+      s"""c$i AS (
+         |  SELECT sym.dst AS v, SUM(k.x) AS sx
+         |  FROM sym JOIN k${i - 1} k ON sym.src = k.v GROUP BY sym.dst),
+         |k$i AS (
+         |  SELECT verts.v,
+         |    CAST(1000000 AS HUGEINT) + coalesce(c.sx, 0) // 20 AS x
+         |  FROM verts LEFT JOIN c$i c ON verts.v = c.v)""".stripMargin
+    }
+    s"""ed AS ($edgesSql),
+       |sym AS (SELECT src, dst FROM ed
+       |        UNION SELECT dst AS src, src AS dst FROM ed),
+       |verts AS (SELECT DISTINCT src AS v FROM sym),
+       |k0 AS (SELECT v, CAST(1000000 AS HUGEINT) AS x FROM verts),
        |${rounds.mkString(",\n")}""".stripMargin
   }
 
@@ -1177,5 +1272,24 @@ object GraphOps {
          |  UNION ALL
          |  SELECT sym.b, walk.d + 1 FROM sym JOIN walk ON sym.a = walk.v
          |  WHERE walk.d < 3)
-         |SELECT v, min(d) AS dist FROM walk GROUP BY v ORDER BY v""".stripMargin)
+         |SELECT v, min(d) AS dist FROM walk GROUP BY v ORDER BY v""".stripMargin,
+
+    "graph_adamic_adar" ->
+      s"""WITH ed AS ($edgesSql),
+         |ok AS (SELECT src FROM ed GROUP BY src HAVING count(*) <= $MaxCoCiteDegree),
+         |edc AS (SELECT ed.src, ed.dst FROM ed JOIN ok USING (src)),
+         |dg AS (SELECT src, CAST(round(1.0 / ln(count(*)), 12) AS DECIMAL(18,12)) AS w
+         |       FROM edc GROUP BY src HAVING count(*) >= 2),
+         |pairs AS (
+         |  SELECT e1.dst AS s1, e2.dst AS s2, dg.w
+         |  FROM edc e1 JOIN edc e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |  JOIN dg ON dg.src = e1.src)
+         |SELECT s1, s2, round(CAST(SUM(w) AS DOUBLE), 4) AS aa_score
+         |FROM pairs GROUP BY 1, 2
+         |ORDER BY aa_score DESC, s1, s2 LIMIT 20""".stripMargin,
+
+    "graph_katz_bounded" ->
+      s"""WITH $katzUnrolledSql
+         |SELECT v, CAST((x + 50) // 100 AS DOUBLE) / 10000 AS katz
+         |FROM k$KatzRounds ORDER BY v""".stripMargin)
 }

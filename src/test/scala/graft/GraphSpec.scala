@@ -126,4 +126,49 @@ class GraphSpec extends SparkTestBase {
     assert(deg.contains((1L, 2L, 0L)))        // customer 1: out 2
     assert(deg.contains((off + 7L, 0L, 2L)))  // supplier 7: in from both customers
   }
+
+  test("graph_adamic_adar equals an independent self-join recompute at sf0.001") {
+    // the query derives pairs by group-and-explode; this recomputes the
+    // same declared semantics by the classic wedge SELF-JOIN and
+    // compares the top-20 exactly (incl. the decimal-quantized weights)
+    val got = operators.GraphOps.queries("graph_adamic_adar")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val e = operators.GraphOps.edges(spark, sf001)
+    val okSrc = e.groupBy(col("src")).agg(count(lit(1)).as("cdeg"))
+      .filter(col("cdeg") <= operators.GraphOps.MaxCoCiteDegree && col("cdeg") >= 2)
+      .select(col("src"), round(lit(1.0) / log(col("cdeg").cast("double")), 12)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 12)).as("w"))
+    val ec = e.join(okSrc, Seq("src"))
+    val exp = ec.as("a").join(ec.as("b"),
+        col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+      .groupBy(col("a.dst").as("s1"), col("b.dst").as("s2"))
+      .agg(sum(col("a.w")).as("aa"))
+      .select(col("s1"), col("s2"), round(col("aa").cast("double"), 4).as("aa_score"))
+      .orderBy(desc("aa_score"), col("s1"), col("s2")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == exp)
+  }
+
+  test("graph_katz_bounded equals a driver-side exact BigInt recompute at sf0.001") {
+    val got = operators.GraphOps.queries("graph_katz_bounded")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val e = operators.GraphOps.edges(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sym = (e ++ e.map(_.swap)).distinct
+    val verts = sym.map(_._1).distinct
+    var x = verts.map(v => v -> BigInt(1000000)).toMap
+    for (_ <- 1 to operators.GraphOps.KatzRounds) {
+      val sums = sym.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(ed => x(ed._1)).sum
+      }
+      x = verts.map(v => v -> (BigInt(1000000) + sums.getOrElse(v, BigInt(0)) / 20)).toMap
+    }
+    val exp = x.map { case (v, xi) =>
+      // mirror the query's integer-space HALF_UP: (x + 50) div 100
+      v -> ((xi + 50) / 100).toDouble / 10000.0
+    }
+    assert(got.keySet == exp.keySet)
+    got.foreach { case (v, kz) =>
+      assert(kz == exp(v), s"vertex $v: $kz vs ${exp(v)}") }
+  }
 }
