@@ -311,6 +311,76 @@ object TimeSeriesOps {
         .select(col("event_id"), col("user_id"),
           r4(col("raw") / (col("denom") * 10000.0)).as("ewma"))
         .orderBy(col("event_id"))
+    }),
+
+    // lag-1 autocorrelation per series — "is this metric trending or
+    // mean-reverting?": Pearson r between the hourly series and its
+    // one-hour shift. The hourly sums stay EXACT DECIMAL(18,4) (never
+    // rounded to double), so the five sufficient statistics (Σx, Σy,
+    // Σxy, Σx², Σy²) are exact decimal sums — order/engine-independent
+    // (the degree_assortativity discipline) — and the one final
+    // IEEE-double formula is identical in both engines. The lag window
+    // partitions by event_type over the HOURLY AGGREGATE (≤ span×5
+    // rows), not raw events — the bounded-window discipline.
+    "ts_autocorr" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 8)
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(sum(col("value").cast(dec)).as("h"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      def dbl(c: String) = col(c).cast("double")
+      hourly
+        .withColumn("p", lag(col("h"), 1).over(w))
+        .filter(col("p").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("p")).as("sx"), sum(col("h")).as("sy"),
+          sum((col("p") * col("h")).cast(dec38)).as("sxy"),
+          sum((col("p") * col("p")).cast(dec38)).as("sxx"),
+          sum((col("h") * col("h")).cast(dec38)).as("syy"))
+        .select(col("event_type"), col("n"),
+          r4((col("n") * dbl("sxy") - dbl("sx") * dbl("sy")) /
+            (sqrt(col("n") * dbl("sxx") - dbl("sx") * dbl("sx")) *
+             sqrt(col("n") * dbl("syy") - dbl("sy") * dbl("sy"))))
+            .as("acf1"))
+        .orderBy(col("event_type"))
+    }),
+
+    // single change-point detection per series (binary segmentation's
+    // first split): over the hourly sums, the boundary t maximizing
+    // the scaled mean-shift statistic |mean(1..t) − mean(t+1..n)| ·
+    // sqrt(t·(n−t)/n). Prefix sums are exact decimal running windows
+    // over the bounded hourly aggregate; the statistic is IEEE double
+    // in one fixed op order; ranking is on the ROUNDED statistic with
+    // the earliest boundary winning ties.
+    "ts_changepoint_meanshift" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(sum(col("value").cast(dec)).as("h"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      val tot = hourly.groupBy(col("event_type"))
+        .agg(sum(col("h")).as("tot"), count(lit(1)).as("n"))
+      def dbl(c: String) = col(c).cast("double")
+      val cand = hourly
+        .withColumn("pre",
+          sum(col("h")).over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+        .withColumn("t", row_number().over(w))
+        .join(broadcast(tot), Seq("event_type"))
+        .filter(col("t") < col("n"))
+        .select(col("event_type"), col("hour"), col("t"), col("n"),
+          r4(abs(dbl("pre") / col("t") -
+              (dbl("tot") - dbl("pre")) / (col("n") - col("t"))) *
+            sqrt(col("t").cast("double") * (col("n") - col("t")) / col("n")))
+            .as("stat"))
+      val pick = Window.partitionBy(col("event_type"))
+        .orderBy(desc("stat"), col("hour"))
+      cand.withColumn("rn", row_number().over(pick)).filter(col("rn") === 1)
+        .select(col("event_type"), ntz(col("hour")).as("cp_hour"),
+          col("t").as("t_left"), col("n"), col("stat"))
+        .orderBy(col("event_type"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -483,5 +553,55 @@ object TimeSeriesOps {
         |FROM rnk a JOIN rnk b
         |  ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 19 AND a.rn
         |GROUP BY a.event_id, a.user_id, a.rn
-        |ORDER BY a.event_id""".stripMargin)
+        |ORDER BY a.event_id""".stripMargin,
+
+    "ts_autocorr" ->
+      """WITH hourly AS (
+        |  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hour,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS h
+        |  FROM events GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT event_type, h,
+        |    lag(h, 1) OVER (PARTITION BY event_type ORDER BY hour) AS p
+        |  FROM hourly),
+        |st AS (
+        |  SELECT event_type, count(*) AS n,
+        |    SUM(p) AS sx, SUM(h) AS sy,
+        |    SUM(CAST(p * h AS DECIMAL(38,8))) AS sxy,
+        |    SUM(CAST(p * p AS DECIMAL(38,8))) AS sxx,
+        |    SUM(CAST(h * h AS DECIMAL(38,8))) AS syy
+        |  FROM lagged WHERE p IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n,
+        |  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |     * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+        |    4) AS acf1
+        |FROM st ORDER BY event_type""".stripMargin,
+
+    "ts_changepoint_meanshift" ->
+      """WITH hourly AS (
+        |  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hour,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS h
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, SUM(h) AS tot, count(*) AS n
+        |        FROM hourly GROUP BY 1),
+        |pre AS (
+        |  SELECT event_type, hour,
+        |    SUM(h) OVER (PARTITION BY event_type ORDER BY hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hour) AS t
+        |  FROM hourly),
+        |cand AS (
+        |  SELECT p.event_type, p.hour, p.t, tt.n,
+        |    round(abs(CAST(pre AS DOUBLE) / p.t
+        |        - (CAST(tot AS DOUBLE) - CAST(pre AS DOUBLE)) / (tt.n - p.t))
+        |      * sqrt(CAST(p.t AS DOUBLE) * (tt.n - p.t) / tt.n), 4) AS stat
+        |  FROM pre p JOIN tot tt USING (event_type)
+        |  WHERE p.t < tt.n)
+        |SELECT event_type, hour AS cp_hour, CAST(t AS INT) AS t_left, n, stat
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY stat DESC, hour) AS rn
+        |  FROM cand) q
+        |WHERE rn = 1 ORDER BY event_type""".stripMargin)
 }

@@ -313,6 +313,49 @@ class Round4Spec extends SparkTestBase {
     assert(got(3L) == 3.0, s"got ${got(3L)}")
   }
 
+  test("ts_autocorr: hand series hit the r = ±1 poles exactly") {
+    val dir = tempDir()
+    import spark.implicits._
+    def ns(s: Long) = (1577836800L + s) * 1000000000L
+    // type a: 1,2,3,4 hourly (perfect linear trend → acf1 = 1);
+    // type b: 1,5,1,5 alternating (perfect mean reversion → acf1 = −1)
+    val rows = Seq.tabulate(4) { h =>
+      (h.toLong * 2 + 1, ns(3600L * h), 1L, "a", (h + 1).toDouble, "{}")
+    } ++ Seq.tabulate(4) { h =>
+      (h.toLong * 2 + 2, ns(3600L * h), 2L, "b",
+        if (h % 2 == 0) 1.0 else 5.0, "{}")
+    }
+    writeFixture(dir, "events",
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = operators.TimeSeriesOps.queries("ts_autocorr")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got("a") == ((3L, 1.0)), s"got ${got("a")}")
+    assert(got("b") == ((3L, -1.0)), s"got ${got("b")}")
+  }
+
+  test("ts_changepoint_meanshift finds a planted level shift at its boundary") {
+    val dir = tempDir()
+    import spark.implicits._
+    def ns(s: Long) = (1577836800L + s) * 1000000000L
+    // 0,0,0,10,10,10 hourly → best split after hour index 2 (t=3):
+    // |0−10|·sqrt(3·3/6) = 12.2474
+    val rows = Seq.tabulate(6) { h =>
+      (h.toLong + 1, ns(3600L * h), 1L, "a",
+        if (h < 3) 0.0 else 10.0, "{}")
+    }
+    writeFixture(dir, "events",
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = operators.TimeSeriesOps.queries("ts_changepoint_meanshift")(spark, dir)
+      .collect().map(r => (r.getString(0),
+        r.getAs[java.time.LocalDateTime](1).toEpochSecond(java.time.ZoneOffset.UTC),
+        r.getInt(2), r.getLong(3), r.getDouble(4)))
+    assert(got.length == 1)
+    val (tp, cpS, t, n, stat) = got.head
+    assert(tp == "a" && t == 3 && n == 6L, s"got ${got.head}")
+    assert(cpS == 1577836800L + 2 * 3600L, s"cp at wrong hour: ${got.head}")
+    assert(stat == 12.2474, s"got $stat")
+  }
+
   test("HllAgg: estimate within HLL error bounds; merge equals direct") {
     import graft.functions.HllAgg
     val agg = new HllAgg(512)
