@@ -305,6 +305,62 @@ object MiningOps {
           r4(sqrt(col("chi2d").cast(DoubleType) / col("n").cast(DoubleType)
             / least(col("nr") - 1, col("nc") - 1).cast(DoubleType)))
             .as("cramers_v"))
+    }),
+
+    // Benford first-digit audit of o_totalprice — the fraud/synthetic-
+    // data smell test: observed share of each leading significant
+    // digit vs the Benford expectation log10(1 + 1/d). The digit is
+    // extracted from the DECIMAL(18,2) STRING rendering (regexp for
+    // the first nonzero digit) — a log10-based extraction would hinge
+    // on cross-engine libm agreement at exact powers of ten; the
+    // string path is engine-identical by construction. One bounded
+    // 9-row aggregate; the total broadcasts back as a scalar.
+    "diag_benford" -> ((s, d) => {
+      val digits = Tables.orders(s, d)
+        .select(regexp_extract(
+          col("o_totalprice").cast(DecimalType(18, 2)).cast("string"),
+          "[1-9]", 0).cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      digits
+        .crossJoin(broadcast(digits.agg(sum(col("n")).as("total"))))
+        .select(col("digit"), col("n"),
+          r4(col("n").cast(DoubleType) / col("total")).as("obs_share"),
+          r4(log(10.0, lit(1.0) + lit(1.0) / col("digit"))).as("benford_share"),
+          r4(abs(col("n").cast(DoubleType) / col("total") -
+            log(10.0, lit(1.0) + lit(1.0) / col("digit")))).as("abs_dev"))
+        .orderBy(col("digit"))
+    }),
+
+    // pointwise mutual information of event-type co-occurrence within
+    // a user's history — "which behaviors travel together?". Same
+    // basket discipline as mine_assoc_rules: distinct (user, type) →
+    // per-user sorted type sets in ONE map-side-combined shuffle →
+    // a<b pairs explode pipeline-side (≤ C(5,2) per user) → bounded
+    // pair agg; marginals + user count broadcast back. PMI's ln runs
+    // on the same exact-integer ratio in both engines, rounded at 4dp.
+    "mine_cooccur_pmi" -> ((s, d) => {
+      val ut = Tables.events(s, d)
+        .select(col("user_id").as("u"), col("event_type").as("t")).distinct()
+      val pairs = ut.groupBy(col("u"))
+        .agg(array_sort(collect_set(col("t"))).as("ts"))
+        .select(explode(expr(
+          """flatten(transform(ts, (x, i) ->
+            |  transform(slice(ts, i + 2, size(ts)), y ->
+            |    struct(x AS ta, y AS tb))))""".stripMargin)).as("p"))
+        .groupBy(col("p.ta").as("type_a"), col("p.tb").as("type_b"))
+        .agg(count(lit(1)).as("support"))
+      val totals = ut.groupBy(col("t")).agg(count(lit(1)).as("s"))
+      val n = ut.agg(countDistinct(col("u")).as("n_users"))
+      pairs
+        .join(broadcast(totals.select(col("t").as("type_a"), col("s").as("sa"))),
+          Seq("type_a"))
+        .join(broadcast(totals.select(col("t").as("type_b"), col("s").as("sb"))),
+          Seq("type_b"))
+        .crossJoin(broadcast(n))
+        .select(col("type_a"), col("type_b"), col("support"),
+          r4(log(col("support").cast(DoubleType) * col("n_users") /
+            (col("sa") * col("sb")))).as("pmi"))
+        .orderBy(col("type_a"), col("type_b"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -457,5 +513,34 @@ object MiningOps {
         |SELECT prev_type, next_type, n,
         |  round(CAST(n AS DOUBLE) / total, 4) AS share
         |FROM tr CROSS JOIN tot
-        |ORDER BY n DESC, prev_type, next_type""".stripMargin)
+        |ORDER BY n DESC, prev_type, next_type""".stripMargin,
+
+    "diag_benford" ->
+      """WITH dg AS (
+        |  SELECT CAST(regexp_extract(
+        |      CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+        |      '[1-9]', 0) AS INT) AS digit, count(*) AS n
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM dg)
+        |SELECT digit, n,
+        |  round(CAST(n AS DOUBLE) / total, 4) AS obs_share,
+        |  round(ln(1.0 + 1.0 / digit) / ln(10.0), 4) AS benford_share,
+        |  round(abs(CAST(n AS DOUBLE) / total
+        |    - ln(1.0 + 1.0 / digit) / ln(10.0)), 4) AS abs_dev
+        |FROM dg CROSS JOIN tot ORDER BY digit""".stripMargin,
+
+    "mine_cooccur_pmi" ->
+      """WITH ut AS (
+        |  SELECT DISTINCT user_id AS u, event_type AS t FROM events),
+        |supp AS (
+        |  SELECT a.t AS type_a, c.t AS type_b, count(*) AS support
+        |  FROM ut a JOIN ut c ON a.u = c.u AND a.t < c.t
+        |  GROUP BY 1, 2),
+        |tt AS (SELECT t, count(*) AS s FROM ut GROUP BY 1),
+        |nu AS (SELECT count(DISTINCT u) AS n_users FROM ut)
+        |SELECT type_a, type_b, support,
+        |  round(ln(CAST(support AS DOUBLE) * n_users / (ta.s * tb.s)), 4) AS pmi
+        |FROM supp JOIN tt ta ON ta.t = type_a
+        |JOIN tt tb ON tb.t = type_b CROSS JOIN nu
+        |ORDER BY type_a, type_b""".stripMargin)
 }

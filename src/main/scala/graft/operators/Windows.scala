@@ -199,6 +199,26 @@ object Windows {
           r4(col("rev_dec").cast(DoubleType) /
             col("tot").cast(DoubleType)).as("rev_share"))
         .orderBy(col("l_suppkey"))
+    }),
+
+    // decile banding per priority class — the quantile-bucket summary
+    // a pricing dashboard shows: ntile(10) over (price, orderkey) —
+    // the unique tie-break makes the banding deterministic (§2.0
+    // rule 7) — then per-(priority, decile) count/min/max/exact-sum.
+    // The window partitions by o_orderpriority (5 values): the
+    // documented low-cardinality caveat of win_rank_variants applies;
+    // the banded AGGREGATE that follows is bounded (50 rows).
+    "win_ntile_deciles" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy(col("o_orderpriority"), col("decile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"),
+          r4(dsum(col("o_totalprice"))).as("sum_price"))
+        .orderBy(col("o_orderpriority"), col("decile"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -304,5 +324,17 @@ object Windows {
         |SELECT user_id, event_type AS streak_type, len AS streak_len FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id
         |    ORDER BY len DESC, first_ts, first_ev) AS rn FROM runs) t
-        |WHERE rn = 1 ORDER BY user_id""".stripMargin)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "win_ntile_deciles" ->
+      """SELECT o_orderpriority, CAST(decile AS INT) AS decile,
+        |  count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+        |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |    AS sum_price
+        |FROM (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    ntile(10) OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice, o_orderkey) AS decile
+        |  FROM orders) t
+        |GROUP BY 1, 2 ORDER BY o_orderpriority, decile""".stripMargin)
 }

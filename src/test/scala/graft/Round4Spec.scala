@@ -313,6 +313,56 @@ class Round4Spec extends SparkTestBase {
     assert(got(3L) == 3.0, s"got ${got(3L)}")
   }
 
+  test("diag_benford: planted one-per-digit prices give uniform shares") {
+    val dir = tempDir()
+    writeFixture(dir, "orders", ordersDf(
+      (1 to 9).map(dg => (dg.toLong, 1L, "1995-01-01 00:00:00",
+        dg * 111.11)): _*))
+    val got = operators.MiningOps.queries("diag_benford")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(got.map(_._1).toSeq == (1 to 9))
+    assert(got.forall(_._2 == 1L))
+    assert(got.forall(t => t._3 == 0.1111), s"got ${got.toSeq}")
+    // Benford expectation of digit 1 ≈ 0.3010
+    assert(got.head._4 == 0.301, s"got ${got.head}")
+  }
+
+  test("mine_cooccur_pmi: hand baskets give ln of the exact ratio") {
+    val dir = tempDir()
+    import spark.implicits._
+    def ns(s: Long) = (1577836800L + s) * 1000000000L
+    // u1 {click,view}, u2 {click,view}, u3 {view}:
+    // pair (click,view) support 2, s_click=2, s_view=3, n=3 →
+    // pmi = ln(2·3/(2·3)) = 0
+    val rows = Seq(
+      (1L, ns(1), 1L, "click", 1.0, "{}"), (2L, ns(2), 1L, "view", 1.0, "{}"),
+      (3L, ns(3), 2L, "click", 1.0, "{}"), (4L, ns(4), 2L, "view", 1.0, "{}"),
+      (5L, ns(5), 3L, "view", 1.0, "{}"))
+    writeFixture(dir, "events",
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = operators.MiningOps.queries("mine_cooccur_pmi")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq(("click", "view", 2L, 0.0)), s"got $got")
+  }
+
+  test("win_ntile_deciles: 20 uniform rows band into 10 deciles of 2") {
+    val dir = tempDir()
+    writeFixture(dir, "orders", ordersDf(
+      (1 to 20).map(i => (i.toLong, 1L, "1995-01-01 00:00:00",
+        i * 10.0)): _*))
+    val got = operators.Windows.queries("win_ntile_deciles")(spark, dir)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.map(_._1).toSeq == (1 to 10))
+    assert(got.forall(_._2 == 2L))
+    // decile d covers prices (2d−1)·10 and 2d·10
+    got.foreach { case (dg, _, lo, hi, sp) =>
+      assert(lo == (2 * dg - 1) * 10.0 && hi == 2 * dg * 10.0 &&
+        sp == lo + hi, s"decile $dg: $lo..$hi sum $sp") }
+  }
+
   test("ts_autocorr: hand series hit the r = ±1 poles exactly") {
     val dir = tempDir()
     import spark.implicits._
