@@ -56,6 +56,7 @@ object SqlFrontend {
     * tables (e.g. production parquet registered as catalog tables). */
   def registerFunctions(spark: SparkSession): Unit = {
     functions.CosineSimilarity.register(spark)
+    functions.JaroWinkler.register(spark)
     spark.udf.register("minhash_sig",
       org.apache.spark.sql.functions.udaf(new functions.MinHashAgg(MinHashK)))
     spark.udf.register("cm_sketch",

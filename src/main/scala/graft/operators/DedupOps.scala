@@ -433,6 +433,28 @@ object DedupOps {
         .orderBy(col("a"), col("b"))
     }),
 
+    // fuzzy-name matching by Jaro-Winkler similarity — the entity-
+    // resolution scorer (typo-tolerant, prefix-weighted) that
+    // complements levenshtein's edit-count view. Same length-band
+    // blocking as dedup_edit_distance; the scorer is the native
+    // codegen'd `functions.JaroWinklerExpr` (semantics pinned to
+    // DuckDB's jaro_winkler_similarity — empty→0, window
+    // max(l1,l2)/2−1, FLOOR transposition halving, boost only above
+    // 0.7, prefix cap 4), so the ORACLE checks the custom expression
+    // itself. Threshold on the ROUNDED score.
+    "dedup_jaro_winkler" -> ((s, d) => {
+      graft.functions.JaroWinkler.register(s)
+      val p = Tables.part(s, d).filter(col("p_partkey") < 500L)
+        .select(col("p_partkey"), col("p_name"), length(col("p_name")).as("len"))
+      val a = p.select(col("p_partkey").as("a"), col("p_name").as("na"), col("len").as("la"))
+      val b = p.select(col("p_partkey").as("b"), col("p_name").as("nb"), col("len").as("lb"))
+      a.join(b, col("a") < col("b") && abs(col("la") - col("lb")) <= 3)
+        .select(col("a"), col("b"),
+          round(expr("jaro_winkler(na, nb)"), 4).as("jw"))
+        .filter(col("jw") >= 0.88)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // near-dup by embedding cosine within the same label block
     "dedup_embedding_cosine" -> ((s, d) => {
       graft.functions.CosineSimilarity.register(s)
@@ -610,6 +632,16 @@ object DedupOps {
         |  ON a.p_partkey < b.p_partkey AND abs(a.len - b.len) <= 3
         |WHERE levenshtein(a.p_name, b.p_name) <= 3
         |ORDER BY a, b""".stripMargin,
+
+    "dedup_jaro_winkler" ->
+      """WITH p AS (SELECT p_partkey, p_name, length(p_name) AS len
+        |  FROM part WHERE p_partkey < 500)
+        |SELECT a, b, jw FROM (
+        |  SELECT a.p_partkey AS a, b.p_partkey AS b,
+        |    round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS jw
+        |  FROM p a JOIN p b
+        |    ON a.p_partkey < b.p_partkey AND abs(a.len - b.len) <= 3) t
+        |WHERE jw >= 0.88 ORDER BY a, b""".stripMargin,
 
     "dedup_embedding_cosine" ->
       """SELECT x.vec_id AS a, y.vec_id AS b,

@@ -142,4 +142,34 @@ class DedupTextSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(top == Map(1L -> "unique1", 2L -> "unique2"))
   }
+
+  test("JaroWinkler matches the DuckDB reference values it is pinned to") {
+    import graft.functions.JaroWinkler
+    def jw(a: String, b: String) =
+      JaroWinkler.jw(org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    // probed from DuckDB 1.0 jaro_winkler_similarity (see Scaladoc)
+    assert(jw("martha", "marhta") == 0.9611111111111111)
+    assert(jw("dixon", "dicksonx") == 0.8133333333333332)
+    assert(jw("jellyfish", "smellyfish") == 0.8962962962962964)
+    assert(jw("abc", "abc") == 1.0)
+    assert(jw("", "abc") == 0.0)
+    assert(jw("", "") == 0.0)
+    assert(jw("a", "b") == 0.0)
+    assert(jw("crate", "trace") == 0.7333333333333334)   // no common prefix
+    assert(jw("dwayne", "duane") == 0.8400000000000001)
+    assert(jw("ab", "abcdefgh") == 0.8)
+    assert(jw("aaaaaaaaab", "aaaaaaaaba") == 0.98)
+    assert(jw("aaabbbb", "aaacccc") == 0.6190476190476191) // below boost gate
+    assert(jw("abcxxx", "bcaxxx") == 0.9444444444444445) // odd mismatches floor: t=1
+    assert(jw("abcdefgh", "badcfehg") == 0.8333333333333334)
+    // the registered expression agrees with the static helper AND
+    // survives codegen (two calls in one projection span)
+    JaroWinkler.register(spark)
+    import spark.implicits._
+    val r = Seq(("martha", "marhta")).toDF("x", "y")
+      .selectExpr("jaro_winkler(x, y) AS a", "jaro_winkler(y, x) AS b")
+      .collect()(0)
+    assert(r.getDouble(0) == 0.9611111111111111 && r.getDouble(1) == r.getDouble(0))
+  }
 }
