@@ -61,6 +61,31 @@ object VectorOps {
         .orderBy(col("probe_id"), col("rank"))
     }),
 
+    // maximum-inner-product search (MIPS) — the retrieval scorer for
+    // UNnormalized embeddings (recommender / reranker dot-product
+    // models), where cosine's norm division is wrong by design. Same
+    // broadcast-probe brute-force shape as vec_cosine_topk; the dot
+    // product is a left-to-right double fold (`aggregate(zip_with)`),
+    // the same evaluation order as DuckDB's list_inner_product, so
+    // scores agree to the ulp and rank on the rounded value.
+    "vec_mips_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val probes = e.orderBy(col("vec_id")).limit(10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      val w = Window.partitionBy(col("probe_id")).orderBy(desc("dot"), asc("vec_id"))
+      e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(expr(
+            """aggregate(zip_with(pe, embedding,
+              |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+              |  CAST(0.0 AS DOUBLE), (a, v) -> a + v)""".stripMargin), 4)
+            .as("dot"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
     // label-blocked kNN join: top-3 same-label neighbors per probe
     // (probe set bounded to vec_id < 100)
     "vec_knn_join_bucketed" -> ((s, d) => {
@@ -666,6 +691,20 @@ object VectorOps {
         |  round(min(nrm), 4) AS min_norm,
         |  round(max(nrm), 4) AS max_norm
         |FROM n GROUP BY label ORDER BY label""".stripMargin,
+
+    "vec_mips_topk" ->
+      """WITH probes AS (
+        |  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+        |  ORDER BY vec_id LIMIT 10),
+        |scored AS (
+        |  SELECT p.probe_id, e.vec_id,
+        |    round(list_inner_product(
+        |      CAST(p.pe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4) AS dot
+        |  FROM probes p CROSS JOIN embeddings e WHERE e.vec_id <> p.probe_id)
+        |SELECT probe_id, vec_id, dot, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY dot DESC, vec_id ASC) AS INT) AS rank FROM scored) t
+        |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
 
     "vec_cosine_topk" ->
       """WITH probes AS (

@@ -166,6 +166,19 @@ class VectorMultimodalSpec extends SparkTestBase {
     assert(run2 == run1)
   }
 
+  test("vec_mips_topk ranks by raw dot product, not cosine") {
+    val dir = tempDir()
+    // probe 1 = (1,0). Vector 3 = (10,0) dominates by DOT (10) though
+    // all three have perfect cosine with the probe direction;
+    // vector 2 = (2,0) ranks second.
+    writeFixture(dir, "embeddings", vecDf(
+      (1L, Seq(1f, 0f), 0), (2L, Seq(2f, 0f), 0), (3L, Seq(10f, 0f), 0)))
+    val got = operators.VectorOps.queries("vec_mips_topk")(spark, dir)
+      .filter(col("probe_id") === 1L)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(got == Seq((3L, 10.0, 1), (2L, 2.0, 2)), s"got $got")
+  }
+
   test("vec_gram_matrix is symmetric with non-negative diagonal on a planted corpus") {
     val dir = tempDir()
     writeFixture(dir, "embeddings", vecDf(
