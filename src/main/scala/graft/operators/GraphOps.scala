@@ -195,26 +195,47 @@ object GraphOps {
     * source's bytes (one partition per ~2 MB of lineitem parquet,
     * clamped to [1, defaultParallelism]). Read from file metadata — no
     * Spark job. Rationale: every CC/PageRank iteration schedules a
-    * task per partition per stage, so a 10 MB local graph on the
+    * task per partition per stage, so a tiny local graph on the
     * global 32-partition default pays 32× the scheduling for zero
     * parallelism gain (and on a contended box that overhead, not
     * compute, dominates the bench); at cluster scale the same rule
-    * reaches defaultParallelism and the loops fan out fully. The
-    * divisor is deliberately small enough that the derived edge set
-    * (a distinct projection, ~20× smaller than the source file) still
-    * spans several partitions — 1 partition would serialize the
-    * per-iteration joins themselves. */
+    * reaches defaultParallelism and the loops fan out fully.
+    *
+    * Sized from the footer ROW COUNT, not file bytes (r4b): the
+    * driver regenerated the testdata with a different parquet writer
+    * whose better compression halved the file size at identical
+    * content — and the old bytes/2MB rule silently cut the sf0.1
+    * graph loops from ~15 partitions to 5, which DevParts measured as
+    * a 2-10× pageRank regression. Row count is invariant to the
+    * writer; 40k source rows per partition puts sf0.1 at 15 — the
+    * measured sweet spot (parts=10..16 ≈ 6.7 s, parts=5 up to 65 s on
+    * a loaded box). */
   private[operators] def graphParts(s: SparkSession, d: String): Int =
     partsFor(s, d, "lineitem")
 
-  /** same bytes→partitions rule for any source table (used by the
-    * documents-derived dedup cluster graphs) */
+  /** same rows→partitions rule for any source table (used by the
+    * documents-derived dedup cluster graphs); memoized — footer reads
+    * are driver-side I/O on every query construction otherwise */
+  private val partsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+
   private[operators] def partsFor(s: SparkSession, d: String, table: String): Int = {
-    val path = new org.apache.hadoop.fs.Path(s"$d/$table.parquet")
-    val bytes = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-      .getContentSummary(path).getLength
+    val rows = partsCache.getOrElseUpdate((d, table), {
+      val path = new org.apache.hadoop.fs.Path(s"$d/$table.parquet")
+      val conf = s.sparkContext.hadoopConfiguration
+      val files = path.getFileSystem(conf).listStatus(path).toSeq
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")) match {
+        case Seq() => Seq(path) // a bare single-file table
+        case parts => parts
+      }
+      files.map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+    })
     math.max(1L, math.min(s.sparkContext.defaultParallelism.toLong,
-      bytes / (2L << 20))).toInt
+      rows / 40000L)).toInt
   }
 
   /** row caps for choosing an explicit broadcast over a co-partitioned
@@ -661,27 +682,32 @@ object GraphOps {
     // shared customers c — common-neighbors where rare shared
     // neighbors count MORE. Same degree-capped group-and-explode
     // derivation as graph_common_neighbors (pairs fan out
-    // pipeline-side, only the pair agg shuffles); the per-customer
-    // weight 1/ln(deg) is quantized ONCE to DECIMAL(18,12) (the
-    // diag_chi2 discipline) so the pair sums are exact decimal
-    // addition — order- and engine-independent; sources with a single
-    // neighbor (ln 1 = 0) generate no pairs and are excluded in both
-    // engines. Rank on the ROUNDED score.
+    // pipeline-side, only the pair agg shuffles). EXACT by
+    // quantization (the katz discipline): the per-customer weight
+    // 1/ln(deg) quantizes ONCE to integer NANO-units, the pair sums
+    // are plain long addition — order/engine-independent and ~2×
+    // faster than a DECIMAL(18,12) sum over the 42 M wedge rows at
+    // sf0.1 — and the 4 dp output rounds in integer space. Long
+    // headroom: a pair's sum is (shared customers)·≤1.443e9, safe to
+    // ~6e9 shared neighbors per pair. Sources with a single neighbor
+    // (ln 1 = 0) generate no pairs and are excluded in both engines.
     "graph_adamic_adar" -> ((s, d) => {
-      val dec12 = DecimalType(18, 12)
       cappedNbrSets(s, d)
         .filter(size(col("ds")) >= 2)
         .select(
-          round(lit(1.0) / log(size(col("ds")).cast(DoubleType)), 12)
-            .cast(dec12).as("w"),
+          round(lit(1.0e9) / log(size(col("ds")).cast(DoubleType)), 0)
+            .cast("long").as("w9"),
           explode(expr(
             """flatten(transform(ds, (x, i) ->
               |  transform(slice(ds, i + 2, size(ds)), y ->
               |    struct(x AS s1, y AS s2))))""".stripMargin)).as("p"))
         .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
-        .agg(sum(col("w")).as("aa"))
+        .agg(sum(col("w9")).as("aa9"))
         .select(col("s1"), col("s2"),
-          Stable.r4(col("aa").cast(DoubleType)).as("aa_score"))
+          // integer DIV, not `/`: Spark's `/` on longs is double
+          // division, which loses exactness past 2^53
+          (expr("(aa9 + 50000) DIV 100000").cast(DoubleType) / 10000.0)
+            .as("aa_score"))
         .orderBy(desc("aa_score"), col("s1"), col("s2"))
         .limit(20)
     }),
@@ -1278,13 +1304,14 @@ object GraphOps {
       s"""WITH ed AS ($edgesSql),
          |ok AS (SELECT src FROM ed GROUP BY src HAVING count(*) <= $MaxCoCiteDegree),
          |edc AS (SELECT ed.src, ed.dst FROM ed JOIN ok USING (src)),
-         |dg AS (SELECT src, CAST(round(1.0 / ln(count(*)), 12) AS DECIMAL(18,12)) AS w
+         |dg AS (SELECT src, CAST(round(1000000000.0 / ln(count(*)), 0) AS BIGINT) AS w9
          |       FROM edc GROUP BY src HAVING count(*) >= 2),
          |pairs AS (
-         |  SELECT e1.dst AS s1, e2.dst AS s2, dg.w
+         |  SELECT e1.dst AS s1, e2.dst AS s2, dg.w9
          |  FROM edc e1 JOIN edc e2 ON e1.src = e2.src AND e1.dst < e2.dst
          |  JOIN dg ON dg.src = e1.src)
-         |SELECT s1, s2, round(CAST(SUM(w) AS DOUBLE), 4) AS aa_score
+         |SELECT s1, s2,
+         |  CAST((SUM(w9) + 50000) // 100000 AS DOUBLE) / 10000 AS aa_score
          |FROM pairs GROUP BY 1, 2
          |ORDER BY aa_score DESC, s1, s2 LIMIT 20""".stripMargin,
 

@@ -361,6 +361,37 @@ object MiningOps {
           r4(log(col("support").cast(DoubleType) * col("n_users") /
             (col("sa") * col("sb")))).as("pmi"))
         .orderBy(col("type_a"), col("type_b"))
+    }),
+
+    // population-stability index of the event-value distribution,
+    // first half of the window (ref) vs the rest (cur) — THE model-
+    // monitoring drift metric (PSI < 0.1 stable, > 0.25 drifted).
+    // Fixed value bins (width 50) make the binning engine-identical;
+    // shares floor at 1e-4 (the industry zero-cell convention, part
+    // of the declared semantics); each (cs−rs)·ln(cs/rs) term
+    // quantizes to DECIMAL(18,6) and the PSI total is their exact sum
+    // (the chi2 discipline). One corpus scan, one bounded bin agg.
+    "diag_drift_psi" -> ((s, d) => {
+      val split = lit("2024-01-16 00:00:00").cast("timestamp")
+      val counts = Tables.events(s, d)
+        .select(floor(col("value") / 50.0).cast("int").as("bin"),
+          (col("ts") < split).as("is_ref"))
+        .groupBy(col("bin"))
+        .agg(count_if(col("is_ref")).as("n_ref"),
+          count_if(!col("is_ref")).as("n_cur"))
+      val tot = counts.agg(sum(col("n_ref")).as("t_ref"),
+        sum(col("n_cur")).as("t_cur"))
+      counts.crossJoin(broadcast(tot))
+        .withColumn("rs",
+          greatest(col("n_ref").cast(DoubleType) / col("t_ref"), lit(1e-4)))
+        .withColumn("cs",
+          greatest(col("n_cur").cast(DoubleType) / col("t_cur"), lit(1e-4)))
+        .withColumn("term", (col("cs") - col("rs")) * log(col("cs") / col("rs")))
+        .groupBy(col("t_ref"), col("t_cur"))
+        .agg(count(lit(1)).as("n_bins"),
+          sum(col("term").cast(DecimalType(18, 6))).as("psi_d"))
+        .select(col("t_ref").as("n_ref"), col("t_cur").as("n_cur"),
+          col("n_bins"), r4(col("psi_d").cast(DoubleType)).as("psi"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -542,5 +573,23 @@ object MiningOps {
         |  round(ln(CAST(support AS DOUBLE) * n_users / (ta.s * tb.s)), 4) AS pmi
         |FROM supp JOIN tt ta ON ta.t = type_a
         |JOIN tt tb ON tb.t = type_b CROSS JOIN nu
-        |ORDER BY type_a, type_b""".stripMargin)
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    "diag_drift_psi" ->
+      """WITH counts AS (
+        |  SELECT CAST(floor(value / 50.0) AS INT) AS bin,
+        |    count(*) FILTER (ts < TIMESTAMP '2024-01-16 00:00:00') AS n_ref,
+        |    count(*) FILTER (ts >= TIMESTAMP '2024-01-16 00:00:00') AS n_cur
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+        |               CAST(sum(n_cur) AS BIGINT) AS t_cur FROM counts),
+        |terms AS (
+        |  SELECT t_ref, t_cur,
+        |    greatest(CAST(n_ref AS DOUBLE) / t_ref, 0.0001) AS rs,
+        |    greatest(CAST(n_cur AS DOUBLE) / t_cur, 0.0001) AS cs
+        |  FROM counts CROSS JOIN tot)
+        |SELECT t_ref AS n_ref, t_cur AS n_cur, count(*) AS n_bins,
+        |  round(CAST(SUM(CAST((cs - rs) * ln(cs / rs) AS DECIMAL(18,6)))
+        |    AS DOUBLE), 4) AS psi
+        |FROM terms GROUP BY t_ref, t_cur""".stripMargin)
 }

@@ -381,6 +381,23 @@ object TimeSeriesOps {
         .select(col("event_type"), ntz(col("hour")).as("cp_hour"),
           col("t").as("t_left"), col("n"), col("stat"))
         .orderBy(col("event_type"))
+    }),
+
+    // hour-of-day seasonal fingerprint per series: count, exact-
+    // decimal mean, and the hour's share of the series' volume — the
+    // profile a capacity planner or anomaly baseline reads. One
+    // bounded (type × 24) hash agg; per-type totals broadcast back.
+    "ts_seasonal_profile" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      val byHod = Tables.events(s, d)
+        .groupBy(col("event_type"), hour(col("ts")).as("hod"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).as("sv"))
+      val tot = byHod.groupBy(col("event_type")).agg(sum(col("n")).as("tn"))
+      byHod.join(broadcast(tot), Seq("event_type"))
+        .select(col("event_type"), col("hod"), col("n"),
+          r4(col("sv").cast("double") / col("n")).as("avg_value"),
+          r4(col("n").cast("double") / col("tn")).as("share"))
+        .orderBy(col("event_type"), col("hod"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -603,5 +620,18 @@ object TimeSeriesOps {
         |  SELECT *, row_number() OVER (PARTITION BY event_type
         |    ORDER BY stat DESC, hour) AS rn
         |  FROM cand) q
-        |WHERE rn = 1 ORDER BY event_type""".stripMargin)
+        |WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "ts_seasonal_profile" ->
+      """WITH byhod AS (
+        |  SELECT event_type, CAST(extract(hour FROM ts) AS INT) AS hod,
+        |    count(*) AS n, SUM(CAST(value AS DECIMAL(18,4))) AS sv
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tn
+        |        FROM byhod GROUP BY 1)
+        |SELECT b.event_type, b.hod, b.n,
+        |  round(CAST(sv AS DOUBLE) / b.n, 4) AS avg_value,
+        |  round(CAST(b.n AS DOUBLE) / t.tn, 4) AS share
+        |FROM byhod b JOIN tot t USING (event_type)
+        |ORDER BY event_type, hod""".stripMargin)
 }

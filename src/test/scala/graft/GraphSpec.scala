@@ -136,14 +136,15 @@ class GraphSpec extends SparkTestBase {
     val e = operators.GraphOps.edges(spark, sf001)
     val okSrc = e.groupBy(col("src")).agg(count(lit(1)).as("cdeg"))
       .filter(col("cdeg") <= operators.GraphOps.MaxCoCiteDegree && col("cdeg") >= 2)
-      .select(col("src"), round(lit(1.0) / log(col("cdeg").cast("double")), 12)
-        .cast(org.apache.spark.sql.types.DecimalType(18, 12)).as("w"))
+      .select(col("src"), round(lit(1.0e9) / log(col("cdeg").cast("double")), 0)
+        .cast("long").as("w9"))
     val ec = e.join(okSrc, Seq("src"))
     val exp = ec.as("a").join(ec.as("b"),
         col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
       .groupBy(col("a.dst").as("s1"), col("b.dst").as("s2"))
-      .agg(sum(col("a.w")).as("aa"))
-      .select(col("s1"), col("s2"), round(col("aa").cast("double"), 4).as("aa_score"))
+      .agg(sum(col("a.w9")).as("aa9"))
+      .select(col("s1"), col("s2"),
+        (expr("(aa9 + 50000) DIV 100000").cast("double") / 10000.0).as("aa_score"))
       .orderBy(desc("aa_score"), col("s1"), col("s2")).limit(20)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(got == exp)

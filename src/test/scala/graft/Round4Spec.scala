@@ -363,6 +363,36 @@ class Round4Spec extends SparkTestBase {
         sp == lo + hi, s"decile $dg: $lo..$hi sum $sp") }
   }
 
+  test("diag_drift_psi: identical half-distributions score exactly 0") {
+    val dir = tempDir()
+    import spark.implicits._
+    // same {10, 60} value mix on both sides of the 2024-01-16 split
+    def ev(id: Long, day: Int, v: Double) =
+      (id, (java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00").getTime)
+        * 1000000L, 1L, "a", v, "{}")
+    writeFixture(dir, "events", Seq(
+      ev(1, 5, 10.0), ev(2, 6, 60.0), ev(3, 20, 10.0), ev(4, 21, 60.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = operators.MiningOps.queries("diag_drift_psi")(spark, dir).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ==
+      ((2L, 2L, 2L, 0.0)), s"got $r")
+  }
+
+  test("ts_seasonal_profile: hand hours give exact shares and means") {
+    val dir = tempDir()
+    import spark.implicits._
+    def ns(s: Long) = (1577836800L + s) * 1000000000L
+    writeFixture(dir, "events", Seq(
+      (1L, ns(60), 1L, "a", 2.0, "{}"),      // hod 0
+      (2L, ns(120), 1L, "a", 4.0, "{}"),     // hod 0
+      (3L, ns(3660), 1L, "a", 9.0, "{}"))    // hod 1
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = operators.TimeSeriesOps.queries("ts_seasonal_profile")(spark, dir)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    assert(got == Seq((0, 2L, 3.0, 0.6667), (1, 1L, 9.0, 0.3333)), s"got $got")
+  }
+
   test("ts_autocorr: hand series hit the r = ±1 poles exactly") {
     val dir = tempDir()
     import spark.implicits._
