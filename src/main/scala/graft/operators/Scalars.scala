@@ -155,7 +155,25 @@ object Scalars {
           coalesce(col("pri_n"), lit("(none)")).as("pri_filled"),
           expr("CASE WHEN pri_n IS NOT NULL THEN CAST(length(pri_n) AS BIGINT) ELSE CAST(-1 AS BIGINT) END")
             .as("nvl2_len"))
-        .orderBy(col("o_orderkey"))))
+        .orderBy(col("o_orderkey"))),
+
+    // URL parsing breadth: synthesize a deterministic URL per document
+    // (the corpus carries no physical URLs) and parse it back with
+    // Spark's codegen'd parse_url — host, path, one query parameter.
+    // The oracle re-derives the same parts with anchored regexps;
+    // equivalence holds because the synthesized URLs are well-formed
+    // by construction (declared semantics — parse_url and the regexp
+    // disagree only on malformed input).
+    "scalar_url_extract" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), concat(lit("https://"), col("source"),
+          lit(".example.com/docs/"), col("doc_id"),
+          lit("?lang="), col("lang"), lit("&v=2")).as("url"))
+        .select(col("doc_id"), col("url"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY', 'lang')").as("lang_param"))
+        .orderBy(col("doc_id"))))
 
   val oracle: Map[String, String] = Map(
     "scalar_string" ->
@@ -255,5 +273,16 @@ object Scalars {
         |       ELSE CAST(-1 AS BIGINT) END AS nvl2_len
         |FROM (SELECT o_orderkey, nullif(o_orderpriority, '5-LOW') AS pri_n
         |      FROM orders) t
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "scalar_url_extract" ->
+      """SELECT doc_id, url,
+        |  regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+        |  regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+        |  regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param
+        |FROM (
+        |  SELECT doc_id, 'https://' || source || '.example.com/docs/'
+        |    || doc_id || '?lang=' || lang || '&v=2' AS url
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin)
 }

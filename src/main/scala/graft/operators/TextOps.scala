@@ -374,6 +374,33 @@ object TextOps {
     // ln() can differ in the last ulp — same discipline as the TF-IDF
     // ranking) and the sum accumulates as exact DECIMAL(18,4), so the
     // result is independent of partial-aggregation order.
+    // Flesch-style readability per language: words, vowel-group
+    // "syllables" (the standard rough proxy), chars — all exact
+    // integer counts summed per lang — then reading-ease =
+    // 206.835 − 84.6·(syllables/word) in one fixed-order double
+    // formula (the corpus has no sentence structure, so the
+    // sentence-length term is omitted — declared semantics). Per-row
+    // work is codegen'd regexp_count/length; shuffle carries 4 longs
+    // per lang.
+    "text_readability" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("w"),
+          regexp_count(col("text"), lit("[aeiou]+")).cast("long").as("syl"),
+          length(col("text")).cast("long").as("ch"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+          sum(col("syl")).as("n_syllables"), sum(col("ch")).as("n_chars"))
+        .select(col("lang"), col("n_docs"), col("n_words"),
+          r4(col("n_syllables").cast("double") / col("n_words"))
+            .as("syll_per_word"),
+          r4(col("n_chars").cast("double") / col("n_words"))
+            .as("chars_per_word"),
+          r4(lit(206.835) - lit(84.6) *
+            (col("n_syllables").cast("double") / col("n_words")))
+            .as("reading_ease"))
+        .orderBy(col("lang"))),
+
     "text_entropy_stats" -> ((s, d) => {
       val tf = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
@@ -792,6 +819,20 @@ object TextOps {
          |  round((CAST(sy AS DOUBLE) - CAST(sx AS DOUBLE) * slope_d)
          |    / CAST(k AS DOUBLE), 4) AS intercept
          |FROM sl""".stripMargin,
+
+    "text_readability" ->
+      """WITH pd AS (
+        |  SELECT lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+        |    CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT) AS syl,
+        |    CAST(length(text) AS BIGINT) AS ch
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs, CAST(SUM(w) AS BIGINT) AS n_words,
+        |  round(CAST(SUM(syl) AS DOUBLE) / SUM(w), 4) AS syll_per_word,
+        |  round(CAST(SUM(ch) AS DOUBLE) / SUM(w), 4) AS chars_per_word,
+        |  round(206.835 - 84.6 * (CAST(SUM(syl) AS DOUBLE) / SUM(w)), 4)
+        |    AS reading_ease
+        |FROM pd GROUP BY lang ORDER BY lang""".stripMargin,
 
     "text_entropy_stats" ->
       s"""WITH tok AS ($tokCte),

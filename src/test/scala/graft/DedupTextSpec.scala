@@ -143,6 +143,32 @@ class DedupTextSpec extends SparkTestBase {
     assert(top == Map(1L -> "unique1", 2L -> "unique2"))
   }
 
+  test("text_readability: hand doc gives exact counts and formula value") {
+    val dir = tempDir()
+    import spark.implicits._
+    writeFixture(dir, "documents", Seq(
+      (1L, "aa bb cc", "en", "s", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val r = operators.TextOps.queries("text_readability")(spark, dir).collect()(0)
+    // words 3, vowel groups 1 ("aa"), chars 8
+    assert(r.getString(0) == "en" && r.getLong(1) == 1L && r.getLong(2) == 3L)
+    assert(r.getDouble(3) == 0.3333 && r.getDouble(4) == 2.6667)
+    assert(r.getDouble(5) == 178.635, s"got ${r.getDouble(5)}")
+  }
+
+  test("scalar_url_extract parses back what it synthesized") {
+    val dir = tempDir()
+    import spark.implicits._
+    writeFixture(dir, "documents", Seq(
+      (7L, "x", "fr", "src3", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val r = operators.Scalars.queries("scalar_url_extract")(spark, dir).collect()(0)
+    assert(r.getString(1) == "https://src3.example.com/docs/7?lang=fr&v=2")
+    assert(r.getString(2) == "src3.example.com")
+    assert(r.getString(3) == "/docs/7")
+    assert(r.getString(4) == "fr")
+  }
+
   test("JaroWinkler matches the DuckDB reference values it is pinned to") {
     import graft.functions.JaroWinkler
     def jw(a: String, b: String) =
