@@ -517,6 +517,43 @@ object DedupOps {
           r4(col("n_shared").cast("double") /
             (col("nfa") + col("nfb") - col("n_shared"))).as("overlap_est"))
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // sub-document block dedup — the repeated-passage removal pass of
+    // a training-data pipeline (boilerplate headers, licence blurbs,
+    // templated passages recur across documents even when whole-doc
+    // dedup finds nothing): cut each document into consecutive
+    // non-overlapping BlockW-token blocks, hash each block, and score
+    // every document by the share of its distinct blocks that also
+    // appear in at least one OTHER document. Scale shape: blocks are
+    // hashed map-side (one md5 per block, no token arrays shuffle);
+    // the posting aggregate carries (block_hash, doc_count) — state ∝
+    // distinct blocks; the scoring join is on the block-hash key. A
+    // boilerplate block shared by millions of docs is ONE posting row
+    // (count, not list), so hot blocks cost an aggregate, never an
+    // OOM — the same cap-before-collect discipline as the inverted
+    // index. Docs shorter than BlockW tokens have no full block and
+    // are absent (declared).
+    "dedup_shared_blocks" -> ((s, d) => {
+      val db = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), explode(expr(
+          s"""IF(size(t) < $BlockW, array(),
+             |  transform(sequence(1, size(t) DIV $BlockW),
+             |    i -> md5(array_join(
+             |      slice(t, (i - 1) * $BlockW + 1, $BlockW), ' '))))"""
+            .stripMargin)).as("bh"))
+        .distinct()
+      val freq = db.groupBy(col("bh"))
+        .agg(countDistinct(col("doc_id")).as("ndocs"))
+      db.join(freq, Seq("bh"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+        .select(col("doc_id"), col("n_blocks"), col("n_shared"),
+          r4(col("n_shared").cast("double") / col("n_blocks"))
+            .as("shared_share"))
+        .orderBy(col("doc_id"))
     }))
 
   /** posting cap / shared-fingerprint threshold for dedup_winnow_pairs
@@ -526,7 +563,32 @@ object DedupOps {
   val WinnowPostingCap = 8
   val WinnowMinShared = 3
 
+  /** dedup_shared_blocks block width (tokens) — shared with the
+    * oracle SQL so the two cannot drift */
+  val BlockW = 8
+
   val oracle: Map[String, String] = Map(
+    "dedup_shared_blocks" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |b AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(CASE WHEN len(t) < $BlockW THEN []::VARCHAR[]
+         |      ELSE list_transform(range(1, len(t) // $BlockW + 1),
+         |        i -> md5(array_to_string(list_slice(t,
+         |          (i - 1) * $BlockW + 1, (i - 1) * $BlockW + $BlockW),
+         |          ' '))) END) AS bh
+         |  FROM toks),
+         |freq AS (
+         |  SELECT bh, count(DISTINCT doc_id) AS ndocs FROM b GROUP BY bh),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_blocks,
+         |    CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_shared
+         |  FROM b JOIN freq USING (bh) GROUP BY doc_id)
+         |SELECT doc_id, n_blocks, n_shared,
+         |  round(CAST(n_shared AS DOUBLE) / n_blocks, 4) AS shared_share
+         |FROM agg ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS first_doc
         |FROM documents GROUP BY text HAVING count(*) > 1

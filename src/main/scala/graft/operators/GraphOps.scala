@@ -748,6 +748,78 @@ object GraphOps {
       xFinal.select(col("v"),
           (floor((col("x") + 50) / 100).cast(DoubleType) / 10000.0).as("katz"))
         .orderBy(col("v"))
+    }),
+
+    // HITS hubs-and-authorities, HitsRounds fixed rounds on the
+    // DIRECTED bipartite citation graph (hubs = citing customers,
+    // authorities = cited suppliers — the asymmetry is the point;
+    // running HITS on the symmetrized set would collapse hub ≡ auth).
+    // EXACT by quantization: scores live in micro-units, the per-round
+    // L1 normalization is `(x · 10⁶) DIV Σx` — exact decimal sums and
+    // integer floor division, bit-identical in any engine, so the
+    // rounds unroll as DuckDB CTEs (hitsUnrolledSql, the katz/pagerank
+    // construction; the oracle folds each Σx as SUM() OVER () to keep
+    // every per-round CTE single-referenced). Loop shape: 2·HitsRounds
+    // joins against the memoized cached edge set; per-round shuffle
+    // carries vertex state only; the normalization total is a
+    // broadcast one-row scalar, never a single-partition window.
+    "graph_hits_bounded" -> ((s, d) => {
+      val dec = DecimalType(38, 0)
+      val parts = graphParts(s, d)
+      val e = edges(s, d)
+      val verts = e.select(col("src").as("v"))
+        .union(e.select(col("dst").as("v"))).distinct()
+        .repartition(parts, col("v")).localCheckpoint()
+      // iterative-loop execution discipline (the pageRank/CC shape):
+      // AQE off + shuffle width pinned for the loop, lineage truncated
+      // per step (2·HitsRounds chained joins otherwise stack into
+      // multi-MB task binaries — measured 7 MiB at sf0.01), cached
+      // intermediates released on exit
+      val conf = s.conf
+      val aqeWas = conf.get("spark.sql.adaptive.enabled", "true")
+      val shufWas = conf.get("spark.sql.shuffle.partitions")
+      conf.set("spark.sql.adaptive.enabled", "false")
+      conf.set("spark.sql.shuffle.partitions", parts.toString)
+      try {
+        var toRelease = List.empty[DataFrame]
+        // one normalized power step: raw[v] = Σ state over the edges
+        // incident at `to`, framed to the full vertex set, then
+        // L1-normalized back to Σx = 10⁶ in integer space — the total
+        // is a broadcast one-row scalar, never a global window
+        def step(state: DataFrame, from: String, to: String): DataFrame = {
+          val raw = e.join(state.withColumnRenamed("v", "sv"),
+              e(from) === col("sv"))
+            .groupBy(e(to).as("cv"))
+            .agg(sum(col("x").cast(dec)).as("sx"))
+          val framed = verts.join(raw, col("v") === col("cv"), "left")
+            .select(col("v"), coalesce(col("sx"), lit(0).cast(dec)).as("r"))
+            .cache() // consumed twice: the total and the normalization
+          toRelease ::= framed
+          val tot = framed.agg(sum(col("r")).as("t"))
+          framed.crossJoin(broadcast(tot))
+            .select(col("v"), expr("(r * 1000000) DIV t").as("x"))
+            .localCheckpoint()
+        }
+        try {
+          var h = verts.withColumn("x", lit(1000000L))
+          var a: DataFrame = null
+          (1 to HitsRounds).foreach { _ =>
+            a = step(h, "src", "dst")
+            h = step(a, "dst", "src")
+          }
+          h.withColumnRenamed("x", "hx")
+            .join(a.withColumnRenamed("x", "ax"), Seq("v"))
+            .select(col("v"),
+              (floor((col("hx") + 50) / 100).cast(DoubleType) / 10000.0)
+                .as("hub"),
+              (floor((col("ax") + 50) / 100).cast(DoubleType) / 10000.0)
+                .as("auth"))
+            .orderBy(col("v"))
+        } finally toRelease.foreach(_.unpersist())
+      } finally {
+        conf.set("spark.sql.adaptive.enabled", aqeWas)
+        conf.set("spark.sql.shuffle.partitions", shufWas)
+      }
     }))
 
   /** PageRank round count — shared by the engine loop and the unrolled
@@ -760,6 +832,10 @@ object GraphOps {
   /** Katz iteration count — shared by the engine loop and the
     * unrolled oracle SQL so the two cannot drift */
   val KatzRounds = 3
+
+  /** HITS iteration count — shared by the engine loop and the
+    * unrolled oracle SQL so the two cannot drift */
+  val HitsRounds = 3
 
   /** peel-round cap for the k-core oracle's recursive CTE. The engine
     * iterates to the true fixpoint; the oracle re-derives the state for
@@ -822,6 +898,37 @@ object GraphOps {
        |        UNION SELECT dst AS src, src AS dst FROM ed),
        |verts AS (SELECT DISTINCT src AS v FROM sym),
        |k0 AS (SELECT v, CAST(1000000 AS HUGEINT) AS x FROM verts),
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  /** CTE prefix unrolling the [[HitsRounds]] quantized-HITS rounds —
+    * exact because scores are integer micro-units and the L1
+    * normalization is `(x·10⁶) // Σx` (HUGEINT ≡ the engine's
+    * DECIMAL(38,0) DIV). Each per-round normalization total is folded
+    * into its frame CTE as `SUM() OVER ()` so every chain CTE stays
+    * single-referenced (the prUnrolledSql inlining discipline; only
+    * the final `a$HitsRounds` is referenced twice — one doubling,
+    * not exponential). Ends at `h$HitsRounds`/`a$HitsRounds` = (v, x). */
+  private def hitsUnrolledSql: String = {
+    val rounds = (1 to HitsRounds).map { i =>
+      s"""ra$i AS (
+         |  SELECT e.dst AS v, SUM(h.x) AS s
+         |  FROM ed e JOIN h${i - 1} h ON e.src = h.v GROUP BY e.dst),
+         |a$i AS (
+         |  SELECT verts.v, coalesce(ra.s, 0) * 1000000
+         |      // SUM(coalesce(ra.s, 0)) OVER () AS x
+         |  FROM verts LEFT JOIN ra$i ra ON verts.v = ra.v),
+         |rh$i AS (
+         |  SELECT e.src AS v, SUM(a.x) AS s
+         |  FROM ed e JOIN a$i a ON e.dst = a.v GROUP BY e.src),
+         |h$i AS (
+         |  SELECT verts.v, coalesce(rh.s, 0) * 1000000
+         |      // SUM(coalesce(rh.s, 0)) OVER () AS x
+         |  FROM verts LEFT JOIN rh$i rh ON verts.v = rh.v)""".stripMargin
+    }
+    s"""ed AS ($edgesSql),
+       |verts AS (SELECT src AS v FROM ed UNION SELECT dst FROM ed),
+       |h0 AS (SELECT v, CAST(1000000 AS HUGEINT) AS x FROM verts),
        |${rounds.mkString(",\n")}""".stripMargin
   }
 
@@ -1318,5 +1425,13 @@ object GraphOps {
     "graph_katz_bounded" ->
       s"""WITH $katzUnrolledSql
          |SELECT v, CAST((x + 50) // 100 AS DOUBLE) / 10000 AS katz
-         |FROM k$KatzRounds ORDER BY v""".stripMargin)
+         |FROM k$KatzRounds ORDER BY v""".stripMargin,
+
+    "graph_hits_bounded" ->
+      s"""WITH $hitsUnrolledSql
+         |SELECT h.v,
+         |  CAST((h.x + 50) // 100 AS DOUBLE) / 10000 AS hub,
+         |  CAST((a.x + 50) // 100 AS DOUBLE) / 10000 AS auth
+         |FROM h$HitsRounds h JOIN a$HitsRounds a ON h.v = a.v
+         |ORDER BY h.v""".stripMargin)
 }

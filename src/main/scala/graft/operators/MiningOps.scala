@@ -392,6 +392,43 @@ object MiningOps {
           sum(col("term").cast(DecimalType(18, 6))).as("psi_d"))
         .select(col("t_ref").as("n_ref"), col("t_cur").as("n_cur"),
           col("n_bins"), r4(col("psi_d").cast(DoubleType)).as("psi"))
+    }),
+
+    // robust outlier census per metric series — median/MAD instead of
+    // mean/stddev (ts_anomaly_zscore's moment pair), because one wild
+    // hour inflates a stddev enough to hide its siblings; the median
+    // absolute deviation doesn't move. Flags hours whose |deviation|
+    // exceeds 3·1.4826·MAD (the Gaussian-consistent cutoff). All
+    // medians run per-series over the HOURLY AGGREGATE (≤ span×5
+    // rows, the bounded-window discipline) — the raw event stream
+    // only ever feeds a hash aggregate. Exact-percentile state is
+    // ∝ hours per series, not events (the agg_quantile_hist caveat
+    // applies if the series key were high-cardinality). Determinism:
+    // hourly sums are decimal-exact → 4 dp doubles; every derived
+    // quantity (median, deviations, MAD) is re-rounded to 4 dp, and
+    // the cutoff multiplier 4.4478 parses from the same decimal
+    // literal in both engines, so the > compare sees identical
+    // doubles.
+    "diag_outlier_mad" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(r4(dsum(col("value"))).as("hsum"))
+      val med = hourly.groupBy(col("event_type"))
+        .agg(r4(expr("percentile(hsum, 0.5)")).as("med"))
+      val dev = hourly.join(med, Seq("event_type"))
+        .select(col("event_type"), col("med"),
+          r4(abs(col("hsum") - col("med"))).as("dev"))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"), max(col("med")).as("med"),
+          r4(expr("percentile(dev, 0.5)")).as("mad"))
+      dev.select(col("event_type"), col("dev"))
+        .join(mad, Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n_hours")).as("n_hours"), max(col("med")).as("med"),
+          max(col("mad")).as("mad"),
+          sum(when(col("dev") > lit(4.4478) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy(col("event_type"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -591,5 +628,28 @@ object MiningOps {
         |SELECT t_ref AS n_ref, t_cur AS n_cur, count(*) AS n_bins,
         |  round(CAST(SUM(CAST((cs - rs) * ln(cs / rs) AS DECIMAL(18,6)))
         |    AS DOUBLE), 4) AS psi
-        |FROM terms GROUP BY t_ref, t_cur""".stripMargin)
+        |FROM terms GROUP BY t_ref, t_cur""".stripMargin,
+
+    "diag_outlier_mad" ->
+      s"""WITH hourly AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS hour,
+         |    round(${dsumSql("value")}, 4) AS hsum
+         |  FROM events GROUP BY 1, 2),
+         |med AS (
+         |  SELECT event_type, round(percentile_cont(0.5)
+         |    WITHIN GROUP (ORDER BY hsum), 4) AS med
+         |  FROM hourly GROUP BY event_type),
+         |dev AS (
+         |  SELECT h.event_type, m.med, round(abs(h.hsum - m.med), 4) AS dev
+         |  FROM hourly h JOIN med m USING (event_type)),
+         |mad AS (
+         |  SELECT event_type, count(*) AS n_hours, MAX(med) AS med,
+         |    round(percentile_cont(0.5) WITHIN GROUP (ORDER BY dev), 4) AS mad
+         |  FROM dev GROUP BY event_type)
+         |SELECT d.event_type, MAX(m.n_hours) AS n_hours, MAX(m.med) AS med,
+         |  MAX(m.mad) AS mad,
+         |  CAST(SUM(CASE WHEN d.dev > 4.4478 * m.mad THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_outliers
+         |FROM dev d JOIN mad m USING (event_type)
+         |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin)
 }

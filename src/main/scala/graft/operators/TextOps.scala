@@ -439,6 +439,61 @@ object TextOps {
         .orderBy(col("term"))
     }),
 
+    // token-bigram language-model scoring — the CCNet/KenLM-shaped
+    // quality filter of a training-data pipeline: train add-one-
+    // smoothed bigram counts on the corpus itself, score every
+    // document by cross-entropy (and perplexity) under that model.
+    // High perplexity = the document's token transitions are unlike
+    // the corpus = a filter candidate. Scale shape: the model is
+    // built from TWO hash aggregates over the bigram stream (shuffle
+    // carries (bigram,count) partials, never raw text); the per-doc
+    // score joins the doc's DISTINCT-bigram counts to the model on
+    // the bigram key — the join input is ∝ distinct bigrams per doc,
+    // not token occurrences, and a hot bigram is one model row (AQE
+    // handles residual key skew). The vocabulary size V is a
+    // broadcast one-row scalar. Per-bigram log-probs are rounded to
+    // 4 dp and the weighted sum accumulates as DECIMAL(18,4) (the
+    // text_entropy_stats discipline), so the per-doc total is
+    // order-independent and hash-matches DuckDB; only the final
+    // division/exp are IEEE.
+    "pipeline_lm_perplexity" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+      // bigram string "w1 w2" is an unambiguous key (tokens contain
+      // no spaces — FIXTURES.md documents the space-joined corpus).
+      // slice() keeps the pair build inside codegen; docs with < 2
+      // tokens yield no bigrams and are absent from the output
+      // (declared semantics).
+      val bi = toks
+        .select(col("doc_id"), explode(expr(
+          """transform(slice(t, 2, greatest(size(t) - 1, 0)),
+            |  (w, i) -> struct(t[i] AS w1, concat(t[i], ' ', w) AS b))"""
+            .stripMargin)).as("p"))
+        .select(col("doc_id"), col("p.w1"), col("p.b"))
+      val c2 = bi.groupBy(col("b")).agg(count(lit(1)).as("c2"))
+      val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val v = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .agg(countDistinct(col("term")).as("v"))
+      val model = c2
+        .withColumn("w1", expr("split(b, ' ')[0]"))
+        .join(c1, Seq("w1"))
+        .crossJoin(broadcast(v))
+        .select(col("b"), round(log(
+          (col("c2") + lit(1)).cast("double") /
+            (col("c1") + col("v")).cast("double")), 4).as("lp"))
+      val docBi = bi.groupBy(col("doc_id"), col("b"))
+        .agg(count(lit(1)).as("cb"))
+      docBi.join(model, Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cb")).as("n_bigrams"),
+          dsum(round(col("cb").cast("double") * col("lp"), 4)).as("slp"))
+        .select(col("doc_id"), col("n_bigrams"),
+          r4(-col("slp") / col("n_bigrams")).as("cross_entropy"),
+          r4(exp(-col("slp") / col("n_bigrams"))).as("perplexity"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Zipf power-law fit over the rank-frequency curve: the corpus
     // health check a training pipeline runs (natural text slopes near
     // −1; scraped boilerplate or synthetic spam bends the curve).
@@ -860,6 +915,38 @@ object TextOps {
         |  WHERE rn <= 10 GROUP BY term)
         |SELECT term, df, postings_head FROM df JOIN heads USING (term)
         |ORDER BY term""".stripMargin,
+
+    // bigram LM cross-entropy: the engine's two hash aggregates +
+    // model join re-express as CTEs; the bigram string "w1 w2" is the
+    // shared key, the per-bigram log-prob rounds to 4 dp before the
+    // decimal-exact weighted sum (dsum discipline), and V is exact.
+    "pipeline_lm_perplexity" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |be AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(t) < 2 THEN []::VARCHAR[]
+         |    ELSE list_transform(range(1, len(t)),
+         |           i -> t[i] || ' ' || t[i+1]) END) AS b
+         |  FROM toks),
+         |sp AS (SELECT doc_id, b, string_split(b, ' ')[1] AS w1 FROM be),
+         |c2 AS (SELECT b, count(*) AS c2 FROM sp GROUP BY b),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM sp GROUP BY w1),
+         |v AS (SELECT count(DISTINCT term) AS v FROM
+         |  (SELECT unnest(string_split(text, ' ')) AS term FROM documents)),
+         |model AS (
+         |  SELECT c2.b, round(ln(CAST(c2.c2 + 1 AS DOUBLE)
+         |    / (c1.c1 + v.v)), 4) AS lp
+         |  FROM c2 JOIN c1 ON string_split(c2.b, ' ')[1] = c1.w1
+         |  CROSS JOIN v),
+         |db AS (SELECT doc_id, b, count(*) AS cb FROM sp GROUP BY doc_id, b),
+         |sc AS (
+         |  SELECT doc_id, CAST(SUM(cb) AS BIGINT) AS n_bigrams,
+         |    ${dsumSql("round(CAST(cb AS DOUBLE) * lp, 4)")} AS slp
+         |  FROM db JOIN model USING (b) GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams,
+         |  round(-slp / n_bigrams, 4) AS cross_entropy,
+         |  round(exp(-slp / n_bigrams), 4) AS perplexity
+         |FROM sc ORDER BY doc_id""".stripMargin,
 
     "text_token_classes" ->
       """SELECT doc_id,

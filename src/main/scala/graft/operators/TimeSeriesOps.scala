@@ -313,6 +313,38 @@ object TimeSeriesOps {
         .orderBy(col("event_id"))
     }),
 
+    // Theil–Sen robust trend per series: the MEDIAN of all pairwise
+    // slopes between hourly points — one wild hour corrupts a
+    // least-squares slope (it enters the sums squared) but shifts a
+    // median of ~H²/2 pairwise slopes by almost nothing. Scale shape:
+    // the O(H²) pair join runs over the HOURLY AGGREGATE (H ≤ span
+    // hours per series — bounded by the retention window, never by
+    // event volume; the raw stream only feeds a hash aggregate), and
+    // the pair space is partitioned by the series key. Determinism:
+    // hourly sums are decimal-exact 4 dp doubles, Δt is an exact
+    // integer hour count (truncated-hour timestamps subtract to
+    // multiples of 3600), each slope is re-rounded to 4 dp before the
+    // exact-percentile median.
+    "ts_theil_sen" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(r4(dsum(col("value"))).as("hsum"))
+      val a = hourly.select(col("event_type"), col("hour").as("ah"),
+        col("hsum").as("as_"))
+      val b = hourly.select(col("event_type"), col("hour").as("bh"),
+        col("hsum").as("bs"))
+      a.join(b, Seq("event_type"))
+        .filter(col("ah") < col("bh"))
+        .select(col("event_type"),
+          round((col("bs") - col("as_")) /
+            expr("CAST((CAST(bh AS LONG) - CAST(ah AS LONG)) DIV 3600" +
+              " AS DOUBLE)"), 4).as("slope"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          r4(expr("percentile(slope, 0.5)")).as("slope_per_hour"))
+        .orderBy(col("event_type"))
+    }),
+
     // lag-1 autocorrelation per series — "is this metric trending or
     // mean-reverting?": Pearson r between the hourly series and its
     // one-hour shift. The hourly sums stay EXACT DECIMAL(18,4) (never
@@ -571,6 +603,22 @@ object TimeSeriesOps {
         |  ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 19 AND a.rn
         |GROUP BY a.event_id, a.user_id, a.rn
         |ORDER BY a.event_id""".stripMargin,
+
+    "ts_theil_sen" ->
+      s"""WITH hourly AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS hour,
+         |    round(${dsumSql("value")}, 4) AS hsum
+         |  FROM events GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT a.event_type,
+         |    round((b.hsum - a.hsum)
+         |      / CAST(date_diff('hour', a.hour, b.hour) AS DOUBLE), 4) AS slope
+         |  FROM hourly a JOIN hourly b
+         |    ON a.event_type = b.event_type AND a.hour < b.hour)
+         |SELECT event_type, count(*) AS n_pairs,
+         |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY slope), 4)
+         |    AS slope_per_hour
+         |FROM pairs GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "ts_autocorr" ->
       """WITH hourly AS (

@@ -86,6 +86,64 @@ object VectorOps {
         .orderBy(col("probe_id"), col("rank"))
     }),
 
+    // PRODUCT QUANTIZATION with asymmetric distance computation (ADC)
+    // — the third ANN tier after IVF (coarse cells) and LSH (hash
+    // buckets): compress every vector to PqM subspace codes against a
+    // deterministic per-subspace codebook (the PqK lowest vec_ids —
+    // the data-derived-but-reproducible convention of vec_ann_ivf),
+    // then score probe→corpus with the CODES ONLY: per probe, one
+    // PqM×PqK distance table, and each corpus vector costs PqM table
+    // lookups instead of a 64-dim scan — the memory-bandwidth shape
+    // that makes billion-vector serving work (Jégou et al.'s PQ).
+    // Scale: encoding is one corpus scan against a broadcast codebook
+    // (shuffle carries (vec_id, ss, code) triples); the ADC join is
+    // corpus-codes × a BROADCAST 10·PqM·PqK distance table on the
+    // (subspace, code) key. Determinism: subspace squared-L2 is a
+    // fixed left-to-right fold (the vec_mips discipline — the oracle
+    // expands the same 8-term sum with explicit left association),
+    // rounded to 4 dp; argmin ties → lowest code id; the ADC total is
+    // an exact DECIMAL(18,4) sum of 4 dp terms.
+    "vec_pq_adc" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val cb = e.orderBy(col("vec_id")).limit(PqK)
+        .select(col("vec_id").as("c_id"), col("emb").as("ce"))
+      // one row per (id, subspace, 8-dim subvector)
+      def subs(df: DataFrame, id: String, vec: String, outVec: String) =
+        df.select(col(id), explode(expr(
+          s"""transform(sequence(0, ${PqM - 1}),
+             |  i -> struct(i AS ss, slice($vec, i * $PqD + 1, $PqD) AS sv))"""
+            .stripMargin)).as("p"))
+          .select(col(id), col("p.ss").as("ss"), col("p.sv").as(outVec))
+      val cbsub = subs(cb, "c_id", "ce", "csub")
+      val sq =
+        """aggregate(zip_with(%s, %s, (x, y) -> (x - y) * (x - y)),
+          |  CAST(0.0 AS DOUBLE), (a, v) -> a + v)""".stripMargin
+      val codes = subs(e, "vec_id", "emb", "vsub")
+        .join(broadcast(cbsub), Seq("ss"))
+        .select(col("vec_id"), col("ss"),
+          struct(round(expr(sq.format("vsub", "csub")), 4).as("dist"),
+            col("c_id")).as("cand"))
+        .groupBy(col("vec_id"), col("ss"))
+        .agg(min(col("cand")).as("best")) // argmin, ties → lowest code
+        .select(col("vec_id"), col("ss"), col("best.c_id").as("c_id"))
+      val probes = e.orderBy(col("vec_id")).limit(10)
+        .select(col("vec_id").as("probe_id"), col("emb").as("pe"))
+      val dt = subs(probes, "probe_id", "pe", "psub")
+        .join(cbsub, Seq("ss"))
+        .select(col("probe_id"), col("ss"), col("c_id"),
+          round(expr(sq.format("psub", "csub")), 4).as("pd"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(asc("adc_dist"), asc("vec_id"))
+      codes.join(broadcast(dt), Seq("ss", "c_id"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .groupBy(col("probe_id"), col("vec_id"))
+        .agg(dsum(col("pd")).as("adc_dist"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
     // label-blocked kNN join: top-3 same-label neighbors per probe
     // (probe set bounded to vec_id < 100)
     "vec_knn_join_bucketed" -> ((s, d) => {
@@ -382,6 +440,23 @@ object VectorOps {
     * engine loop and the unrolled oracle SQL so they cannot drift */
   val LloydRounds = 3
   val TrainSampleFactor = 20
+
+  /** vec_pq_adc parameters — shared with the oracle SQL so the two
+    * cannot drift: PqM subspaces of PqD dims (PqM·PqD = the embedding
+    * width), PqK codes per subspace (the PqK lowest vec_ids). */
+  val PqM = 8
+  val PqD = 8
+  val PqK = 16
+
+  /** the oracle twin of the engine's left-fold subspace squared-L2:
+    * the PqD difference-square terms summed with EXPLICIT left
+    * association, the exact evaluation order of
+    * `aggregate(zip_with(...), 0.0, (a, v) -> a + v)`. `off` is a
+    * 0-based subspace column reference; DuckDB lists are 1-based. */
+  private def sqL2Sql(a: String, b: String, off: String): String =
+    (1 to PqD).map { j =>
+      s"($a[$off*$PqD+$j] - $b[$off*$PqD+$j]) * ($a[$off*$PqD+$j] - $b[$off*$PqD+$j])"
+    }.mkString("(", " + ", ")")
 
   private def trainedCodebook(s: SparkSession, d: String): DataFrame =
     GraphOps.memo(codebookCache, (s, d)) {
@@ -705,6 +780,37 @@ object VectorOps {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
         |    ORDER BY dot DESC, vec_id ASC) AS INT) AS rank FROM scored) t
         |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    "vec_pq_adc" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |cb AS (
+         |  SELECT vec_id AS c_id, emb AS ce FROM e ORDER BY vec_id LIMIT $PqK),
+         |sub AS (SELECT unnest(range(0, $PqM)) AS ss),
+         |codes AS (
+         |  SELECT vec_id, ss, c_id FROM (
+         |    SELECT e.vec_id, sub.ss, cb.c_id,
+         |      row_number() OVER (PARTITION BY e.vec_id, sub.ss
+         |        ORDER BY round(${sqL2Sql("e.emb", "cb.ce", "sub.ss")}, 4) ASC,
+         |          cb.c_id ASC) AS rn
+         |    FROM e CROSS JOIN sub CROSS JOIN cb) t
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS probe_id, emb AS pe FROM e ORDER BY vec_id LIMIT 10),
+         |dt AS (
+         |  SELECT p.probe_id, sub.ss, cb.c_id,
+         |    round(${sqL2Sql("p.pe", "cb.ce", "sub.ss")}, 4) AS pd
+         |  FROM probes p CROSS JOIN sub CROSS JOIN cb),
+         |adc AS (
+         |  SELECT dt.probe_id, c.vec_id,
+         |    CAST(SUM(CAST(pd AS DECIMAL(18,4))) AS DOUBLE) AS adc_dist
+         |  FROM codes c JOIN dt ON dt.ss = c.ss AND dt.c_id = c.c_id
+         |  WHERE c.vec_id <> dt.probe_id
+         |  GROUP BY 1, 2)
+         |SELECT probe_id, vec_id, adc_dist, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY adc_dist ASC, vec_id ASC) AS INT) AS rank FROM adc) t
+         |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
 
     "vec_cosine_topk" ->
       """WITH probes AS (
