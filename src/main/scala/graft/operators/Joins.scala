@@ -120,6 +120,38 @@ object Joins {
         .orderBy(col("event_id"))
     }),
 
+    // FORWARD as-of variant: each view event matched to the same
+    // user's NEXT purchase at-or-after its timestamp — time-to-
+    // conversion, the question ts_funnel_conversion's bounded 1-hour
+    // window cannot answer. Same union-tag-window shape as the
+    // backward join, mirrored: at a timestamp tie the purchase sorts
+    // AFTER the view (is_ev DESC) so the frame starting at the
+    // current row still sees it — "at-or-after" inclusive. Purchases
+    // pre-distincted per (user, ts) so ties cannot make the match
+    // ambiguous. The gap is exact integer microseconds (a seconds
+    // cast would truncate sub-second components engine-differently).
+    // Oracle: DuckDB native forward ASOF (ts <= t).
+    "join_asof_forward" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("k"), col("ts").as("t")).distinct()
+        .select(col("k"), col("t"),
+          lit(null).cast("long").as("event_id"), lit(0).as("is_ev"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("k"), col("ts").as("t"),
+          col("event_id"), lit(1).as("is_ev"))
+      val w = Window.partitionBy(col("k")).orderBy(col("t"), desc("is_ev"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      pur.unionByName(views)
+        .withColumn("pt", when(col("is_ev") === 0, col("t")))
+        .withColumn("next_t", first(col("pt"), ignoreNulls = true).over(w))
+        .filter(col("is_ev") === 1)
+        .select(col("event_id"), col("k").as("user_id"), ntz(col("t")).as("ts"),
+          ntz(col("next_t")).as("next_purchase_ts"),
+          (unix_micros(col("next_t")) - unix_micros(col("t"))).as("gap_us"))
+        .orderBy(col("event_id"))
+    }),
+
     // NEAREST-neighbor as-of variant: each event matches the same
     // customer's temporally CLOSEST order (either direction), ties on
     // |Δ| broken toward the earlier order, then lower price. Equi-join
@@ -368,6 +400,17 @@ object Joins {
         |SELECT e.event_id, e.user_id, e.ts, rt.price AS asof_price
         |FROM events e ASOF LEFT JOIN rt ON e.user_id = rt.k AND e.ts >= rt.t
         |ORDER BY e.event_id""".stripMargin,
+
+    "join_asof_forward" ->
+      """WITH p AS (
+        |  SELECT DISTINCT user_id AS k, ts AS t FROM events
+        |  WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+        |SELECT v.event_id, v.user_id, v.ts, p.t AS next_purchase_ts,
+        |  epoch_us(p.t) - epoch_us(v.ts) AS gap_us
+        |FROM v ASOF LEFT JOIN p ON v.user_id = p.k AND v.ts <= p.t
+        |ORDER BY v.event_id""".stripMargin,
 
     "join_asof_nearest" ->
       """WITH rt AS (

@@ -439,6 +439,48 @@ object TextOps {
         .orderBy(col("term"))
     }),
 
+    // power-law data mixing — the sampling step that turns a cleaned
+    // corpus into a training mix: per-source quotas ∝ √n_docs (the
+    // α=0.5 temperature that upweights small sources without letting
+    // one giant crawl drown everything), documents picked per source
+    // by CONTENT-HASH rank (md5 of the text) so the sample is
+    // reproducible from the data alone — no seed to lose. Quotas are
+    // floored at 1 (every source is represented) and capped at the
+    // source size. Determinism: per-source weights round to 4 dp and
+    // total as an exact decimal; quota = floor of identical doubles.
+    // Scale caveat (the win_rank_variants class, documented): the
+    // hash-rank window totally orders each source's partition; with
+    // quota ≪ source size the at-scale variant is a per-source
+    // top-quota (TakeOrdered) or a hash-threshold prefilter — the
+    // declared semantics here keep the exact rank for the oracle.
+    "pipeline_source_mix" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val ws = counts
+        .agg(sum(round(sqrt(col("n_docs").cast("double")), 4).cast(dec))
+          .cast("double").as("wsum"))
+      val q = counts.crossJoin(broadcast(ws))
+        .select(col("source"), col("n_docs"),
+          least(col("n_docs"), greatest(lit(1L),
+            floor(lit(MixTarget) *
+              round(sqrt(col("n_docs").cast("double")), 4) / col("wsum"))))
+            .as("quota"))
+      val rn = docs.select(col("source"), col("doc_id"),
+        row_number().over(Window.partitionBy(col("source"))
+          .orderBy(md5(col("text")), col("doc_id"))).as("rn"))
+      val samp = rn.join(q.select(col("source"), col("quota")), Seq("source"))
+        .filter(col("rn") <= col("quota"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled"),
+          array_join(slice(sort_array(collect_list(col("doc_id"))), 1, 5), ",")
+            .as("sample_head"))
+      q.join(samp, Seq("source"))
+        .select(col("source"), col("n_docs"), col("quota"),
+          col("n_sampled"), col("sample_head"))
+        .orderBy(col("source"))
+    }),
+
     // token-bigram language-model scoring — the CCNet/KenLM-shaped
     // quality filter of a training-data pipeline: train add-one-
     // smoothed bigram counts on the corpus itself, score every
@@ -670,6 +712,10 @@ object TextOps {
   val FunnelMinTokens = 40
   val FunnelMaxTopShare = 0.25
   val FunnelLangBlock = "zh"
+
+  /** pipeline_source_mix target sample size — shared with the oracle
+    * SQL so the two cannot drift */
+  val MixTarget = 200
 
   val oracle: Map[String, String] = Map(
     "pipeline_quality_funnel" ->
@@ -915,6 +961,32 @@ object TextOps {
         |  WHERE rn <= 10 GROUP BY term)
         |SELECT term, df, postings_head FROM df JOIN heads USING (term)
         |ORDER BY term""".stripMargin,
+
+    "pipeline_source_mix" ->
+      s"""WITH counts AS (
+         |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+         |ws AS (
+         |  SELECT ${dsumSql("round(sqrt(CAST(n_docs AS DOUBLE)), 4)")}
+         |    AS wsum FROM counts),
+         |q AS (
+         |  SELECT source, n_docs,
+         |    least(n_docs, greatest(1, CAST(floor($MixTarget
+         |      * round(sqrt(CAST(n_docs AS DOUBLE)), 4) / wsum) AS BIGINT)))
+         |      AS quota
+         |  FROM counts CROSS JOIN ws),
+         |rn AS (
+         |  SELECT source, doc_id, row_number() OVER (PARTITION BY source
+         |    ORDER BY md5(text), doc_id) AS rn
+         |  FROM documents),
+         |samp AS (
+         |  SELECT r.source, count(*) AS n_sampled,
+         |    array_to_string(list_slice(list_sort(list(r.doc_id)), 1, 5), ',')
+         |      AS sample_head
+         |  FROM rn r JOIN q USING (source) WHERE r.rn <= q.quota
+         |  GROUP BY r.source)
+         |SELECT q.source, q.n_docs, q.quota, s.n_sampled, s.sample_head
+         |FROM q JOIN samp s USING (source)
+         |ORDER BY q.source""".stripMargin,
 
     // bigram LM cross-entropy: the engine's two hash aggregates +
     // model join re-express as CTEs; the bigram string "w1 w2" is the

@@ -80,6 +80,28 @@ object Windows {
         .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
     }),
 
+    // running DISTINCT-user count per series — growth dashboards'
+    // "cumulative uniques" curve. A naive count(DISTINCT) window is
+    // unbounded state; the scalable identity: a user is NEW exactly
+    // once (at their min-ts day), so cumulative uniques = running sum
+    // of per-day first-appearance counts. Two hash aggregates reduce
+    // the stream to (series, day) rows; the running-sum window runs
+    // over that BOUNDED daily aggregate, never raw events.
+    "win_running_distinct" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(min(col("ts")).as("first_ts"))
+        .select(col("event_type"), date_trunc("day", col("first_ts")).as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("new_users"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .select(col("event_type"), ntz(col("day")).as("day"),
+          col("new_users"), sum(col("new_users")).over(w).as("cum_users"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // 7-day moving average over the dense daily series (days are dense
     // in the events table, so a ROWS frame == the RANGE semantics)
     "win_moving_avg_range" -> ((s, d) => {
@@ -255,6 +277,20 @@ object Windows {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "win_running_distinct" ->
+      """WITH f AS (
+        |  SELECT event_type, user_id, min(ts) AS first_ts
+        |  FROM events GROUP BY 1, 2),
+        |daily AS (
+        |  SELECT event_type, date_trunc('day', first_ts) AS day,
+        |    count(*) AS new_users
+        |  FROM f GROUP BY 1, 2)
+        |SELECT event_type, day, new_users,
+        |  CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM daily ORDER BY event_type, day""".stripMargin,
 
     "win_moving_avg_range" ->
       """WITH daily AS (

@@ -85,6 +85,27 @@ object StreamPort {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** streaming NEW-user counts per (day, type) (≙ the batch
+    * win_running_distinct identity): a user is new exactly once, so
+    * per-window distinct-user growth = dedup the stream on
+    * (event_type, user_id) within the watermark, then a plain tumbling
+    * count of the survivors. The dedup state is one key per
+    * (type, user) EVICTED at the watermark — bounded — where a naive
+    * streaming count(DISTINCT) would hold every user id forever.
+    * Declared trade-off: a user returning AFTER the watermark horizon
+    * counts as new again (the bounded-state compromise every streaming
+    * uniques pipeline makes; the batch query is the exact-history
+    * truth). The cumulative curve is the downstream consumer's running
+    * sum over this bounded per-day output. */
+  def newUserCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_type", "user_id")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("new_users"))
+      .select(col("window.start").as("day"), col("event_type"),
+        col("new_users"))
+
   /** stream-static enrichment join: the event stream joined to a
     * static dimension table. The static side keeps NO streaming state
     * — it is (re)planned per micro-batch and broadcast while small —

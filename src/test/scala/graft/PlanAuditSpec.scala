@@ -350,6 +350,57 @@ class PlanAuditSpec extends SparkTestBase {
       s"expected the posting-pair explode generator:\n$p")
   }
 
+  test("vec_pq_adc: no cartesian anywhere; codebook and distance table broadcast") {
+    val p = plan("vec_pq_adc")
+    assert(!p.contains("CartesianProduct"),
+      s"PQ encoding/scoring must join on (subspace, code) equi-keys:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the codebook subvectors and ADC distance table must broadcast:\n$p")
+  }
+
+  test("pipeline_lm_perplexity: model joins equi-keyed; V is a broadcast scalar") {
+    val p = plan("pipeline_lm_perplexity")
+    assert(!p.contains("CartesianProduct"),
+      s"bigram model must join on the bigram key, not all-pairs:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the one-row vocabulary count must broadcast:\n$p")
+  }
+
+  test("pipeline_source_mix: quota totals broadcast; no cartesian beyond the scalar") {
+    val p = plan("pipeline_source_mix")
+    assert(!p.contains("CartesianProduct"),
+      s"quota and sample joins must be keyed on source:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the one-row weight total must broadcast:\n$p")
+  }
+
+  test("win_running_distinct: windows run over the daily aggregate, never raw events") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val sp = SparkEntry.queries("win_running_distinct")(spark, sf001)
+      .queryExecution.sparkPlan
+    val wins = sp.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      assert(w.partitionSpec.nonEmpty, s"unpartitioned window:\n$sp")
+      assert(w.child.collect { case a: BaseAggregateExec => a }.nonEmpty,
+        s"running-sum window must sit above the daily aggregate:\n$sp")
+    }
+  }
+
+  test("join_asof_forward / ts_theil_sen: entity-partitioned window; equi-keyed pair join") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val sp = SparkEntry.queries("join_asof_forward")(spark, sf001)
+      .queryExecution.sparkPlan
+    val wins = sp.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty)
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"asof window must partition by the entity key:\n$sp"))
+    val p = plan("ts_theil_sen")
+    assert(!p.contains("CartesianProduct"),
+      s"slope pairs must equi-join on the series key:\n$p")
+  }
+
   test("whole-stage codegen covers the relational hot path") {
     // AQE wraps the plan in AdaptiveSparkPlan and only materializes
     // codegen per query stage at runtime; disable it here so the

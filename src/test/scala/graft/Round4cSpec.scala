@@ -138,6 +138,55 @@ class Round4cSpec extends SparkTestBase {
     assert(r1(7L) == 17L, s"probe 7 rank-1 is ${r1(7L)}")
   }
 
+  test("join_asof_forward: same-ts purchase matches, trailing view gets nulls") {
+    val dir = tempDir()
+    writeFixture(dir, "events", eventsDf(
+      (1L, ns(0), 1L, "view", 1.0),
+      (2L, ns(0), 1L, "purchase", 1.0),   // tie: at-or-after includes it
+      (3L, ns(10), 1L, "view", 1.0),      // no later purchase → nulls
+      (4L, ns(2), 2L, "view", 1.0),
+      (5L, ns(7), 2L, "purchase", 1.0)))  // 5 hours later
+    val got = operators.Joins.queries("join_asof_forward")(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
+    assert(got == Seq(
+      (1L, Some(0L)),
+      (3L, None),
+      (4L, Some(5L * 3600L * 1000000L))), s"got $got")
+  }
+
+  test("win_running_distinct: returning users are not recounted") {
+    val dir = tempDir()
+    // u1 appears on day 0 and day 1 (second appearance is not new),
+    // u2 first appears on day 1
+    writeFixture(dir, "events", eventsDf(
+      (1L, ns(1), 1L, "a", 1.0),
+      (2L, ns(25), 1L, "a", 1.0),
+      (3L, ns(26), 2L, "a", 1.0)))
+    val got = operators.Windows.queries("win_running_distinct")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(("a", 1L, 1L), ("a", 1L, 2L)), s"got $got")
+  }
+
+  test("pipeline_source_mix: sqrt quotas floor at 1 and cap at source size") {
+    val dir = tempDir()
+    import spark.implicits._
+    // s0: 4 docs (w=2), s1: 1 doc (w=1) → quotas cap at source size
+    writeFixture(dir, "documents", Seq(
+      (1L, "alpha words one", "en", "s0", 15L),
+      (2L, "beta words two", "en", "s0", 14L),
+      (3L, "gamma words three", "en", "s0", 17L),
+      (4L, "delta words four", "en", "s0", 16L),
+      (5L, "epsilon words five", "en", "s1", 18L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = operators.TextOps.queries("pipeline_source_mix")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSeq
+    assert(got == Seq(
+      ("s0", 4L, 4L, 4L, "1,2,3,4"),
+      ("s1", 1L, 1L, 1L, "5")), s"got $got")
+  }
+
   test("diag_outlier_mad: planted wild hour is the only outlier") {
     val dir = tempDir()
     // hourly sums 1..9 and 100: median 5.5, deviations median 2.5,

@@ -171,6 +171,30 @@ class StreamPortSpec extends SparkTestBase {
     assert(rows.toSet == Set((1L, "view"), (1L, "click"), (2L, "view")))
   }
 
+  test("streaming new-user counts: dedup-then-count finalizes the daily identity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamPort.newUserCounts(mem.toDF())
+      .writeStream.format("memory").queryName("newusers")
+      .outputMode("append").start()
+    mem.addData(events: _*)
+    q.processAllAvailable()
+    // push the watermark past day 1 so its windows finalize (append
+    // mode only emits closed windows)
+    mem.addData(Ev(99, Timestamp.valueOf("2024-01-03 00:00:00"), 9, "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("newusers")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      .toSet
+    // day 1: users {1,2} first viewed, user 1 first clicked — repeat
+    // views by both users do not recount
+    assert(rows == Set(
+      (Timestamp.valueOf("2024-01-01 00:00:00"), "view", 2L),
+      (Timestamp.valueOf("2024-01-01 00:00:00"), "click", 1L)), s"got $rows")
+  }
+
   test("stream-static enrichment join == batch join (no state on the dim side)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
