@@ -24,7 +24,12 @@ object ExplainAudit {
       // distributed prefix max (no unpartitioned window over raw
       // events), broadcast-scalar share (no WindowExec at all)
       "pipeline_upsert_snapshot", "ts_late_data_semantics",
-      "win_global_share")
+      "win_global_share",
+      // round-4c shapes: PQ broadcast distance table, bigram-model
+      // equi-joins + broadcast V, forward-asof partitioned window,
+      // aggregate-input running-distinct window
+      "vec_pq_adc", "pipeline_lm_perplexity", "join_asof_forward",
+      "win_running_distinct")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -350,6 +350,48 @@ object Aggregates {
         .orderBy(col("r_name"))
     }),
 
+    // pairwise Pearson correlation matrix over the lineitem measures
+    // — the feature-correlation audit run before modeling. ONE pass
+    // computes every sufficient statistic (exact DECIMAL sums, the
+    // ts_autocorr/assortativity discipline: 4dp-exact inputs, scale-8
+    // exact cross-products, order/engine-independent), then stack()
+    // unpivots the single stats row into one row per pair and the
+    // final Pearson formula runs in IEEE double on identical inputs.
+    // Built-in corr() would sum doubles in partition order — never
+    // hash-stable; the decimal path is, at one extra column per
+    // statistic. Shuffle: one combined stats row, regardless of rows.
+    "agg_corr_pairs" -> ((s, d) => {
+      val dec = DecimalType(18, 4)
+      val dec38 = DecimalType(38, 8)
+      val li = Tables.lineitem(s, d).select(
+        col("l_quantity").cast(dec).as("q"),
+        col("l_extendedprice").cast(dec).as("p"),
+        col("l_discount").cast(dec).as("dd"))
+      val st = li.agg(
+        count(lit(1)).as("n"),
+        sum(col("q")).as("sq"), sum(col("p")).as("sp"),
+        sum(col("dd")).as("sd"),
+        sum((col("q") * col("q")).cast(dec38)).as("sqq"),
+        sum((col("p") * col("p")).cast(dec38)).as("spp"),
+        sum((col("dd") * col("dd")).cast(dec38)).as("sdd"),
+        sum((col("q") * col("p")).cast(dec38)).as("sqp"),
+        sum((col("q") * col("dd")).cast(dec38)).as("sqd"),
+        sum((col("p") * col("dd")).cast(dec38)).as("spd"))
+      def dbl(c: String) = col(c).cast(DoubleType)
+      st.select(col("n"), expr(
+        """stack(3,
+          |  'discount_extendedprice', sd, sp, sdd, spp, spd,
+          |  'quantity_discount', sq, sd, sqq, sdd, sqd,
+          |  'quantity_extendedprice', sq, sp, sqq, spp, sqp)
+          |AS (pair, sx, sy, sxx, syy, sxy)""".stripMargin))
+        .select(col("pair"), col("n"),
+          r4((col("n") * dbl("sxy") - dbl("sx") * dbl("sy")) /
+            (sqrt(col("n") * dbl("sxx") - dbl("sx") * dbl("sx")) *
+             sqrt(col("n") * dbl("syy") - dbl("sy") * dbl("sy"))))
+            .as("corr"))
+        .orderBy(col("pair"))
+    }),
+
     // deterministic mode: the most frequent l_quantity per group, ties
     // broken toward the SMALLEST value — built-in mode() leaves ties
     // engine-defined, so the portable form is count + argmax window.
@@ -420,6 +462,38 @@ object Aggregates {
   private val dsumPrice = dsumSql("l_extendedprice")
 
   val oracle: Map[String, String] = Map(
+    "agg_corr_pairs" ->
+      """WITH li AS (
+        |  -- DECIMAL(28,4): a width-18 decimal multiply runs in int64
+        |  -- in DuckDB and overflows at price scale; width > 18 forces
+        |  -- the int128 path (values identical — the widening is exact)
+        |  SELECT CAST(l_quantity AS DECIMAL(28,4)) AS q,
+        |    CAST(l_extendedprice AS DECIMAL(28,4)) AS p,
+        |    CAST(l_discount AS DECIMAL(28,4)) AS dd
+        |  FROM lineitem),
+        |st AS (
+        |  SELECT count(*) AS n,
+        |    SUM(q) AS sq, SUM(p) AS sp, SUM(dd) AS sd,
+        |    SUM(CAST(q * q AS DECIMAL(38,8))) AS sqq,
+        |    SUM(CAST(p * p AS DECIMAL(38,8))) AS spp,
+        |    SUM(CAST(dd * dd AS DECIMAL(38,8))) AS sdd,
+        |    SUM(CAST(q * p AS DECIMAL(38,8))) AS sqp,
+        |    SUM(CAST(q * dd AS DECIMAL(38,8))) AS sqd,
+        |    SUM(CAST(p * dd AS DECIMAL(38,8))) AS spd
+        |  FROM li),
+        |pairs AS (
+        |  SELECT n, 'discount_extendedprice' AS pair, sd AS sx, sp AS sy,
+        |    sdd AS sxx, spp AS syy, spd AS sxy FROM st
+        |  UNION ALL
+        |  SELECT n, 'quantity_discount', sq, sd, sqq, sdd, sqd FROM st
+        |  UNION ALL
+        |  SELECT n, 'quantity_extendedprice', sq, sp, sqq, spp, sqp FROM st)
+        |SELECT pair, n,
+        |  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |     * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+        |    4) AS corr
+        |FROM pairs ORDER BY pair""".stripMargin,
     "agg_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  round($dsumQty, 4) AS sum_qty,

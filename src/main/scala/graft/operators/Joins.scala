@@ -95,6 +95,29 @@ object Joins {
         .orderBy(col("brand"))
     }),
 
+    // null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    // MATCH each other — the semantics a plain equi-join silently
+    // drops (its NULL = NULL is unknown → row lost), hit by any join
+    // on a nullable business key. Synthesized nullable keys (the
+    // corpus has no physical NULLs — the scalar_null_semantics
+    // convention): nation 3 nulled on both sides. Both sides are
+    // PRE-AGGREGATED to one row per key before the join, so the
+    // NULL-key group joins as one row × one row — never the NULL×NULL
+    // row explosion a raw null-safe join invites at scale (the skew
+    // bomb: every null row on both sides lands in one task).
+    // Plan-wise Spark keeps `<=>` a HASH-joinable equi-key.
+    "join_null_safe_eq" -> ((s, d) => {
+      val cg = Tables.customer(s, d)
+        .groupBy(expr("nullif(c_nationkey, 3)").as("k"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sg = Tables.supplier(s, d)
+        .groupBy(expr("nullif(s_nationkey, 3)").as("k"))
+        .agg(count(lit(1)).as("n_supp"))
+      cg.join(sg, cg("k") <=> sg("k"))
+        .select(cg("k"), col("n_cust"), col("n_supp"))
+        .orderBy(asc_nulls_first("k"))
+    }),
+
     // as-of (backward) join: each event gets the latest order of the
     // same entity at-or-before its timestamp. Spark has no native
     // as-of operator → union both sides tagged, one window pass:
@@ -392,6 +415,17 @@ object Joins {
         |WHERE a.p_retailprice < b.p_retailprice
         |  AND b.p_retailprice - a.p_retailprice <= 5.0
         |GROUP BY a.p_brand ORDER BY brand""".stripMargin,
+
+    "join_null_safe_eq" ->
+      """WITH cg AS (
+        |  SELECT nullif(c_nationkey, 3) AS k, count(*) AS n_cust
+        |  FROM customer GROUP BY 1),
+        |sg AS (
+        |  SELECT nullif(s_nationkey, 3) AS k, count(*) AS n_supp
+        |  FROM supplier GROUP BY 1)
+        |SELECT cg.k, cg.n_cust, sg.n_supp
+        |FROM cg JOIN sg ON cg.k IS NOT DISTINCT FROM sg.k
+        |ORDER BY cg.k NULLS FIRST""".stripMargin,
 
     "join_asof" ->
       """WITH rt AS (

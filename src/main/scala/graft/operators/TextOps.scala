@@ -401,6 +401,28 @@ object TextOps {
             .as("reading_ease"))
         .orderBy(col("lang"))),
 
+    // lexical diversity per document: type/token ratio + hapax share
+    // (types seen exactly once IN the doc). Low TTR or low hapax
+    // share = templated/repetitive text — the cheap diversity screen
+    // a pipeline runs next to entropy and repetition. Pure integer
+    // counts until two final ratios; explode → two hash aggs, shuffle
+    // carries (doc, term, count) partials.
+    "text_hapax_stats" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+      tf.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          count_if(col("c") === 1).as("n_hapax"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"),
+          col("n_hapax"),
+          r4(col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+          r4(col("n_hapax").cast("double") / col("n_types"))
+            .as("hapax_share"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_entropy_stats" -> ((s, d) => {
       val tf = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
@@ -934,6 +956,19 @@ object TextOps {
         |  round(206.835 - 84.6 * (CAST(SUM(syl) AS DOUBLE) / SUM(w)), 4)
         |    AS reading_ease
         |FROM pd GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "text_hapax_stats" ->
+      s"""WITH tok AS ($tokCte),
+         |tf AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2),
+         |st AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |    count(*) AS n_types,
+         |    CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax
+         |  FROM tf GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_types, n_hapax,
+         |  round(CAST(n_types AS DOUBLE) / n_tokens, 4) AS ttr,
+         |  round(CAST(n_hapax AS DOUBLE) / n_types, 4) AS hapax_share
+         |FROM st ORDER BY doc_id""".stripMargin,
 
     "text_entropy_stats" ->
       s"""WITH tok AS ($tokCte),

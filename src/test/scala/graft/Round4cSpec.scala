@@ -187,6 +187,59 @@ class Round4cSpec extends SparkTestBase {
       ("s1", 1L, 1L, 1L, "5")), s"got $got")
   }
 
+  test("agg_corr_pairs: perfectly (anti)correlated hand columns hit ±1") {
+    val dir = tempDir()
+    import spark.implicits._
+    // q ∝ p (corr 1), dd anti-monotone to both (corr −1)
+    writeFixture(dir, "lineitem", Seq(
+      (1L, 1L, 1L, 1, 1.0, 2.0, 0.03, 0.0, "A", "O",
+        java.sql.Timestamp.valueOf("2020-01-01 00:00:00")),
+      (2L, 2L, 2L, 1, 2.0, 4.0, 0.02, 0.0, "A", "O",
+        java.sql.Timestamp.valueOf("2020-01-01 00:00:00")),
+      (3L, 3L, 3L, 1, 3.0, 6.0, 0.01, 0.0, "A", "O",
+        java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate"))
+    val got = operators.Aggregates.queries("agg_corr_pairs")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(got == Seq(
+      ("discount_extendedprice", 3L, -1.0),
+      ("quantity_discount", 3L, -1.0),
+      ("quantity_extendedprice", 3L, 1.0)), s"got $got")
+  }
+
+  test("join_null_safe_eq: NULL keys match each other once, pre-aggregated") {
+    val dir = tempDir()
+    import spark.implicits._
+    // nation 3 nulls on both sides: 2 customers × 1 supplier → one row
+    writeFixture(dir, "customer", Seq(
+      (1L, "c1", 3, 0.0, "BUILDING"), (2L, "c2", 3, 0.0, "BUILDING"),
+      (3L, "c3", 5, 0.0, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+    writeFixture(dir, "supplier", Seq(
+      (1L, "s1", 3, 0.0), (2L, "s2", 5, 0.0), (3L, "s3", 7, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal"))
+    val got = operators.Joins.queries("join_null_safe_eq")(spark, dir)
+      .collect().map(r => (if (r.isNullAt(0)) -1 else r.getInt(0),
+        r.getLong(1), r.getLong(2))).toSeq
+    // NULLS FIRST ordering; nation 7 has no customers → inner-dropped
+    assert(got == Seq((-1, 2L, 1L), (5, 1L, 1L)), s"got $got")
+  }
+
+  test("text_hapax_stats: type/token and hapax ratios on a hand doc") {
+    val dir = tempDir()
+    import spark.implicits._
+    writeFixture(dir, "documents", Seq(
+      (1L, "a a b", "en", "s0", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = operators.TextOps.queries("text_hapax_stats")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == Seq((1L, 3L, 2L, 1L, 0.6667, 0.5)), s"got $got")
+  }
+
   test("diag_outlier_mad: planted wild hour is the only outlier") {
     val dir = tempDir()
     // hourly sums 1..9 and 100: median 5.5, deviations median 2.5,
