@@ -677,6 +677,24 @@ object GraphOps {
         numParts = graphParts(s, d))
         .select(col("v"), round(col("pr"), 4).as("pr")).orderBy(col("v"))),
 
+    // PERSONALIZED PageRank from the 10 lowest vertex ids: restart
+    // mass on the seed set only (x ← 0.15·e_S + 0.85·AᵀD⁻¹x from
+    // x₀ = e_S) — rank measures proximity TO THE SEEDS, the
+    // recommendation / similarity-search PageRank. Same loop, same
+    // decimal-exact contribution sums, same CTE unrolling as
+    // graph_pagerank (pprUnrolledSql); only vertices with ppr > 0
+    // after rounding are emitted (the reachable neighborhood), which
+    // keeps the output ∝ the seeds' component, not the graph.
+    "graph_pagerank_personalized" -> ((s, d) => {
+      val seeds = symEdges(s, d).select(col("src").as("v")).distinct()
+        .orderBy(col("v")).limit(10)
+      pageRank(symEdges(s, d), iters = PrRounds, symmetrized = true,
+        numParts = graphParts(s, d), seeds = Some(seeds))
+        .select(col("v"), round(col("pr"), 4).as("ppr"))
+        .filter(col("ppr") > 0.0)
+        .orderBy(col("v"))
+    }),
+
     // Adamic-Adar link prediction over the co-citation relation: for
     // supplier pairs sharing customers, Σ_c 1/ln(deg(c)) over the
     // shared customers c — common-neighbors where rare shared
@@ -875,6 +893,40 @@ object GraphOps {
        |deg AS (SELECT src, count(*) AS odeg FROM sym GROUP BY src),
        |ew AS (SELECT s.src, s.dst, d.odeg FROM sym s JOIN deg d USING (src)),
        |p0 AS (SELECT src AS v, CAST(1.0 AS DOUBLE) AS pr FROM deg),
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  /** CTE prefix unrolling [[PrRounds]] PERSONALIZED-PageRank rounds —
+    * prUnrolledSql with the restart vector concentrated on the 10
+    * lowest vertex ids: `rbase` carries the per-vertex seed flag r0
+    * (a multi-referenced LEAF, like `deg` — the single-reference
+    * discipline applies to the p-chain only) and each round computes
+    * `0.15·r0 + 0.85·sc`, the engine's exact operation order. Ends at
+    * CTE `q$PrRounds` = (v, pr). */
+  private def pprUnrolledSql: String = {
+    val rounds = (1 to PrRounds).map { i =>
+      s"""t$i AS (
+         |  SELECT e.dst AS v,
+         |    CAST(SUM(CAST(p.pr / e.odeg AS DECIMAL(28,12))) AS DOUBLE) AS sc
+         |  FROM ew e JOIN q${i - 1} p ON e.src = p.v
+         |  GROUP BY e.dst),
+         |q$i AS (
+         |  SELECT d.v, CAST(0.15 AS DOUBLE) * d.r0
+         |      + CAST(0.85 AS DOUBLE) * coalesce(s.sc, 0) AS pr
+         |  FROM rbase d LEFT JOIN t$i s ON d.v = s.v)""".stripMargin
+    }
+    s"""ed AS ($edgesSql),
+       |sym AS (SELECT src, dst FROM ed
+       |        UNION SELECT dst AS src, src AS dst FROM ed),
+       |deg AS (SELECT src, count(*) AS odeg FROM sym GROUP BY src),
+       |ew AS (SELECT s.src, s.dst, d.odeg FROM sym s JOIN deg d USING (src)),
+       |sd AS (SELECT src AS v FROM deg ORDER BY src LIMIT 10),
+       |rbase AS (
+       |  SELECT d.src AS v,
+       |    CASE WHEN s.v IS NOT NULL THEN CAST(1.0 AS DOUBLE)
+       |         ELSE CAST(0.0 AS DOUBLE) END AS r0
+       |  FROM deg d LEFT JOIN sd s ON d.src = s.v),
+       |q0 AS (SELECT v, r0 AS pr FROM rbase),
        |${rounds.mkString(",\n")}""".stripMargin
   }
 
@@ -1168,7 +1220,8 @@ object GraphOps {
   }
 
   def pageRank(edgeDf: DataFrame, iters: Int,
-      symmetrized: Boolean = false, numParts: Int = 0): DataFrame = {
+      symmetrized: Boolean = false, numParts: Int = 0,
+      seeds: Option[DataFrame] = None): DataFrame = {
     val spark = edgeDf.sparkSession
     val parts = if (numParts > 0) numParts
       else spark.sessionState.conf.numShufflePartitions
@@ -1185,7 +1238,25 @@ object GraphOps {
     // src-partitioned, so the join preserves that partitioning): each
     // iteration reuses it and only the rank vector moves
     val withDeg = sym.join(outDeg, Seq("src")).cache()
-    var pr = outDeg.select(col("src").as("v"), lit(1.0).as("pr")).localCheckpoint()
+    // PERSONALIZED variant (seeds = Some(one-column seed-vertex DF)):
+    // the restart mass concentrates on the seed set — x ← 0.15·e_S +
+    // 0.85·AᵀD⁻¹x from x₀ = e_S — so rank flows outward from the
+    // seeds (similarity/recommendation PageRank). The restart vector
+    // is materialized ONCE (seed flag via a broadcast left join,
+    // pre-partitioned on the state key) and joined each round in
+    // place of the uniform 0.15; with seeds = None the arithmetic
+    // below reduces exactly to the standard 0.15 + 0.85·sc.
+    val restart = seeds.map { sd =>
+      outDeg.select(col("src").as("v"))
+        .join(broadcast(sd.toDF("sv")), col("v") === col("sv"), "left")
+        .select(col("v"), when(col("sv").isNotNull, lit(1.0))
+          .otherwise(lit(0.0)).as("r0"))
+        .repartition(parts, col("v")).cache()
+    }
+    var pr = restart
+      .map(_.select(col("v"), col("r0").as("pr")))
+      .getOrElse(outDeg.select(col("src").as("v"), lit(1.0).as("pr")))
+      .localCheckpoint()
     // join strategy by MEASURED vertex count, as in connectedComponents:
     // broadcast the rank vector while it fits AND the edge side spans
     // enough partitions for the broadcast to save real exchange work
@@ -1220,9 +1291,14 @@ object GraphOps {
             (col("pr") / col("odeg")).cast(DecimalType(28, 12)).as("c"))
           .groupBy(col("v2")).agg(sum(col("c")).cast("double").as("sc"))
           .repartition(parts, col("v2")) // pin the state exchange width
-        val next = pr.join(contrib, pr("v") === col("v2"), "left")
-          .select(col("v"), (lit(0.15) + lit(0.85) * coalesce(col("sc"), lit(0.0))).as("pr"))
-          .cache() // each pr is consumed twice within an iteration
+        val next = (restart match {
+          case Some(rb) => rb.join(contrib, rb("v") === col("v2"), "left")
+            .select(col("v"), (lit(0.15) * col("r0") +
+              lit(0.85) * coalesce(col("sc"), lit(0.0))).as("pr"))
+          case None => pr.join(contrib, pr("v") === col("v2"), "left")
+            .select(col("v"), (lit(0.15) +
+              lit(0.85) * coalesce(col("sc"), lit(0.0))).as("pr"))
+        }).cache() // each pr is consumed twice within an iteration
         toRelease ::= next
         pr = if (i % 3 == 0 || i == iters) next.localCheckpoint() else next
       }
@@ -1233,6 +1309,7 @@ object GraphOps {
       toRelease.foreach(_.unpersist())
       if (!symmetrized) sym.unpersist()
       outDeg.unpersist(); withDeg.unpersist()
+      restart.foreach(_.unpersist())
     }
     pr
     } finally {
@@ -1371,6 +1448,11 @@ object GraphOps {
     "graph_pagerank" ->
       s"""WITH $prUnrolledSql
          |SELECT v, round(pr, 4) AS pr FROM p$PrRounds ORDER BY v""".stripMargin,
+
+    "graph_pagerank_personalized" ->
+      s"""WITH $pprUnrolledSql
+         |SELECT v, round(pr, 4) AS ppr FROM q$PrRounds
+         |WHERE round(pr, 4) > 0.0 ORDER BY v""".stripMargin,
 
     // the peel loop as a recursive CTE: the working table holds ONE
     // round's surviving symmetric edges, and the recursive term keeps

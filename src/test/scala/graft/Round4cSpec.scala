@@ -240,6 +240,41 @@ class Round4cSpec extends SparkTestBase {
     assert(got == Seq((1L, 3L, 2L, 1L, 0.6667, 0.5)), s"got $got")
   }
 
+  test("graph_pagerank_personalized equals a driver-side quantized recompute at sf0.001") {
+    val got = operators.GraphOps.queries("graph_pagerank_personalized")(
+      spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val e = operators.GraphOps.edges(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sym = (e ++ e.map(_.swap)).distinct
+    val verts = sym.map(_._1).distinct
+    val odeg = sym.groupBy(_._1).map { case (v, es) => v -> es.size }
+    val seeds = verts.sorted.take(10).toSet
+    def r0(v: Long) = if (seeds(v)) 1.0 else 0.0
+    var pr = verts.map(v => v -> r0(v)).toMap
+    for (_ <- 1 to operators.GraphOps.PrRounds) {
+      // mirror the engine arithmetic: pr/odeg in double, quantized to
+      // DECIMAL(28,12) HALF_UP, summed exactly, cast back to double
+      val sc = sym.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { ed =>
+          BigDecimal(pr(ed._1) / odeg(ed._1))
+            .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        }.sum.toDouble
+      }
+      pr = verts.map(v => v -> (0.15 * r0(v) + 0.85 * sc.getOrElse(v, 0.0)))
+        .toMap
+    }
+    val exp = pr.map { case (v, p) => v -> r4d(p) }.filter(_._2 > 0.0)
+    assert(got.keySet == exp.keySet,
+      s"vertex sets differ: ${(got.keySet diff exp.keySet).take(5)} / " +
+        s"${(exp.keySet diff got.keySet).take(5)}")
+    got.foreach { case (v, p) =>
+      assert(p == exp(v), s"vertex $v: $p vs ${exp(v)}") }
+    // restart mass: seeds (which are connected here) must carry rank
+    seeds.foreach(sv => assert(got.getOrElse(sv, 0.0) > 0.0,
+      s"seed $sv lost its restart mass"))
+  }
+
   test("diag_outlier_mad: planted wild hour is the only outlier") {
     val dir = tempDir()
     // hourly sums 1..9 and 100: median 5.5, deviations median 2.5,
