@@ -143,6 +143,33 @@ object Joins {
         .orderBy(col("event_id"))
     }),
 
+    // the SAME backward as-of semantics, executed by the NATIVE
+    // merge-join operator (plans.AsofJoinExec — custom LogicalPlan +
+    // Strategy + SparkPlan via SparkSessionExtensions) instead of the
+    // union-window composition above: co-partition both sides on the
+    // key, local sorts, one forward merge holding a single candidate
+    // row of state — no union, no window over the merged stream.
+    // Explicit equal-width repartitions on both sides pin the
+    // zipPartitions widths under AQE. Oracle: identical to join_asof
+    // (same declared semantics, different execution) — the driver
+    // hash-check proves operator equivalence end-to-end.
+    "join_asof_native" -> ((s, d) => {
+      val parts = s.sparkContext.defaultParallelism
+      val rt = Tables.orders(s, d)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_totalprice")).as("price"))
+        .select(col("o_custkey").as("k"), col("o_orderdate").as("t"),
+          col("price"))
+        .repartition(parts, col("k"))
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .repartition(parts, col("user_id"))
+      graft.plans.AsofJoin(ev, rt, ev("user_id"), rt("k"), ev("ts"), rt("t"))
+        .select(col("event_id"), col("user_id"), ntz(col("ts")).as("ts"),
+          col("price").as("asof_price"))
+        .orderBy(col("event_id"))
+    }),
+
     // FORWARD as-of variant: each view event matched to the same
     // user's NEXT purchase at-or-after its timestamp — time-to-
     // conversion, the question ts_funnel_conversion's bounded 1-hour
@@ -428,6 +455,14 @@ object Joins {
         |ORDER BY cg.k NULLS FIRST""".stripMargin,
 
     "join_asof" ->
+      """WITH rt AS (
+        |  SELECT o_custkey AS k, o_orderdate AS t, max(o_totalprice) AS price
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts, rt.price AS asof_price
+        |FROM events e ASOF LEFT JOIN rt ON e.user_id = rt.k AND e.ts >= rt.t
+        |ORDER BY e.event_id""".stripMargin,
+
+    "join_asof_native" ->
       """WITH rt AS (
         |  SELECT o_custkey AS k, o_orderdate AS t, max(o_totalprice) AS price
         |  FROM orders GROUP BY 1, 2)

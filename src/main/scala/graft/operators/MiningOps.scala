@@ -263,6 +263,50 @@ object MiningOps {
         .orderBy(desc("n"), col("prev_type"), col("next_type"))
     }),
 
+    // order-3 behavioral paths: the top event-type trigrams across
+    // user histories — mine_seq_transitions' pair Markov view extended
+    // one step ("view>view>purchase" vs "view>error>view" tells a
+    // product story pairs cannot). Same lag-window shape (partitioned
+    // by user over the per-user total order — bounded by one user's
+    // activity, never the stream); trigram rows go straight into a
+    // hash agg, and the global top-20 is TakeOrderedAndProject on
+    // (count desc, path).
+    "mine_path_trigrams" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("p1", lag(col("event_type"), 1).over(w))
+        .withColumn("p2", lag(col("event_type"), 2).over(w))
+        .filter(col("p2").isNotNull)
+        .select(concat_ws(">", col("p2"), col("p1"), col("event_type"))
+          .as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("path"))
+        .limit(20)
+    }),
+
+    // behavioral entropy per user: Shannon entropy of the user's
+    // event-type distribution — 0 = monomaniac (bot smell), ln(5) =
+    // uniform across all five types. The text_entropy_stats identity
+    // (H = ln n − Σ c·ln c / n) over exact integer counts, with the
+    // same 4dp-quantized-term decimal sum, applied to the behavioral
+    // domain. Two hash aggs; state ∝ (user, type) pairs.
+    "mine_user_entropy" -> ((s, d) => {
+      val tc = Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      tc.groupBy(col("user_id"))
+        .agg(sum(col("c")).as("n_events"),
+          count(lit(1)).as("n_types"),
+          dsum(round(col("c").cast("double") * log(col("c")), 4)).as("sc"))
+        .select(col("user_id"), col("n_events"), col("n_types"),
+          r4(log(col("n_events").cast("double")) - col("sc") / col("n_events"))
+            .as("entropy"))
+        .orderBy(col("user_id"))
+    }),
+
     // χ² independence test of lang × source over the document corpus —
     // the balance audit a corpus curator runs ("is language mix the
     // same across sources, or does one crawl skew the distribution?").
@@ -629,6 +673,31 @@ object MiningOps {
         |  round(CAST(SUM(CAST((cs - rs) * ln(cs / rs) AS DECIMAL(18,6)))
         |    AS DOUBLE), 4) AS psi
         |FROM terms GROUP BY t_ref, t_cur""".stripMargin,
+
+    "mine_path_trigrams" ->
+      """WITH lagged AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type, 1) OVER w AS p1,
+        |    lag(event_type, 2) OVER w AS p2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT p2 || '>' || p1 || '>' || event_type AS path,
+        |  count(*) AS n
+        |FROM lagged WHERE p2 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+
+    "mine_user_entropy" ->
+      s"""WITH tc AS (
+         |  SELECT user_id, event_type, count(*) AS c
+         |  FROM events GROUP BY 1, 2),
+         |st AS (
+         |  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+         |    count(*) AS n_types,
+         |    ${dsumSql("round(CAST(c AS DOUBLE) * ln(c), 4)")} AS sc
+         |  FROM tc GROUP BY user_id)
+         |SELECT user_id, n_events, n_types,
+         |  round(ln(CAST(n_events AS DOUBLE)) - sc / n_events, 4) AS entropy
+         |FROM st ORDER BY user_id""".stripMargin,
 
     "diag_outlier_mad" ->
       s"""WITH hourly AS (

@@ -313,6 +313,30 @@ object TimeSeriesOps {
         .orderBy(col("event_id"))
     }),
 
+    // burstiness (Fano factor / index of dispersion) per series:
+    // variance-to-mean ratio of the hourly event COUNTS — ~1 for a
+    // Poisson arrival stream, ≫1 for bursty traffic, <1 for
+    // regular/throttled. The capacity-planning twin of the seasonal
+    // profile. Pure integer sufficient statistics (counts and squared
+    // counts over the bounded hourly aggregate), one final IEEE
+    // formula written identically in both engines.
+    "ts_burstiness" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("c"))
+      hourly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          sum(col("c")).as("sc"),
+          sum(col("c") * col("c")).as("scc"))
+        .select(col("event_type"), col("n_hours"),
+          r4(col("sc").cast("double") / col("n_hours")).as("mean_per_hour"),
+          r4((col("scc").cast("double") / col("n_hours") -
+            (col("sc").cast("double") / col("n_hours")) *
+            (col("sc").cast("double") / col("n_hours"))) /
+            (col("sc").cast("double") / col("n_hours"))).as("fano"))
+        .orderBy(col("event_type"))
+    }),
+
     // Theil–Sen robust trend per series: the MEDIAN of all pairwise
     // slopes between hourly points — one wild hour corrupts a
     // least-squares slope (it enters the sums squared) but shifts a
@@ -603,6 +627,22 @@ object TimeSeriesOps {
         |  ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 19 AND a.rn
         |GROUP BY a.event_id, a.user_id, a.rn
         |ORDER BY a.event_id""".stripMargin,
+
+    "ts_burstiness" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, count(*) AS n_hours,
+        |    CAST(SUM(c) AS BIGINT) AS sc, CAST(SUM(c * c) AS BIGINT) AS scc
+        |  FROM hourly GROUP BY event_type)
+        |SELECT event_type, n_hours,
+        |  round(CAST(sc AS DOUBLE) / n_hours, 4) AS mean_per_hour,
+        |  round((CAST(scc AS DOUBLE) / n_hours
+        |      - (CAST(sc AS DOUBLE) / n_hours) * (CAST(sc AS DOUBLE) / n_hours))
+        |    / (CAST(sc AS DOUBLE) / n_hours), 4) AS fano
+        |FROM st ORDER BY event_type""".stripMargin,
 
     "ts_theil_sen" ->
       s"""WITH hourly AS (

@@ -65,6 +65,8 @@ object LevenshteinBandRule extends Rule[LogicalPlan] {
 /** Session-extension entry point: wire with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => LevenshteinBandRule)
+    e.injectPlannerStrategy(_ => AsofJoinStrategy)
+  }
 }

@@ -47,4 +47,50 @@ class PlansSpec extends SparkTestBase {
     val twice = graft.plans.LevenshteinBandRule(once)
     assert(twice.fastEquals(once), s"rule not idempotent:\n$twice\nvs\n$once")
   }
+
+  // --- AsofJoinExec: the custom LogicalPlan + Strategy + SparkPlan ---
+
+  private def asofFixture = {
+    // left (k, lt): probes; right (k, rt, v): quotes
+    val l = Seq((1L, 10L, 100L), (1L, 20L, 101L), (1L, 5L, 102L),
+      (2L, 10L, 103L), (3L, 10L, 104L))
+      .toDF("lk", "lt", "lid")
+    val r = Seq((1L, 10L, 1.0), (1L, 15L, 2.0), (2L, 11L, 3.0),
+      (9L, 1L, 9.0))
+      .toDF("rk", "rt", "v")
+    (l, r)
+  }
+
+  test("AsofJoinExec: backward-inclusive match, null on no-match, key isolation") {
+    val (l, r) = asofFixture
+    val out = graft.plans.AsofJoin(l, r, l("lk"), r("rk"), l("lt"), r("rt"))
+      .select(col("lid"), col("v"))
+      .collect().map(rr => rr.getLong(0) ->
+        (if (rr.isNullAt(1)) None else Some(rr.getDouble(1)))).toMap
+    assert(out == Map(
+      100L -> Some(1.0), // lt=10 matches rt=10 (inclusive)
+      101L -> Some(2.0), // lt=20 → latest rt=15
+      102L -> None,      // lt=5 before all quotes
+      103L -> None,      // key 2: rt=11 > lt=10 → no match
+      104L -> None       // key 3: no quotes at all (key 9 must not bleed)
+    ), s"got $out")
+  }
+
+  test("AsofJoinExec result equals the union-window asof composition on real data") {
+    val native = operators.Joins.queries("join_asof_native")(spark, sf001)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    val window = operators.Joins.queries("join_asof")(spark, sf001)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(native == window)
+  }
+
+  test("AsofJoinExec plans as the native merge: no union, no window, local sorts only") {
+    val p = operators.Joins.queries("join_asof_native")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("AsofJoin"), s"native operator missing from:\n$p")
+    assert(!p.contains("Window") && !p.contains("Union"),
+      s"native asof must not fall back to the union-window shape:\n$p")
+  }
 }

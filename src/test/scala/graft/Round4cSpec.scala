@@ -289,6 +289,43 @@ class Round4cSpec extends SparkTestBase {
     assert(got == Seq(("a", 10L, 5.5, 2.5, 1L)), s"got $got")
   }
 
+  test("ts_burstiness: hand hourly counts give the exact Fano factor") {
+    val dir = tempDir()
+    // hour 0: 1 event, hour 1: 3 events → mean 2, var (10/2 − 4) = 1,
+    // fano 0.5
+    writeFixture(dir, "events", eventsDf(
+      (1L, ns(0), 1L, "a", 1.0),
+      (2L, ns(1), 1L, "a", 1.0), (3L, ns(1), 2L, "a", 1.0),
+      (4L, ns(1), 3L, "a", 1.0)))
+    val got = operators.TimeSeriesOps.queries("ts_burstiness")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq(("a", 2L, 2.0, 0.5)), s"got $got")
+  }
+
+  test("mine_path_trigrams: per-user ordered trigrams, ties break on path") {
+    val dir = tempDir()
+    writeFixture(dir, "events", eventsDf(
+      (1L, ns(0), 1L, "a", 1.0), (2L, ns(1), 1L, "b", 1.0),
+      (3L, ns(2), 1L, "a", 1.0), (4L, ns(3), 1L, "b", 1.0)))
+    val got = operators.MiningOps.queries("mine_path_trigrams")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a>b>a", 1L), ("b>a>b", 1L)), s"got $got")
+  }
+
+  test("mine_user_entropy: hand history matches the entropy identity") {
+    val dir = tempDir()
+    // user 1: types a,a,b → H = ln 3 − round(2·ln 2, 4)/3
+    writeFixture(dir, "events", eventsDf(
+      (1L, ns(0), 1L, "a", 1.0), (2L, ns(1), 1L, "a", 1.0),
+      (3L, ns(2), 1L, "b", 1.0)))
+    val got = operators.MiningOps.queries("mine_user_entropy")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val expH = r4d(math.log(3.0) - r4d(2.0 * math.log(2.0)) / 3)
+    assert(got == Seq((1L, 3L, 2L, expH)), s"got $got vs $expH")
+  }
+
   test("ts_theil_sen: linear series recovers its slope with all pairs") {
     val dir = tempDir()
     // hours 0,1,2 with sums 1,3,5 → three pairwise slopes, all 2.0
