@@ -33,6 +33,30 @@ object MiningOps {
   val RangeBucketBinWidth = 1000
   val RangeBuckets = 10
 
+  /** top-N neighbor count for mine_item_cf_topk. */
+  val CfTopN = 5
+
+  /** shard count for pipeline_shard_balance. */
+  val ShardCount = 16
+
+  /** sample size for sample_weighted_priority. */
+  val PrioritySampleK = 20
+
+  /** 2^60 as a decimal-literal string — the priority-sampling scale
+    * factor (u = (h+1)/2^60 with h the 60-bit md5 basis hash). */
+  private val Pow60 = "1152921504606846976"
+
+  /** the distinct (order, brand) co-purchase relation — shared root of
+    * mine_assoc_rules and mine_item_cf_topk (one derivation, two
+    * consumers; NOT memoized: each query is constructed fresh and the
+    * relation is one scan + one distinct either way). */
+  private def brandBaskets(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+      .distinct()
+
   /** brand-level association rules (support / confidence / lift) over
     * the co-purchase relation — market-basket mining, the classic
     * batch-analytics op. Shape discipline: the (order, brand) relation
@@ -45,10 +69,7 @@ object MiningOps {
     * both engines. */
   def assocRules(s: org.apache.spark.sql.SparkSession, d: String,
       minSupport: Int): org.apache.spark.sql.DataFrame = {
-    val ob = Tables.lineitem(s, d)
-      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
-      .distinct()
+    val ob = brandBaskets(s, d)
     val pairs = ob.groupBy(col("ok"))
       .agg(array_sort(collect_set(col("b"))).as("bs"))
       .select(explode(expr(
@@ -453,6 +474,106 @@ object MiningOps {
     // the cutoff multiplier 4.4478 parses from the same decimal
     // literal in both engines, so the > compare sees identical
     // doubles.
+    // item-item collaborative filtering: top-5 nearest brands per
+    // brand by co-purchase cosine — sim(a,b) = co(a,b)/√(n_a·n_b),
+    // the workhorse of "customers who bought X also bought Y". Same
+    // group-and-explode pair discipline as mine_assoc_rules (a<b pairs
+    // fan out pipeline-side from per-order sorted brand sets; only the
+    // bounded pair aggregation shuffles), then the pair table
+    // SYMMETRIZES pipeline-side (each undirected pair serves both
+    // directions) and a per-brand window ranks neighbors. The window
+    // partitions by brand over the ≤ brands² AGGREGATE — bounded by
+    // the item universe, never by order volume. Rank orders by the
+    // 4dp-ROUNDED cosine (house rule: last-ulp differences cannot
+    // flip an argmax) with brand_b as the total tiebreak.
+    "mine_item_cf_topk" -> ((s, d) => {
+      val ob = brandBaskets(s, d)
+      val pairs = ob.groupBy(col("ok"))
+        .agg(array_sort(collect_set(col("b"))).as("bs"))
+        .select(explode(expr(
+          """flatten(transform(bs, (x, i) ->
+            |  transform(slice(bs, i + 2, size(bs)), y ->
+            |    struct(x AS ba, y AS bb))))""".stripMargin)).as("p"))
+        .groupBy(col("p.ba").as("ba"), col("p.bb").as("bb"))
+        .agg(count(lit(1)).as("co"))
+      val sym = pairs.select(col("ba").as("brand_a"), col("bb").as("brand_b"), col("co"))
+        .unionByName(pairs.select(col("bb").as("brand_a"), col("ba").as("brand_b"), col("co")))
+      val totals = ob.groupBy(col("b")).agg(count(lit(1)).as("nb"))
+      val scored = sym
+        .join(broadcast(totals.select(col("b").as("brand_a"), col("nb").as("na"))),
+          Seq("brand_a"))
+        .join(broadcast(totals.select(col("b").as("brand_b"), col("nb").as("nbb"))),
+          Seq("brand_b"))
+        .select(col("brand_a"), col("brand_b"), col("co"),
+          r4(col("co").cast(DoubleType) /
+            sqrt(col("na").cast(DoubleType) * col("nbb").cast(DoubleType)))
+            .as("cosine"))
+      val w = Window.partitionBy(col("brand_a"))
+        .orderBy(desc("cosine"), col("brand_b"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= CfTopN)
+        .select(col("brand_a"), col("rn"), col("brand_b"), col("co"), col("cosine"))
+        .orderBy(col("brand_a"), col("rn"))
+    }),
+
+    // deterministic weighted sample — priority sampling (Duffield,
+    // Lund & Thorup): each order draws u = (h+1)/2^60 from the md5
+    // hash basis (functions.Md5Hash — engine-identical by
+    // construction) and gets priority q = w/u; the top-k by q is a
+    // weighted-without-replacement sample whose subset-sum estimators
+    // are unbiased. EXACT arithmetic end-to-end: w = price in cents
+    // via DECIMAL(18,2), q = floor(w·2^60/(h+1)) computed as
+    // (num − num % den)/den over DECIMAL(38,0) — the subtraction
+    // makes the numerator exactly divisible, so Spark's scale-6
+    // decimal division rounds an exact integer (identity) and matches
+    // DuckDB's HUGEINT floor-division bit-for-bit. The priority
+    // renders as a STRING (it exceeds int64 when u is tiny — exactly
+    // the winners); ranking happens on the NUMERIC value. One scan,
+    // one TakeOrderedAndProject — no global sort, no shuffle beyond
+    // the top-k.
+    "sample_weighted_priority" -> ((s, d) => {
+      val dec = DecimalType(38, 0)
+      val num = col("w_cents").cast(dec) * lit(Pow60).cast(dec)
+      val den = (col("h") + 1L).cast(dec)
+      val scored = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+            .cast("bigint").as("w_cents"),
+          expr(graft.functions.Md5Hash.sparkHash60(
+            "concat('o|', cast(o_orderkey as string))")).as("h"))
+        .withColumn("q", ((num - num % den) / den).cast(dec))
+      scored.orderBy(desc("q"), col("o_orderkey")).limit(PrioritySampleK)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(desc("q"), col("o_orderkey"))))
+        .select(col("rank"), col("o_orderkey"), col("w_cents"),
+          col("q").cast("string").as("priority"))
+        .orderBy(col("rank"))
+    }),
+
+    // shard-assignment balance audit: every document hashes to one of
+    // 16 shards on the md5 basis (the writer-side partitioning a
+    // 100 TB corpus export actually uses — content-stable, not
+    // round-robin, so re-runs and increments land identically); per
+    // shard the doc count, byte load (n_chars), share, and load
+    // factor vs the uniform ideal. One bounded hash agg; the totals
+    // broadcast back as a scalar (win_global_share discipline). The
+    // audit answers "can I write this corpus as N equal files?"
+    // BEFORE paying the export.
+    "pipeline_shard_balance" -> ((s, d) => {
+      val perShard = Tables.documents(s, d)
+        .select((expr(graft.functions.Md5Hash.sparkHash60(
+          "concat('s|', cast(doc_id as string))")) % ShardCount)
+          .cast("int").as("shard"), col("n_chars"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_bytes"))
+      val tot = perShard.agg(sum(col("n_docs")).as("td"), sum(col("n_bytes")).as("tb"))
+      perShard.crossJoin(broadcast(tot))
+        .select(col("shard"), col("n_docs"), col("n_bytes"),
+          r4(col("n_bytes").cast(DoubleType) / col("tb")).as("byte_share"),
+          r4(col("n_bytes").cast(DoubleType) * ShardCount / col("tb"))
+            .as("load_factor"))
+        .orderBy(col("shard"))
+    }),
+
     "diag_outlier_mad" -> ((s, d) => {
       val hourly = Tables.events(s, d)
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
@@ -476,6 +597,64 @@ object MiningOps {
     }))
 
   val oracle: Map[String, String] = Map(
+    "mine_item_cf_topk" ->
+      s"""WITH ob AS (
+         |  SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+         |co AS (
+         |  SELECT a.b AS brand_a, c.b AS brand_b, count(*) AS co
+         |  FROM ob a JOIN ob c ON a.ok = c.ok AND a.b < c.b
+         |  GROUP BY 1, 2),
+         |sym AS (SELECT brand_a, brand_b, co FROM co
+         |        UNION ALL SELECT brand_b, brand_a, co FROM co),
+         |bt AS (SELECT b, count(*) AS nb FROM ob GROUP BY 1),
+         |sc AS (
+         |  SELECT brand_a, brand_b, co,
+         |    round(CAST(co AS DOUBLE)
+         |      / sqrt(CAST(ta.nb AS DOUBLE) * CAST(tb.nb AS DOUBLE)), 4) AS cosine
+         |  FROM sym JOIN bt ta ON ta.b = brand_a JOIN bt tb ON tb.b = brand_b),
+         |rk AS (
+         |  SELECT brand_a, brand_b, co, cosine, row_number() OVER (
+         |    PARTITION BY brand_a ORDER BY cosine DESC, brand_b) AS rn
+         |  FROM sc)
+         |SELECT brand_a, CAST(rn AS INT) AS rn, brand_b, co, cosine
+         |FROM rk WHERE rn <= $CfTopN ORDER BY brand_a, rn""".stripMargin,
+
+    "sample_weighted_priority" ->
+      s"""WITH sc AS (
+         |  SELECT o_orderkey,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS w_cents,
+         |    ${graft.functions.Md5Hash.duckHash60(
+               "'o|' || CAST(o_orderkey AS VARCHAR)")} AS h
+         |  FROM orders),
+         |q AS (
+         |  SELECT o_orderkey, w_cents,
+         |    CAST(w_cents AS HUGEINT) * $Pow60 // (CAST(h AS HUGEINT) + 1) AS q
+         |  FROM sc),
+         |top AS (
+         |  SELECT o_orderkey, w_cents, q, row_number() OVER (
+         |    ORDER BY q DESC, o_orderkey) AS rank
+         |  FROM q ORDER BY q DESC, o_orderkey LIMIT $PrioritySampleK)
+         |SELECT CAST(rank AS INT) AS rank, o_orderkey, w_cents,
+         |  CAST(q AS VARCHAR) AS priority
+         |FROM top ORDER BY rank""".stripMargin,
+
+    "pipeline_shard_balance" ->
+      s"""WITH sh AS (
+         |  SELECT CAST(${graft.functions.Md5Hash.duckHash60(
+               "'s|' || CAST(doc_id AS VARCHAR)")} % $ShardCount AS INT) AS shard,
+         |    n_chars
+         |  FROM documents),
+         |per AS (
+         |  SELECT shard, count(*) AS n_docs,
+         |    CAST(sum(n_chars) AS BIGINT) AS n_bytes
+         |  FROM sh GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_bytes) AS BIGINT) AS tb FROM per)
+         |SELECT shard, n_docs, n_bytes,
+         |  round(CAST(n_bytes AS DOUBLE) / tb, 4) AS byte_share,
+         |  round(CAST(n_bytes AS DOUBLE) * $ShardCount / tb, 4) AS load_factor
+         |FROM per CROSS JOIN tot ORDER BY shard""".stripMargin,
+
     "diag_chi2_independence" ->
       """WITH obs AS (
         |  SELECT lang, source, count(*) AS o FROM documents

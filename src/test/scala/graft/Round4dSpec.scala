@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-4d additions: item-item collaborative filtering,
+  * deterministic priority sampling, shard-balance audit. */
+class Round4dSpec extends SparkTestBase {
+
+  test("mine_item_cf_topk: cosine and ranks on a hand-checked basket set") {
+    val dir = tempDir()
+    import spark.implicits._
+    // baskets: o1{A,B} o2{A,B} o3{A}  → co(A,B)=2, nA=3, nB=2
+    writeFixture(dir, "part", Seq(
+      (1L, "A"), (2L, "B")).toDF("p_partkey", "p_brand"))
+    writeFixture(dir, "lineitem", Seq(
+      (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L))
+      .toDF("l_orderkey", "l_partkey"))
+    val got = operators.MiningOps.queries("mine_item_cf_topk")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    val cos = BigDecimal(2.0 / math.sqrt(3.0 * 2.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(("A", 1, "B", 2L, cos), ("B", 1, "A", 2L, cos)),
+      s"got $got")
+  }
+
+  test("mine_item_cf_topk: neighbor lists cap at CfTopN with dense ranks") {
+    val got = operators.MiningOps.queries("mine_item_cf_topk")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (b, rows) =>
+      val ranks = rows.map(_._2).sorted
+      assert(ranks == (1 to ranks.size).toList, s"ranks not dense for $b")
+      assert(ranks.size <= operators.MiningOps.CfTopN)
+    }
+  }
+
+  test("sample_weighted_priority: priorities equal an exact BigInt recompute") {
+    val dir = tempDir()
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    val orders = Seq(
+      (1L, 1L, "O", 100.25, ts, "1-URGENT"),
+      (2L, 1L, "O", 5000.00, ts, "5-LOW"),
+      (3L, 1L, "O", 0.01, ts, "5-LOW"),
+      (4L, 1L, "O", 250000.99, ts, "2-HIGH"))
+    writeFixture(dir, "orders", orders
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"))
+    val got = operators.MiningOps.queries("sample_weighted_priority")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    // driver-side exact recompute: q = floor(w_cents * 2^60 / (h+1))
+    val exp = orders.map { case (ok, _, _, price, _, _) =>
+      val w = BigDecimal(price).setScale(2).*(100).toLongExact
+      val h = functions.Md5Hash.hash60(s"o|$ok")
+      val q = (BigInt(w) * BigInt(2).pow(60)) / (BigInt(h) + 1)
+      (ok, w, q)
+    }.sortBy { case (ok, _, q) => (-q, ok) }
+      .zipWithIndex.map { case ((ok, w, q), i) => (i + 1, ok, w, q.toString) }
+    assert(got == exp, s"got $got\nexp $exp")
+  }
+
+  test("sample_weighted_priority: double run is byte-identical and k-bounded") {
+    val q = operators.MiningOps.queries("sample_weighted_priority")
+    val a = q(spark, sf001).collect().toSeq
+    val b = q(spark, sf001).collect().toSeq
+    assert(a == b)
+    assert(a.size == operators.MiningOps.PrioritySampleK)
+  }
+
+  test("pipeline_shard_balance: shards partition the corpus; loads recompute") {
+    val res = operators.MiningOps.queries("pipeline_shard_balance")(spark, sf001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(4))).toSeq
+    val docs = Tables.documents(spark, sf001)
+      .agg(count(lit(1)), sum(col("n_chars"))).collect()(0)
+    assert(res.map(_._2).sum == docs.getLong(0), "shard doc counts must partition")
+    assert(res.map(_._3).sum == docs.getLong(1), "shard byte sums must partition")
+    assert(res.forall(r => r._1 >= 0 && r._1 < operators.MiningOps.ShardCount))
+    // md5-uniform shards on a uniform corpus: every load factor near 1
+    assert(res.forall(r => r._4 > 0.5 && r._4 < 2.0),
+      s"implausible imbalance: $res")
+  }
+
+  test("pipeline_shard_balance: assignment matches the md5 basis per doc") {
+    val dir = tempDir()
+    import spark.implicits._
+    writeFixture(dir, "documents", Seq(
+      (10L, "a", "en", "s0", 5L), (11L, "b", "en", "s0", 7L),
+      (12L, "c", "de", "s1", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = operators.MiningOps.queries("pipeline_shard_balance")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val exp = Seq(10L -> 5L, 11L -> 7L, 12L -> 11L)
+      .groupBy { case (id, _) =>
+        (functions.Md5Hash.hash60(s"s|$id") % operators.MiningOps.ShardCount).toInt }
+      .map { case (sh, ds) => (sh, ds.size.toLong, ds.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+    assert(got == exp, s"got $got exp $exp")
+  }
+}
