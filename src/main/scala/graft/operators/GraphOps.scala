@@ -590,6 +590,69 @@ object GraphOps {
       dist.orderBy(col("v"))
     }),
 
+    // bounded harmonic closeness of the BFS seed set: h(s) =
+    // Σ_{v≠s, d(s,v)≤3} 1/d(s,v) — the centrality that stays
+    // well-defined on disconnected graphs (unreachable vertices
+    // contribute 0, no ∞ to dodge). Engine side is the SAME per-seed
+    // min-propagation as graph_bfs_distance but carrying the seed in
+    // the state key ((seed, v) pairs — state ∝ seeds × reached, each
+    // round one join + min aggregate); the oracle is the path-
+    // enumerating recursive CTE. Exactness: each distance contributes
+    // round(1e9/d) NANO-UNITS as a BIGINT (the graph_adamic_adar
+    // convention) — integer sums, ONE final double division by 1e9.
+    "graph_closeness_bounded" -> ((s, d) => {
+      val sym = symEdges(s, d)
+      var dist = sym.select(col("src").as("v")).distinct()
+        .filter(col("v") <= 10L)
+        .select(col("v").as("seed"), col("v"), lit(0L).as("dist"))
+      for (_ <- 1 to 3) {
+        val nd = sym.join(dist, col("src") === col("v"))
+          .select(col("seed"), col("dst").as("v"), (col("dist") + 1L).as("dist"))
+        dist = dist.unionByName(nd)
+          .groupBy(col("seed"), col("v")).agg(min(col("dist")).as("dist"))
+      }
+      dist.filter(col("dist") > 0L)
+        .select(col("seed"),
+          expr("cast(round(1000000000.0 / dist, 0) as bigint)").as("w9"))
+        .groupBy(col("seed"))
+        .agg(count(lit(1)).as("n_reached"), sum(col("w9")).as("w9s"))
+        .select(col("seed"), col("n_reached"),
+          Stable.r4(col("w9s").cast("double") / 1e9).as("harmonic"))
+        .orderBy(col("seed"))
+    }),
+
+    // deterministic hash-seeded walk sampling — the node2vec/DeepWalk
+    // corpus generator made reproducible: from each BFS seed, 4 steps
+    // on the symmetrized graph where step t moves to the neighbor
+    // minimizing hash60(cur|t|nbr) on the md5 basis (a fixed
+    // "random" choice both engines recompute identically; the step
+    // index in the hash input decorrelates successive choices, so the
+    // walk doesn't ping-pong on the minimum edge). Each step is ONE
+    // frontier×edges join + a per-seed min_by — frontier is one row
+    // per seed, so the join is broadcast-sized at any graph scale and
+    // the walk length bounds the loop. Ties (h, then dst) are total.
+    "graph_walk_sample" -> ((s, d) => {
+      val sym = symEdges(s, d)
+      val seeds = sym.select(col("src").as("v")).distinct()
+        .filter(col("v") <= 10L)
+        .select(col("v").as("seed"), col("v"))
+      var cur = seeds
+      var acc = seeds.select(col("seed"), lit(0).as("step"), col("v").as("vertex"))
+      for (t <- 1 to 4) {
+        val nxt = sym.join(broadcast(cur), col("src") === col("v"))
+          .select(col("seed"), col("dst"),
+            expr(graft.functions.Md5Hash.sparkHash60(
+              s"concat(cast(src as string), '|$t|', cast(dst as string))"))
+              .as("h"))
+          .groupBy(col("seed"))
+          .agg(min_by(col("dst"), struct(col("h"), col("dst"))).as("v"))
+        cur = nxt.select(col("seed"), col("v"))
+        acc = acc.unionByName(
+          cur.select(col("seed"), lit(t).as("step"), col("v").as("vertex")))
+      }
+      acc.orderBy(col("seed"), col("step"))
+    }),
+
     // community detection by deterministic label propagation: 5
     // synchronous rounds of "adopt the most frequent neighbor label,
     // ties → smallest label". Fixed iteration count — deterministic by
@@ -1477,6 +1540,44 @@ object GraphOps {
          |SELECT src AS v, count(*) AS deg FROM peel
          |WHERE iter = $KcoreOracleRounds
          |GROUP BY src ORDER BY v""".stripMargin,
+
+    "graph_closeness_bounded" ->
+      s"""WITH RECURSIVE ed AS ($edgesSql),
+         |sym AS (SELECT src AS a, dst AS b FROM ed
+         |        UNION SELECT dst, src FROM ed),
+         |walk(seed, v, d) AS (
+         |  SELECT DISTINCT a AS seed, a AS v, CAST(0 AS BIGINT) AS d
+         |  FROM sym WHERE a <= 10
+         |  UNION ALL
+         |  SELECT walk.seed, sym.b, walk.d + 1
+         |  FROM sym JOIN walk ON sym.a = walk.v WHERE walk.d < 3),
+         |md AS (SELECT seed, v, min(d) AS dist FROM walk GROUP BY 1, 2)
+         |SELECT seed, count(*) AS n_reached,
+         |  round(CAST(SUM(CAST(round(1000000000.0 / dist, 0) AS BIGINT))
+         |    AS DOUBLE) / 1e9, 4) AS harmonic
+         |FROM md WHERE dist > 0 GROUP BY seed ORDER BY seed""".stripMargin,
+
+    "graph_walk_sample" -> {
+      val steps = (1 to 4).map { t =>
+        val h = graft.functions.Md5Hash.duckHash60(
+          s"CAST(a AS VARCHAR) || '|$t|' || CAST(b AS VARCHAR)")
+        s"""s$t AS (
+           |  SELECT seed, v FROM (
+           |    SELECT s${t - 1}.seed, sym.b AS v, row_number() OVER (
+           |      PARTITION BY s${t - 1}.seed ORDER BY $h, sym.b) AS rn
+           |    FROM sym JOIN s${t - 1} ON sym.a = s${t - 1}.v) q
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val union = (0 to 4).map(t =>
+        s"SELECT seed, $t AS step, v AS vertex FROM s$t").mkString("\nUNION ALL ")
+      s"""WITH ed AS ($edgesSql),
+         |sym AS (SELECT src AS a, dst AS b FROM ed
+         |        UNION SELECT dst, src FROM ed),
+         |s0 AS (SELECT DISTINCT a AS seed, a AS v FROM sym WHERE a <= 10),
+         |$steps
+         |$union
+         |ORDER BY seed, step""".stripMargin
+    },
 
     "graph_bfs_distance" ->
       s"""WITH RECURSIVE ed AS ($edgesSql),

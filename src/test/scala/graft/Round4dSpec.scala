@@ -69,6 +69,50 @@ class Round4dSpec extends SparkTestBase {
     assert(a.size == operators.MiningOps.PrioritySampleK)
   }
 
+  test("graph_closeness_bounded: hand-checked harmonic sums on a path graph") {
+    val dir = tempDir()
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    // cust 1 → suppliers 7,8 (order 1); cust 2 → supplier 7 (order 2)
+    // sym graph: 1:{S7,S8} 2:{S7} S7:{1,2} S8:{1}
+    writeFixture(dir, "orders", Seq(
+      (1L, 1L, "O", 10.0, ts, "1-URGENT"), (2L, 2L, "O", 20.0, ts, "5-LOW"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"))
+    writeFixture(dir, "lineitem", Seq(
+      (1L, 7L), (1L, 8L), (2L, 7L)).toDF("l_orderkey", "l_suppkey"))
+    val got = operators.GraphOps.queries("graph_closeness_bounded")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // seed 1: d(S7)=1, d(S8)=1, d(2)=2 → 1+1+0.5;  seed 2: d(S7)=1,
+    // d(1)=2, d(S8)=3 → 1+0.5+0.333333333 (nano-quantized)
+    assert(got == Seq((1L, 3L, 2.5), (2L, 3L, 1.8333)), s"got $got")
+  }
+
+  test("graph_walk_sample: walks equal an exact driver-side recompute at sf0.001") {
+    val res = operators.GraphOps.queries("graph_walk_sample")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    // independent adjacency recompute from the raw tables
+    val off = operators.GraphOps.SupplierVertexOffset
+    val ed = Tables.lineitem(spark, sf001)
+      .join(Tables.orders(spark, sf001),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey") + off).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (ed ++ ed.map(_.swap)).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val seeds = adj.keySet.filter(_ <= 10L).toSeq.sorted
+    val exp = seeds.flatMap { s =>
+      var cur = s
+      (0, s) +: (1 to 4).map { t =>
+        cur = adj(cur).minBy(n => (functions.Md5Hash.hash60(s"$cur|$t|$n"), n))
+        (t, cur)
+      }
+    }.zip(seeds.flatMap(s => Seq.fill(5)(s)))
+      .map { case ((t, v), s) => (s, t, v) }
+    assert(res == exp, s"got ${res.take(6)}... exp ${exp.take(6)}...")
+  }
+
   test("pipeline_shard_balance: shards partition the corpus; loads recompute") {
     val res = operators.MiningOps.queries("pipeline_shard_balance")(spark, sf001)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
