@@ -109,7 +109,74 @@ object TextOps {
        |        j -> list_min(list_slice(hs, j, j + ${WinnowW - 1}))))) AS fps
        |  FROM h)""".stripMargin
 
+  /** minimum bigram support for text_collocations_pmi. */
+  val CollocMinSupport = 5
+
+  /** bucket count for the text_hash_features hashing trick. */
+  val HashFeatureBuckets = 64
+
   val queries: Map[String, QFn] = Map(
+
+    // collocation extraction: top-30 adjacent-token bigrams by
+    // pointwise mutual information — the multiword-expression detector
+    // ("new york"-type units) every tokenizer-vocabulary build runs.
+    // PMI = ln(p(ab)/(p(a)p(b))) over corpus-wide counts; a support
+    // floor drops the hapax pairs whose PMI is pure noise. Shape: the
+    // bigram and unigram counts are two hash aggs (shuffle ∝ distinct
+    // grams, never corpus size); the two token totals ride a bounded
+    // per-doc aggregate (no second explode); the unigram join runs on
+    // the SUPPORT-FILTERED bigram table (≤ distinct surviving pairs);
+    // totals broadcast back as scalars. The pmi double evaluates
+    // left-associated identically in both engines and ranks ROUNDED
+    // (house rule). Tokens never contain spaces (the split
+    // convention), so (w1, w2) is loss-free.
+    "text_collocations_pmi" -> ((s, d) => {
+      val toks = Tables.documents(s, d).select(split(col("text"), " ").as("ts"))
+      val uni = toks.select(explode(col("ts")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val tot = toks.agg(
+        sum(size(col("ts")).cast("long")).as("n1"),
+        sum(greatest(size(col("ts")) - 1, lit(0)).cast("long")).as("n2"))
+      val bg = toks.select(explode(expr(
+        """IF(size(ts) < 2, array(),
+          |  zip_with(slice(ts, 1, size(ts) - 1), slice(ts, 2, size(ts) - 1),
+          |    (a, b) -> struct(a AS w1, b AS w2)))""".stripMargin)).as("p"))
+        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(count(lit(1)).as("co"))
+        .filter(col("co") >= CollocMinSupport)
+      val dbl = org.apache.spark.sql.types.DoubleType
+      bg.join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"), col("co"),
+          r4(log(col("co").cast(dbl) * col("n1") * col("n1") /
+            (col("n2").cast(dbl) * col("c1") * col("c2")))).as("pmi"))
+        .orderBy(desc("pmi"), col("w1"), col("w2"))
+        .limit(30)
+    }),
+
+    // the hashing trick, audited: every token maps to one of 64
+    // feature buckets on the md5 basis (the fixed-dimensional text
+    // featurization that needs NO vocabulary — the classic scale
+    // move when the term universe won't fit a dictionary), and the
+    // query reports per-bucket occupancy: token occurrences, distinct
+    // terms folded in (the collision count feature hashing trades
+    // away), and occurrence share. One explode + one bounded hash agg
+    // (64 groups); distinct-term state ∝ vocabulary, the same cost an
+    // exact vocabulary build pays.
+    "text_hash_features" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .select((expr(graft.functions.Md5Hash.sparkHash60("term"))
+          % HashFeatureBuckets).cast("int").as("bucket"), col("term"))
+      val per = tok.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_tokens"), countDistinct(col("term")).as("n_terms"))
+      per.crossJoin(broadcast(per.agg(sum(col("n_tokens")).as("tt"))))
+        .select(col("bucket"), col("n_tokens"), col("n_terms"),
+          r4(col("n_tokens").cast("double") / col("tt")).as("token_share"))
+        .orderBy(col("bucket"))
+    }),
+
     "text_tokenize_counts" -> ((s, d) => {
       Tables.documents(s, d)
         .select(explode(split(col("text"), " ")).as("term"))
@@ -740,6 +807,42 @@ object TextOps {
   val MixTarget = 200
 
   val oracle: Map[String, String] = Map(
+    "text_collocations_pmi" ->
+      s"""WITH t AS (SELECT string_split(text, ' ') AS ts FROM documents),
+         |uni AS (
+         |  SELECT w, count(*) AS c FROM (SELECT unnest(ts) AS w FROM t) u
+         |  GROUP BY w),
+         |tot AS (
+         |  SELECT CAST(SUM(len(ts)) AS BIGINT) AS n1,
+         |         CAST(SUM(greatest(len(ts) - 1, 0)) AS BIGINT) AS n2
+         |  FROM t),
+         |bg AS (
+         |  SELECT b[1] AS w1, b[2] AS w2, count(*) AS co FROM (
+         |    SELECT unnest(CASE WHEN len(ts) < 2 THEN []::VARCHAR[][] ELSE
+         |      list_transform(range(1, len(ts)), i -> [ts[i], ts[i+1]]) END) AS b
+         |    FROM t) x
+         |  GROUP BY 1, 2 HAVING count(*) >= $CollocMinSupport)
+         |SELECT w1, w2, co,
+         |  round(ln(CAST(co AS DOUBLE) * n1 * n1
+         |    / (CAST(n2 AS DOUBLE) * u1.c * u2.c)), 4) AS pmi
+         |FROM bg JOIN uni u1 ON u1.w = bg.w1 JOIN uni u2 ON u2.w = bg.w2
+         |CROSS JOIN tot
+         |ORDER BY pmi DESC, w1, w2 LIMIT 30""".stripMargin,
+
+    "text_hash_features" ->
+      s"""WITH tok AS (
+         |  SELECT ${graft.functions.Md5Hash.duckHash60("term")} % $HashFeatureBuckets AS bucket,
+         |    term
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents) u),
+         |per AS (
+         |  SELECT CAST(bucket AS INT) AS bucket, count(*) AS n_tokens,
+         |    count(DISTINCT term) AS n_terms
+         |  FROM tok GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt FROM per)
+         |SELECT bucket, n_tokens, n_terms,
+         |  round(CAST(n_tokens AS DOUBLE) / tt, 4) AS token_share
+         |FROM per CROSS JOIN tot ORDER BY bucket""".stripMargin,
+
     "pipeline_quality_funnel" ->
       s"""WITH tc AS (
          |  SELECT doc_id, SUM(c) AS ntok, MAX(c) AS topc FROM (

@@ -127,6 +127,38 @@ class Round4dSpec extends SparkTestBase {
       s"implausible imbalance: $res")
   }
 
+  test("text_collocations_pmi: hand-checked PMI with the support floor applied") {
+    val dir = tempDir()
+    import spark.implicits._
+    // "a b" × 5 → co(a,b)=5 survives, co(b,a)=4 drops at support 5
+    writeFixture(dir, "documents", Seq(
+      (1L, "a b a b a b a b a b", "en", "s0", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = operators.TextOps.queries("text_collocations_pmi")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // c(a)=c(b)=5, n1=10, n2=9 → pmi = ln(5·10·10/(9·5·5))
+    val pmi = BigDecimal(math.log(5.0 * 10 * 10 / (9.0 * 5 * 5)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(("a", "b", 5L, pmi)), s"got $got")
+  }
+
+  test("text_hash_features: buckets and counts equal a driver-side recompute") {
+    val dir = tempDir()
+    import spark.implicits._
+    writeFixture(dir, "documents", Seq(
+      (1L, "x y z x", "en", "s0", 7L), (2L, "y q", "de", "s1", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = operators.TextOps.queries("text_hash_features")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val toks = Seq("x", "y", "z", "x", "y", "q")
+    val exp = toks.groupBy(t => (functions.Md5Hash.hash60(t)
+        % operators.TextOps.HashFeatureBuckets).toInt)
+      .map { case (b, ts) => (b, ts.size.toLong, ts.distinct.size.toLong) }
+      .toSeq.sortBy(_._1)
+    assert(got == exp, s"got $got exp $exp")
+  }
+
   test("pipeline_shard_balance: assignment matches the md5 basis per doc") {
     val dir = tempDir()
     import spark.implicits._
