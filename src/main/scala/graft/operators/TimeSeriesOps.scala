@@ -25,7 +25,50 @@ object TimeSeriesOps {
     * within-bucket windows cluster-width parallelism */
   val PrefixMaxBuckets = 128
 
+  /** forecast horizon (hours) for ts_holt_linear. */
+  val HoltForecastH = 24
+
   val queries: Map[String, QFn] = Map(
+
+    // Holt double-exponential smoothing per series — level + trend
+    // with DYADIC gains (α=1/2, β=1/4) in EXACT integer arithmetic:
+    // hourly sums become 1e-4-unit BIGINTs (the ts_ewma basis), the
+    // recurrence l_t = (y_t + l_{t-1} + b_{t-1})/2,
+    // b_t = (l_t − l_{t-1} + 3·b_{t-1})/4 runs with mathematical-mod
+    // floor division (subtract pmod, then divide — the dividend is
+    // made exactly divisible, so trunc-vs-floor conventions cannot
+    // diverge between engines), and ONE final double division renders
+    // the outputs. Shape: the raw stream feeds a hash agg; the fold
+    // runs per series over the BOUNDED hourly array (a sequential
+    // recurrence is inherently per-key — the array fold is the
+    // distributed-safe shape, state ∝ series keys × hours). The
+    // oracle replays the identical recurrence as a DuckDB recursive
+    // CTE — the fifth hash-oracled iterative computation, on a
+    // COUPLED two-state recurrence.
+    "ts_holt_linear" -> ((s, d) => {
+      val a0 = "y + st.l + st.b"
+      val lnew = s"(($a0) - pmod($a0, 2)) div 2"
+      val bArg = s"(($lnew) - st.l + 3 * st.b)"
+      val bnew = s"(($bArg) - pmod($bArg, 4)) div 4"
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg((sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          * 10000).cast("long").as("y"))
+      hourly.groupBy(col("event_type"))
+        .agg(array_sort(collect_list(struct(col("hour"), col("y")))).as("hy"))
+        .filter(size(col("hy")) >= 2)
+        .withColumn("ys", expr("transform(hy, p -> p.y)"))
+        .withColumn("st", expr(
+          s"""aggregate(slice(ys, 2, size(ys) - 1),
+             |  named_struct('l', ys[0], 'b', ys[1] - ys[0]),
+             |  (st, y) -> named_struct('l', $lnew, 'b', $bnew))""".stripMargin))
+        .select(col("event_type"), size(col("ys")).cast("long").as("n_hours"),
+          r4(col("st.l").cast("double") / 10000.0).as("level"),
+          r4(col("st.b").cast("double") / 10000.0).as("trend"),
+          r4((col("st.l") + col("st.b") * HoltForecastH).cast("double") / 10000.0)
+            .as("forecast_24h"))
+        .orderBy(col("event_type"))
+    }),
     "ts_tumbling_window" -> ((s, d) => {
       Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -457,6 +500,41 @@ object TimeSeriesOps {
     }))
 
   val oracle: Map[String, String] = Map(
+    "ts_holt_linear" -> {
+      def mmod(e: String, k: Int) = s"((($e) % $k) + $k) % $k"
+      val a0 = "y.y + r.l + r.b"
+      val lnew = s"(($a0) - ${mmod(a0, 2)}) // 2"
+      val bArg = "lnew - lprev + 3 * bprev"
+      val bnew = s"(($bArg) - ${mmod(bArg, 4)}) // 4"
+      s"""WITH RECURSIVE hourly AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS hour,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS y
+         |  FROM events GROUP BY 1, 2),
+         |idx AS (
+         |  SELECT event_type, y, row_number() OVER (
+         |    PARTITION BY event_type ORDER BY hour) AS i
+         |  FROM hourly),
+         |n AS (SELECT event_type, max(i) AS h FROM idx GROUP BY 1),
+         |rec AS (
+         |  SELECT a.event_type, CAST(1 AS BIGINT) AS i, a.y AS l, b.y - a.y AS b
+         |  FROM idx a JOIN idx b
+         |    ON a.event_type = b.event_type AND a.i = 1 AND b.i = 2
+         |  UNION ALL
+         |  SELECT event_type, i, lnew AS l, $bnew AS b
+         |  FROM (
+         |    SELECT r.event_type, r.i + 1 AS i, r.l AS lprev, r.b AS bprev,
+         |      $lnew AS lnew
+         |    FROM rec r JOIN idx y
+         |      ON y.event_type = r.event_type AND y.i = r.i + 1) s)
+         |SELECT r.event_type, CAST(n.h AS BIGINT) AS n_hours,
+         |  round(CAST(r.l AS DOUBLE) / 10000.0, 4) AS level,
+         |  round(CAST(r.b AS DOUBLE) / 10000.0, 4) AS trend,
+         |  round(CAST(r.l + $HoltForecastH * r.b AS DOUBLE) / 10000.0, 4)
+         |    AS forecast_24h
+         |FROM rec r JOIN n ON r.event_type = n.event_type AND r.i = n.h
+         |WHERE n.h >= 2
+         |ORDER BY r.event_type""".stripMargin
+    },
     "ts_tumbling_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
         |  count(*) AS n,

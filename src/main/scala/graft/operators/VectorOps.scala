@@ -31,6 +31,47 @@ object VectorOps {
   private def cosine(a: String, b: String) = expr(s"cosine_sim($a, $b)")
 
   val queries: Map[String, QFn] = Map(
+
+    // centroid drift per label between the even- and odd-id halves of
+    // the corpus — the embedding-store health check ("did the last
+    // ingest move the class centroids?"; here the halves are a
+    // deterministic A/B split of the same corpus, so drift ≈ 1 is the
+    // healthy reading). EXACT sufficient statistics: components
+    // quantize through the engine-identical 1e-8 decimal cast, the
+    // per-(label, dim) half-sums are BIGINT, and cosine runs between
+    // the SUM vectors (scale-invariance makes mean vectors
+    // unnecessary — no division before the final formula); dot and
+    // norms accumulate as DECIMAL(38,0)/HUGEINT. Shape: pipeline-side
+    // explode feeds ONE (label, dim) hash agg — partial aggregation
+    // collapses to labels×64 rows per partition before the only
+    // shuffle; counts ride a second bounded agg.
+    "vec_centroid_drift" -> ((s, d) => {
+      val dec = DecimalType(38, 0)
+      val q = Tables.embeddings(s, d)
+        .selectExpr("label", "(vec_id % 2) = 0 AS ev",
+          "posexplode(embedding) AS (dimn, x)")
+        .select(col("label"), col("ev"), col("dimn"),
+          expr("CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(20,8)) * 100000000 AS BIGINT)")
+            .as("qx"))
+      val sums = q.groupBy(col("label"), col("dimn"))
+        .agg(coalesce(sum(when(col("ev"), col("qx"))), lit(0L)).as("se"),
+          coalesce(sum(when(!col("ev"), col("qx"))), lit(0L)).as("so"))
+      val g = sums.groupBy(col("label"))
+        .agg(sum(col("se").cast(dec) * col("so").cast(dec)).as("dot"),
+          sum(col("se").cast(dec) * col("se").cast(dec)).as("n2e"),
+          sum(col("so").cast(dec) * col("so").cast(dec)).as("n2o"))
+      val cnt = Tables.embeddings(s, d).groupBy(col("label"))
+        .agg(count_if(col("vec_id") % 2 === 0).as("n_even"),
+          count_if(col("vec_id") % 2 =!= 0).as("n_odd"))
+      g.join(cnt, Seq("label"))
+        .filter(col("n_even") > 0 && col("n_odd") > 0)
+        .select(col("label"), col("n_even"), col("n_odd"),
+          r4(col("dot").cast(DoubleType) /
+            (sqrt(col("n2e").cast(DoubleType)) * sqrt(col("n2o").cast(DoubleType))))
+            .as("cos_drift"))
+        .orderBy(col("label"))
+    }),
+
     "vec_norm_stats" -> ((s, d) => {
       Tables.embeddings(s, d)
         .select(col("label"), expr(
@@ -724,6 +765,38 @@ object VectorOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "vec_centroid_drift" ->
+      """WITH u AS (
+        |  SELECT label, vec_id % 2 = 0 AS ev,
+        |    generate_subscripts(embedding, 1) AS dimn,
+        |    unnest(embedding) AS x
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT label, ev, dimn,
+        |    CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(20,8)) * 100000000 AS BIGINT)
+        |      AS qx
+        |  FROM u),
+        |sums AS (
+        |  SELECT label, dimn,
+        |    CAST(coalesce(SUM(qx) FILTER (ev), 0) AS HUGEINT) AS se,
+        |    CAST(coalesce(SUM(qx) FILTER (NOT ev), 0) AS HUGEINT) AS so
+        |  FROM q GROUP BY 1, 2),
+        |g AS (
+        |  SELECT label, SUM(se * so) AS dot, SUM(se * se) AS n2e,
+        |    SUM(so * so) AS n2o
+        |  FROM sums GROUP BY 1),
+        |cnt AS (
+        |  SELECT label, count(*) FILTER (vec_id % 2 = 0) AS n_even,
+        |    count(*) FILTER (vec_id % 2 <> 0) AS n_odd
+        |  FROM embeddings GROUP BY 1)
+        |SELECT label, n_even, n_odd,
+        |  round(CAST(dot AS DOUBLE)
+        |    / (sqrt(CAST(n2e AS DOUBLE)) * sqrt(CAST(n2o AS DOUBLE))), 4)
+        |    AS cos_drift
+        |FROM g JOIN cnt USING (label)
+        |WHERE n_even > 0 AND n_odd > 0
+        |ORDER BY label""".stripMargin,
+
     "vec_gram_matrix" ->
       s"""WITH $gramSql
          |SELECT i, j,

@@ -159,6 +159,60 @@ class Round4dSpec extends SparkTestBase {
     assert(got == exp, s"got $got exp $exp")
   }
 
+  test("ts_holt_linear: hand-simulated integer recurrence on a 3-hour series") {
+    val dir = tempDir()
+    import spark.implicits._
+    def ev(id: Long, hour: Int, v: Double) =
+      (id, (1577836800L + hour * 3600L) * 1000000000L, 1L, "view", v, "{}")
+    // events.ts micros; hourly sums 10.0, 20.0, 12.0
+    writeFixture(dir, "events", Seq(
+      ev(1, 0, 4.0), ev(2, 0, 6.0), ev(3, 1, 20.0), ev(4, 2, 12.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = operators.TimeSeriesOps.queries("ts_holt_linear")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    // y = (100000, 200000, 120000); init l=100000, b=100000;
+    // t=2 (y=200000): l=400000/2=200000, b=(100000+300000)/4=100000
+    // t=3 (y=120000): l=420000/2=210000, b=(10000+300000)/4=77500
+    assert(got == Seq(("view", 3L, 21.0, 7.75, 21.0 + 24 * 7.75)), s"got $got")
+  }
+
+  test("ts_holt_linear: fold equals a driver-side floorMod replay at sf0.001") {
+    val got = operators.TimeSeriesOps.queries("ts_holt_linear")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    val hourly = Tables.events(spark, sf001)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg((sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+        * 10000).cast("long").as("y"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    def fd(a: Long, k: Long) = (a - java.lang.Math.floorMod(a, k)) / k
+    val exp = hourly.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toList)
+      .toSeq.filter(_._2.size >= 2).map { case (t, ys) =>
+        var l = ys(0); var b = ys(1) - ys(0)
+        ys.drop(1).foreach { y =>
+          val ln = fd(y + l + b, 2); b = fd(ln - l + 3 * b, 4); l = ln
+        }
+        def r4d(x: Double) = BigDecimal(x)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (t, ys.size.toLong, r4d(l / 10000.0), r4d(b / 10000.0))
+      }.sortBy(_._1)
+    assert(got == exp, s"got $got\nexp $exp")
+  }
+
+  test("vec_centroid_drift: orthogonal and identical planted halves") {
+    val dir = tempDir()
+    import spark.implicits._
+    writeFixture(dir, "embeddings", Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(0.0f, 1.0f), 0),
+      (2L, Seq(0.5f, 0.5f), 1), (3L, Seq(0.5f, 0.5f), 1))
+      .toDF("vec_id", "embedding", "label"))
+    val got = operators.VectorOps.queries("vec_centroid_drift")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq((0, 1L, 1L, 0.0), (1, 1L, 1L, 1.0)), s"got $got")
+  }
+
   test("pipeline_shard_balance: assignment matches the md5 basis per doc") {
     val dir = tempDir()
     import spark.implicits._
