@@ -474,6 +474,84 @@ object MiningOps {
     // the cutoff multiplier 4.4478 parses from the same decimal
     // literal in both engines, so the > compare sees identical
     // doubles.
+    // RFM customer segmentation — recency / frequency / monetary
+    // quintile scores, the classic marketing-mining op, WITHOUT a
+    // global sort: each dimension's quintile edges derive from a
+    // bounded value histogram (the pipeline_range_bucket discipline —
+    // recency in whole days, frequency in order counts, monetary in
+    // $1000 bins), cumulative-window over the ≤few-hundred-row
+    // aggregate, edges collect into ONE broadcast array, and every
+    // customer scores with a per-row array scan. Ties sit in the
+    // lower quintile (strict >). All binning is integer-exact
+    // (days / counts / cents via DECIMAL(18,4)); output is the
+    // bounded ≤5³ segment grid with decimal-exact average monetary.
+    "mine_rfm_segments" -> ((s, d) => {
+      val dec = DecimalType(18, 4)
+      val o = Tables.orders(s, d)
+      val ref = o.agg(max(to_date(col("o_orderdate"))).as("ref"))
+      val rfm = o.groupBy(col("o_custkey"))
+        .agg(max(to_date(col("o_orderdate"))).as("last_d"),
+          count(lit(1)).as("freq"),
+          sum(col("o_totalprice").cast(dec)).as("mond"))
+        .crossJoin(broadcast(ref))
+        .select(col("o_custkey"),
+          datediff(col("ref"), col("last_d")).cast("long").as("rec"),
+          col("freq"),
+          (col("mond") * 100).cast("long").as("mon_cents"))
+      // quintile edges of an integer measure from its bounded histogram:
+      // d=1..4, edge_d = min bin with cum·5 ≥ d·n; score = 1 + #edges
+      // strictly below the value (same bin → lower quintile)
+      def edges(vals: org.apache.spark.sql.DataFrame, binExpr: org.apache.spark.sql.Column,
+          name: String) = {
+        val hist = vals.groupBy(binExpr.as("bin")).agg(count(lit(1)).as("c"))
+        val win = Window.orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        hist.withColumn("cum", sum(col("c")).over(win))
+          .crossJoin(broadcast(hist.agg(sum(col("c")).as("n"))))
+          .select(col("bin"), col("cum"), col("n"),
+            explode(expr("sequence(1, 4)")).as("dq"))
+          .filter(col("cum") * 5 >= col("dq") * col("n"))
+          .groupBy(col("dq")).agg(min(col("bin")).as("b"))
+          .agg(sort_array(collect_list(col("b"))).as(name))
+      }
+      val re = edges(rfm, col("rec"), "rede")
+      val fe = edges(rfm, col("freq"), "frede")
+      val me = edges(rfm, (col("mon_cents") - pmod(col("mon_cents"), lit(100000L)))
+        .divide(lit(100000L)).cast("long"), "monde")
+      rfm.crossJoin(broadcast(re)).crossJoin(broadcast(fe))
+        .crossJoin(broadcast(me))
+        .select(col("o_custkey"), col("mon_cents"),
+          // recency scores INVERT (most recent = smallest days = best = 5)
+          (lit(5) - size(expr("filter(rede, e -> rec > e)"))).as("r_score"),
+          (lit(1) + size(expr("filter(frede, e -> freq > e)"))).as("f_score"),
+          (lit(1) + size(expr(
+            "filter(monde, e -> ((mon_cents - pmod(mon_cents, 100000)) div 100000) > e)")))
+            .as("m_score"))
+        .groupBy(col("r_score"), col("f_score"), col("m_score"))
+        .agg(count(lit(1)).as("n_customers"),
+          r4((sum(col("mon_cents")).cast(DoubleType) / 100.0) / count(lit(1)))
+            .as("avg_monetary"))
+        .orderBy(col("r_score"), col("f_score"), col("m_score"))
+    }),
+
+    // duplicate-rate audit per source — the ingest-quality scoreboard
+    // ("which crawl is feeding me copies?"): a doc is a duplicate when
+    // its exact text fingerprint (md5) appeared on a lower doc_id
+    // (first-wins, the dedup_exact convention). The window partitions
+    // by the fingerprint — high-cardinality, no single-partition
+    // hazard — and the per-source rollup is a bounded hash agg.
+    "diag_dup_rate_by_source" -> ((s, d) => {
+      val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), md5(col("text")).as("h"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), count_if(col("rn") > 1).as("n_dups"))
+        .select(col("source"), col("n_docs"), col("n_dups"),
+          r4(col("n_dups").cast(DoubleType) / col("n_docs")).as("dup_rate"))
+        .orderBy(col("source"))
+    }),
+
     // item-item collaborative filtering: top-5 nearest brands per
     // brand by co-purchase cosine — sim(a,b) = co(a,b)/√(n_a·n_b),
     // the workhorse of "customers who bought X also bought Y". Same
@@ -597,6 +675,56 @@ object MiningOps {
     }))
 
   val oracle: Map[String, String] = Map(
+    "mine_rfm_segments" -> {
+      // one histogram→cumulative→edges block per RFM dimension
+      def edgeCtes(tag: String, bin: String) =
+        s"""h$tag AS (SELECT $bin AS bin, count(*) AS c FROM rfm GROUP BY 1),
+           |c$tag AS (SELECT bin, sum(c) OVER (ORDER BY bin) AS cum FROM h$tag),
+           |e$tag AS (
+           |  SELECT list_sort(list(b)) AS edges FROM (
+           |    SELECT d, min(bin) AS b
+           |    FROM c$tag CROSS JOIN nn
+           |         CROSS JOIN (SELECT range AS d FROM range(1, 5)) ds
+           |    WHERE cum * 5 >= d * n GROUP BY d) q)""".stripMargin
+      val monBin = "(mon_cents - ((mon_cents % 100000) + 100000) % 100000) // 100000"
+      s"""WITH o AS (
+         |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS dt, o_totalprice
+         |  FROM orders),
+         |ref AS (SELECT max(dt) AS ref FROM o),
+         |rfm AS (
+         |  SELECT o_custkey,
+         |    CAST(date_diff('day', max(dt), ref) AS BIGINT) AS rec,
+         |    count(*) AS freq,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) * 100 AS BIGINT)
+         |      AS mon_cents
+         |  FROM o CROSS JOIN ref GROUP BY o_custkey, ref),
+         |nn AS (SELECT count(*) AS n FROM rfm),
+         |${edgeCtes("r", "rec")},
+         |${edgeCtes("f", "freq")},
+         |${edgeCtes("m", monBin)},
+         |sc AS (
+         |  SELECT o_custkey, mon_cents,
+         |    CAST(5 - len(list_filter(er.edges, e -> rec > e)) AS INT) AS r_score,
+         |    CAST(1 + len(list_filter(ef.edges, e -> freq > e)) AS INT) AS f_score,
+         |    CAST(1 + len(list_filter(em.edges, e -> $monBin > e)) AS INT) AS m_score
+         |  FROM rfm CROSS JOIN er er CROSS JOIN ef ef CROSS JOIN em em)
+         |SELECT r_score, f_score, m_score, count(*) AS n_customers,
+         |  round(CAST(SUM(mon_cents) AS DOUBLE) / 100.0 / count(*), 4)
+         |    AS avg_monetary
+         |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+    },
+
+    "diag_dup_rate_by_source" ->
+      """WITH f AS (
+        |  SELECT source, doc_id, row_number() OVER (
+        |    PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  count(*) FILTER (rn > 1) AS n_dups,
+        |  round(CAST(count(*) FILTER (rn > 1) AS DOUBLE) / count(*), 4)
+        |    AS dup_rate
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+
     "mine_item_cf_topk" ->
       s"""WITH ob AS (
          |  SELECT DISTINCT l_orderkey AS ok, p_brand AS b

@@ -213,6 +213,47 @@ class Round4dSpec extends SparkTestBase {
     assert(got == Seq((0, 1L, 1L, 0.0), (1, 1L, 1L, 1.0)), s"got $got")
   }
 
+  test("mine_rfm_segments: five single-order customers land on the diagonal") {
+    val dir = tempDir()
+    import spark.implicits._
+    // customer k: order on Jan k, $1000·k → r_score=k (fresher=higher),
+    // f_score=1 (all freq 1), m_score=k
+    writeFixture(dir, "orders", (1 to 5).map { k =>
+      (k.toLong, k.toLong, "O", 1000.0 * k,
+        java.sql.Timestamp.valueOf(s"2020-01-0$k 00:00:00"), "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority"))
+    val got = operators.MiningOps.queries("mine_rfm_segments")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    val exp = (1 to 5).map(k => (k, 1, k, 1L, 1000.0 * k))
+    assert(got == exp, s"got $got")
+  }
+
+  test("mine_rfm_segments: segment counts partition the customer base") {
+    val rows = operators.MiningOps.queries("mine_rfm_segments")(spark, sf001)
+      .collect()
+    val nCust = Tables.orders(spark, sf001)
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.map(_.getLong(3)).sum == nCust)
+    assert(rows.forall { r =>
+      Seq(r.getInt(0), r.getInt(1), r.getInt(2)).forall(s => s >= 1 && s <= 5) })
+  }
+
+  test("diag_dup_rate_by_source: first-wins is global, dups charge the copier") {
+    val dir = tempDir()
+    import spark.implicits._
+    writeFixture(dir, "documents", Seq(
+      (1L, "x", "en", "s0", 1L), (2L, "x", "en", "s0", 1L),
+      (3L, "x", "en", "s1", 1L), (4L, "y", "en", "s1", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = operators.MiningOps.queries("diag_dup_rate_by_source")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // doc 1 is the global first of "x": docs 2 (s0) and 3 (s1) are dups
+    assert(got == Seq(("s0", 2L, 1L, 0.5), ("s1", 2L, 1L, 0.5)), s"got $got")
+  }
+
   test("pipeline_shard_balance: assignment matches the md5 basis per doc") {
     val dir = tempDir()
     import spark.implicits._
