@@ -332,6 +332,46 @@ object StreamPort {
       }
   }
 
+  /** streaming mirror of the batch `ts_holt_linear`: per-series Holt
+    * level/trend maintained by mapGroupsWithState over CLOSED hourly
+    * bars (y in the batch op's 1e-4 units; the upstream tumbling
+    * aggregation closes bars — this stage assumes bars arrive whole,
+    * and sorts within the micro-batch so a batch carrying several
+    * bars folds them in hour order). State per key is the batch
+    * fold's accumulator verbatim — (l, b, n, first y) — with the
+    * identical floorMod integer recurrence, so after any prefix of
+    * bars the emitted state EQUALS the batch fold over that prefix
+    * (pinned in StreamPortSpec). */
+  case class HourBar(event_type: String, hour_idx: Long, y: Long)
+  case class HoltState(event_type: String, n_hours: Long, l: Long, b: Long)
+
+  def holtSmooth(bars: Dataset[HourBar]): Dataset[HoltState] = {
+    import bars.sparkSession.implicits._
+    def fd(a: Long, k: Long) = (a - java.lang.Math.floorMod(a, k)) / k
+    bars
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[HoltState, HoltState](GroupStateTimeout.NoTimeout) {
+        (tpe: String, rows: Iterator[HourBar], state: GroupState[HoltState]) =>
+          var st = state.getOption.getOrElse(HoltState(tpe, 0L, 0L, 0L))
+          for (bar <- rows.toArray.sortBy(_.hour_idx)) {
+            st = st.n_hours match {
+              // first bar: level only; second: init b = y2 - y1 and
+              // apply the t=2 update (the batch convention)
+              case 0 => HoltState(tpe, 1L, bar.y, 0L)
+              case 1 =>
+                val b0 = bar.y - st.l
+                val ln = fd(bar.y + st.l + b0, 2)
+                HoltState(tpe, 2L, ln, fd(ln - st.l + 3 * b0, 4))
+              case n =>
+                val ln = fd(bar.y + st.l + st.b, 2)
+                HoltState(tpe, n + 1, ln, fd(ln - st.l + 3 * st.b, 4))
+            }
+          }
+          state.update(st)
+          st
+      }
+  }
+
   def runningUserStats(events: Dataset[UserEvent]): Dataset[UserAgg] = {
     import events.sparkSession.implicits._
     events

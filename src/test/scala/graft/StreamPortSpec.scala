@@ -444,4 +444,31 @@ class StreamPortSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(streamedCounts == batch, s"stream $streamedCounts vs batch $batch")
   }
+
+  test("holtSmooth: streamed state equals the ts_holt_linear fold per prefix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamPort.HourBar]
+    val q = StreamPort.holtSmooth(mem.toDS())
+      .writeStream.format("memory").queryName("holt")
+      .outputMode("update").start()
+    // the Round4dSpec hand series: y = 100000, 200000, 120000 —
+    // bars 1+2 in one micro-batch (sorted fold), bar 3 in the next
+    mem.addData(StreamPort.HourBar("view", 1, 200000L),
+      StreamPort.HourBar("view", 0, 100000L))
+    q.processAllAvailable()
+    val mid = spark.table("holt")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(mid == Seq(("view", 2L, 200000L, 100000L)), s"got $mid")
+    mem.addData(StreamPort.HourBar("view", 2, 120000L))
+    q.processAllAvailable()
+    val fin = spark.table("holt")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    q.stop()
+    // final state = the batch hand fold: l = 210000 (21.0), b = 77500
+    // (7.75) — the Round4dSpec fixture values in 1e-4 units
+    assert(fin.contains(("view", 3L, 210000L, 77500L)), s"got $fin")
+  }
 }
