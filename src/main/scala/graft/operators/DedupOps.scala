@@ -406,6 +406,33 @@ object DedupOps {
     // dedup_exact); DedupTextSpec plants a leaked doc to pin the
     // semantics. At scale: one hash join on the fingerprint — shuffle
     // carries (md5, doc_id) pairs only.
+    // incremental-ingest dedup: classify the DELTA batch (doc_id ≡ 4
+    // mod 5, a deterministic ~20% increment) against the base corpus —
+    // each delta doc is a base dup (its exact fingerprint exists in
+    // the base), a within-delta dup (fingerprint first seen at a lower
+    // delta doc_id), or new. THE weekly-refresh shape: at 100 TB the
+    // base contributes only its DISTINCT fingerprint set (a semi-join
+    // build, ∝ distinct base texts, not base rows), the within-delta
+    // pass windows on the fingerprint (high-cardinality key), and
+    // base-dup takes precedence over within-delta (declared order).
+    "pipeline_incremental_dedup" -> ((s, d) => {
+      val dd = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("h"),
+          (pmod(col("doc_id"), lit(5L)) === 4L).as("is_delta"))
+      val baseH = dd.filter(!col("is_delta")).select(col("h")).distinct()
+        .withColumn("in_base", lit(true))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("h")).orderBy(col("doc_id"))
+      dd.filter(col("is_delta"))
+        .join(baseH, Seq("h"), "left")
+        .withColumn("rn", row_number().over(w))
+        .select(when(col("in_base"), "dup_of_base")
+          .when(col("rn") > 1, "dup_within_delta")
+          .otherwise("new").as("status"))
+        .groupBy(col("status")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("status"))
+    }),
+
     "pipeline_contamination_check" -> ((s, d) => {
       val sp = TextOps.splitAssign(s, d)
         .select(col("doc_id"), col("split"), md5(col("text")).as("h"))
@@ -675,6 +702,22 @@ object DedupOps {
          |WHERE c.doc_id = c.canonical_id AND r.rep_ratio <= 0.5
          |  AND r.n_trigrams >= 5
          |ORDER BY c.doc_id""".stripMargin,
+
+    "pipeline_incremental_dedup" ->
+      """WITH dd AS (
+        |  SELECT doc_id, md5(text) AS h, doc_id % 5 = 4 AS is_delta
+        |  FROM documents),
+        |bh AS (SELECT DISTINCT h FROM dd WHERE NOT is_delta),
+        |de AS (
+        |  SELECT d.doc_id, d.h, bh.h IS NOT NULL AS in_base,
+        |    row_number() OVER (PARTITION BY d.h ORDER BY d.doc_id) AS rn
+        |  FROM dd d LEFT JOIN bh ON d.h = bh.h
+        |  WHERE d.is_delta)
+        |SELECT CASE WHEN in_base THEN 'dup_of_base'
+        |            WHEN rn > 1 THEN 'dup_within_delta'
+        |            ELSE 'new' END AS status,
+        |  count(*) AS n_docs
+        |FROM de GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "pipeline_contamination_check" ->
       s"""WITH sp AS (

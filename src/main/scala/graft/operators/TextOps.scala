@@ -112,6 +112,9 @@ object TextOps {
   /** minimum bigram support for text_collocations_pmi. */
   val CollocMinSupport = 5
 
+  /** per-stratum sample size for sample_bottomk_per_group. */
+  val BottomKSample = 5
+
   /** bucket count for the text_hash_features hashing trick. */
   val HashFeatureBuckets = 64
 
@@ -329,6 +332,32 @@ object TextOps {
     // as the split assignment, over 1000 buckets. No rand() — the
     // sample is reproducible across runs, partitionings, and engines,
     // and embarrassingly parallel (a per-row filter at the scan).
+    // mergeable bottom-k uniform sample per stratum: the k doc_ids
+    // with the smallest md5-basis hashes per language — the
+    // constant-state reservoir-sampling replacement
+    // (functions.BottomKAgg: ≤2k longs of partial-agg state per
+    // group, union-of-samples = sample-of-union, so the shuffle never
+    // carries more than the sample regardless of corpus size).
+    // Deterministic by the hash basis → recomputable in DuckDB as a
+    // row_number-over-hash — a hash-ORACLED sketch, like the MinHash
+    // and HLL families.
+    "sample_bottomk_per_group" -> ((s, d) => {
+      val bk = udaf(new graft.functions.BottomKAgg(BottomKSample))
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          expr(graft.functions.Md5Hash.sparkHash60(
+            "concat('b|', cast(doc_id as string))")).as("h"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          bk(col("h"), col("doc_id")).as("ids"))
+        // rendered as a CSV string: the driver's hash-compare cannot
+        // hash array cells (same convention as the other list outputs)
+        .select(col("lang"), col("n_docs"),
+          concat_ws(",", expr("transform(ids, x -> cast(x as string))"))
+            .as("sample_ids"))
+        .orderBy(col("lang"))
+    }),
+
     "sample_stratified" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
@@ -890,6 +919,24 @@ object TextOps {
          |  md5(regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
          |    '$LongNumRe', '<NUM>', 'g')) AS redacted_fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "sample_bottomk_per_group" ->
+      s"""WITH h AS (
+         |  SELECT lang, doc_id,
+         |    ${graft.functions.Md5Hash.duckHash60(
+               "'b|' || CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents),
+         |r AS (
+         |  SELECT lang, doc_id, row_number() OVER (
+         |    PARTITION BY lang ORDER BY h, doc_id) AS rn
+         |  FROM h),
+         |s AS (
+         |  SELECT lang, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rn)
+         |    AS sample_ids
+         |  FROM r WHERE rn <= $BottomKSample GROUP BY lang),
+         |n AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
+         |SELECT lang, n_docs, sample_ids
+         |FROM n JOIN s USING (lang) ORDER BY lang""".stripMargin,
 
     "sample_stratified" ->
       """SELECT doc_id, lang FROM documents

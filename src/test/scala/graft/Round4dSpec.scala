@@ -254,6 +254,50 @@ class Round4dSpec extends SparkTestBase {
     assert(got == Seq(("s0", 2L, 1L, 0.5), ("s1", 2L, 1L, 0.5)), s"got $got")
   }
 
+  test("BottomKAgg: merge of split samples equals the sample of the union") {
+    val agg = new functions.BottomKAgg(5)
+    val xs = (1L to 40L).map(i => (functions.Md5Hash.hash60(s"k$i"), i))
+    val whole = xs.foldLeft(agg.zero) { (b, x) => agg.reduce(b, x) }
+    val (l, r) = xs.splitAt(13)
+    val merged = agg.merge(
+      l.foldLeft(agg.zero) { (b, x) => agg.reduce(b, x) },
+      r.foldLeft(agg.zero) { (b, x) => agg.reduce(b, x) })
+    assert(whole.toSeq == merged.toSeq)
+    assert(agg.finish(whole).toSeq == xs.sorted.take(5).map(_._2))
+  }
+
+  test("sample_bottomk_per_group: samples equal a driver recompute at sf0.001") {
+    val got = operators.TextOps.queries("sample_bottomk_per_group")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    val docs = Tables.documents(spark, sf001)
+      .select(col("lang"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val exp = docs.groupBy(_._1).map { case (lang, ds) =>
+      val ids = ds.map(_._2)
+        .sortBy(id => (functions.Md5Hash.hash60(s"b|$id"), id))
+        .take(operators.TextOps.BottomKSample)
+      (lang, ds.size.toLong, ids.mkString(","))
+    }.toSeq.sortBy(_._1)
+    assert(got == exp, s"got $got\nexp $exp")
+  }
+
+  test("pipeline_incremental_dedup: planted delta hits all three statuses") {
+    val dir = tempDir()
+    import spark.implicits._
+    // delta = doc_id % 5 == 4: docs 4, 9, 14, 19; base = the rest
+    writeFixture(dir, "documents", Seq(
+      (1L, "base-text", "en", "s0", 9L),   // base fingerprint
+      (4L, "base-text", "en", "s0", 9L),   // delta: dup_of_base
+      (9L, "fresh", "en", "s0", 5L),       // delta: new (first in delta)
+      (14L, "fresh", "en", "s0", 5L),      // delta: dup_within_delta
+      (19L, "alone", "en", "s0", 5L))      // delta: new
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = operators.DedupOps.queries("pipeline_incremental_dedup")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("dup_of_base", 1L), ("dup_within_delta", 1L), ("new", 2L)),
+      s"got $got")
+  }
+
   test("pipeline_shard_balance: assignment matches the md5 basis per doc") {
     val dir = tempDir()
     import spark.implicits._
