@@ -415,4 +415,43 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("*(1)"),
       s"filter/project pipeline must run inside codegen:\n$p")
   }
+
+  // ---- round-4d additions ----
+
+  test("sample_weighted_priority: top-k plans as TakeOrderedAndProject") {
+    val p = plan("sample_weighted_priority")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the k winners must come from a bounded top-k, not a global sort:\n$p")
+  }
+
+  test("mine_item_cf_topk: pair derivation is group-and-explode, not a self-join") {
+    val p = plan("mine_item_cf_topk")
+    assert(!p.contains("CartesianProduct"),
+      s"brand pairs must fan out from per-order sets, never all-pairs:\n$p")
+    assert(p.contains("Generate"),
+      s"expected the pipeline-side pair explode:\n$p")
+  }
+
+  test("mine_rfm_segments: customers score via broadcast edges, no shuffle join") {
+    val p = plan("mine_rfm_segments")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"quintile edges must broadcast — a shuffle join re-exchanges the " +
+        s"customer aggregate per dimension:\n$p")
+  }
+
+  test("graph_walk_sample: every step joins a broadcast frontier") {
+    val p = plan("graph_walk_sample")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the one-row-per-seed frontier must broadcast against the edges:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"steps must equi-join on the current vertex:\n$p")
+  }
+
+  test("pipeline_shard_balance + text_hash_features: map-side combine before the shuffle") {
+    for (q <- Seq("pipeline_shard_balance", "text_hash_features")) {
+      val p = plan(q)
+      val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+      assert(aggs >= 2, s"$q: expected partial+final HashAggregate pair:\n$p")
+    }
+  }
 }
