@@ -262,6 +262,57 @@ object GraphOps {
   private[operators] def edgeCap(s: SparkSession): Long =
     s.conf.get(BroadcastEdgeMaxRowsKey, BroadcastEdgeMaxRows.toString).toLong
 
+  /** the deterministic hash-argmin walk table (seed, step 0..4,
+    * vertex) — shared by graph_walk_sample and graph_walk_skipgrams.
+    * Each step = ONE frontier×edges join (frontier is one row per
+    * seed → broadcast-sized at any graph scale) + per-seed min_by on
+    * the (h, dst) total order. */
+  private def walkSample(s: SparkSession, d: String): DataFrame = {
+    val sym = symEdges(s, d)
+    val seeds = sym.select(col("src").as("v")).distinct()
+      .filter(col("v") <= 10L)
+      .select(col("v").as("seed"), col("v"))
+    var cur = seeds
+    var acc = seeds.select(col("seed"), lit(0).as("step"), col("v").as("vertex"))
+    for (t <- 1 to 4) {
+      val nxt = sym.join(broadcast(cur), col("src") === col("v"))
+        .select(col("seed"), col("dst"),
+          expr(graft.functions.Md5Hash.sparkHash60(
+            s"concat(cast(src as string), '|$t|', cast(dst as string))"))
+            .as("h"))
+        .groupBy(col("seed"))
+        .agg(min_by(col("dst"), struct(col("h"), col("dst"))).as("v"))
+      cur = nxt.select(col("seed"), col("v"))
+      acc = acc.unionByName(
+        cur.select(col("seed"), lit(t).as("step"), col("v").as("vertex")))
+    }
+    acc
+  }
+
+  /** walk-table CTE chain (ends at CTE `w` = (seed, step, v)) — the
+    * oracle-side mirror of [[walkSample]], shared by both walk
+    * oracles. */
+  private def walkCteSql: String = {
+    val steps = (1 to 4).map { t =>
+      val h = graft.functions.Md5Hash.duckHash60(
+        s"CAST(a AS VARCHAR) || '|$t|' || CAST(b AS VARCHAR)")
+      s"""s$t AS (
+         |  SELECT seed, v FROM (
+         |    SELECT s${t - 1}.seed, sym.b AS v, row_number() OVER (
+         |      PARTITION BY s${t - 1}.seed ORDER BY $h, sym.b) AS rn
+         |    FROM sym JOIN s${t - 1} ON sym.a = s${t - 1}.v) q
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 to 4).map(t =>
+      s"SELECT seed, $t AS step, v FROM s$t").mkString("\nUNION ALL ")
+    s"""ed AS ($edgesSql),
+       |sym AS (SELECT src AS a, dst AS b FROM ed
+       |        UNION SELECT dst, src FROM ed),
+       |s0 AS (SELECT DISTINCT a AS seed, a AS v FROM sym WHERE a <= 10),
+       |$steps,
+       |w AS ($union)""".stripMargin
+  }
+
   private val edgesSql =
     """SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000000000 AS dst
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
@@ -631,26 +682,24 @@ object GraphOps {
     // frontier×edges join + a per-seed min_by — frontier is one row
     // per seed, so the join is broadcast-sized at any graph scale and
     // the walk length bounds the loop. Ties (h, then dst) are total.
-    "graph_walk_sample" -> ((s, d) => {
-      val sym = symEdges(s, d)
-      val seeds = sym.select(col("src").as("v")).distinct()
-        .filter(col("v") <= 10L)
-        .select(col("v").as("seed"), col("v"))
-      var cur = seeds
-      var acc = seeds.select(col("seed"), lit(0).as("step"), col("v").as("vertex"))
-      for (t <- 1 to 4) {
-        val nxt = sym.join(broadcast(cur), col("src") === col("v"))
-          .select(col("seed"), col("dst"),
-            expr(graft.functions.Md5Hash.sparkHash60(
-              s"concat(cast(src as string), '|$t|', cast(dst as string))"))
-              .as("h"))
-          .groupBy(col("seed"))
-          .agg(min_by(col("dst"), struct(col("h"), col("dst"))).as("v"))
-        cur = nxt.select(col("seed"), col("v"))
-        acc = acc.unionByName(
-          cur.select(col("seed"), lit(t).as("step"), col("v").as("vertex")))
-      }
-      acc.orderBy(col("seed"), col("step"))
+    "graph_walk_sample" -> ((s, d) =>
+      walkSample(s, d).orderBy(col("seed"), col("step"))),
+
+    // skip-gram pair extraction over the deterministic walks — the
+    // (center, context) co-occurrence corpus a DeepWalk/node2vec
+    // embedding trains on, window ±2 over each walk. The walk table
+    // is one row per (seed, step) — bounded by seeds × walk length at
+    // ANY graph scale — so the windowed self-join is broadcast-sized
+    // and the pair aggregate is the only (tiny) shuffle.
+    "graph_walk_skipgrams" -> ((s, d) => {
+      val w = walkSample(s, d)
+      val a = w.select(col("seed"), col("step").as("sa"), col("vertex").as("center"))
+      val b = w.select(col("seed"), col("step").as("sb"), col("vertex").as("context"))
+      a.join(b, Seq("seed"))
+        .filter(col("sa") =!= col("sb") && abs(col("sa") - col("sb")) <= 2)
+        .groupBy(col("center"), col("context"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("center"), col("context"))
     }),
 
     // community detection by deterministic label propagation: 5
@@ -1557,27 +1606,18 @@ object GraphOps {
          |    AS DOUBLE) / 1e9, 4) AS harmonic
          |FROM md WHERE dist > 0 GROUP BY seed ORDER BY seed""".stripMargin,
 
-    "graph_walk_sample" -> {
-      val steps = (1 to 4).map { t =>
-        val h = graft.functions.Md5Hash.duckHash60(
-          s"CAST(a AS VARCHAR) || '|$t|' || CAST(b AS VARCHAR)")
-        s"""s$t AS (
-           |  SELECT seed, v FROM (
-           |    SELECT s${t - 1}.seed, sym.b AS v, row_number() OVER (
-           |      PARTITION BY s${t - 1}.seed ORDER BY $h, sym.b) AS rn
-           |    FROM sym JOIN s${t - 1} ON sym.a = s${t - 1}.v) q
-           |  WHERE rn = 1)""".stripMargin
-      }.mkString(",\n")
-      val union = (0 to 4).map(t =>
-        s"SELECT seed, $t AS step, v AS vertex FROM s$t").mkString("\nUNION ALL ")
-      s"""WITH ed AS ($edgesSql),
-         |sym AS (SELECT src AS a, dst AS b FROM ed
-         |        UNION SELECT dst, src FROM ed),
-         |s0 AS (SELECT DISTINCT a AS seed, a AS v FROM sym WHERE a <= 10),
-         |$steps
-         |$union
-         |ORDER BY seed, step""".stripMargin
-    },
+    "graph_walk_sample" ->
+      s"""WITH $walkCteSql
+         |SELECT seed, step, v AS vertex FROM w
+         |ORDER BY seed, step""".stripMargin,
+
+    "graph_walk_skipgrams" ->
+      s"""WITH $walkCteSql
+         |SELECT a.v AS center, b.v AS context, count(*) AS n
+         |FROM w a JOIN w b
+         |  ON a.seed = b.seed AND a.step <> b.step
+         |  AND abs(a.step - b.step) <= 2
+         |GROUP BY 1, 2 ORDER BY center, context""".stripMargin,
 
     "graph_bfs_distance" ->
       s"""WITH RECURSIVE ed AS ($edgesSql),

@@ -474,6 +474,63 @@ object MiningOps {
     // the cutoff multiplier 4.4478 parses from the same decimal
     // literal in both engines, so the > compare sees identical
     // doubles.
+    // calendar-completeness audit: the span of order days vs the days
+    // actually present — "did the ingest drop a day?" asked of the
+    // whole table before anyone trusts a daily rollup. One bounded
+    // (per-day) hash agg; the calendar grid derives from the min/max
+    // scalars (sequence explode — span rows, never order rows) and
+    // left-joins the present days; missing-day islands collapse via
+    // the date-minus-row_number trick over the BOUNDED missing set so
+    // the audit also reports the longest contiguous hole.
+    "diag_missing_days" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      // a missing RUN is the gap between consecutive PRESENT days —
+      // no calendar-grid explode needed; the lag window runs over the
+      // bounded per-day aggregate (≤span rows, never order rows)
+      val w = Window.orderBy(col("day"))
+      daily
+        .withColumn("gap",
+          (datediff(col("day"), lag(col("day"), 1).over(w)) - 1).cast("long"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"),
+          count(lit(1)).as("n_present"),
+          coalesce(max(when(col("gap") > 0L, col("gap"))), lit(0L))
+            .as("max_gap_days"))
+        .select((datediff(col("d1"), col("d0")) + 1).cast("long").as("n_days"),
+          col("n_present"),
+          ((datediff(col("d1"), col("d0")) + 1).cast("long") - col("n_present"))
+            .as("n_missing"),
+          col("max_gap_days"))
+    }),
+
+    // rank-mover report: brand revenue rank in the early period vs
+    // the late period (split at the agg_incremental_merge boundary)
+    // and the movement — the "what changed this period" dashboard
+    // primitive. Revenue per (brand, period) is ONE decimal-exact
+    // hash agg bounded by the brand universe; both rank windows run
+    // over that ≤brands-row aggregate ordered by the ROUNDED revenue
+    // (house rule) with the brand as total tiebreak.
+    "mine_rank_movers" -> ((s, d) => {
+      val split = lit("1997-01-01 00:00:00").cast("timestamp")
+      val rev = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(r4(coalesce(dsum(when(col("o_orderdate") < split,
+          col("l_extendedprice"))), lit(0.0))).as("rev_early"),
+          r4(coalesce(dsum(when(col("o_orderdate") >= split,
+            col("l_extendedprice"))), lit(0.0))).as("rev_late"))
+      val we = Window.orderBy(desc("rev_early"), col("p_brand"))
+      val wl = Window.orderBy(desc("rev_late"), col("p_brand"))
+      rev.withColumn("rank_early", row_number().over(we))
+        .withColumn("rank_late", row_number().over(wl))
+        .select(col("p_brand"), col("rev_early"), col("rev_late"),
+          col("rank_early"), col("rank_late"),
+          (col("rank_early") - col("rank_late")).as("moved_up"))
+        .orderBy(col("p_brand"))
+    }),
+
     // RFM customer segmentation — recency / frequency / monetary
     // quintile scores, the classic marketing-mining op, WITHOUT a
     // global sort: each dimension's quintile edges derive from a
@@ -675,6 +732,49 @@ object MiningOps {
     }))
 
   val oracle: Map[String, String] = Map(
+    "diag_missing_days" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS c
+        |  FROM orders GROUP BY 1),
+        |gaps AS (
+        |  SELECT day,
+        |    CAST(date_diff('day', lag(day) OVER (ORDER BY day), day) - 1
+        |      AS BIGINT) AS gap
+        |  FROM daily),
+        |st AS (
+        |  SELECT min(day) AS d0, max(day) AS d1, count(*) AS n_present,
+        |    CAST(coalesce(max(CASE WHEN gap > 0 THEN gap END), 0) AS BIGINT)
+        |      AS max_gap_days
+        |  FROM gaps)
+        |SELECT CAST(date_diff('day', d0, d1) + 1 AS BIGINT) AS n_days,
+        |  n_present,
+        |  CAST(date_diff('day', d0, d1) + 1 - n_present AS BIGINT) AS n_missing,
+        |  max_gap_days
+        |FROM st""".stripMargin,
+
+    "mine_rank_movers" ->
+      s"""WITH rev AS (
+         |  SELECT p_brand,
+         |    round(coalesce(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+         |      FILTER (o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+         |      AS DOUBLE), 0.0), 4) AS rev_early,
+         |    round(coalesce(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+         |      FILTER (o_orderdate >= TIMESTAMP '1997-01-01 00:00:00')
+         |      AS DOUBLE), 0.0), 4) AS rev_late
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |       JOIN part ON l_partkey = p_partkey
+         |  GROUP BY 1),
+         |rk AS (
+         |  SELECT p_brand, rev_early, rev_late,
+         |    CAST(row_number() OVER (ORDER BY rev_early DESC, p_brand) AS INT)
+         |      AS rank_early,
+         |    CAST(row_number() OVER (ORDER BY rev_late DESC, p_brand) AS INT)
+         |      AS rank_late
+         |  FROM rev)
+         |SELECT p_brand, rev_early, rev_late, rank_early, rank_late,
+         |  rank_early - rank_late AS moved_up
+         |FROM rk ORDER BY p_brand""".stripMargin,
+
     "mine_rfm_segments" -> {
       // one histogram→cumulative→edges block per RFM dimension
       def edgeCtes(tag: String, bin: String) =

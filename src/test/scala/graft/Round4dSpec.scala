@@ -88,6 +88,48 @@ class Round4dSpec extends SparkTestBase {
     assert(got == Seq((1L, 3L, 2.5), (2L, 3L, 1.8333)), s"got $got")
   }
 
+  test("graph_walk_skipgrams: pairs equal the window-2 explosion of the walks") {
+    val walks = operators.GraphOps.queries("graph_walk_sample")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val exp = walks.groupBy(_._1).values.flatMap { w =>
+      for {
+        (_, sa, va) <- w
+        (_, sb, vb) <- w
+        if sa != sb && math.abs(sa - sb) <= 2
+      } yield (va, vb)
+    }.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.map { case ((c, x), n) => (c, x, n) }.sortBy(t => (t._1, t._2))
+    val got = operators.GraphOps.queries("graph_walk_skipgrams")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == exp, s"got ${got.take(5)}... exp ${exp.take(5)}...")
+    // each 5-step walk contributes exactly 14 ordered window-2 pairs
+    assert(got.map(_._3).sum == 14L * walks.map(_._1).distinct.size)
+  }
+
+  test("diag_missing_days: planted holes are counted and the longest is found") {
+    val dir = tempDir()
+    import spark.implicits._
+    def o(id: Long, day: Int) = (id, 1L, "O", 10.0,
+      java.sql.Timestamp.valueOf(f"2020-01-$day%02d 12:00:00"), "1-URGENT")
+    // present: 1, 2, 5, 6, 10 → span 10, missing 5, longest hole 7..9
+    writeFixture(dir, "orders", Seq(o(1, 1), o(2, 2), o(3, 5), o(4, 6), o(5, 10))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"))
+    val got = operators.MiningOps.queries("diag_missing_days")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq((10L, 5L, 5L, 3L)), s"got $got")
+  }
+
+  test("mine_rank_movers: ranks are permutations and movement is zero-sum") {
+    val rows = operators.MiningOps.queries("mine_rank_movers")(spark, sf001)
+      .collect().map(r => (r.getInt(3), r.getInt(4), r.getInt(5))).toSeq
+    val n = rows.size
+    assert(rows.map(_._1).sorted == (1 to n).toList)
+    assert(rows.map(_._2).sorted == (1 to n).toList)
+    assert(rows.map(_._3).sum == 0)
+  }
+
   test("graph_walk_sample: walks equal an exact driver-side recompute at sf0.001") {
     val res = operators.GraphOps.queries("graph_walk_sample")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
