@@ -28,7 +28,45 @@ object TimeSeriesOps {
   /** forecast horizon (hours) for ts_holt_linear. */
   val HoltForecastH = 24
 
+  /** bucket size (points) for ts_downsample_ltob. */
+  val LtobBucket = 10
+
   val queries: Map[String, QFn] = Map(
+
+    // visual downsampling by largest-triangle-one-bucket (LTOB,
+    // Steinarsson): per series, keep one point per 10-point bucket —
+    // the one whose triangle with its immediate neighbors has the
+    // largest area — plus the series endpoints; the downsample that
+    // preserves spikes a per-bucket average would flatten. Fully
+    // parallel (unlike LTTB's chained variant): areas come from ONE
+    // lag/lead window over the bounded hourly aggregate, the
+    // per-bucket argmax from one rank window, both partitioned by the
+    // series key. EXACT: x = row index, y = 1e-4-unit BIGINT, area =
+    // |integer cross product| — no floats until the output rendering.
+    "ts_downsample_ltob" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg((sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          * 10000).cast("long").as("y"))
+      val ws = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      val pts = hourly
+        .withColumn("idx", row_number().over(ws).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        .withColumn("yp", lag(col("y"), 1).over(ws))
+        .withColumn("yn", lead(col("y"), 1).over(ws))
+        // uniform hourly x-spacing → cross product reduces to
+        // |(y_prev − y) + (y_next − y)| with unit x-steps
+        .withColumn("area", abs(col("yp") - col("y") * 2 + col("yn")))
+        .withColumn("bucket", expr(s"(idx - 1) div $LtobBucket"))
+      val wr = Window.partitionBy(col("event_type"), col("bucket"))
+        .orderBy(desc_nulls_last("area"), col("idx"))
+      pts.withColumn("rn", row_number().over(wr))
+        .filter(col("idx") === 1L || col("idx") === col("n") ||
+          (col("rn") === 1 && col("area").isNotNull))
+        .select(col("event_type"), col("idx"), ntz(col("hour")).as("hour"),
+          r4(col("y").cast("double") / 10000.0).as("v"))
+        .orderBy(col("event_type"), col("idx"))
+    }),
 
     // Holt double-exponential smoothing per series — level + trend
     // with DYADIC gains (α=1/2, β=1/4) in EXACT integer arithmetic:
@@ -500,6 +538,31 @@ object TimeSeriesOps {
     }))
 
   val oracle: Map[String, String] = Map(
+    "ts_downsample_ltob" ->
+      s"""WITH hourly AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS hour,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS y
+         |  FROM events GROUP BY 1, 2),
+         |pts AS (
+         |  SELECT event_type, hour, y,
+         |    CAST(row_number() OVER w AS BIGINT) AS idx,
+         |    count(*) OVER (PARTITION BY event_type) AS n,
+         |    lag(y) OVER w AS yp, lead(y) OVER w AS yn
+         |  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY hour)),
+         |ar AS (
+         |  SELECT *, abs(yp - y * 2 + yn) AS area,
+         |    (idx - 1) // $LtobBucket AS bucket
+         |  FROM pts),
+         |rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY event_type, bucket
+         |    ORDER BY area DESC NULLS LAST, idx) AS rn
+         |  FROM ar)
+         |SELECT event_type, idx, hour,
+         |  round(CAST(y AS DOUBLE) / 10000.0, 4) AS v
+         |FROM rk
+         |WHERE idx = 1 OR idx = n OR (rn = 1 AND area IS NOT NULL)
+         |ORDER BY event_type, idx""".stripMargin,
+
     "ts_holt_linear" -> {
       def mmod(e: String, k: Int) = s"((($e) % $k) + $k) % $k"
       val a0 = "y.y + r.l + r.b"

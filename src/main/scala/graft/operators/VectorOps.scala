@@ -72,6 +72,36 @@ object VectorOps {
         .orderBy(col("label"))
     }),
 
+    // truncation-quality audit (the Matryoshka question): how much of
+    // each vector's energy survives keeping only the first 32 of 64
+    // dims? cos(full, truncated) for a projection reduces to
+    // ‖head‖/‖full‖ = √(Σ₁..32 q² / Σ q²) — per-vector EXACT integer
+    // sums of 1e-8-quantized squares, ONE sqrt per vector, then the
+    // per-label roll-up (decimal-exact mean of the 4dp values, exact
+    // min). Answers "can I serve at half the dimension?" before
+    // anyone re-embeds. One corpus scan, no join, no explode — the
+    // sums fold in codegen'd aggregate lambdas.
+    "vec_truncation_audit" -> ((s, d) => {
+      def q2sum(sliceExpr: String) =
+        s"""aggregate($sliceExpr, CAST(0 AS BIGINT), (a, x) ->
+           |  a + CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(20,8))
+           |        * 100000000 AS BIGINT)
+           |    * CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(20,8))
+           |        * 100000000 AS BIGINT))""".stripMargin
+      Tables.embeddings(s, d)
+        .select(col("label"),
+          expr(q2sum("slice(embedding, 1, 32)")).as("h2"),
+          expr(q2sum("embedding")).as("f2"))
+        .select(col("label"),
+          r4(sqrt(col("h2").cast(DoubleType) / col("f2").cast(DoubleType)))
+            .as("c"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          r4(davg(col("c"))).as("avg_cos"),
+          min(col("c")).as("min_cos"))
+        .orderBy(col("label"))
+    }),
+
     "vec_norm_stats" -> ((s, d) => {
       Tables.embeddings(s, d)
         .select(col("label"), expr(
@@ -765,6 +795,27 @@ object VectorOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "vec_truncation_audit" ->
+      s"""WITH q AS (
+         |  SELECT label,
+         |    list_sum(list_transform(embedding[1:32], x ->
+         |      CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(20,8)) * 100000000 AS BIGINT)
+         |      * CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(20,8)) * 100000000 AS BIGINT)))
+         |      AS h2,
+         |    list_sum(list_transform(embedding, x ->
+         |      CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(20,8)) * 100000000 AS BIGINT)
+         |      * CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(20,8)) * 100000000 AS BIGINT)))
+         |      AS f2
+         |  FROM embeddings),
+         |c AS (
+         |  SELECT label,
+         |    round(sqrt(CAST(h2 AS DOUBLE) / CAST(f2 AS DOUBLE)), 4) AS c
+         |  FROM q)
+         |SELECT label, count(*) AS n,
+         |  round(${dsumSql("c")} / COUNT(*), 4) AS avg_cos,
+         |  min(c) AS min_cos
+         |FROM c GROUP BY label ORDER BY label""".stripMargin,
+
     "vec_centroid_drift" ->
       """WITH u AS (
         |  SELECT label, vec_id % 2 = 0 AS ev,

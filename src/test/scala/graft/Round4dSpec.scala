@@ -242,6 +242,41 @@ class Round4dSpec extends SparkTestBase {
     assert(got == exp, s"got $got\nexp $exp")
   }
 
+  test("ts_downsample_ltob: endpoints survive and the spike wins its bucket") {
+    val dir = tempDir()
+    import spark.implicits._
+    def ev(id: Long, hour: Int, v: Double) =
+      (id, (1577836800L + hour * 3600L) * 1000000000L, 1L, "view", v, "{}")
+    // 12 hourly points, spike at idx 5 → keep 1 (first), 5 (bucket-0
+    // argmax: |10−200+10| = 180 beats its neighbors), 11 (bucket-1
+    // argmax), 12 (last)
+    val ys = Seq(10.0, 10, 10, 10, 100, 10, 10, 10, 10, 10, 10, 10)
+    writeFixture(dir, "events",
+      ys.zipWithIndex.map { case (v, i) => ev(i + 1, i, v) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = operators.TimeSeriesOps.queries("ts_downsample_ltob")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).toSeq
+    assert(got == Seq((1L, 10.0), (5L, 100.0), (11L, 10.0), (12L, 10.0)),
+      s"got $got")
+  }
+
+  test("vec_truncation_audit: planted head/tail energy split scores exactly") {
+    val dir = tempDir()
+    import spark.implicits._
+    val headV = (Seq.fill(32)(1.0f) ++ Seq.fill(8)(1.0f)) // 32/40 energy
+    val tailV = (Seq.fill(32)(0.0f) ++ Seq.fill(8)(1.0f)) // 0 head energy
+    writeFixture(dir, "embeddings", Seq(
+      (0L, headV, 7), (1L, tailV, 7)).toDF("vec_id", "embedding", "label"))
+    val got = operators.VectorOps.queries("vec_truncation_audit")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    def r4d(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cHead = r4d(math.sqrt(32.0 / 40.0))
+    val avg = r4d((BigDecimal(cHead) + BigDecimal(0.0)).toDouble / 2)
+    assert(got == Seq((7, 2L, avg, 0.0)), s"got $got")
+  }
+
   test("vec_centroid_drift: orthogonal and identical planted halves") {
     val dir = tempDir()
     import spark.implicits._
