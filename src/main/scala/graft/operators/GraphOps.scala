@@ -691,6 +691,37 @@ object GraphOps {
     // is one row per (seed, step) — bounded by seeds × walk length at
     // ANY graph scale — so the windowed self-join is broadcast-sized
     // and the pair aggregate is the only (tiny) shuffle.
+    // degree-distribution power-law fit: least-squares slope of
+    // ln(#vertices) ~ ln(degree) over the degree histogram — the
+    // scale-free-ness test (citation networks ≈ −2..−3; a flat or
+    // bent curve says the generator or the ingest is off). The
+    // text_zipf_slope regression discipline on the graph domain:
+    // histogram bounded by distinct degree VALUES, 4dp-quantized logs,
+    // exact decimal sufficient sums, two final double divisions.
+    "graph_degree_powerlaw" -> ((s, d) => {
+      val dec = DecimalType(18, 4)
+      val dsm = DecimalType(14, 4)
+      val dpr = DecimalType(18, 8)
+      val hist = symEdges(s, d)
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .groupBy(col("deg")).agg(count(lit(1)).as("nv"))
+      val xy = hist.select(
+        round(log(col("deg").cast("double")), 4).cast(dec).as("x"),
+        round(log(col("nv").cast("double")), 4).cast(dec).as("y"))
+      xy.agg(count(lit(1)).cast(DecimalType(6, 0)).as("k"),
+          sum(col("x")).cast(dsm).as("sx"), sum(col("y")).cast(dsm).as("sy"),
+          sum(col("x") * col("x")).cast(dpr).as("sxx"),
+          sum(col("x") * col("y")).cast(dpr).as("sxy"))
+        .withColumn("slope_d",
+          (col("k") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("k") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        .select(col("k").cast("long").as("n_points"),
+          Stable.r4(col("slope_d")).as("slope"),
+          Stable.r4((col("sy").cast("double")
+            - col("sx").cast("double") * col("slope_d"))
+            / col("k").cast("double")).as("intercept"))
+    }),
+
     "graph_walk_skipgrams" -> ((s, d) => {
       val w = walkSample(s, d)
       val a = w.select(col("seed"), col("step").as("sa"), col("vertex").as("center"))
@@ -1610,6 +1641,34 @@ object GraphOps {
       s"""WITH $walkCteSql
          |SELECT seed, step, v AS vertex FROM w
          |ORDER BY seed, step""".stripMargin,
+
+    "graph_degree_powerlaw" ->
+      s"""WITH ed AS ($edgesSql),
+         |sym AS (SELECT src AS a, dst AS b FROM ed
+         |        UNION SELECT dst, src FROM ed),
+         |hist AS (
+         |  SELECT deg, count(*) AS nv FROM (
+         |    SELECT a, count(*) AS deg FROM sym GROUP BY a) q
+         |  GROUP BY deg),
+         |xy AS (
+         |  SELECT CAST(round(ln(CAST(deg AS DOUBLE)), 4) AS DECIMAL(18,4)) AS x,
+         |    CAST(round(ln(CAST(nv AS DOUBLE)), 4) AS DECIMAL(18,4)) AS y
+         |  FROM hist),
+         |s AS (
+         |  SELECT CAST(count(*) AS DECIMAL(6,0)) AS k,
+         |    CAST(sum(x) AS DECIMAL(14,4)) AS sx,
+         |    CAST(sum(y) AS DECIMAL(14,4)) AS sy,
+         |    CAST(sum(x * x) AS DECIMAL(18,8)) AS sxx,
+         |    CAST(sum(x * y) AS DECIMAL(18,8)) AS sxy
+         |  FROM xy),
+         |sl AS (
+         |  SELECT *, CAST(k * sxy - sx * sy AS DOUBLE)
+         |    / CAST(k * sxx - sx * sx AS DOUBLE) AS slope_d FROM s)
+         |SELECT CAST(k AS BIGINT) AS n_points,
+         |  round(slope_d, 4) AS slope,
+         |  round((CAST(sy AS DOUBLE) - CAST(sx AS DOUBLE) * slope_d)
+         |    / CAST(k AS DOUBLE), 4) AS intercept
+         |FROM sl""".stripMargin,
 
     "graph_walk_skipgrams" ->
       s"""WITH $walkCteSql

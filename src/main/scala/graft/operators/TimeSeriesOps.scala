@@ -33,6 +33,34 @@ object TimeSeriesOps {
 
   val queries: Map[String, QFn] = Map(
 
+    // winsorized robust mean per series: hourly sums clipped to the
+    // series' own [p05, p95] before averaging, with the clip census —
+    // the monitoring mean that one outage hour cannot drag (the
+    // trimmed-estimator sibling of diag_outlier_mad's median/MAD).
+    // Percentiles run per series over the BOUNDED hourly aggregate
+    // (state ∝ hours, never events); hourly values and both bounds
+    // are 4dp (the diag_outlier_mad discipline), the clip is
+    // least/greatest on identical doubles, and the clipped mean is a
+    // decimal-exact sum ÷ count.
+    "ts_winsorized_mean" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(r4(dsum(col("value"))).as("hsum"))
+      val bounds = hourly.groupBy(col("event_type"))
+        .agg(r4(expr("percentile(hsum, 0.05)")).as("p05"),
+          r4(expr("percentile(hsum, 0.95)")).as("p95"))
+      hourly.join(bounds, Seq("event_type"))
+        .select(col("event_type"), col("p05"), col("p95"), col("hsum"),
+          least(greatest(col("hsum"), col("p05")), col("p95")).as("cv"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          count_if(col("hsum") < col("p05")).as("n_clip_low"),
+          count_if(col("hsum") > col("p95")).as("n_clip_high"),
+          max(col("p05")).as("p05"), max(col("p95")).as("p95"),
+          r4(davg(col("cv"))).as("winsorized_mean"))
+        .orderBy(col("event_type"))
+    }),
+
     // visual downsampling by largest-triangle-one-bucket (LTOB,
     // Steinarsson): per series, keep one point per 10-point bucket —
     // the one whose triangle with its immediate neighbors has the
@@ -538,6 +566,27 @@ object TimeSeriesOps {
     }))
 
   val oracle: Map[String, String] = Map(
+    "ts_winsorized_mean" ->
+      s"""WITH hourly AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS hour,
+         |    round(${dsumSql("value")}, 4) AS hsum
+         |  FROM events GROUP BY 1, 2),
+         |b AS (
+         |  SELECT event_type,
+         |    round(percentile_cont(0.05) WITHIN GROUP (ORDER BY hsum), 4) AS p05,
+         |    round(percentile_cont(0.95) WITHIN GROUP (ORDER BY hsum), 4) AS p95
+         |  FROM hourly GROUP BY event_type),
+         |cv AS (
+         |  SELECT h.event_type, b.p05, b.p95, h.hsum,
+         |    least(greatest(h.hsum, b.p05), b.p95) AS cv
+         |  FROM hourly h JOIN b USING (event_type))
+         |SELECT event_type, count(*) AS n_hours,
+         |  count(*) FILTER (hsum < p05) AS n_clip_low,
+         |  count(*) FILTER (hsum > p95) AS n_clip_high,
+         |  max(p05) AS p05, max(p95) AS p95,
+         |  round(${dsumSql("cv")} / count(*), 4) AS winsorized_mean
+         |FROM cv GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "ts_downsample_ltob" ->
       s"""WITH hourly AS (
          |  SELECT event_type, date_trunc('hour', ts) AS hour,

@@ -242,6 +242,41 @@ class Round4dSpec extends SparkTestBase {
     assert(got == exp, s"got $got\nexp $exp")
   }
 
+  test("graph_degree_powerlaw: flat two-point histogram fits slope 0") {
+    val dir = tempDir()
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    // sym graph 1:{S7,S8} 2:{S7} → degrees 2,1,2,1 → hist {1:2, 2:2}
+    writeFixture(dir, "orders", Seq(
+      (1L, 1L, "O", 10.0, ts, "1-URGENT"), (2L, 2L, "O", 20.0, ts, "5-LOW"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"))
+    writeFixture(dir, "lineitem", Seq(
+      (1L, 7L), (1L, 8L), (2L, 7L)).toDF("l_orderkey", "l_suppkey"))
+    val got = operators.GraphOps.queries("graph_degree_powerlaw")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val ln2 = BigDecimal(math.log(2.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq((2L, 0.0, ln2)), s"got $got")
+  }
+
+  test("ts_winsorized_mean: planted outliers clip to the exact percentiles") {
+    val dir = tempDir()
+    import spark.implicits._
+    def ev(id: Long, hour: Int, v: Double) =
+      (id, (1577836800L + hour * 3600L) * 1000000000L, 1L, "view", v, "{}")
+    // 21 hourly points: 0, 10×19, 1000 → p05 = p95 = 10 (exact
+    // interpolation positions 1.0 and 19.0), one clip each side
+    val vals = 0.0 +: Seq.fill(19)(10.0) :+ 1000.0
+    writeFixture(dir, "events",
+      vals.zipWithIndex.map { case (v, i) => ev(i + 1, i, v) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = operators.TimeSeriesOps.queries("ts_winsorized_mean")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(got == Seq(("view", 21L, 1L, 1L, 10.0, 10.0, 10.0)), s"got $got")
+  }
+
   test("ts_downsample_ltob: endpoints survive and the spike wins its bucket") {
     val dir = tempDir()
     import spark.implicits._
