@@ -474,6 +474,61 @@ object MiningOps {
     // the cutoff multiplier 4.4478 parses from the same decimal
     // literal in both engines, so the > compare sees identical
     // doubles.
+    // last-touch attribution: every purchase credits the user's most
+    // recent preceding view/click within the 60-minute lookback, else
+    // 'direct' — the marketing-analytics join that is really a window
+    // ("which channel gets the sale?"). ONE pass: a last-IGNORE-NULLS
+    // window over (user, time) carries the latest touch's type and
+    // time to each row (both taken from the SAME last matching row —
+    // same condition, same frame), purchases filter out, the lookback
+    // gate applies, and a bounded per-channel aggregate counts. The
+    // window partitions by user_id — high-cardinality, no
+    // single-partition hazard.
+    "mine_attribution_last_touch" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touch = when(col("event_type").isin("view", "click"), col("event_type"))
+      val touchTs = when(col("event_type").isin("view", "click"), col("ts"))
+      val attributed = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("t_type", last(touch, ignoreNulls = true).over(w))
+        .withColumn("t_ts", last(touchTs, ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(when(col("t_ts").isNotNull &&
+            col("t_ts") >= col("ts") - expr("INTERVAL 60 MINUTES"),
+            col("t_type")).otherwise(lit("direct")).as("channel"))
+      val counts = attributed.groupBy(col("channel")).agg(count(lit(1)).as("n"))
+      counts.crossJoin(broadcast(counts.agg(sum(col("n")).as("tot"))))
+        .select(col("channel"), col("n"),
+          r4(col("n").cast(DoubleType) / col("tot")).as("share"))
+        .orderBy(col("channel"))
+    }),
+
+    // nation-level mixing matrix of the citation graph: distinct
+    // customer→supplier edges labeled by both endpoints' nations —
+    // the homophily audit ("does trade stay in-nation?"). Two
+    // broadcast dimension joins on the distinct edge set; the matrix
+    // aggregate is bounded by nations² (625); the diagonal share
+    // rides the same bounded table via a broadcast scalar.
+    "graph_nation_mixing" -> ((s, d) => {
+      val e = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"), col("l_suppkey")).distinct()
+      val cn = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      val sn = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+      val m = e.join(broadcast(cn), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey"), col("s_nationkey"))
+        .agg(count(lit(1)).as("n_edges"))
+      m.crossJoin(broadcast(m.agg(sum(col("n_edges")).as("tot"))))
+        .select(col("c_nationkey"), col("s_nationkey"), col("n_edges"),
+          r4(col("n_edges").cast(DoubleType) / col("tot")).as("share"),
+          (col("c_nationkey") === col("s_nationkey")).as("same_nation"))
+        .orderBy(col("c_nationkey"), col("s_nationkey"))
+    }),
+
     // calendar-completeness audit: the span of order days vs the days
     // actually present — "did the ingest drop a day?" asked of the
     // whole table before anyone trusts a daily rollup. One bounded
@@ -732,6 +787,42 @@ object MiningOps {
     }))
 
   val oracle: Map[String, String] = Map(
+    "mine_attribution_last_touch" ->
+      """WITH att AS (
+        |  SELECT event_type, ts,
+        |    last_value(CASE WHEN event_type IN ('view', 'click')
+        |      THEN event_type END IGNORE NULLS) OVER w AS t_type,
+        |    last_value(CASE WHEN event_type IN ('view', 'click')
+        |      THEN ts END IGNORE NULLS) OVER w AS t_ts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |ch AS (
+        |  SELECT CASE WHEN t_ts IS NOT NULL
+        |      AND t_ts >= ts - INTERVAL 60 MINUTE THEN t_type
+        |    ELSE 'direct' END AS channel
+        |  FROM att WHERE event_type = 'purchase'),
+        |c AS (SELECT channel, count(*) AS n FROM ch GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+        |SELECT channel, n, round(CAST(n AS DOUBLE) / tot, 4) AS share
+        |FROM c CROSS JOIN t ORDER BY channel""".stripMargin,
+
+    "graph_nation_mixing" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |m AS (
+        |  SELECT c_nationkey, s_nationkey, count(*) AS n_edges
+        |  FROM e JOIN customer ON o_custkey = c_custkey
+        |       JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n_edges) AS BIGINT) AS tot FROM m)
+        |SELECT c_nationkey, s_nationkey, n_edges,
+        |  round(CAST(n_edges AS DOUBLE) / tot, 4) AS share,
+        |  c_nationkey = s_nationkey AS same_nation
+        |FROM m CROSS JOIN t
+        |ORDER BY c_nationkey, s_nationkey""".stripMargin,
+
     "diag_missing_days" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS c

@@ -242,6 +242,32 @@ class Round4dSpec extends SparkTestBase {
     assert(got == exp, s"got $got\nexp $exp")
   }
 
+  test("mine_attribution_last_touch: lookback window and direct fallback") {
+    val dir = tempDir()
+    import spark.implicits._
+    def ev(id: Long, user: Long, minute: Int, tpe: String) =
+      (id, (1577836800L + minute * 60L) * 1000000000L, user, tpe, 1.0, "{}")
+    writeFixture(dir, "events", Seq(
+      ev(1, 1, 0, "view"), ev(2, 1, 30, "purchase"),     // → view (30m)
+      ev(3, 1, 100, "click"), ev(4, 1, 195, "purchase"), // → direct (95m)
+      ev(5, 2, 10, "purchase"))                          // → direct (no touch)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = operators.MiningOps.queries("mine_attribution_last_touch")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("direct", 2L), ("view", 1L)), s"got $got")
+  }
+
+  test("graph_nation_mixing: matrix partitions the distinct edge set") {
+    val rows = operators.MiningOps.queries("graph_nation_mixing")(spark, sf001)
+      .collect()
+    val edges = Tables.lineitem(spark, sf001)
+      .join(Tables.orders(spark, sf001), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct().count()
+    assert(rows.map(_.getLong(2)).sum == edges)
+    assert(rows.forall(r => r.getBoolean(4) ==
+      (r.getInt(0) == r.getInt(1))))
+  }
+
   test("graph_degree_powerlaw: flat two-point histogram fits slope 0") {
     val dir = tempDir()
     import spark.implicits._
