@@ -338,6 +338,27 @@ object Joins {
         .orderBy(col("k"))
     }),
 
+    // correlated LATERAL top-N: each probe customer pulls its own
+    // top-2 orders by price — the "N best per entity" join written
+    // the way a SQL user writes it (Catalyst plans the correlated
+    // LIMIT as a per-key rank under a LateralJoin; the DataFrame
+    // twin is win_rank_topn_pergroup, and this entry pins that the
+    // SQL-frontend spelling works end-to-end). Probe set bounded
+    // (c_custkey ≤ 20); ties broken by o_orderkey; the final order
+    // uses the ROUNDED price alias on both engines.
+    "join_lateral_topk" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("jlt_customer")
+      Tables.orders(s, d).createOrReplaceTempView("jlt_orders")
+      s.sql("""
+        SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 4) AS price
+        FROM jlt_customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM jlt_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c.c_custkey <= 20
+        ORDER BY c.c_custkey, price DESC, t.o_orderkey""")
+    }),
+
     // skew-mitigation pattern: the fact side carries a deterministic
     // salt (derived from data, not rand() — SURVEY §2.0 rule 6), the
     // dim side is replicated across all salts, and the join key
@@ -395,6 +416,15 @@ object Joins {
   val BloomNumBits  = 1048576L
 
   val oracle: Map[String, String] = Map(
+    "join_lateral_topk" ->
+      """SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 4) AS price
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |WHERE c.c_custkey <= 20
+        |ORDER BY c.c_custkey, price DESC, t.o_orderkey""".stripMargin,
+
     "join_inner_hash" ->
       s"""SELECT c_mktsegment, count(*) AS n_orders,
         |  round(${dsumSql("o_totalprice")}, 4) AS sum_price

@@ -104,6 +104,29 @@ object Windows {
 
     // 7-day moving average over the dense daily series (days are dense
     // in the events table, so a ROWS frame == the RANGE semantics)
+    // a TRUE range frame on event time: per user, the rolling sum and
+    // count of everything in [t − 1 h, t] at each event — the
+    // rate-limit/fraud-velocity primitive a rows-frame cannot express
+    // (rows count events, range counts TIME; bursts make them
+    // disagree). Ordering key = epoch SECONDS (floor — Spark's
+    // timestamp→long cast and DuckDB's epoch_us // 1e6 truncate
+    // identically), so equal-second ties enter the frame together in
+    // both engines. Partitioned by user_id — high-cardinality. Sum is
+    // decimal-exact inside the frame.
+    "win_time_range_sum" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("sec"))
+        .rangeBetween(-3600L, 0L)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("ts").cast("long").as("sec"))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          r4(sum(col("value").cast(DecimalType(18, 4))).over(w)
+            .cast(DoubleType)).as("sum_1h"))
+        .orderBy(col("event_id"))
+    }),
+
     "win_moving_avg_range" -> ((s, d) => {
       val daily = Tables.events(s, d)
         .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
@@ -244,6 +267,17 @@ object Windows {
     }))
 
   val oracle: Map[String, String] = Map(
+    "win_time_range_sum" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_1h,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE), 4)
+        |    AS sum_1h
+        |FROM (SELECT event_id, user_id, value,
+        |        epoch_us(ts) // 1000000 AS sec FROM events) e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
     "win_rank_topn_pergroup" ->
       """SELECT o_custkey, CAST(rn AS INT) AS rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -242,6 +242,38 @@ class Round4dSpec extends SparkTestBase {
     assert(got == exp, s"got $got\nexp $exp")
   }
 
+  test("win_time_range_sum: the frame is time, not rows") {
+    val dir = tempDir()
+    import spark.implicits._
+    def ev(id: Long, minute: Int, v: Double) =
+      (id, (1577836800L + minute * 60L) * 1000000000L, 1L, "view", v, "{}")
+    writeFixture(dir, "events", Seq(
+      ev(1, 0, 1.0), ev(2, 30, 2.0), ev(3, 61, 4.0), ev(4, 200, 8.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = operators.Windows.queries("win_time_range_sum")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSeq
+    // event 3 at minute 61: the 1 h frame starts at minute 1, so the
+    // minute-0 event falls OUT and the minute-30 event stays IN
+    assert(got == Seq((1L, 1L, 1.0), (2L, 2L, 3.0), (3L, 2L, 6.0),
+      (4L, 1L, 8.0)), s"got $got")
+  }
+
+  test("join_lateral_topk: lateral SQL equals the window-rank recompute") {
+    val got = operators.Joins.queries("join_lateral_topk")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    val exp = Tables.orders(spark, sf001)
+      .filter(col("o_custkey") <= 20L)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 4).as("price"))
+      .orderBy(col("o_custkey"), desc("price"), col("o_orderkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == exp, s"got ${got.take(4)} exp ${exp.take(4)}")
+  }
+
   test("mine_attribution_last_touch: lookback window and direct fallback") {
     val dir = tempDir()
     import spark.implicits._
