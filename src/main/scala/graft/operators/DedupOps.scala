@@ -288,6 +288,36 @@ object DedupOps {
     "dedup_near_minhash" -> ((s, d) =>
       minhashVerifiedPairs(s, d).orderBy(col("a"), col("b"))),
 
+    // LSH quality audit — the sketch-vs-exhaustive meta-check: on the
+    // bounded probe set (doc_id < 200) compute ground truth by
+    // ALL-PAIRS exact shingle Jaccard ≥ 0.5 and compare the verified
+    // MinHash-LSH pairs against it. Verification makes precision 1 by
+    // construction — the audit's information is RECALL, i.e. what the
+    // 8×4 banding misses; shipping this number alongside the dedup is
+    // how a 100 TB pipeline justifies not running the quadratic
+    // truth. All-pairs stays inside the ≤200-doc probe by declared
+    // semantics; the LSH side is the same full-corpus derivation the
+    // dedup runs, filtered to the probe. Degenerate denominators
+    // (no pairs) read as 1.0 — vacuous, declared on both sides.
+    "dedup_lsh_quality_audit" -> ((s, d) => {
+      val truth = jaccardPairs(shingleSets(s, d, cap = 200L), 0.5)
+        .select(col("a"), col("b"), lit(1).as("t"))
+      val lsh = minhashVerifiedPairs(s, d)
+        .filter(col("a") < 200L && col("b") < 200L)
+        .select(col("a"), col("b"), lit(1).as("l"))
+      truth.join(lsh, Seq("a", "b"), "full_outer")
+        .agg(count_if(col("t").isNotNull).as("n_truth"),
+          count_if(col("l").isNotNull).as("n_lsh"),
+          count_if(col("t").isNotNull && col("l").isNotNull).as("n_common"))
+        .select(col("n_truth"), col("n_lsh"), col("n_common"),
+          when(col("n_truth") === 0L, lit(1.0))
+            .otherwise(r4(col("n_common").cast("double") / col("n_truth")))
+            .as("recall"),
+          when(col("n_lsh") === 0L, lit(1.0))
+            .otherwise(r4(col("n_common").cast("double") / col("n_lsh")))
+            .as("precision"))
+    }),
+
     // FULL-CORPUS near-dup clustering, the at-scale composition the
     // bounded dedup_cluster_canonical documents: pair graph from the
     // MinHash-LSH verified candidates (no all-pairs anywhere), then
@@ -655,6 +685,35 @@ object DedupOps {
          |FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
          |WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.3
          |ORDER BY a, b""".stripMargin,
+
+    "dedup_lsh_quality_audit" ->
+      s"""WITH $minhashCtesSql,
+         |ptok AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(list_zip(ts[1:len(ts)-1], ts[2:len(ts)]),
+         |      p -> p[1] || '_' || p[2])) AS term
+         |  FROM mtoks WHERE doc_id < 200),
+         |psz AS (SELECT doc_id, count(*) AS sz FROM ptok GROUP BY doc_id),
+         |pint AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n
+         |  FROM ptok x JOIN ptok y ON x.term = y.term AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT t.a, t.b FROM pint t
+         |  JOIN psz sa ON sa.doc_id = t.a JOIN psz sb ON sb.doc_id = t.b
+         |  WHERE round(CAST(t.n AS DOUBLE) / (sa.sz + sb.sz - t.n), 4) >= 0.5),
+         |l AS (SELECT a, b FROM mpairs WHERE a < 200 AND b < 200),
+         |f AS (
+         |  SELECT count(*) FILTER (t.a IS NOT NULL) AS n_truth,
+         |    count(*) FILTER (l.a IS NOT NULL) AS n_lsh,
+         |    count(*) FILTER (t.a IS NOT NULL AND l.a IS NOT NULL) AS n_common
+         |  FROM truth t FULL JOIN l ON t.a = l.a AND t.b = l.b)
+         |SELECT n_truth, n_lsh, n_common,
+         |  CASE WHEN n_truth = 0 THEN 1.0
+         |    ELSE round(CAST(n_common AS DOUBLE) / n_truth, 4) END AS recall,
+         |  CASE WHEN n_lsh = 0 THEN 1.0
+         |    ELSE round(CAST(n_common AS DOUBLE) / n_lsh, 4) END AS precision
+         |FROM f""".stripMargin,
 
     "dedup_near_minhash" ->
       s"""WITH $minhashCtesSql

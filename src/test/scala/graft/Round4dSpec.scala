@@ -242,6 +242,25 @@ class Round4dSpec extends SparkTestBase {
     assert(got == exp, s"got $got\nexp $exp")
   }
 
+  test("dedup_lsh_quality_audit: planted near-dups are found; counts cohere") {
+    val dir = tempDir()
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    writeFixture(dir, "documents", Seq(
+      (1L, base, "en", "s0", 100L),
+      (2L, base + " extra", "en", "s0", 106L),     // near-dup of 1
+      (3L, (1 to 30).map(i => s"other$i").mkString(" "), "en", "s0", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = operators.DedupOps.queries("dedup_lsh_quality_audit")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).head
+    assert(got == ((1L, 1L, 1L, 1.0, 1.0)), s"got $got")
+    // corpus-level coherence at sf0.001
+    val c = operators.DedupOps.queries("dedup_lsh_quality_audit")(spark, sf001)
+      .collect().head
+    assert(c.getLong(2) <= math.min(c.getLong(0), c.getLong(1)))
+  }
+
   test("win_time_range_sum: the frame is time, not rows") {
     val dir = tempDir()
     import spark.implicits._
