@@ -86,8 +86,8 @@ object GraphOps {
     * (clearCache() strips the cache markers; without this the memoized
     * DataFrames would recompute uncached on every timed action) */
   private[graft] def clearMemos(s: SparkSession): Unit = {
-    Seq(edgeCache, symCache, cappedCache, coCiteCache, coPartCache, lpaCache)
-      .foreach(evict(_, s))
+    Seq(edgeCache, symCache, cappedCache, coCiteCache, coPartCache, lpaCache,
+      walkCache).foreach(evict(_, s))
     evict(triCache, s)
   }
 
@@ -267,7 +267,13 @@ object GraphOps {
     * Each step = ONE frontier×edges join (frontier is one row per
     * seed → broadcast-sized at any graph scale) + per-seed min_by on
     * the (h, dst) total order. */
-  private def walkSample(s: SparkSession, d: String): DataFrame = {
+  private val walkCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def walkSample(s: SparkSession, d: String): DataFrame =
+    memo(walkCache, (s, d))(walkDerive(s, d).localCheckpoint())
+
+  private def walkDerive(s: SparkSession, d: String): DataFrame = {
     val sym = symEdges(s, d)
     val seeds = sym.select(col("src").as("v")).distinct()
       .filter(col("v") <= 10L)
@@ -723,6 +729,9 @@ object GraphOps {
     }),
 
     "graph_walk_skipgrams" -> ((s, d) => {
+      // walkSample is memoized + checkpointed: the self-join would
+      // otherwise re-run the whole 4-step edge-scan derivation for
+      // BOTH sides (measured 4.8 s vs 2.9 s for the walk at sf0.1)
       val w = walkSample(s, d)
       val a = w.select(col("seed"), col("step").as("sa"), col("vertex").as("center"))
       val b = w.select(col("seed"), col("step").as("sb"), col("vertex").as("context"))
