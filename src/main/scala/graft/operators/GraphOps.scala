@@ -273,7 +273,7 @@ object GraphOps {
   private def walkSample(s: SparkSession, d: String): DataFrame =
     memo(walkCache, (s, d))(walkDerive(s, d).localCheckpoint())
 
-  private def walkDerive(s: SparkSession, d: String): DataFrame = {
+  private[graft] def walkDerive(s: SparkSession, d: String): DataFrame = {
     val sym = symEdges(s, d)
     val seeds = sym.select(col("src").as("v")).distinct()
       .filter(col("v") <= 10L)

@@ -57,6 +57,28 @@ object MiningOps {
       .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
       .distinct()
 
+  /** q-quantile edges of an integer measure from its bounded
+    * histogram (the pipeline_range_bucket discipline): d = 1..q−1,
+    * edge_d = min bin with cum·q ≥ d·n; a value's bucket is 1 +
+    * #edges strictly below it (same bin → lower bucket). Returns a
+    * one-row DataFrame holding the sorted edge array under `name` —
+    * broadcast it. Shared by mine_rfm_segments (q=5, three measures)
+    * and diag_revenue_concentration (q=10). */
+  private def quantileEdges(vals: org.apache.spark.sql.DataFrame,
+      binExpr: org.apache.spark.sql.Column, name: String,
+      q: Int): org.apache.spark.sql.DataFrame = {
+    val hist = vals.groupBy(binExpr.as("bin")).agg(count(lit(1)).as("c"))
+    val win = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("cum", sum(col("c")).over(win))
+      .crossJoin(broadcast(hist.agg(sum(col("c")).as("n"))))
+      .select(col("bin"), col("cum"), col("n"),
+        explode(expr(s"sequence(1, ${q - 1})")).as("dq"))
+      .filter(col("cum") * q >= col("dq") * col("n"))
+      .groupBy(col("dq")).agg(min(col("bin")).as("b"))
+      .agg(sort_array(collect_list(col("b"))).as(name))
+  }
+
   /** brand-level association rules (support / confidence / lift) over
     * the co-purchase relation — market-basket mining, the classic
     * batch-analytics op. Shape discipline: the (order, brand) relation
@@ -586,6 +608,39 @@ object MiningOps {
         .orderBy(col("p_brand"))
     }),
 
+    // revenue-concentration report (the Lorenz curve at decile
+    // granularity): customers bucketed into revenue deciles by the
+    // sort-free histogram-edge discipline; per decile the customer
+    // count, exact revenue share, and cumulative share — "do 10% of
+    // customers carry 60% of revenue?" without ranking 150 M
+    // customers through one sort. Shares divide exact cent sums;
+    // the cumulative window runs over the ≤10-row decile aggregate.
+    "diag_revenue_concentration" -> ((s, d) => {
+      val dec = DecimalType(18, 4)
+      val rev = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg((sum(col("o_totalprice").cast(dec)) * 100).cast("long")
+          .as("mon_cents"))
+      val bin = (col("mon_cents") - pmod(col("mon_cents"), lit(100000L)))
+        .divide(lit(100000L)).cast("long")
+      val ed = quantileEdges(rev, bin, "ed", 10)
+      val per = rev.crossJoin(broadcast(ed))
+        .select(col("mon_cents"),
+          (lit(1) + size(expr(
+            "filter(ed, e -> ((mon_cents - pmod(mon_cents, 100000)) div 100000) > e)")))
+            .as("decile"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_customers"), sum(col("mon_cents")).as("cents"))
+      val w = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      per.crossJoin(broadcast(per.agg(sum(col("cents")).as("tot"))))
+        .select(col("decile"), col("n_customers"),
+          r4(col("cents").cast(DoubleType) / col("tot")).as("rev_share"),
+          r4(sum(col("cents")).over(w).cast(DoubleType) / col("tot"))
+            .as("cum_share"))
+        .orderBy(col("decile"))
+    }),
+
     // RFM customer segmentation — recency / frequency / monetary
     // quintile scores, the classic marketing-mining op, WITHOUT a
     // global sort: each dimension's quintile edges derive from a
@@ -610,26 +665,11 @@ object MiningOps {
           datediff(col("ref"), col("last_d")).cast("long").as("rec"),
           col("freq"),
           (col("mond") * 100).cast("long").as("mon_cents"))
-      // quintile edges of an integer measure from its bounded histogram:
-      // d=1..4, edge_d = min bin with cum·5 ≥ d·n; score = 1 + #edges
-      // strictly below the value (same bin → lower quintile)
-      def edges(vals: org.apache.spark.sql.DataFrame, binExpr: org.apache.spark.sql.Column,
-          name: String) = {
-        val hist = vals.groupBy(binExpr.as("bin")).agg(count(lit(1)).as("c"))
-        val win = Window.orderBy(col("bin"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        hist.withColumn("cum", sum(col("c")).over(win))
-          .crossJoin(broadcast(hist.agg(sum(col("c")).as("n"))))
-          .select(col("bin"), col("cum"), col("n"),
-            explode(expr("sequence(1, 4)")).as("dq"))
-          .filter(col("cum") * 5 >= col("dq") * col("n"))
-          .groupBy(col("dq")).agg(min(col("bin")).as("b"))
-          .agg(sort_array(collect_list(col("b"))).as(name))
-      }
-      val re = edges(rfm, col("rec"), "rede")
-      val fe = edges(rfm, col("freq"), "frede")
-      val me = edges(rfm, (col("mon_cents") - pmod(col("mon_cents"), lit(100000L)))
-        .divide(lit(100000L)).cast("long"), "monde")
+      val re = quantileEdges(rfm, col("rec"), "rede", 5)
+      val fe = quantileEdges(rfm, col("freq"), "frede", 5)
+      val me = quantileEdges(rfm,
+        (col("mon_cents") - pmod(col("mon_cents"), lit(100000L)))
+          .divide(lit(100000L)).cast("long"), "monde", 5)
       rfm.crossJoin(broadcast(re)).crossJoin(broadcast(fe))
         .crossJoin(broadcast(me))
         .select(col("o_custkey"), col("mon_cents"),
@@ -865,6 +905,36 @@ object MiningOps {
          |SELECT p_brand, rev_early, rev_late, rank_early, rank_late,
          |  rank_early - rank_late AS moved_up
          |FROM rk ORDER BY p_brand""".stripMargin,
+
+    "diag_revenue_concentration" -> {
+      val monBin = "(mon_cents - ((mon_cents % 100000) + 100000) % 100000) // 100000"
+      s"""WITH rev AS (
+         |  SELECT o_custkey,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) * 100 AS BIGINT)
+         |      AS mon_cents
+         |  FROM orders GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM rev),
+         |h AS (SELECT $monBin AS bin, count(*) AS c FROM rev GROUP BY 1),
+         |cm AS (SELECT bin, sum(c) OVER (ORDER BY bin) AS cum FROM h),
+         |e AS (
+         |  SELECT list_sort(list(b)) AS ed FROM (
+         |    SELECT d, min(bin) AS b
+         |    FROM cm CROSS JOIN nn
+         |         CROSS JOIN (SELECT range AS d FROM range(1, 10)) ds
+         |    WHERE cum * 10 >= d * n GROUP BY d) q),
+         |per AS (
+         |  SELECT CAST(1 + len(list_filter(ed, x -> $monBin > x)) AS INT)
+         |      AS decile,
+         |    count(*) AS n_customers,
+         |    CAST(SUM(mon_cents) AS BIGINT) AS cents
+         |  FROM rev CROSS JOIN e GROUP BY 1),
+         |t AS (SELECT CAST(sum(cents) AS BIGINT) AS tot FROM per)
+         |SELECT decile, n_customers,
+         |  round(CAST(cents AS DOUBLE) / tot, 4) AS rev_share,
+         |  round(CAST(sum(cents) OVER (ORDER BY decile) AS DOUBLE) / tot, 4)
+         |    AS cum_share
+         |FROM per CROSS JOIN t ORDER BY decile""".stripMargin
+    },
 
     "mine_rfm_segments" -> {
       // one histogram→cumulative→edges block per RFM dimension

@@ -104,6 +104,28 @@ object Windows {
 
     // 7-day moving average over the dense daily series (days are dense
     // in the events table, so a ROWS frame == the RANGE semantics)
+    // per-event session IDs — the windowed sessionization spelling
+    // (ts_session_window aggregates per session; this assigns each
+    // EVENT its session number, the granularity downstream
+    // attribution and funnel joins need): a session break is a gap
+    // > 30 min from the previous event, and the session id is 1 +
+    // the running count of breaks. Two window passes over the same
+    // high-cardinality (user_id) partitioning — Catalyst plans them
+    // in ONE WindowExec sort.
+    "win_sessionize_ids" -> ((s, d) => {
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .withColumn("brk",
+          when(col("ts").cast("long") - lag(col("ts"), 1).over(ord).cast("long")
+            > 1800L, 1L).otherwise(0L))
+        .select(col("event_id"), col("user_id"),
+          (lit(1L) + sum(col("brk")).over(cum)).as("session_id"))
+        .orderBy(col("event_id"))
+    }),
+
     // a TRUE range frame on event time: per user, the rolling sum and
     // count of everything in [t − 1 h, t] at each event — the
     // rate-limit/fraud-velocity primitive a rows-frame cannot express
@@ -267,6 +289,20 @@ object Windows {
     }))
 
   val oracle: Map[String, String] = Map(
+    "win_sessionize_ids" ->
+      """WITH brk AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN epoch_us(ts) // 1000000
+        |        - epoch_us(lag(ts) OVER w) // 1000000 > 1800
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_id, user_id,
+        |  CAST(1 + sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_id
+        |FROM brk ORDER BY event_id""".stripMargin,
+
     "win_time_range_sum" ->
       """SELECT event_id, user_id,
         |  count(*) OVER w AS n_1h,

@@ -440,7 +440,10 @@ class PlanAuditSpec extends SparkTestBase {
   }
 
   test("graph_walk_sample: every step joins a broadcast frontier") {
-    val p = plan("graph_walk_sample")
+    // audit the DERIVATION: the query itself serves the memoized
+    // checkpoint (its plan is a bare RDD scan by design)
+    val p = operators.GraphOps.walkDerive(spark, sf001)
+      .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"),
       s"the one-row-per-seed frontier must broadcast against the edges:\n$p")
     assert(!p.contains("CartesianProduct"),

@@ -242,6 +242,32 @@ class Round4dSpec extends SparkTestBase {
     assert(got == exp, s"got $got\nexp $exp")
   }
 
+  test("win_sessionize_ids: a 40-minute gap opens session 2") {
+    val dir = tempDir()
+    import spark.implicits._
+    def ev(id: Long, user: Long, minute: Int) =
+      (id, (1577836800L + minute * 60L) * 1000000000L, user, "view", 1.0, "{}")
+    writeFixture(dir, "events", Seq(
+      ev(1, 1, 0), ev(2, 1, 10), ev(3, 1, 50), ev(4, 1, 70), ev(5, 2, 5))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = operators.Windows.queries("win_sessionize_ids")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L), (5L, 1L)),
+      s"got $got")
+  }
+
+  test("diag_revenue_concentration: the Lorenz curve ends at 1 and partitions") {
+    val rows = operators.MiningOps.queries("diag_revenue_concentration")(
+      spark, sf001).collect()
+    val nCust = Tables.orders(spark, sf001)
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nCust)
+    assert(rows.last.getDouble(3) == 1.0, "cumulative share must end at 1")
+    assert(rows.forall(r => r.getInt(0) >= 1 && r.getInt(0) <= 10))
+    val cums = rows.map(_.getDouble(3))
+    assert(cums.zip(cums.tail).forall { case (a, b) => b >= a })
+  }
+
   test("dedup_lsh_quality_audit: planted near-dups are found; counts cohere") {
     val dir = tempDir()
     import spark.implicits._
