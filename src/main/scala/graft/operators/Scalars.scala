@@ -47,6 +47,22 @@ object Scalars {
         .orderBy(col("o_orderkey"))
     }),
 
+    // calendar arithmetic breadth beyond scalar_date: month-offset
+    // addition with end-of-month CLAMPING (both engines clamp
+    // Jan 31 + 1 month to Feb 28/29 — the billing-date semantics),
+    // last-day-of-month, quarter, and ISO week — the scheduling
+    // scalars a reporting layer leans on.
+    "scalar_date_arith" -> ((s, d) => {
+      val od = col("o_orderdate").cast("date")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          add_months(od, 3).as("due_3m"),
+          last_day(od).as("month_end"),
+          quarter(od).as("qtr"),
+          weekofyear(od).as("iso_week"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "scalar_math" -> ((s, d) => {
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),
@@ -190,6 +206,14 @@ object Scalars {
         |  CAST(regexp_extract(c_name, 'Customer#(\d+)', 1) AS BIGINT) AS id_num,
         |  regexp_replace(c_mktsegment, '[AEIOU]', '_', 'g') AS seg_masked
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "scalar_date_arith" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS due_3m,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+        |  CAST(weekofyear(o_orderdate) AS INT) AS iso_week
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "scalar_date" ->
       """SELECT o_orderkey,

@@ -96,6 +96,44 @@ object TimeSeriesOps {
         .orderBy(col("event_type"), col("idx"))
     }),
 
+    // EWMA control band per series — the online anomaly detector:
+    // exponentially-weighted mean AND variance maintained by one
+    // integer recurrence (α=1/2 dyadic), each hour flagged when its
+    // squared deviation exceeds 9× the running variance (|dev| > 3σ
+    // WITHOUT any sqrt inside the fold — dev² > 9v compares exact
+    // integers). CENT units keep squares inside int64. State and
+    // flags fold per series over the bounded hourly array (the
+    // ts_holt_linear shape); only the final rendering divides. The
+    // oracle replays the identical coupled recurrence as a recursive
+    // CTE — the sixth hash-oracled iterative computation.
+    "ts_anomaly_ewma_band" -> ((s, d) => {
+      val m1 = "(y + st.m) - pmod(y + st.m, 2)"          // 2·m' (exact)
+      val mn = s"(($m1) div 2)"
+      val dv = s"(y - $mn)"
+      val v1 = s"(st.v + $dv * $dv) - pmod(st.v + $dv * $dv, 2)"
+      val vn = s"(($v1) div 2)"
+      val fl = s"IF($dv * $dv > 9 * st.v AND st.n >= 2, st.f + 1, st.f)"
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg((sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          * 100).cast("long").as("y"))
+      hourly.groupBy(col("event_type"))
+        .agg(array_sort(collect_list(struct(col("hour"), col("y")))).as("hy"))
+        .filter(size(col("hy")) >= 2)
+        .withColumn("ys", expr("transform(hy, p -> p.y)"))
+        .withColumn("st", expr(
+          s"""aggregate(slice(ys, 2, size(ys) - 1),
+             |  named_struct('m', ys[0], 'v', CAST(0 AS BIGINT),
+             |    'n', CAST(1 AS BIGINT), 'f', CAST(0 AS BIGINT)),
+             |  (st, y) -> named_struct('m', $mn, 'v', $vn,
+             |    'n', st.n + 1, 'f', $fl))""".stripMargin))
+        .select(col("event_type"), size(col("ys")).cast("long").as("n_hours"),
+          r4(col("st.m").cast("double") / 100.0).as("ewma"),
+          r4(sqrt(col("st.v").cast("double")) / 100.0).as("ew_sigma"),
+          col("st.f").as("n_flagged"))
+        .orderBy(col("event_type"))
+    }),
+
     // Holt double-exponential smoothing per series — level + trend
     // with DYADIC gains (α=1/2, β=1/4) in EXACT integer arithmetic:
     // hourly sums become 1e-4-unit BIGINTs (the ts_ewma basis), the
@@ -611,6 +649,44 @@ object TimeSeriesOps {
          |FROM rk
          |WHERE idx = 1 OR idx = n OR (rn = 1 AND area IS NOT NULL)
          |ORDER BY event_type, idx""".stripMargin,
+
+    "ts_anomaly_ewma_band" -> {
+      def mmod(e: String, k: Int) = s"((($e) % $k) + $k) % $k"
+      val a0 = "y.y + r.m"
+      val mn = s"(($a0) - ${mmod(a0, 2)}) // 2"
+      val dv = "(yv - mn)"
+      val v0 = s"v_prev + $dv * $dv"
+      val vn = s"(($v0) - ${mmod(v0, 2)}) // 2"
+      val fl = s"f_prev + CASE WHEN $dv * $dv > 9 * v_prev AND ri >= 2 " +
+        "THEN 1 ELSE 0 END"
+      s"""WITH RECURSIVE hourly AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS hour,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,4))) * 100 AS BIGINT) AS y
+         |  FROM events GROUP BY 1, 2),
+         |idx AS (
+         |  SELECT event_type, y, row_number() OVER (
+         |    PARTITION BY event_type ORDER BY hour) AS i
+         |  FROM hourly),
+         |n AS (SELECT event_type, max(i) AS h FROM idx GROUP BY 1),
+         |rec AS (
+         |  SELECT event_type, CAST(1 AS BIGINT) AS i, y AS m,
+         |    CAST(0 AS BIGINT) AS v, CAST(0 AS BIGINT) AS f
+         |  FROM idx WHERE i = 1
+         |  UNION ALL
+         |  SELECT event_type, i, mn AS m, $vn AS v, $fl AS f
+         |  FROM (
+         |    SELECT r.event_type AS event_type, r.i + 1 AS i, r.v AS v_prev,
+         |      r.f AS f_prev, r.i AS ri, y.y AS yv, $mn AS mn
+         |    FROM rec r JOIN idx y
+         |      ON y.event_type = r.event_type AND y.i = r.i + 1) s)
+         |SELECT r.event_type, CAST(n.h AS BIGINT) AS n_hours,
+         |  round(CAST(r.m AS DOUBLE) / 100.0, 4) AS ewma,
+         |  round(sqrt(CAST(r.v AS DOUBLE)) / 100.0, 4) AS ew_sigma,
+         |  r.f AS n_flagged
+         |FROM rec r JOIN n ON r.event_type = n.event_type AND r.i = n.h
+         |WHERE n.h >= 2
+         |ORDER BY r.event_type""".stripMargin
+    },
 
     "ts_holt_linear" -> {
       def mmod(e: String, k: Int) = s"((($e) % $k) + $k) % $k"

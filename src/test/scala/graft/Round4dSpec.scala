@@ -380,6 +380,41 @@ class Round4dSpec extends SparkTestBase {
     assert(got == Seq(("view", 21L, 1L, 1L, 10.0, 10.0, 10.0)), s"got $got")
   }
 
+  test("ts_anomaly_ewma_band: hand-simulated spike flags once") {
+    val dir = tempDir()
+    import spark.implicits._
+    def ev(id: Long, hour: Int, v: Double) =
+      (id, (1577836800L + hour * 3600L) * 1000000000L, 1L, "view", v, "{}")
+    val vals = Seq(10.0, 10, 10, 10, 1000, 10)
+    writeFixture(dir, "events",
+      vals.zipWithIndex.map { case (v, i) => ev(i + 1, i, v) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = operators.TimeSeriesOps.queries("ts_anomaly_ewma_band")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    // cents fold: spike hour dev=49500 flags (v was 0); recovery hour
+    // dev²=612562500 < 9·1225125000 does not; final v = 918843750
+    def r4d(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sigma = r4d(math.sqrt(918843750.0) / 100.0)
+    assert(got == Seq(("view", 6L, 257.5, sigma, 1L)), s"got $got")
+  }
+
+  test("scalar_date_arith: month addition clamps to month end") {
+    val dir = tempDir()
+    import spark.implicits._
+    writeFixture(dir, "orders", Seq(
+      (1L, 1L, "O", 10.0,
+        java.sql.Timestamp.valueOf("2020-01-31 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"))
+    val r = operators.Scalars.queries("scalar_date_arith")(spark, dir)
+      .collect().head
+    assert(r.getDate(1).toString == "2020-04-30", "Jan 31 + 3 months clamps")
+    assert(r.getDate(2).toString == "2020-01-31")
+    assert(r.getInt(3) == 1 && r.getInt(4) == 5)
+  }
+
   test("ts_downsample_ltob: endpoints survive and the spike wins its bucket") {
     val dir = tempDir()
     import spark.implicits._
