@@ -372,6 +372,35 @@ object StreamPort {
       }
   }
 
+  /** streaming mirror of the batch `ts_anomaly_ewma_band`: per-series
+    * EWMA mean/variance control state over CLOSED hourly cent bars,
+    * the identical dyadic floorMod recurrence — streamed state equals
+    * the batch fold after any bar prefix (StreamPortSpec). Emits the
+    * running (n, m, v, flags) after each micro-batch. */
+  case class BandState(event_type: String, n: Long, m: Long, v: Long, f: Long)
+
+  def ewmaBand(bars: Dataset[HourBar]): Dataset[BandState] = {
+    import bars.sparkSession.implicits._
+    def fd(a: Long, k: Long) = (a - java.lang.Math.floorMod(a, k)) / k
+    bars
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[BandState, BandState](GroupStateTimeout.NoTimeout) {
+        (tpe: String, rows: Iterator[HourBar], state: GroupState[BandState]) =>
+          var st = state.getOption.getOrElse(BandState(tpe, 0L, 0L, 0L, 0L))
+          for (bar <- rows.toArray.sortBy(_.hour_idx)) {
+            st = if (st.n == 0L) BandState(tpe, 1L, bar.y, 0L, 0L)
+            else {
+              val mn = fd(bar.y + st.m, 2)
+              val dv = bar.y - mn
+              val fl = if (dv * dv > 9 * st.v && st.n >= 2) st.f + 1 else st.f
+              BandState(tpe, st.n + 1, mn, fd(st.v + dv * dv, 2), fl)
+            }
+          }
+          state.update(st)
+          st
+      }
+  }
+
   def runningUserStats(events: Dataset[UserEvent]): Dataset[UserAgg] = {
     import events.sparkSession.implicits._
     events

@@ -471,4 +471,27 @@ class StreamPortSpec extends SparkTestBase {
     // (7.75) — the Round4dSpec fixture values in 1e-4 units
     assert(fin.contains(("view", 3L, 210000L, 77500L)), s"got $fin")
   }
+
+  test("ewmaBand: streamed control state equals the batch recurrence") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamPort.HourBar]
+    val q = StreamPort.ewmaBand(mem.toDS())
+      .writeStream.format("memory").queryName("band")
+      .outputMode("update").start()
+    // the Round4dSpec cent series: 1000×4, 100000, 1000 — spike
+    // flags once, recovery does not (dev² < 9v)
+    val ys = Seq(1000L, 1000L, 1000L, 1000L, 100000L, 1000L)
+    mem.addData(ys.take(4).zipWithIndex.map { case (y, i) =>
+      StreamPort.HourBar("view", i.toLong, y) }: _*)
+    q.processAllAvailable()
+    mem.addData(ys.drop(4).zipWithIndex.map { case (y, i) =>
+      StreamPort.HourBar("view", (i + 4).toLong, y) }: _*)
+    q.processAllAvailable()
+    val fin = spark.table("band")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    q.stop()
+    assert(fin.contains(("view", 6L, 25750L, 918843750L, 1L)), s"got $fin")
+  }
 }
