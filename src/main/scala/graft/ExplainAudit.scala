@@ -29,7 +29,13 @@ object ExplainAudit {
       // equi-joins + broadcast V, forward-asof partitioned window,
       // aggregate-input running-distinct window
       "vec_pq_adc", "pipeline_lm_perplexity", "join_asof_forward",
-      "win_running_distinct")
+      "win_running_distinct",
+      // round-4d shapes: bounded top-k sampling, broadcast quintile
+      // edges, time-range frame, lateral top-N, sessionize single
+      // WindowExec, group-and-explode CF pairs
+      "sample_weighted_priority", "mine_rfm_segments",
+      "win_time_range_sum", "join_lateral_topk", "win_sessionize_ids",
+      "mine_item_cf_topk")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

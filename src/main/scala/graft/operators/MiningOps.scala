@@ -726,8 +726,14 @@ object MiningOps {
             |    struct(x AS ba, y AS bb))))""".stripMargin)).as("p"))
         .groupBy(col("p.ba").as("ba"), col("p.bb").as("bb"))
         .agg(count(lit(1)).as("co"))
-      val sym = pairs.select(col("ba").as("brand_a"), col("bb").as("brand_b"), col("co"))
-        .unionByName(pairs.select(col("bb").as("brand_a"), col("ba").as("brand_b"), col("co")))
+      // both directions explode pipeline-side from ONE pair-agg branch
+      // (a union of two references to `pairs` re-runs the whole
+      // basket→explode→agg derivation twice — seen in the plan audit)
+      val sym = pairs.select(explode(array(
+          struct(col("ba").as("brand_a"), col("bb").as("brand_b")),
+          struct(col("bb").as("brand_a"), col("ba").as("brand_b")))).as("p"),
+          col("co"))
+        .select(col("p.brand_a"), col("p.brand_b"), col("co"))
       val totals = ob.groupBy(col("b")).agg(count(lit(1)).as("nb"))
       val scored = sym
         .join(broadcast(totals.select(col("b").as("brand_a"), col("nb").as("na"))),
