@@ -581,6 +581,35 @@ object MiningOps {
           col("max_gap_days"))
     }),
 
+    // brand seasonality index: per (brand, calendar month), the
+    // brand's within-month revenue share relative to the corpus-wide
+    // month share — index > 1 = the brand over-indexes that month
+    // (the retail planning primitive behind "when do we stock X?").
+    // ONE decimal-exact (brand, month) aggregate bounded by
+    // brands×12; every marginal re-aggregates that bounded table and
+    // broadcasts back; the two share divisions run in one fixed
+    // double op order.
+    "mine_brand_seasonality" -> ((s, d) => {
+      val dec = DecimalType(18, 4)
+      val bm = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), month(col("o_orderdate")).as("mo"))
+        .agg(sum(col("l_extendedprice").cast(dec)).as("rev"))
+      val bt = bm.groupBy(col("p_brand")).agg(sum(col("rev")).as("brev"))
+      val mt = bm.groupBy(col("mo")).agg(sum(col("rev")).as("mrev"))
+      val gt = bm.agg(sum(col("rev")).as("grev"))
+      bm.join(broadcast(bt), Seq("p_brand"))
+        .join(broadcast(mt), Seq("mo"))
+        .crossJoin(broadcast(gt))
+        .select(col("p_brand"), col("mo"),
+          r4(col("rev").cast(DoubleType)).as("revenue"),
+          r4((col("rev").cast(DoubleType) / col("brev").cast(DoubleType)) /
+            (col("mrev").cast(DoubleType) / col("grev").cast(DoubleType)))
+            .as("season_idx"))
+        .orderBy(col("p_brand"), col("mo"))
+    }),
+
     // rank-mover report: brand revenue rank in the early period vs
     // the late period (split at the agg_incremental_merge boundary)
     // and the movement — the "what changed this period" dashboard
@@ -888,6 +917,24 @@ object MiningOps {
         |  CAST(date_diff('day', d0, d1) + 1 - n_present AS BIGINT) AS n_missing,
         |  max_gap_days
         |FROM st""".stripMargin,
+
+    "mine_brand_seasonality" ->
+      """WITH bm AS (
+        |  SELECT p_brand, CAST(month(o_orderdate) AS INT) AS mo,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS rev
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |       JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |bt AS (SELECT p_brand, SUM(rev) AS brev FROM bm GROUP BY 1),
+        |mt AS (SELECT mo, SUM(rev) AS mrev FROM bm GROUP BY 1),
+        |gt AS (SELECT SUM(rev) AS grev FROM bm)
+        |SELECT bm.p_brand, bm.mo,
+        |  round(CAST(bm.rev AS DOUBLE), 4) AS revenue,
+        |  round((CAST(bm.rev AS DOUBLE) / CAST(bt.brev AS DOUBLE))
+        |    / (CAST(mt.mrev AS DOUBLE) / CAST(gt.grev AS DOUBLE)), 4)
+        |    AS season_idx
+        |FROM bm JOIN bt USING (p_brand) JOIN mt USING (mo) CROSS JOIN gt
+        |ORDER BY p_brand, mo""".stripMargin,
 
     "mine_rank_movers" ->
       s"""WITH rev AS (

@@ -525,6 +525,41 @@ object TimeSeriesOps {
     // IEEE-double formula is identical in both engines. The lag window
     // partitions by event_type over the HOURLY AGGREGATE (≤ span×5
     // rows), not raw events — the bounded-window discipline.
+    // lead-lag cross-correlation between two behavioral series: does
+    // view volume PREDICT purchase volume k hours later? Pearson of
+    // (view_t, purchase_{t+k}) for k = 0..3 over the common hour
+    // grid — the ts_autocorr exact-decimal discipline on a PAIR of
+    // series. The lag join runs on integer epoch-second hour keys
+    // (exact in both engines); each lag's sufficient statistics are
+    // decimal sums over the joined rows; one IEEE formula per lag.
+    "ts_crosscorr_lagged" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 8)
+      val hourly = Tables.events(s, d)
+        .filter(col("event_type").isin("view", "purchase"))
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(sum(col("value").cast(dec)).as("h"))
+      val v = hourly.filter(col("event_type") === "view")
+        .select(col("hour").cast("long").as("sec"), col("h").as("x"))
+      val p = hourly.filter(col("event_type") === "purchase")
+        .select(col("hour").cast("long").as("psec"), col("h").as("y"))
+      def dbl(c: String) = col(c).cast("double")
+      v.select(explode(expr("sequence(0, 3)")).as("lag"), col("sec"), col("x"))
+        .join(p, col("psec") === col("sec") + col("lag") * 3600L)
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum((col("x") * col("y")).cast(dec38)).as("sxy"),
+          sum((col("x") * col("x")).cast(dec38)).as("sxx"),
+          sum((col("y") * col("y")).cast(dec38)).as("syy"))
+        .select(col("lag"), col("n"),
+          r4((col("n") * dbl("sxy") - dbl("sx") * dbl("sy")) /
+            (sqrt(col("n") * dbl("sxx") - dbl("sx") * dbl("sx")) *
+             sqrt(col("n") * dbl("syy") - dbl("sy") * dbl("sy"))))
+            .as("xcorr"))
+        .orderBy(col("lag"))
+    }),
+
     "ts_autocorr" -> ((s, d) => {
       val dec = org.apache.spark.sql.types.DecimalType(18, 4)
       val dec38 = org.apache.spark.sql.types.DecimalType(38, 8)
@@ -925,6 +960,33 @@ object TimeSeriesOps {
          |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY slope), 4)
          |    AS slope_per_hour
          |FROM pairs GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "ts_crosscorr_lagged" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS h
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1, 2),
+        |v AS (SELECT epoch_us(hour) // 1000000 AS sec, h AS x
+        |      FROM hourly WHERE event_type = 'view'),
+        |p AS (SELECT epoch_us(hour) // 1000000 AS psec, h AS y
+        |      FROM hourly WHERE event_type = 'purchase'),
+        |lg AS (SELECT range AS lag FROM range(0, 4)),
+        |j AS (
+        |  SELECT lg.lag, v.x, p.y
+        |  FROM v CROSS JOIN lg JOIN p ON p.psec = v.sec + lg.lag * 3600),
+        |st AS (
+        |  SELECT lag, count(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(CAST(x * y AS DECIMAL(38,8))) AS sxy,
+        |    SUM(CAST(x * x AS DECIMAL(38,8))) AS sxx,
+        |    SUM(CAST(y * y AS DECIMAL(38,8))) AS syy
+        |  FROM j GROUP BY lag)
+        |SELECT CAST(lag AS INT) AS lag, n,
+        |  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |     * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4)
+        |    AS xcorr
+        |FROM st ORDER BY lag""".stripMargin,
 
     "ts_autocorr" ->
       """WITH hourly AS (

@@ -380,6 +380,40 @@ class Round4dSpec extends SparkTestBase {
     assert(got == Seq(("view", 21L, 1L, 1L, 10.0, 10.0, 10.0)), s"got $got")
   }
 
+  test("ts_crosscorr_lagged: a planted 1-hour lead correlates perfectly at lag 1") {
+    val dir = tempDir()
+    import spark.implicits._
+    def ev(id: Long, hour: Int, tpe: String, v: Double) =
+      (id, (1577836800L + hour * 3600L) * 1000000000L, 1L, tpe, v, "{}")
+    val vs = Seq(1.0, 4.0, 2.0, 8.0, 3.0, 9.0)
+    val evs = vs.zipWithIndex.map { case (v, h) => ev(h + 1, h, "view", v) } ++
+      vs.zipWithIndex.map { case (v, h) => ev(h + 10, h + 1, "purchase", 2 * v) }
+    writeFixture(dir, "events",
+      evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = operators.TimeSeriesOps.queries("ts_crosscorr_lagged")(spark, dir)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // purchase_{t+1} = 2·view_t exactly → lag-1 Pearson is 1
+    assert(got(1)._2 == 1.0, s"got $got")
+    assert(got(0)._2 < 1.0)
+  }
+
+  test("mine_brand_seasonality: a single brand indexes 1.0 in every month") {
+    val dir = tempDir()
+    import spark.implicits._
+    writeFixture(dir, "part", Seq((1L, "A")).toDF("p_partkey", "p_brand"))
+    writeFixture(dir, "orders", Seq(
+      (1L, 1L, "O", 1.0, java.sql.Timestamp.valueOf("2020-01-15 00:00:00"), "x"),
+      (2L, 1L, "O", 1.0, java.sql.Timestamp.valueOf("2020-02-15 00:00:00"), "x"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"))
+    writeFixture(dir, "lineitem", Seq((1L, 1L, 10.0), (2L, 1L, 30.0))
+      .toDF("l_orderkey", "l_partkey", "l_extendedprice"))
+    val got = operators.MiningOps.queries("mine_brand_seasonality")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq(("A", 1, 10.0, 1.0), ("A", 2, 30.0, 1.0)), s"got $got")
+  }
+
   test("ts_anomaly_ewma_band: hand-simulated spike flags once") {
     val dir = tempDir()
     import spark.implicits._
