@@ -332,6 +332,34 @@ object TextOps {
     // as the split assignment, over 1000 buckets. No rand() — the
     // sample is reproducible across runs, partitionings, and engines,
     // and embarrassingly parallel (a per-row filter at the scan).
+    // vocabulary-coverage curve: what share of all token occurrences
+    // do the top-100/250/500 terms cover? THE tokenizer-vocab-size
+    // planning number (a 95% cover at 500 says a small vocab + byte
+    // fallback suffices). Top-k via TakeOrderedAndProject (no global
+    // sort); the rank window and cumulative sum run over the BOUNDED
+    // 500-row top list; the token total rides a per-doc aggregate
+    // (no second explode); checkpoints at three ranks.
+    "text_vocab_coverage" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val top = docs.select(explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("term")).limit(500)
+      val tot = docs.agg(sum(size(split(col("text"), " ")).cast("long")).as("tt"))
+      val w = Window.orderBy(desc("n"), col("term"))
+      val cum = Window.orderBy(desc("n"), col("term"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // the last rank always reports (a vocabulary smaller than the
+      // first checkpoint would otherwise return an empty curve)
+      top.withColumn("rank", row_number().over(w))
+        .withColumn("cum_tokens", sum(col("n")).over(cum))
+        .crossJoin(broadcast(top.agg(count(lit(1)).cast("int").as("vs"))))
+        .filter(col("rank").isin(100, 250, 500) || col("rank") === col("vs"))
+        .crossJoin(broadcast(tot))
+        .select(col("rank"), col("cum_tokens"),
+          r4(col("cum_tokens").cast("double") / col("tt")).as("coverage"))
+        .orderBy(col("rank"))
+    }),
+
     // mergeable bottom-k uniform sample per stratum: the k doc_ids
     // with the smallest md5-basis hashes per language — the
     // constant-state reservoir-sampling replacement
@@ -919,6 +947,27 @@ object TextOps {
          |  md5(regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
          |    '$LongNumRe', '<NUM>', 'g')) AS redacted_fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_vocab_coverage" ->
+      """WITH top AS (
+        |  SELECT term, count(*) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents) u
+        |  GROUP BY term ORDER BY n DESC, term LIMIT 500),
+        |rk AS (
+        |  SELECT term, n,
+        |    row_number() OVER (ORDER BY n DESC, term) AS rank,
+        |    sum(n) OVER (ORDER BY n DESC, term
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM top),
+        |tot AS (
+        |  SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tt
+        |  FROM documents),
+        |vs AS (SELECT count(*) AS vs FROM top)
+        |SELECT CAST(rank AS INT) AS rank, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+        |  round(CAST(cum_tokens AS DOUBLE) / tt, 4) AS coverage
+        |FROM rk CROSS JOIN tot CROSS JOIN vs
+        |WHERE rank IN (100, 250, 500) OR rank = vs
+        |ORDER BY rank""".stripMargin,
 
     "sample_bottomk_per_group" ->
       s"""WITH h AS (

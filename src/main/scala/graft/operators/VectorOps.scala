@@ -72,6 +72,37 @@ object VectorOps {
         .orderBy(col("label"))
     }),
 
+    // label-separation audit: cosine between every PAIR of label
+    // centroids — the confusion-risk screen ("which classes sit on
+    // top of each other?") run before anyone trains on the labels.
+    // Same exact machinery as vec_centroid_drift: per-(label, dim)
+    // quantized BIGINT sums (one bounded hash agg), then all label
+    // PAIRS — bounded by labels² — get exact DECIMAL(38,0) dot/norm
+    // sums from a labels×64-row self-join. No corpus-side pair work
+    // at any scale.
+    "vec_label_separation" -> ((s, d) => {
+      val dec = DecimalType(38, 0)
+      val sums = Tables.embeddings(s, d)
+        .selectExpr("label", "posexplode(embedding) AS (dimn, x)")
+        .select(col("label"), col("dimn"),
+          expr("CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(20,8)) * 100000000 AS BIGINT)")
+            .as("qx"))
+        .groupBy(col("label"), col("dimn"))
+        .agg(sum(col("qx")).as("sv"))
+      val a = sums.select(col("label").as("la"), col("dimn"), col("sv").as("sa"))
+      val b = sums.select(col("label").as("lb"), col("dimn"), col("sv").as("sb"))
+      a.join(b, Seq("dimn")).filter(col("la") < col("lb"))
+        .groupBy(col("la"), col("lb"))
+        .agg(sum(col("sa").cast(dec) * col("sb").cast(dec)).as("dot"),
+          sum(col("sa").cast(dec) * col("sa").cast(dec)).as("n2a"),
+          sum(col("sb").cast(dec) * col("sb").cast(dec)).as("n2b"))
+        .select(col("la"), col("lb"),
+          r4(col("dot").cast(DoubleType) /
+            (sqrt(col("n2a").cast(DoubleType)) * sqrt(col("n2b").cast(DoubleType))))
+            .as("centroid_cos"))
+        .orderBy(col("la"), col("lb"))
+    }),
+
     // truncation-quality audit (the Matryoshka question): how much of
     // each vector's energy survives keeping only the first 32 of 64
     // dims? cos(full, truncated) for a projection reduces to
@@ -795,6 +826,28 @@ object VectorOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "vec_label_separation" ->
+      """WITH u AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS dimn,
+        |    unnest(embedding) AS x
+        |  FROM embeddings),
+        |sums AS (
+        |  SELECT label, dimn,
+        |    CAST(SUM(CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(20,8))
+        |      * 100000000 AS BIGINT)) AS HUGEINT) AS sv
+        |  FROM u GROUP BY 1, 2),
+        |pr AS (
+        |  SELECT a.label AS la, b.label AS lb,
+        |    SUM(a.sv * b.sv) AS dot, SUM(a.sv * a.sv) AS n2a,
+        |    SUM(b.sv * b.sv) AS n2b
+        |  FROM sums a JOIN sums b ON a.dimn = b.dimn AND a.label < b.label
+        |  GROUP BY 1, 2)
+        |SELECT la, lb,
+        |  round(CAST(dot AS DOUBLE)
+        |    / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))), 4)
+        |    AS centroid_cos
+        |FROM pr ORDER BY la, lb""".stripMargin,
+
     "vec_truncation_audit" ->
       s"""WITH q AS (
          |  SELECT label,

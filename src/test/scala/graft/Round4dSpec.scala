@@ -484,6 +484,32 @@ class Round4dSpec extends SparkTestBase {
     assert(got == Seq((7, 2L, avg, 0.0)), s"got $got")
   }
 
+  test("vec_label_separation: orthogonal and aligned planted centroids") {
+    val dir = tempDir()
+    import spark.implicits._
+    writeFixture(dir, "embeddings", Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(0.0f, 1.0f), 1),
+      (2L, Seq(2.0f, 0.0f), 2)).toDF("vec_id", "embedding", "label"))
+    val got = operators.VectorOps.queries("vec_label_separation")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(got == Seq((0, 1, 0.0), (0, 2, 1.0), (1, 2, 0.0)), s"got $got")
+  }
+
+  test("text_vocab_coverage: a known tiny vocabulary covers fully by rank 100") {
+    val got = operators.TextOps.queries("text_vocab_coverage")(spark, sf001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    // sf0.001's vocabulary is below the first checkpoint — the curve
+    // must still report its final rank, with full coverage
+    val vocab = Tables.documents(spark, sf001)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .distinct().count().toInt
+    assert(got.map(_._1) ==
+      (Seq(100, 250, 500).filter(_ < vocab) :+ math.min(vocab, 500)))
+    assert(got.last._3 == (if (vocab <= 500) 1.0 else got.last._3))
+    val covs = got.map(_._3)
+    assert(covs.zip(covs.tail).forall { case (a, b) => b >= a })
+  }
+
   test("vec_centroid_drift: orthogonal and identical planted halves") {
     val dir = tempDir()
     import spark.implicits._
