@@ -69,9 +69,36 @@ object SortsAndSets {
       val a = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_nationkey"))
       val b = c.filter(col("c_acctbal") > 5000.0).select(col("c_nationkey"))
       a.exceptAll(b).orderBy(col("c_nationkey"))
+    }),
+
+    // symmetric difference — the set op SQL has no keyword for:
+    // keys in exactly one of the two sides, composed as
+    // (A∖B) ∪ (B∖A) of DISTINCT key sets; each leg is a hash
+    // anti-semi on the key, the union is disjoint by construction
+    "set_symmetric_diff" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val a = c.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey")).distinct()
+      val b = c.filter(col("c_acctbal") > 9000.0)
+        .select(col("c_custkey")).distinct()
+      a.except(b).withColumn("side", lit("building_only"))
+        .unionByName(b.except(a).withColumn("side", lit("rich_only")))
+        .orderBy(col("c_custkey"))
     }))
 
   val oracle: Map[String, String] = Map(
+    "set_symmetric_diff" ->
+      """WITH a AS (SELECT DISTINCT c_custkey FROM customer
+        |           WHERE c_mktsegment = 'BUILDING'),
+        |b AS (SELECT DISTINCT c_custkey FROM customer
+        |      WHERE c_acctbal > 9000.0)
+        |SELECT c_custkey, 'building_only' AS side
+        |FROM (SELECT c_custkey FROM a EXCEPT SELECT c_custkey FROM b) x
+        |UNION ALL
+        |SELECT c_custkey, 'rich_only' AS side
+        |FROM (SELECT c_custkey FROM b EXCEPT SELECT c_custkey FROM a) y
+        |ORDER BY c_custkey""".stripMargin,
+
     "sort_multikey" ->
       """SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber FROM lineitem
         |ORDER BY l_returnflag ASC NULLS FIRST, l_extendedprice DESC, l_orderkey, l_linenumber

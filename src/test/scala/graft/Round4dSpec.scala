@@ -484,6 +484,19 @@ class Round4dSpec extends SparkTestBase {
     assert(got == Seq((7, 2L, avg, 0.0)), s"got $got")
   }
 
+  test("set_symmetric_diff: each key lands on exactly one side") {
+    val rows = operators.SortsAndSets.queries("set_symmetric_diff")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows.map(_._1).distinct.size == rows.size, "keys must be unique")
+    val c = Tables.customer(spark, sf001)
+    val a = c.filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val b = c.filter(col("c_acctbal") > 9000.0)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val exp = (a -- b).map(_ -> "building_only") ++ (b -- a).map(_ -> "rich_only")
+    assert(rows.toSet == exp, s"got ${rows.size} exp ${exp.size}")
+  }
+
   test("vec_label_separation: orthogonal and aligned planted centroids") {
     val dir = tempDir()
     import spark.implicits._
