@@ -697,6 +697,20 @@ object GraphOps {
     // is one row per (seed, step) — bounded by seeds × walk length at
     // ANY graph scale — so the windowed self-join is broadcast-sized
     // and the pair aggregate is the only (tiny) shuffle.
+    // component-size distribution: histogram of connected-component
+    // sizes — THE fragmentation report over a dedup/citation graph
+    // ("one giant component + dust, or many mid-size islands?").
+    // Rides the shared CC propagation; both rollups (label → size,
+    // size → count) are hash aggs whose state is bounded by distinct
+    // labels / distinct sizes.
+    "graph_component_size_dist" -> ((s, d) => {
+      val sizes = connectedComponents(symEdges(s, d), symmetrized = true,
+          numParts = graphParts(s, d))
+        .groupBy(col("lbl")).agg(count(lit(1)).as("size"))
+      sizes.groupBy(col("size")).agg(count(lit(1)).as("n_components"))
+        .orderBy(col("size"))
+    }),
+
     // degree-distribution power-law fit: least-squares slope of
     // ln(#vertices) ~ ln(degree) over the degree histogram — the
     // scale-free-ness test (citation networks ≈ −2..−3; a flat or
@@ -1650,6 +1664,20 @@ object GraphOps {
       s"""WITH $walkCteSql
          |SELECT seed, step, v AS vertex FROM w
          |ORDER BY seed, step""".stripMargin,
+
+    "graph_component_size_dist" ->
+      s"""WITH RECURSIVE ed AS ($edgesSql),
+         |sym AS (SELECT src AS a, dst AS b FROM ed
+         |        UNION SELECT dst, src FROM ed),
+         |verts AS (SELECT DISTINCT a AS v FROM sym),
+         |walk(v, l) AS (
+         |  SELECT v, v FROM verts
+         |  UNION
+         |  SELECT sym.b, walk.l FROM sym JOIN walk ON sym.a = walk.v),
+         |lbl AS (SELECT v, min(l) AS lbl FROM walk GROUP BY v),
+         |sz AS (SELECT lbl, count(*) AS size FROM lbl GROUP BY lbl)
+         |SELECT size, count(*) AS n_components
+         |FROM sz GROUP BY size ORDER BY size""".stripMargin,
 
     "graph_degree_powerlaw" ->
       s"""WITH ed AS ($edgesSql),

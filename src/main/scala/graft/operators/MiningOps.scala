@@ -581,6 +581,35 @@ object MiningOps {
           col("max_gap_days"))
     }),
 
+    // reorder-gap profile: the distribution of days between a
+    // customer's consecutive orders — mean plus EXACT integer p50/p90
+    // derived from the bounded gap-day HISTOGRAM (state ∝ distinct
+    // gap lengths ≤ retention days, never order volume; an exact
+    // percentile aggregate over raw gaps would carry every gap).
+    // Quantile convention: smallest gap with cum·100 ≥ q·n (the
+    // quantileEdges lower-bucket rule). The lag window partitions by
+    // customer — high-cardinality.
+    "mine_reorder_gap_profile" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("dt"), col("o_orderkey"))
+      val gaps = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("dt"))
+        .withColumn("gap", datediff(col("dt"), lag(col("dt"), 1).over(w)))
+        .filter(col("gap").isNotNull)
+      val hist = gaps.groupBy(col("gap").cast("long").as("g"))
+        .agg(count(lit(1)).as("c"))
+      val cumW = Window.orderBy(col("g"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum(col("c")).over(cumW))
+        .crossJoin(broadcast(hist.agg(sum(col("c")).as("n"),
+          sum(col("g") * col("c")).as("gsum"))))
+      def q(p: Int) = min(when(col("cum") * 100 >= col("n") * p, col("g")))
+      cum.agg(max(col("n")).as("n_gaps"),
+          r4(max(col("gsum")).cast(DoubleType) / max(col("n"))).as("mean_gap"),
+          q(50).as("p50_days"), q(90).as("p90_days"))
+    }),
+
     // brand seasonality index: per (brand, calendar month), the
     // brand's within-month revenue share relative to the corpus-wide
     // month share — index > 1 = the brand over-indexes that month
@@ -917,6 +946,26 @@ object MiningOps {
         |  CAST(date_diff('day', d0, d1) + 1 - n_present AS BIGINT) AS n_missing,
         |  max_gap_days
         |FROM st""".stripMargin,
+
+    "mine_reorder_gap_profile" ->
+      """WITH g AS (
+        |  SELECT CAST(date_diff('day',
+        |    lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+        |      ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+        |    CAST(o_orderdate AS DATE)) AS BIGINT) AS gap
+        |  FROM orders),
+        |h AS (SELECT gap AS g, count(*) AS c FROM g
+        |      WHERE gap IS NOT NULL GROUP BY 1),
+        |cm AS (SELECT g, c, sum(c) OVER (ORDER BY g) AS cum FROM h),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |             CAST(sum(g * c) AS BIGINT) AS gsum FROM h)
+        |SELECT n AS n_gaps,
+        |  round(CAST(gsum AS DOUBLE) / n, 4) AS mean_gap,
+        |  CAST(min(CASE WHEN cum * 100 >= n * 50 THEN g END) AS BIGINT)
+        |    AS p50_days,
+        |  CAST(min(CASE WHEN cum * 100 >= n * 90 THEN g END) AS BIGINT)
+        |    AS p90_days
+        |FROM cm CROSS JOIN t GROUP BY n, gsum""".stripMargin,
 
     "mine_brand_seasonality" ->
       """WITH bm AS (

@@ -112,6 +112,32 @@ object TextOps {
   /** minimum bigram support for text_collocations_pmi. */
   val CollocMinSupport = 5
 
+  /** the n-gram language-id prediction table (doc_id, pred_lang,
+    * hits, true_lang) — shared by text_langid_ngram and its confusion
+    * audit. Per-language top-20 term profiles, per-doc hit counts,
+    * argmax with (hits desc, lang) total tie order. */
+  private def langidPredictions(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tok = docs.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("term"))
+    val lt = tok.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("c"))
+    val wTop = Window.partitionBy(col("lang")).orderBy(desc("c"), asc("term"))
+    val top20 = lt.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 20).select(col("lang").as("prof_lang"), col("term"))
+    val dt = tok.select(col("doc_id"), col("term")).distinct()
+    val hits = dt.join(broadcast(top20), "term")
+      .groupBy(col("doc_id"), col("prof_lang")).agg(count(lit(1)).as("hits"))
+    val wBest = Window.partitionBy(col("doc_id"))
+      .orderBy(desc("hits"), asc("prof_lang"))
+    val best = hits.withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+    docs.select(col("doc_id"), col("lang").as("true_lang"))
+      .join(best, "doc_id")
+      .select(col("doc_id"), col("prof_lang").as("pred_lang"), col("hits"),
+        col("true_lang"))
+  }
+
   /** per-stratum sample size for sample_bottomk_per_group. */
   val BottomKSample = 5
 
@@ -217,24 +243,24 @@ object TextOps {
     // token-profile language ID: each language's 20 most frequent
     // terms form its profile; a document is classified to the profile
     // it overlaps most (ties → lexicographically first lang)
-    "text_langid_ngram" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val tok = docs.select(col("doc_id"), col("lang"),
-        explode(split(col("text"), " ")).as("term"))
-      val lt = tok.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("c"))
-      val wTop = Window.partitionBy(col("lang")).orderBy(desc("c"), asc("term"))
-      val top20 = lt.withColumn("rn", row_number().over(wTop))
-        .filter(col("rn") <= 20).select(col("lang").as("prof_lang"), col("term"))
-      val dt = tok.select(col("doc_id"), col("term")).distinct()
-      val hits = dt.join(broadcast(top20), "term")
-        .groupBy(col("doc_id"), col("prof_lang")).agg(count(lit(1)).as("hits"))
-      val wBest = Window.partitionBy(col("doc_id")).orderBy(desc("hits"), asc("prof_lang"))
-      val best = hits.withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
-      docs.select(col("doc_id"), col("lang").as("true_lang"))
-        .join(best, "doc_id")
-        .select(col("doc_id"), col("prof_lang").as("pred_lang"), col("hits"),
-          col("true_lang"))
-        .orderBy(col("doc_id"))
+    "text_langid_ngram" -> ((s, d) =>
+      langidPredictions(s, d).orderBy(col("doc_id"))),
+
+    // confusion matrix of the n-gram language identifier against the
+    // labeled lang column, with per-cell recall — the accuracy report
+    // that turns a heuristic into a trusted pipeline gate ("which
+    // language pairs does it confuse?"). Reuses the langid derivation
+    // verbatim; the matrix aggregate is bounded by langs² and the
+    // per-true-language totals broadcast back.
+    "text_langid_confusion" -> ((s, d) => {
+      val m = langidPredictions(s, d)
+        .groupBy(col("true_lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+      val tt = m.groupBy(col("true_lang")).agg(sum(col("n")).as("tn"))
+      m.join(broadcast(tt), Seq("true_lang"))
+        .select(col("true_lang"), col("pred_lang"), col("n"),
+          r4(col("n").cast("double") / col("tn")).as("recall"))
+        .orderBy(col("true_lang"), col("pred_lang"))
     }),
 
     // quality score from exact integer counts: token count, stopword
@@ -850,6 +876,23 @@ object TextOps {
   private val tokCte =
     "SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents"
 
+  /** langid CTE chain (ends at `best(doc_id, prof_lang, hits)`) —
+    * oracle mirror of [[langidPredictions]], shared by
+    * text_langid_ngram and text_langid_confusion. */
+  private def langidCtesSql: String =
+    s"""tok AS ($tokCte),
+       |lt AS (SELECT lang, term, count(*) AS c FROM tok GROUP BY 1, 2),
+       |top20 AS (SELECT lang AS prof_lang, term FROM (
+       |  SELECT lang, term, row_number() OVER (PARTITION BY lang
+       |    ORDER BY c DESC, term ASC) AS rn FROM lt) t WHERE rn <= 20),
+       |dt AS (SELECT DISTINCT doc_id, term FROM tok),
+       |hits AS (SELECT dt.doc_id, top20.prof_lang, count(*) AS hits
+       |  FROM dt JOIN top20 USING (term) GROUP BY 1, 2),
+       |best AS (SELECT doc_id, prof_lang, hits FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY hits DESC, prof_lang ASC) AS rn FROM hits) t WHERE rn = 1)"""
+      .stripMargin
+
   /** pipeline_quality_funnel gate thresholds — named so the Spark
     * query and the oracle SQL share one definition. MaxTopShare is
     * DYADIC (0.25): the exact-integer ratio compare is then bit-exact
@@ -1019,20 +1062,24 @@ object TextOps {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "text_langid_ngram" ->
-      s"""WITH tok AS ($tokCte),
-         |lt AS (SELECT lang, term, count(*) AS c FROM tok GROUP BY 1, 2),
-         |top20 AS (SELECT lang AS prof_lang, term FROM (
-         |  SELECT lang, term, row_number() OVER (PARTITION BY lang
-         |    ORDER BY c DESC, term ASC) AS rn FROM lt) t WHERE rn <= 20),
-         |dt AS (SELECT DISTINCT doc_id, term FROM tok),
-         |hits AS (SELECT dt.doc_id, top20.prof_lang, count(*) AS hits
-         |  FROM dt JOIN top20 USING (term) GROUP BY 1, 2),
-         |best AS (SELECT doc_id, prof_lang, hits FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY doc_id
-         |    ORDER BY hits DESC, prof_lang ASC) AS rn FROM hits) t WHERE rn = 1)
+      s"""WITH $langidCtesSql
          |SELECT d.doc_id, b.prof_lang AS pred_lang, b.hits, d.lang AS true_lang
          |FROM documents d JOIN best b ON d.doc_id = b.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "text_langid_confusion" ->
+      s"""WITH $langidCtesSql,
+         |m AS (
+         |  SELECT d.lang AS true_lang, b.prof_lang AS pred_lang,
+         |    count(*) AS n
+         |  FROM documents d JOIN best b ON d.doc_id = b.doc_id
+         |  GROUP BY 1, 2),
+         |tt AS (SELECT true_lang, CAST(sum(n) AS BIGINT) AS tn
+         |       FROM m GROUP BY 1)
+         |SELECT m.true_lang, m.pred_lang, m.n,
+         |  round(CAST(m.n AS DOUBLE) / tt.tn, 4) AS recall
+         |FROM m JOIN tt USING (true_lang)
+         |ORDER BY true_lang, pred_lang""".stripMargin,
 
     "text_quality_score" ->
       s"""WITH tok AS ($tokCte),

@@ -484,6 +484,47 @@ class Round4dSpec extends SparkTestBase {
     assert(got == Seq((7, 2L, avg, 0.0)), s"got $got")
   }
 
+  test("graph_component_size_dist: the path-graph fixture is one 4-vertex component") {
+    val dir = tempDir()
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    writeFixture(dir, "orders", Seq(
+      (1L, 1L, "O", 10.0, ts, "1-URGENT"), (2L, 2L, "O", 20.0, ts, "5-LOW"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"))
+    writeFixture(dir, "lineitem", Seq(
+      (1L, 7L), (1L, 8L), (2L, 7L)).toDF("l_orderkey", "l_suppkey"))
+    val got = operators.GraphOps.queries("graph_component_size_dist")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((4L, 1L)), s"got $got")
+  }
+
+  test("text_langid_confusion: cells partition each true language's docs") {
+    val rows = operators.TextOps.queries("text_langid_confusion")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, cells) =>
+      val rec = cells.map(_._4).sum
+      assert(rec > 0.99 && rec < 1.01, s"recalls must sum to ~1, got $rec")
+    }
+  }
+
+  test("mine_reorder_gap_profile: hand gaps give exact histogram quantiles") {
+    val dir = tempDir()
+    import spark.implicits._
+    def o(id: Long, day: Int) = (id, 1L, "O", 10.0,
+      java.sql.Timestamp.valueOf(f"2020-01-$day%02d 00:00:00"), "x")
+    writeFixture(dir, "orders", Seq(o(1, 1), o(2, 3), o(3, 11))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"))
+    val got = operators.MiningOps.queries("mine_reorder_gap_profile")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // gaps 2 and 8: mean 5, p50 = 2 (cum 1 of 2 → 100 ≥ 100), p90 = 8
+    assert(got == Seq((2L, 5.0, 2L, 8L)), s"got $got")
+  }
+
   test("set_symmetric_diff: each key lands on exactly one side") {
     val rows = operators.SortsAndSets.queries("set_symmetric_diff")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
