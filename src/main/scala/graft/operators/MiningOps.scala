@@ -254,6 +254,25 @@ object MiningOps {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // join-fanout audit: the multiplicity distribution of the
+    // lineitem→orders join key — what you check BEFORE a join to
+    // predict its output size and skew (a long multiplicity tail is
+    // tomorrow's exploded join). Histogram of per-key child counts
+    // (bounded by the max multiplicity) + the exact expected fanout
+    // as a ratio of integer totals.
+    "diag_join_fanout" -> ((s, d) => {
+      val mult = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("m"))
+        .groupBy(col("m")).agg(count(lit(1)).as("n_keys"))
+      mult.crossJoin(broadcast(mult.agg(
+          sum(col("n_keys")).as("tk"),
+          sum(col("m") * col("n_keys")).as("tr"))))
+        .select(col("m").as("multiplicity"), col("n_keys"),
+          r4(col("n_keys").cast(DoubleType) / col("tk")).as("key_share"),
+          r4(col("tr").cast(DoubleType) / col("tk")).as("avg_fanout"))
+        .orderBy(col("multiplicity"))
+    }),
+
     // referential-integrity audit — the ingest gate a pipeline runs
     // before trusting a drop: per FK edge, child row count, orphan
     // rows (no parent), distinct orphan keys. ONE left join per edge
@@ -926,6 +945,18 @@ object MiningOps {
         |  c_nationkey = s_nationkey AS same_nation
         |FROM m CROSS JOIN t
         |ORDER BY c_nationkey, s_nationkey""".stripMargin,
+
+    "diag_join_fanout" ->
+      """WITH mult AS (
+        |  SELECT m, count(*) AS n_keys FROM (
+        |    SELECT l_orderkey, count(*) AS m FROM lineitem GROUP BY 1) q
+        |  GROUP BY m),
+        |t AS (SELECT CAST(sum(n_keys) AS BIGINT) AS tk,
+        |             CAST(sum(m * n_keys) AS BIGINT) AS tr FROM mult)
+        |SELECT m AS multiplicity, n_keys,
+        |  round(CAST(n_keys AS DOUBLE) / tk, 4) AS key_share,
+        |  round(CAST(tr AS DOUBLE) / tk, 4) AS avg_fanout
+        |FROM mult CROSS JOIN t ORDER BY multiplicity""".stripMargin,
 
     "diag_missing_days" ->
       """WITH daily AS (

@@ -525,6 +525,19 @@ class Round4dSpec extends SparkTestBase {
     assert(got == Seq((2L, 5.0, 2L, 8L)), s"got $got")
   }
 
+  test("diag_join_fanout: multiplicities partition keys and rows") {
+    val rows = operators.MiningOps.queries("diag_join_fanout")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    val li = Tables.lineitem(spark, sf001)
+    val keys = li.select(col("l_orderkey")).distinct().count()
+    val total = li.count()
+    assert(rows.map(_._2).sum == keys)
+    assert(rows.map(t => t._1 * t._2).sum == total)
+    val exp = BigDecimal(total.toDouble / keys)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows.forall(_._3 == exp))
+  }
+
   test("set_symmetric_diff: each key lands on exactly one side") {
     val rows = operators.SortsAndSets.queries("set_symmetric_diff")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
