@@ -456,12 +456,52 @@ object Aggregates {
         .select(col("n_regionkey"), col("exact_rows"),
           hllEstimate("reg").as("approx_customers"))
         .orderBy(col("n_regionkey"))
+    }),
+
+    // Pythagorean-mean family per group: arithmetic, geometric, and
+    // harmonic means of the (strictly positive) extended price. The
+    // geometric mean sums 4dp-ROUNDED logs as exact decimals (the
+    // text_zipf_slope input-quantization discipline — an IEEE double
+    // sum of logs is partial-aggregation-order-dependent); harmonic
+    // sums 12dp-rounded reciprocals (1/x ∈ ~[1e-5, 1e-3], so 12dp
+    // keeps 7+ significant digits) the same way. One codegen'd scan +
+    // one bounded hash aggregate; the final exp/divisions evaluate on
+    // bit-identical doubles in both engines.
+    "agg_gmean_hmean" -> ((s, d) => {
+      val dec4 = DecimalType(18, 4)
+      val dec12 = DecimalType(18, 12)
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          round(log(col("l_extendedprice")), 4).cast(dec4).as("lx"),
+          round(lit(1.0) / col("l_extendedprice"), 12).cast(dec12).as("rx"),
+          col("l_extendedprice"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          r4(davg(col("l_extendedprice"))).as("amean"),
+          r4(exp(sum(col("lx")).cast(DoubleType) / count(lit(1))))
+            .as("gmean"),
+          r4(count(lit(1)) / sum(col("rx")).cast(DoubleType)).as("hmean"))
+        .orderBy(col("l_returnflag"))
     }))
 
   private val dsumQty = dsumSql("l_quantity")
   private val dsumPrice = dsumSql("l_extendedprice")
 
   val oracle: Map[String, String] = Map(
+    "agg_gmean_hmean" ->
+      """WITH v AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(ln(l_extendedprice), 4) AS DECIMAL(18,4)) AS lx,
+        |    CAST(round(1.0 / l_extendedprice, 12) AS DECIMAL(18,12)) AS rx,
+        |    l_extendedprice
+        |  FROM lineitem)
+        |SELECT l_returnflag, count(*) AS n,
+        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    / count(*), 4) AS amean,
+        |  round(exp(CAST(sum(lx) AS DOUBLE) / count(*)), 4) AS gmean,
+        |  round(count(*) / CAST(sum(rx) AS DOUBLE), 4) AS hmean
+        |FROM v GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
     "agg_corr_pairs" ->
       """WITH li AS (
         |  -- DECIMAL(28,4): a width-18 decimal multiply runs in int64

@@ -636,9 +636,73 @@ object TimeSeriesOps {
           r4(col("sv").cast("double") / col("n")).as("avg_value"),
           r4(col("n").cast("double") / col("tn")).as("share"))
         .orderBy(col("event_type"), col("hod"))
+    }),
+
+    // one-sided CUSUM alarm per series — the online changepoint
+    // DETECTOR (ts_changepoint_meanshift is the offline locator): the
+    // clamped recurrence s_t = max(0, s_{t-1} + (h_t − mean)) alarms
+    // when the accumulated positive drift exceeds 5 hourly means.
+    // NO recursion anywhere: the clamp has the closed form
+    // s_t = c_t − least(0, min_{j≤t} c_j) with c the plain prefix sum
+    // of deviations, so two windows over the BOUNDED hourly aggregate
+    // replace the sequential fold. EXACT integers end-to-end: hours in
+    // 1e-4-unit BIGINTs (the ts_downsample_ltob basis), deviations
+    // scaled by n (d_t = n·h_t − tot) so the mean never divides;
+    // the alarm compares s_t > 5·tot in the same scaled units.
+    // (Magnitude: |c| ≤ n·tot_units — int64-safe to ~1e14 hourly
+    // units·hours; beyond that widen the units to DECIMAL(38,0).)
+    "ts_cusum_alarm" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg((sum(col("value").cast(dec)) * 10000).cast("long").as("hu"))
+      val tot = hourly.groupBy(col("event_type"))
+        .agg(sum(col("hu")).as("tu"), count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hourly.join(broadcast(tot), Seq("event_type"))
+        .withColumn("du", col("hu") * col("n") - col("tu"))
+        .withColumn("c", sum(col("du")).over(w))
+        .withColumn("cusum", col("c") - least(lit(0L), min(col("c")).over(w)))
+        .withColumn("alarm", col("cusum") > lit(5L) * col("tu"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_hours"),
+          count_if(col("alarm")).as("n_alarms"),
+          r4(max(col("cusum")).cast("double") /
+            (max(col("n")) * lit(10000.0))).as("max_cusum"),
+          ntz(min(when(col("alarm"), col("hour")))).as("first_alarm_hour"))
+        .orderBy(col("event_type"))
     }))
 
   val oracle: Map[String, String] = Map(
+    "ts_cusum_alarm" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS hu
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(hu) AS BIGINT) AS tu,
+        |          count(*) AS n
+        |        FROM hourly GROUP BY 1),
+        |c AS (
+        |  SELECT h.event_type, h.hour, t.n, t.tu,
+        |    CAST(sum(h.hu * t.n - t.tu) OVER w AS BIGINT) AS c
+        |  FROM hourly h JOIN tot t USING (event_type)
+        |  WINDOW w AS (PARTITION BY h.event_type ORDER BY h.hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (
+        |  SELECT *,
+        |    c - least(CAST(0 AS BIGINT), CAST(min(c) OVER w2 AS BIGINT))
+        |      AS cusum
+        |  FROM c
+        |  WINDOW w2 AS (PARTITION BY event_type ORDER BY hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, max(n) AS n_hours,
+        |  count(*) FILTER (WHERE cusum > 5 * tu) AS n_alarms,
+        |  round(CAST(max(cusum) AS DOUBLE) / (max(n) * 10000.0), 4)
+        |    AS max_cusum,
+        |  min(CASE WHEN cusum > 5 * tu THEN hour END) AS first_alarm_hour
+        |FROM s GROUP BY 1 ORDER BY event_type""".stripMargin,
+
     "ts_winsorized_mean" ->
       s"""WITH hourly AS (
          |  SELECT event_type, date_trunc('hour', ts) AS hour,

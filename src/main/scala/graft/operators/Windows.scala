@@ -286,6 +286,65 @@ object Windows {
           max(col("o_totalprice")).as("hi"),
           r4(dsum(col("o_totalprice"))).as("sum_price"))
         .orderBy(col("o_orderpriority"), col("decile"))
+    }),
+
+    // maximum drawdown per series — the risk/SLO primitive: how far
+    // below its running peak did the hourly volume fall, and when.
+    // Runs over the BOUNDED hourly aggregate (≤ ~720 rows per series
+    // at any event volume — the win_pct_change discipline), never raw
+    // events; peak and drawdown compare EXACT decimals, so the argmax
+    // hour cannot flip on a last-ulp difference. The drawdown row is
+    // the FIRST hour attaining the series maximum (ties → earliest).
+    "win_drawdown" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(sum(col("value").cast(DecimalType(18, 4))).as("h"))
+      val run = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dd = hourly
+        .withColumn("peak", max(col("h")).over(run))
+        .withColumn("dd", col("peak") - col("h"))
+      val pick = Window.partitionBy(col("event_type"))
+        .orderBy(desc("dd"), col("hour"))
+      dd.withColumn("rn", row_number().over(pick)).filter(col("rn") === 1)
+        .select(col("event_type"), ntz(col("hour")).as("dd_hour"),
+          r4(col("peak").cast(DoubleType)).as("peak"),
+          r4(col("h").cast(DoubleType)).as("trough"),
+          r4(col("dd").cast(DoubleType)).as("max_drawdown"))
+        .orderBy(col("event_type"))
+    }),
+
+    // gaps-and-islands over calendar DAYS: per supplier, runs of
+    // consecutive shipping days (the win_conditional_streak identity
+    // on the date domain — island id = epoch-day − row_number is
+    // constant exactly within a consecutive-day run). Everything
+    // integer-exact; windows partition by the high-cardinality
+    // supplier key over the per-day DISTINCT aggregate (state ∝
+    // supplier-days, never lineitems). Longest-island ties break
+    // toward the earliest start.
+    "win_gaps_islands" -> ((s, d) => {
+      val days = Tables.lineitem(s, d)
+        .select(col("l_suppkey"), date_trunc("day", col("l_shipdate")).as("day"))
+        .distinct()
+        // day-truncated epochs are exact multiples of 86400 < 2^53, so
+        // the double division is EXACT and the cast cannot truncate off
+        .withColumn("dayno", (col("day").cast("long") / 86400L).cast("long"))
+      val rn = Window.partitionBy(col("l_suppkey")).orderBy(col("dayno"))
+      val islands = days
+        .withColumn("grp", col("dayno") - row_number().over(rn))
+        .groupBy(col("l_suppkey"), col("grp"))
+        .agg(count(lit(1)).as("len"), min(col("day")).as("start"))
+      val best = Window.partitionBy(col("l_suppkey"))
+        .orderBy(desc("len"), col("start"))
+      islands
+        .withColumn("n_islands",
+          count(lit(1)).over(Window.partitionBy(col("l_suppkey"))))
+        .withColumn("active_days",
+          sum(col("len")).over(Window.partitionBy(col("l_suppkey"))))
+        .withColumn("rn", row_number().over(best)).filter(col("rn") === 1)
+        .select(col("l_suppkey"), col("active_days"), col("n_islands"),
+          col("len").as("longest_run"), ntz(col("start")).as("longest_start"))
+        .orderBy(col("l_suppkey"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -431,6 +490,49 @@ object Windows {
         |  SELECT *, row_number() OVER (PARTITION BY user_id
         |    ORDER BY len DESC, first_ts, first_ev) AS rn FROM runs) t
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "win_drawdown" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS h
+        |  FROM events GROUP BY 1, 2),
+        |dd AS (
+        |  SELECT event_type, hour, h,
+        |    max(h) OVER (PARTITION BY event_type ORDER BY hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM hourly)
+        |SELECT event_type, hour AS dd_hour,
+        |  round(CAST(peak AS DOUBLE), 4) AS peak,
+        |  round(CAST(h AS DOUBLE), 4) AS trough,
+        |  round(CAST(peak - h AS DOUBLE), 4) AS max_drawdown
+        |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY peak - h DESC, hour) AS rn FROM dd) t
+        |WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "win_gaps_islands" ->
+      """WITH days AS (
+        |  SELECT DISTINCT l_suppkey, date_trunc('day', l_shipdate) AS day
+        |  FROM lineitem),
+        |numbered AS (
+        |  SELECT l_suppkey, day,
+        |    epoch_us(day) // 1000000 // 86400 AS dayno,
+        |    row_number() OVER (PARTITION BY l_suppkey ORDER BY day) AS rn
+        |  FROM days),
+        |islands AS (
+        |  SELECT l_suppkey, dayno - rn AS grp, count(*) AS len,
+        |    min(day) AS start
+        |  FROM numbered GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT l_suppkey, grp, len, start,
+        |    count(*) OVER (PARTITION BY l_suppkey) AS n_islands,
+        |    CAST(sum(len) OVER (PARTITION BY l_suppkey) AS BIGINT)
+        |      AS active_days,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY len DESC, start) AS rn
+        |  FROM islands)
+        |SELECT l_suppkey, active_days, n_islands, len AS longest_run,
+        |  start AS longest_start
+        |FROM tot WHERE rn = 1 ORDER BY l_suppkey""".stripMargin,
 
     "win_ntile_deciles" ->
       """SELECT o_orderpriority, CAST(decile AS INT) AS decile,
