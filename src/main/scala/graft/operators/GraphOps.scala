@@ -624,6 +624,32 @@ object GraphOps {
           .as("assortativity"))
     }),
 
+    // average-neighbor-degree curve knn(k) — the assortativity
+    // COEFFICIENT's full profile: for vertices of degree k, the mean
+    // over those vertices of their own mean neighbor degree (a rising
+    // curve = assortative mixing, falling = hubs attach to leaves).
+    // Shape: one degree aggregate + one edge⋈degree join (shuffle ∝
+    // edges — the assortativity cost class), per-vertex neighbor-
+    // degree sums are exact longs, and the per-vertex RATIO is
+    // 4dp-quantized BEFORE the per-k decimal-exact average so
+    // partial-aggregation order cannot move the output.
+    "graph_avg_neighbor_degree" -> ((s, d) => {
+      val sym = symEdges(s, d)
+      val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+      val nbr = sym
+        .join(deg.select(col("src").as("dst"), col("dg").as("nd")), Seq("dst"))
+        .groupBy(col("src")).agg(sum(col("nd")).as("snd"))
+      val per = deg.join(nbr, Seq("src"))
+        .select(col("dg"),
+          round(col("snd").cast(DoubleType) / col("dg"), 4)
+            .cast(DecimalType(18, 4)).as("mnd"))
+      per.groupBy(col("dg").as("k"))
+        .agg(count(lit(1)).as("n_vertices"),
+          Stable.r4(sum(col("mnd")).cast(DoubleType) / count(lit(1)))
+            .as("knn"))
+        .orderBy(col("k"))
+    }),
+
     // bounded multi-source BFS: min hop-distance ≤ 3 from the seed set
     // (customers with id ≤ 10 present in the graph) over the
     // symmetrized edges. Engine side is min-propagation — each round
@@ -1582,6 +1608,23 @@ object GraphOps {
          |         (CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 4)
          |    AS assortativity
          |FROM st""".stripMargin,
+
+    "graph_avg_neighbor_degree" ->
+      s"""WITH ed AS ($edgesSql),
+         |sym AS (SELECT src, dst FROM ed
+         |        UNION SELECT dst AS src, src AS dst FROM ed),
+         |deg AS (SELECT src, count(*) AS dg FROM sym GROUP BY src),
+         |nbr AS (
+         |  SELECT sym.src, CAST(sum(b.dg) AS BIGINT) AS snd
+         |  FROM sym JOIN deg b ON b.src = sym.dst GROUP BY sym.src),
+         |per AS (
+         |  SELECT a.dg,
+         |    CAST(round(CAST(snd AS DOUBLE) / a.dg, 4) AS DECIMAL(18,4))
+         |      AS mnd
+         |  FROM deg a JOIN nbr ON nbr.src = a.src)
+         |SELECT dg AS k, count(*) AS n_vertices,
+         |  round(CAST(sum(mnd) AS DOUBLE) / count(*), 4) AS knn
+         |FROM per GROUP BY 1 ORDER BY k""".stripMargin,
 
     "graph_label_propagation" ->
       s"""WITH $lpaUnrolledSql

@@ -39,6 +39,14 @@ object MiningOps {
   /** shard count for pipeline_shard_balance. */
   val ShardCount = 16
 
+  /** price-range bucket count for mine_pareto_frontier's distributed
+    * prefix max (the ts_late_data_semantics discipline: bounds the
+    * rows through the one unpartitioned boundary window). */
+  val ParetoBuckets = 128
+
+  /** output-file count for pipeline_compaction_bins. */
+  val CompactionBins = 8
+
   /** sample size for sample_weighted_priority. */
   val PrioritySampleK = 20
 
@@ -907,9 +915,112 @@ object MiningOps {
           sum(when(col("dev") > lit(4.4478) * col("mad"), 1L).otherwise(0L))
             .as("n_outliers"))
         .orderBy(col("event_type"))
+    }),
+
+    // 2-D Pareto frontier (skyline) of the parts catalog — parts
+    // where no other part is both cheaper-or-equal AND larger-or-
+    // equal with one strict: the multi-objective shortlist query.
+    // NOT the O(n²) dominance join: a part is dominated iff
+    // (a) some STRICTLY cheaper price group has max-size ≥ its size,
+    // or (b) its own price group holds a strictly larger size. The
+    // strictly-cheaper prefix max runs DISTRIBUTED via the
+    // ts_late_data_semantics bucket discipline — per-bucket windows
+    // partitioned by a price-range bucket, one ≤128-row boundary
+    // aggregate through the only unpartitioned window — so no stage
+    // ever funnels the (unbounded) distinct-price domain through one
+    // task. Equal (price, size) duplicates are mutually undominated
+    // and all surface, matching the NOT EXISTS oracle.
+    "mine_pareto_frontier" -> ((s, d) => {
+      val g = Tables.part(s, d)
+        .groupBy(col("p_retailprice"))
+        .agg(max(col("p_size")).as("gmax"))
+      val bounds = g.agg(min(col("p_retailprice")).as("lo"),
+        max(col("p_retailprice")).as("hi"))
+      // bucket id: any monotone-in-price map works (internal only —
+      // the declared semantics never see it); ties at hi clamp down
+      val bucketed = g.crossJoin(broadcast(bounds))
+        .withColumn("bk", least(lit(ParetoBuckets - 1),
+          floor((col("p_retailprice") - col("lo")) * ParetoBuckets /
+            greatest(col("hi") - col("lo"), lit(1e-9))).cast("int")))
+        .drop("lo", "hi")
+      val perBucket = bucketed.groupBy(col("bk")).agg(max(col("gmax")).as("bmax"))
+      val wPrev = Window.orderBy(col("bk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val prevMax = perBucket
+        .withColumn("prevb", max(col("bmax")).over(wPrev)).drop("bmax")
+      val wIn = Window.partitionBy(col("bk")).orderBy(col("p_retailprice"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val grpStat = bucketed
+        .join(broadcast(prevMax), Seq("bk"))
+        .withColumn("m1", greatest(coalesce(max(col("gmax")).over(wIn),
+          lit(Int.MinValue)), coalesce(col("prevb"), lit(Int.MinValue))))
+      Tables.part(s, d)
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+        .join(grpStat.select(col("p_retailprice"), col("gmax"), col("m1")),
+          Seq("p_retailprice"))
+        .filter(!(col("m1") >= col("p_size") || col("gmax") > col("p_size")))
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // small-file compaction planner: pack per-source byte loads into
+    // ~total/8-byte output files, CONTIGUOUS in source order (hash
+    // sharding — pipeline_shard_balance — balances but scatters; a
+    // compaction wants locality). Deterministic first-fit is a
+    // sequential fold, so the plan bins by cumulative-bytes DIV
+    // target — the concat-then-cut discipline. All integer-exact; the
+    // windows run over the bounded per-source aggregate (state ∝
+    // sources, a metadata domain, never documents).
+    "pipeline_compaction_bins" -> ((s, d) => {
+      val perSrc = Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(sum(col("n_chars")).as("bytes"), count(lit(1)).as("n_docs"))
+      val tot = perSrc.agg(sum(col("bytes")).as("tot"))
+      val w = Window.orderBy(col("source"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      perSrc.crossJoin(broadcast(tot))
+        .withColumn("target", expr(s"(tot + ${CompactionBins - 1}) DIV $CompactionBins"))
+        .withColumn("cumb", coalesce(sum(col("bytes")).over(w), lit(0L)))
+        .withColumn("bin", expr("CAST(cumb DIV target AS INT)"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_sources"),
+          array_join(array_sort(collect_set(col("source"))), ",").as("sources"),
+          sum(col("bytes")).as("bytes"), sum(col("n_docs")).as("n_docs"),
+          r4(sum(col("bytes")).cast("double") / max(col("target")))
+            .as("fill_ratio"))
+        .orderBy(col("bin"))
     }))
 
   val oracle: Map[String, String] = Map(
+    "mine_pareto_frontier" ->
+      """SELECT p_partkey, p_retailprice, p_size FROM part a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part b
+        |  WHERE b.p_retailprice <= a.p_retailprice
+        |    AND b.p_size >= a.p_size
+        |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+        |ORDER BY p_partkey""".stripMargin,
+
+    "pipeline_compaction_bins" ->
+      s"""WITH per_src AS (
+         |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS bytes,
+         |    count(*) AS n_docs
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(sum(bytes) AS BIGINT) AS tot FROM per_src),
+         |planned AS (
+         |  SELECT source, bytes, n_docs,
+         |    (tot + ${CompactionBins - 1}) // $CompactionBins AS target,
+         |    coalesce(CAST(sum(bytes) OVER (ORDER BY source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+         |      0) AS cumb
+         |  FROM per_src, tot)
+         |SELECT CAST(cumb // target AS INT) AS bin,
+         |  count(*) AS n_sources,
+         |  string_agg(source, ',' ORDER BY source) AS sources,
+         |  CAST(sum(bytes) AS BIGINT) AS bytes,
+         |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         |  round(CAST(sum(bytes) AS DOUBLE) / max(target), 4) AS fill_ratio
+         |FROM planned GROUP BY 1 ORDER BY bin""".stripMargin,
     "mine_attribution_last_touch" ->
       """WITH att AS (
         |  SELECT event_type, ts,

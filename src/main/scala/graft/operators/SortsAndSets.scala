@@ -2,6 +2,7 @@ package graft.operators
 
 import graft._
 import graft.Stable._
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** §2.6 sorts / limits / top-K  +  §2.7 set operations.
@@ -12,7 +13,38 @@ import org.apache.spark.sql.functions._
   */
 object SortsAndSets {
 
+  /** interleave the low 16 bits of `c` with zeros (Morton spreading,
+    * the standard mask-and-shift chain) — all arithmetic in non-
+    * negative BIGINTs, so Spark and any ANSI engine compute the
+    * identical value */
+  private def spread16(c: Column): Column = {
+    val s1 = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333L))
+    s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
   val queries: Map[String, QFn] = Map(
+    // Z-order (Morton) clustering key over (size, ⌊price⌋) — the
+    // multi-dimensional LAYOUT sort behind file-skipping on two
+    // predicates at once (what table formats run as OPTIMIZE ZORDER):
+    // sorting by the bit-interleaved key places rows close in BOTH
+    // dimensions into the same output ranges, so min/max footers
+    // prune either predicate. The global sort plans as a range
+    // exchange (sampled bounds, fully parallel); the query surfaces
+    // the 100 z-smallest parts with their key so the interleaving
+    // itself is oracle-checked bit-for-bit.
+    "sort_zorder_layout" -> ((s, d) => {
+      val a = col("p_size").cast("long").bitwiseAND(lit(65535L))
+      val b = floor(col("p_retailprice")).cast("long").bitwiseAND(lit(65535L))
+      Tables.part(s, d)
+        .select(col("p_partkey"), col("p_size"),
+          floor(col("p_retailprice")).cast("long").as("price_floor"),
+          spread16(a).bitwiseOR(shiftleft(spread16(b), 1)).as("zkey"))
+        .orderBy(col("zkey"), col("p_partkey"))
+        .limit(100)
+    }),
+
     "sort_multikey" -> ((s, d) => {
       Tables.lineitem(s, d)
         .select(col("l_returnflag"), col("l_extendedprice"),
@@ -87,6 +119,28 @@ object SortsAndSets {
     }))
 
   val oracle: Map[String, String] = Map(
+    "sort_zorder_layout" ->
+      """WITH base AS (
+        |  SELECT p_partkey, p_size,
+        |    CAST(p_size AS BIGINT) & 65535 AS xa,
+        |    CAST(floor(p_retailprice) AS BIGINT) & 65535 AS xb,
+        |    CAST(floor(p_retailprice) AS BIGINT) AS price_floor
+        |  FROM part),
+        |s1 AS (SELECT p_partkey, p_size, price_floor,
+        |  (xa | (xa << 8)) & 16711935 AS xa,
+        |  (xb | (xb << 8)) & 16711935 AS xb FROM base),
+        |s2 AS (SELECT p_partkey, p_size, price_floor,
+        |  (xa | (xa << 4)) & 252645135 AS xa,
+        |  (xb | (xb << 4)) & 252645135 AS xb FROM s1),
+        |s3 AS (SELECT p_partkey, p_size, price_floor,
+        |  (xa | (xa << 2)) & 858993459 AS xa,
+        |  (xb | (xb << 2)) & 858993459 AS xb FROM s2),
+        |s4 AS (SELECT p_partkey, p_size, price_floor,
+        |  (xa | (xa << 1)) & 1431655765 AS xa,
+        |  (xb | (xb << 1)) & 1431655765 AS xb FROM s3)
+        |SELECT p_partkey, p_size, price_floor, xa | (xb << 1) AS zkey
+        |FROM s4 ORDER BY zkey, p_partkey LIMIT 100""".stripMargin,
+
     "set_symmetric_diff" ->
       """WITH a AS (SELECT DISTINCT c_custkey FROM customer
         |           WHERE c_mktsegment = 'BUILDING'),

@@ -798,6 +798,43 @@ object TextOps {
             |  5, 'exact_dedup',    c5, c4 - c5)
             |AS (stage, filter, survivors, dropped)""".stripMargin))
         .orderBy(col("stage"))
+    }),
+
+    // concat-and-chunk sequence packing — THE map an LLM training job
+    // computes before writing fixed-length sequences: documents
+    // concatenate in doc_id order and cut every 512 tokens; each doc
+    // reports the chunk/offset where it starts and the chunk where it
+    // ends. The global prefix sum runs DISTRIBUTED via the
+    // ts_late_data_semantics bucket discipline (per-bucket token sums
+    // → one ≤128-row boundary window → within-bucket cumsums + bucket
+    // offset) — no stage funnels the corpus through one task. All
+    // integer arithmetic, BIGINT-exact in both engines.
+    "pipeline_pack_chunks" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tok"))
+      val bounds = docs.agg(min(col("doc_id")).as("lo"),
+        max(col("doc_id")).as("hi"))
+      val bucketed = docs.crossJoin(broadcast(bounds))
+        .withColumn("bk", expr(
+          s"CAST((doc_id - lo) DIV greatest(CAST(1 AS BIGINT), " +
+            s"(hi - lo + ${PackBuckets - 1}) DIV $PackBuckets) AS INT)"))
+        .drop("lo", "hi")
+      val perBucket = bucketed.groupBy(col("bk")).agg(sum(col("tok")).as("bsum"))
+      val wPrev = Window.orderBy(col("bk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = perBucket
+        .withColumn("boff", coalesce(sum(col("bsum")).over(wPrev), lit(0L)))
+        .drop("bsum")
+      val wIn = Window.partitionBy(col("bk")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      bucketed.join(broadcast(offs), Seq("bk"))
+        .withColumn("cumb",
+          col("boff") + coalesce(sum(col("tok")).over(wIn), lit(0L)))
+        .select(col("doc_id"), col("tok"),
+          expr(s"cumb DIV $PackChunkTokens").as("start_chunk"),
+          expr(s"cumb % $PackChunkTokens").as("start_off"),
+          expr(s"(cumb + tok - 1) DIV $PackChunkTokens").as("end_chunk"))
+        .orderBy(col("doc_id"))
     }))
 
   /** PII regexes, valid as BOTH Java regex (Spark) and RE2 (DuckDB):
@@ -906,7 +943,28 @@ object TextOps {
     * SQL so the two cannot drift */
   val MixTarget = 200
 
+  /** pipeline_pack_chunks sequence length (tokens per chunk) and the
+    * doc_id-range bucket count for its distributed prefix sum. */
+  val PackChunkTokens = 512
+  val PackBuckets = 128
+
   val oracle: Map[String, String] = Map(
+    "pipeline_pack_chunks" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, tok,
+         |    coalesce(CAST(sum(tok) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+         |      0) AS cumb
+         |  FROM docs)
+         |SELECT doc_id, tok,
+         |  cumb // $PackChunkTokens AS start_chunk,
+         |  cumb % $PackChunkTokens AS start_off,
+         |  (cumb + tok - 1) // $PackChunkTokens AS end_chunk
+         |FROM c ORDER BY doc_id""".stripMargin,
     "text_collocations_pmi" ->
       s"""WITH t AS (SELECT string_split(text, ' ') AS ts FROM documents),
          |uni AS (

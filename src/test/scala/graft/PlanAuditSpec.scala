@@ -457,4 +457,66 @@ class PlanAuditSpec extends SparkTestBase {
       assert(aggs >= 2, s"$q: expected partial+final HashAggregate pair:\n$p")
     }
   }
+
+  // ---- round-4e additions ----
+
+  test("mine_pareto_frontier + pipeline_pack_chunks: every unpartitioned window sits over an aggregate") {
+    // the ts_late_data prefix-max/sum discipline on its two new
+    // domains: the only unpartitioned windows allowed are the
+    // ≤128-row bucket-boundary passes — each must have an aggregate
+    // below it, so neither the distinct-price domain nor the corpus
+    // ever funnels through one WindowExec task
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    for (q <- Seq("mine_pareto_frontier", "pipeline_pack_chunks")) {
+      val sp = SparkEntry.queries(q)(spark, sf001).queryExecution.sparkPlan
+      val unpart = sp.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      unpart.foreach { w =>
+        assert(w.child.collect { case a: BaseAggregateExec => a }.nonEmpty,
+          s"$q: unpartitioned window over a non-aggregated input:\n$sp")
+      }
+      assert(sp.collect { case w: WindowExec if w.partitionSpec.nonEmpty => w }.nonEmpty,
+        s"$q: expected the partitioned within-bucket window:\n$sp")
+      assert(!sp.toString.contains("CartesianProduct"),
+        s"$q: bounds must cross-join as a broadcast one-row scalar:\n$sp")
+    }
+  }
+
+  test("sort_zorder_layout: z-sort is a bounded top-k, interleave is codegen'd") {
+    val p = plan("sort_zorder_layout")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"LIMIT over the z-order must plan as TakeOrderedAndProject:\n$p")
+    // the "*(n)" operator prefix is the WholeStageCodegen marker in
+    // executedPlan.toString — the Project computing zkey must carry it
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("zkey")),
+      s"the mask-and-shift chain must stay inside codegen:\n$p")
+  }
+
+  test("win_drawdown + ts_cusum_alarm: windows run partitioned over the hourly aggregate") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- Seq("win_drawdown", "ts_cusum_alarm")) {
+      val sp = SparkEntry.queries(q)(spark, sf001).queryExecution.sparkPlan
+      assert(sp.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }.isEmpty,
+        s"$q: no unpartitioned window may exist:\n$sp")
+      val aggs = sp.toString.linesIterator.count(_.contains("HashAggregate"))
+      assert(aggs >= 2, s"$q: the raw stream must pre-aggregate to hours:\n$sp")
+    }
+  }
+
+  test("graph_avg_neighbor_degree: degree joins shuffle on the edge key, never all-pairs") {
+    val p = plan("graph_avg_neighbor_degree")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"the edge⋈degree joins must stay equi-joins:\n$p")
+  }
+
+  test("pipeline_compaction_bins: per-source aggregate bounds every window input") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val sp = SparkEntry.queries("pipeline_compaction_bins")(spark, sf001)
+      .queryExecution.sparkPlan
+    sp.collect { case w: WindowExec => w }.foreach { w =>
+      assert(w.child.collect { case a: BaseAggregateExec => a }.nonEmpty,
+        s"the cumulative window must run over the bounded source aggregate:\n$sp")
+    }
+  }
 }

@@ -1,0 +1,244 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-4e additions: drawdown, calendar gaps-and-islands, the
+  * Pythagorean mean family, CUSUM alarms, the knn(k) degree curve,
+  * Pareto frontier, compaction planning, Z-order layout, and
+  * concat-and-chunk sequence packing. */
+class Round4eSpec extends SparkTestBase {
+
+  private def ev(id: Long, hour: Int, v: Double) =
+    (id, (1577836800L + hour * 3600L) * 1000000000L, 1L, "view", v, "{}")
+
+  test("win_drawdown: running peak and first max-drawdown hour on a hand series") {
+    val dir = tempDir()
+    import spark.implicits._
+    // hourly sums 10, 5, 12, 3 → peaks 10,10,12,12 → dd 0,5,0,9
+    writeFixture(dir, "events", Seq(
+      ev(1, 0, 10.0), ev(2, 1, 5.0), ev(3, 2, 12.0), ev(4, 3, 3.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = operators.Windows.queries("win_drawdown")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getAs[java.time.LocalDateTime](1).toEpochSecond(java.time.ZoneOffset.UTC),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == Seq(("view", 1577836800L + 3 * 3600L, 12.0, 3.0, 9.0)),
+      s"got $got")
+  }
+
+  test("win_drawdown: drawdown is 0 for a monotone-nondecreasing series") {
+    val dir = tempDir()
+    import spark.implicits._
+    writeFixture(dir, "events", Seq(ev(1, 0, 1.0), ev(2, 1, 2.0), ev(3, 2, 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = operators.Windows.queries("win_drawdown")(spark, dir)
+      .collect().map(r => (r.getAs[java.time.LocalDateTime](1).toEpochSecond(java.time.ZoneOffset.UTC),
+        r.getDouble(4))).toSeq
+    // first hour attaining dd=0 is the series head
+    assert(got == Seq((1577836800L, 0.0)), s"got $got")
+  }
+
+  test("win_gaps_islands: split runs, counts, and earliest-start tie-break") {
+    val dir = tempDir()
+    import spark.implicits._
+    def day(n: Int) = java.sql.Timestamp.valueOf(f"2024-01-${n}%02d 00:00:00")
+    // supplier 1 ships days 1,2,3 | 5,6 | 10 → 3 islands, longest 3;
+    // supplier 2 ships days 4,5 | 8,9 → equal-length runs, earliest wins
+    writeFixture(dir, "lineitem", Seq(
+      (1L, day(1)), (1L, day(2)), (1L, day(3)), (1L, day(5)), (1L, day(6)),
+      (1L, day(10)), (1L, day(10)),
+      (2L, day(4)), (2L, day(5)), (2L, day(8)), (2L, day(9)))
+      .toDF("l_suppkey", "l_shipdate"))
+    val got = operators.Windows.queries("win_gaps_islands")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getAs[java.time.LocalDateTime](4).toString)).toSeq
+    assert(got == Seq(
+      (1L, 6L, 3L, 3L, "2024-01-01T00:00"),
+      (2L, 4L, 2L, 2L, "2024-01-04T00:00")), s"got $got")
+  }
+
+  test("agg_gmean_hmean: means equal the quantized-replica on a 2-row group") {
+    val dir = tempDir()
+    import spark.implicits._
+    writeFixture(dir, "lineitem", Seq(("A", 2.0), ("A", 8.0))
+      .toDF("l_returnflag", "l_extendedprice"))
+    val got = operators.Aggregates.queries("agg_gmean_hmean")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    def q4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val lx = q4(math.log(2.0)) + q4(math.log(8.0))
+    val gmean = q4(math.exp((lx / 2).toDouble)).toDouble
+    // 1/2 + 1/8 at 12dp is exact → hmean = 2 / 0.625 = 3.2
+    assert(got == Seq(("A", 2L, 5.0, gmean, 3.2)), s"got $got")
+    assert(math.abs(gmean - 4.0) < 1e-3) // sanity: true gmean is 4
+  }
+
+  test("ts_cusum_alarm: alarm fires exactly when drift exceeds 5 hourly means") {
+    val dir = tempDir()
+    import spark.implicits._
+    // 8 hours of 1.0 then 2 hours of 50.0: tot=108, mean=10.8;
+    // cusum after the spikes = 39.2 then 78.4; threshold 5·mean = 54
+    // → exactly ONE alarm, at the final hour
+    val rows = (0 until 8).map(h => ev(h + 1, h, 1.0)) ++
+      Seq(ev(9, 8, 50.0), ev(10, 9, 50.0))
+    writeFixture(dir, "events",
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = operators.TimeSeriesOps.queries("ts_cusum_alarm")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getAs[java.time.LocalDateTime](4).toEpochSecond(java.time.ZoneOffset.UTC))).toSeq
+    assert(got == Seq(("view", 10L, 1L, 78.4, 1577836800L + 9 * 3600L)),
+      s"got $got")
+  }
+
+  test("ts_cusum_alarm: clamp identity equals a driver-side max(0,·) replay at sf0.001") {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+    val hourly = Tables.events(spark, sf001)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg((sum(col("value").cast(dec)) * 10000).cast("long").as("hu"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    val bySeries = hourly.groupBy(_._1).map { case (et, rows) =>
+      val hs = rows.sortBy(_._2.getTime).map(_._3)
+      val n = hs.length
+      val tot = hs.sum
+      var s = 0L; var mx = 0L; var alarms = 0L
+      hs.foreach { h =>
+        s = math.max(0L, s + (h * n - tot))
+        mx = math.max(mx, s)
+        if (s > 5 * tot) alarms += 1
+      }
+      et -> ((n.toLong, alarms,
+        BigDecimal(mx.toDouble / (n * 10000.0))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    val got = operators.TimeSeriesOps.queries("ts_cusum_alarm")(spark, sf001)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == bySeries, s"got $got expected $bySeries")
+  }
+
+  test("graph_avg_neighbor_degree: knn(k) on a hand-checked bipartite graph") {
+    val dir = tempDir()
+    import spark.implicits._
+    // edges: c1–S10, c1–S11, c2–S11 → degrees c1=2, c2=1, S10=1, S11=2
+    // mean neighbor degree: c1=(1+2)/2=1.5, c2=2, S10=2, S11=1.5
+    writeFixture(dir, "orders", Seq((1L, 1L), (2L, 2L))
+      .toDF("o_orderkey", "o_custkey"))
+    writeFixture(dir, "lineitem", Seq((1L, 10L), (1L, 11L), (2L, 11L))
+      .toDF("l_orderkey", "l_suppkey"))
+    val got = operators.GraphOps.queries("graph_avg_neighbor_degree")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 2L, 2.0), (2L, 2L, 1.5)), s"got $got")
+  }
+
+  test("mine_pareto_frontier: dominance census on a hand-checked catalog") {
+    val dir = tempDir()
+    import spark.implicits._
+    // (key, price, size): 1 dominated by 2 (same price, bigger),
+    // 3 dominated by 2 (cheaper, equal size), 5≡6 duplicates both stay
+    writeFixture(dir, "part", Seq(
+      (1L, 10.0, 5), (2L, 10.0, 7), (3L, 12.0, 7), (4L, 8.0, 3),
+      (5L, 15.0, 9), (6L, 15.0, 9))
+      .toDF("p_partkey", "p_retailprice", "p_size"))
+    val got = operators.MiningOps.queries("mine_pareto_frontier")(spark, dir)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L, 4L, 5L, 6L), s"got $got")
+  }
+
+  test("mine_pareto_frontier: bucketed prefix-max equals the quadratic truth at sf0.001") {
+    val parts = Tables.part(spark, sf001)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val expected = parts.filter { case (_, pa, sa) =>
+      !parts.exists { case (_, pb, sb) =>
+        pb <= pa && sb >= sa && (pb < pa || sb > sa)
+      }
+    }.map(_._1).sorted.toSeq
+    val got = operators.MiningOps.queries("mine_pareto_frontier")(spark, sf001)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == expected, s"got ${got.size} frontier parts, expected ${expected.size}")
+  }
+
+  test("pipeline_compaction_bins: cumulative cut points on a hand plan") {
+    val dir = tempDir()
+    import spark.implicits._
+    // bytes a=100, b=50, c=60 → tot=210, target=(210+7) DIV 8=27,
+    // cum-before 0/100/150 → bins 0, 3, 5
+    writeFixture(dir, "documents", Seq(
+      (1L, "a", 100L), (2L, "b", 50L), (3L, "c", 60L))
+      .toDF("doc_id", "source", "n_chars"))
+    val got = operators.MiningOps.queries("pipeline_compaction_bins")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    def fill(b: Long) = BigDecimal(b.toDouble / 27.0)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(
+      (0, 1L, "a", 100L, 1L, fill(100)),
+      (3, 1L, "b", 50L, 1L, fill(50)),
+      (5, 1L, "c", 60L, 1L, fill(60))), s"got $got")
+  }
+
+  test("sort_zorder_layout: Morton interleave matches hand-computed keys") {
+    val dir = tempDir()
+    import spark.implicits._
+    // size=3 (0b11), floor(price)=5 (0b101) → z = 0b100111 = 39
+    // size=1, floor=1 → z = 0b11 = 3;  size=2, floor=2 → z = 0b1100 = 12
+    writeFixture(dir, "part", Seq(
+      (1L, 5.5, 3), (2L, 1.0, 1), (3L, 2.9, 2))
+      .toDF("p_partkey", "p_retailprice", "p_size"))
+    val got = operators.SortsAndSets.queries("sort_zorder_layout")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(got == Seq((2L, 3L), (3L, 12L), (1L, 39L)), s"got $got")
+  }
+
+  test("sort_zorder_layout: zkey matches a driver-side interleave at sf0.001") {
+    def spread(x: Long): Long = {
+      var v = (x | (x << 8)) & 0x00FF00FFL
+      v = (v | (v << 4)) & 0x0F0F0F0FL
+      v = (v | (v << 2)) & 0x33333333L
+      (v | (v << 1)) & 0x55555555L
+    }
+    val got = operators.SortsAndSets.queries("sort_zorder_layout")(spark, sf001)
+      .collect()
+    assert(got.length == 100)
+    got.foreach { r =>
+      val z = spread(r.getInt(1).toLong & 65535L) |
+        (spread(r.getLong(2) & 65535L) << 1)
+      assert(r.getLong(3) == z, s"zkey mismatch for part ${r.getLong(0)}")
+    }
+    // and the output is z-ordered
+    val zs = got.map(_.getLong(3)).toSeq
+    assert(zs == zs.sorted)
+  }
+
+  test("pipeline_pack_chunks: chunk spans on hand-sized documents") {
+    val dir = tempDir()
+    import spark.implicits._
+    def doc(n: Int) = Seq.fill(n)("t").mkString(" ")
+    // tokens 300, 300, 600 → cum-before 0, 300, 600 (chunk size 512)
+    writeFixture(dir, "documents", Seq(
+      (1L, doc(300)), (2L, doc(300)), (3L, doc(600)))
+      .toDF("doc_id", "text"))
+    val got = operators.TextOps.queries("pipeline_pack_chunks")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1L, 300L, 0L, 0L, 0L),
+      (2L, 300L, 0L, 300L, 1L),
+      (3L, 600L, 1L, 88L, 2L)), s"got $got")
+  }
+
+  test("pipeline_pack_chunks: bucketed prefix sum equals one global cumsum at sf0.001") {
+    val docs = Tables.documents(spark, sf001)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tok"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var cum = 0L
+    val expected = docs.map { case (id, tok) =>
+      val row = (id, tok, cum / 512, cum % 512, (cum + tok - 1) / 512)
+      cum += tok
+      row
+    }.toSeq
+    val got = operators.TextOps.queries("pipeline_pack_chunks")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+  }
+}
