@@ -853,6 +853,30 @@ object GraphOps {
       kCore(symEdges(s, d), k = KcoreK, symmetrized = true,
         numParts = graphParts(s, d)).orderBy(col("v"))),
 
+    // minimum spanning forest of the trade graph — the backbone
+    // extraction: per (customer, supplier) pair, distance = 1e6 DIV
+    // shared-order count (more orders = closer), forest = boruvkaMsf
+    // under the (w, a, b) total order. NO ORACLE BY DESIGN: the
+    // component contraction relabels state data-dependently each
+    // round — not expressible as a DuckDB recursive CTE (the one
+    // iterative shape on this surface that isn't; see SURVEY §2.10) —
+    // so correctness pins on Round4eSpec's driver-side Kruskal
+    // replica under the identical comparator (the forest is UNIQUE
+    // given the total order, so set equality is the full check).
+    "graph_mst_boruvka" -> ((s, d) => {
+      val pair = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("a"),
+          (col("l_suppkey") + SupplierVertexOffset).as("b"))
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+        .withColumn("w", expr("CAST(1000000 DIV n_orders AS BIGINT)"))
+      boruvkaMsf(pair.select(col("a"), col("b"), col("w")),
+        numParts = graphParts(s, d))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // PageRank, damping 0.85, fixed PrRounds iterations, on the
     // symmetrized graph (no dangling vertices by construction).
     // Oracle-checked (r4): the per-vertex contribution sum accumulates
@@ -1288,6 +1312,134 @@ object GraphOps {
     * truncated every 3rd iteration. The edge set SHRINKS monotonically,
     * so per-iteration cost falls as the peel proceeds. Public library
     * API. */
+  /** minimum spanning forest by Borůvka's algorithm — the distributed
+    * MST (Kruskal/Prim are inherently sequential: both consume edges
+    * through one global ordered frontier, while Borůvka's per-
+    * component min-edge choice is a parallel aggregate). Input
+    * `wedges`: canonical undirected weighted edges (a < b, one row
+    * per pair) with a BIGINT weight `w`; ties break on the TOTAL
+    * order (w, a, b), which makes effective weights distinct and the
+    * forest unique — Borůvka and a driver-side Kruskal under the same
+    * comparator return the identical edge set (pinned in GraphSpec's
+    * sibling Round4eSpec). Returns the forest edges (a, b, w).
+    *
+    * Execution shape (the CC loop discipline — AQE off + pinned
+    * width inside the loop, lineage truncated by localCheckpoint):
+    * the CONTRACTED multigraph is the loop state — after each round
+    * edges relabel to component endpoints and collapse to the min
+    * struct per component pair, so the working set SHRINKS
+    * geometrically (components at least halve per round → ≤ log₂ V
+    * rounds). Component merging is pointer-jumping on the ≤1-out-
+    * degree choice graph: 2-cycles break toward the smaller id (the
+    * root), then ptr = ptr∘ptr to fixpoint — O(log) inner joins over
+    * the component table, never the vertex table. */
+  def boruvkaMsf(wedges: DataFrame, maxRounds: Int = 30,
+      numParts: Int = 0, verbose: Boolean = false): DataFrame = {
+    def vlog(msg: => String): Unit =
+      if (verbose) System.err.println(s"[boruvka] $msg")
+    val spark = wedges.sparkSession
+    val p = if (numParts > 0) numParts
+      else spark.sessionState.conf.numShufflePartitions
+    val conf = spark.conf
+    val aqeWas = conf.get("spark.sql.adaptive.enabled", "true")
+    val shufWas = conf.get("spark.sql.shuffle.partitions")
+    // contracted multigraph: (ca, cb, w, a, b) with ca < cb; init =
+    // the input edges labeled by themselves. Materialized under the
+    // session conf, loop under the pinned conf (the CC split).
+    var g = wedges.select(col("a").as("ca"), col("b").as("cb"),
+      col("w"), col("a"), col("b")).localCheckpoint()
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.shuffle.partitions", p.toString)
+    try {
+      var forest = List.empty[DataFrame]
+      var round = 0
+      var remaining = g.count()
+      while (remaining > 0 && round < maxRounds) {
+        // per-component best incident edge on the (w, a, b) total order
+        val cand = g.select(col("ca").as("c"), col("cb").as("t"),
+            col("w"), col("a"), col("b"))
+          .unionByName(g.select(col("cb").as("c"), col("ca").as("t"),
+            col("w"), col("a"), col("b")))
+        val best = cand.groupBy(col("c"))
+          .agg(min(struct(col("w"), col("a"), col("b"), col("t"))).as("e"))
+          .select(col("c"), col("e.t").as("t"), col("e.w").as("w"),
+            col("e.a").as("a"), col("e.b").as("b"))
+          .cache()
+        forest ::= best.select(col("a"), col("b"), col("w")).distinct()
+          .localCheckpoint()
+        // choice graph c → t: break 2-cycles toward the smaller id
+        // (which becomes its tree's root), then pointer-jump. The
+        // loop uses cache() + explicit unpersist (the CC pinned-list
+        // discipline), NOT per-jump localCheckpoint: checkpoint
+        // blocks accumulate for the session lifetime and measurably
+        // grow per-shuffle-stage latency (observed 0.1 s → 2 s per
+        // tiny jump at sf0.01), while lineage across the ≤ log-depth
+        // jumps stays a handful of joins — planning cost in the ms.
+        val ptr0 = best.select(col("c"), col("t"))
+        val back = ptr0.select(col("t").as("c2"), col("c").as("t2"))
+        var ptr = ptr0.join(back, ptr0("c") === back("c2") &&
+            ptr0("t") === back("t2"), "left")
+          .select(col("c"),
+            when(col("t2").isNotNull && col("c") < col("t"), col("c"))
+              .otherwise(col("t")).as("t"))
+        var jumpPinned = List.empty[DataFrame]
+        var jumping = true
+        var jumps = 0
+        while (jumping) {
+          val t0 = System.nanoTime()
+          val hop = ptr.select(col("c").as("c2"), col("t").as("t2"))
+          val next = ptr.join(hop, ptr("t") === hop("c2"), "left")
+            .select(col("c"), col("t").as("prev"),
+              coalesce(col("t2"), col("t")).as("t"))
+            .cache()
+          jumping = next.filter(col("t") =!= col("prev")).count() > 0
+          jumpPinned ::= next
+          ptr = next.select(col("c"), col("t"))
+          jumps += 1
+          // truncate lineage every 3rd jump (the CC cadence): plans
+          // stay ≤3 joins deep, one checkpoint per 3 jumps
+          if (jumps % 3 == 0 && jumping) {
+            ptr = ptr.localCheckpoint()
+            jumpPinned.foreach(_.unpersist()); jumpPinned = Nil
+          }
+          vlog(f"round $round jump $jumps: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        }
+        // contract: relabel edge endpoints to their roots, drop
+        // intra-component edges, keep the min struct per new pair
+        val ra = ptr.select(col("c").as("ca"), col("t").as("ra"))
+        val rb = ptr.select(col("c").as("cb"), col("t").as("rb"))
+        g = g.join(ra, Seq("ca"), "left").join(rb, Seq("cb"), "left")
+          .select(coalesce(col("ra"), col("ca")).as("na"),
+            coalesce(col("rb"), col("cb")).as("nb"),
+            col("w"), col("a"), col("b"))
+          .filter(col("na") =!= col("nb"))
+          .select(least(col("na"), col("nb")).as("ca"),
+            greatest(col("na"), col("nb")).as("cb"),
+            col("w"), col("a"), col("b"))
+          .groupBy(col("ca"), col("cb"))
+          .agg(min(struct(col("w"), col("a"), col("b"))).as("e"))
+          .select(col("ca"), col("cb"), col("e.w").as("w"),
+            col("e.a").as("a"), col("e.b").as("b"))
+          .localCheckpoint()
+        remaining = g.count()
+        // release the round's working caches — g (checkpointed) and
+        // the forest entries (checkpointed) no longer reference them
+        jumpPinned.foreach(_.unpersist())
+        best.unpersist()
+        round += 1
+        vlog(s"round $round done: $remaining contracted edges remain")
+      }
+      if (remaining > 0) throw new IllegalStateException(
+        s"boruvkaMsf did not converge in $maxRounds rounds " +
+          s"($remaining cross-component edges remain)")
+      if (forest.isEmpty) wedges.select(col("a"), col("b"), col("w")).limit(0)
+      else forest.reduce(_ unionByName _).distinct()
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqeWas)
+      conf.set("spark.sql.shuffle.partitions", shufWas)
+    }
+  }
+
   def kCore(edgeDf: DataFrame, k: Int, maxIters: Int = 100,
       symmetrized: Boolean = false, numParts: Int = 0): DataFrame = {
     val spark = edgeDf.sparkSession

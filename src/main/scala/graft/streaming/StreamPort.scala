@@ -401,6 +401,47 @@ object StreamPort {
       }
   }
 
+  /** streaming signup→purchase funnel: per user, emit ONE conversion
+    * record — the FIRST purchase at-or-after the user's FIRST signup —
+    * exactly once across any micro-batch split. State per key is two
+    * longs; micro-batch rows sort by (ts, event_id) — the batch total
+    * order — so a same-batch signup+purchase folds identically to a
+    * split arrival. A purchase BEFORE any signup never converts (the
+    * funnel direction is the semantics). State here is kept for the
+    * stream's lifetime (bounded by distinct users); a production
+    * campaign window would use EventTimeTimeout to expire
+    * non-converters past the horizon — the declared trade-off of
+    * dedupWithinWatermark applies. */
+  case class Conversion(user_id: Long, signup_ts: java.sql.Timestamp,
+      purchase_ts: java.sql.Timestamp, secs_to_convert: Long)
+  case class FunnelState(signupTs: Long, converted: Boolean)
+
+  def funnelConvert(events: Dataset[TypedEvent]): Dataset[Conversion] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, Conversion](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[TypedEvent], state: GroupState[FunnelState]) =>
+          val sorted = rows.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption
+            .getOrElse(FunnelState(Long.MinValue, converted = false))
+          val out = Array.newBuilder[Conversion]
+          for (e <- sorted if !st.converted) e.event_type match {
+            case "signup" if st.signupTs == Long.MinValue =>
+              st = FunnelState(e.ts.getTime, converted = false)
+            case "purchase" if st.signupTs != Long.MinValue =>
+              out += Conversion(uid, new java.sql.Timestamp(st.signupTs),
+                new java.sql.Timestamp(e.ts.getTime),
+                (e.ts.getTime - st.signupTs) / 1000L)
+              st = st.copy(converted = true)
+            case _ => ()
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   def runningUserStats(events: Dataset[UserEvent]): Dataset[UserAgg] = {
     import events.sparkSession.implicits._
     events

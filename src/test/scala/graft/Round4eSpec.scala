@@ -226,6 +226,68 @@ class Round4eSpec extends SparkTestBase {
       (3L, 600L, 1L, 88L, 2L)), s"got $got")
   }
 
+  test("boruvkaMsf: hand graph — cycle edge dropped, forest spans") {
+    import spark.implicits._
+    // 1-2(w1), 3-4(w2), 2-4(w3), 1-4(w4), 2-3(w5): Kruskal keeps
+    // w1, w2, w3 — the two heavier cycle-closers drop
+    val wedges = Seq((1L, 2L, 1L), (3L, 4L, 2L), (2L, 4L, 3L),
+      (1L, 4L, 4L), (2L, 3L, 5L)).toDF("a", "b", "w")
+    val got = operators.GraphOps.boruvkaMsf(wedges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 1L), (3L, 4L, 2L), (2L, 4L, 3L)), s"got $got")
+  }
+
+  test("boruvkaMsf: disconnected components each get their own tree") {
+    import spark.implicits._
+    // two components {1,2,3} (triangle) and {10,11}: 2 + 1 edges
+    val wedges = Seq((1L, 2L, 1L), (2L, 3L, 2L), (1L, 3L, 9L),
+      (10L, 11L, 5L)).toDF("a", "b", "w")
+    val got = operators.GraphOps.boruvkaMsf(wedges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 1L), (2L, 3L, 2L), (10L, 11L, 5L)), s"got $got")
+  }
+
+  test("boruvkaMsf: equal weights resolve by the (w, a, b) total order") {
+    import spark.implicits._
+    // triangle with all weights equal: the kept pair is the two
+    // lexicographically smallest edges
+    val wedges = Seq((1L, 2L, 7L), (1L, 3L, 7L), (2L, 3L, 7L))
+      .toDF("a", "b", "w")
+    val got = operators.GraphOps.boruvkaMsf(wedges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 3L)), s"got $got")
+  }
+
+  test("graph_mst_boruvka: equals a driver-side Kruskal replica at sf0.001") {
+    val q = operators.GraphOps.queries("graph_mst_boruvka")(spark, sf001)
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // replica: same weighted-edge derivation, Kruskal under (w, a, b)
+    val off = operators.GraphOps.SupplierVertexOffset
+    val wedges = Tables.lineitem(spark, sf001)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, sf001).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("a"), (col("l_suppkey") + off).as("b"))
+      .agg(countDistinct(col("l_orderkey")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), 1000000L / r.getLong(2)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val px = parent.getOrElseUpdate(x, x)
+      if (px == x) x else { val r = find(px); parent(x) = r; r }
+    }
+    val kruskal = wedges.sortBy(e => (e._3, e._1, e._2)).flatMap {
+      case (a, b, w) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra == rb) None else { parent(ra) = rb; Some((a, b, w)) }
+    }.toSeq
+    assert(got.toSet == kruskal.toSet,
+      s"forest sizes: got ${got.size}, kruskal ${kruskal.size}")
+    // spanning-forest invariant: |edges| = |vertices| − |components|
+    val verts = wedges.flatMap(e => Seq(e._1, e._2)).distinct
+    val comps = verts.map(find).distinct
+    assert(got.size == verts.size - comps.size)
+  }
+
   test("pipeline_pack_chunks: bucketed prefix sum equals one global cumsum at sf0.001") {
     val docs = Tables.documents(spark, sf001)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tok"))

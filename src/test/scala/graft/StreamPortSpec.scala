@@ -494,4 +494,40 @@ class StreamPortSpec extends SparkTestBase {
     q.stop()
     assert(fin.contains(("view", 6L, 25750L, 918843750L, 1L)), s"got $fin")
   }
+
+  test("funnelConvert: one conversion per user, exactly once across batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def te(id: Long, t: String, uid: Long, tpe: String) =
+      StreamPort.TypedEvent(uid, Timestamp.valueOf(t), id, tpe)
+    val mem = MemoryStream[StreamPort.TypedEvent]
+    val q = StreamPort.funnelConvert(mem.toDS())
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("append").start()
+    // u1: signup then purchase in SEPARATE batches; a later purchase
+    // must not re-emit. u2: purchase BEFORE signup is ignored, the
+    // post-signup purchase converts. u3: signup only — no emission.
+    // u4: signup+purchase in the SAME batch, arriving out of order.
+    mem.addData(te(1, "2024-01-01 10:00:00", 1, "signup"),
+      te(2, "2024-01-01 09:00:00", 2, "purchase"),
+      te(3, "2024-01-01 10:30:00", 3, "signup"))
+    q.processAllAvailable()
+    mem.addData(te(4, "2024-01-01 11:00:00", 1, "purchase"),
+      te(5, "2024-01-01 11:30:00", 2, "signup"),
+      te(7, "2024-01-01 13:00:00", 4, "purchase"),
+      te(6, "2024-01-01 12:00:00", 4, "signup"))
+    q.processAllAvailable()
+    mem.addData(te(8, "2024-01-01 14:00:00", 1, "purchase"),
+      te(9, "2024-01-01 14:30:00", 2, "purchase"))
+    q.processAllAvailable()
+    val got = spark.table("funnel")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getLong(3))).toSet
+    q.stop()
+    assert(got == Set(
+      (1L, "2024-01-01 10:00:00.0", "2024-01-01 11:00:00.0", 3600L),
+      (2L, "2024-01-01 11:30:00.0", "2024-01-01 14:30:00.0", 10800L),
+      (4L, "2024-01-01 12:00:00.0", "2024-01-01 13:00:00.0", 3600L)),
+      s"got $got")
+  }
 }
