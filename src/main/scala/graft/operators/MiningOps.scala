@@ -917,6 +917,33 @@ object MiningOps {
         .orderBy(col("event_type"))
     }),
 
+    // recency-weighted engagement score per user — the time-decay
+    // ranking every feed/churn model starts from: each event
+    // contributes value·2^(−age_days) with age measured from the
+    // corpus's last day. EXACT integers end-to-end: cents via
+    // DECIMAL(18,2), the dyadic decay is a BIGINT right-shift
+    // (floor — identical to DuckDB's >>), ages clamped to 62 so the
+    // shift never wraps; one scalar broadcast (max day) + one hash
+    // agg; top 50 via TakeOrderedAndProject.
+    "mine_time_decay_score" -> ((s, d) => {
+      val dec2 = DecimalType(18, 2)
+      val ev = Tables.events(s, d)
+        .select(col("user_id"),
+          (col("value").cast(dec2) * 100).cast("long").as("cents"),
+          (date_trunc("day", col("ts")).cast("long") / 86400L)
+            .cast("long").as("dayno"))
+      val mx = ev.agg(max(col("dayno")).as("md"))
+      ev.crossJoin(broadcast(mx))
+        .withColumn("contrib", expr(
+          "shiftright(cents, CAST(least(md - dayno, 62) AS INT))"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("contrib")).as("cu"))
+        .select(col("user_id"), col("n_events"),
+          r4(col("cu").cast(DoubleType) / 100.0).as("decay_score"))
+        .orderBy(desc("decay_score"), col("user_id")).limit(50)
+    }),
+
     // 2-D Pareto frontier (skyline) of the parts catalog — parts
     // where no other part is both cheaper-or-equal AND larger-or-
     // equal with one strict: the multi-objective shortlist query.
@@ -992,6 +1019,19 @@ object MiningOps {
     }))
 
   val oracle: Map[String, String] = Map(
+    "mine_time_decay_score" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    epoch_us(date_trunc('day', ts)) // 1000000 // 86400 AS dayno
+        |  FROM events),
+        |mx AS (SELECT max(dayno) AS md FROM ev)
+        |SELECT user_id, count(*) AS n_events,
+        |  round(CAST(sum(cents >> CAST(least(md - dayno, 62) AS INT))
+        |    AS DOUBLE) / 100.0, 4) AS decay_score
+        |FROM ev, mx GROUP BY user_id
+        |ORDER BY decay_score DESC, user_id LIMIT 50""".stripMargin,
+
     "mine_pareto_frontier" ->
       """SELECT p_partkey, p_retailprice, p_size FROM part a
         |WHERE NOT EXISTS (

@@ -800,6 +800,71 @@ object TextOps {
         .orderBy(col("stage"))
     }),
 
+    // BM25 ranked retrieval for a fixed 3-term query — the search-
+    // scoring primitive the inverted index feeds (tfidf ranks terms
+    // within docs; BM25 ranks DOCS for a query, with tf saturation
+    // k1 = 1.2 and length normalization b = 0.75). Determinism: tf /
+    // dl / df / N / Σdl are exact integers; dl/avgdl evaluates as
+    // dl·N/Σdl (two exact ints divided — bit-identical in any IEEE
+    // engine); idf = ln((N−df+0.5)/(df+0.5)) is 4dp-quantized (the
+    // zipf-slope discipline); each term's score is 4dp-quantized
+    // BEFORE the per-doc DECIMAL sum, so partial-aggregation order
+    // cannot move the total; ranks order by the rounded score with a
+    // doc_id tie-break. One explode filtered to the query terms (tf
+    // state ∝ matches, not vocabulary) + bounded scalar broadcast.
+    "text_bm25_topk" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .select(col("doc_id"), size(col("ts")).cast("long").as("dl"),
+          col("ts"))
+      val tok = docs.select(col("doc_id"), col("dl"),
+          explode(col("ts")).as("term"))
+        .filter(col("term").isin(Bm25Terms: _*))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfs = tok.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nd = docs.agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
+      val scored = tok
+        .join(broadcast(dfs), Seq("term"))
+        .crossJoin(broadcast(nd))
+        .withColumn("idf", round(log(
+          (col("n") - col("df") + 0.5) / (col("df") + 0.5)), 4))
+        .withColumn("sc", round(col("idf") * (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
+            (col("dl") * col("n") / col("s")))), 4).cast(dec))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"),
+          r4(sum(col("sc")).cast("double")).as("score"))
+      scored.orderBy(desc("score"), col("doc_id")).limit(20)
+        .select(col("doc_id"), col("n_terms"), col("score"))
+    }),
+
+    // deterministic mixture schedule — the data-loading ORDER a
+    // multi-source training run consumes: each source's docs occupy
+    // evenly-spaced positions ∝ 1/n_s (the stride interleave:
+    // pos(r) = (2r−1)/(2n_s), the r-th of n_s equal slots), so every
+    // prefix of the schedule holds each source near its global
+    // share. Positions compare as exact integers ((2r−1)·1e12 DIV
+    // 2n_s — floor division, engine-identical); ties (equal-size
+    // sources collide on every position) break (source, doc_id).
+    // The per-source rank windows partition on the 20-value source
+    // key — the documented low-cardinality caveat (win_rank_variants)
+    // applies at corpus scale; first 200 schedule slots via
+    // TakeOrderedAndProject.
+    "pipeline_mixture_schedule" -> ((s, d) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"))
+        .withColumn("r", row_number().over(w).cast("long"))
+        .withColumn("n_s",
+          count(lit(1)).over(Window.partitionBy(col("source"))))
+        .select(col("source"), col("doc_id"),
+          expr("(2 * r - 1) * 1000000000000 DIV (2 * n_s)").as("pos"))
+        .orderBy(col("pos"), col("source"), col("doc_id"))
+        .limit(200)
+    }),
+
     // concat-and-chunk sequence packing — THE map an LLM training job
     // computes before writing fixed-length sequences: documents
     // concatenate in doc_id order and cut every 512 tokens; each doc
@@ -948,7 +1013,44 @@ object TextOps {
   val PackChunkTokens = 512
   val PackBuckets = 128
 
+  /** text_bm25_topk query terms — core-vocabulary tokens present at
+    * every SF; shared with the oracle SQL. */
+  val Bm25Terms = Seq("scan", "column", "join")
+
   val oracle: Map[String, String] = Map(
+    "text_bm25_topk" ->
+      s"""WITH d2 AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+         |    string_split(text, ' ') AS ts
+         |  FROM documents),
+         |tok AS (
+         |  SELECT doc_id, dl, term, count(*) AS tf FROM (
+         |    SELECT doc_id, dl, unnest(ts) AS term FROM d2) u
+         |  WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+         |  GROUP BY 1, 2, 3),
+         |dfs AS (SELECT term, count(*) AS df FROM tok GROUP BY term),
+         |nd AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS s FROM d2),
+         |sc AS (
+         |  SELECT doc_id,
+         |    CAST(round(round(ln((n - df + 0.5) / (df + 0.5)), 4)
+         |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl * n / s))), 4)
+         |      AS DECIMAL(18,4)) AS sc
+         |  FROM tok JOIN dfs USING (term), nd)
+         |SELECT doc_id, count(*) AS n_terms,
+         |  round(CAST(sum(sc) AS DOUBLE), 4) AS score
+         |FROM sc GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "pipeline_mixture_schedule" ->
+      """WITH r AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS r,
+        |    count(*) OVER (PARTITION BY source) AS n_s
+        |  FROM documents)
+        |SELECT source, doc_id,
+        |  (2 * r - 1) * 1000000000000 // (2 * n_s) AS pos
+        |FROM r ORDER BY pos, source, doc_id LIMIT 200""".stripMargin,
+
     "pipeline_pack_chunks" ->
       s"""WITH docs AS (
          |  SELECT doc_id,

@@ -226,6 +226,62 @@ class Round4eSpec extends SparkTestBase {
       (3L, 600L, 1L, 88L, 2L)), s"got $got")
   }
 
+  test("text_bm25_topk: scores equal the formula replica on a hand corpus") {
+    val dir = tempDir()
+    import spark.implicits._
+    // doc 1: tf(scan)=2, dl=3; doc 2: tf(join)=1, dl=2; doc 3: no
+    // query term (absent from output). N=3, Σdl=9
+    writeFixture(dir, "documents", Seq(
+      (1L, "scan scan x"), (2L, "join y"), (3L, "z z z z"))
+      .toDF("doc_id", "text"))
+    val got = operators.TextOps.queries("text_bm25_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    def q4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def bm25(tf: Long, dl: Long, df: Long, n: Long, s: Long) = {
+      val idf = q4(math.log((n - df + 0.5) / (df + 0.5)))
+      q4(idf * (tf * 2.2) /
+        (tf + 1.2 * (0.25 + 0.75 * (dl.toDouble * n / s))))
+    }
+    val exp = Seq((1L, 1L, bm25(2, 3, 1, 3, 9)), (2L, 1L, bm25(1, 2, 1, 3, 9)))
+      .sortBy(e => (-e._3, e._1))
+    assert(got == exp, s"got $got expected $exp")
+  }
+
+  test("pipeline_mixture_schedule: stride interleave on uneven sources") {
+    val dir = tempDir()
+    import spark.implicits._
+    // a: 2 docs, b: 4 docs → slots (×1e9): b=125,375,625,875;
+    // a=250,750 → order b a b b a b
+    writeFixture(dir, "documents", Seq(
+      (1L, "a"), (2L, "a"), (11L, "b"), (12L, "b"), (13L, "b"), (14L, "b"))
+      .toDF("doc_id", "source"))
+    val got = operators.TextOps.queries("pipeline_mixture_schedule")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("b", 11L), ("a", 1L), ("b", 12L), ("b", 13L),
+      ("a", 2L), ("b", 14L)), s"got $got")
+    // every prefix of length k holds each source within ±1 of k·share
+    val n = 6.0
+    got.indices.foreach { i =>
+      val pre = got.take(i + 1)
+      assert(math.abs(pre.count(_._1 == "b") - (i + 1) * 4 / n) <= 1.0)
+    }
+  }
+
+  test("mine_time_decay_score: dyadic halving by age, ranked") {
+    val dir = tempDir()
+    import spark.implicits._
+    // user 1: 1.00 on the last day (100 cents) + 1.00 one day before
+    // (50) = 1.5; user 2: 4.00 two days back → 400 >> 2 = 100 → 1.0
+    writeFixture(dir, "events", Seq(
+      ev(1, 48, 1.0).copy(_3 = 1L), ev(2, 24, 1.0).copy(_3 = 1L),
+      ev(3, 0, 4.0).copy(_3 = 2L))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = operators.MiningOps.queries("mine_time_decay_score")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 2L, 1.5), (2L, 1L, 1.0)), s"got $got")
+  }
+
   test("boruvkaMsf: hand graph — cycle edge dropped, forest spans") {
     import spark.implicits._
     // 1-2(w1), 3-4(w2), 2-4(w3), 1-4(w4), 2-3(w5): Kruskal keeps
