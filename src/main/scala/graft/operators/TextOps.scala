@@ -800,6 +800,28 @@ object TextOps {
         .orderBy(col("stage"))
     }),
 
+    // the first BPE merge table — the statistic a byte-pair-encoding
+    // tokenizer trainer computes before its first merge: adjacent
+    // character pairs inside each vocabulary type, weighted by the
+    // type's corpus frequency; the top pair is BPE merge #1. Two
+    // bounded hash aggregates (vocabulary, then ≤ alphabet² pairs);
+    // pair extraction fans out pipeline-side from each type (bounded
+    // by token length); exact integer weights; top 20 via
+    // TakeOrderedAndProject.
+    "pipeline_bpe_first_merges" -> ((s, d) => {
+      val vocab = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      vocab
+        .select(col("f"), explode(expr(
+          """IF(length(tok) < 2, array(),
+            |  transform(sequence(1, length(tok) - 1),
+            |    i -> substring(tok, i, 2)))""".stripMargin)).as("pair"))
+        .groupBy(col("pair"))
+        .agg(sum(col("f")).as("weight"), count(lit(1)).as("n_ctx"))
+        .orderBy(desc("weight"), col("pair")).limit(20)
+    }),
+
     // BM25 ranked retrieval for a fixed 3-term query — the search-
     // scoring primitive the inverted index feeds (tfidf ranks terms
     // within docs; BM25 ranks DOCS for a query, with tf saturation
@@ -1018,6 +1040,18 @@ object TextOps {
   val Bm25Terms = Seq("scan", "column", "join")
 
   val oracle: Map[String, String] = Map(
+    "pipeline_bpe_first_merges" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |vocab AS (SELECT tok, count(*) AS f FROM tok GROUP BY tok),
+        |pairs AS (
+        |  SELECT f, unnest(CASE WHEN len(tok) < 2 THEN []::VARCHAR[]
+        |    ELSE list_transform(range(1, len(tok)),
+        |           i -> substr(tok, i, 2)) END) AS pair
+        |  FROM vocab)
+        |SELECT pair, CAST(sum(f) AS BIGINT) AS weight, count(*) AS n_ctx
+        |FROM pairs GROUP BY pair ORDER BY weight DESC, pair LIMIT 20""".stripMargin,
+
     "text_bm25_topk" ->
       s"""WITH d2 AS (
          |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,

