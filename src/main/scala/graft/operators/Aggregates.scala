@@ -458,6 +458,27 @@ object Aggregates {
         .orderBy(col("n_regionkey"))
     }),
 
+    // power-of-2 (log2-spaced) histogram of order totals — the
+    // latency-histogram binning discipline applied to money: bin =
+    // ⌊log2(cents)⌋ computed EXACTLY as length(bin(cents)) − 1 (the
+    // binary-representation length — no floating log anywhere), lo =
+    // 1 << bin. One codegen'd scan + a bounded (≤64-bin) hash agg
+    // with exact decimal sums.
+    "agg_histogram_log2" -> ((s, d) => {
+      val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long")
+      Tables.orders(s, d)
+        .select(cents.as("cents"), col("o_totalprice"))
+        .withColumn("bin", (length(bin(col("cents"))) - 1).cast("int"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          r4(dsum(col("o_totalprice"))).as("sum_price"))
+        .select(col("bin"),
+          expr("shiftleft(CAST(1 AS BIGINT), bin)").as("lo_cents"),
+          col("n"), col("sum_price"))
+        .orderBy(col("bin"))
+    }),
+
     // Pythagorean-mean family per group: arithmetic, geometric, and
     // harmonic means of the (strictly positive) extended price. The
     // geometric mean sums 4dp-ROUNDED logs as exact decimals (the
@@ -488,6 +509,19 @@ object Aggregates {
   private val dsumPrice = dsumSql("l_extendedprice")
 
   val oracle: Map[String, String] = Map(
+    "agg_histogram_log2" ->
+      """WITH c AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    o_totalprice
+        |  FROM orders),
+        |b AS (SELECT CAST(len(bin(cents)) - 1 AS INT) AS bin, o_totalprice
+        |      FROM c)
+        |SELECT bin, CAST(1 AS BIGINT) << bin AS lo_cents, count(*) AS n,
+        |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |    AS sum_price
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
     "agg_gmean_hmean" ->
       """WITH v AS (
         |  SELECT l_returnflag,

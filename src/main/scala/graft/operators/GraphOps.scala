@@ -1355,6 +1355,15 @@ object GraphOps {
       var round = 0
       var remaining = g.count()
       while (remaining > 0 && round < maxRounds) {
+        // the contracted graph shrinks geometrically, but a fixed
+        // shuffle width would keep scheduling p tasks per tiny stage —
+        // and the LATER rounds dominate the job count. Width follows
+        // the measured working set (~50k rows per task, min 1): at
+        // sf0.1 rounds 2+ run single-task, cutting per-stage overhead
+        // ~5×. On a real cluster the same rule keeps early rounds at
+        // full width.
+        val pr = math.max(1L, math.min(p.toLong, remaining / 50000L)).toInt
+        conf.set("spark.sql.shuffle.partitions", pr.toString)
         // per-component best incident edge on the (w, a, b) total order
         val cand = g.select(col("ca").as("c"), col("cb").as("t"),
             col("w"), col("a"), col("b"))

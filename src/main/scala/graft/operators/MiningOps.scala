@@ -47,6 +47,11 @@ object MiningOps {
   /** output-file count for pipeline_compaction_bins. */
   val CompactionBins = 8
 
+  /** mine_ab_ztest conversion threshold (purchases per user) — near
+    * the per-user purchase median at every SF (~13), so both arms'
+    * rates sit strictly inside (0, 1). Shared with the oracle. */
+  val AbConvThreshold = 14
+
   /** sample size for sample_weighted_priority. */
   val PrioritySampleK = 20
 
@@ -917,6 +922,91 @@ object MiningOps {
         .orderBy(col("event_type"))
     }),
 
+    // two-proportion z-test between user cohorts — the A/B readout:
+    // even user_ids are arm A, odd arm B; conversion = the user made
+    // ≥ AbConvThreshold purchases ("heavy buyer" — every synthetic
+    // user buys at least once, so presence alone is degenerate: the
+    // pooled rate hits 1.0 and the z denominator is 0/ANSI-error).
+    // A still-degenerate pool (p̂ ∈ {0, 1}) reads z = 0 / not
+    // significant by declared convention, mirrored in the oracle.
+    // All counts exact integers; the pooled-z formula closes in ONE
+    // fixed IEEE expression; |z| > 1.96 is the 95% two-sided call.
+    // Two bounded hash aggregates — shuffle ∝ users.
+    "mine_ab_ztest" -> ((s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg((count_if(col("event_type") === "purchase") >= AbConvThreshold)
+          .cast("long").as("conv"))
+        .withColumn("arm",
+          when(col("user_id") % 2 === 0, "A").otherwise("B"))
+      val arms = perUser.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("x"))
+      val a = arms.filter(col("arm") === "A")
+        .select(col("n").as("na"), col("x").as("xa"))
+      val b = arms.filter(col("arm") === "B")
+        .select(col("n").as("nb"), col("x").as("xb"))
+      def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+      a.crossJoin(b)
+        .withColumn("pa", dbl(col("xa")) / col("na"))
+        .withColumn("pb", dbl(col("xb")) / col("nb"))
+        .withColumn("pp", dbl(col("xa") + col("xb")) / (col("na") + col("nb")))
+        .withColumn("z",
+          when(col("pp") === 0.0 || col("pp") === 1.0, lit(0.0))
+            .otherwise((col("pa") - col("pb")) /
+              sqrt(col("pp") * (lit(1.0) - col("pp")) *
+                (lit(1.0) / col("na") + lit(1.0) / col("nb")))))
+        .select(col("na"), col("xa"), col("nb"), col("xb"),
+          r4(col("pa")).as("rate_a"), r4(col("pb")).as("rate_b"),
+          r4(col("z")).as("z"),
+          (abs(col("z")) > 1.96).as("significant"))
+    }),
+
+    // Kaplan–Meier survival of customer tenure — the churn curve:
+    // tenure = days from a customer's first to last order; customers
+    // whose last order lands within 30 days of the corpus horizon are
+    // CENSORED (still active — the estimator's whole point). Both
+    // deaths and censorings leave the risk set after their day, so
+    // n(t) = N − Σ_{t'<t}(d+c) is one cumulative window over the
+    // BOUNDED distinct-tenure table. S(t) = Π(1 − d/n) evaluates as
+    // exp of the cumulative 6dp-quantized ln(1 − d/n) (the
+    // established log-quantization discipline — a windowed product
+    // of doubles would be order-fragile); an exhausted risk set
+    // (d = n) pins S to exactly 0 from that day on.
+    "mine_survival_km" -> ((s, d) => {
+      val life = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          (date_trunc("day", col("o_orderdate")).cast("long") / 86400L)
+            .cast("long").as("dayno"))
+        .groupBy(col("o_custkey"))
+        .agg(min(col("dayno")).as("fd"), max(col("dayno")).as("ld"))
+      val horizon = life.agg(max(col("ld")).as("md"))
+      val marked = life.crossJoin(broadcast(horizon))
+        .select((col("ld") - col("fd")).as("t"),
+          (col("md") - col("ld") < 30L).as("censored"))
+      val byT = marked.groupBy(col("t"))
+        .agg(count_if(!col("censored")).as("d"),
+          count_if(col("censored")).as("c"))
+      val n = marked.agg(count(lit(1)).as("total"))
+      val w = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byT.crossJoin(broadcast(n))
+        .withColumn("n_risk",
+          col("total") - coalesce(sum(col("d") + col("c")).over(w), lit(0L)))
+        .withColumn("lf", when(col("d") < col("n_risk"),
+          round(log((col("n_risk") - col("d")).cast(DoubleType) /
+            col("n_risk")), 6).cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .otherwise(lit(null)))
+        .withColumn("dead",
+          max((col("d") === col("n_risk")).cast("int")).over(cum))
+        .withColumn("survival",
+          when(col("dead") === 1, lit(0.0))
+            .otherwise(r4(exp(sum(col("lf")).over(cum).cast(DoubleType)))))
+        .select(col("t"), col("n_risk"), col("d"), col("c"), col("survival"))
+        .orderBy(col("t"))
+    }),
+
     // recency-weighted engagement score per user — the time-decay
     // ranking every feed/churn model starts from: each event
     // contributes value·2^(−age_days) with age measured from the
@@ -1019,6 +1109,77 @@ object MiningOps {
     }))
 
   val oracle: Map[String, String] = Map(
+    "mine_ab_ztest" ->
+      s"""WITH pu AS (
+         |  SELECT user_id,
+         |    CASE WHEN count(*) FILTER (WHERE event_type = 'purchase')
+         |      >= $AbConvThreshold THEN 1 ELSE 0 END AS conv,
+         |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+         |  FROM events GROUP BY user_id),
+         |arms AS (
+         |  SELECT arm, count(*) AS n, CAST(sum(conv) AS BIGINT) AS x
+         |  FROM pu GROUP BY arm),
+         |ab AS (
+         |  SELECT
+         |    (SELECT n FROM arms WHERE arm = 'A') AS na,
+         |    (SELECT x FROM arms WHERE arm = 'A') AS xa,
+         |    (SELECT n FROM arms WHERE arm = 'B') AS nb,
+         |    (SELECT x FROM arms WHERE arm = 'B') AS xb),
+         |zz AS (
+         |  SELECT *,
+         |    CAST(xa AS DOUBLE) / na AS pa,
+         |    CAST(xb AS DOUBLE) / nb AS pb,
+         |    CAST(xa + xb AS DOUBLE) / (na + nb) AS pp
+         |  FROM ab),
+         |z AS (
+         |  SELECT *,
+         |    CASE WHEN pp = 0.0 OR pp = 1.0 THEN 0.0
+         |      ELSE (pa - pb)
+         |        / sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb)) END AS zv
+         |  FROM zz)
+         |SELECT na, xa, nb, xb,
+         |  round(pa, 4) AS rate_a, round(pb, 4) AS rate_b,
+         |  round(zv, 4) AS z, abs(zv) > 1.96 AS significant
+         |FROM z""".stripMargin,
+
+    "mine_survival_km" ->
+      """WITH life AS (
+        |  SELECT o_custkey,
+        |    min(epoch_us(date_trunc('day', o_orderdate)) // 1000000 // 86400)
+        |      AS fd,
+        |    max(epoch_us(date_trunc('day', o_orderdate)) // 1000000 // 86400)
+        |      AS ld
+        |  FROM orders GROUP BY 1),
+        |hz AS (SELECT max(ld) AS md FROM life),
+        |marked AS (
+        |  SELECT ld - fd AS t, (md - ld < 30) AS censored FROM life, hz),
+        |byt AS (
+        |  SELECT t, count(*) FILTER (WHERE NOT censored) AS d,
+        |    count(*) FILTER (WHERE censored) AS c
+        |  FROM marked GROUP BY t),
+        |n AS (SELECT count(*) AS total FROM marked),
+        |r AS (
+        |  SELECT t, d, c,
+        |    total - coalesce(CAST(sum(d + c) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |      0) AS n_risk
+        |  FROM byt, n),
+        |lf AS (
+        |  SELECT t, d, c, n_risk,
+        |    CASE WHEN d < n_risk THEN
+        |      CAST(round(ln(CAST(n_risk - d AS DOUBLE) / n_risk), 6)
+        |        AS DECIMAL(18,6)) END AS lf,
+        |    CASE WHEN d = n_risk THEN 1 ELSE 0 END AS dd
+        |  FROM r)
+        |SELECT t, n_risk, d, c,
+        |  CASE WHEN CAST(max(dd) OVER cum AS INT) = 1 THEN 0.0
+        |    ELSE round(exp(CAST(sum(lf) OVER cum AS DOUBLE)), 4) END
+        |    AS survival
+        |FROM lf
+        |WINDOW cum AS (ORDER BY t
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY t""".stripMargin,
+
     "mine_time_decay_score" ->
       """WITH ev AS (
         |  SELECT user_id,

@@ -226,6 +226,68 @@ class Round4eSpec extends SparkTestBase {
       (3L, 600L, 1L, 88L, 2L)), s"got $got")
   }
 
+  test("agg_histogram_log2: exact power-of-2 binning incl. the boundary") {
+    val dir = tempDir()
+    import spark.implicits._
+    // 1 cent → bin 0; 3 → bin 1; 1024 (= 2^10 exactly) → bin 10
+    writeFixture(dir, "orders", Seq(0.01, 0.03, 10.24).toDF("o_totalprice"))
+    val got = operators.Aggregates.queries("agg_histogram_log2")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq((0, 1L, 1L, 0.01), (1, 2L, 1L, 0.03),
+      (10, 1024L, 1L, 10.24)), s"got $got")
+  }
+
+  test("mine_ab_ztest: pooled z on a hand cohort") {
+    val dir = tempDir()
+    import spark.implicits._
+    def e(id: Long, uid: Long, tpe: String) =
+      (id, (1577836800L + id * 60) * 1000000000L, uid, tpe, 1.0, "{}")
+    // conversion = ≥14 purchases. A (even uids 2, 4): both convert;
+    // B (odd 1, 3): user 1 converts (14), user 3 stops at 13
+    val rows = (for {
+      (uid, np) <- Seq((2L, 14), (4L, 15), (1L, 14), (3L, 13))
+      i <- 1 to np
+    } yield (uid, i)).zipWithIndex.map { case ((uid, _), idx) =>
+      e(idx + 1, uid, "purchase")
+    } ++ Seq(e(1000, 3, "view"))
+    writeFixture(dir, "events",
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = operators.MiningOps.queries("mine_ab_ztest")(spark, dir)
+      .collect().head
+    def q4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (pa, pb, pp) = (1.0, 0.5, 0.75)
+    val z = (pa - pb) / math.sqrt(pp * (1.0 - pp) * (1.0 / 2 + 1.0 / 2))
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 2L, 2L, 1L)))
+    assert((r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getBoolean(7)) ==
+      ((1.0, 0.5, q4(z), false)), s"got $r")
+  }
+
+  test("mine_survival_km: censoring, risk sets, and the survival product") {
+    val dir = tempDir()
+    import spark.implicits._
+    def day(n: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(n).atStartOfDay())
+    // c1: tenure 10 (death), c2: tenure 5 (death), c3: tenure 40 and
+    // last-active at the horizon → censored
+    writeFixture(dir, "orders", Seq(
+      (1L, day(0)), (1L, day(10)), (2L, day(0)), (2L, day(5)),
+      (3L, day(0)), (3L, day(40)))
+      .toDF("o_custkey", "o_orderdate"))
+    val got = operators.MiningOps.queries("mine_survival_km")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    def q6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def q4(x: BigDecimal) = BigDecimal(math.exp(x.toDouble))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s5 = q4(q6(math.log(2.0 / 3.0)))
+    val s10 = q4(q6(math.log(2.0 / 3.0)) + q6(math.log(1.0 / 2.0)))
+    assert(got == Seq((5L, 3L, 1L, 0L, s5), (10L, 2L, 1L, 0L, s10),
+      (40L, 1L, 0L, 1L, s10)), s"got $got")
+  }
+
   test("ts_rolling_slope: a linear series has slope 1 everywhere after the first point") {
     val dir = tempDir()
     import spark.implicits._
