@@ -624,6 +624,38 @@ object GraphOps {
           .as("assortativity"))
     }),
 
+    // rich-club coefficient φ(k) — do high-degree vertices link to
+    // each other more than density predicts? For each threshold k:
+    // φ = 2·E_k / (N_k·(N_k−1)) over the subgraph of vertices with
+    // degree > k. Thresholds are a fixed dyadic ladder (bounded
+    // output); the edge census joins each undirected edge to its two
+    // endpoint degrees (shuffle ∝ edges — the assortativity class)
+    // and fans the ≤6 threshold rows out pipeline-side; everything
+    // integer until the one closing division.
+    "graph_rich_club" -> ((s, d) => {
+      val e = edges(s, d) // bipartite distinct pairs — one row per
+                          // undirected edge by construction
+      val sym = symEdges(s, d)
+      val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+      val ks = RichClubKs.mkString(",")
+      val vk = deg.select(col("dg"), explode(expr(s"array($ks)")).as("k"))
+        .filter(col("dg") > col("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n_k"))
+      val ek = e
+        .join(deg.select(col("src"), col("dg").as("da")), Seq("src"))
+        .join(deg.select(col("src").as("dst"), col("dg").as("db")), Seq("dst"))
+        .select(explode(expr(s"array($ks)")).as("k"), col("da"), col("db"))
+        .filter(col("da") > col("k") && col("db") > col("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("e_k"))
+      vk.join(ek, Seq("k"), "left")
+        .select(col("k"), col("n_k"),
+          coalesce(col("e_k"), lit(0L)).as("e_k"),
+          Stable.r4(when(col("n_k") < 2, 0.0)
+            .otherwise(lit(2.0) * coalesce(col("e_k"), lit(0L)) /
+              (col("n_k") * (col("n_k") - 1)))).as("phi"))
+        .orderBy(col("k"))
+    }),
+
     // average-neighbor-degree curve knn(k) — the assortativity
     // COEFFICIENT's full profile: for vertices of degree k, the mean
     // over those vertices of their own mean neighbor degree (a rising
@@ -1062,6 +1094,10 @@ object GraphOps {
 
   /** k-core k, shared by the engine loop and the oracle SQL */
   val KcoreK = 3
+
+  /** graph_rich_club degree thresholds — a dyadic ladder, shared with
+    * the oracle SQL. */
+  val RichClubKs = Seq(1, 2, 4, 8, 16, 32)
 
   /** Katz iteration count — shared by the engine loop and the
     * unrolled oracle SQL so the two cannot drift */
@@ -1769,6 +1805,27 @@ object GraphOps {
          |         (CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 4)
          |    AS assortativity
          |FROM st""".stripMargin,
+
+    "graph_rich_club" ->
+      s"""WITH ed AS ($edgesSql),
+         |sym AS (SELECT src, dst FROM ed
+         |        UNION SELECT dst AS src, src AS dst FROM ed),
+         |deg AS (SELECT src, count(*) AS dg FROM sym GROUP BY src),
+         |ks AS (SELECT unnest([${RichClubKs.mkString(", ")}]) AS k),
+         |vk AS (
+         |  SELECT k, count(*) AS n_k FROM deg, ks WHERE dg > k GROUP BY k),
+         |ek AS (
+         |  SELECT k, count(*) AS e_k
+         |  FROM ed
+         |  JOIN deg a ON a.src = ed.src
+         |  JOIN deg b ON b.src = ed.dst, ks
+         |  WHERE a.dg > k AND b.dg > k GROUP BY k)
+         |SELECT vk.k, vk.n_k, coalesce(ek.e_k, 0) AS e_k,
+         |  round(CASE WHEN vk.n_k < 2 THEN 0.0
+         |    ELSE 2.0 * coalesce(ek.e_k, 0) / (vk.n_k * (vk.n_k - 1)) END,
+         |    4) AS phi
+         |FROM vk LEFT JOIN ek ON vk.k = ek.k
+         |ORDER BY vk.k""".stripMargin,
 
     "graph_avg_neighbor_degree" ->
       s"""WITH ed AS ($edgesSql),

@@ -922,6 +922,64 @@ object MiningOps {
         .orderBy(col("event_type"))
     }),
 
+    // cohort lifetime value: customers grouped by first-order month,
+    // cumulative revenue per active month offset, normalized per
+    // cohort head — the money-weighted sequel to ts_cohort_retention
+    // (retention counts who returns; LTV sums what they spend).
+    // Month offsets are EXACT integer month indexes (year·12+month —
+    // no float months_between); revenue decimal-exact; the cumulative
+    // window runs over the bounded (cohort × offset) aggregate.
+    "mine_cohort_ltv" -> ((s, d) => {
+      val dec = DecimalType(18, 4)
+      val mo = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_totalprice"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .as("midx"))
+      val first = mo.groupBy(col("o_custkey")).agg(min(col("midx")).as("m0"))
+      val sized = first.groupBy(col("m0")).agg(count(lit(1)).as("cohort_n"))
+      val rev = mo.join(first, Seq("o_custkey"))
+        .groupBy(col("m0"), (col("midx") - col("m0")).as("moff"))
+        .agg(sum(col("o_totalprice").cast(dec)).as("rev"))
+      val w = Window.partitionBy(col("m0")).orderBy(col("moff"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev.join(broadcast(sized), Seq("m0"))
+        // per-user LTV divides EXACT integer cents with floor division
+        // (a rounded double quotient hit a half-way boundary at sf0.01
+        // — .96625 rounded differently per engine; integers cannot)
+        .withColumn("cumc", (sum(col("rev")).over(w) * 100).cast("long"))
+        .select(col("m0").as("cohort_midx"), col("moff"), col("cohort_n"),
+          r4(col("rev").cast(DoubleType)).as("revenue"),
+          (expr("cumc DIV cohort_n") / 100.0).as("cum_ltv"))
+        .orderBy(col("cohort_midx"), col("moff"))
+    }),
+
+    // log–log price elasticity per brand: the OLS slope of ln(qty) on
+    // ln(extended price) — "how much does demand move when price
+    // does". The zipf-slope regression discipline: both logs are
+    // 4dp-quantized at input, all five sufficient sums accumulate as
+    // exact decimals, the slope closes in one IEEE expression per
+    // brand (≤25 rows out).
+    "mine_price_elasticity" -> ((s, d) => {
+      val dec = DecimalType(18, 4)
+      val dec8 = DecimalType(38, 8)
+      val xy = Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"),
+          round(log(col("l_extendedprice")), 4).cast(dec).as("x"),
+          round(log(col("l_quantity")), 4).cast(dec).as("y"))
+      def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+      xy.groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum((col("x") * col("x")).cast(dec8)).as("sxx"),
+          sum((col("x") * col("y")).cast(dec8)).as("sxy"))
+        .select(col("p_brand"), col("n"),
+          r4((dbl(col("sxy")) * col("n") - dbl(col("sx")) * dbl(col("sy"))) /
+            (dbl(col("sxx")) * col("n") - dbl(col("sx")) * dbl(col("sx"))))
+            .as("elasticity"))
+        .orderBy(col("p_brand"))
+    }),
+
     // two-proportion z-test between user cohorts — the A/B readout:
     // even user_ids are arm A, odd arm B; conversion = the user made
     // ≥ AbConvThreshold purchases ("heavy buyer" — every synthetic
@@ -1109,6 +1167,43 @@ object MiningOps {
     }))
 
   val oracle: Map[String, String] = Map(
+    "mine_cohort_ltv" ->
+      """WITH mo AS (
+        |  SELECT o_custkey, o_totalprice,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT) AS midx
+        |  FROM orders),
+        |fo AS (SELECT o_custkey, min(midx) AS m0 FROM mo GROUP BY 1),
+        |sized AS (SELECT m0, count(*) AS cohort_n FROM fo GROUP BY 1),
+        |rev AS (
+        |  SELECT m0, midx - m0 AS moff,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+        |  FROM mo JOIN fo USING (o_custkey) GROUP BY 1, 2)
+        |SELECT m0 AS cohort_midx, moff, cohort_n,
+        |  round(CAST(rev AS DOUBLE), 4) AS revenue,
+        |  CAST(sum(rev) OVER (PARTITION BY m0 ORDER BY moff
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100
+        |    AS BIGINT) // cohort_n / 100.0 AS cum_ltv
+        |FROM rev JOIN sized USING (m0)
+        |ORDER BY cohort_midx, moff""".stripMargin,
+
+    "mine_price_elasticity" ->
+      """WITH xy AS (
+        |  SELECT p_brand,
+        |    CAST(round(ln(l_extendedprice), 4) AS DECIMAL(18,4)) AS x,
+        |    CAST(round(ln(l_quantity), 4) AS DECIMAL(18,4)) AS y
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |st AS (
+        |  SELECT p_brand, count(*) AS n,
+        |    sum(x) AS sx, sum(y) AS sy,
+        |    sum(CAST(x * x AS DECIMAL(38,8))) AS sxx,
+        |    sum(CAST(x * y AS DECIMAL(38,8))) AS sxy
+        |  FROM xy GROUP BY 1)
+        |SELECT p_brand, n,
+        |  round((CAST(sxy AS DOUBLE) * n - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(sxx AS DOUBLE) * n - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+        |    4) AS elasticity
+        |FROM st ORDER BY p_brand""".stripMargin,
+
     "mine_ab_ztest" ->
       s"""WITH pu AS (
          |  SELECT user_id,

@@ -41,6 +41,33 @@ object VectorOps {
     // per-(label, dim) half-sums are BIGINT, and cosine runs between
     // the SUM vectors (scale-invariance makes mean vectors
     // unnecessary — no division before the final formula); dot and
+    // per-dimension variance ranking — the embedding-store health
+    // check that finds dead or dominating dimensions (the per-dim
+    // complement of vec_truncation_audit's prefix-energy question).
+    // Components quantize to 1e-8-unit BIGINTs (the established
+    // basis); Σq and Σq² accumulate EXACTLY (squares in
+    // DECIMAL(38,0)/HUGEINT — q² alone reaches 1e16, corpus sums far
+    // past int64); variance closes in one IEEE expression and ranks
+    // on the ROUNDED value with a dim tie-break. One explode + one
+    // bounded 64-row agg.
+    "vec_dim_variance_topk" -> ((s, d) => {
+      val dec = DecimalType(38, 0)
+      val q = Tables.embeddings(s, d)
+        .selectExpr("posexplode(embedding) AS (dimn, x)")
+        .select(col("dimn"),
+          expr("CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(20,8)) * 100000000 AS BIGINT)")
+            .as("qx"))
+      q.groupBy((col("dimn") + 1).as("dimn")) // 1-based like the oracle
+        .agg(count(lit(1)).as("n"), sum(col("qx")).as("sq"),
+          sum(col("qx").cast(dec) * col("qx").cast(dec)).as("sqq"))
+        .select(col("dimn"), col("n"),
+          r4((col("sqq").cast(DoubleType) -
+            col("sq").cast(DoubleType) * col("sq").cast(DoubleType) / col("n")) /
+            col("n") / 1e16).as("variance"),
+          r4(col("sq").cast(DoubleType) / col("n") / 1e8).as("mean"))
+        .orderBy(desc("variance"), col("dimn")).limit(10)
+    }),
+
     // norms accumulate as DECIMAL(38,0)/HUGEINT. Shape: pipeline-side
     // explode feeds ONE (label, dim) hash agg — partial aggregation
     // collapses to labels×64 rows per partition before the only
@@ -868,6 +895,27 @@ object VectorOps {
          |  round(${dsumSql("c")} / COUNT(*), 4) AS avg_cos,
          |  min(c) AS min_cos
          |FROM c GROUP BY label ORDER BY label""".stripMargin,
+
+    "vec_dim_variance_topk" ->
+      """WITH u AS (
+        |  SELECT CAST(generate_subscripts(embedding, 1) AS INT) AS dimn,
+        |    unnest(embedding) AS x
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT dimn,
+        |    CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(20,8)) * 100000000 AS BIGINT)
+        |      AS qx
+        |  FROM u),
+        |st AS (
+        |  SELECT dimn, count(*) AS n, CAST(sum(qx) AS BIGINT) AS sq,
+        |    SUM(CAST(qx AS HUGEINT) * qx) AS sqq
+        |  FROM q GROUP BY 1)
+        |SELECT dimn, n,
+        |  round((CAST(sqq AS DOUBLE)
+        |    - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n) / n / 1e16, 4)
+        |    AS variance,
+        |  round(CAST(sq AS DOUBLE) / n / 1e8, 4) AS mean
+        |FROM st ORDER BY variance DESC, dimn LIMIT 10""".stripMargin,
 
     "vec_centroid_drift" ->
       """WITH u AS (

@@ -226,6 +226,72 @@ class Round4eSpec extends SparkTestBase {
       (3L, 600L, 1L, 88L, 2L)), s"got $got")
   }
 
+  test("graph_rich_club: phi on a hand graph; thresholds above max degree vanish") {
+    val dir = tempDir()
+    import spark.implicits._
+    // edges c1-S10, c1-S11, c2-S10, c2-S11, c3-S10 → degrees
+    // c1=2 c2=2 c3=1 S10=3 S11=2; k=1: 4 rich vertices, 4 rich edges
+    writeFixture(dir, "orders", Seq((1L, 1L), (2L, 2L), (3L, 3L))
+      .toDF("o_orderkey", "o_custkey"))
+    writeFixture(dir, "lineitem", Seq(
+      (1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (3L, 10L))
+      .toDF("l_orderkey", "l_suppkey"))
+    val got = operators.GraphOps.queries("graph_rich_club")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val phi = BigDecimal(2.0 * 4 / (4 * 3))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq((1, 4L, 4L, phi), (2, 1L, 0L, 0.0)), s"got $got")
+  }
+
+  test("vec_dim_variance_topk: exact variance on a hand pair") {
+    val dir = tempDir()
+    import spark.implicits._
+    writeFixture(dir, "embeddings", Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(3.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label"))
+    val got = operators.VectorOps.queries("vec_dim_variance_topk")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq((1, 2L, 1.0, 2.0), (2, 2L, 0.0, 0.0)), s"got $got")
+  }
+
+  test("mine_cohort_ltv: integer-cent per-user LTV accumulates by offset") {
+    val dir = tempDir()
+    import spark.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-$m%02d-15 00:00:00")
+    writeFixture(dir, "orders", Seq(
+      (1L, ts(1), 100.0), (1L, ts(2), 50.0), (2L, ts(1), 200.0))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice"))
+    val got = operators.MiningOps.queries("mine_cohort_ltv")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    val jan = 2024 * 12 + 1
+    assert(got == Seq((jan, 0, 2L, 300.0, 150.0), (jan, 1, 2L, 50.0, 175.0)),
+      s"got $got")
+  }
+
+  test("mine_price_elasticity: slope equals the quantized-log replica") {
+    val dir = tempDir()
+    import spark.implicits._
+    writeFixture(dir, "part", Seq((1L, "A"), (2L, "A"))
+      .toDF("p_partkey", "p_brand"))
+    writeFixture(dir, "lineitem", Seq(
+      (1L, 10.0, 10.0), (2L, 20.0, 5.0))
+      .toDF("l_partkey", "l_extendedprice", "l_quantity"))
+    val got = operators.MiningOps.queries("mine_price_elasticity")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    def q4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val (x1, x2) = (q4(math.log(10.0)), q4(math.log(20.0)))
+    val (y1, y2) = (q4(math.log(10.0)), q4(math.log(5.0)))
+    val (sx, sy) = (x1 + x2, y1 + y2)
+    val (sxx, sxy) = (x1 * x1 + x2 * x2, x1 * y1 + x2 * y2)
+    val slope = q4((sxy.toDouble * 2 - sx.toDouble * sy.toDouble) /
+      (sxx.toDouble * 2 - sx.toDouble * sx.toDouble)).toDouble
+    assert(got == Seq(("A", 2L, slope)), s"got $got expected $slope")
+    assert(slope < 0.0) // demand falls as price rises
+  }
+
   test("agg_histogram_log2: exact power-of-2 binning incl. the boundary") {
     val dir = tempDir()
     import spark.implicits._
