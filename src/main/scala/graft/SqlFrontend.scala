@@ -57,6 +57,7 @@ object SqlFrontend {
   def registerFunctions(spark: SparkSession): Unit = {
     functions.CosineSimilarity.register(spark)
     functions.JaroWinkler.register(spark)
+    functions.MortonInterleave.register(spark)
     spark.udf.register("minhash_sig",
       org.apache.spark.sql.functions.udaf(new functions.MinHashAgg(MinHashK)))
     spark.udf.register("cm_sketch",

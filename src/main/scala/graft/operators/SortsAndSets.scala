@@ -2,7 +2,6 @@ package graft.operators
 
 import graft._
 import graft.Stable._
-import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** §2.6 sorts / limits / top-K  +  §2.7 set operations.
@@ -13,34 +12,25 @@ import org.apache.spark.sql.functions._
   */
 object SortsAndSets {
 
-  /** interleave the low 16 bits of `c` with zeros (Morton spreading,
-    * the standard mask-and-shift chain) — all arithmetic in non-
-    * negative BIGINTs, so Spark and any ANSI engine compute the
-    * identical value */
-  private def spread16(c: Column): Column = {
-    val s1 = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(0x00FF00FFL))
-    val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
-    val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333L))
-    s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555L))
-  }
-
   val queries: Map[String, QFn] = Map(
     // Z-order (Morton) clustering key over (size, ⌊price⌋) — the
     // multi-dimensional LAYOUT sort behind file-skipping on two
     // predicates at once (what table formats run as OPTIMIZE ZORDER):
     // sorting by the bit-interleaved key places rows close in BOTH
     // dimensions into the same output ranges, so min/max footers
-    // prune either predicate. The global sort plans as a range
-    // exchange (sampled bounds, fully parallel); the query surfaces
-    // the 100 z-smallest parts with their key so the interleaving
-    // itself is oracle-checked bit-for-bit.
+    // prune either predicate. The interleave is the native codegen'd
+    // [[graft.functions.MortonInterleave]] expression (the same
+    // 4-step mask-and-shift chain the oracle SQL spells out — as
+    // Column ops it was a ~40-node tree per key); the global sort
+    // plans as a range exchange; the 100 z-smallest parts surface so
+    // the interleaving itself is oracle-checked bit-for-bit.
     "sort_zorder_layout" -> ((s, d) => {
-      val a = col("p_size").cast("long").bitwiseAND(lit(65535L))
-      val b = floor(col("p_retailprice")).cast("long").bitwiseAND(lit(65535L))
+      graft.functions.MortonInterleave.register(s)
       Tables.part(s, d)
         .select(col("p_partkey"), col("p_size"),
           floor(col("p_retailprice")).cast("long").as("price_floor"),
-          spread16(a).bitwiseOR(shiftleft(spread16(b), 1)).as("zkey"))
+          expr("morton2(CAST(p_size AS BIGINT), " +
+            "CAST(floor(p_retailprice) AS BIGINT))").as("zkey"))
         .orderBy(col("zkey"), col("p_partkey"))
         .limit(100)
     }),

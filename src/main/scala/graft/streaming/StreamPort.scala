@@ -442,6 +442,34 @@ object StreamPort {
       }
   }
 
+  /** streaming mirror of the batch `ts_cusum_alarm`: per-series
+    * one-sided CUSUM over CLOSED hourly bars against a KNOWN
+    * in-control mean (the online setting — the batch op derives the
+    * mean from the full window; a stream cannot, so the reference
+    * mean and threshold arrive as parameters in the same 1e-4 units).
+    * State per key is (s, n, alarms) — the clamped recurrence
+    * s ← max(0, s + (y − mean)) folded in hour order; emitted state
+    * equals the batch fold after any bar prefix (StreamPortSpec). */
+  case class CusumState(event_type: String, n: Long, s: Long, alarms: Long)
+
+  def cusumAlarm(bars: Dataset[HourBar], meanUnits: Long,
+      thresholdUnits: Long): Dataset[CusumState] = {
+    import bars.sparkSession.implicits._
+    bars
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[CusumState, CusumState](GroupStateTimeout.NoTimeout) {
+        (tpe: String, rows: Iterator[HourBar], state: GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(CusumState(tpe, 0L, 0L, 0L))
+          for (bar <- rows.toArray.sortBy(_.hour_idx)) {
+            val s = math.max(0L, st.s + (bar.y - meanUnits))
+            st = CusumState(tpe, st.n + 1, s,
+              st.alarms + (if (s > thresholdUnits) 1 else 0))
+          }
+          state.update(st)
+          st
+      }
+  }
+
   def runningUserStats(events: Dataset[UserEvent]): Dataset[UserAgg] = {
     import events.sparkSession.implicits._
     events

@@ -189,6 +189,30 @@ class Round4eSpec extends SparkTestBase {
     assert(got == Seq((2L, 3L), (3L, 12L), (1L, 39L)), s"got $got")
   }
 
+  test("morton2: SQL-registered expression matches the driver interleave over a grid") {
+    graft.functions.MortonInterleave.register(spark)
+    def spread(x: Long): Long = {
+      var v = (x & 0xFFFFL | ((x & 0xFFFFL) << 8)) & 0x00FF00FFL
+      v = (v | (v << 4)) & 0x0F0F0F0FL
+      v = (v | (v << 2)) & 0x33333333L
+      (v | (v << 1)) & 0x55555555L
+    }
+    import spark.implicits._
+    val got = spark.range(0, 300)
+      .selectExpr("id DIV 17 AS a", "id % 17 AS b",
+        "morton2(id DIV 17, id % 17) AS z")
+      .collect()
+    got.foreach { r =>
+      val exp = spread(r.getLong(0)) | (spread(r.getLong(1)) << 1)
+      assert(r.getLong(2) == exp, s"morton2(${r.getLong(0)}, ${r.getLong(1)})")
+    }
+    // locality property: z of (a,b) and (a+1,b) differ only in bits
+    // of the a-lane — adjacency stays within small z deltas at the
+    // bottom of each 2^k block (spot: morton2(3,5)=39)
+    assert(got.find(r => r.getLong(0) == 3 && r.getLong(1) == 5)
+      .get.getLong(2) == 39L)
+  }
+
   test("sort_zorder_layout: zkey matches a driver-side interleave at sf0.001") {
     def spread(x: Long): Long = {
       var v = (x | (x << 8)) & 0x00FF00FFL

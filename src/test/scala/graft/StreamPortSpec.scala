@@ -495,6 +495,36 @@ class StreamPortSpec extends SparkTestBase {
     assert(fin.contains(("view", 6L, 25750L, 918843750L, 1L)), s"got $fin")
   }
 
+  test("cusumAlarm: streamed state equals the clamped fold per prefix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamPort.HourBar]
+    // mean 1080000/10 = 108000 units, threshold 5·mean = 540000 — the
+    // ts_cusum_alarm hand series (8×1.0 then 2×50.0, 1e-4 units)
+    val q = StreamPort.cusumAlarm(mem.toDS(), 108000L, 540000L)
+      .writeStream.format("memory").queryName("cusum")
+      .outputMode("update").start()
+    val bars = (0 until 8).map(h => StreamPort.HourBar("view", h, 10000L)) ++
+      Seq(StreamPort.HourBar("view", 8, 500000L),
+        StreamPort.HourBar("view", 9, 500000L))
+    mem.addData(bars.take(5): _*); q.processAllAvailable()
+    val mid = spark.table("cusum").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).last
+    mem.addData(bars.drop(5): _*); q.processAllAvailable()
+    val fin = spark.table("cusum").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).last
+    q.stop()
+    // replica fold
+    def fold(ys: Seq[Long]) = ys.foldLeft((0L, 0L, 0L)) {
+      case ((n, s, a), y) =>
+        val s2 = math.max(0L, s + (y - 108000L))
+        (n + 1, s2, a + (if (s2 > 540000L) 1 else 0))
+    }
+    assert(mid == fold(bars.take(5).map(_.y)), s"mid $mid")
+    assert(fin == fold(bars.map(_.y)), s"fin $fin")
+    assert(fin._3 == 1L) // exactly the final-hour alarm, as in batch
+  }
+
   test("funnelConvert: one conversion per user, exactly once across batch splits") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
