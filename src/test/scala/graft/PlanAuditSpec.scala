@@ -519,4 +519,45 @@ class PlanAuditSpec extends SparkTestBase {
         s"the cumulative window must run over the bounded source aggregate:\n$sp")
     }
   }
+
+  test("top-k additions plan as TakeOrderedAndProject with broadcast scalars") {
+    for (q <- Seq("text_bm25_topk", "mine_time_decay_score",
+        "vec_dim_variance_topk", "pipeline_bpe_first_merges")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q: bounded top-k, not a global sort:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"$q: scalar/dim sides must broadcast:\n$p")
+    }
+  }
+
+  test("graph_rich_club + mine_price_elasticity: censuses stay equi-join + bounded agg") {
+    for (q <- Seq("graph_rich_club", "mine_price_elasticity")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q: no all-pairs anywhere:\n$p")
+      val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+      assert(aggs >= 2, s"$q: partial+final aggregation expected:\n$p")
+    }
+  }
+
+  test("mine_survival_km + mine_cohort_ltv: windows run over bounded aggregates") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    for (q <- Seq("mine_survival_km", "mine_cohort_ltv")) {
+      val sp = SparkEntry.queries(q)(spark, sf001).queryExecution.sparkPlan
+      sp.collect { case w: WindowExec => w }.foreach { w =>
+        assert(w.child.collect { case a: BaseAggregateExec => a }.nonEmpty,
+          s"$q: window must see the bounded aggregate, never raw rows:\n$sp")
+      }
+    }
+  }
+
+  test("sort_zorder_layout: the interleave is the single native morton2 expression") {
+    val p = plan("sort_zorder_layout")
+    assert(p.contains("morton2"),
+      s"zkey must come from the codegen'd MortonInterleave expression:\n$p")
+    assert(!p.contains("shiftleft"),
+      s"the Column-chain spelling must be gone from the plan:\n$p")
+  }
 }
