@@ -705,6 +705,45 @@ object GraphOps {
       dist.orderBy(col("v"))
     }),
 
+    // reachability histogram of the BFS seed set — the hop-distance
+    // distribution plus the unreached remainder: per distance d ≤ 3,
+    // how many vertices sit there, the cumulative share of the WHOLE
+    // vertex set, and one 'unreached' bucket (d = −1) — "how much of
+    // the graph is within k hops of the seeds". Rides the same
+    // min-propagation as graph_bfs_distance; the rollup and the
+    // vertex-total scalar are bounded aggregates, the share divides
+    // exact longs.
+    "graph_distance_histogram" -> ((s, d) => {
+      val sym = symEdges(s, d)
+      var dist = sym.select(col("src").as("v")).distinct()
+        .filter(col("v") <= 10L)
+        .select(col("v"), lit(0L).as("dist"))
+      for (_ <- 1 to 3) {
+        val nd = sym.join(dist, col("src") === col("v"))
+          .select(col("dst").as("v"), (col("dist") + 1L).as("dist"))
+        dist = dist.unionByName(nd)
+          .groupBy(col("v")).agg(min(col("dist")).as("dist"))
+      }
+      val verts = sym.select(col("src").as("v")).distinct()
+      val tot = verts.agg(count(lit(1)).as("n_vertices"))
+      val hist = verts.join(dist, Seq("v"), "left")
+        .groupBy(coalesce(col("dist"), lit(-1L)).as("dist"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("ord"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      hist.crossJoin(broadcast(tot))
+        // unreached sorts LAST in the cumulative-share ladder
+        .withColumn("ord", when(col("dist") === -1L, lit(Long.MaxValue))
+          .otherwise(col("dist")))
+        .withColumn("cum", sum(col("n")).over(w))
+        .select(col("dist"), col("n"),
+          Stable.r4(col("cum").cast(DoubleType) / col("n_vertices"))
+            .as("cum_share"))
+        .orderBy(col("ord"))
+        .drop("ord")
+    }),
+
     // bounded harmonic closeness of the BFS seed set: h(s) =
     // Σ_{v≠s, d(s,v)≤3} 1/d(s,v) — the centrality that stays
     // well-defined on disconnected graphs (unreachable vertices
@@ -1986,6 +2025,32 @@ object GraphOps {
          |  SELECT sym.b, walk.d + 1 FROM sym JOIN walk ON sym.a = walk.v
          |  WHERE walk.d < 3)
          |SELECT v, min(d) AS dist FROM walk GROUP BY v ORDER BY v""".stripMargin,
+
+    "graph_distance_histogram" ->
+      s"""WITH RECURSIVE ed AS ($edgesSql),
+         |sym AS (SELECT src AS a, dst AS b FROM ed
+         |        UNION SELECT dst, src FROM ed),
+         |walk(v, d) AS (
+         |  SELECT DISTINCT a AS v, CAST(0 AS BIGINT) AS d FROM sym WHERE a <= 10
+         |  UNION ALL
+         |  SELECT sym.b, walk.d + 1 FROM sym JOIN walk ON sym.a = walk.v
+         |  WHERE walk.d < 3),
+         |dist AS (SELECT v, min(d) AS dist FROM walk GROUP BY v),
+         |verts AS (SELECT DISTINCT a AS v FROM sym),
+         |tot AS (SELECT count(*) AS n_vertices FROM verts),
+         |hist AS (
+         |  SELECT coalesce(dist, -1) AS dist, count(*) AS n
+         |  FROM verts LEFT JOIN dist USING (v) GROUP BY 1),
+         |o AS (
+         |  SELECT dist, n,
+         |    CASE WHEN dist = -1 THEN 9223372036854775807
+         |      ELSE dist END AS ord
+         |  FROM hist)
+         |SELECT dist, n,
+         |  round(CAST(sum(n) OVER (ORDER BY ord
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |    / n_vertices, 4) AS cum_share
+         |FROM o, tot ORDER BY ord""".stripMargin,
 
     "graph_adamic_adar" ->
       s"""WITH ed AS ($edgesSql),

@@ -31,6 +31,36 @@ object TimeSeriesOps {
   /** bucket size (points) for ts_downsample_ltob. */
   val LtobBucket = 10
 
+  /** candidate periods (hours) for ts_dominant_period. */
+  val FourierPeriods = Seq(6, 12, 24, 168)
+
+  /** 8dp string-literal trig table for period `p` — generated ONCE
+    * here and embedded verbatim in BOTH the Spark expression and the
+    * oracle SQL, so neither engine evaluates a transcendental. 8dp
+    * (not more) keeps every z·factor product inside exact decimal
+    * bounds in BOTH engines (Spark caps products at precision 38 and
+    * would silently round a wider scale). */
+  private def fourierTable(fn: String, p: Int): Seq[String] =
+    (0 until p).map { k =>
+      val v = if (fn == "cos") math.cos(2 * math.Pi * k / p)
+              else math.sin(2 * math.Pi * k / p)
+      BigDecimal(v).setScale(8, BigDecimal.RoundingMode.HALF_UP).toString
+    }
+
+  private def fourierFactorExpr(fn: String): String =
+    FourierPeriods.map { p =>
+      val arr = fourierTable(fn, p)
+        .map(v => s"CAST('$v' AS DECIMAL(10,8))").mkString(", ")
+      s"WHEN p = $p THEN element_at(array($arr), CAST(t % $p AS INT) + 1)"
+    }.mkString("CASE ", " ", " END")
+
+  private def fourierFactorSql(fn: String): String =
+    FourierPeriods.map { p =>
+      val arr = fourierTable(fn, p)
+        .map(v => s"CAST('$v' AS DECIMAL(10,8))").mkString(", ")
+      s"WHEN p = $p THEN ([$arr])[CAST(t % $p AS INT) + 1]"
+    }.mkString("CASE ", " ", " END")
+
   val queries: Map[String, QFn] = Map(
 
     // winsorized robust mean per series: hourly sums clipped to the
@@ -651,6 +681,52 @@ object TimeSeriesOps {
     // the alarm compares s_t > 5·tot in the same scaled units.
     // (Magnitude: |c| ≤ n·tot_units — int64-safe to ~1e14 hourly
     // units·hours; beyond that widen the units to DECIMAL(38,0).)
+    // dominant-period detection per series — a tiny deterministic DFT:
+    // spectral amplitude at the candidate periods (6/12/24/168 h) from
+    // Σy·cos + Σy·sin, ranked per series. The trig factors are NOT
+    // computed by either engine: both read the same 12dp string-
+    // literal tables generated once in Scala ([[fourierCosSql]]), so
+    // there is no transcendental to disagree on; y is decimal-exact
+    // and every product/sum stays exact until the closing
+    // amplitude = 2·√(a²+b²)/n. Shape: one bounded hourly aggregate,
+    // factors join by (t mod P) pipeline-side, one (series, period)
+    // agg — shuffle ∝ series×periods.
+    "ts_dominant_period" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg((sum(col("value").cast(dec)) * 10000).cast("long").as("yu"))
+      val tot = hourly.groupBy(col("event_type"))
+        .agg(sum(col("yu")).as("tu"), count(lit(1)).as("n"))
+      val ord = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      // mean-center EXACTLY in scaled units (z = n·y − tot, the
+      // ts_cusum_alarm trick) — without it the series mean aliases
+      // into every period whose cycle the window doesn't complete
+      // (the 168 h bin dominated on a 24 h fixture by DC leakage)
+      val t = hourly.join(broadcast(tot), Seq("event_type"))
+        .withColumn("t", (row_number().over(ord) - 1).cast("long"))
+        .withColumn("z", col("yu") * col("n") - col("tu"))
+      val withP = t.select(col("event_type"), col("z"), col("t"), col("n"),
+        explode(expr(s"array(${FourierPeriods.mkString(",")})")).as("p"))
+      val zdec = org.apache.spark.sql.types.DecimalType(20, 0)
+      val scored = withP
+        .withColumn("cf", expr(fourierFactorExpr("cos")))
+        .withColumn("sf", expr(fourierFactorExpr("sin")))
+        .groupBy(col("event_type"), col("p"))
+        .agg(max(col("n")).as("n"),
+          sum(col("z").cast(zdec) * col("cf")).as("a"),
+          sum(col("z").cast(zdec) * col("sf")).as("b"))
+        .select(col("event_type"), col("p"), col("n"),
+          r4(lit(2.0) * sqrt(
+            col("a").cast("double") * col("a").cast("double") +
+              col("b").cast("double") * col("b").cast("double")) /
+            col("n") / col("n") / 10000.0).as("amplitude"))
+      val rk = Window.partitionBy(col("event_type"))
+        .orderBy(desc("amplitude"), col("p"))
+      scored.withColumn("rank", row_number().over(rk))
+        .orderBy(col("event_type"), col("rank"))
+    }),
+
     // rolling 24-hour OLS slope per series — the windowed trend the
     // dashboards draw next to the raw line (Theil–Sen is the robust
     // whole-series fit; this is its LOCAL least-squares sibling).
@@ -747,6 +823,44 @@ object TimeSeriesOps {
     }))
 
   val oracle: Map[String, String] = Map(
+    "ts_dominant_period" ->
+      s"""WITH hourly AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS hour,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS yu
+         |  FROM events GROUP BY 1, 2),
+         |tot AS (SELECT event_type, CAST(sum(yu) AS BIGINT) AS tu,
+         |          count(*) AS n
+         |        FROM hourly GROUP BY 1),
+         |tt AS (
+         |  SELECT h.event_type, h.yu * t.n - t.tu AS z, t.n,
+         |    row_number() OVER (PARTITION BY h.event_type ORDER BY h.hour) - 1
+         |      AS t
+         |  FROM hourly h JOIN tot t USING (event_type)),
+         |wp AS (
+         |  SELECT event_type, z, t, n,
+         |    unnest([${FourierPeriods.mkString(", ")}]) AS p
+         |  FROM tt),
+         |f AS (
+         |  SELECT event_type, p, n, z,
+         |    ${fourierFactorSql("cos")} AS cf,
+         |    ${fourierFactorSql("sin")} AS sf
+         |  FROM wp),
+         |sc AS (
+         |  SELECT event_type, p, max(n) AS n,
+         |    sum(CAST(z AS DECIMAL(20,0)) * cf) AS a,
+         |    sum(CAST(z AS DECIMAL(20,0)) * sf) AS b
+         |  FROM f GROUP BY 1, 2),
+         |amp AS (
+         |  SELECT event_type, p, n,
+         |    round(2.0 * sqrt(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+         |      + CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) / n / n / 10000.0, 4)
+         |      AS amplitude
+         |  FROM sc)
+         |SELECT event_type, p, n, amplitude,
+         |  CAST(row_number() OVER (PARTITION BY event_type
+         |    ORDER BY amplitude DESC, p) AS INT) AS rank
+         |FROM amp ORDER BY event_type, rank""".stripMargin,
+
     "ts_rolling_slope" ->
       """WITH hourly AS (
         |  SELECT event_type, date_trunc('hour', ts) AS hour,

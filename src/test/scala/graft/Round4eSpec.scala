@@ -250,6 +250,37 @@ class Round4eSpec extends SparkTestBase {
       (3L, 600L, 1L, 88L, 2L)), s"got $got")
   }
 
+  test("ts_dominant_period: a planted 6-hour cosine wins rank 1 at amplitude ~100") {
+    val dir = tempDir()
+    import spark.implicits._
+    val rows = (0 until 24).map(h =>
+      ev(h + 1, h, 200.0 + 100.0 * math.cos(2 * math.Pi * h / 6)))
+    writeFixture(dir, "events",
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = operators.TimeSeriesOps.queries("ts_dominant_period")(spark, dir)
+      .collect().map(r => (r.getInt(1), r.getDouble(3), r.getInt(4))).toSeq
+    val top = got.find(_._3 == 1).get
+    assert(top._1 == 6, s"dominant period should be 6h: $got")
+    assert(math.abs(top._2 - 100.0) < 1.0, s"amplitude ~100: $got")
+    // the non-planted short periods carry near-zero energy
+    got.filter(g => g._1 == 12).foreach(g => assert(g._2 < 10.0, s"$got"))
+  }
+
+  test("graph_distance_histogram: hops, unreached bucket, cumulative shares") {
+    val dir = tempDir()
+    import spark.implicits._
+    // component A: seed 1 – S10 – 20 (hops 0,1,2);
+    // component B: 30 – S11 (no seed → unreached)
+    writeFixture(dir, "orders", Seq((1L, 1L), (2L, 20L), (3L, 30L))
+      .toDF("o_orderkey", "o_custkey"))
+    writeFixture(dir, "lineitem", Seq((1L, 10L), (2L, 10L), (3L, 11L))
+      .toDF("l_orderkey", "l_suppkey"))
+    val got = operators.GraphOps.queries("graph_distance_histogram")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((0L, 1L, 0.2), (1L, 1L, 0.4), (2L, 1L, 0.6),
+      (-1L, 2L, 1.0)), s"got $got")
+  }
+
   test("graph_rich_club: phi on a hand graph; thresholds above max degree vanish") {
     val dir = tempDir()
     import spark.implicits._
