@@ -52,6 +52,25 @@ object MiningOps {
     * rates sit strictly inside (0, 1). Shared with the oracle. */
   val AbConvThreshold = 14
 
+  /** mine_markov_stationary quantization unit (probabilities in 1e-6
+    * units — scale-free: q ≤ 1e6 at any corpus size) and the fixed
+    * power-iteration round count, shared with the unrolled oracle. */
+  val MarkovUnit = 1000000L
+  val MarkovRounds = 10
+
+  /** the unrolled p1..p[[MarkovRounds]] CTE chain replaying the
+    * driver-side integer power iteration in DuckDB */
+  private def markovUnrolledSql: String =
+    (1 to MarkovRounds).map { i =>
+      s"""p$i AS (
+         |  SELECT st.s,
+         |    CAST(coalesce(sum(p.x * q.q // $MarkovUnit), 0) AS BIGINT) AS x
+         |  FROM states st
+         |  LEFT JOIN q ON q.nx = st.s
+         |  LEFT JOIN p${i - 1} p ON p.s = q.p
+         |  GROUP BY st.s)""".stripMargin
+    }.mkString(",\n")
+
   /** sample size for sample_weighted_priority. */
   val PrioritySampleK = 20
 
@@ -922,6 +941,54 @@ object MiningOps {
         .orderBy(col("event_type"))
     }),
 
+    // stationary distribution of the behavioral Markov chain — where
+    // does a user's session settle in the long run? Transition
+    // probabilities quantize to EXACT 1e-6-unit integers
+    // (q = c·1e6 DIV r — floor, engine-identical, and SCALE-FREE:
+    // q ≤ 1e6 whatever the corpus size, so every product fits int64);
+    // the 10-round power iteration π' = π·Q runs DRIVER-SIDE over the
+    // ≤types² matrix (the vec_pca_power bounded-scalar pattern — the
+    // distributed work is the one transition aggregate), each term
+    // π_i·q_ij DIV 1e6 in exact integer floor arithmetic. The oracle
+    // REPLAYS the identical 10 rounds as unrolled CTEs — the seventh
+    // hash-oracled iterative computation.
+    "mine_markov_stationary" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val trans = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("p", lag(col("event_type"), 1).over(w))
+        .filter(col("p").isNotNull)
+        .groupBy(col("p"), col("event_type").as("nx"))
+        .agg(count(lit(1)).as("c"))
+      val rows = trans
+        .join(trans.groupBy(col("p")).agg(sum(col("c")).as("r")), Seq("p"))
+        .select(col("p"), col("nx"),
+          expr(s"c * $MarkovUnit DIV r").as("q"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val states = rows.flatMap(t => Seq(t._1, t._2)).distinct.sorted
+      val idx = states.zipWithIndex.toMap
+      val q = Array.fill(states.length, states.length)(0L)
+      rows.foreach { case (p, nx, v) => q(idx(p))(idx(nx)) = v }
+      var pi = Array.fill(states.length)(MarkovUnit * MarkovUnit /
+        states.length)
+      for (_ <- 1 to MarkovRounds) {
+        val nx = Array.fill(states.length)(0L)
+        for (i <- states.indices; j <- states.indices)
+          nx(j) += pi(i) * q(i)(j) / MarkovUnit
+        pi = nx
+      }
+      val s2 = s
+      import s2.implicits._
+      states.zipWithIndex
+        .map { case (st, i) => (st, BigDecimal(pi(i)) /
+          BigDecimal(MarkovUnit * MarkovUnit)) }
+        .toSeq.toDF("event_type", "piraw")
+        .select(col("event_type"),
+          r4(col("piraw").cast(DoubleType)).as("stationary"))
+        .orderBy(col("event_type"))
+    }),
+
     // cohort lifetime value: customers grouped by first-order month,
     // cumulative revenue per active month offset, normalized per
     // cohort head — the money-weighted sequel to ts_cohort_retention
@@ -1167,6 +1234,29 @@ object MiningOps {
     }))
 
   val oracle: Map[String, String] = Map(
+    "mine_markov_stationary" ->
+      s"""WITH tr AS (
+         |  SELECT p, nx, count(*) AS c FROM (
+         |    SELECT event_type AS nx,
+         |      lag(event_type) OVER (PARTITION BY user_id
+         |        ORDER BY ts, event_id) AS p
+         |    FROM events) t
+         |  WHERE p IS NOT NULL GROUP BY 1, 2),
+         |q AS (
+         |  SELECT tr.p, tr.nx, tr.c * $MarkovUnit // r.r AS q
+         |  FROM tr JOIN (SELECT p, CAST(sum(c) AS BIGINT) AS r
+         |                FROM tr GROUP BY p) r USING (p)),
+         |states AS (SELECT DISTINCT p AS s FROM tr
+         |           UNION SELECT DISTINCT nx FROM tr),
+         |ns AS (SELECT count(*) AS k FROM states),
+         |p0 AS (SELECT s, ${MarkovUnit * MarkovUnit} // k AS x
+         |       FROM states, ns),
+         |$markovUnrolledSql
+         |SELECT s AS event_type,
+         |  round(CAST(x AS DOUBLE) / ${MarkovUnit * MarkovUnit}, 4)
+         |    AS stationary
+         |FROM p$MarkovRounds ORDER BY event_type""".stripMargin,
+
     "mine_cohort_ltv" ->
       """WITH mo AS (
         |  SELECT o_custkey, o_totalprice,

@@ -250,6 +250,31 @@ class Round4eSpec extends SparkTestBase {
       (3L, 600L, 1L, 88L, 2L)), s"got $got")
   }
 
+  test("mine_markov_stationary: alternating chain settles at the uniform point") {
+    val dir = tempDir()
+    import spark.implicits._
+    def e(id: Long, tpe: String) =
+      (id, (1577836800L + id * 60) * 1000000000L, 1L, tpe, 1.0, "{}")
+    // v→c→v→c→v: both transition rows have probability 1.0 → the
+    // integer iteration swaps exactly and π = (1/2, 1/2) exactly
+    writeFixture(dir, "events",
+      Seq(e(1, "view"), e(2, "click"), e(3, "view"), e(4, "click"),
+        e(5, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = operators.MiningOps.queries("mine_markov_stationary")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got == Seq(("click", 0.5), ("view", 0.5)), s"got $got")
+  }
+
+  test("mine_markov_stationary: masses stay near 1 and favor the heavy state") {
+    val got = operators.MiningOps.queries("mine_markov_stationary")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got.size == 5)
+    val mass = got.map(_._2).sum
+    // floor quantization can only LOSE mass, ≤ ~1e-5/round
+    assert(mass <= 1.0001 && mass > 0.99, s"mass $mass")
+  }
+
   test("ts_dominant_period: a planted 6-hour cosine wins rank 1 at amplitude ~100") {
     val dir = tempDir()
     import spark.implicits._
