@@ -1425,6 +1425,9 @@ object GraphOps {
       col("w"), col("a"), col("b")).localCheckpoint()
     conf.set("spark.sql.adaptive.enabled", "false")
     conf.set("spark.sql.shuffle.partitions", p.toString)
+    // caches live per round and are released at round end; `live`
+    // tracks them so a thrown action mid-round cannot leak blocks
+    var live = List.empty[DataFrame]
     try {
       var forest = List.empty[DataFrame]
       var round = 0
@@ -1449,6 +1452,7 @@ object GraphOps {
           .select(col("c"), col("e.t").as("t"), col("e.w").as("w"),
             col("e.a").as("a"), col("e.b").as("b"))
           .cache()
+        live ::= best
         forest ::= best.select(col("a"), col("b"), col("w")).distinct()
           .localCheckpoint()
         // choice graph c → t: break 2-cycles toward the smaller id
@@ -1478,6 +1482,7 @@ object GraphOps {
             .cache()
           jumping = next.filter(col("t") =!= col("prev")).count() > 0
           jumpPinned ::= next
+          live ::= next
           ptr = next.select(col("c"), col("t"))
           jumps += 1
           // truncate lineage every 3rd jump (the CC cadence): plans
@@ -1510,6 +1515,7 @@ object GraphOps {
         // the forest entries (checkpointed) no longer reference them
         jumpPinned.foreach(_.unpersist())
         best.unpersist()
+        live = Nil
         round += 1
         vlog(s"round $round done: $remaining contracted edges remain")
       }
@@ -1519,6 +1525,10 @@ object GraphOps {
       if (forest.isEmpty) wedges.select(col("a"), col("b"), col("w")).limit(0)
       else forest.reduce(_ unionByName _).distinct()
     } finally {
+      live.foreach { df =>
+        try df.unpersist()
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
       conf.set("spark.sql.adaptive.enabled", aqeWas)
       conf.set("spark.sql.shuffle.partitions", shufWas)
     }
