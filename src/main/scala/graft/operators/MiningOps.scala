@@ -1086,6 +1086,53 @@ object MiningOps {
           (abs(col("z")) > 1.96).as("significant"))
     }),
 
+    // Welch's t-test on mean purchase VALUE between the user-id arms
+    // — the continuous-outcome companion of mine_ab_ztest (proportions
+    // answer "did more convert", means answer "did they spend more";
+    // Welch, not pooled Student: arms need not share a variance).
+    // Per-user totals in exact cents; per-arm Σ and Σ² exact (squares
+    // DECIMAL(38,0)/HUGEINT); t and the Welch–Satterthwaite dof close
+    // in one fixed IEEE chain; a zero-variance pool reads t = 0 by
+    // the declared ztest convention.
+    "mine_ab_welch_t" -> ((s, d) => {
+      val dec0 = DecimalType(38, 0)
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(coalesce(sum(when(col("event_type") === "purchase",
+          (col("value").cast(DecimalType(18, 2)) * 100).cast("long"))),
+          lit(0L)).as("cents"))
+        .withColumn("arm",
+          when(col("user_id") % 2 === 0, "A").otherwise("B"))
+      val arms = perUser.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"),
+          sum(col("cents").cast(dec0) * col("cents").cast(dec0)).as("scc"))
+      def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+      val a = arms.filter(col("arm") === "A")
+        .select(col("n").as("na"), col("sc").as("sa"), col("scc").as("sca"))
+      val b = arms.filter(col("arm") === "B")
+        .select(col("n").as("nb"), col("sc").as("sb"), col("scc").as("scb"))
+      a.crossJoin(b)
+        .withColumn("ma", dbl(col("sa")) / col("na"))
+        .withColumn("mb", dbl(col("sb")) / col("nb"))
+        .withColumn("va",
+          (dbl(col("sca")) - dbl(col("sa")) * dbl(col("sa")) / col("na")) /
+            (col("na") - 1))
+        .withColumn("vb",
+          (dbl(col("scb")) - dbl(col("sb")) * dbl(col("sb")) / col("nb")) /
+            (col("nb") - 1))
+        .withColumn("se2", col("va") / col("na") + col("vb") / col("nb"))
+        .withColumn("t", when(col("se2") === 0.0, lit(0.0))
+          .otherwise((col("ma") - col("mb")) / sqrt(col("se2"))))
+        .withColumn("dof", when(col("se2") === 0.0, lit(0.0))
+          .otherwise(col("se2") * col("se2") /
+            ((col("va") / col("na")) * (col("va") / col("na")) / (col("na") - 1) +
+             (col("vb") / col("nb")) * (col("vb") / col("nb")) / (col("nb") - 1))))
+        .select(col("na"), col("nb"),
+          r4(col("ma") / 100.0).as("mean_a"), r4(col("mb") / 100.0).as("mean_b"),
+          r4(col("t")).as("t"), r4(col("dof")).as("dof"),
+          (abs(col("t")) > 1.96).as("significant"))
+    }),
+
     // Kaplan–Meier survival of customer tenure — the churn curve:
     // tenure = days from a customer's first to last order; customers
     // whose last order lands within 30 days of the corpus horizon are
@@ -1326,6 +1373,50 @@ object MiningOps {
          |  round(pa, 4) AS rate_a, round(pb, 4) AS rate_b,
          |  round(zv, 4) AS z, abs(zv) > 1.96 AS significant
          |FROM z""".stripMargin,
+
+    "mine_ab_welch_t" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN
+        |      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END), 0)
+        |      AS BIGINT) AS cents,
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+        |  FROM events GROUP BY user_id),
+        |arms AS (
+        |  SELECT arm, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sc,
+        |    SUM(CAST(cents AS HUGEINT) * cents) AS scc
+        |  FROM pu GROUP BY arm),
+        |ab AS (
+        |  SELECT
+        |    (SELECT n FROM arms WHERE arm = 'A') AS na,
+        |    (SELECT sc FROM arms WHERE arm = 'A') AS sa,
+        |    (SELECT scc FROM arms WHERE arm = 'A') AS sca,
+        |    (SELECT n FROM arms WHERE arm = 'B') AS nb,
+        |    (SELECT sc FROM arms WHERE arm = 'B') AS sb,
+        |    (SELECT scc FROM arms WHERE arm = 'B') AS scb),
+        |m AS (
+        |  SELECT *,
+        |    CAST(sa AS DOUBLE) / na AS ma, CAST(sb AS DOUBLE) / nb AS mb,
+        |    (CAST(sca AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / na)
+        |      / (na - 1) AS va,
+        |    (CAST(scb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / nb)
+        |      / (nb - 1) AS vb
+        |  FROM ab),
+        |se AS (SELECT *, va / na + vb / nb AS se2 FROM m),
+        |tv AS (
+        |  SELECT *,
+        |    CASE WHEN se2 = 0.0 THEN 0.0
+        |      ELSE (ma - mb) / sqrt(se2) END AS t,
+        |    CASE WHEN se2 = 0.0 THEN 0.0
+        |      ELSE se2 * se2 /
+        |        ((va / na) * (va / na) / (na - 1)
+        |          + (vb / nb) * (vb / nb) / (nb - 1)) END AS dof
+        |  FROM se)
+        |SELECT na, nb,
+        |  round(ma / 100.0, 4) AS mean_a, round(mb / 100.0, 4) AS mean_b,
+        |  round(t, 4) AS t, round(dof, 4) AS dof,
+        |  abs(t) > 1.96 AS significant
+        |FROM tv""".stripMargin,
 
     "mine_survival_km" ->
       """WITH life AS (

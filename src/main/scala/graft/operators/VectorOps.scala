@@ -311,6 +311,44 @@ object VectorOps {
         .select(col("vec_id"), col("embedding"), col("c_id").as("cell")))
     }),
 
+    // IVF recall audit — the third sketch-vs-exhaustive meta-check
+    // (after the LSH-dedup and langid audits): the SAME vec_ann_ivf
+    // derivation scored against the TRUE global nearest neighbor.
+    // Recall@1 is the number a serving team quotes; the mean cosine
+    // gap is what recall hides (a miss that loses 0.0001 of cosine is
+    // not a 0.62-recall problem). Truth is the all-pairs argmax as a
+    // STRUCT MAX (no 25M-row window sort — one hash aggregate);
+    // DECLARED quadratic: the audit is the one query allowed to pay
+    // N² per run, which is exactly why pipelines audit on a schedule
+    // instead of brute-forcing every query. Gaps quantize to 4dp
+    // decimals before the exact mean.
+    "vec_ivf_recall_audit" -> ((s, d) => {
+      CosineSimilarity.register(s)
+      val e = Tables.embeddings(s, d)
+      val k = math.ceil(math.sqrt(e.count().toDouble)).toInt
+      val centroids = e.orderBy(col("vec_id")).limit(k)
+        .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+      val ivf = perCellTop1(assignToCodebook(s, centroids, d)
+        .select(col("vec_id"), col("embedding"), col("c_id").as("cell")))
+      val x = e.select(col("vec_id"), col("embedding").as("ex"))
+      val y = e.select(col("vec_id").as("b"), col("embedding").as("ey"))
+      val truth = x.join(y, col("vec_id") =!= col("b"))
+        .select(col("vec_id"),
+          struct(round(cosine("ex", "ey"), 4).as("cos"),
+            (-col("b")).as("negb")).as("sc"))
+        .groupBy(col("vec_id"))
+        .agg(max(col("sc")).as("best"))
+        .select(col("vec_id"), (-col("best.negb")).as("t_nn"),
+          col("best.cos").as("t_cos"))
+      ivf.join(truth, Seq("vec_id"))
+        .agg(count(lit(1)).as("n_vectors"),
+          count_if(col("nn_id") === col("t_nn")).as("n_match"),
+          r4(count_if(col("nn_id") === col("t_nn")).cast(DoubleType) /
+            count(lit(1))).as("recall_at_1"),
+          r4(sum((col("t_cos") - col("cos")).cast(DecimalType(18, 4)))
+            .cast(DoubleType) / count(lit(1))).as("mean_cos_gap"))
+    }),
+
     // int8 scalar quantization — the storage/bandwidth reduction an
     // embedding store applies before ANN serving (4× smaller vectors,
     // distance ≈ preserved): per-vector min/max affine scale, code =
@@ -763,6 +801,39 @@ object VectorOps {
     * |q|² product, an upper bound on any cell's growth) */
   private val GramLongHeadroom = 4.6e18
 
+  /** the vec_ann_ivf oracle chain (⌈√N⌉ lowest-id centroids →
+    * max-cosine assignment → within-cell top-1), ending in CTE
+    * `ivf` = (vec_id, cell, nn_id, cos) — shared with the recall
+    * audit so the audited derivation and the serving query cannot
+    * drift */
+  private val ivfCtesSql =
+    """cents AS (
+      |  SELECT vec_id AS c_id, embedding AS ce FROM (
+      |    SELECT vec_id, embedding,
+      |      row_number() OVER (ORDER BY vec_id) AS rn,
+      |      ceil(sqrt(count(*) OVER ())) AS k
+      |    FROM embeddings) t
+      |  WHERE rn <= k),
+      |assigned AS (
+      |  SELECT vec_id, embedding, c_id AS cell FROM (
+      |    SELECT e.vec_id, e.embedding, c.c_id,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        round(list_cosine_similarity(CAST(c.ce AS DOUBLE[]),
+      |          CAST(e.embedding AS DOUBLE[])), 4) DESC, c.c_id ASC) AS rn
+      |    FROM embeddings e CROSS JOIN cents c) t
+      |  WHERE rn = 1),
+      |nn AS (
+      |  SELECT x.vec_id, x.cell, y.vec_id AS b,
+      |    round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+      |      CAST(y.embedding AS DOUBLE[])), 4) AS cos
+      |  FROM assigned x JOIN assigned y
+      |    ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+      |ivf AS (
+      |  SELECT vec_id, cell, b AS nn_id, cos FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY cos DESC, b ASC) AS rn FROM nn) t
+      |  WHERE rn = 1)""".stripMargin
+
   /** DuckDB mirror of [[gramInt]] — CTE `g` = (i, j, gi HUGEINT) */
   private def gramSql: String =
     """ex AS (
@@ -1052,31 +1123,29 @@ object VectorOps {
         |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
 
     "vec_ann_ivf" ->
-      """WITH cents AS (
-        |  SELECT vec_id AS c_id, embedding AS ce FROM (
-        |    SELECT vec_id, embedding,
-        |      row_number() OVER (ORDER BY vec_id) AS rn,
-        |      ceil(sqrt(count(*) OVER ())) AS k
-        |    FROM embeddings) t
-        |  WHERE rn <= k),
-        |assigned AS (
-        |  SELECT vec_id, embedding, c_id AS cell FROM (
-        |    SELECT e.vec_id, e.embedding, c.c_id,
-        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |        round(list_cosine_similarity(CAST(c.ce AS DOUBLE[]),
-        |          CAST(e.embedding AS DOUBLE[])), 4) DESC, c.c_id ASC) AS rn
-        |    FROM embeddings e CROSS JOIN cents c) t
-        |  WHERE rn = 1),
-        |nn AS (
-        |  SELECT x.vec_id, x.cell, y.vec_id AS b,
-        |    round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
-        |      CAST(y.embedding AS DOUBLE[])), 4) AS cos
-        |  FROM assigned x JOIN assigned y
-        |    ON x.cell = y.cell AND x.vec_id <> y.vec_id)
-        |SELECT vec_id, cell, b AS nn_id, cos FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id
-        |    ORDER BY cos DESC, b ASC) AS rn FROM nn) t
-        |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+      s"""WITH $ivfCtesSql
+         |SELECT vec_id, cell, nn_id, cos FROM ivf ORDER BY vec_id""".stripMargin,
+
+    "vec_ivf_recall_audit" ->
+      s"""WITH $ivfCtesSql,
+         |truth AS (
+         |  SELECT vec_id, nn_id AS t_nn, cos AS t_cos FROM (
+         |    SELECT x.vec_id, y.vec_id AS nn_id,
+         |      round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+         |        CAST(y.embedding AS DOUBLE[])), 4) AS cos,
+         |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
+         |        round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+         |          CAST(y.embedding AS DOUBLE[])), 4) DESC,
+         |        y.vec_id ASC) AS rn
+         |    FROM embeddings x JOIN embeddings y ON x.vec_id <> y.vec_id) t
+         |  WHERE rn = 1)
+         |SELECT count(*) AS n_vectors,
+         |  count(*) FILTER (WHERE ivf.nn_id = truth.t_nn) AS n_match,
+         |  round(CAST(count(*) FILTER (WHERE ivf.nn_id = truth.t_nn)
+         |    AS DOUBLE) / count(*), 4) AS recall_at_1,
+         |  round(CAST(SUM(CAST(truth.t_cos - ivf.cos AS DECIMAL(18,4)))
+         |    AS DOUBLE) / count(*), 4) AS mean_cos_gap
+         |FROM ivf JOIN truth USING (vec_id)""".stripMargin,
 
     "vec_quantize_int8" ->
       """WITH e AS (

@@ -250,6 +250,47 @@ class Round4eSpec extends SparkTestBase {
       (3L, 600L, 1L, 88L, 2L)), s"got $got")
   }
 
+  test("vec_ivf_recall_audit: perfect recall on separable planted cells") {
+    val dir = tempDir()
+    import spark.implicits._
+    // centroids = vecs 1, 2 (k = ⌈√4⌉ = 2); 3 lands with 1, 4 with 2;
+    // every true NN is within-cell → recall 1.0, gap 0
+    writeFixture(dir, "embeddings", Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.0f, 1.0f), 0),
+      (3L, Seq(0.9f, 0.1f), 0), (4L, Seq(0.1f, 0.9f), 0))
+      .toDF("vec_id", "embedding", "label"))
+    val got = operators.VectorOps.queries("vec_ivf_recall_audit")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq((4L, 4L, 1.0, 0.0)), s"got $got")
+  }
+
+  test("vec_ivf_recall_audit: invariants at sf0.001 — gap nonnegative, recall bounded") {
+    val r = operators.VectorOps.queries("vec_ivf_recall_audit")(spark, sf001)
+      .collect().head
+    assert(r.getLong(1) <= r.getLong(0))
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    assert(r.getDouble(3) >= 0.0) // truth cosine can never trail the sketch
+  }
+
+  test("mine_ab_welch_t: hand cohorts — unequal variances, exact moments") {
+    val dir = tempDir()
+    import spark.implicits._
+    def e(id: Long, uid: Long, tpe: String, v: Double) =
+      (id, (1577836800L + id * 60) * 1000000000L, uid, tpe, v, "{}")
+    // A (uids 2, 4): totals 100 and 300 cents → ma=200, va=2e4;
+    // B (uids 1, 3): both 100 → vb=0; t = 100/√(1e4) = 1.0, dof = 1
+    writeFixture(dir, "events", Seq(
+      e(1, 2, "purchase", 1.0), e(2, 4, "purchase", 3.0),
+      e(3, 1, "purchase", 1.0), e(4, 3, "purchase", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = operators.MiningOps.queries("mine_ab_welch_t")(spark, dir)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 2L)))
+    assert((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+      r.getBoolean(6)) == ((2.0, 1.0, 1.0, 1.0, false)), s"got $r")
+  }
+
   test("mine_markov_stationary: alternating chain settles at the uniform point") {
     val dir = tempDir()
     import spark.implicits._
