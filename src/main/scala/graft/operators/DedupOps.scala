@@ -253,6 +253,24 @@ object DedupOps {
         .orderBy(col("a"), col("b"))
     }),
 
+    // dup-rate threshold curve — the tuning table read BEFORE anyone
+    // picks "the" dedup threshold: over the bounded probe pairs, how
+    // many survive each cut of a 0.50..0.90 ladder. Threshold
+    // compares hit exactly in both engines (round(x,4) and the ladder
+    // literal both resolve to the nearest double of the same 2dp
+    // decimal); the ladder fans out pipeline-side from the bounded
+    // pair set.
+    "dedup_threshold_curve" -> ((s, d) => {
+      val pairs = jaccardPairs(tokenSets(s, d, cap = 200L), 0.0)
+      val ladder = Seq(0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9)
+      pairs
+        .select(col("jaccard"),
+          explode(array(ladder.map(lit): _*)).as("threshold"))
+        .groupBy(col("threshold"))
+        .agg(count_if(col("jaccard") >= col("threshold")).as("n_pairs"))
+        .orderBy(col("threshold"))
+    }),
+
     // directional containment |A∩B| / |A| — the asymmetric near-dup
     // signal Jaccard misses: a short document wholly embedded in a
     // longer one scores low Jaccard but containment ≈ 1 (the
@@ -664,6 +682,25 @@ object DedupOps {
         |FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
         |WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.6
         |ORDER BY a, b""".stripMargin,
+
+    "dedup_threshold_curve" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE doc_id < 200),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+        |  FROM tok x JOIN tok y ON x.term = y.term AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
+        |  FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+        |  WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.0),
+        |th AS (SELECT unnest([0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8,
+        |         0.85, 0.9]) AS threshold)
+        |SELECT threshold,
+        |  count(*) FILTER (WHERE jaccard >= threshold) AS n_pairs
+        |FROM j, th GROUP BY threshold ORDER BY threshold""".stripMargin,
 
     "dedup_containment" ->
       """WITH tok AS (

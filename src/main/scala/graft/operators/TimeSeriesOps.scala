@@ -681,6 +681,25 @@ object TimeSeriesOps {
     // the alarm compares s_t > 5·tot in the same scaled units.
     // (Magnitude: |c| ≤ n·tot_units — int64-safe to ~1e14 hourly
     // units·hours; beyond that widen the units to DECIMAL(38,0).)
+    // daily VWAP — the volume-weighted average unit price per ship
+    // day: Σ extendedprice / Σ quantity (extendedprice IS unit
+    // price × quantity, so the ratio of the two EXACT decimal sums is
+    // the volume-weighted mean with no per-row division anywhere).
+    // One scan, one bounded per-day aggregate.
+    "ts_vwap" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      Tables.lineitem(s, d)
+        .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
+        .agg(count(lit(1)).as("n_trades"),
+          sum(col("l_quantity").cast(dec)).as("vol"),
+          sum(col("l_extendedprice").cast(dec)).as("notional"))
+        .select(ntz(col("day")).as("day"), col("n_trades"),
+          r4(col("vol").cast("double")).as("volume"),
+          r4(col("notional").cast("double") / col("vol").cast("double"))
+            .as("vwap"))
+        .orderBy(col("day"))
+    }),
+
     // dominant-period detection per series — a tiny deterministic DFT:
     // spectral amplitude at the candidate periods (6/12/24/168 h) from
     // Σy·cos + Σy·sin, ranked per series. The trig factors are NOT
@@ -823,6 +842,15 @@ object TimeSeriesOps {
     }))
 
   val oracle: Map[String, String] = Map(
+    "ts_vwap" ->
+      """SELECT date_trunc('day', l_shipdate) AS day, count(*) AS n_trades,
+        |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |    AS volume,
+        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |    AS vwap
+        |FROM lineitem GROUP BY 1 ORDER BY day""".stripMargin,
+
     "ts_dominant_period" ->
       s"""WITH hourly AS (
          |  SELECT event_type, date_trunc('hour', ts) AS hour,

@@ -250,6 +250,33 @@ class Round4eSpec extends SparkTestBase {
       (3L, 600L, 1L, 88L, 2L)), s"got $got")
   }
 
+  test("dedup_threshold_curve: a J=0.6 pair survives exactly the cuts at or below") {
+    val dir = tempDir()
+    import spark.implicits._
+    // docs 1, 2 share 3 of 5 distinct tokens → J = 0.6; doc 3 shares
+    // nothing (the pair never forms)
+    writeFixture(dir, "documents", Seq(
+      (1L, "a b c d"), (2L, "a b c e"), (3L, "x y"))
+      .toDF("doc_id", "text"))
+    val got = operators.DedupOps.queries("dedup_threshold_curve")(spark, dir)
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    val exp = Seq(0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9)
+      .map(t => (t, if (t <= 0.6) 1L else 0L))
+    assert(got == exp, s"got $got")
+  }
+
+  test("ts_vwap: ratio of exact sums on a hand day") {
+    val dir = tempDir()
+    import spark.implicits._
+    val day = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    writeFixture(dir, "lineitem", Seq(
+      (day, 2.0, 10.0), (day, 3.0, 30.0))
+      .toDF("l_shipdate", "l_quantity", "l_extendedprice"))
+    val got = operators.TimeSeriesOps.queries("ts_vwap")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got == Seq((2L, 5.0, 8.0)), s"got $got")
+  }
+
   test("vec_ivf_recall_audit: perfect recall on separable planted cells") {
     val dir = tempDir()
     import spark.implicits._
