@@ -458,6 +458,35 @@ object Aggregates {
         .orderBy(col("n_regionkey"))
     }),
 
+    // weighted percentiles — quantity-weighted p50/p90 of the
+    // extended price per return flag: "half the UNITS shipped cost at
+    // most X", which unweighted percentiles (agg_percentile) cannot
+    // say. The sort-free histogram discipline (pipeline_range_bucket
+    // family): exact integer cents × integer quantity weights, one
+    // cumulative window over the per-flag DISTINCT-cents aggregate,
+    // lower-bucket convention (smallest value with cum·100 ≥ q·total).
+    "agg_percentile_weighted" -> ((s, d) => {
+      val hist = Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+            .cast("long").as("cents"),
+          col("l_quantity").cast("long").as("w"))
+        .groupBy(col("l_returnflag"), col("cents"))
+        .agg(sum(col("w")).as("wc"))
+      val tot = hist.groupBy(col("l_returnflag")).agg(sum(col("wc")).as("tw"))
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist.join(broadcast(tot), Seq("l_returnflag"))
+        .withColumn("cum", sum(col("wc")).over(w))
+        .groupBy(col("l_returnflag"))
+        .agg(max(col("tw")).as("total_weight"),
+          (min(when(col("cum") * 100 >= lit(50) * col("tw"), col("cents")))
+            / 100.0).as("wp50"),
+          (min(when(col("cum") * 100 >= lit(90) * col("tw"), col("cents")))
+            / 100.0).as("wp90"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // power-of-2 (log2-spaced) histogram of order totals — the
     // latency-histogram binning discipline applied to money: bin =
     // ⌊log2(cents)⌋ computed EXACTLY as length(bin(cents)) − 1 (the
@@ -509,6 +538,27 @@ object Aggregates {
   private val dsumPrice = dsumSql("l_extendedprice")
 
   val oracle: Map[String, String] = Map(
+    "agg_percentile_weighted" ->
+      """WITH h AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wc
+        |  FROM lineitem GROUP BY 1, 2),
+        |tot AS (SELECT l_returnflag, CAST(sum(wc) AS BIGINT) AS tw
+        |        FROM h GROUP BY 1),
+        |c AS (
+        |  SELECT h.l_returnflag, h.cents, t.tw,
+        |    CAST(sum(h.wc) OVER (PARTITION BY h.l_returnflag
+        |      ORDER BY h.cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM h JOIN tot t USING (l_returnflag))
+        |SELECT l_returnflag, max(tw) AS total_weight,
+        |  min(CASE WHEN cum * 100 >= 50 * tw THEN cents END) / 100.0 AS wp50,
+        |  min(CASE WHEN cum * 100 >= 90 * tw THEN cents END) / 100.0 AS wp90
+        |FROM c GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
     "agg_histogram_log2" ->
       """WITH c AS (
         |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)

@@ -800,6 +800,32 @@ object TextOps {
         .orderBy(col("stage"))
     }),
 
+    // cross-language vocabulary overlap — the contamination screen a
+    // multilingual corpus runs before per-language training: for each
+    // language PAIR, shared distinct terms and vocabulary Jaccard
+    // (high overlap between labeled languages = mislabeled docs or a
+    // shared-template corpus). One distinct (lang, term) projection;
+    // the pair intersection joins on the term (shuffle ∝ vocabulary);
+    // sizes broadcast; ≤ langs² rows out.
+    "text_lang_vocab_overlap" -> ((s, d) => {
+      val vocab = Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+        .distinct()
+      val sizes = vocab.groupBy(col("lang")).agg(count(lit(1)).as("v"))
+      val a = vocab.select(col("lang").as("la"), col("term"))
+      val b = vocab.select(col("lang").as("lb"), col("term"))
+      a.join(b, Seq("term")).filter(col("la") < col("lb"))
+        .groupBy(col("la"), col("lb")).agg(count(lit(1)).as("shared"))
+        .join(broadcast(sizes.select(col("lang").as("la"), col("v").as("va"))),
+          Seq("la"))
+        .join(broadcast(sizes.select(col("lang").as("lb"), col("v").as("vb"))),
+          Seq("lb"))
+        .select(col("la"), col("lb"), col("va"), col("vb"), col("shared"),
+          r4(col("shared").cast("double") /
+            (col("va") + col("vb") - col("shared"))).as("vocab_jaccard"))
+        .orderBy(col("la"), col("lb"))
+    }),
+
     // the first BPE merge table — the statistic a byte-pair-encoding
     // tokenizer trainer computes before its first merge: adjacent
     // character pairs inside each vocabulary type, weighted by the
@@ -1040,6 +1066,21 @@ object TextOps {
   val Bm25Terms = Seq("scan", "column", "join")
 
   val oracle: Map[String, String] = Map(
+    "text_lang_vocab_overlap" ->
+      """WITH vocab AS (
+        |  SELECT DISTINCT lang, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |sz AS (SELECT lang, count(*) AS v FROM vocab GROUP BY lang),
+        |pairs AS (
+        |  SELECT x.lang AS la, y.lang AS lb, count(*) AS shared
+        |  FROM vocab x JOIN vocab y ON x.term = y.term AND x.lang < y.lang
+        |  GROUP BY 1, 2)
+        |SELECT la, lb, sa.v AS va, sb.v AS vb, shared,
+        |  round(CAST(shared AS DOUBLE) / (sa.v + sb.v - shared), 4)
+        |    AS vocab_jaccard
+        |FROM pairs JOIN sz sa ON sa.lang = la JOIN sz sb ON sb.lang = lb
+        |ORDER BY la, lb""".stripMargin,
+
     "pipeline_bpe_first_merges" ->
       """WITH tok AS (
         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -250,6 +250,34 @@ class Round4eSpec extends SparkTestBase {
       (3L, 600L, 1L, 88L, 2L)), s"got $got")
   }
 
+  test("agg_percentile_weighted: weights move the percentile where counts would not") {
+    val dir = tempDir()
+    import spark.implicits._
+    // prices 1.00 (weight 9) and 2.00 (weight 1): unweighted median
+    // would sit between; weighted p50 AND p90 both land on 1.00
+    writeFixture(dir, "lineitem", Seq(
+      ("A", 1.0, 9.0), ("A", 2.0, 1.0))
+      .toDF("l_returnflag", "l_extendedprice", "l_quantity"))
+    val got = operators.Aggregates.queries("agg_percentile_weighted")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq(("A", 10L, 1.0, 1.0)), s"got $got")
+  }
+
+  test("text_lang_vocab_overlap: shared terms and vocabulary Jaccard by pair") {
+    val dir = tempDir()
+    import spark.implicits._
+    // en {a,b,c}, es {b,c,d}, fr {x} → en–es share 2 (J = 2/4);
+    // fr pairs never form
+    writeFixture(dir, "documents", Seq(
+      (1L, "a b c", "en"), (2L, "b c d", "es"), (3L, "x", "fr"))
+      .toDF("doc_id", "text", "lang"))
+    val got = operators.TextOps.queries("text_lang_vocab_overlap")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == Seq(("en", "es", 3L, 3L, 2L, 0.5)), s"got $got")
+  }
+
   test("dedup_threshold_curve: a J=0.6 pair survives exactly the cuts at or below") {
     val dir = tempDir()
     import spark.implicits._
