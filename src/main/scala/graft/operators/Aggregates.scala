@@ -458,6 +458,42 @@ object Aggregates {
         .orderBy(col("n_regionkey"))
     }),
 
+    // sketch set-algebra: HLL intersection by inclusion–exclusion —
+    // |A∩B| ≈ est(A) + est(B) − est(A∪B), the distinct-overlap
+    // estimate ("how many parts do returned and accepted flows
+    // share?") computable from two ALREADY-BUILT sketches without
+    // rescanning either side. The union register is the element-wise
+    // max (the mergeable-HLL property); all three estimates apply the
+    // shared hllEstimate formula on the engine-identical md5 basis,
+    // so even this composed estimate is hash-ORACLED; the exact twin
+    // rides along to show the sketch error.
+    "agg_hll_intersect" -> ((s, d) => {
+      val hll = udaf(new graft.functions.HllAgg(HllM))
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_returnflag").isin("A", "R"))
+        .select(col("l_returnflag").as("g"),
+          col("l_partkey").cast("string").as("v"))
+      val byG = li.groupBy(col("g")).agg(hll(col("v")).as("reg"))
+      val unionReg = byG
+        .select(posexplode(col("reg")))
+        .groupBy(col("pos")).agg(max(col("col")).as("m"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(expr("transform(pm, x -> x.m)").as("reg"))
+      val estA = byG.filter(col("g") === "A")
+        .select(hllEstimate("reg").as("est_a"))
+      val estB = byG.filter(col("g") === "R")
+        .select(hllEstimate("reg").as("est_b"))
+      val estU = unionReg.select(hllEstimate("reg").as("est_union"))
+      val exact = li.filter(col("g") === "A").select(col("v")).distinct()
+        .intersect(li.filter(col("g") === "R").select(col("v")).distinct())
+        .agg(count(lit(1)).as("exact_common"))
+      estA.crossJoin(estB).crossJoin(estU).crossJoin(exact)
+        .select(col("exact_common"), col("est_a"), col("est_b"),
+          col("est_union"),
+          r4(col("est_a") + col("est_b") - col("est_union"))
+            .as("est_intersect"))
+    }),
+
     // weighted percentiles — quantity-weighted p50/p90 of the
     // extended price per return flag: "half the UNITS shipped cost at
     // most X", which unweighted percentiles (agg_percentile) cannot
@@ -802,6 +838,34 @@ object Aggregates {
          |  ${hllEstimateSql("st.s", "st.zeros")} AS approx_customers
          |FROM ex e JOIN st ON st.g = e.g
          |ORDER BY n_regionkey""".stripMargin
+    },
+
+    "agg_hll_intersect" -> {
+      s"""WITH src AS (
+         |  SELECT l_returnflag AS g, CAST(l_partkey AS VARCHAR) AS v
+         |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+         |${hllRegisterCtesSql},
+         |uregs AS (SELECT b, max(m) AS m FROM regs GROUP BY b),
+         |ust AS (
+         |  SELECT sum(CAST(1 AS BIGINT) << ($HllMaxRank - CAST(m AS INT)))
+         |      AS s,
+         |    count(*) FILTER (m = 0) AS zeros
+         |  FROM uregs),
+         |es AS (
+         |  SELECT
+         |    (SELECT ${hllEstimateSql("st.s", "st.zeros")} FROM st
+         |     WHERE g = 'A') AS est_a,
+         |    (SELECT ${hllEstimateSql("st.s", "st.zeros")} FROM st
+         |     WHERE g = 'R') AS est_b,
+         |    (SELECT ${hllEstimateSql("ust.s", "ust.zeros")} FROM ust)
+         |      AS est_union,
+         |    (SELECT count(*) FROM (
+         |       SELECT v FROM src WHERE g = 'A'
+         |       INTERSECT SELECT v FROM src WHERE g = 'R') t)
+         |      AS exact_common)
+         |SELECT exact_common, est_a, est_b, est_union,
+         |  round(est_a + est_b - est_union, 4) AS est_intersect
+         |FROM es""".stripMargin
     })
 
   /** DuckDB CTE chain rebuilding the [[graft.functions.HllAgg]]

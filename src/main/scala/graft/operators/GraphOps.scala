@@ -878,6 +878,35 @@ object GraphOps {
     // rounds as DuckDB CTE stages (see lpaUnrolledSql); Round3bSpec
     // additionally pins Q = 0 for one community and Q > 0.3 for two
     // planted cliques.
+    // per-community conductance of the LPA partition — the cut-based
+    // quality score next to graph_modularity's density-based one
+    // (modularity rewards internal density; conductance punishes a
+    // leaky boundary — a community can score well on one and badly on
+    // the other). φ(C) = cut(C) / min(vol(C), 2m − vol(C)): over the
+    // symmetric edge view, vol = label's edge-end count and cut = the
+    // inside→outside orientation count (each cut edge counted once).
+    // Rides the shared, ORACLED LPA labels (lpaUnrolledSql); one
+    // labeled-edge join + a bounded per-label aggregate; top 20
+    // communities by size.
+    "graph_lpa_conductance" -> ((s, d) => {
+      val sym = symEdges(s, d)
+      val labels = lpaLabels(s, d)
+      val el = sym
+        .join(labels.select(col("v").as("src"), col("lbl").as("ls")), Seq("src"))
+        .join(labels.select(col("v").as("dst"), col("lbl").as("ld")), Seq("dst"))
+      val m2 = el.agg(count(lit(1)).as("m2"))
+      el.groupBy(col("ls"))
+        .agg(count(lit(1)).as("vol"),
+          count_if(col("ls") =!= col("ld")).as("cut"))
+        .crossJoin(broadcast(m2))
+        .select(col("ls").as("community"), col("vol"), col("cut"),
+          Stable.r4(when(least(col("vol"), col("m2") - col("vol")) === 0, 0.0)
+            .otherwise(col("cut").cast(DoubleType) /
+              least(col("vol"), col("m2") - col("vol"))))
+            .as("conductance"))
+        .orderBy(desc("vol"), col("community")).limit(20)
+    }),
+
     "graph_modularity" -> ((s, d) => {
       // Σ d_c² accumulates as DECIMAL(38,0) (oracle: HUGEINT): d_c is
       // bounded only by 2m, so at the 100 TB scale this operator
@@ -1896,6 +1925,25 @@ object GraphOps {
     "graph_label_propagation" ->
       s"""WITH $lpaUnrolledSql
          |SELECT v, lbl FROM l$LpaRounds ORDER BY v""".stripMargin,
+
+    "graph_lpa_conductance" ->
+      s"""WITH $lpaUnrolledSql,
+         |el AS (
+         |  SELECT ls.lbl AS ls, ld.lbl AS ld
+         |  FROM sym s
+         |  JOIN l$LpaRounds ls ON s.src = ls.v
+         |  JOIN l$LpaRounds ld ON s.dst = ld.v),
+         |m2 AS (SELECT count(*) AS m2 FROM el),
+         |per AS (
+         |  SELECT ls, count(*) AS vol,
+         |    count(*) FILTER (WHERE ls <> ld) AS cut
+         |  FROM el GROUP BY ls)
+         |SELECT ls AS community, vol, cut,
+         |  round(CASE WHEN least(vol, m2 - vol) = 0 THEN 0.0
+         |    ELSE CAST(cut AS DOUBLE) / least(vol, m2 - vol) END, 4)
+         |    AS conductance
+         |FROM per, m2
+         |ORDER BY vol DESC, community LIMIT 20""".stripMargin,
 
     "graph_modularity" ->
       s"""WITH $lpaUnrolledSql,
