@@ -1278,6 +1278,46 @@ object MiningOps {
           r4(sum(col("bytes")).cast("double") / max(col("target")))
             .as("fill_ratio"))
         .orderBy(col("bin"))
+    }),
+
+    // Herfindahl–Hirschman market-concentration index per supplier
+    // nation: HHI = 10000·Σᵢ sᵢ² where sᵢ is supplier i's share of
+    // the nation's lineitem revenue — the antitrust/marketplace-health
+    // score (≈0 atomistic … 10000 monopoly), next to
+    // diag_revenue_concentration's decile view. Exactness: revenue in
+    // 1e-4 units as BIGINT (price·(1−disc) is exactly 4dp), Σc² in
+    // DECIMAL(38,0) (HUGEINT oracle — a 1e18-unit national total
+    // squares past int64 exactly at the scale this documents), ONE
+    // IEEE close per nation. Shape: lineitem aggregates to per-
+    // supplier revenue FIRST (shuffle ∝ suppliers, map-side combined),
+    // the supplier→nation dimension joins hash-side (broadcastable at
+    // test SF, still shuffle-safe when the dim outgrows the cap), and
+    // the per-nation agg + 25-row name join are bounded.
+    "mine_hhi_concentration" -> ((s, d) => {
+      val dec4 = DecimalType(18, 4)
+      val dec38 = DecimalType(38, 0)
+      val perSupp = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey"))
+        .agg((sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(dec4)) * 10000).cast("long").as("c"))
+      val byNation = perSupp
+        .join(Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_firms"),
+          sum(col("c").cast(dec38)).as("t"),
+          sum(col("c").cast(dec38) * col("c").cast(dec38)).as("c2"),
+          max(col("c")).as("cmax"))
+      byNation
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("n_firms"),
+          r4(col("c2").cast(DoubleType) * 10000.0 /
+            (col("t").cast(DoubleType) * col("t").cast(DoubleType))).as("hhi"),
+          r4(col("cmax").cast(DoubleType) / col("t").cast(DoubleType))
+            .as("top_share"))
+        .orderBy(col("n_name"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -2009,5 +2049,25 @@ object MiningOps {
          |  CAST(SUM(CASE WHEN d.dev > 4.4478 * m.mad THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_outliers
          |FROM dev d JOIN mad m USING (event_type)
-         |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin)
+         |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+
+    "mine_hhi_concentration" ->
+      """WITH ps AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(18,4))) * 10000 AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1),
+        |bn AS (
+        |  SELECT s_nationkey, count(*) AS n_firms,
+        |    SUM(CAST(c AS HUGEINT)) AS t,
+        |    SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS c2,
+        |    MAX(c) AS cmax
+        |  FROM ps JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1)
+        |SELECT n_name, n_firms,
+        |  round(CAST(c2 AS DOUBLE) * 10000.0
+        |    / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 4) AS hhi,
+        |  round(CAST(cmax AS DOUBLE) / CAST(t AS DOUBLE), 4) AS top_share
+        |FROM bn JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY n_name""".stripMargin)
 }

@@ -839,6 +839,69 @@ object TimeSeriesOps {
             (max(col("n")) * lit(10000.0))).as("max_cusum"),
           ntz(min(when(col("alarm"), col("hour")))).as("first_alarm_hour"))
         .orderBy(col("event_type"))
+    }),
+
+    // peak concurrency per hour — the sweep-line over the merged
+    // per-user activity intervals (ts_interval_union's islands): every
+    // interval start is +1, every end −1, and the running sum over the
+    // GLOBAL (t, delta, user) total order is the number of
+    // simultaneously-active users after each transition; per hour the
+    // max is the capacity-planning number ("how many concurrent
+    // sessions must we serve at 3pm?"). Ends sort before starts at the
+    // same instant (delta asc), so a back-to-back handoff never counts
+    // double. The global running sum is NOT one window: the
+    // ts_late_data bucket discipline splits it into per-bucket sums,
+    // a ≤128-row boundary cumulative, and per-bucket running sums +
+    // offset — every unbounded stage parallel, the one serial window
+    // over a bounded aggregate. Hours with no transition carry the
+    // previous value by construction and are omitted (declared).
+    "ts_peak_concurrency" -> ((s, d) => {
+      val SpanUs = 1800000000L // 30 min, the ts_interval_union span
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t0"))
+        .withColumn("t1", col("t0") + SpanUs)
+      val wPrev = Window.partitionBy(col("user_id"))
+        .orderBy(col("t0"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy(col("user_id"))
+        .orderBy(col("t0"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val iv = ev
+        .withColumn("starts", when(
+          col("t0") > coalesce(max(col("t1")).over(wPrev), lit(Long.MinValue)),
+          1L).otherwise(0L))
+        .withColumn("isl", sum(col("starts")).over(wRun))
+        .groupBy(col("user_id"), col("isl"))
+        .agg(min(col("t0")).as("s"), max(col("t1")).as("e"))
+      val bd = iv.select(col("user_id"), col("s").as("t"), lit(1L).as("delta"))
+        .unionByName(
+          iv.select(col("user_id"), col("e").as("t"), lit(-1L).as("delta")))
+      // bucket the timeline from the one-row bounds aggregate —
+      // width arithmetic in integer DIV, no driver action
+      val bounds = bd.agg(min(col("t")).as("lo"), max(col("t")).as("hi"))
+      val bk = bd.crossJoin(broadcast(bounds))
+        .withColumn("bk", expr(
+          s"CAST((t - lo) DIV greatest(CAST(1 AS BIGINT), " +
+            s"(hi - lo + ${PrefixMaxBuckets - 1}) DIV $PrefixMaxBuckets) AS INT)"))
+        .drop("lo", "hi")
+      val per = bk.groupBy(col("bk")).agg(sum(col("delta")).as("bsum"))
+      val wB = Window.orderBy(col("bk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val off = per.withColumn("boff", coalesce(sum(col("bsum")).over(wB),
+        lit(0L))).select(col("bk"), col("boff"))
+      val wIn = Window.partitionBy(col("bk"))
+        .orderBy(col("t"), col("delta"), col("user_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bk.join(off, Seq("bk"))
+        .withColumn("run", col("boff") + sum(col("delta")).over(wIn))
+        .groupBy(timestamp_micros(col("t") - pmod(col("t"), lit(3600000000L)))
+          .as("hour"))
+        .agg(count(lit(1)).as("n_transitions"),
+          max(col("run")).as("peak_concurrent"))
+        .select(ntz(col("hour")).as("hour"), col("n_transitions"),
+          col("peak_concurrent"))
+        .orderBy(col("hour"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -1389,5 +1452,36 @@ object TimeSeriesOps {
         |  round(CAST(sv AS DOUBLE) / b.n, 4) AS avg_value,
         |  round(CAST(b.n AS DOUBLE) / t.tn, 4) AS share
         |FROM byhod b JOIN tot t USING (event_type)
-        |ORDER BY event_type, hod""".stripMargin)
+        |ORDER BY event_type, hod""".stripMargin,
+
+    "ts_peak_concurrency" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t0,
+        |    epoch_us(ts) + 1800000000 AS t1
+        |  FROM events),
+        |isl AS (
+        |  SELECT user_id, t0, t1,
+        |    SUM(starts) OVER (PARTITION BY user_id ORDER BY t0, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |  FROM (
+        |    SELECT *, CASE WHEN t0 > coalesce(max(t1) OVER (
+        |        PARTITION BY user_id ORDER BY t0, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |        -9223372036854775808) THEN 1 ELSE 0 END AS starts
+        |    FROM ev) q),
+        |iv AS (
+        |  SELECT user_id, min(t0) AS s, max(t1) AS e
+        |  FROM isl GROUP BY user_id, isl),
+        |bd AS (
+        |  SELECT user_id, s AS t, CAST(1 AS BIGINT) AS delta FROM iv
+        |  UNION ALL
+        |  SELECT user_id, e AS t, CAST(-1 AS BIGINT) AS delta FROM iv),
+        |run AS (
+        |  SELECT t, SUM(delta) OVER (ORDER BY t, delta, user_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM bd)
+        |SELECT make_timestamp(t - t % 3600000000) AS hour,
+        |  count(*) AS n_transitions,
+        |  CAST(max(run) AS BIGINT) AS peak_concurrent
+        |FROM run GROUP BY 1 ORDER BY hour""".stripMargin)
 }
