@@ -775,6 +775,35 @@ object GraphOps {
         .orderBy(col("seed"))
     }),
 
+    // bounded eccentricity of each BFS seed: the hop-radius within the
+    // 3-hop cap (max min-distance to any reached vertex), the reached
+    // count, and the LOWEST-id vertex attaining it — closeness asks
+    // "how near is everything", eccentricity "how far is the farthest"
+    // (the per-seed ingredient of radius/diameter estimation). Same
+    // per-seed min-propagation as graph_closeness_bounded; the closing
+    // agg folds (ecc, witness) in ONE pass as max(struct(dist, −v)) —
+    // lexicographic struct max = highest dist then lowest id, a total
+    // order, so the witness cannot flip between engines.
+    "graph_eccentricity_bounded" -> ((s, d) => {
+      val sym = symEdges(s, d)
+      var dist = sym.select(col("src").as("v")).distinct()
+        .filter(col("v") <= 10L)
+        .select(col("v").as("seed"), col("v"), lit(0L).as("dist"))
+      for (_ <- 1 to 3) {
+        val nd = sym.join(dist, col("src") === col("v"))
+          .select(col("seed"), col("dst").as("v"), (col("dist") + 1L).as("dist"))
+        dist = dist.unionByName(nd)
+          .groupBy(col("seed"), col("v")).agg(min(col("dist")).as("dist"))
+      }
+      dist.filter(col("dist") > 0L)
+        .groupBy(col("seed"))
+        .agg(count(lit(1)).as("n_reached"),
+          max(struct(col("dist"), (-col("v")).as("nv"))).as("m"))
+        .select(col("seed"), col("m.dist").as("ecc"), col("n_reached"),
+          (-col("m.nv")).as("far_vertex"))
+        .orderBy(col("seed"))
+    }),
+
     // deterministic hash-seeded walk sampling — the node2vec/DeepWalk
     // corpus generator made reproducible: from each BFS seed, 4 steps
     // on the symmetrized graph where step t moves to the neighbor
@@ -2017,6 +2046,24 @@ object GraphOps {
          |  round(CAST(SUM(CAST(round(1000000000.0 / dist, 0) AS BIGINT))
          |    AS DOUBLE) / 1e9, 4) AS harmonic
          |FROM md WHERE dist > 0 GROUP BY seed ORDER BY seed""".stripMargin,
+
+    "graph_eccentricity_bounded" ->
+      s"""WITH RECURSIVE ed AS ($edgesSql),
+         |sym AS (SELECT src AS a, dst AS b FROM ed
+         |        UNION SELECT dst, src FROM ed),
+         |walk(seed, v, d) AS (
+         |  SELECT DISTINCT a AS seed, a AS v, CAST(0 AS BIGINT) AS d
+         |  FROM sym WHERE a <= 10
+         |  UNION ALL
+         |  SELECT walk.seed, sym.b, walk.d + 1
+         |  FROM sym JOIN walk ON sym.a = walk.v WHERE walk.d < 3),
+         |md AS (SELECT seed, v, min(d) AS dist FROM walk GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT seed, max(dist) AS ecc, count(*) AS n_reached
+         |  FROM md WHERE dist > 0 GROUP BY seed)
+         |SELECT a.seed, a.ecc, a.n_reached, min(m.v) AS far_vertex
+         |FROM agg a JOIN md m ON m.seed = a.seed AND m.dist = a.ecc
+         |GROUP BY 1, 2, 3 ORDER BY a.seed""".stripMargin,
 
     "graph_walk_sample" ->
       s"""WITH $walkCteSql

@@ -345,6 +345,32 @@ object Windows {
         .select(col("l_suppkey"), col("active_days"), col("n_islands"),
           col("len").as("longest_run"), ntz(col("start")).as("longest_start"))
         .orderBy(col("l_suppkey"))
+    }),
+
+    // rolling EXACT median of the hourly volume per series — the
+    // robust trailing smoother next to win_moving_avg_range's mean
+    // (one spiked hour drags a 25h mean for a day; the median
+    // shrugs). No engine's approximate percentile appears anywhere:
+    // the frame holds ≤25 exact 1e-4-unit BIGINTs, the frame array
+    // sorts in codegen, and the LOWER median (element ⌈n/2⌉ of the
+    // sorted frame, declared) indexes out — both engines pick the
+    // identical integer. State ∝ frame × hours, never raw events; the
+    // window partitions by the series key (the win_rank_variants
+    // low-cardinality caveat applies and is declared there).
+    "win_rolling_median" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg((sum(col("value").cast(DecimalType(18, 4))) * 10000)
+          .cast("long").as("hu"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+        .rowsBetween(-24, Window.currentRow)
+      hourly
+        .withColumn("arr", sort_array(collect_list(col("hu")).over(w)))
+        .select(col("event_type"), ntz(col("hour")).as("hour"),
+          size(col("arr")).as("n_in_frame"),
+          r4(expr("element_at(arr, CAST((size(arr) + 1) div 2 AS INT))")
+            .cast(DoubleType) / 10000.0).as("rolling_median"))
+        .orderBy(col("event_type"), col("hour"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -544,5 +570,20 @@ object Windows {
         |    ntile(10) OVER (PARTITION BY o_orderpriority
         |      ORDER BY o_totalprice, o_orderkey) AS decile
         |  FROM orders) t
-        |GROUP BY 1, 2 ORDER BY o_orderpriority, decile""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY o_orderpriority, decile""".stripMargin,
+
+    "win_rolling_median" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS hu
+        |  FROM events GROUP BY 1, 2),
+        |fr AS (
+        |  SELECT event_type, hour,
+        |    list_sort(list(hu) OVER (PARTITION BY event_type ORDER BY hour
+        |      ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)) AS arr
+        |  FROM hourly)
+        |SELECT event_type, hour, CAST(len(arr) AS INT) AS n_in_frame,
+        |  round(CAST(arr[(len(arr) + 1) // 2] AS DOUBLE) / 10000.0, 4)
+        |    AS rolling_median
+        |FROM fr ORDER BY event_type, hour""".stripMargin)
 }

@@ -56,4 +56,39 @@ class Round4fSpec extends SparkTestBase {
     // hour 1: −1@60m → run 0
     assert(got == Seq((3L, 1L), (1L, 0L)), s"got $got")
   }
+
+  test("win_rolling_median: lower median over the trailing frame") {
+    val dir = tempDir()
+    import spark.implicits._
+    def ev(id: Long, hour: Int, v: Double) =
+      (id, (1577836800L + hour * 3600L) * 1000000000L, 1L, "view", v, "{}")
+    // hourly sums 10, 5, 12, 3 → sorted frames [10] [5,10] [5,10,12]
+    // [3,5,10,12] → lower medians 10, 5, 10, 5
+    writeFixture(dir, "events", Seq(
+      ev(1, 0, 10.0), ev(2, 1, 5.0), ev(3, 2, 12.0), ev(4, 3, 3.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = operators.Windows.queries("win_rolling_median")(spark, dir)
+      .collect().map(r => (r.getInt(2), r.getDouble(3))).toSeq
+    assert(got == Seq((1, 10.0), (2, 5.0), (3, 10.0), (4, 5.0)), s"got $got")
+  }
+
+  test("graph_eccentricity_bounded: radius and witness on a path graph") {
+    val dir = tempDir()
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    // sym graph: 1:{S7,S8} 2:{S7} S7:{1,2} S8:{1} (the closeness fixture)
+    writeFixture(dir, "orders", Seq(
+      (1L, 1L, "O", 10.0, ts, "1-URGENT"), (2L, 2L, "O", 20.0, ts, "5-LOW"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"))
+    writeFixture(dir, "lineitem", Seq(
+      (1L, 7L), (1L, 8L), (2L, 7L)).toDF("l_orderkey", "l_suppkey"))
+    val S = 1000000000000L
+    val got = operators.GraphOps.queries("graph_eccentricity_bounded")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // seed 1: dists S7=1,S8=1,2=2 → ecc 2, witness 2;
+    // seed 2: S7=1, 1=2, S8=3 → ecc 3, witness S8
+    assert(got == Seq((1L, 2L, 3L, 2L), (2L, 3L, 3L, S + 8L)), s"got $got")
+  }
 }
