@@ -47,6 +47,11 @@ object MiningOps {
   /** output-file count for pipeline_compaction_bins. */
   val CompactionBins = 8
 
+  /** value-range bucket count for mine_gini_revenue's distributed
+    * global rank (the ts_late_data discipline: only the ≤128-row
+    * per-bucket boundary aggregate crosses an unpartitioned window). */
+  val GiniBuckets = 128
+
   /** mine_ab_ztest conversion threshold (purchases per user) — near
     * the per-user purchase median at every SF (~13), so both arms'
     * rates sit strictly inside (0, 1). Shared with the oracle. */
@@ -1318,6 +1323,51 @@ object MiningOps {
           r4(col("cmax").cast(DoubleType) / col("t").cast(DoubleType))
             .as("top_share"))
         .orderBy(col("n_name"))
+    }),
+
+    // Gini coefficient of per-customer revenue — the single-number
+    // inequality readout next to diag_revenue_concentration's deciles
+    // and mine_hhi_concentration's per-market view. Rank formula
+    // G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n over x ascending; the GLOBAL
+    // rank is NOT one window: customers bucket by value range (bucket
+    // id monotone in cents, so within-bucket ranks + the ≤128-row
+    // boundary offsets compose to the exact global rank — the
+    // ts_late_data discipline). Σ i·xᵢ accumulates in
+    // DECIMAL(38,0)/HUGEINT (rank 1e10 × cents 1e9 at the documented
+    // scale is far past int64); ONE IEEE close, (cents, custkey) is a
+    // total order so ranks cannot flip.
+    "mine_gini_revenue" -> ((s, d) => {
+      val dec2 = DecimalType(18, 2)
+      val dec38 = DecimalType(38, 0)
+      val rev = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg((sum(col("o_totalprice").cast(dec2)) * 100).cast("long")
+          .as("cents"))
+      val bounds = rev.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+      val bk = rev.crossJoin(broadcast(bounds))
+        .withColumn("bk", expr(
+          s"CAST((cents - lo) DIV greatest(CAST(1 AS BIGINT), " +
+            s"(hi - lo + ${GiniBuckets - 1}) DIV $GiniBuckets) AS INT)"))
+        .drop("lo", "hi")
+      val per = bk.groupBy(col("bk")).agg(count(lit(1)).as("bc"))
+      val wB = Window.orderBy(col("bk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val off = per.withColumn("boff",
+        coalesce(sum(col("bc")).over(wB), lit(0L)))
+        .select(col("bk"), col("boff"))
+      val wIn = Window.partitionBy(col("bk"))
+        .orderBy(col("cents"), col("o_custkey"))
+      bk.join(off, Seq("bk"))
+        .withColumn("i", col("boff") + row_number().over(wIn))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("cents").cast(dec38)).as("t"),
+          sum(col("i").cast(dec38) * col("cents").cast(dec38)).as("ixs"))
+        .select(col("n_customers"),
+          r4(col("t").cast(DoubleType) / 100.0).as("total_revenue"),
+          r4(lit(2.0) * col("ixs").cast(DoubleType) /
+            (col("n_customers").cast(DoubleType) * col("t").cast(DoubleType)) -
+            (col("n_customers") + 1).cast(DoubleType) /
+              col("n_customers").cast(DoubleType)).as("gini"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -2069,5 +2119,23 @@ object MiningOps {
         |    / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 4) AS hhi,
         |  round(CAST(cmax AS DOUBLE) / CAST(t AS DOUBLE), 4) AS top_share
         |FROM bn JOIN nation ON s_nationkey = n_nationkey
-        |ORDER BY n_name""".stripMargin)
+        |ORDER BY n_name""".stripMargin,
+
+    "mine_gini_revenue" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |rk AS (
+        |  SELECT cents,
+        |    row_number() OVER (ORDER BY cents, o_custkey) AS i
+        |  FROM rev)
+        |SELECT count(*) AS n_customers,
+        |  round(CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) / 100.0, 4)
+        |    AS total_revenue,
+        |  round(2.0 * CAST(SUM(CAST(i AS HUGEINT) * cents) AS DOUBLE)
+        |      / (count(*) * CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE))
+        |    - (count(*) + 1.0) / count(*), 4) AS gini
+        |FROM rk""".stripMargin)
 }

@@ -30,7 +30,64 @@ object VectorOps {
 
   private def cosine(a: String, b: String) = expr(s"cosine_sim($a, $b)")
 
+  /** vec_rp_project_audit: target dimension and source dimension of
+    * the ±1 random projection, and the deterministic sign matrix —
+    * s(j,d) from a fixed multiplicative hash computed ONCE here in
+    * Scala and embedded as literals in BOTH engines (the
+    * ts_dominant_period trig-table discipline: neither engine
+    * evaluates the "randomness"). */
+  val RpK = 16
+  val RpDims = 64
+  private[graft] def rpSign(j: Int, d: Int): Int =
+    if ((((j * RpDims + d) * 2654435761L >> 16) & 1L) == 1L) 1 else -1
+
+  /** the j-th sign row as a Spark array literal */
+  private def rpSignArr(j: Int): String =
+    (0 until RpDims).map(d => rpSign(j, d)).mkString("array(", ", ", ")")
+
+  /** the full matrix as DuckDB VALUES rows (j, d, sg) */
+  private def rpSignValues: String =
+    (for { j <- 0 until RpK; d <- 0 until RpDims }
+      yield s"($j, $d, ${rpSign(j, d)})").mkString(", ")
+
   val queries: Map[String, QFn] = Map(
+
+    // Johnson–Lindenstrauss projection audit: project every embedding
+    // 64 → 16 dims with the fixed ±1 sign matrix and report the
+    // norm-distortion distribution ‖Pv‖²/k ÷ ‖v‖² — the check that
+    // says whether the cheap sketch space is safe for the ANN
+    // shortlists (ratios hugging 1 = yes). EXACT until the last step:
+    // components quantize on the 1e-8 basis, each of the 16
+    // projections is an integer zip_with·aggregate fold (|p| ≤ 64·2e8
+    // — int64-safe), squares accumulate in DECIMAL(38,0)/HUGEINT, and
+    // ONE IEEE division per vector closes before the 4dp quantize.
+    // Shape: entirely pipeline-side per row (no explode, no sign-table
+    // join — the matrix is 16 array literals in codegen); the only
+    // shuffle is the final one-row audit agg.
+    "vec_rp_project_audit" -> ((s, d) => {
+      val qarr = "transform(embedding, x -> CAST(CAST(CAST(x AS DOUBLE)" +
+        " AS DECIMAL(20,8)) * 100000000 AS BIGINT))"
+      val pjCols = (0 until RpK).map { j =>
+        expr(s"aggregate(zip_with(qarr, ${rpSignArr(j)}, " +
+          "(x, sg) -> x * CAST(sg AS BIGINT)), CAST(0 AS BIGINT), " +
+          "(a, b) -> a + b)").as(s"p$j")
+      }
+      val p2sum = (0 until RpK)
+        .map(j => s"CAST(p$j AS DECIMAL(38,0)) * p$j").mkString(" + ")
+      val n2 = "aggregate(qarr, CAST(0 AS DECIMAL(38,0)), " +
+        "(a, x) -> a + CAST(x AS DECIMAL(38,0)) * x)"
+      Tables.embeddings(s, d)
+        .select((col("vec_id") +: expr(qarr).as("qarr") +: Seq.empty): _*)
+        .select((col("vec_id") +: expr(n2).as("n2") +: pjCols): _*)
+        .filter(col("n2") > 0)
+        .select(col("vec_id"),
+          r4(expr(p2sum).cast(DoubleType) / RpK.toDouble /
+            col("n2").cast(DoubleType)).as("ratio"))
+        .agg(count(lit(1)).as("n_vectors"),
+          r4(davg(col("ratio"))).as("mean_ratio"),
+          min(col("ratio")).as("min_ratio"),
+          max(col("ratio")).as("max_ratio"))
+    }),
 
     // centroid drift per label between the even- and odd-id halves of
     // the corpus — the embedding-store health check ("did the last
@@ -1224,5 +1281,30 @@ object VectorOps {
          |SELECT a AS vec_id, bucket, b AS nn_id, cos FROM (
          |  SELECT *, row_number() OVER (PARTITION BY a
          |    ORDER BY cos DESC, b ASC) AS rn FROM scored) t
-         |WHERE rn = 1 ORDER BY vec_id""".stripMargin)
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "vec_rp_project_audit" ->
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    CAST(generate_subscripts(embedding, 1) AS INT) - 1 AS d,
+         |    CAST(CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(20,8))
+         |      * 100000000 AS BIGINT) AS qx
+         |  FROM embeddings),
+         |signs(j, d, sg) AS (VALUES $rpSignValues),
+         |pj AS (
+         |  SELECT vec_id, j, CAST(SUM(qx * sg) AS BIGINT) AS p
+         |  FROM q JOIN signs USING (d) GROUP BY 1, 2),
+         |p2 AS (SELECT vec_id, SUM(CAST(p AS HUGEINT) * p) AS p2
+         |       FROM pj GROUP BY 1),
+         |n2 AS (SELECT vec_id, SUM(CAST(qx AS HUGEINT) * qx) AS n2
+         |       FROM q GROUP BY 1),
+         |r AS (
+         |  SELECT p2.vec_id,
+         |    round(CAST(p2 AS DOUBLE) / $RpK.0 / CAST(n2 AS DOUBLE), 4)
+         |      AS ratio
+         |  FROM p2 JOIN n2 USING (vec_id) WHERE n2 > 0)
+         |SELECT count(*) AS n_vectors,
+         |  round(${dsumSql("ratio")} / count(*), 4) AS mean_ratio,
+         |  min(ratio) AS min_ratio, max(ratio) AS max_ratio
+         |FROM r""".stripMargin)
 }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 /** Round-4f additions: market-concentration (HHI) and the
   * sweep-line peak-concurrency operator. */
 class Round4fSpec extends SparkTestBase {
@@ -90,5 +92,71 @@ class Round4fSpec extends SparkTestBase {
     // seed 1: dists S7=1,S8=1,2=2 → ecc 2, witness 2;
     // seed 2: S7=1, 1=2, S8=3 → ecc 3, witness S8
     assert(got == Seq((1L, 2L, 3L, 2L), (2L, 3L, 3L, S + 8L)), s"got $got")
+  }
+
+  test("vec_rp_project_audit: one-hot vectors project with ratio exactly 1") {
+    val dir = tempDir()
+    import spark.implicits._
+    // for e_d scaled by c: p_j = q·s(j,d), Σp² = 16q² → ratio ≡ 1.0
+    // for EVERY sign matrix — the audit must read a perfect sketch
+    val vecs = Seq(0, 17, 63).zipWithIndex.map { case (hot, i) =>
+      (i.toLong, Array.tabulate(64)(d => if (d == hot) 0.5f else 0.0f), 0)
+    }
+    writeFixture(dir, "embeddings",
+      vecs.toDF("vec_id", "embedding", "label"))
+    val got = operators.VectorOps.queries("vec_rp_project_audit")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq((3L, 1.0, 1.0, 1.0)), s"got $got")
+  }
+
+  test("vec_rp_project_audit: matches a driver-side integer replica at sf0.001") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect()
+    val ratios = emb.flatMap { case (_, v) =>
+      val q = v.map(x => BigDecimal(x.toDouble).setScale(8,
+        BigDecimal.RoundingMode.HALF_UP).*(BigDecimal(100000000)).toLongExact)
+      val n2 = q.map(x => BigInt(x) * BigInt(x)).sum
+      if (n2 <= 0) None else {
+        val p2 = (0 until operators.VectorOps.RpK).map { j =>
+          val p = q.indices.map(d => q(d) * operators.VectorOps.rpSign(j, d)).sum
+          BigInt(p) * BigInt(p)
+        }.sum
+        Some(BigDecimal(p2.toDouble / 16.0 / n2.toDouble)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    // mean replicates davg EXACTLY: exact 4dp-decimal sum → double →
+    // double divide → 4dp HALF_UP (Spark round-on-double semantics)
+    val exp = (ratios.length.toLong,
+      BigDecimal(ratios.map(BigDecimal(_)).sum.toDouble / ratios.length)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      ratios.min, ratios.max)
+    val got = operators.VectorOps.queries("vec_rp_project_audit")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).head
+    assert(got == exp, s"got $got exp $exp")
+  }
+
+  test("mine_gini_revenue: 0 on equal revenues, 0.25 on a 1:3 split") {
+    val dir = tempDir()
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    def ord(k: Long, c: Long, p: Double) = (k, c, "O", p, ts, "1-URGENT")
+    writeFixture(dir, "orders", Seq(ord(1, 1, 5.0), ord(2, 2, 5.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"))
+    val eq = operators.MiningOps.queries("mine_gini_revenue")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).head
+    assert(eq == ((2L, 10.0, 0.0)), s"got $eq")
+    writeFixture(dir, "orders", Seq(ord(1, 1, 1.0), ord(2, 2, 3.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"))
+    val sk = operators.MiningOps.queries("mine_gini_revenue")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).head
+    // G = 2·(1·1 + 2·3)/(2·4) − 3/2 = 0.25
+    assert(sk == ((2L, 4.0, 0.25)), s"got $sk")
   }
 }
