@@ -5,6 +5,7 @@ import graft.Stable._
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** §2.11 text analysis + the training-data-pipeline text operators:
   * token counting, TF-IDF, language-ID (n-gram/token-profile
@@ -948,6 +949,56 @@ object TextOps {
           expr(s"cumb % $PackChunkTokens").as("start_off"),
           expr(s"(cumb + tok - 1) DIV $PackChunkTokens").as("end_chunk"))
         .orderBy(col("doc_id"))
+    }),
+
+    // pairwise Jensen–Shannon divergence between source unigram
+    // DISTRIBUTIONS — the distributional sequel to
+    // text_lang_vocab_overlap's set view (two sources can share 100%
+    // of their vocabulary yet use it with wildly different
+    // frequencies; JS sees that, Jaccard cannot). Decomposition that
+    // needs ONLY the shared-term join: for terms absent from the
+    // other source the log ratio is exactly ln 2, so
+    // JSa = Σ_shared pₐ·ln(2pₐ/(pₐ+p_b)) + (1−covₐ)·ln2 with covₐ
+    // the shared coverage — exact integer count ratios. Determinism:
+    // the zipf discipline — each per-term ln is an identical IEEE
+    // expression in both engines, 4dp-quantized, then weighted by the
+    // INTEGER count into an exact decimal sum; one close per pair.
+    // Shape: shuffle ∝ vocabulary × co-occurring sources; totals
+    // broadcast; ≤ sources² rows out.
+    "text_source_divergence" -> ((s, d) => {
+      val dec4 = DecimalType(18, 4)
+      val tc = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+      val tot = tc.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      val a = tc.select(col("source").as("sa"), col("term"), col("c").as("ca"))
+      val b = tc.select(col("source").as("sb"), col("term"), col("c").as("cb"))
+      val ln2 = 0.6931 // round(ln 2, 4), shared with the oracle
+      a.join(b, Seq("term")).filter(col("sa") < col("sb"))
+        .join(broadcast(tot.select(col("source").as("sa"), col("n").as("na"))),
+          Seq("sa"))
+        .join(broadcast(tot.select(col("source").as("sb"), col("n").as("nb"))),
+          Seq("sb"))
+        .withColumn("la", expr("round(ln(2.0 * CAST(ca AS DOUBLE) * nb" +
+          " / (CAST(ca AS DOUBLE) * nb + CAST(cb AS DOUBLE) * na)), 4)")
+          .cast(dec4))
+        .withColumn("lb", expr("round(ln(2.0 * CAST(cb AS DOUBLE) * na" +
+          " / (CAST(cb AS DOUBLE) * na + CAST(ca AS DOUBLE) * nb)), 4)")
+          .cast(dec4))
+        .groupBy(col("sa"), col("sb"))
+        .agg(count(lit(1)).as("n_shared"),
+          sum(col("ca") * col("la")).as("wa"),
+          sum(col("cb") * col("lb")).as("wb"),
+          sum(col("ca")).as("sca"), sum(col("cb")).as("scb"),
+          max(col("na")).as("na"), max(col("nb")).as("nb"))
+        .select(col("sa"), col("sb"), col("n_shared"),
+          r4(lit(0.5) *
+            (col("wa").cast(DoubleType) / col("na") +
+              (lit(1.0) - col("sca").cast(DoubleType) / col("na")) * ln2 +
+              col("wb").cast(DoubleType) / col("nb") +
+              (lit(1.0) - col("scb").cast(DoubleType) / col("nb")) * ln2))
+            .as("js_divergence"))
+        .orderBy(col("sa"), col("sb"))
     }))
 
   /** PII regexes, valid as BOTH Java regex (Spark) and RE2 (DuckDB):
@@ -1543,5 +1594,37 @@ object TextOps {
         |    x -> regexp_matches(x, '^[a-z]+$'))) AS INT) AS n_alpha,
         |  CAST(len(list_filter(string_split(text, ' '),
         |    x -> length(x) > 5)) AS INT) AS n_long
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_source_divergence" ->
+      """WITH tc AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |cnt AS (SELECT source, term, count(*) AS c FROM tc GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+        |        FROM cnt GROUP BY 1),
+        |sh AS (
+        |  SELECT a.source AS sa, b.source AS sb, a.c AS ca, b.c AS cb,
+        |    ta.n AS na, tb.n AS nb,
+        |    CAST(round(ln(2.0 * CAST(a.c AS DOUBLE) * tb.n
+        |      / (CAST(a.c AS DOUBLE) * tb.n + CAST(b.c AS DOUBLE) * ta.n)), 4)
+        |      AS DECIMAL(18,4)) AS la,
+        |    CAST(round(ln(2.0 * CAST(b.c AS DOUBLE) * ta.n
+        |      / (CAST(b.c AS DOUBLE) * ta.n + CAST(a.c AS DOUBLE) * tb.n)), 4)
+        |      AS DECIMAL(18,4)) AS lb
+        |  FROM cnt a JOIN cnt b ON a.term = b.term AND a.source < b.source
+        |  JOIN tot ta ON ta.source = a.source
+        |  JOIN tot tb ON tb.source = b.source),
+        |g AS (
+        |  SELECT sa, sb, count(*) AS n_shared,
+        |    SUM(ca * la) AS wa, SUM(cb * lb) AS wb,
+        |    CAST(SUM(ca) AS BIGINT) AS sca, CAST(SUM(cb) AS BIGINT) AS scb,
+        |    MAX(na) AS na, MAX(nb) AS nb
+        |  FROM sh GROUP BY 1, 2)
+        |SELECT sa, sb, n_shared,
+        |  round(0.5 * (CAST(wa AS DOUBLE) / na
+        |    + (1.0 - CAST(sca AS DOUBLE) / na) * 0.6931
+        |    + CAST(wb AS DOUBLE) / nb
+        |    + (1.0 - CAST(scb AS DOUBLE) / nb) * 0.6931), 4) AS js_divergence
+        |FROM g ORDER BY sa, sb""".stripMargin)
 }

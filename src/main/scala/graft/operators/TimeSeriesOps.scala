@@ -902,6 +902,54 @@ object TimeSeriesOps {
         .select(ntz(col("hour")).as("hour"), col("n_transitions"),
           col("peak_concurrent"))
         .orderBy(col("hour"))
+    }),
+
+    // SAX-lite motif discovery: each hour discretizes to {a,b,c} by
+    // the series' own EXACT tertiles, consecutive 4-symbol words count
+    // as motifs, top 5 per series — "which local shapes recur?" (the
+    // symbolic complement of ts_dominant_period's global-cycle view).
+    // Zero floats anywhere: tertile edges come from integer rank
+    // arithmetic over the hourly-unit histogram (cum·3 ≥ dq·n — the
+    // quantileEdges discipline), symbols compare exact BIGINTs, words
+    // are strings, ranks break ties on the word. Windows partition by
+    // the series key over the bounded hourly aggregate (the
+    // win_rank_variants low-cardinality caveat, declared there); the
+    // histogram/edge relations are bounded by distinct hourly values.
+    "ts_sax_motifs" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg((sum(col("value").cast(dec)) * 10000).cast("long").as("hu"))
+      val tot = hourly.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val hist = hourly.groupBy(col("event_type"), col("hu"))
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col("hu"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val edges = hist
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .join(broadcast(tot), Seq("event_type"))
+        .select(col("event_type"), col("hu"), col("cum"), col("n"),
+          explode(expr("sequence(1, 2)")).as("dq"))
+        .filter(col("cum") * 3 >= col("dq") * col("n"))
+        .groupBy(col("event_type"), col("dq")).agg(min(col("hu")).as("e"))
+        .groupBy(col("event_type"))
+        .agg(min(when(col("dq") === 1, col("e"))).as("e1"),
+          min(when(col("dq") === 2, col("e"))).as("e2"))
+      val wSeq = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      val sym = hourly.join(broadcast(edges), Seq("event_type"))
+        .withColumn("sy", expr("element_at(array('a', 'b', 'c'), " +
+          "CAST(1 + IF(hu > e1, 1, 0) + IF(hu > e2, 1, 0) AS INT))"))
+      val words = sym
+        .withColumn("l3", lead(col("sy"), 3).over(wSeq))
+        .withColumn("word", concat(col("sy"), lead(col("sy"), 1).over(wSeq),
+          lead(col("sy"), 2).over(wSeq), col("l3")))
+        .filter(col("l3").isNotNull)
+        .groupBy(col("event_type"), col("word")).agg(count(lit(1)).as("n"))
+      val wTop = Window.partitionBy(col("event_type"))
+        .orderBy(desc("n"), col("word"))
+      words.withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 5)
+        .select(col("event_type"), col("word").as("motif"), col("n"))
+        .orderBy(col("event_type"), col("motif"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -1483,5 +1531,47 @@ object TimeSeriesOps {
         |SELECT make_timestamp(t - t % 3600000000) AS hour,
         |  count(*) AS n_transitions,
         |  CAST(max(run) AS BIGINT) AS peak_concurrent
-        |FROM run GROUP BY 1 ORDER BY hour""".stripMargin)
+        |FROM run GROUP BY 1 ORDER BY hour""".stripMargin,
+
+    "ts_sax_motifs" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS hu
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, count(*) AS n FROM hourly GROUP BY 1),
+        |hist AS (SELECT event_type, hu, count(*) AS c
+        |         FROM hourly GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, hu,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY hu
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM hist),
+        |ed AS (
+        |  SELECT c.event_type, q.dq, min(c.hu) AS e
+        |  FROM cum c JOIN tot t USING (event_type)
+        |  CROSS JOIN (SELECT unnest([1, 2]) AS dq) q
+        |  WHERE c.cum * 3 >= q.dq * t.n GROUP BY 1, 2),
+        |e2 AS (
+        |  SELECT event_type,
+        |    MIN(CASE WHEN dq = 1 THEN e END) AS e1,
+        |    MIN(CASE WHEN dq = 2 THEN e END) AS e2
+        |  FROM ed GROUP BY 1),
+        |sym AS (
+        |  SELECT h.event_type, h.hour,
+        |    (['a', 'b', 'c'])[1 + CASE WHEN hu > e1 THEN 1 ELSE 0 END
+        |      + CASE WHEN hu > e2 THEN 1 ELSE 0 END] AS sy
+        |  FROM hourly h JOIN e2 USING (event_type)),
+        |wd AS (
+        |  SELECT event_type,
+        |    sy || lead(sy, 1) OVER w || lead(sy, 2) OVER w
+        |      || lead(sy, 3) OVER w AS word,
+        |    lead(sy, 3) OVER w AS l3
+        |  FROM sym WINDOW w AS (PARTITION BY event_type ORDER BY hour)),
+        |ct AS (SELECT event_type, word, count(*) AS n FROM wd
+        |       WHERE l3 IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, word AS motif, n FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY n DESC, word) AS rn
+        |  FROM ct) q
+        |WHERE rn <= 5 ORDER BY event_type, motif""".stripMargin)
 }

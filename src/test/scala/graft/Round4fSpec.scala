@@ -159,4 +159,39 @@ class Round4fSpec extends SparkTestBase {
     // G = 2·(1·1 + 2·3)/(2·4) − 3/2 = 0.25
     assert(sk == ((2L, 4.0, 0.25)), s"got $sk")
   }
+
+  test("text_source_divergence: 0 on identical distributions, hand JS on a 2:1 flip") {
+    val dir = tempDir()
+    import spark.implicits._
+    writeFixture(dir, "documents", Seq(
+      (1L, "x x y", "en", "A", 5L), (2L, "x y y", "en", "B", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = operators.TextOps.queries("text_source_divergence")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // shared x: ln(4/3)→0.2877, y: ln(2/3)→−0.4055 (4dp);
+    // wa = wb = 2·0.2877 − 0.4055 = 0.1699 over n = 3, full coverage
+    // → JS = 0.1699/3 → 0.0566
+    assert(got == Seq(("A", "B", 2L, 0.0566)), s"got $got")
+    writeFixture(dir, "documents", Seq(
+      (1L, "x x y", "en", "A", 5L), (2L, "x x y", "en", "B", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val same = operators.TextOps.queries("text_source_divergence")(spark, dir)
+      .collect().map(r => r.getDouble(3)).toSeq
+    assert(same == Seq(0.0), s"got $same")
+  }
+
+  test("ts_sax_motifs: tertile symbols and sliding words on a 1..6 ramp") {
+    val dir = tempDir()
+    import spark.implicits._
+    def ev(id: Long, hour: Int, v: Double) =
+      (id, (1577836800L + hour * 3600L) * 1000000000L, 1L, "view", v, "{}")
+    // hourly 1..6 → tertile edges e1=2, e2=4 → symbols a a b b c c
+    // → words aabb, abbc, bbcc (one each)
+    writeFixture(dir, "events", (1 to 6).map(h => ev(h.toLong, h - 1, h.toDouble))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = operators.TimeSeriesOps.queries("ts_sax_motifs")(spark, dir)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(("aabb", 1L), ("abbc", 1L), ("bbcc", 1L)), s"got $got")
+  }
 }
