@@ -1368,6 +1368,49 @@ object MiningOps {
             (col("n_customers").cast(DoubleType) * col("t").cast(DoubleType)) -
             (col("n_customers") + 1).cast(DoubleType) /
               col("n_customers").cast(DoubleType)).as("gini"))
+    }),
+
+    // rank-biased overlap (RBO, p = ½, depth 20) between the odd- and
+    // even-month supplier revenue rankings — "did the leaderboard
+    // actually change?" as ONE number (mine_rank_movers lists the
+    // movers; RBO scores the whole top-list agreement, weighting the
+    // head more). p = ½ makes every weight a DYADIC rational: the
+    // depth-d term is 0.5·0.5^(d−1)·X_d/d with X_d = |A_d ∩ B_d| —
+    // pow(0.5, d) is EXACT in IEEE for d ≤ 20 in both engines, the
+    // division 8dp-quantizes per depth, and the ≤20 terms sum as
+    // exact decimals. Shape: two bounded per-supplier aggs (one scan,
+    // month-parity split in the same agg), top-20 via
+    // TakeOrderedAndProject, a ≤20×20 join, depths explode
+    // pipeline-side. Ranks tie-break on the supplier key.
+    "mine_rank_rbo" -> ((s, d) => {
+      val dec2 = DecimalType(18, 2)
+      val rev = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey"))
+        .agg(
+          (coalesce(sum(when(month(col("l_shipdate")) % 2 === 1,
+            col("l_extendedprice")).cast(dec2)), lit(0).cast(dec2)) * 100)
+            .cast("long").as("codd"),
+          (coalesce(sum(when(month(col("l_shipdate")) % 2 === 0,
+            col("l_extendedprice")).cast(dec2)), lit(0).cast(dec2)) * 100)
+            .cast("long").as("cev"))
+      def top20(c: String, rk: String) = rev
+        .orderBy(desc(c), col("l_suppkey")).limit(20)
+        .select(col("l_suppkey"),
+          row_number().over(Window.orderBy(desc(c), col("l_suppkey")))
+            .as(rk))
+      val joined = top20("codd", "ra").join(top20("cev", "rb"), Seq("l_suppkey"))
+        .select(greatest(col("ra"), col("rb")).as("m"))
+      joined
+        .select(col("m"), explode(expr("sequence(1, 20)")).as("dpt"))
+        .filter(col("m") <= col("dpt"))
+        .groupBy(col("dpt")).agg(count(lit(1)).as("xd"))
+        .select(col("dpt"), col("xd"), expr(
+          "CAST(round(0.5 * power(0.5, dpt - 1) * xd / dpt, 8)" +
+            " AS DECIMAL(18,8))").as("term"))
+        .agg(coalesce(max(when(col("dpt") === 20, col("xd"))), lit(0L))
+          .as("n_common_20"),
+          r4(coalesce(sum(col("term")), lit(0).cast(DecimalType(18, 8)))
+            .cast(DoubleType)).as("rbo"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -2137,5 +2180,37 @@ object MiningOps {
         |  round(2.0 * CAST(SUM(CAST(i AS HUGEINT) * cents) AS DOUBLE)
         |      / (count(*) * CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE))
         |    - (count(*) + 1.0) / count(*), 4) AS gini
-        |FROM rk""".stripMargin)
+        |FROM rk""".stripMargin,
+
+    "mine_rank_rbo" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(coalesce(SUM(CASE WHEN month(l_shipdate) % 2 = 1
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) END), 0) * 100
+        |      AS BIGINT) AS codd,
+        |    CAST(coalesce(SUM(CASE WHEN month(l_shipdate) % 2 = 0
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) END), 0) * 100
+        |      AS BIGINT) AS cev
+        |  FROM lineitem GROUP BY 1),
+        |ta AS (SELECT l_suppkey, row_number()
+        |         OVER (ORDER BY codd DESC, l_suppkey) AS ra
+        |       FROM rev ORDER BY codd DESC, l_suppkey LIMIT 20),
+        |tb AS (SELECT l_suppkey, row_number()
+        |         OVER (ORDER BY cev DESC, l_suppkey) AS rb
+        |       FROM rev ORDER BY cev DESC, l_suppkey LIMIT 20),
+        |j AS (SELECT greatest(ra, rb) AS m
+        |      FROM ta JOIN tb USING (l_suppkey)),
+        |xs AS (
+        |  SELECT dpt, count(*) AS xd
+        |  FROM j CROSS JOIN (SELECT unnest(range(1, 21)) AS dpt) q
+        |  WHERE m <= dpt GROUP BY 1),
+        |tm AS (
+        |  SELECT dpt, xd,
+        |    CAST(round(0.5 * power(0.5, dpt - 1) * xd / dpt, 8)
+        |      AS DECIMAL(18,8)) AS term
+        |  FROM xs)
+        |SELECT CAST(coalesce(MAX(CASE WHEN dpt = 20 THEN xd END), 0)
+        |    AS BIGINT) AS n_common_20,
+        |  round(CAST(coalesce(SUM(term), 0) AS DOUBLE), 4) AS rbo
+        |FROM tm""".stripMargin)
 }

@@ -999,6 +999,33 @@ object TextOps {
               (lit(1.0) - col("scb").cast(DoubleType) / col("nb")) * ln2))
             .as("js_divergence"))
         .orderBy(col("sa"), col("sb"))
+    }),
+
+    // per-document 3-gram novelty against everything EARLIER in
+    // doc_id order — the memorization/duplication curve a training-
+    // data audit draws ("late documents that introduce nothing are
+    // crawl echo"): a distinct trigram is novel in the lowest-id
+    // document containing it. NO per-prefix scan: first-occurrence =
+    // min(doc_id) per trigram — one hash aggregate carrying (ngram,
+    // min) partials, shuffle ∝ distinct trigrams — joined back to the
+    // per-doc distinct sets. Integer counts, one ratio close.
+    "text_novelty_curve" -> ((s, d) => {
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), expr(
+          """explode(IF(size(split(text, ' ')) < 3, array(),
+            |  transform(sequence(1, size(split(text, ' ')) - 2),
+            |    i -> concat_ws(' ', slice(split(text, ' '), i, 3)))))"""
+            .stripMargin).as("g"))
+        .distinct()
+      val first = grams.groupBy(col("g")).agg(min(col("doc_id")).as("fd"))
+      grams.join(first, Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_ngrams"),
+          count_if(col("fd") === col("doc_id")).as("n_novel"))
+        .select(col("doc_id"), col("n_ngrams"), col("n_novel"),
+          r4(col("n_novel").cast(DoubleType) / col("n_ngrams"))
+            .as("novelty_rate"))
+        .orderBy(col("doc_id"))
     }))
 
   /** PII regexes, valid as BOTH Java regex (Spark) and RE2 (DuckDB):
@@ -1626,5 +1653,24 @@ object TextOps {
         |    + (1.0 - CAST(sca AS DOUBLE) / na) * 0.6931
         |    + CAST(wb AS DOUBLE) / nb
         |    + (1.0 - CAST(scb AS DOUBLE) / nb) * 0.6931), 4) AS js_divergence
-        |FROM g ORDER BY sa, sb""".stripMargin)
+        |FROM g ORDER BY sa, sb""".stripMargin,
+
+    "text_novelty_curve" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(tk) < 3 THEN []
+        |      ELSE list_transform(range(1, len(tk) - 1),
+        |        i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+        |      END) AS g
+        |    FROM toks) q),
+        |fst AS (SELECT g, min(doc_id) AS fd FROM grams GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_ngrams,
+        |  CAST(SUM(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  round(CAST(SUM(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 4) AS novelty_rate
+        |FROM grams JOIN fst USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

@@ -194,4 +194,39 @@ class Round4fSpec extends SparkTestBase {
       .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
     assert(got == Seq(("aabb", 1L), ("abbc", 1L), ("bbcc", 1L)), s"got $got")
   }
+
+  test("mine_rank_rbo: agreeing 3-supplier leaderboards match the term replica") {
+    val dir = tempDir()
+    import spark.implicits._
+    def li(sup: Long, month: Int, price: Double) =
+      (sup, java.sql.Timestamp.valueOf(f"2020-$month%02d-01 00:00:00"), price)
+    // odd- and even-month revenues rank 3 > 2 > 1 identically
+    val rows = (1 to 3).flatMap(k =>
+      Seq(li(k.toLong, 1, k * 100.0), li(k.toLong, 2, k * 50.0)))
+    writeFixture(dir, "lineitem",
+      rows.toDF("l_suppkey", "l_shipdate", "l_extendedprice"))
+    val got = operators.MiningOps.queries("mine_rank_rbo")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).head
+    // X_d = min(d, 3); replicate the 8dp-per-term fold exactly
+    val rbo = (1 to 20).map { dd =>
+      BigDecimal(0.5 * math.pow(0.5, dd - 1) * math.min(dd, 3) / dd)
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    }.sum
+    val exp = (3L, rbo.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got == exp, s"got $got exp $exp")
+  }
+
+  test("text_novelty_curve: repeats are stale, short docs emit nothing") {
+    val dir = tempDir()
+    import spark.implicits._
+    writeFixture(dir, "documents", Seq(
+      (1L, "a b c d", "en", "s", 7L),   // abc, bcd — both novel
+      (2L, "a b c e", "en", "s", 7L),   // abc seen, bce novel
+      (3L, "x", "en", "s", 1L))         // < 3 tokens → no grams
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = operators.TextOps.queries("text_novelty_curve")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq((1L, 2L, 2L, 1.0), (2L, 2L, 1L, 0.5)), s"got $got")
+  }
 }
