@@ -560,4 +560,47 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("shiftleft"),
       s"the Column-chain spelling must be gone from the plan:\n$p")
   }
+
+  // ---- round-4f additions ----
+
+  test("round-4f joins stay equi-join (no cartesian beyond broadcast scalars)") {
+    for (q <- Seq("mine_hhi_concentration", "text_source_divergence",
+        "text_novelty_curve", "graph_eccentricity_bounded")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoop"),
+        s"$q: every join must be an equi-join:\n$p")
+    }
+  }
+
+  test("ts_peak_concurrency + mine_gini_revenue: no unpartitioned window over raw rows") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- Seq("ts_peak_concurrency", "mine_gini_revenue")) {
+      val sp = SparkEntry.queries(q)(spark, sf001).queryExecution.sparkPlan
+      val bad = sp.collect { case w: WindowExec
+          if w.partitionSpec.isEmpty => w }
+        .filterNot { w =>
+          // the one allowed serial window is the ≤128-row per-bucket
+          // boundary aggregate — its child must aggregate first
+          import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          w.child.collect { case a: BaseAggregateExec => a }.nonEmpty
+        }
+      assert(bad.isEmpty,
+        s"$q: unpartitioned windows must only see the bucket aggregate:\n$sp")
+    }
+  }
+
+  test("vec_rp_project_audit: pipeline-side folds — no explode, no sign join") {
+    val p = plan("vec_rp_project_audit")
+    assert(!p.contains("Generate"),
+      s"the 16 projections must fold in codegen, not explode:\n$p")
+    assert(!p.toLowerCase.contains("cartesian"),
+      s"no sign-table join may appear:\n$p")
+  }
+
+  test("win_rolling_median: frames stay bounded (no unbounded-frame collect)") {
+    val p = plan("win_rolling_median")
+    assert(p.contains("specifiedwindowframe(RowFrame, -24, currentrow"),
+      s"the collect_list frame must be the bounded 25-row frame:\n$p")
+  }
 }
