@@ -264,6 +264,40 @@ object TextOps {
         .orderBy(col("true_lang"), col("pred_lang"))
     }),
 
+    // Cohen's kappa between the langid heuristic and the gold label —
+    // the CHANCE-CORRECTED single number over the same confusion
+    // matrix text_langid_confusion reports cell-by-cell (95% raw
+    // accuracy means nothing when 95% of the corpus is one language;
+    // kappa subtracts that). Exact until the close: the matrix, both
+    // marginals, and Σ row·col (DECIMAL(38,0)/HUGEINT — marginal
+    // products square the corpus size) are integers; the degenerate
+    // pe = 1 case is caught by the EXACT integer compare pp = N², not
+    // a float test, and reads kappa = 0 by declared convention. All
+    // aggregates bounded by langs².
+    "text_langid_kappa" -> ((s, d) => {
+      val dec38 = DecimalType(38, 0)
+      val m = langidPredictions(s, d)
+        .groupBy(col("true_lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+      val rowt = m.groupBy(col("true_lang").as("l")).agg(sum(col("n")).as("rn"))
+      val colt = m.groupBy(col("pred_lang").as("l")).agg(sum(col("n")).as("cn"))
+      val pe = rowt.join(colt, Seq("l"))
+        .agg(coalesce(sum(col("rn").cast(dec38) * col("cn").cast(dec38)),
+          lit(0).cast(dec38)).as("pp"))
+      m.agg(sum(col("n")).as("nn"),
+          coalesce(sum(when(col("true_lang") === col("pred_lang"), col("n"))),
+            lit(0L)).as("diag"))
+        .crossJoin(broadcast(pe))
+        .withColumn("po", col("diag").cast(DoubleType) / col("nn"))
+        .withColumn("pev", col("pp").cast(DoubleType) /
+          (col("nn").cast(DoubleType) * col("nn")))
+        .select(col("nn").as("n_docs"), r4(col("po")).as("accuracy"),
+          r4(col("pev")).as("expected_agreement"),
+          r4(when(col("pp") === col("nn").cast(dec38) * col("nn").cast(dec38),
+            lit(0.0)).otherwise(
+            (col("po") - col("pev")) / (lit(1.0) - col("pev")))).as("kappa"))
+    }),
+
     // quality score from exact integer counts: token count, stopword
     // ratio (top-10 global terms), average token length
     "text_quality_score" -> ((s, d) => {
@@ -1393,6 +1427,33 @@ object TextOps {
          |  round(CAST(m.n AS DOUBLE) / tt.tn, 4) AS recall
          |FROM m JOIN tt USING (true_lang)
          |ORDER BY true_lang, pred_lang""".stripMargin,
+
+    "text_langid_kappa" ->
+      s"""WITH $langidCtesSql,
+         |m AS (
+         |  SELECT d.lang AS true_lang, b.prof_lang AS pred_lang,
+         |    count(*) AS n
+         |  FROM documents d JOIN best b ON d.doc_id = b.doc_id
+         |  GROUP BY 1, 2),
+         |rowt AS (SELECT true_lang AS l, CAST(sum(n) AS BIGINT) AS rn
+         |         FROM m GROUP BY 1),
+         |colt AS (SELECT pred_lang AS l, CAST(sum(n) AS BIGINT) AS cn
+         |         FROM m GROUP BY 1),
+         |pe AS (SELECT coalesce(SUM(CAST(rn AS HUGEINT) * cn), 0) AS pp
+         |       FROM rowt JOIN colt USING (l)),
+         |st AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+         |         CAST(coalesce(SUM(CASE WHEN true_lang = pred_lang
+         |           THEN n END), 0) AS BIGINT) AS diag
+         |       FROM m),
+         |cl AS (
+         |  SELECT nn, pp, CAST(diag AS DOUBLE) / nn AS po,
+         |    CAST(pp AS DOUBLE) / (CAST(nn AS DOUBLE) * nn) AS pev
+         |  FROM st CROSS JOIN pe)
+         |SELECT nn AS n_docs, round(po, 4) AS accuracy,
+         |  round(pev, 4) AS expected_agreement,
+         |  round(CASE WHEN pp = CAST(nn AS HUGEINT) * nn THEN 0.0
+         |    ELSE (po - pev) / (1.0 - pev) END, 4) AS kappa
+         |FROM cl""".stripMargin,
 
     "text_quality_score" ->
       s"""WITH tok AS ($tokCte),

@@ -4,6 +4,7 @@ import graft._
 import graft.Stable._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DoubleType
 
 /** §2.9 — time-series / streaming-shaped operators, batch-first.
   *
@@ -33,6 +34,10 @@ object TimeSeriesOps {
 
   /** candidate periods (hours) for ts_dominant_period. */
   val FourierPeriods = Seq(6, 12, 24, 168)
+
+  /** order-statistic count for ts_hill_tail_index (top-k hourly
+    * volumes per series), shared with the oracle SQL. */
+  val HillK = 50
 
   /** 8dp string-literal trig table for period `p` — generated ONCE
     * here and embedded verbatim in BOTH the Spark expression and the
@@ -950,6 +955,44 @@ object TimeSeriesOps {
       words.withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 5)
         .select(col("event_type"), col("word").as("motif"), col("n"))
         .orderBy(col("event_type"), col("motif"))
+    }),
+
+    // Hill tail-index estimator per series over the top-50 hourly
+    // volumes: 1/α̂ = mean ln(xᵢ/x_k) over the k−1 largest order
+    // statistics — heavy-tail (α ≤ 2) vs light-tail capacity risk,
+    // the extreme-value sibling of ts_winsorized_mean (which REMOVES
+    // the tail this measures). Determinism: the top-k MULTISET of
+    // values is order-independent even when ranks tie at the
+    // boundary, so only values enter the math; per-term lns are
+    // identical IEEE expressions 4dp-quantized then decimal-summed
+    // (zipf discipline), x_k compares exact BIGINT units. Window
+    // state ∝ hours per series (bounded hourly aggregate; the
+    // win_rank_variants low-cardinality caveat is declared there).
+    "ts_hill_tail_index" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg((sum(col("value").cast(dec)) * 10000).cast("long").as("hu"))
+        .filter(col("hu") > 0)
+      val wR = Window.partitionBy(col("event_type"))
+        .orderBy(desc("hu"), col("hour"))
+      val sel = hourly
+        .withColumn("rn", row_number().over(wR)).filter(col("rn") <= HillK)
+      val xk = sel.groupBy(col("event_type"))
+        .agg(min(col("hu")).as("xk"), count(lit(1)).as("keff"))
+        .filter(col("keff") >= 2)
+      sel.join(broadcast(xk), Seq("event_type"))
+        .withColumn("lr", expr(
+          "CAST(round(ln(CAST(hu AS DOUBLE) / xk), 4) AS DECIMAL(18,4))"))
+        .groupBy(col("event_type"))
+        .agg(max(col("keff")).as("k"),
+          r4(max(col("xk")).cast(DoubleType) / 10000.0).as("x_k"),
+          sum(col("lr")).as("sl"))
+        .select(col("event_type"), col("k"), col("x_k"),
+          r4(when(col("sl") === 0, lit(0.0)).otherwise(
+            (col("k") - 1).cast(DoubleType) / col("sl").cast(DoubleType)))
+            .as("hill_alpha"))
+        .orderBy(col("event_type"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -1573,5 +1616,35 @@ object TimeSeriesOps {
         |  SELECT *, row_number() OVER (PARTITION BY event_type
         |    ORDER BY n DESC, word) AS rn
         |  FROM ct) q
-        |WHERE rn <= 5 ORDER BY event_type, motif""".stripMargin)
+        |WHERE rn <= 5 ORDER BY event_type, motif""".stripMargin,
+
+    "ts_hill_tail_index" ->
+      s"""WITH hourly AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS hour,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS hu
+         |  FROM events GROUP BY 1, 2 HAVING hu > 0),
+         |sel AS (
+         |  SELECT event_type, hu FROM (
+         |    SELECT event_type, hu, row_number() OVER (
+         |      PARTITION BY event_type ORDER BY hu DESC, hour) AS rn
+         |    FROM hourly) q
+         |  WHERE rn <= $HillK),
+         |xk AS (
+         |  SELECT event_type, min(hu) AS xk, count(*) AS keff
+         |  FROM sel GROUP BY 1 HAVING count(*) >= 2),
+         |lr AS (
+         |  SELECT s.event_type, x.xk, x.keff,
+         |    CAST(round(ln(CAST(hu AS DOUBLE) / xk), 4) AS DECIMAL(18,4))
+         |      AS lr
+         |  FROM sel s JOIN xk x USING (event_type)),
+         |g AS (
+         |  SELECT event_type, max(keff) AS k,
+         |    round(CAST(max(xk) AS DOUBLE) / 10000.0, 4) AS x_k,
+         |    SUM(lr) AS sl
+         |  FROM lr GROUP BY 1)
+         |SELECT event_type, k, x_k,
+         |  round(CASE WHEN sl = 0 THEN 0.0
+         |    ELSE CAST(k - 1 AS DOUBLE) / CAST(sl AS DOUBLE) END, 4)
+         |    AS hill_alpha
+         |FROM g ORDER BY event_type""".stripMargin)
 }

@@ -229,4 +229,47 @@ class Round4fSpec extends SparkTestBase {
         r.getDouble(3))).toSeq
     assert(got == Seq((1L, 2L, 2L, 1.0), (2L, 2L, 1L, 0.5)), s"got $got")
   }
+
+  test("text_langid_kappa: 1 on a perfect balanced split, 0 when one class") {
+    val dir = tempDir()
+    import spark.implicits._
+    // disjoint vocabularies → perfect predictions; balanced classes
+    // → pe = 0.5 → kappa = 1
+    writeFixture(dir, "documents", Seq(
+      (1L, "x x", "aa", "s", 3L), (2L, "x x", "aa", "s", 3L),
+      (3L, "y y", "bb", "s", 3L), (4L, "y y", "bb", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = operators.TextOps.queries("text_langid_kappa")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).head
+    assert(got == ((4L, 1.0, 0.5, 1.0)), s"got $got")
+    // one class: po = 1 but pe = 1 exactly (pp = N²) → kappa 0 by
+    // the declared convention, via the INTEGER compare
+    writeFixture(dir, "documents", Seq(
+      (1L, "x x", "aa", "s", 3L), (2L, "x y", "aa", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val one = operators.TextOps.queries("text_langid_kappa")(spark, dir)
+      .collect().map(r => (r.getDouble(2), r.getDouble(3))).head
+    assert(one == ((1.0, 0.0)), s"got $one")
+  }
+
+  test("ts_hill_tail_index: hand ln-ratios on a dyadic series, 0 on flat") {
+    val dir = tempDir()
+    import spark.implicits._
+    def ev(id: Long, hour: Int, v: Double) =
+      (id, (1577836800L + hour * 3600L) * 1000000000L, 1L, "view", v, "{}")
+    // values 8,4,2,1 → Σ round(ln(x/1),4) = 2.0794+1.3863+0.6931
+    // = 4.1588 → α = 3/4.1588 → 0.7214
+    writeFixture(dir, "events", Seq(
+      ev(1, 0, 8.0), ev(2, 1, 4.0), ev(3, 2, 2.0), ev(4, 3, 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = operators.TimeSeriesOps.queries("ts_hill_tail_index")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3))).head
+    assert(got == ((4L, 1.0, 0.7214)), s"got $got")
+    writeFixture(dir, "events", Seq(ev(1, 0, 3.0), ev(2, 1, 3.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val flat = operators.TimeSeriesOps.queries("ts_hill_tail_index")(spark, dir)
+      .collect().map(r => r.getDouble(3)).head
+    assert(flat == 0.0, s"got $flat")
+  }
 }
