@@ -1060,6 +1060,32 @@ object TextOps {
           r4(col("n_novel").cast(DoubleType) / col("n_ngrams"))
             .as("novelty_rate"))
         .orderBy(col("doc_id"))
+    }),
+
+    // temperature-scaled source sampling weights (τ = ½, the
+    // multilingual-corpus convention): p_s ∝ n_s^τ flattens the
+    // source mix so small sources aren't drowned — pipeline_source_mix
+    // CAPS a source's take, this REWEIGHTS the whole distribution
+    // (and pipeline_mixture_schedule then orders whatever mix wins).
+    // Determinism: sqrt is correctly-rounded IEEE in both engines, its
+    // result 4dp-quantizes into an exact decimal weight, the
+    // normalizer is an exact decimal sum, and each output ratio is
+    // one double division of identical inputs. Two bounded aggs
+    // (shuffle ∝ sources), normalizer broadcast.
+    "pipeline_temperature_weights" -> ((s, d) => {
+      val cnt = Tables.documents(s, d)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val tw = cnt.withColumn("w", expr(
+        "CAST(round(sqrt(CAST(n_docs AS DOUBLE)), 4) AS DECIMAL(18,4))"))
+      val tot = tw.agg(sum(col("n_docs")).as("tn"), sum(col("w")).as("tw"))
+      tw.crossJoin(broadcast(tot))
+        .withColumn("raw_share",
+          r4(col("n_docs").cast(DoubleType) / col("tn")))
+        .withColumn("p_temp",
+          r4(col("w").cast(DoubleType) / col("tw").cast(DoubleType)))
+        .select(col("source"), col("n_docs"), col("raw_share"), col("p_temp"),
+          r4(col("p_temp") / col("raw_share")).as("boost"))
+        .orderBy(col("source"))
     }))
 
   /** PII regexes, valid as BOTH Java regex (Spark) and RE2 (DuckDB):
@@ -1733,5 +1759,24 @@ object TextOps {
         |  round(CAST(SUM(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
         |    / count(*), 4) AS novelty_rate
         |FROM grams JOIN fst USING (g)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "pipeline_temperature_weights" ->
+      """WITH cnt AS (
+        |  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |tw AS (
+        |  SELECT source, n_docs,
+        |    CAST(round(sqrt(CAST(n_docs AS DOUBLE)), 4) AS DECIMAL(18,4))
+        |      AS w
+        |  FROM cnt),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tn, SUM(w) AS tww
+        |        FROM tw),
+        |sh AS (
+        |  SELECT source, n_docs,
+        |    round(CAST(n_docs AS DOUBLE) / tn, 4) AS raw_share,
+        |    round(CAST(w AS DOUBLE) / CAST(tww AS DOUBLE), 4) AS p_temp
+        |  FROM tw CROSS JOIN tot)
+        |SELECT source, n_docs, raw_share, p_temp,
+        |  round(p_temp / raw_share, 4) AS boost
+        |FROM sh ORDER BY source""".stripMargin)
 }

@@ -470,6 +470,39 @@ object StreamPort {
       }
   }
 
+  /** streaming mirror of the batch `win_rolling_median`: per-series
+    * EXACT lower median over the trailing 25 CLOSED hourly bars
+    * (state per key = the ≤25-bar frame — constant, never the
+    * stream). Emits one row per bar; the same append-ordered-bars
+    * assumption as [[holtSmooth]]/[[ewmaBand]] (micro-batch rows sort
+    * by hour_idx; a cross-batch regression would need a reorder
+    * buffer — the declared trade-off). Median picks element
+    * ⌈n/2⌉ of the sorted frame, the batch convention exactly. */
+  case class MedianState(ys: Seq[Long])
+  case class MedianBar(event_type: String, hour_idx: Long,
+      n_in_frame: Int, med: Long)
+
+  def rollingMedian(bars: Dataset[HourBar], frame: Int = 25)
+      : Dataset[MedianBar] = {
+    import bars.sparkSession.implicits._
+    bars
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[MedianState, MedianBar](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (tpe: String, rows: Iterator[HourBar], state: GroupState[MedianState]) =>
+          var buf = state.getOption.map(_.ys.toVector).getOrElse(Vector.empty)
+          val out = Array.newBuilder[MedianBar]
+          for (bar <- rows.toArray.sortBy(_.hour_idx)) {
+            buf = (buf :+ bar.y).takeRight(frame)
+            val sorted = buf.sorted
+            out += MedianBar(tpe, bar.hour_idx, buf.size,
+              sorted((buf.size + 1) / 2 - 1))
+          }
+          state.update(MedianState(buf))
+          out.result().iterator
+      }
+  }
+
   def runningUserStats(events: Dataset[UserEvent]): Dataset[UserAgg] = {
     import events.sparkSession.implicits._
     events

@@ -272,4 +272,20 @@ class Round4fSpec extends SparkTestBase {
       .collect().map(r => r.getDouble(3)).head
     assert(flat == 0.0, s"got $flat")
   }
+
+  test("pipeline_temperature_weights: sqrt flattening boosts the small source") {
+    val dir = tempDir()
+    import spark.implicits._
+    // 1 vs 4 docs: weights 1,2 → p = 1/3, 2/3; raw shares 0.2, 0.8
+    val rows = Seq((1L, "t", "en", "A", 1L)) ++
+      (2 to 5).map(i => (i.toLong, "t", "en", "B", 1L))
+    writeFixture(dir, "documents",
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = operators.TextOps
+      .queries("pipeline_temperature_weights")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == Seq(("A", 1L, 0.2, 0.3333, 1.6665),
+      ("B", 4L, 0.8, 0.6667, 0.8334)), s"got $got")
+  }
 }

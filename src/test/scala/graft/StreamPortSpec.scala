@@ -560,4 +560,29 @@ class StreamPortSpec extends SparkTestBase {
       (4L, "2024-01-01 12:00:00.0", "2024-01-01 13:00:00.0", 3600L)),
       s"got $got")
   }
+
+  test("rollingMedian: streamed frame medians equal the batch fold across splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamPort.HourBar]
+    val q = StreamPort.rollingMedian(mem.toDS(), frame = 3)
+      .writeStream.format("memory").queryName("rmed")
+      .outputMode("append").start()
+    val ys = Seq(100L, 50L, 120L, 30L, 80L)
+    mem.addData(ys.take(2).zipWithIndex.map { case (y, i) =>
+      StreamPort.HourBar("view", i.toLong, y) }: _*)
+    q.processAllAvailable()
+    mem.addData(ys.drop(2).zipWithIndex.map { case (y, i) =>
+      StreamPort.HourBar("view", (i + 2).toLong, y) }: _*)
+    q.processAllAvailable()
+    val got = spark.table("rmed")
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    q.stop()
+    // replica: trailing-3 frames, lower median (element (n+1)/2)
+    val exp = ys.indices.map { i =>
+      val fr = ys.slice(math.max(0, i - 2), i + 1).sorted
+      (i.toLong, fr.size, fr((fr.size + 1) / 2 - 1))
+    }.toSet
+    assert(got == exp, s"got $got exp $exp")
+  }
 }
