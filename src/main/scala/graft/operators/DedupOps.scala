@@ -493,6 +493,38 @@ object DedupOps {
         .orderBy(col("test_doc"), col("train_doc"))
     }),
 
+    // n-gram decontamination — the REALISTIC benchmark-leak screen
+    // (pipeline_contamination_check catches byte-identical docs; a
+    // paraphrased or partially-quoted eval item shares 5-gram SPANS,
+    // not the md5): per test doc, the fraction of its distinct
+    // 5-grams present anywhere in the train split, flagged at the
+    // DYADIC ≥¼ threshold via the exact integer compare 4·hits ≥
+    // grams (no float in the verdict). Shape: gram explosion is
+    // map-side, the distinct train-gram set and the test⋈train probe
+    // shuffle ∝ distinct grams — never raw text; docs under 5 tokens
+    // have no gram and are absent (declared).
+    "pipeline_ngram_contamination" -> ((s, d) => {
+      val grams = TextOps.splitAssign(s, d)
+        .select(col("doc_id"), col("split"), explode(expr(
+          """IF(size(split(text, ' ')) < 5, array(),
+            |  transform(sequence(1, size(split(text, ' ')) - 4),
+            |    i -> concat_ws(' ', slice(split(text, ' '), i, 5))))"""
+            .stripMargin)).as("g"))
+        .distinct()
+      val train = grams.filter(col("split") === "train")
+        .select(col("g")).distinct().withColumn("hit", lit(1L))
+      grams.filter(col("split") === "test")
+        .join(train, Seq("g"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+        .select(col("doc_id"), col("n_grams"), col("n_hit"),
+          Stable.r4(col("n_hit").cast("double") / col("n_grams"))
+            .as("overlap"),
+          (col("n_hit") * 4 >= col("n_grams")).as("contaminated"))
+        .orderBy(col("doc_id"))
+    }),
+
     // fuzzy string dedup by edit distance, blocked by string length
     // (|len(a)-len(b)| <= k is a necessary condition for
     // levenshtein <= k, so the join carries a length-band predicate
@@ -823,6 +855,30 @@ object DedupOps {
          |FROM sp t JOIN sp tr ON t.h = tr.h
          |WHERE t.split = 'test' AND tr.split = 'train'
          |ORDER BY test_doc, train_doc""".stripMargin,
+
+    "pipeline_ngram_contamination" ->
+      s"""WITH sp AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tk,
+         |    ${TextOps.splitCaseSql} AS split
+         |  FROM documents),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, split, g FROM (
+         |    SELECT doc_id, split, unnest(CASE WHEN len(tk) < 5 THEN []
+         |      ELSE list_transform(range(1, len(tk) - 3),
+         |        i -> array_to_string(list_slice(tk, i, i + 4), ' '))
+         |      END) AS g
+         |    FROM sp) q),
+         |train AS (SELECT DISTINCT g FROM grams WHERE split = 'train'),
+         |hits AS (
+         |  SELECT t.doc_id, count(*) AS n_grams,
+         |    CAST(coalesce(SUM(CASE WHEN tr.g IS NOT NULL THEN 1 END), 0)
+         |      AS BIGINT) AS n_hit
+         |  FROM grams t LEFT JOIN train tr ON t.g = tr.g
+         |  WHERE t.split = 'test' GROUP BY 1)
+         |SELECT doc_id, n_grams, n_hit,
+         |  round(CAST(n_hit AS DOUBLE) / n_grams, 4) AS overlap,
+         |  n_hit * 4 >= n_grams AS contaminated
+         |FROM hits ORDER BY doc_id""".stripMargin,
 
     "dedup_edit_distance" ->
       """WITH p AS (SELECT p_partkey, p_name, length(p_name) AS len

@@ -1086,6 +1086,31 @@ object TextOps {
         .select(col("source"), col("n_docs"), col("raw_share"), col("p_temp"),
           r4(col("p_temp") / col("raw_share")).as("boost"))
         .orderBy(col("source"))
+    }),
+
+    // per-source content manifest — the reproducibility record an
+    // ingest run publishes so a re-run (or a downstream consumer) can
+    // verify "same docs, same bytes" without re-reading the corpus:
+    // doc counts, byte totals, the doc_id range, and an ORDER-
+    // INDEPENDENT content digest (sum of per-doc 60-bit md5 ints mod
+    // 2⁶⁰ — commutative, so partitioning/arrival order cannot change
+    // it; the winnow hash basis, engine-identical). One scan, one
+    // bounded per-source agg; digest sums in DECIMAL(38,0)/HUGEINT
+    // before the mod.
+    "pipeline_source_manifest" -> ((s, d) => {
+      val dec38 = DecimalType(38, 0)
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          expr("CAST(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT)")
+            .as("h"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
+          sum(col("h").cast(dec38)).as("hs"))
+        .select(col("source"), col("n_docs"), col("bytes"),
+          col("min_doc"), col("max_doc"),
+          expr("CAST(hs % 1152921504606846976 AS BIGINT)").as("digest"))
+        .orderBy(col("source"))
     }))
 
   /** PII regexes, valid as BOTH Java regex (Spark) and RE2 (DuckDB):
@@ -1778,5 +1803,17 @@ object TextOps {
         |  FROM tw CROSS JOIN tot)
         |SELECT source, n_docs, raw_share, p_temp,
         |  round(p_temp / raw_share, 4) AS boost
-        |FROM sh ORDER BY source""".stripMargin)
+        |FROM sh ORDER BY source""".stripMargin,
+
+    "pipeline_source_manifest" ->
+      """WITH h AS (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS bytes,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+        |  CAST(SUM(CAST(h AS HUGEINT)) % 1152921504606846976 AS BIGINT)
+        |    AS digest
+        |FROM h GROUP BY source ORDER BY source""".stripMargin)
 }

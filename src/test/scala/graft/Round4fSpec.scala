@@ -288,4 +288,50 @@ class Round4fSpec extends SparkTestBase {
     assert(got == Seq(("A", 1L, 0.2, 0.3333, 1.6665),
       ("B", 4L, 0.8, 0.6667, 0.8334)), s"got $got")
   }
+
+  test("pipeline_ngram_contamination: span overlap flags at the ¼ threshold") {
+    val dir = tempDir()
+    import spark.implicits._
+    def bucket(id: Long) =
+      math.floorMod(math.floorMod(id, 100000000L) * 2654435761L, 100L)
+    val trainId = (1L to 400L).find(bucket(_) < 80).get
+    val testIds = (1L to 400L).filter(bucket(_) >= 90).take(2)
+    writeFixture(dir, "documents", Seq(
+      (trainId, "a b c d e f", "en", "s", 11L),
+      // shares "a b c d e" with train → 1 of 2 grams hit → 0.5 ≥ ¼
+      (testIds(0), "a b c d e x", "en", "s", 11L),
+      // no shared 5-gram → 0 hits, clean
+      (testIds(1), "p q r s t u", "en", "s", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = operators.DedupOps
+      .queries("pipeline_ngram_contamination")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+      .sortBy(_._1)
+    val exp = Seq((testIds(0), 2L, 1L, 0.5, true),
+      (testIds(1), 2L, 0L, 0.0, false)).sortBy(_._1)
+    assert(got == exp, s"got $got exp $exp")
+  }
+
+  test("pipeline_source_manifest: digest equals the commutative md5 replica") {
+    val dir = tempDir()
+    import spark.implicits._
+    val texts = Seq("alpha beta", "gamma delta epsilon")
+    writeFixture(dir, "documents", texts.zipWithIndex.map { case (t, i) =>
+      ((i + 1).toLong, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    def h60(t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val exp = ("s", 2L, texts.map(_.length.toLong).sum, 1L, 2L,
+      (BigInt(h60(texts(0))) + BigInt(h60(texts(1)))).mod(
+        BigInt(1152921504606846976L)).toLong)
+    val got = operators.TextOps.queries("pipeline_source_manifest")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).head
+    assert(got == exp, s"got $got exp $exp")
+  }
 }
