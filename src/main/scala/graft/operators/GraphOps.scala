@@ -549,6 +549,51 @@ object GraphOps {
           Stable.r4(lit(cc)).as("global_cc"))
     }),
 
+    // per-edge triangle support census over the co-order part graph —
+    // the k-truss ingredient (an edge in a k-truss has support ≥ k−2;
+    // the histogram says which k are even POSSIBLE before paying the
+    // iterative peel): support(e) = #triangles containing e, reported
+    // as a support → edge-count histogram including the 0 bucket.
+    // Shape: the SAME degree-oriented machinery as graph_triangles
+    // (every edge directed low→high in the (degree, id) total order,
+    // sorted out-neighbor arrays bound per-vertex work by ~√m), but
+    // the intersection EXPLODES its witnesses instead of sizing them:
+    // each triangle materializes once via its unique source-pair edge
+    // and fans out its 3 canonical edges pipeline-side — shuffle ∝
+    // 3·triangles, the Σ outdeg² wedge cost class. Integer-exact.
+    "graph_edge_support" -> ((s, d) => {
+      val co = coParts(s, d)
+      val sym = co.select(col("a").as("u"), col("b").as("v"))
+        .union(co.select(col("b").as("u"), col("a").as("v")))
+      val vk = sym.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+        .select(col("u").as("vertex"), struct(col("dg"), col("u")).as("k"))
+      val dir = sym
+        .join(vk.select(col("vertex").as("u"), col("k").as("ku")), Seq("u"))
+        .join(vk.select(col("vertex").as("v"), col("k").as("kv")), Seq("v"))
+        .filter(col("ku") < col("kv"))
+        .select(col("u"), col("v"))
+      val adj = dir.groupBy(col("u"))
+        .agg(array_sort(collect_list(col("v"))).as("ns"))
+      val tri = dir
+        .join(adj.select(col("u"), col("ns").as("nu")), Seq("u"))
+        .join(adj.select(col("u").as("v"), col("ns").as("nv")), Seq("v"))
+        .select(col("u"), col("v"),
+          explode(array_intersect(col("nu"), col("nv"))).as("w"))
+      val sup = tri.select(explode(array(
+          struct(least(col("u"), col("v")).as("a"),
+            greatest(col("u"), col("v")).as("b")),
+          struct(least(col("u"), col("w")).as("a"),
+            greatest(col("u"), col("w")).as("b")),
+          struct(least(col("v"), col("w")).as("a"),
+            greatest(col("v"), col("w")).as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+      co.join(sup, Seq("a", "b"), "left")
+        .select(coalesce(col("support"), lit(0L)).as("support"))
+        .groupBy(col("support")).agg(count(lit(1)).as("n_edges"))
+        .orderBy(col("support"))
+    }),
+
     // top supplier pairs by shared customers — joined through the
     // low-degree side (per-customer supplier list) to bound the
     // intermediate pair explosion. Declared semantics include a degree
@@ -2046,6 +2091,28 @@ object GraphOps {
          |  round(CAST(SUM(CAST(round(1000000000.0 / dist, 0) AS BIGINT))
          |    AS DOUBLE) / 1e9, 4) AS harmonic
          |FROM md WHERE dist > 0 GROUP BY seed ORDER BY seed""".stripMargin,
+
+    "graph_edge_support" ->
+      s"""WITH co AS ($coPartsSql),
+         |sym AS (SELECT a AS u, b AS v FROM co
+         |        UNION ALL SELECT b, a FROM co),
+         |dg AS (SELECT u, count(*) AS dg FROM sym GROUP BY 1),
+         |dir AS (
+         |  SELECT s.u, s.v FROM sym s
+         |  JOIN dg du ON du.u = s.u JOIN dg dv ON dv.u = s.v
+         |  WHERE du.dg < dv.dg OR (du.dg = dv.dg AND s.u < s.v)),
+         |tri AS (
+         |  SELECT e1.u, e1.v, e2.v AS w
+         |  FROM dir e1 JOIN dir e2 ON e2.u = e1.u
+         |  JOIN dir e3 ON e3.u = e1.v AND e3.v = e2.v),
+         |te AS (
+         |  SELECT least(u, v) AS a, greatest(u, v) AS b FROM tri
+         |  UNION ALL SELECT least(u, w), greatest(u, w) FROM tri
+         |  UNION ALL SELECT least(v, w), greatest(v, w) FROM tri),
+         |sup AS (SELECT a, b, count(*) AS support FROM te GROUP BY 1, 2)
+         |SELECT coalesce(support, 0) AS support, count(*) AS n_edges
+         |FROM co LEFT JOIN sup USING (a, b)
+         |GROUP BY 1 ORDER BY support""".stripMargin,
 
     "graph_eccentricity_bounded" ->
       s"""WITH RECURSIVE ed AS ($edgesSql),

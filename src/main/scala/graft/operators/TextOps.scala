@@ -1111,6 +1111,31 @@ object TextOps {
           col("min_doc"), col("max_doc"),
           expr("CAST(hs % 1152921504606846976 AS BIGINT)").as("digest"))
         .orderBy(col("source"))
+    }),
+
+    // boilerplate-template detection per source: the top 3 repeated
+    // 8-token document PREFIXES with doc counts and within-source
+    // share — the CCNet-style screen that finds navigation chrome,
+    // license headers, and crawl templates BEFORE near-dedup pays for
+    // them (a template is shared head, not shared document — md5 and
+    // minhash both under-catch it). Prefix extraction is per-row
+    // codegen (slice + concat_ws, docs shorter than 8 tokens use
+    // their full text); one bounded (source, prefix) agg; totals
+    // broadcast; rank ties on the prefix string. Integer-exact.
+    "text_boilerplate_prefixes" -> ((s, d) => {
+      val pre = Tables.documents(s, d)
+        .select(col("source"), expr(
+          "concat_ws(' ', slice(split(text, ' '), 1, 8))").as("prefix"))
+      val tot = pre.groupBy(col("source")).agg(count(lit(1)).as("tn"))
+      val cnt = pre.groupBy(col("source"), col("prefix"))
+        .agg(count(lit(1)).as("n_docs"))
+      val wTop = Window.partitionBy(col("source"))
+        .orderBy(desc("n_docs"), col("prefix"))
+      cnt.withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 3)
+        .join(broadcast(tot), Seq("source"))
+        .select(col("source"), col("prefix"), col("n_docs"),
+          r4(col("n_docs").cast(DoubleType) / col("tn")).as("share"))
+        .orderBy(col("source"), desc("n_docs"), col("prefix"))
     }))
 
   /** PII regexes, valid as BOTH Java regex (Spark) and RE2 (DuckDB):
@@ -1815,5 +1840,25 @@ object TextOps {
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
         |  CAST(SUM(CAST(h AS HUGEINT)) % 1152921504606846976 AS BIGINT)
         |    AS digest
-        |FROM h GROUP BY source ORDER BY source""".stripMargin)
+        |FROM h GROUP BY source ORDER BY source""".stripMargin,
+
+    "text_boilerplate_prefixes" ->
+      """WITH pre AS (
+        |  SELECT source,
+        |    array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')
+        |      AS prefix
+        |  FROM documents),
+        |tot AS (SELECT source, count(*) AS tn FROM pre GROUP BY 1),
+        |cnt AS (SELECT source, prefix, count(*) AS n_docs
+        |        FROM pre GROUP BY 1, 2),
+        |top AS (
+        |  SELECT source, prefix, n_docs FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY source
+        |      ORDER BY n_docs DESC, prefix) AS rn
+        |    FROM cnt) q
+        |  WHERE rn <= 3)
+        |SELECT t.source, t.prefix, t.n_docs,
+        |  round(CAST(t.n_docs AS DOUBLE) / tt.tn, 4) AS share
+        |FROM top t JOIN tot tt USING (source)
+        |ORDER BY source, n_docs DESC, prefix""".stripMargin)
 }

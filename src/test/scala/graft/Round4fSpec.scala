@@ -334,4 +334,34 @@ class Round4fSpec extends SparkTestBase {
         r.getLong(3), r.getLong(4), r.getLong(5))).head
     assert(got == exp, s"got $got exp $exp")
   }
+
+  test("graph_edge_support: planted triangle + pendant edge histogram") {
+    val dir = tempDir()
+    import spark.implicits._
+    // order 1 co-orders parts {1,2,3} → triangle; order 2 {3,4} →
+    // pendant edge with support 0
+    writeFixture(dir, "lineitem", Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L))
+      .toDF("l_orderkey", "l_partkey"))
+    operators.GraphOps.clearMemos(spark)
+    val got = operators.GraphOps.queries("graph_edge_support")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 1L), (1L, 3L)), s"got $got")
+  }
+
+  test("text_boilerplate_prefixes: shared 8-token heads surface, short docs use full text") {
+    val dir = tempDir()
+    import spark.implicits._
+    val tpl = "terms of use apply to this site always"
+    writeFixture(dir, "documents", Seq(
+      (1L, s"$tpl alpha", "en", "s", 1L),
+      (2L, s"$tpl beta gamma", "en", "s", 1L),
+      (3L, "tiny doc", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = operators.TextOps
+      .queries("text_boilerplate_prefixes")(spark, dir)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq((tpl, 2L, 0.6667), ("tiny doc", 1L, 0.3333)),
+      s"got $got")
+  }
 }
