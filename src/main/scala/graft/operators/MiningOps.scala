@@ -1411,6 +1411,46 @@ object MiningOps {
           .as("n_common_20"),
           r4(coalesce(sum(col("term")), lit(0).cast(DecimalType(18, 8)))
             .cast(DoubleType)).as("rbo"))
+    }),
+
+    // difference-in-differences readout: mean order value by arm
+    // (even/odd custkey — the established A/B split) × period
+    // (calendar halves H1/H2), DiD = (T₂−T₁) − (C₂−C₁) — the causal
+    // panel estimate that subtracts the shared seasonal drift the raw
+    // before/after comparison confounds (completing the experiment
+    // family: z-test on proportions, Welch on means, DiD on panels).
+    // EXACT sufficient statistics: integer cents and counts per cell;
+    // each mean is ONE double division, the DiD one fixed IEEE
+    // expression. One scan, one 4-cell agg.
+    "mine_diff_in_diff" -> ((s, d) => {
+      val dec2 = DecimalType(18, 2)
+      val cells = Tables.orders(s, d)
+        .select((pmod(col("o_custkey"), lit(2L)) === 0).as("treated"),
+          (month(col("o_orderdate")) >= 7).as("post"),
+          col("o_totalprice"))
+        .groupBy(col("treated"), col("post"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("o_totalprice").cast(dec2)) * 100).cast("long").as("cents"))
+      def cell(t: Boolean, p: Boolean, c: String) =
+        max(when(col("treated") === t && col("post") === p, col(c)))
+      cells.agg(
+          cell(true, false, "n").as("n_t1"), cell(true, true, "n").as("n_t2"),
+          cell(false, false, "n").as("n_c1"), cell(false, true, "n").as("n_c2"),
+          cell(true, false, "cents").as("s_t1"),
+          cell(true, true, "cents").as("s_t2"),
+          cell(false, false, "cents").as("s_c1"),
+          cell(false, true, "cents").as("s_c2"))
+        .withColumn("m_t1", col("s_t1").cast(DoubleType) / 100.0 / col("n_t1"))
+        .withColumn("m_t2", col("s_t2").cast(DoubleType) / 100.0 / col("n_t2"))
+        .withColumn("m_c1", col("s_c1").cast(DoubleType) / 100.0 / col("n_c1"))
+        .withColumn("m_c2", col("s_c2").cast(DoubleType) / 100.0 / col("n_c2"))
+        .select(col("n_t1"), col("n_t2"), col("n_c1"), col("n_c2"),
+          r4(col("m_t1")).as("mean_treat_pre"),
+          r4(col("m_t2")).as("mean_treat_post"),
+          r4(col("m_c1")).as("mean_ctrl_pre"),
+          r4(col("m_c2")).as("mean_ctrl_post"),
+          r4(col("m_t2") - col("m_t1") - (col("m_c2") - col("m_c1")))
+            .as("did"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -2212,5 +2252,35 @@ object MiningOps {
         |SELECT CAST(coalesce(MAX(CASE WHEN dpt = 20 THEN xd END), 0)
         |    AS BIGINT) AS n_common_20,
         |  round(CAST(coalesce(SUM(term), 0) AS DOUBLE), 4) AS rbo
-        |FROM tm""".stripMargin)
+        |FROM tm""".stripMargin,
+
+    "mine_diff_in_diff" ->
+      """WITH cells AS (
+        |  SELECT (o_custkey % 2 = 0) AS treated,
+        |    (month(o_orderdate) >= 7) AS post, count(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |w AS (
+        |  SELECT
+        |    MAX(CASE WHEN treated AND NOT post THEN n END) AS n_t1,
+        |    MAX(CASE WHEN treated AND post THEN n END) AS n_t2,
+        |    MAX(CASE WHEN NOT treated AND NOT post THEN n END) AS n_c1,
+        |    MAX(CASE WHEN NOT treated AND post THEN n END) AS n_c2,
+        |    MAX(CASE WHEN treated AND NOT post THEN cents END) AS s_t1,
+        |    MAX(CASE WHEN treated AND post THEN cents END) AS s_t2,
+        |    MAX(CASE WHEN NOT treated AND NOT post THEN cents END) AS s_c1,
+        |    MAX(CASE WHEN NOT treated AND post THEN cents END) AS s_c2
+        |  FROM cells),
+        |m AS (
+        |  SELECT *, CAST(s_t1 AS DOUBLE) / 100.0 / n_t1 AS m_t1,
+        |    CAST(s_t2 AS DOUBLE) / 100.0 / n_t2 AS m_t2,
+        |    CAST(s_c1 AS DOUBLE) / 100.0 / n_c1 AS m_c1,
+        |    CAST(s_c2 AS DOUBLE) / 100.0 / n_c2 AS m_c2
+        |  FROM w)
+        |SELECT n_t1, n_t2, n_c1, n_c2,
+        |  round(m_t1, 4) AS mean_treat_pre, round(m_t2, 4) AS mean_treat_post,
+        |  round(m_c1, 4) AS mean_ctrl_pre, round(m_c2, 4) AS mean_ctrl_post,
+        |  round(m_t2 - m_t1 - (m_c2 - m_c1), 4) AS did
+        |FROM m""".stripMargin)
 }

@@ -993,6 +993,55 @@ object TimeSeriesOps {
             (col("k") - 1).cast(DoubleType) / col("sl").cast(DoubleType)))
             .as("hill_alpha"))
         .orderBy(col("event_type"))
+    }),
+
+    // Mann–Kendall trend test per series — the RANK-based monotone-
+    // trend detector (ts_rolling_slope fits a local line, Theil–Sen a
+    // robust global one; MK asks only "is it going up?", immune to
+    // outlier magnitude): S = Σ_{i<j} sign(x_j − x_i), tie-corrected
+    // variance, z with the ±1 continuity correction, verdict at
+    // |z| > 1.96 on the ROUNDED z. Everything integer until one sqrt
+    // + one division. Shape: the pair join runs per series over the
+    // BOUNDED hourly aggregate — pair count ∝ calendar-hours², a
+    // TIME-range cost, not a data-volume cost (declared: the join
+    // never sees raw events; 100× more events is the same H²).
+    "ts_mann_kendall" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg((sum(col("value").cast(dec)) * 10000).cast("long").as("hu"))
+      val a = hourly.select(col("event_type"), col("hour").as("ha"),
+        col("hu").as("xa"))
+      val b = hourly.select(col("event_type"), col("hour").as("hb"),
+        col("hu").as("xb"))
+      val sStat = a.join(b, Seq("event_type")).filter(col("ha") < col("hb"))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("xb") > col("xa"), 1L)
+          .when(col("xb") < col("xa"), -1L).otherwise(0L)).as("s_stat"))
+      val n = hourly.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val ties = hourly.groupBy(col("event_type"), col("hu"))
+        .agg(count(lit(1)).as("t")).filter(col("t") > 1)
+        .groupBy(col("event_type"))
+        .agg(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tsum"))
+      sStat.join(n, Seq("event_type"))
+        .join(ties, Seq("event_type"), "left")
+        .withColumn("var18",
+          col("n") * (col("n") - 1) * (col("n") * 2 + 5) -
+            coalesce(col("tsum"), lit(0L)))
+        .withColumn("z", when(col("var18") === 0, lit(0.0))
+          .when(col("s_stat") > 0,
+            (col("s_stat") - 1).cast(DoubleType) /
+              sqrt(col("var18").cast(DoubleType) / 18.0))
+          .when(col("s_stat") < 0,
+            (col("s_stat") + 1).cast(DoubleType) /
+              sqrt(col("var18").cast(DoubleType) / 18.0))
+          .otherwise(lit(0.0)))
+        .select(col("event_type"), col("n").as("n_hours"), col("s_stat"),
+          r4(col("z")).as("z"),
+          when(r4(col("z")) > 1.96, "increasing")
+            .when(r4(col("z")) < -1.96, "decreasing")
+            .otherwise("no_trend").as("trend"))
+        .orderBy(col("event_type"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -1646,5 +1695,45 @@ object TimeSeriesOps {
          |  round(CASE WHEN sl = 0 THEN 0.0
          |    ELSE CAST(k - 1 AS DOUBLE) / CAST(sl AS DOUBLE) END, 4)
          |    AS hill_alpha
-         |FROM g ORDER BY event_type""".stripMargin)
+         |FROM g ORDER BY event_type""".stripMargin,
+
+    "ts_mann_kendall" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS hu
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT a.event_type,
+        |    CAST(SUM(CASE WHEN b.hu > a.hu THEN 1
+        |      WHEN b.hu < a.hu THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM hourly a JOIN hourly b
+        |    ON a.event_type = b.event_type AND a.hour < b.hour
+        |  GROUP BY 1),
+        |n AS (SELECT event_type, count(*) AS n FROM hourly GROUP BY 1),
+        |ties AS (
+        |  SELECT event_type,
+        |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum
+        |  FROM (SELECT event_type, hu, count(*) AS t FROM hourly
+        |        GROUP BY 1, 2) q
+        |  WHERE t > 1 GROUP BY 1),
+        |v AS (
+        |  SELECT s.event_type, n.n, s.s_stat,
+        |    n.n * (n.n - 1) * (2 * n.n + 5) - coalesce(ties.tsum, 0)
+        |      AS var18
+        |  FROM s JOIN n USING (event_type)
+        |  LEFT JOIN ties USING (event_type)),
+        |z AS (
+        |  SELECT event_type, n, s_stat,
+        |    CASE WHEN var18 = 0 THEN 0.0
+        |      WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+        |        / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+        |      WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+        |        / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+        |      ELSE 0.0 END AS z
+        |  FROM v)
+        |SELECT event_type, n AS n_hours, s_stat, round(z, 4) AS z,
+        |  CASE WHEN round(z, 4) > 1.96 THEN 'increasing'
+        |       WHEN round(z, 4) < -1.96 THEN 'decreasing'
+        |       ELSE 'no_trend' END AS trend
+        |FROM z ORDER BY event_type""".stripMargin)
 }

@@ -364,4 +364,48 @@ class Round4fSpec extends SparkTestBase {
     assert(got == Seq((tpl, 2L, 0.6667), ("tiny doc", 1L, 0.3333)),
       s"got $got")
   }
+
+  test("ts_mann_kendall: monotone ramp trends up, flat series reads 0") {
+    val dir = tempDir()
+    import spark.implicits._
+    def ev(id: Long, hour: Int, v: Double) =
+      (id, (1577836800L + hour * 3600L) * 1000000000L, 1L, "view", v, "{}")
+    // strictly increasing, 10 hours: S = 45, Var·18 = 10·9·25 = 2250,
+    // z = 44/√125 → 3.9355 → increasing
+    writeFixture(dir, "events",
+      (1 to 10).map(h => ev(h.toLong, h - 1, h.toDouble))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val up = operators.TimeSeriesOps.queries("ts_mann_kendall")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getString(4))).head
+    val zExp = BigDecimal(44.0 / math.sqrt(2250.0 / 18.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(up == ((10L, 45L, zExp, "increasing")), s"got $up")
+    // all-equal series: S = 0 and the tie correction empties Var
+    writeFixture(dir, "events",
+      (1 to 5).map(h => ev(h.toLong, h - 1, 2.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val flat = operators.TimeSeriesOps.queries("ts_mann_kendall")(spark, dir)
+      .collect().map(r => (r.getLong(2), r.getDouble(3), r.getString(4))).head
+    assert(flat == ((0L, 0.0, "no_trend")), s"got $flat")
+  }
+
+  test("mine_diff_in_diff: subtracts the control drift exactly") {
+    val dir = tempDir()
+    import spark.implicits._
+    def ord(k: Long, c: Long, month: Int, p: Double) =
+      (k, c, "O", p, java.sql.Timestamp.valueOf(f"2020-$month%02d-01 00:00:00"),
+        "1-URGENT")
+    // ctrl (odd cust): 10 → 20 (drift +10); treat (even): 10 → 35
+    // → DiD = 25 − 10 = 15
+    writeFixture(dir, "orders", Seq(
+      ord(1, 1, 1, 10.0), ord(2, 1, 8, 20.0),
+      ord(3, 2, 1, 10.0), ord(4, 2, 8, 35.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"))
+    val got = operators.MiningOps.queries("mine_diff_in_diff")(spark, dir)
+      .collect().map(r => (r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7), r.getDouble(8))).head
+    assert(got == ((10.0, 35.0, 10.0, 20.0, 15.0)), s"got $got")
+  }
 }
