@@ -1136,6 +1136,34 @@ object TextOps {
         .select(col("source"), col("prefix"), col("n_docs"),
           r4(col("n_docs").cast(DoubleType) / col("tn")).as("share"))
         .orderBy(col("source"), desc("n_docs"), col("prefix"))
+    }),
+
+    // sequence-length bucket batching audit: docs bin into the
+    // padding buckets a training dataloader pads to (128/256/512/
+    // 1024/2048 tokens, longer docs truncate at 2048) and each bucket
+    // reports its PADDING WASTE — the fraction of padded positions
+    // holding no token, the number a batching strategy is judged by
+    // (pipeline_pack_chunks ELIMINATES padding by concat-packing;
+    // this measures what naive bucketing leaves on the table). The
+    // bucket edge is an explicit 5-arm CASE (no float log anywhere),
+    // counts/token sums exact BIGINTs, one ratio close per bucket.
+    // One scan, one ≤5-row agg.
+    "pipeline_padding_waste" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(expr("size(split(text, ' '))").cast("long").as("t"))
+        .withColumn("edge", when(col("t") <= 128, 128L)
+          .when(col("t") <= 256, 256L).when(col("t") <= 512, 512L)
+          .when(col("t") <= 1024, 1024L).otherwise(2048L))
+      toks.groupBy(col("edge"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(least(col("t"), col("edge"))).as("kept_tokens"),
+          sum(greatest(col("t") - lit(2048L), lit(0L))).as("truncated_tokens"))
+        .withColumn("padded", col("n_docs") * col("edge"))
+        .select(col("edge"), col("n_docs"), col("kept_tokens"),
+          col("truncated_tokens"), col("padded"),
+          r4((col("padded") - col("kept_tokens")).cast(DoubleType) /
+            col("padded")).as("waste_ratio"))
+        .orderBy(col("edge"))
     }))
 
   /** PII regexes, valid as BOTH Java regex (Spark) and RE2 (DuckDB):
@@ -1860,5 +1888,26 @@ object TextOps {
         |SELECT t.source, t.prefix, t.n_docs,
         |  round(CAST(t.n_docs AS DOUBLE) / tt.tn, 4) AS share
         |FROM top t JOIN tot tt USING (source)
-        |ORDER BY source, n_docs DESC, prefix""".stripMargin)
+        |ORDER BY source, n_docs DESC, prefix""".stripMargin,
+
+    "pipeline_padding_waste" ->
+      """WITH toks AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+        |  FROM documents),
+        |bk AS (
+        |  SELECT t, CASE WHEN t <= 128 THEN 128 WHEN t <= 256 THEN 256
+        |    WHEN t <= 512 THEN 512 WHEN t <= 1024 THEN 1024
+        |    ELSE 2048 END AS edge
+        |  FROM toks),
+        |g AS (
+        |  SELECT edge, count(*) AS n_docs,
+        |    CAST(SUM(least(t, edge)) AS BIGINT) AS kept_tokens,
+        |    CAST(SUM(greatest(t - 2048, 0)) AS BIGINT) AS truncated_tokens
+        |  FROM bk GROUP BY 1)
+        |SELECT CAST(edge AS BIGINT) AS edge, n_docs, kept_tokens,
+        |  truncated_tokens,
+        |  CAST(n_docs * edge AS BIGINT) AS padded,
+        |  round(CAST(n_docs * edge - kept_tokens AS DOUBLE)
+        |    / (n_docs * edge), 4) AS waste_ratio
+        |FROM g ORDER BY edge""".stripMargin)
 }

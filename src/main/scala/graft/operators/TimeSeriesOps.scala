@@ -1042,6 +1042,43 @@ object TimeSeriesOps {
             .when(r4(col("z")) < -1.96, "decreasing")
             .otherwise("no_trend").as("trend"))
         .orderBy(col("event_type"))
+    }),
+
+    // forecaster backtest per series: MAE and RMSE of the naive
+    // (x̂ₜ = xₜ₋₁) and seasonal-naive (x̂ₜ = xₜ₋₂₄) one-step
+    // forecasters over the hourly history — the evaluation harness
+    // every "should we bother with a model?" conversation starts from
+    // (seasonal-naive beating naive is the detector for daily shape;
+    // neither beating a constant flags a random walk). Lags are ROW
+    // lags over the bounded hourly aggregate (gaps advance the row
+    // clock, declared); errors are exact integer units — |e| sums as
+    // BIGINT, e² in DECIMAL(38,0)/HUGEINT — and each metric closes in
+    // one IEEE expression.
+    "ts_forecast_backtest" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg((sum(col("value").cast(dec)) * 10000).cast("long").as("hu"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      val er = hourly
+        .withColumn("e1", col("hu") - lag(col("hu"), 1).over(w))
+        .withColumn("e24", col("hu") - lag(col("hu"), 24).over(w))
+        .select(col("event_type"), explode(expr(
+          """filter(array(struct('naive' AS model, e1 AS e),
+            |  struct('seasonal_naive' AS model, e24 AS e)),
+            |  x -> x.e IS NOT NULL)""".stripMargin)).as("m"))
+        .select(col("event_type"), col("m.model").as("model"),
+          abs(col("m.e")).as("ae"))
+      er.groupBy(col("event_type"), col("model"))
+        .agg(count(lit(1)).as("n_evals"), sum(col("ae")).as("sae"),
+          sum(col("ae").cast(dec38) * col("ae").cast(dec38)).as("sse"))
+        .select(col("event_type"), col("model"), col("n_evals"),
+          r4(col("sae").cast(DoubleType) / col("n_evals") / 10000.0)
+            .as("mae"),
+          r4(sqrt(col("sse").cast(DoubleType) / col("n_evals")) / 10000.0)
+            .as("rmse"))
+        .orderBy(col("event_type"), col("model"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -1735,5 +1772,30 @@ object TimeSeriesOps {
         |  CASE WHEN round(z, 4) > 1.96 THEN 'increasing'
         |       WHEN round(z, 4) < -1.96 THEN 'decreasing'
         |       ELSE 'no_trend' END AS trend
-        |FROM z ORDER BY event_type""".stripMargin)
+        |FROM z ORDER BY event_type""".stripMargin,
+
+    "ts_forecast_backtest" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS hu
+        |  FROM events GROUP BY 1, 2),
+        |lg AS (
+        |  SELECT event_type,
+        |    hu - lag(hu, 1) OVER w AS e1, hu - lag(hu, 24) OVER w AS e24
+        |  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY hour)),
+        |er AS (
+        |  SELECT event_type, 'naive' AS model, abs(e1) AS ae
+        |  FROM lg WHERE e1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT event_type, 'seasonal_naive', abs(e24)
+        |  FROM lg WHERE e24 IS NOT NULL),
+        |g AS (
+        |  SELECT event_type, model, count(*) AS n_evals,
+        |    CAST(sum(ae) AS BIGINT) AS sae,
+        |    SUM(CAST(ae AS HUGEINT) * ae) AS sse
+        |  FROM er GROUP BY 1, 2)
+        |SELECT event_type, model, n_evals,
+        |  round(CAST(sae AS DOUBLE) / n_evals / 10000.0, 4) AS mae,
+        |  round(sqrt(CAST(sse AS DOUBLE) / n_evals) / 10000.0, 4) AS rmse
+        |FROM g ORDER BY event_type, model""".stripMargin)
 }

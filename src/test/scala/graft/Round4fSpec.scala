@@ -408,4 +408,42 @@ class Round4fSpec extends SparkTestBase {
         r.getDouble(7), r.getDouble(8))).head
     assert(got == ((10.0, 35.0, 10.0, 20.0, 15.0)), s"got $got")
   }
+
+  test("ts_forecast_backtest: naive errors are the hand deltas") {
+    val dir = tempDir()
+    import spark.implicits._
+    def ev(id: Long, hour: Int, v: Double) =
+      (id, (1577836800L + hour * 3600L) * 1000000000L, 1L, "view", v, "{}")
+    // series 10, 12, 9: naive errors |2|, |3| → MAE 2.5,
+    // RMSE = √((4+9)/2) = √6.5 → 2.5495; no 24-lag pairs exist
+    writeFixture(dir, "events", Seq(ev(1, 0, 10.0), ev(2, 1, 12.0),
+      ev(3, 2, 9.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = operators.TimeSeriesOps
+      .queries("ts_forecast_backtest")(spark, dir)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    val rmse = BigDecimal(math.sqrt((4e8 + 9e8) / 2) / 10000.0)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(("naive", 2L, 2.5, rmse)), s"got $got")
+  }
+
+  test("pipeline_padding_waste: bucket edges and waste on hand lengths") {
+    val dir = tempDir()
+    import spark.implicits._
+    def doc(id: Long, n: Int) =
+      (id, Seq.fill(n)("w").mkString(" "), "en", "s", 1L)
+    // 100 and 128 tokens → edge 128 (waste (256−228)/256);
+    // 300 tokens → edge 512; 3000 → edge 2048, 952 truncated
+    writeFixture(dir, "documents", Seq(doc(1, 100), doc(2, 128),
+      doc(3, 300), doc(4, 3000))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = operators.TextOps.queries("pipeline_padding_waste")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == Seq(
+      (128L, 2L, 228L, 0L, 256L, 0.1094),
+      (512L, 1L, 300L, 0L, 512L, 0.4141),
+      (2048L, 1L, 2048L, 952L, 2048L, 0.0)), s"got $got")
+  }
 }
