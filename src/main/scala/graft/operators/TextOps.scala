@@ -1164,6 +1164,27 @@ object TextOps {
           r4((col("padded") - col("kept_tokens")).cast(DoubleType) /
             col("padded")).as("waste_ratio"))
         .orderBy(col("edge"))
+    }),
+
+    // reproducible per-epoch shuffle: each training epoch orders the
+    // corpus by md5(doc_id ‖ ':' ‖ epoch) — a DIFFERENT deterministic
+    // permutation per epoch that any worker, any rerun, any engine
+    // recomputes identically (the seeded-shuffle a multi-epoch run
+    // needs; mixture_schedule decides the RATIOS, this the per-epoch
+    // ORDER). Reported: the first 10 positions of epochs 1–3.
+    // Per-row hash in codegen; rank windows partition by epoch over
+    // (key, doc_id) — a total order, ties impossible.
+    "pipeline_epoch_shuffle" -> ((s, d) => {
+      val keyed = Tables.documents(s, d)
+        .select(col("doc_id"), explode(expr("sequence(1, 3)")).as("epoch"))
+        .withColumn("k",
+          md5(concat(col("doc_id").cast("string"), lit(":"),
+            col("epoch").cast("string"))))
+      val w = Window.partitionBy(col("epoch")).orderBy(col("k"), col("doc_id"))
+      keyed.withColumn("pos", row_number().over(w)).filter(col("pos") <= 10)
+        .select(col("epoch").cast("int").as("epoch"), col("pos"),
+          col("doc_id"))
+        .orderBy(col("epoch"), col("pos"))
     }))
 
   /** PII regexes, valid as BOTH Java regex (Spark) and RE2 (DuckDB):
@@ -1909,5 +1930,19 @@ object TextOps {
         |  CAST(n_docs * edge AS BIGINT) AS padded,
         |  round(CAST(n_docs * edge - kept_tokens AS DOUBLE)
         |    / (n_docs * edge), 4) AS waste_ratio
-        |FROM g ORDER BY edge""".stripMargin)
+        |FROM g ORDER BY edge""".stripMargin,
+
+    "pipeline_epoch_shuffle" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, ep.epoch,
+        |    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(ep.epoch AS VARCHAR))
+        |      AS k
+        |  FROM documents
+        |  CROSS JOIN (SELECT unnest([1, 2, 3]) AS epoch) ep)
+        |SELECT CAST(epoch AS INT) AS epoch, CAST(pos AS INT) AS pos, doc_id
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY epoch
+        |    ORDER BY k, doc_id) AS pos
+        |  FROM keyed) q
+        |WHERE pos <= 10 ORDER BY epoch, pos""".stripMargin)
 }

@@ -371,6 +371,48 @@ object Windows {
           r4(expr("element_at(arr, CAST((size(arr) + 1) div 2 AS INT))")
             .cast(DoubleType) / 10000.0).as("rolling_median"))
         .orderBy(col("event_type"), col("hour"))
+    }),
+
+    // rolling 24-hour Pearson correlation between the view and click
+    // hourly volumes — the lead-indicator monitor ("does engagement
+    // still translate?"; ts_crosscorr_lagged scores the WHOLE series
+    // per lag, this tracks coupling OVER TIME at lag 0). All six
+    // sufficient sums are exact inside the frame (units BIGINT,
+    // products DECIMAL(38,0)/HUGEINT — hourly sums can reach 1e16
+    // units at the documented scale, squares 1e32, frame sums 1e35:
+    // inside both engines' exact range), the close is one IEEE
+    // expression, zero-variance frames read 0 by convention. The
+    // window is unpartitioned but runs over the JOINED HOURLY
+    // aggregate — calendar-bounded, the declared ts_late_data class.
+    "win_rolling_corr" -> ((s, d) => {
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      def hourlyOf(t: String, cn: String) = Tables.events(s, d)
+        .filter(col("event_type") === t)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg((sum(col("value").cast(DecimalType(18, 4))) * 10000)
+          .cast("long").as(cn))
+      val j = hourlyOf("view", "x").join(hourlyOf("click", "y"), Seq("hour"))
+      val w = Window.orderBy(col("hour")).rowsBetween(-23, Window.currentRow)
+      j.withColumn("n", count(lit(1)).over(w))
+        .withColumn("sx", sum(col("x").cast(dec38)).over(w))
+        .withColumn("sy", sum(col("y").cast(dec38)).over(w))
+        .withColumn("sxy",
+          sum(col("x").cast(dec38) * col("y").cast(dec38)).over(w))
+        .withColumn("sxx",
+          sum(col("x").cast(dec38) * col("x").cast(dec38)).over(w))
+        .withColumn("syy",
+          sum(col("y").cast(dec38) * col("y").cast(dec38)).over(w))
+        .withColumn("num",
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType))
+        .withColumn("vx",
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType))
+        .withColumn("vy",
+          (col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType))
+        .select(ntz(col("hour")).as("hour"), col("n").as("n_in_frame"),
+          r4(when(col("vx") <= 0.0 || col("vy") <= 0.0, lit(0.0))
+            .otherwise(col("num") / (sqrt(col("vx")) * sqrt(col("vy")))))
+            .as("corr"))
+        .orderBy(col("hour"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -571,6 +613,35 @@ object Windows {
         |      ORDER BY o_totalprice, o_orderkey) AS decile
         |  FROM orders) t
         |GROUP BY 1, 2 ORDER BY o_orderpriority, decile""".stripMargin,
+
+    "win_rolling_corr" ->
+      """WITH hv AS (
+        |  SELECT date_trunc('hour', ts) AS hour,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS x
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |hc AS (
+        |  SELECT date_trunc('hour', ts) AS hour,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS y
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |j AS (SELECT hour, x, y FROM hv JOIN hc USING (hour)),
+        |w AS (
+        |  SELECT hour, count(*) OVER fr AS n,
+        |    SUM(CAST(x AS HUGEINT)) OVER fr AS sx,
+        |    SUM(CAST(y AS HUGEINT)) OVER fr AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) OVER fr AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) OVER fr AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y) OVER fr AS syy
+        |  FROM j WINDOW fr AS (ORDER BY hour
+        |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+        |c AS (
+        |  SELECT hour, n, CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS vx,
+        |    CAST(n * syy - sy * sy AS DOUBLE) AS vy
+        |  FROM w)
+        |SELECT hour, CAST(n AS BIGINT) AS n_in_frame,
+        |  round(CASE WHEN vx <= 0.0 OR vy <= 0.0 THEN 0.0
+        |    ELSE num / (sqrt(vx) * sqrt(vy)) END, 4) AS corr
+        |FROM c ORDER BY hour""".stripMargin,
 
     "win_rolling_median" ->
       """WITH hourly AS (

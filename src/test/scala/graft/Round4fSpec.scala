@@ -446,4 +446,39 @@ class Round4fSpec extends SparkTestBase {
       (512L, 1L, 300L, 0L, 512L, 0.4141),
       (2048L, 1L, 2048L, 952L, 2048L, 0.0)), s"got $got")
   }
+
+  test("win_rolling_corr: ±1 on exactly (anti-)linear aligned series") {
+    val dir = tempDir()
+    import spark.implicits._
+    def ev(id: Long, hour: Int, tpe: String, v: Double) =
+      (id, (1577836800L + hour * 3600L) * 1000000000L, 1L, tpe, v, "{}")
+    // view 1,2,3 vs click 6,4,2 → 1-row frame reads 0, then −1
+    writeFixture(dir, "events", Seq(
+      ev(1, 0, "view", 1.0), ev(2, 1, "view", 2.0), ev(3, 2, "view", 3.0),
+      ev(4, 0, "click", 6.0), ev(5, 1, "click", 4.0), ev(6, 2, "click", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = operators.Windows.queries("win_rolling_corr")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 0.0), (2L, -1.0), (3L, -1.0)), s"got $got")
+  }
+
+  test("pipeline_epoch_shuffle: positions equal the md5 replica, epochs differ") {
+    val dir = tempDir()
+    import spark.implicits._
+    val ids = (1L to 6L)
+    writeFixture(dir, "documents", ids.map(i => (i, "t", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val exp = (1 to 3).flatMap { ep =>
+      ids.map(i => (i, md5hex(s"$i:$ep"))).sortBy(p => (p._2, p._1))
+        .take(10).zipWithIndex.map { case ((i, _), p) => (ep, p + 1, i) }
+    }
+    val got = operators.TextOps.queries("pipeline_epoch_shuffle")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == exp, s"got $got exp $exp")
+    // the three epochs are genuinely different permutations
+    val perms = got.groupBy(_._1).values.map(_.map(_._3)).toSet
+    assert(perms.size == 3, s"epoch permutations collide: $perms")
+  }
 }
