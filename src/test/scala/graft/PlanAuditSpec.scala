@@ -603,4 +603,30 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("specifiedwindowframe(RowFrame, -24, currentrow"),
       s"the collect_list frame must be the bounded 25-row frame:\n$p")
   }
+
+  test("later round-4f joins stay equi-join (cartesian only as broadcast scalars)") {
+    for (q <- Seq("graph_edge_support", "pipeline_ngram_contamination",
+        "ts_mann_kendall", "text_boilerplate_prefixes", "mine_rank_rbo",
+        "text_langid_kappa", "ts_hill_tail_index", "ts_forecast_backtest",
+        "win_rolling_corr", "pipeline_epoch_shuffle")) {
+      val p = plan(q)
+      // BroadcastNestedLoopJoin appears ONLY as the one-row broadcast
+      // scalar cross (the win_global_share pattern) — a true unbounded
+      // cartesian would plan as CartesianProduct
+      assert(!p.contains("CartesianProduct"),
+        s"$q: no unbounded cartesian anywhere:\n$p")
+    }
+  }
+
+  test("win_rolling_corr: the serial window sees only the joined hourly aggregate") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val sp = SparkEntry.queries("win_rolling_corr")(spark, sf001)
+      .queryExecution.sparkPlan
+    sp.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      .foreach { w =>
+        assert(w.child.collect { case a: BaseAggregateExec => a }.nonEmpty,
+          s"the frame windows must run over the hourly aggregate:\n$sp")
+      }
+  }
 }
