@@ -1451,6 +1451,45 @@ object MiningOps {
           r4(col("m_c2")).as("mean_ctrl_post"),
           r4(col("m_t2") - col("m_t1") - (col("m_c2") - col("m_c1")))
             .as("did"))
+    }),
+
+    // majority-class next-event baseline: per previous type, predict
+    // the most frequent next type (ties → lexicographic) and score
+    // the whole transition table — the accuracy floor any sequence
+    // model must beat before it earns its keep (mine_seq_transitions
+    // publishes the matrix, mine_markov_stationary its long-run
+    // state; this is the EVALUATION number on top). Exact integers:
+    // per-row majority via max(struct(n, rev)) over the (count,
+    // reversed-type) total order, accuracy = Σ majority / Σ all, one
+    // close. Aggregates bounded by types².
+    "mine_markov_accuracy" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val trans = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val per = trans.groupBy(col("prev_type"))
+        .agg(sum(col("n")).as("row_n"),
+          // lexicographic tie-break DOWNWARD: flip the type through
+          // an impossible-high sentinel is avoided by min_by shape —
+          // max on (n, next_type) would prefer the LAST type; use
+          // two-stage: max n, then min type attaining it
+          max(col("n")).as("maxn"))
+      val best = trans.join(per, Seq("prev_type"))
+        .filter(col("n") === col("maxn"))
+        .groupBy(col("prev_type"))
+        .agg(max(col("row_n")).as("row_n"), max(col("maxn")).as("maxn"),
+          min(col("next_type")).as("pred_next"))
+      val tot = best.agg(sum(col("row_n")).as("t"), sum(col("maxn")).as("hit"))
+      best.crossJoin(broadcast(tot))
+        .select(col("prev_type"), col("pred_next"), col("row_n"),
+          col("maxn").as("n_correct"),
+          r4(col("maxn").cast(DoubleType) / col("row_n")).as("row_accuracy"),
+          r4(col("hit").cast(DoubleType) / col("t")).as("overall_accuracy"))
+        .orderBy(col("prev_type"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -2282,5 +2321,30 @@ object MiningOps {
         |  round(m_t1, 4) AS mean_treat_pre, round(m_t2, 4) AS mean_treat_post,
         |  round(m_c1, 4) AS mean_ctrl_pre, round(m_c2, 4) AS mean_ctrl_post,
         |  round(m_t2 - m_t1 - (m_c2 - m_c1), 4) AS did
-        |FROM m""".stripMargin)
+        |FROM m""".stripMargin,
+
+    "mine_markov_accuracy" ->
+      """WITH tr AS (
+        |  SELECT prev_type, event_type AS next_type, count(*) AS n FROM (
+        |    SELECT event_type,
+        |      lag(event_type) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) AS prev_type
+        |    FROM events) q
+        |  WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |per AS (
+        |  SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_n,
+        |    CAST(max(n) AS BIGINT) AS maxn
+        |  FROM tr GROUP BY 1),
+        |best AS (
+        |  SELECT t.prev_type, p.row_n, p.maxn,
+        |    min(t.next_type) AS pred_next
+        |  FROM tr t JOIN per p USING (prev_type)
+        |  WHERE t.n = p.maxn GROUP BY 1, 2, 3),
+        |tot AS (SELECT CAST(sum(row_n) AS BIGINT) AS t,
+        |          CAST(sum(maxn) AS BIGINT) AS hit
+        |        FROM best)
+        |SELECT prev_type, pred_next, row_n, maxn AS n_correct,
+        |  round(CAST(maxn AS DOUBLE) / row_n, 4) AS row_accuracy,
+        |  round(CAST(hit AS DOUBLE) / t, 4) AS overall_accuracy
+        |FROM best CROSS JOIN tot ORDER BY prev_type""".stripMargin)
 }

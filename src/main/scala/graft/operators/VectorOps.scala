@@ -457,6 +457,36 @@ object VectorOps {
         .orderBy(col("cell"))
     }),
 
+    // label purity of the coarse-quantizer cells — do the IVF cells
+    // line up with the semantic labels? (high purity = the cell
+    // routing is also a cheap classifier; low purity with high
+    // avg_cos = labels crosscut geometry, not a codebook bug). Same
+    // fixed-8-centroid assignment as vec_cell_stats; per cell the
+    // MAJORITY label via the max(struct(cnt, −label)) total order
+    // (ties → lower label), share = exact integer ratio, one close.
+    // Shuffles: one per-vector argmax row + one (cell, label) agg.
+    "vec_cell_label_purity" -> ((s, d) => {
+      CosineSimilarity.register(s)
+      val e = Tables.embeddings(s, d)
+      val centroids = e.filter(col("vec_id") < 8L)
+        .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+      val assigned = e.crossJoin(broadcast(centroids))
+        .select(col("vec_id"), col("label"),
+          round(cosine("ce", "embedding"), 4).as("ccos"), col("c_id"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(max(struct(col("ccos"), (-col("c_id")).as("neg_id"))).as("best"))
+        .select(col("label"), (-col("best.neg_id")).as("cell"))
+      val cl = assigned.groupBy(col("cell"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      cl.groupBy(col("cell"))
+        .agg(sum(col("cnt")).as("n"),
+          max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("cell"), col("n"), (-col("m.nl")).as("top_label"),
+          col("m.cnt").as("top_n"),
+          r4(col("m.cnt").cast(DoubleType) / col("n")).as("purity"))
+        .orderBy(col("cell"))
+    }),
+
     // K-MEANS CODEBOOK TRAINING — the production IVF path round 1
     // lacked (its codebook is the √N lowest ids, chosen to stay
     // oracle-checkable): 3 Lloyd iterations with deterministic
@@ -1236,6 +1266,30 @@ object VectorOps {
         |    AS avg_cos,
         |  round(min(cos), 4) AS min_cos
         |FROM assigned GROUP BY cell ORDER BY cell""".stripMargin,
+
+    "vec_cell_label_purity" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS c_id, embedding AS ce FROM embeddings
+        |  WHERE vec_id < 8),
+        |assigned AS (
+        |  SELECT vec_id, label, c_id AS cell FROM (
+        |    SELECT e.vec_id, e.label, c.c_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        round(list_cosine_similarity(CAST(c.ce AS DOUBLE[]),
+        |          CAST(e.embedding AS DOUBLE[])), 4) DESC, c.c_id ASC) AS rn
+        |    FROM embeddings e CROSS JOIN cents c) t
+        |  WHERE rn = 1),
+        |cl AS (SELECT cell, label, count(*) AS cnt
+        |       FROM assigned GROUP BY 1, 2),
+        |top AS (
+        |  SELECT cell, CAST(SUM(cnt) OVER (PARTITION BY cell) AS BIGINT)
+        |      AS n, label, cnt,
+        |    row_number() OVER (PARTITION BY cell
+        |      ORDER BY cnt DESC, label ASC) AS rn
+        |  FROM cl)
+        |SELECT cell, n, CAST(label AS INT) AS top_label, cnt AS top_n,
+        |  round(CAST(cnt AS DOUBLE) / n, 4) AS purity
+        |FROM top WHERE rn = 1 ORDER BY cell""".stripMargin,
 
     "vec_knn_join_bucketed" ->
       """WITH probes AS (

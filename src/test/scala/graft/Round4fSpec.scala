@@ -481,4 +481,43 @@ class Round4fSpec extends SparkTestBase {
     val perms = got.groupBy(_._1).values.map(_.map(_._3)).toSet
     assert(perms.size == 3, s"epoch permutations collide: $perms")
   }
+
+  test("vec_cell_label_purity: majority labels and shares per planted cell") {
+    val dir = tempDir()
+    import spark.implicits._
+    // centroids 0=(1,0) lbl 1, 1=(0,1) lbl 2; three extra vectors
+    // lean toward centroid 0 with labels 1,1,2
+    writeFixture(dir, "embeddings", Seq(
+      (0L, Array(1f, 0f), 1), (1L, Array(0f, 1f), 2),
+      (10L, Array(0.9f, 0.1f), 1), (11L, Array(0.8f, 0.2f), 1),
+      (12L, Array(0.7f, 0.3f), 2))
+      .toDF("vec_id", "embedding", "label"))
+    val got = operators.VectorOps.queries("vec_cell_label_purity")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == Seq((0L, 4L, 1, 3L, 0.75), (1L, 1L, 2, 1L, 1.0)),
+      s"got $got")
+  }
+
+  test("mine_markov_accuracy: majority baseline scores the hand chain") {
+    val dir = tempDir()
+    import spark.implicits._
+    def ev(id: Long, minute: Int, tpe: String) =
+      (id, (1577836800L + minute * 60L) * 1000000000L, 1L, tpe, 1.0, "{}")
+    // view→click ×2, view→error, click→view (interleaved sequence:
+    // v c v e v c → transitions vc, cv, ve, ev, vc)
+    writeFixture(dir, "events", Seq(
+      ev(1, 0, "view"), ev(2, 1, "click"), ev(3, 2, "view"),
+      ev(4, 3, "error"), ev(5, 4, "view"), ev(6, 5, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = operators.MiningOps.queries("mine_markov_accuracy")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).toSeq
+    // rows: click→view 1/1, error→view 1/1, view→{click 2, error 1}
+    // → overall (1+1+2)/5 = 0.8
+    assert(got == Seq(
+      ("click", "view", 1L, 1L, 1.0, 0.8),
+      ("error", "view", 1L, 1L, 1.0, 0.8),
+      ("view", "click", 3L, 2L, 0.6667, 0.8)), s"got $got")
+  }
 }
