@@ -820,6 +820,28 @@ object GraphOps {
         .orderBy(col("seed"))
     }),
 
+    // Freeman degree centralization of the trade graph — how star-
+    // like is it as ONE number: C = Σ(d_max − d_i) / ((n−1)(n−2)),
+    // 0 on a regular graph, 1 on a perfect star (the graph-level
+    // summary the degree distribution ops — powerlaw slope, knn
+    // curve, rich club — profile in detail). One bounded degree agg;
+    // the numerator n·d_max − Σd and the denominator accumulate in
+    // DECIMAL(38,0)/HUGEINT (n·d_max squares the vertex count at the
+    // documented scale); ONE IEEE close; n < 3 reads 0 by convention.
+    "graph_centralization" -> ((s, d) => {
+      val dec38 = DecimalType(38, 0)
+      val deg = symEdges(s, d)
+        .groupBy(col("src").as("v")).agg(count(lit(1)).as("dg"))
+      deg.agg(count(lit(1)).as("n_vertices"), max(col("dg")).as("max_degree"),
+          sum(col("dg").cast(dec38)).as("sd"))
+        .select(col("n_vertices"), col("max_degree"),
+          Stable.r4(when(col("n_vertices") < 3, lit(0.0)).otherwise(
+            (col("n_vertices").cast(dec38) * col("max_degree") - col("sd"))
+              .cast(DoubleType) /
+            ((col("n_vertices") - 1).cast(dec38) * (col("n_vertices") - 2))
+              .cast(DoubleType))).as("centralization"))
+    }),
+
     // bounded eccentricity of each BFS seed: the hop-radius within the
     // 3-hop cap (max min-distance to any reached vertex), the reached
     // count, and the LOWEST-id vertex attaining it — closeness asks
@@ -2113,6 +2135,19 @@ object GraphOps {
          |SELECT coalesce(support, 0) AS support, count(*) AS n_edges
          |FROM co LEFT JOIN sup USING (a, b)
          |GROUP BY 1 ORDER BY support""".stripMargin,
+
+    "graph_centralization" ->
+      s"""WITH ed AS ($edgesSql),
+         |sym AS (SELECT src AS a, dst AS b FROM ed
+         |        UNION SELECT dst, src FROM ed),
+         |dg AS (SELECT a, count(*) AS dg FROM sym GROUP BY 1)
+         |SELECT count(*) AS n_vertices, CAST(max(dg) AS BIGINT) AS max_degree,
+         |  round(CASE WHEN count(*) < 3 THEN 0.0
+         |    ELSE CAST(count(*) * CAST(max(dg) AS HUGEINT)
+         |        - SUM(CAST(dg AS HUGEINT)) AS DOUBLE)
+         |      / CAST((count(*) - 1) * CAST(count(*) - 2 AS HUGEINT)
+         |        AS DOUBLE) END, 4) AS centralization
+         |FROM dg""".stripMargin,
 
     "graph_eccentricity_bounded" ->
       s"""WITH RECURSIVE ed AS ($edgesSql),

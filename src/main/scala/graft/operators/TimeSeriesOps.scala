@@ -1079,6 +1079,45 @@ object TimeSeriesOps {
           r4(sqrt(col("sse").cast(DoubleType) / col("n_evals")) / 10000.0)
             .as("rmse"))
         .orderBy(col("event_type"), col("model"))
+    }),
+
+    // seasonality strength per series: 1 − SS_residual/SS_total with
+    // residuals against the hour-of-day profile — how much of the
+    // hourly variance the daily shape explains (≈1: schedule the
+    // capacity by clock; ≈0: the profile is noise and
+    // ts_seasonal_residual_anomaly's flags mean little). The
+    // ts_seasonal_residual_anomaly determinism discipline end-to-end:
+    // profile and grand means close as identical IEEE divisions of
+    // exact decimal sums, BOTH residual kinds 4dp-quantize, squares
+    // sum exactly in DECIMAL(38,8); one final ratio; an SS_total = 0
+    // series reads 0 by convention (exact decimal compare). Two
+    // bounded aggs + one profile join.
+    "ts_seasonal_strength" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(r4(dsum(col("value"))).as("hsum"))
+        .withColumn("hod", hour(col("hour")))
+      val prof = hourly.groupBy(col("event_type"), col("hod"))
+        .agg(r4(sum(col("hsum").cast(dec)).cast("double") / count(lit(1)))
+          .as("pmean"))
+      val grand = hourly.groupBy(col("event_type"))
+        .agg(r4(sum(col("hsum").cast(dec)).cast("double") / count(lit(1)))
+          .as("gmean"))
+      hourly
+        .join(broadcast(prof), Seq("event_type", "hod"))
+        .join(broadcast(grand), Seq("event_type"))
+        .withColumn("r", round(col("hsum") - col("pmean"), 4).cast(dec))
+        .withColumn("rt", round(col("hsum") - col("gmean"), 4).cast(dec))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          sum(col("r") * col("r")).as("ssr"),
+          sum(col("rt") * col("rt")).as("sst"))
+        .select(col("event_type"), col("n_hours"),
+          r4(when(col("sst") === 0, lit(0.0)).otherwise(
+            lit(1.0) - col("ssr").cast(DoubleType) /
+              col("sst").cast(DoubleType))).as("seasonal_strength"))
+        .orderBy(col("event_type"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -1797,5 +1836,39 @@ object TimeSeriesOps {
         |SELECT event_type, model, n_evals,
         |  round(CAST(sae AS DOUBLE) / n_evals / 10000.0, 4) AS mae,
         |  round(sqrt(CAST(sse AS DOUBLE) / n_evals) / 10000.0, 4) AS rmse
-        |FROM g ORDER BY event_type, model""".stripMargin)
+        |FROM g ORDER BY event_type, model""".stripMargin,
+
+    "ts_seasonal_strength" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |      AS hsum,
+        |    hour(date_trunc('hour', ts)) AS hod
+        |  FROM events GROUP BY 1, 2),
+        |prof AS (
+        |  SELECT event_type, hod,
+        |    round(CAST(SUM(CAST(hsum AS DECIMAL(18,4))) AS DOUBLE)
+        |      / count(*), 4) AS pmean
+        |  FROM hourly GROUP BY 1, 2),
+        |grand AS (
+        |  SELECT event_type,
+        |    round(CAST(SUM(CAST(hsum AS DECIMAL(18,4))) AS DOUBLE)
+        |      / count(*), 4) AS gmean
+        |  FROM hourly GROUP BY 1),
+        |res AS (
+        |  SELECT h.event_type,
+        |    CAST(round(h.hsum - p.pmean, 4) AS DECIMAL(18,4)) AS r,
+        |    CAST(round(h.hsum - g.gmean, 4) AS DECIMAL(18,4)) AS rt
+        |  FROM hourly h
+        |  JOIN prof p ON h.event_type = p.event_type AND h.hod = p.hod
+        |  JOIN grand g ON h.event_type = g.event_type),
+        |st AS (
+        |  SELECT event_type, count(*) AS n_hours,
+        |    sum(r * r) AS ssr, sum(rt * rt) AS sst
+        |  FROM res GROUP BY 1)
+        |SELECT event_type, n_hours,
+        |  round(CASE WHEN sst = 0 THEN 0.0
+        |    ELSE 1.0 - CAST(ssr AS DOUBLE) / CAST(sst AS DOUBLE) END, 4)
+        |    AS seasonal_strength
+        |FROM st ORDER BY event_type""".stripMargin)
 }

@@ -520,4 +520,42 @@ class Round4fSpec extends SparkTestBase {
       ("error", "view", 1L, 1L, 1.0, 0.8),
       ("view", "click", 3L, 2L, 0.6667, 0.8)), s"got $got")
   }
+
+  test("ts_seasonal_strength: 1 on a perfectly periodic series, 0 on flat") {
+    val dir = tempDir()
+    import spark.implicits._
+    def ev(id: Long, hour: Int, v: Double) =
+      (id, (1577836800L + hour * 3600L) * 1000000000L, 1L, "view", v, "{}")
+    // two identical days of an hour-of-day pattern → residuals
+    // against the profile are exactly 0 → strength 1
+    val period = (0 until 48).map(h => ev(h + 1L, h, (h % 24 + 1).toDouble))
+    writeFixture(dir, "events", period
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = operators.TimeSeriesOps
+      .queries("ts_seasonal_strength")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).head
+    assert(got == ((48L, 1.0)), s"got $got")
+    writeFixture(dir, "events", (0 until 5).map(h => ev(h + 1L, h, 3.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val flat = operators.TimeSeriesOps
+      .queries("ts_seasonal_strength")(spark, dir)
+      .collect().map(r => r.getDouble(2)).head
+    assert(flat == 0.0, s"got $flat")
+  }
+
+  test("graph_centralization: a perfect star scores exactly 1") {
+    val dir = tempDir()
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    writeFixture(dir, "orders", Seq(
+      (1L, 1L, "O", 10.0, ts, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"))
+    writeFixture(dir, "lineitem", Seq((1L, 7L), (1L, 8L), (1L, 9L))
+      .toDF("l_orderkey", "l_suppkey"))
+    operators.GraphOps.clearMemos(spark)
+    val got = operators.GraphOps.queries("graph_centralization")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).head
+    assert(got == ((4L, 3L, 1.0)), s"got $got")
+  }
 }
