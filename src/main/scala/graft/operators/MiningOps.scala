@@ -52,6 +52,14 @@ object MiningOps {
     * per-bucket boundary aggregate crosses an unpartitioned window). */
   val GiniBuckets = 128
 
+  /** minimum 3-itemset support for mine_itemsets_3 (pairs clear 50
+    * easily at sf0.01; triples sit lower) — shared with the oracle. */
+  val Itemset3MinSupport = 20
+
+  /** value-range bucket count for diag_drift_ks's distributed
+    * cumulative CDFs (same discipline as GiniBuckets). */
+  val KsBuckets = 128
+
   /** mine_ab_ztest conversion threshold (purchases per user) — near
     * the per-user purchase median at every SF (~13), so both arms'
     * rates sit strictly inside (0, 1). Shared with the oracle. */
@@ -1490,6 +1498,98 @@ object MiningOps {
           r4(col("maxn").cast(DoubleType) / col("row_n")).as("row_accuracy"),
           r4(col("hit").cast(DoubleType) / col("t")).as("overall_accuracy"))
         .orderBy(col("prev_type"))
+    }),
+
+    // frequent 3-itemsets over the brand baskets — mine_assoc_rules'
+    // pair view extended one order (the pair says razor→blade, the
+    // triple razor+blade→gel — the cross-sell bundle): support and
+    // 3-way lift = support·n²/(s_a·s_b·s_c). Shape discipline
+    // unchanged: per-order SORTED brand sets in ONE map-side-combined
+    // shuffle, a<b<c triples explode pipeline-side (bounded ≤ C(7,3)
+    // per order by lineitem count), only the triple agg shuffles;
+    // brand totals broadcast; the lift denominator multiplies as
+    // DOUBLE (three 1e9-order brand counts overflow int64 at the
+    // documented scale).
+    "mine_itemsets_3" -> ((s, d) => {
+      val ob = brandBaskets(s, d)
+      val tri = ob.groupBy(col("ok"))
+        .agg(array_sort(collect_set(col("b"))).as("bs"))
+        .select(explode(expr(
+          """flatten(flatten(transform(bs, (x, i) ->
+            |  transform(slice(bs, i + 2, size(bs)), (y, j) ->
+            |    transform(slice(bs, i + j + 3, size(bs)), z ->
+            |      struct(x AS ba, y AS bb, z AS bc))))))""".stripMargin))
+          .as("t"))
+        .groupBy(col("t.ba").as("brand_a"), col("t.bb").as("brand_b"),
+          col("t.bc").as("brand_c"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= Itemset3MinSupport)
+      val totals = ob.groupBy(col("b")).agg(count(lit(1)).as("sb"))
+      val n = ob.agg(countDistinct(col("ok")).as("n_orders"))
+      tri
+        .join(broadcast(totals.select(col("b").as("brand_a"),
+          col("sb").as("sa"))), Seq("brand_a"))
+        .join(broadcast(totals.select(col("b").as("brand_b"),
+          col("sb").as("s2"))), Seq("brand_b"))
+        .join(broadcast(totals.select(col("b").as("brand_c"),
+          col("sb").as("s3"))), Seq("brand_c"))
+        .crossJoin(broadcast(n))
+        .select(col("brand_a"), col("brand_b"), col("brand_c"),
+          col("support"),
+          r4(col("support").cast(DoubleType) * col("n_orders") *
+            col("n_orders") /
+            (col("sa").cast(DoubleType) * col("s2") * col("s3")))
+            .as("lift3"))
+        .orderBy(col("brand_a"), col("brand_b"), col("brand_c"))
+    }),
+
+    // exact two-sample Kolmogorov–Smirnov drift statistic between the
+    // odd- and even-month order-value distributions — the
+    // nonparametric sibling of diag_drift_psi (PSI needs binning
+    // choices; KS is the sup over EVERY cut point, exactly): D =
+    // max |F₁ − F₂| computed as the INTEGER max of
+    // |cum₁·n₂ − cum₂·n₁| over distinct values — no float ever enters
+    // the argmax, so the witness price cannot flip. The global
+    // cumulative composes from value-range buckets (the ts_late_data
+    // discipline: per-bucket sums → ≤128-row boundary cumulative →
+    // within-bucket windows + offsets); products in
+    // DECIMAL(38,0)/HUGEINT.
+    "diag_drift_ks" -> ((s, d) => {
+      val dec38 = DecimalType(38, 0)
+      val v = Tables.orders(s, d)
+        .select((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("v"),
+          (month(col("o_orderdate")) % 2 === 1).as("odd"))
+        .groupBy(col("v"))
+        .agg(count_if(col("odd")).as("c1"), count_if(!col("odd")).as("c2"))
+      val bounds = v.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      val bk = v.crossJoin(broadcast(bounds))
+        .withColumn("bk", expr(
+          s"CAST((v - lo) DIV greatest(CAST(1 AS BIGINT), " +
+            s"(hi - lo + ${KsBuckets - 1}) DIV $KsBuckets) AS INT)"))
+        .drop("lo", "hi")
+      val per = bk.groupBy(col("bk"))
+        .agg(sum(col("c1")).as("b1"), sum(col("c2")).as("b2"))
+      val wB = Window.orderBy(col("bk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val off = per
+        .withColumn("o1", coalesce(sum(col("b1")).over(wB), lit(0L)))
+        .withColumn("o2", coalesce(sum(col("b2")).over(wB), lit(0L)))
+        .select(col("bk"), col("o1"), col("o2"))
+      val wIn = Window.partitionBy(col("bk")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = v.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      bk.join(off, Seq("bk")).crossJoin(broadcast(tot))
+        .withColumn("cum1", col("o1") + sum(col("c1")).over(wIn))
+        .withColumn("cum2", col("o2") + sum(col("c2")).over(wIn))
+        .withColumn("dn", abs(col("cum1").cast(dec38) * col("n2") -
+          col("cum2").cast(dec38) * col("n1")))
+        .agg(max(col("n1")).as("n_a"), max(col("n2")).as("n_b"),
+          max(struct(col("dn"), (-col("v")).as("nv"))).as("m"))
+        .select(col("n_a"), col("n_b"),
+          r4(col("m.dn").cast(DoubleType) /
+            (col("n_a").cast(DoubleType) * col("n_b"))).as("ks"),
+          r4((-col("m.nv")).cast(DoubleType) / 100.0).as("ks_at_price"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -2346,5 +2446,57 @@ object MiningOps {
         |SELECT prev_type, pred_next, row_n, maxn AS n_correct,
         |  round(CAST(maxn AS DOUBLE) / row_n, 4) AS row_accuracy,
         |  round(CAST(hit AS DOUBLE) / t, 4) AS overall_accuracy
-        |FROM best CROSS JOIN tot ORDER BY prev_type""".stripMargin)
+        |FROM best CROSS JOIN tot ORDER BY prev_type""".stripMargin,
+
+    "mine_itemsets_3" ->
+      s"""WITH ob AS (
+         |  SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+         |tri AS (
+         |  SELECT x.b AS brand_a, y.b AS brand_b, z.b AS brand_c,
+         |    count(*) AS support
+         |  FROM ob x JOIN ob y ON x.ok = y.ok AND x.b < y.b
+         |  JOIN ob z ON x.ok = z.ok AND y.b < z.b
+         |  GROUP BY 1, 2, 3 HAVING count(*) >= $Itemset3MinSupport),
+         |tot AS (SELECT b, count(*) AS sb FROM ob GROUP BY 1),
+         |n AS (SELECT count(DISTINCT ok) AS n_orders FROM ob)
+         |SELECT brand_a, brand_b, brand_c, support,
+         |  round(CAST(support AS DOUBLE) * n_orders * n_orders
+         |    / (CAST(ta.sb AS DOUBLE) * tb.sb * tc.sb), 4) AS lift3
+         |FROM tri
+         |JOIN tot ta ON ta.b = brand_a
+         |JOIN tot tb ON tb.b = brand_b
+         |JOIN tot tc ON tc.b = brand_c
+         |CROSS JOIN n
+         |ORDER BY brand_a, brand_b, brand_c""".stripMargin,
+
+    "diag_drift_ks" ->
+      """WITH v AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS v,
+        |    CAST(SUM(CASE WHEN month(o_orderdate) % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN month(o_orderdate) % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c2
+        |  FROM orders GROUP BY 1),
+        |cum AS (
+        |  SELECT v,
+        |    SUM(c1) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+        |    SUM(c2) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+        |  FROM v),
+        |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |          CAST(sum(c2) AS BIGINT) AS n2 FROM v),
+        |d AS (
+        |  SELECT v, abs(CAST(cum1 AS HUGEINT) * n2
+        |    - CAST(cum2 AS HUGEINT) * n1) AS dn, n1, n2
+        |  FROM cum CROSS JOIN tot),
+        |best AS (
+        |  SELECT n1, n2, dn, v FROM d
+        |  ORDER BY dn DESC, v ASC LIMIT 1)
+        |SELECT n1 AS n_a, n2 AS n_b,
+        |  round(CAST(dn AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 4) AS ks,
+        |  round(CAST(v AS DOUBLE) / 100.0, 4) AS ks_at_price
+        |FROM best""".stripMargin)
 }

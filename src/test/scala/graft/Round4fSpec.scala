@@ -558,4 +558,36 @@ class Round4fSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).head
     assert(got == ((4L, 3L, 1.0)), s"got $got")
   }
+
+  test("mine_itemsets_3: a planted bundle clears support with lift 1") {
+    val dir = tempDir()
+    import spark.implicits._
+    writeFixture(dir, "part", Seq((1L, "BA"), (2L, "BB"), (3L, "BC"))
+      .toDF("p_partkey", "p_brand"))
+    // 20 orders each buying all three brands → support 20 = threshold,
+    // totals 20 each, n = 20 → lift3 = 20·20²/20³ = 1
+    writeFixture(dir, "lineitem",
+      (1L to 20L).flatMap(ok => Seq((ok, 1L), (ok, 2L), (ok, 3L)))
+        .toDF("l_orderkey", "l_partkey"))
+    val got = operators.MiningOps.queries("mine_itemsets_3")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == Seq(("BA", "BB", "BC", 20L, 1.0)), s"got $got")
+  }
+
+  test("diag_drift_ks: disjoint supports score 1 at the crossing value") {
+    val dir = tempDir()
+    import spark.implicits._
+    def ord(k: Long, month: Int, p: Double) =
+      (k, 1L, "O", p, java.sql.Timestamp.valueOf(f"2020-$month%02d-01 00:00:00"),
+        "1-URGENT")
+    writeFixture(dir, "orders", Seq(
+      ord(1, 1, 1.0), ord(2, 1, 2.0), ord(3, 2, 3.0), ord(4, 2, 4.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"))
+    val got = operators.MiningOps.queries("diag_drift_ks")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).head
+    assert(got == ((2L, 2L, 1.0, 2.0)), s"got $got")
+  }
 }
