@@ -1590,6 +1590,34 @@ object MiningOps {
           r4(col("m.dn").cast(DoubleType) /
             (col("n_a").cast(DoubleType) * col("n_b"))).as("ks"),
           r4((-col("m.nv")).cast(DoubleType) / 100.0).as("ks_at_price"))
+    }),
+
+    // Good–Turing frequency-of-frequencies over part purchase counts:
+    // N_k = #parts bought exactly k times (k ≤ 10), the smoothed
+    // next-count estimate k* = (k+1)·N_{k+1}/N_k, and the unseen-mass
+    // estimate p₀ = N₁/N — the "how much have we NOT seen" number
+    // (the species-richness question a crawl/catalog coverage
+    // discussion runs on; same math a language model's unseen-token
+    // mass uses). Exact integers end-to-end, two IEEE ratios at the
+    // close; both aggregates bounded (counts histogram ≤ max
+    // multiplicity, output ≤ 10 rows).
+    "mine_good_turing" -> ((s, d) => {
+      val cnt = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+      val fof = cnt.groupBy(col("c").as("k")).agg(count(lit(1)).as("n_k"))
+      val tot = cnt.agg(sum(col("c")).as("n_total"))
+      val nxt = fof.select((col("k") - 1).as("k"), col("n_k").as("n_k1"))
+      fof.filter(col("k") <= 10)
+        .join(nxt, Seq("k"), "left")
+        .crossJoin(broadcast(tot))
+        .crossJoin(broadcast(fof.filter(col("k") === 1)
+          .agg(coalesce(max(col("n_k")), lit(0L)).as("n_1"))))
+        .select(col("k"), col("n_k"),
+          r4(when(col("n_k1").isNull, lit(0.0)).otherwise(
+            (col("k") + 1).cast(DoubleType) * col("n_k1") / col("n_k")))
+            .as("k_star"),
+          r4(col("n_1").cast(DoubleType) / col("n_total")).as("p_unseen"))
+        .orderBy(col("k"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -2498,5 +2526,21 @@ object MiningOps {
         |SELECT n1 AS n_a, n2 AS n_b,
         |  round(CAST(dn AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 4) AS ks,
         |  round(CAST(v AS DOUBLE) / 100.0, 4) AS ks_at_price
-        |FROM best""".stripMargin)
+        |FROM best""".stripMargin,
+
+    "mine_good_turing" ->
+      """WITH cnt AS (
+        |  SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY 1),
+        |fof AS (SELECT c AS k, count(*) AS n_k FROM cnt GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM cnt),
+        |n1 AS (SELECT CAST(coalesce(MAX(n_k), 0) AS BIGINT) AS n_1
+        |       FROM fof WHERE k = 1)
+        |SELECT f.k, f.n_k,
+        |  round(CASE WHEN nx.n_k IS NULL THEN 0.0
+        |    ELSE CAST(f.k + 1 AS DOUBLE) * nx.n_k / f.n_k END, 4) AS k_star,
+        |  round(CAST(n_1 AS DOUBLE) / n_total, 4) AS p_unseen
+        |FROM fof f
+        |LEFT JOIN fof nx ON nx.k = f.k + 1
+        |CROSS JOIN tot CROSS JOIN n1
+        |WHERE f.k <= 10 ORDER BY f.k""".stripMargin)
 }

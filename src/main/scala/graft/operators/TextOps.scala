@@ -1166,6 +1166,59 @@ object TextOps {
         .orderBy(col("edge"))
     }),
 
+    // Heaps' law growth curve: cumulative vocabulary vs cumulative
+    // tokens at 10 doc_id-fraction checkpoints, plus the fitted Heaps
+    // exponent β (V ≈ K·Tᵝ; English corpora sit β ≈ 0.4–0.6 — a β
+    // drifting toward 1 means the crawl keeps finding NEW vocabulary:
+    // unconverged coverage or garbage) — the growth view of the
+    // text_novelty_curve/text_vocab_coverage family. NO global sort:
+    // checkpoints are doc_id VALUE thresholds ((max·q) DIV 10 from a
+    // one-row broadcast bounds agg), vocabulary-at-q counts terms
+    // whose FIRST doc (min doc_id, one hash agg ∝ vocabulary) falls
+    // under the threshold; the 10-point log–log OLS runs the
+    // graph_degree_powerlaw quantized-regression discipline.
+    "text_heaps_law" -> ((s, d) => {
+      val dec = DecimalType(18, 4)
+      val dsm = DecimalType(14, 4)
+      val dpr = DecimalType(18, 8)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("size(split(text, ' '))").cast("long").as("tok"))
+      val mx = docs.agg(max(col("doc_id")).as("mid"))
+      val dchk = docs.crossJoin(broadcast(mx))
+        .select(col("doc_id"), col("tok"), col("mid"),
+          explode(expr("sequence(1, 10)")).as("q"))
+        .filter(col("doc_id") <= expr("(mid * q) DIV 10"))
+        .groupBy(col("q"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+      val first = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("term")).agg(min(col("doc_id")).as("fd"))
+      val vchk = first.crossJoin(broadcast(mx))
+        .select(col("fd"), col("mid"), explode(expr("sequence(1, 10)")).as("q"))
+        .filter(col("fd") <= expr("(mid * q) DIV 10"))
+        .groupBy(col("q")).agg(count(lit(1)).as("vocab"))
+      val pts = dchk.join(vchk, Seq("q"))
+        .withColumn("x",
+          round(log(col("n_tokens").cast("double")), 4).cast(dec))
+        .withColumn("y", round(log(col("vocab").cast("double")), 4).cast(dec))
+      val fit = pts.agg(count(lit(1)).cast(DecimalType(6, 0)).as("k"),
+          sum(col("x")).cast(dsm).as("sx"), sum(col("y")).cast(dsm).as("sy"),
+          sum(col("x") * col("x")).cast(dpr).as("sxx"),
+          sum(col("x") * col("y")).cast(dpr).as("sxy"))
+        .withColumn("beta_d",
+          (col("k") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("k") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        .select(r4(col("beta_d")).as("beta"),
+          r4((col("sy").cast("double")
+            - col("sx").cast("double") * col("beta_d"))
+            / col("k").cast("double")).as("log_k"))
+      pts.crossJoin(broadcast(fit))
+        .select(col("q").cast("long").as("q"), col("n_docs"),
+          col("n_tokens"), col("vocab"), col("beta"), col("log_k"))
+        .orderBy(col("q"))
+    }),
+
     // reproducible per-epoch shuffle: each training epoch orders the
     // corpus by md5(doc_id ‖ ':' ‖ epoch) — a DIFFERENT deterministic
     // permutation per epoch that any worker, any rerun, any engine
@@ -1931,6 +1984,48 @@ object TextOps {
         |  round(CAST(n_docs * edge - kept_tokens AS DOUBLE)
         |    / (n_docs * edge), 4) AS waste_ratio
         |FROM g ORDER BY edge""".stripMargin,
+
+    "text_heaps_law" ->
+      """WITH docs AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        |  FROM documents),
+        |mx AS (SELECT max(doc_id) AS mid FROM docs),
+        |qs AS (SELECT unnest(range(1, 11)) AS q),
+        |dchk AS (
+        |  SELECT q, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens
+        |  FROM docs CROSS JOIN mx CROSS JOIN qs
+        |  WHERE doc_id <= (mid * q) // 10 GROUP BY 1),
+        |fst AS (
+        |  SELECT term, min(doc_id) AS fd FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents) t
+        |  GROUP BY 1),
+        |vchk AS (
+        |  SELECT q, count(*) AS vocab
+        |  FROM fst CROSS JOIN mx CROSS JOIN qs
+        |  WHERE fd <= (mid * q) // 10 GROUP BY 1),
+        |pts AS (
+        |  SELECT d.q, d.n_docs, d.n_tokens, v.vocab,
+        |    CAST(round(ln(CAST(d.n_tokens AS DOUBLE)), 4) AS DECIMAL(18,4))
+        |      AS x,
+        |    CAST(round(ln(CAST(v.vocab AS DOUBLE)), 4) AS DECIMAL(18,4))
+        |      AS y
+        |  FROM dchk d JOIN vchk v USING (q)),
+        |s AS (
+        |  SELECT CAST(count(*) AS DECIMAL(6,0)) AS k,
+        |    CAST(sum(x) AS DECIMAL(14,4)) AS sx,
+        |    CAST(sum(y) AS DECIMAL(14,4)) AS sy,
+        |    CAST(sum(x * x) AS DECIMAL(18,8)) AS sxx,
+        |    CAST(sum(x * y) AS DECIMAL(18,8)) AS sxy
+        |  FROM pts),
+        |fit AS (
+        |  SELECT *, CAST(k * sxy - sx * sy AS DOUBLE)
+        |    / CAST(k * sxx - sx * sx AS DOUBLE) AS beta_d FROM s)
+        |SELECT p.q, p.n_docs, p.n_tokens, p.vocab,
+        |  round(beta_d, 4) AS beta,
+        |  round((CAST(sy AS DOUBLE) - CAST(sx AS DOUBLE) * beta_d)
+        |    / CAST(k AS DOUBLE), 4) AS log_k
+        |FROM pts p CROSS JOIN fit ORDER BY p.q""".stripMargin,
 
     "pipeline_epoch_shuffle" ->
       """WITH keyed AS (

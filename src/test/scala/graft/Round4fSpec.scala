@@ -590,4 +590,29 @@ class Round4fSpec extends SparkTestBase {
         r.getDouble(3))).head
     assert(got == ((2L, 2L, 1.0, 2.0)), s"got $got")
   }
+
+  test("mine_good_turing: frequency-of-frequencies and unseen mass by hand") {
+    val dir = tempDir()
+    import spark.implicits._
+    // parts A,B once each; C twice → N₁=2, N₂=1, N=4
+    writeFixture(dir, "lineitem", Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 3L))
+      .toDF("l_orderkey", "l_partkey"))
+    val got = operators.MiningOps.queries("mine_good_turing")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    // k*₁ = 2·N₂/N₁ = 1; k*₂ = 0 (no N₃); p₀ = 2/4
+    assert(got == Seq((1L, 2L, 1.0, 0.5), (2L, 1L, 0.0, 0.5)), s"got $got")
+  }
+
+  test("text_heaps_law: one new token per doc fits beta exactly 1") {
+    val dir = tempDir()
+    import spark.implicits._
+    writeFixture(dir, "documents",
+      (1L to 10L).map(i => (i, s"w$i", "en", "s", 3L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = operators.TextOps.queries("text_heaps_law")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == (1L to 10L).map(q => (q, q, q, q, 1.0, 0.0)), s"got $got")
+  }
 }
