@@ -88,6 +88,28 @@ object MultimodalOps {
         .orderBy(col("source"))
     }),
 
+    // format sniffing by magic bytes — the router an ingest batch
+    // runs BEFORE paying any decode: per (source, sniffed format),
+    // payload counts and byte totals, where the sniff is the SAME
+    // two-byte magic test the decoders' accepts() use ('P6' → ppm,
+    // 'BM' → bmp, else opaque — PayloadDecoders.PpmDecoder/BmpDecoder;
+    // length guards included so a 2-byte 'P6' stub stays opaque,
+    // exactly like accepts()). Pure prefix arithmetic (codegen'd, no
+    // decode) → fully oracle-checked; one scan, one bounded agg.
+    "multimodal_format_sniff" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("source"), col("text").cast("binary").as("payload"))
+        .withColumn("nb", length(col("payload")))
+        .withColumn("magic", expr("CAST(substring(payload, 1, 2) AS STRING)"))
+        .withColumn("format",
+          when(col("magic") === "P6" && col("nb") > 2, "ppm")
+            .when(col("magic") === "BM" && col("nb") > 54, "bmp")
+            .otherwise("opaque"))
+        .groupBy(col("source"), col("format"))
+        .agg(count(lit(1)).as("n"), sum(col("nb").cast("long")).as("bytes"))
+        .orderBy(col("source"), col("format"))
+    }),
+
     // FRAME SAMPLING over an opaque binary stream — the video-style
     // access pattern: fixed-stride 1 KiB "frames" every 4 KiB, each
     // fingerprinted. Pure binary substring arithmetic (codegen'd, no
@@ -192,6 +214,20 @@ object MultimodalOps {
     // md5(varchar) == md5 of the UTF-8 bytes Spark hashes via the
     // binary cast (corpus verified pure ASCII), so the fingerprints
     // agree byte-for-byte
+    "multimodal_format_sniff" ->
+      """WITH p AS (
+        |  SELECT source, length(text) AS nb, substr(text, 1, 2) AS magic
+        |  FROM documents),
+        |f AS (
+        |  SELECT source, nb,
+        |    CASE WHEN magic = 'P6' AND nb > 2 THEN 'ppm'
+        |         WHEN magic = 'BM' AND nb > 54 THEN 'bmp'
+        |         ELSE 'opaque' END AS format
+        |  FROM p)
+        |SELECT source, format, count(*) AS n,
+        |  CAST(sum(nb) AS BIGINT) AS bytes
+        |FROM f GROUP BY 1, 2 ORDER BY source, format""".stripMargin,
+
     "multimodal_payload_stats" ->
       """SELECT source, count(*) AS n,
         |  CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,

@@ -1166,6 +1166,33 @@ object TextOps {
         .orderBy(col("edge"))
     }),
 
+    // per-source language-mix audit: majority language + share and
+    // the language entropy of each source — the monolinguality gate
+    // an ingest run checks BEFORE routing a source into a
+    // per-language pipeline (entropy ≈ 0: route whole; high entropy:
+    // the source needs doc-level langid — and text_langid_kappa says
+    // whether that langid can be trusted). Exact integers; entropy =
+    // ln n − Σ c·ln c / n on the mine_user_entropy 4dp-quantized
+    // basis; majority via max-count + min-lang (total order).
+    // Aggregates bounded by sources × langs.
+    "text_source_lang_mix" -> ((s, d) => {
+      val lc = Tables.documents(s, d)
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+      val per = lc.groupBy(col("source"))
+        .agg(sum(col("c")).as("n_docs"), count(lit(1)).as("n_langs"),
+          max(col("c")).as("maxc"),
+          dsum(round(col("c").cast("double") * log(col("c")), 4)).as("sc"))
+      val top = lc.join(per.select(col("source"), col("maxc")), Seq("source"))
+        .filter(col("c") === col("maxc"))
+        .groupBy(col("source")).agg(min(col("lang")).as("top_lang"))
+      per.join(top, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_langs"), col("top_lang"),
+          r4(col("maxc").cast(DoubleType) / col("n_docs")).as("top_share"),
+          r4(log(col("n_docs").cast("double")) - col("sc") / col("n_docs"))
+            .as("lang_entropy"))
+        .orderBy(col("source"))
+    }),
+
     // Heaps' law growth curve: cumulative vocabulary vs cumulative
     // tokens at 10 doc_id-fraction checkpoints, plus the fitted Heaps
     // exponent β (V ≈ K·Tᵝ; English corpora sit β ≈ 0.4–0.6 — a β
@@ -1984,6 +2011,26 @@ object TextOps {
         |  round(CAST(n_docs * edge - kept_tokens AS DOUBLE)
         |    / (n_docs * edge), 4) AS waste_ratio
         |FROM g ORDER BY edge""".stripMargin,
+
+    "text_source_lang_mix" ->
+      s"""WITH lc AS (
+         |  SELECT source, lang, count(*) AS c
+         |  FROM documents GROUP BY 1, 2),
+         |per AS (
+         |  SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+         |    count(*) AS n_langs, CAST(max(c) AS BIGINT) AS maxc,
+         |    ${Stable.dsumSql("round(CAST(c AS DOUBLE) * ln(c), 4)")} AS sc
+         |  FROM lc GROUP BY 1),
+         |top AS (
+         |  SELECT l.source, min(l.lang) AS top_lang
+         |  FROM lc l JOIN per p USING (source)
+         |  WHERE l.c = p.maxc GROUP BY 1)
+         |SELECT p.source, p.n_docs, p.n_langs, t.top_lang,
+         |  round(CAST(p.maxc AS DOUBLE) / p.n_docs, 4) AS top_share,
+         |  round(ln(CAST(p.n_docs AS DOUBLE)) - p.sc / p.n_docs, 4)
+         |    AS lang_entropy
+         |FROM per p JOIN top t USING (source)
+         |ORDER BY p.source""".stripMargin,
 
     "text_heaps_law" ->
       """WITH docs AS (

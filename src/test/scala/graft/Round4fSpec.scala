@@ -615,4 +615,42 @@ class Round4fSpec extends SparkTestBase {
         r.getLong(3), r.getDouble(4), r.getDouble(5))).toSeq
     assert(got == (1L to 10L).map(q => (q, q, q, q, 1.0, 0.0)), s"got $got")
   }
+
+  test("text_source_lang_mix: majority, entropy 0 when monolingual") {
+    val dir = tempDir()
+    import spark.implicits._
+    writeFixture(dir, "documents", Seq(
+      (1L, "t", "en", "A", 1L), (2L, "t", "en", "A", 1L),
+      (3L, "t", "en", "B", 1L), (4L, "t", "de", "B", 1L),
+      (5L, "t", "fr", "B", 1L), (6L, "t", "de", "B", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = operators.TextOps.queries("text_source_lang_mix")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4), r.getDouble(5))).toSeq
+    // B: counts en=1, de=2, fr=1 → majority de (2/4); entropy =
+    // ln4 − (2·ln2)/4 with the 4dp per-term quantization
+    val e = BigDecimal(math.log(4.0) -
+      BigDecimal(2 * math.log(2.0)).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble / 4)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(("A", 2L, 1L, "en", 1.0, 0.0),
+      ("B", 4L, 3L, "de", 0.5, e)), s"got $got")
+  }
+
+  test("multimodal_format_sniff: magic bytes route, short stubs stay opaque") {
+    val dir = tempDir()
+    import spark.implicits._
+    val bmp = "BM" + ("x" * 60)
+    writeFixture(dir, "documents", Seq(
+      (1L, "P6 2 2 255 rest-of-ppm", "en", "s", 1L),
+      (2L, bmp, "en", "s", 1L),
+      (3L, "P6", "en", "s", 1L),     // 2-byte stub → opaque
+      (4L, "hello world", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = operators.MultimodalOps
+      .queries("multimodal_format_sniff")(spark, dir)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(("bmp", 1L, 62L), ("opaque", 2L, 13L),
+      ("ppm", 1L, 22L)), s"got $got")
+  }
 }
