@@ -1592,6 +1592,69 @@ object MiningOps {
           r4((-col("m.nv")).cast(DoubleType) / 100.0).as("ks_at_price"))
     }),
 
+    // Weight-of-Evidence / Information-Value scorecard: does account
+    // balance predict heavy buying? c_acctbal bins into 10 equal-width
+    // buckets (broadcast bounds, integer DIV — no quantile sort),
+    // target = the mine_ab_ztest heavy-buyer definition (≥ 14 orders),
+    // WoE_i = ln(good-share/bad-share) with +1 Laplace smoothing (no
+    // zero-cell blowups, declared), IV = Σ (g% − b%)·WoE — the
+    // feature-screening number every credit/propensity model starts
+    // from (IV < 0.02: useless; > 0.3: strong). Exact integer cells;
+    // lns 4dp-quantized (zipf discipline), IV terms 8dp-quantized
+    // then decimal-summed; aggregates bounded by the bin count.
+    "mine_woe_iv" -> ((s, d) => {
+      val ords = Tables.orders(s, d)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      val lab = Tables.customer(s, d)
+        .join(ords, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"),
+          (col("c_acctbal").cast(DecimalType(18, 2)) * 100).cast("long")
+            .as("bal"),
+          (coalesce(col("n_orders"), lit(0L)) >= AbConvThreshold).as("good"))
+      val bounds = lab.agg(min(col("bal")).as("lo"), max(col("bal")).as("hi"))
+      val binned = lab.crossJoin(broadcast(bounds))
+        .withColumn("bin", expr(
+          "CAST(least(CAST(9 AS BIGINT), (bal - lo) DIV greatest(" +
+            "CAST(1 AS BIGINT), (hi - lo + 9) DIV 10)) AS INT)"))
+        .groupBy(col("bin"))
+        .agg(count_if(col("good")).as("g"), count_if(!col("good")).as("b"))
+      val tot = binned.agg(sum(col("g")).as("tg"), sum(col("b")).as("tb"),
+        count(lit(1)).as("k"))
+      val woed = binned.crossJoin(broadcast(tot))
+        .withColumn("gd", (col("g") + 1).cast(DoubleType) /
+          (col("tg") + col("k")).cast(DoubleType))
+        .withColumn("bd", (col("b") + 1).cast(DoubleType) /
+          (col("tb") + col("k")).cast(DoubleType))
+        .withColumn("woe", round(log(col("gd") / col("bd")), 4))
+        .withColumn("term", expr(
+          "CAST(round((gd - bd) * woe, 8) AS DECIMAL(18,8))"))
+      val iv = woed.agg(r4(sum(col("term")).cast(DoubleType)).as("iv"))
+      woed.crossJoin(broadcast(iv))
+        .select(col("bin"), (col("g") + col("b")).as("n"),
+          col("g").as("n_good"), col("b").as("n_bad"), col("woe"),
+          col("iv"))
+        .orderBy(col("bin"))
+    }),
+
+    // charm-pricing census: the distribution of order-total CENT
+    // endings (price mod 1 dollar) — the ".99 effect" every retail
+    // catalog audit looks for (a synthetic generator shows up here
+    // instantly: uniform endings = no human priced these). Exact
+    // integer mod; top 10 endings by count (ties → lower ending) via
+    // TakeOrderedAndProject; the total is a broadcast scalar.
+    "mine_price_endings" -> ((s, d) => {
+      val e = Tables.orders(s, d)
+        .select(pmod((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long"), lit(100L)).as("ending"))
+        .groupBy(col("ending")).agg(count(lit(1)).as("n"))
+      val tot = e.agg(sum(col("n")).as("t"))
+      e.orderBy(desc("n"), col("ending")).limit(10)
+        .crossJoin(broadcast(tot))
+        .select(col("ending"), col("n"),
+          r4(col("n").cast(DoubleType) / col("t")).as("share"))
+        .orderBy(desc("n"), col("ending"))
+    }),
+
     // Good–Turing frequency-of-frequencies over part purchase counts:
     // N_k = #parts bought exactly k times (k ≤ 10), the smoothed
     // next-count estimate k* = (k+1)·N_{k+1}/N_k, and the unseen-mass
@@ -2527,6 +2590,48 @@ object MiningOps {
         |  round(CAST(dn AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 4) AS ks,
         |  round(CAST(v AS DOUBLE) / 100.0, 4) AS ks_at_price
         |FROM best""".stripMargin,
+
+    "mine_woe_iv" ->
+      s"""WITH ords AS (
+         |  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1),
+         |lab AS (
+         |  SELECT c_custkey,
+         |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal,
+         |    coalesce(n_orders, 0) >= $AbConvThreshold AS good
+         |  FROM customer LEFT JOIN ords ON c_custkey = o_custkey),
+         |bounds AS (SELECT min(bal) AS lo, max(bal) AS hi FROM lab),
+         |binned AS (
+         |  SELECT CAST(least(9, (bal - lo) // greatest(1, (hi - lo + 9) // 10))
+         |      AS INT) AS bin,
+         |    CAST(SUM(CASE WHEN good THEN 1 ELSE 0 END) AS BIGINT) AS g,
+         |    CAST(SUM(CASE WHEN good THEN 0 ELSE 1 END) AS BIGINT) AS b
+         |  FROM lab CROSS JOIN bounds GROUP BY 1),
+         |tot AS (SELECT CAST(sum(g) AS BIGINT) AS tg,
+         |          CAST(sum(b) AS BIGINT) AS tb, count(*) AS k
+         |        FROM binned),
+         |woed AS (
+         |  SELECT bin, g, b,
+         |    CAST(g + 1 AS DOUBLE) / CAST(tg + k AS DOUBLE) AS gd,
+         |    CAST(b + 1 AS DOUBLE) / CAST(tb + k AS DOUBLE) AS bd
+         |  FROM binned CROSS JOIN tot),
+         |w2 AS (
+         |  SELECT *, round(ln(gd / bd), 4) AS woe FROM woed),
+         |w3 AS (
+         |  SELECT *, CAST(round((gd - bd) * woe, 8) AS DECIMAL(18,8))
+         |    AS term FROM w2),
+         |iv AS (SELECT round(CAST(SUM(term) AS DOUBLE), 4) AS iv FROM w3)
+         |SELECT bin, g + b AS n, g AS n_good, b AS n_bad, woe, iv
+         |FROM w3 CROSS JOIN iv ORDER BY bin""".stripMargin,
+
+    "mine_price_endings" ->
+      """WITH e AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    % 100 AS ending, count(*) AS n
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM e),
+        |top AS (SELECT ending, n FROM e ORDER BY n DESC, ending LIMIT 10)
+        |SELECT ending, n, round(CAST(n AS DOUBLE) / t, 4) AS share
+        |FROM top CROSS JOIN tot ORDER BY n DESC, ending""".stripMargin,
 
     "mine_good_turing" ->
       """WITH cnt AS (

@@ -653,4 +653,47 @@ class Round4fSpec extends SparkTestBase {
     assert(got == Seq(("bmp", 1L, 62L), ("opaque", 2L, 13L),
       ("ppm", 1L, 22L)), s"got $got")
   }
+
+  test("mine_woe_iv: smoothed WoE and IV equal the two-bin replica") {
+    val dir = tempDir()
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    // two poor never-buyers (bin 0), two rich heavy-buyers (bin 9)
+    writeFixture(dir, "customer", Seq(
+      (1L, "c1", 1, 0.00, "B"), (2L, "c2", 1, 0.50, "B"),
+      (3L, "c3", 1, 99.00, "B"), (4L, "c4", 1, 100.00, "B"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment"))
+    writeFixture(dir, "orders",
+      (1 to 14).flatMap(i => Seq(
+        (i.toLong * 2, 3L, "O", 1.0, ts, "1-URGENT"),
+        (i.toLong * 2 + 1, 4L, "O", 1.0, ts, "1-URGENT")))
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"))
+    val got = operators.MiningOps.queries("mine_woe_iv")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).toSeq
+    def q(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (gd0, bd0) = (1.0 / 4, 3.0 / 4); val (gd9, bd9) = (3.0 / 4, 1.0 / 4)
+    val w0 = q(math.log(gd0 / bd0), 4); val w9 = q(math.log(gd9 / bd9), 4)
+    val iv = q(BigDecimal(q((gd0 - bd0) * w0, 8)).toDouble +
+      BigDecimal(q((gd9 - bd9) * w9, 8)).toDouble, 4)
+    assert(got == Seq((0, 2L, 0L, 2L, w0, iv), (9, 2L, 2L, 0L, w9, iv)),
+      s"got $got")
+  }
+
+  test("mine_price_endings: cent endings count with shares") {
+    val dir = tempDir()
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    def ord(k: Long, p: Double) = (k, 1L, "O", p, ts, "1-URGENT")
+    writeFixture(dir, "orders", Seq(
+      ord(1, 1.99), ord(2, 2.99), ord(3, 99.99), ord(4, 5.50))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"))
+    val got = operators.MiningOps.queries("mine_price_endings")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((99L, 3L, 0.75), (50L, 1L, 0.25)), s"got $got")
+  }
 }
