@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft._
+import graft.Stable._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Encoders
 
@@ -110,6 +111,31 @@ object MultimodalOps {
         .orderBy(col("source"), col("format"))
     }),
 
+    // byte-entropy profile per payload — the compressibility triage
+    // that tells text (≈4–5 bits/byte) from compressed/encrypted
+    // (≈8) and constant padding (≈0) WITHOUT decoding anything: the
+    // router that decides what is even worth storing uncompressed.
+    // Shannon entropy in bits on the mine_user_entropy quantized
+    // basis (log2(n) − Σ round(c·log2 c, 4)/n; byte ≡ char on the
+    // verified-ASCII corpus, same note as payload_stats' md5). The
+    // char explode is map-side (rows ∝ payload bytes, like the
+    // tokenize family); flags compare the ROUNDED entropy against
+    // the dyadic 6.0 threshold.
+    "multimodal_payload_entropy" -> ((s, d) => {
+      val ch = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), "")).as("b"))
+        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      ch.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_bytes"),
+          count(lit(1)).as("distinct_bytes"),
+          dsum(round(col("c").cast("double") * log2(col("c")), 4)).as("sc"))
+        .select(col("doc_id"), col("n_bytes"), col("distinct_bytes"),
+          r4(log2(col("n_bytes").cast("double")) - col("sc") / col("n_bytes"))
+            .as("entropy_bits"))
+        .withColumn("high_entropy", r4(col("entropy_bits")) > 6.0)
+        .orderBy(col("doc_id"))
+    }),
+
     // FRAME SAMPLING over an opaque binary stream — the video-style
     // access pattern: fixed-stride 1 KiB "frames" every 4 KiB, each
     // fingerprinted. Pure binary substring arithmetic (codegen'd, no
@@ -214,6 +240,25 @@ object MultimodalOps {
     // md5(varchar) == md5 of the UTF-8 bytes Spark hashes via the
     // binary cast (corpus verified pure ASCII), so the fingerprints
     // agree byte-for-byte
+    "multimodal_payload_entropy" ->
+      s"""WITH ch AS (
+         |  SELECT doc_id, unnest(string_split(text, '')) AS b
+         |  FROM documents),
+         |cnt AS (SELECT doc_id, b, count(*) AS c FROM ch GROUP BY 1, 2),
+         |st AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bytes,
+         |    count(*) AS distinct_bytes,
+         |    ${dsumSql("round(CAST(c AS DOUBLE) * log2(c), 4)")} AS sc
+         |  FROM cnt GROUP BY 1),
+         |e AS (
+         |  SELECT doc_id, n_bytes, distinct_bytes,
+         |    round(log2(CAST(n_bytes AS DOUBLE)) - sc / n_bytes, 4)
+         |      AS entropy_bits
+         |  FROM st)
+         |SELECT doc_id, n_bytes, distinct_bytes, entropy_bits,
+         |  entropy_bits > 6.0 AS high_entropy
+         |FROM e ORDER BY doc_id""".stripMargin,
+
     "multimodal_format_sniff" ->
       """WITH p AS (
         |  SELECT source, length(text) AS nb, substr(text, 1, 2) AS magic

@@ -1118,6 +1118,40 @@ object TimeSeriesOps {
             lit(1.0) - col("ssr").cast(DoubleType) /
               col("sst").cast(DoubleType))).as("seasonal_strength"))
         .orderBy(col("event_type"))
+    }),
+
+    // on-balance volume over the daily VWAP series: OBV_t = Σ
+    // sign(Δvwap)·volume — does volume flow WITH the price moves?
+    // (diverging OBV vs price is the classic accumulation signal;
+    // ts_vwap publishes the series, this its volume-confirmation
+    // companion). The price-move sign NEVER touches a float: vwap_d >
+    // vwap_{d−1} ⟺ notional_d·vol_{d−1} > notional_{d−1}·vol_d —
+    // exact DECIMAL(38,·) cross-products; volumes sum as exact
+    // decimals. The cumulative window is unpartitioned but runs over
+    // the bounded daily aggregate (calendar-bounded, the declared
+    // ts_late_data class).
+    "ts_obv" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      val daily = Tables.lineitem(s, d)
+        .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
+        .agg(sum(col("l_quantity").cast(dec)).as("vol"),
+          sum(col("l_extendedprice").cast(dec)).as("notional"))
+      val w = Window.orderBy(col("day"))
+      val wRun = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("pv", lag(col("vol"), 1).over(w))
+        .withColumn("pn", lag(col("notional"), 1).over(w))
+        .withColumn("sgn", when(col("pv").isNull, lit(0L))
+          .when(col("notional") * col("pv") > col("pn") * col("vol"), lit(1L))
+          .when(col("notional") * col("pv") < col("pn") * col("vol"),
+            lit(-1L))
+          .otherwise(lit(0L)))
+        .withColumn("obv", sum(col("sgn") * col("vol")).over(wRun))
+        .select(ntz(col("day")).as("day"), col("sgn"),
+          r4(col("vol").cast(DoubleType)).as("volume"),
+          r4(col("obv").cast(DoubleType)).as("obv"))
+        .orderBy(col("day"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -1870,5 +1904,30 @@ object TimeSeriesOps {
         |  round(CASE WHEN sst = 0 THEN 0.0
         |    ELSE 1.0 - CAST(ssr AS DOUBLE) / CAST(sst AS DOUBLE) END, 4)
         |    AS seasonal_strength
-        |FROM st ORDER BY event_type""".stripMargin)
+        |FROM st ORDER BY event_type""".stripMargin,
+
+    "ts_obv" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', l_shipdate) AS day,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,4))) AS vol,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS notional
+        |  FROM lineitem GROUP BY 1),
+        |lg AS (
+        |  SELECT day, vol, notional,
+        |    lag(vol) OVER (ORDER BY day) AS pv,
+        |    lag(notional) OVER (ORDER BY day) AS pn
+        |  FROM daily),
+        |sg AS (
+        |  SELECT day, vol,
+        |    CASE WHEN pv IS NULL THEN 0
+        |      WHEN notional * pv > pn * vol THEN 1
+        |      WHEN notional * pv < pn * vol THEN -1
+        |      ELSE 0 END AS sgn
+        |  FROM lg)
+        |SELECT day, CAST(sgn AS BIGINT) AS sgn,
+        |  round(CAST(vol AS DOUBLE), 4) AS volume,
+        |  round(CAST(SUM(sgn * vol) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4)
+        |    AS obv
+        |FROM sg ORDER BY day""".stripMargin)
 }

@@ -696,4 +696,33 @@ class Round4fSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(got == Seq((99L, 3L, 0.75), (50L, 1L, 0.25)), s"got $got")
   }
+
+  test("ts_obv: signed volume accumulates on exact vwap compares") {
+    val dir = tempDir()
+    import spark.implicits._
+    def day(n: Int) = java.sql.Timestamp.valueOf(f"2024-01-${n}%02d 00:00:00")
+    // vwaps 10, 20 (+5 vol), 5 (−8 vol), 5 (tie → 0)
+    writeFixture(dir, "lineitem", Seq(
+      (1L, day(1), 10.0, 100.0), (2L, day(2), 5.0, 100.0),
+      (3L, day(3), 8.0, 40.0), (4L, day(4), 2.0, 10.0))
+      .toDF("l_orderkey", "l_shipdate", "l_quantity", "l_extendedprice"))
+    val got = operators.TimeSeriesOps.queries("ts_obv")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got == Seq((0L, 10.0, 0.0), (1L, 5.0, 5.0), (-1L, 8.0, -3.0),
+      (0L, 2.0, -3.0)), s"got $got")
+  }
+
+  test("multimodal_payload_entropy: 0 bits constant, 1 bit for a fair pair") {
+    val dir = tempDir()
+    import spark.implicits._
+    writeFixture(dir, "documents", Seq(
+      (1L, "aaaa", "en", "s", 4L), (2L, "abab", "en", "s", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = operators.MultimodalOps
+      .queries("multimodal_payload_entropy")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(got == Seq((1L, 4L, 1L, 0.0, false), (2L, 4L, 2L, 1.0, false)),
+      s"got $got")
+  }
 }
