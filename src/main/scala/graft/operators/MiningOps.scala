@@ -1655,6 +1655,61 @@ object MiningOps {
         .orderBy(desc("n"), col("ending"))
     }),
 
+    // ABC inventory classification: parts rank by revenue DESC; class
+    // A holds everything before the 80% cumulative-share line, B to
+    // 95%, C the tail — the Pareto shelf-space/attention split every
+    // ops team runs (diag_revenue_concentration profiles customers by
+    // decile; ABC cuts PARTS at fixed revenue lines). The class test
+    // never touches a float: part p is A ⟺ 20·cum_before(p) < 4·...
+    // spelled as cum_before·100 < 80·T on DECIMAL(38,0)/HUGEINT, and
+    // cum_before in DESC order = T − cum_asc_inclusive, so the SAME
+    // ascending value-bucket cumulative the Gini/KS ops use serves
+    // here (per-bucket sums → ≤128-row boundary window → within-
+    // bucket windows + offsets; no global sort).
+    "mine_abc_classes" -> ((s, d) => {
+      val dec2 = DecimalType(18, 2)
+      val dec38 = DecimalType(38, 0)
+      val rev = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg((sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4))) * 10000).cast("long").as("cents"))
+      val bounds = rev.agg(min(col("cents")).as("lo"),
+        max(col("cents")).as("hi"))
+      val bk = rev.crossJoin(broadcast(bounds))
+        .withColumn("bk", expr(
+          s"CAST((cents - lo) DIV greatest(CAST(1 AS BIGINT), " +
+            s"(hi - lo + ${GiniBuckets - 1}) DIV $GiniBuckets) AS INT)"))
+        .drop("lo", "hi")
+      val per = bk.groupBy(col("bk"))
+        .agg(sum(col("cents").cast(dec38)).as("bs"))
+      val wB = Window.orderBy(col("bk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val off = per.withColumn("boff",
+        coalesce(sum(col("bs")).over(wB), lit(0).cast(dec38)))
+        .select(col("bk"), col("boff"))
+      val wIn = Window.partitionBy(col("bk"))
+        .orderBy(col("cents"), col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = rev.agg(sum(col("cents").cast(dec38)).as("t"))
+      bk.join(off, Seq("bk")).crossJoin(broadcast(tot))
+        .withColumn("cumAsc",
+          col("boff") + sum(col("cents").cast(dec38)).over(wIn))
+        .withColumn("cumBefore", col("t") - col("cumAsc"))
+        .withColumn("cls",
+          when(col("cumBefore") * 100 < col("t") * 80, "A")
+            .when(col("cumBefore") * 100 < col("t") * 95, "B")
+            .otherwise("C"))
+        .groupBy(col("cls"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("cents").cast(dec38)).as("crev"))
+        .crossJoin(broadcast(tot))
+        .select(col("cls"), col("n_parts"),
+          r4(col("crev").cast(DoubleType) / 10000.0).as("revenue"),
+          r4(col("crev").cast(DoubleType) / col("t").cast(DoubleType))
+            .as("share"))
+        .orderBy(col("cls"))
+    }),
+
     // Good–Turing frequency-of-frequencies over part purchase counts:
     // N_k = #parts bought exactly k times (k ≤ 10), the smoothed
     // next-count estimate k* = (k+1)·N_{k+1}/N_k, and the unseen-mass
@@ -2632,6 +2687,34 @@ object MiningOps {
         |top AS (SELECT ending, n FROM e ORDER BY n DESC, ending LIMIT 10)
         |SELECT ending, n, round(CAST(n AS DOUBLE) / t, 4) AS share
         |FROM top CROSS JOIN tot ORDER BY n DESC, ending""".stripMargin,
+
+    "mine_abc_classes" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(18,4))) * 10000 AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT SUM(CAST(cents AS HUGEINT)) AS t FROM rev),
+        |rk AS (
+        |  SELECT cents,
+        |    coalesce(SUM(CAST(cents AS HUGEINT)) OVER (
+        |      ORDER BY cents DESC, l_partkey DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cumBefore
+        |  FROM rev),
+        |cl AS (
+        |  SELECT cents,
+        |    CASE WHEN cumBefore * 100 < t * 80 THEN 'A'
+        |         WHEN cumBefore * 100 < t * 95 THEN 'B'
+        |         ELSE 'C' END AS cls
+        |  FROM rk CROSS JOIN tot)
+        |SELECT cls, count(*) AS n_parts,
+        |  round(CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) / 10000.0, 4)
+        |    AS revenue,
+        |  round(CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE)
+        |    / CAST(t AS DOUBLE), 4) AS share
+        |FROM cl CROSS JOIN tot
+        |GROUP BY cls, t ORDER BY cls""".stripMargin,
 
     "mine_good_turing" ->
       """WITH cnt AS (

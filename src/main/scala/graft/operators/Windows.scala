@@ -413,6 +413,49 @@ object Windows {
             .otherwise(col("num") / (sqrt(col("vx")) * sqrt(col("vy")))))
             .as("corr"))
         .orderBy(col("hour"))
+    }),
+
+    // Bollinger-band breach census per series: trailing 24-hour mean
+    // ± 2σ, count of STRICT breaches each side — the volatility-
+    // normalized "unusually high/low hour" monitor (the windowed
+    // sibling of ts_anomaly_zscore's whole-series bands; the EWMA
+    // band weights recent hours, this weights the frame uniformly).
+    // Sufficient sums exact in the frame (units BIGINT, squares
+    // DECIMAL(38,0)); mean/σ close in identical IEEE expressions;
+    // breaches compare strict on those identical doubles (declared);
+    // warmup frames (n < 24) included by declared semantics. Windows
+    // partition by the series key over the bounded hourly aggregate.
+    "win_bollinger_breach" -> ((s, d) => {
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg((sum(col("value").cast(DecimalType(18, 4))) * 10000)
+          .cast("long").as("hu"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+        .rowsBetween(-24, -1)
+      hourly
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sx", sum(col("hu").cast(dec38)).over(w))
+        .withColumn("sxx",
+          sum(col("hu").cast(dec38) * col("hu").cast(dec38)).over(w))
+        .filter(col("n") >= 2)
+        .withColumn("m", col("sx").cast(DoubleType) / col("n"))
+        .withColumn("sg", sqrt(
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType) /
+            (col("n").cast(DoubleType) * col("n"))))
+        .withColumn("up",
+          col("hu").cast(DoubleType) > col("m") + lit(2.0) * col("sg"))
+        .withColumn("dn",
+          col("hu").cast(DoubleType) < col("m") - lit(2.0) * col("sg"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          count_if(col("up")).as("n_upper_breach"),
+          count_if(col("dn")).as("n_lower_breach"))
+        .select(col("event_type"), col("n_hours"), col("n_upper_breach"),
+          col("n_lower_breach"),
+          r4((col("n_upper_breach") + col("n_lower_breach"))
+            .cast(DoubleType) / col("n_hours")).as("breach_rate"))
+        .orderBy(col("event_type"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -642,6 +685,39 @@ object Windows {
         |  round(CASE WHEN vx <= 0.0 OR vy <= 0.0 THEN 0.0
         |    ELSE num / (sqrt(vx) * sqrt(vy)) END, 4) AS corr
         |FROM c ORDER BY hour""".stripMargin,
+
+    "win_bollinger_breach" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS hu
+        |  FROM events GROUP BY 1, 2),
+        |fr AS (
+        |  SELECT event_type, hu,
+        |    count(*) OVER w AS n,
+        |    SUM(CAST(hu AS HUGEINT)) OVER w AS sx,
+        |    SUM(CAST(hu AS HUGEINT) * hu) OVER w AS sxx
+        |  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY hour
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |bands AS (
+        |  SELECT event_type, hu, n,
+        |    CAST(sx AS DOUBLE) / n AS m,
+        |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * n)) AS sg
+        |  FROM fr WHERE n >= 2),
+        |fl AS (
+        |  SELECT event_type,
+        |    CAST(hu AS DOUBLE) > m + 2.0 * sg AS up,
+        |    CAST(hu AS DOUBLE) < m - 2.0 * sg AS dn
+        |  FROM bands)
+        |SELECT event_type, count(*) AS n_hours,
+        |  CAST(SUM(CASE WHEN up THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_upper_breach,
+        |  CAST(SUM(CASE WHEN dn THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_lower_breach,
+        |  round(CAST(SUM(CASE WHEN up THEN 1 ELSE 0 END)
+        |    + SUM(CASE WHEN dn THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 4) AS breach_rate
+        |FROM fl GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "win_rolling_median" ->
       """WITH hourly AS (

@@ -725,4 +725,35 @@ class Round4fSpec extends SparkTestBase {
     assert(got == Seq((1L, 4L, 1L, 0.0, false), (2L, 4L, 2L, 1.0, false)),
       s"got $got")
   }
+
+  test("win_bollinger_breach: a spike breaches the zero-width prior band") {
+    val dir = tempDir()
+    import spark.implicits._
+    def ev(id: Long, hour: Int, v: Double) =
+      (id, (1577836800L + hour * 3600L) * 1000000000L, 1L, "view", v, "{}")
+    // 10,10,10,100 → warmup hours drop (n<2); h2 sits ON the flat
+    // band (strict compare → no breach), h3 breaches upward
+    writeFixture(dir, "events", Seq(
+      ev(1, 0, 10.0), ev(2, 1, 10.0), ev(3, 2, 10.0), ev(4, 3, 100.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = operators.Windows.queries("win_bollinger_breach")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).head
+    assert(got == ((2L, 1L, 0L, 0.5)), s"got $got")
+  }
+
+  test("mine_abc_classes: 80/15/5 revenue cuts to A/B/C exactly") {
+    val dir = tempDir()
+    import spark.implicits._
+    writeFixture(dir, "lineitem", Seq(
+      (1L, 80.0, 0.0), (2L, 15.0, 0.0), (3L, 5.0, 0.0))
+      .toDF("l_partkey", "l_extendedprice", "l_discount"))
+    val got = operators.MiningOps.queries("mine_abc_classes")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    // boundaries are STRICT: the 80-part is A, the part AT the 80%
+    // line is B, the part at 95% is C
+    assert(got == Seq(("A", 1L, 80.0, 0.8), ("B", 1L, 15.0, 0.15),
+      ("C", 1L, 5.0, 0.05)), s"got $got")
+  }
 }
