@@ -568,12 +568,87 @@ object Aggregates {
             .as("gmean"),
           r4(count(lit(1)) / sum(col("rx")).cast(DoubleType)).as("hmean"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // tail-latency-style quantile ratio per series: EXACT p50/p95/p99
+    // of the hourly volumes by integer rank arithmetic (min value
+    // whose cumulative count clears q% of n — the quantileEdges
+    // discipline; agg_percentile's percentile() sorts every value per
+    // group, this walks the bounded value histogram) and the
+    // SLO-review number p99/p50 — "how much worse is the worst hour?"
+    // Zero floats before the two output divisions; histogram/cum
+    // windows bounded by distinct hourly values per series.
+    "agg_tail_ratio" -> ((s, d) => {
+      val dec = DecimalType(18, 4)
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg((sum(col("value").cast(dec)) * 10000).cast("long").as("hu"))
+      val hist = hourly.groupBy(col("event_type"), col("hu"))
+        .agg(count(lit(1)).as("c"))
+      val tot = hourly.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("hu"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      hist.withColumn("cum", sum(col("c")).over(wCum))
+        .join(broadcast(tot), Seq("event_type"))
+        .select(col("event_type"), col("hu"), col("cum"), col("n"),
+          explode(expr("array(50, 95, 99)")).as("q"))
+        .filter(col("cum") * 100 >= col("q") * col("n"))
+        .groupBy(col("event_type"), col("q")).agg(min(col("hu")).as("e"))
+        .groupBy(col("event_type"))
+        .agg(min(when(col("q") === 50, col("e"))).as("p50u"),
+          min(when(col("q") === 95, col("e"))).as("p95u"),
+          min(when(col("q") === 99, col("e"))).as("p99u"))
+        .join(broadcast(tot), Seq("event_type"))
+        .select(col("event_type"), col("n").as("n_hours"),
+          r4(col("p50u").cast(DoubleType) / 10000.0).as("p50"),
+          r4(col("p95u").cast(DoubleType) / 10000.0).as("p95"),
+          r4(col("p99u").cast(DoubleType) / 10000.0).as("p99"),
+          r4(when(col("p50u") === 0, lit(0.0)).otherwise(
+            col("p99u").cast(DoubleType) / col("p50u").cast(DoubleType)))
+            .as("tail_ratio"))
+        .orderBy(col("event_type"))
     }))
 
   private val dsumQty = dsumSql("l_quantity")
   private val dsumPrice = dsumSql("l_extendedprice")
 
   val oracle: Map[String, String] = Map(
+    "agg_tail_ratio" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS hu
+        |  FROM events GROUP BY 1, 2),
+        |hist AS (SELECT event_type, hu, count(*) AS c
+        |         FROM hourly GROUP BY 1, 2),
+        |tot AS (SELECT event_type, count(*) AS n FROM hourly GROUP BY 1),
+        |cum AS (
+        |  SELECT event_type, hu,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY hu
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM hist),
+        |ed AS (
+        |  SELECT c.event_type, q.q, min(c.hu) AS e
+        |  FROM cum c JOIN tot t USING (event_type)
+        |  CROSS JOIN (SELECT unnest([50, 95, 99]) AS q) q
+        |  WHERE c.cum * 100 >= q.q * t.n GROUP BY 1, 2),
+        |pv AS (
+        |  SELECT event_type,
+        |    MIN(CASE WHEN q = 50 THEN e END) AS p50u,
+        |    MIN(CASE WHEN q = 95 THEN e END) AS p95u,
+        |    MIN(CASE WHEN q = 99 THEN e END) AS p99u
+        |  FROM ed GROUP BY 1)
+        |SELECT p.event_type, t.n AS n_hours,
+        |  round(CAST(p50u AS DOUBLE) / 10000.0, 4) AS p50,
+        |  round(CAST(p95u AS DOUBLE) / 10000.0, 4) AS p95,
+        |  round(CAST(p99u AS DOUBLE) / 10000.0, 4) AS p99,
+        |  round(CASE WHEN p50u = 0 THEN 0.0
+        |    ELSE CAST(p99u AS DOUBLE) / CAST(p50u AS DOUBLE) END, 4)
+        |    AS tail_ratio
+        |FROM pv p JOIN tot t USING (event_type)
+        |ORDER BY p.event_type""".stripMargin,
+
     "agg_percentile_weighted" ->
       """WITH h AS (
         |  SELECT l_returnflag,

@@ -1166,6 +1166,27 @@ object TextOps {
         .orderBy(col("edge"))
     }),
 
+    // code-vs-prose screen per document: the share of tokens carrying
+    // code-ish characters (digits, underscores, brackets, operators —
+    // one character class, valid in BOTH regex engines like the PII
+    // set) and the dyadic ¼ verdict via the exact integer compare
+    // 4·n_sym > n_tok — the filter a code/prose corpus split runs
+    // before routing to different tokenizers (prose pipelines mangle
+    // code; code models starve on prose). Per-row codegen
+    // higher-order filter, no shuffle beyond the scan.
+    "text_code_prose_ratio" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_tokens"),
+          expr("size(filter(split(text, ' '), " +
+            "x -> x rlike '[0-9_;{}()=<>]'))").as("n_symbolic"))
+        .select(col("doc_id"), col("n_tokens"), col("n_symbolic"),
+          r4(col("n_symbolic").cast(DoubleType) / col("n_tokens"))
+            .as("symbol_ratio"),
+          (col("n_symbolic") * 4 > col("n_tokens")).as("looks_code"))
+        .orderBy(col("doc_id"))
+    }),
+
     // per-source language-mix audit: majority language + share and
     // the language entropy of each source — the monolinguality gate
     // an ingest run checks BEFORE routing a source into a
@@ -2011,6 +2032,19 @@ object TextOps {
         |  round(CAST(n_docs * edge - kept_tokens AS DOUBLE)
         |    / (n_docs * edge), 4) AS waste_ratio
         |FROM g ORDER BY edge""".stripMargin,
+
+    "text_code_prose_ratio" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> regexp_matches(x, '[0-9_;{}()=<>]'))) AS INT)
+        |      AS n_symbolic
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, n_symbolic,
+        |  round(CAST(n_symbolic AS DOUBLE) / n_tokens, 4) AS symbol_ratio,
+        |  n_symbolic * 4 > n_tokens AS looks_code
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "text_source_lang_mix" ->
       s"""WITH lc AS (

@@ -756,4 +756,32 @@ class Round4fSpec extends SparkTestBase {
     assert(got == Seq(("A", 1L, 80.0, 0.8), ("B", 1L, 15.0, 0.15),
       ("C", 1L, 5.0, 0.05)), s"got $got")
   }
+
+  test("agg_tail_ratio: integer-rank quantiles on a 1..100 ramp") {
+    val dir = tempDir()
+    import spark.implicits._
+    def ev(id: Long, hour: Int, v: Double) =
+      (id, (1577836800L + hour * 3600L) * 1000000000L, 1L, "view", v, "{}")
+    writeFixture(dir, "events",
+      (1 to 100).map(h => ev(h.toLong, h - 1, h.toDouble))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = operators.Aggregates.queries("agg_tail_ratio")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).head
+    assert(got == ((100L, 50.0, 95.0, 99.0, 1.98)), s"got $got")
+  }
+
+  test("text_code_prose_ratio: symbolic tokens trip the quarter gate") {
+    val dir = tempDir()
+    import spark.implicits._
+    writeFixture(dir, "documents", Seq(
+      (1L, "int x = 3 ;", "en", "s", 11L),   // 3/5 symbolic → code
+      (2L, "hello gentle world", "en", "s", 18L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = operators.TextOps.queries("text_code_prose_ratio")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(got == Seq((1L, 5, 3, 0.6, true), (2L, 3, 0, 0.0, false)),
+      s"got $got")
+  }
 }
