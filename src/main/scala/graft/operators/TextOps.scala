@@ -1166,6 +1166,60 @@ object TextOps {
         .orderBy(col("edge"))
     }),
 
+    // per-gate ablation of the quality funnel — the MARGINAL
+    // attribution the sequential funnel hides: for each of the five
+    // gates, how many docs fail it AT ALL (alone) vs how many ONLY it
+    // rejects (every other gate passing) — the second number is what
+    // relaxing that one gate would actually recover, the first what a
+    // reordering could shift. Same flag derivation as
+    // pipeline_quality_funnel (constants shared — the two cannot
+    // drift); exact integer counts, one ratio per row; output is 5
+    // stacked rows from one aggregate.
+    "pipeline_gate_ablation" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tc = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("ntok"), max(col("c")).as("topc"))
+      val wFp = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val flags = docs
+        .withColumn("rn", row_number().over(wFp))
+        .join(tc, Seq("doc_id"))
+        .select(
+          (col("n_chars") >= FunnelMinChars).as("f1"),
+          (col("lang") =!= FunnelLangBlock).as("f2"),
+          (col("ntok") >= FunnelMinTokens).as("f3"),
+          (col("topc").cast("double") / col("ntok") <= FunnelMaxTopShare)
+            .as("f4"),
+          (col("rn") === 1).as("f5"))
+      def alone(f: Column) = sum(when(!f, 1L).otherwise(0L))
+      def only(f: Column, rest: Column*) =
+        sum(when(!f && rest.reduce(_ && _), 1L).otherwise(0L))
+      val (f1, f2, f3, f4, f5) =
+        (col("f1"), col("f2"), col("f3"), col("f4"), col("f5"))
+      flags.agg(count(lit(1)).as("n"),
+          alone(f1).as("a1"), alone(f2).as("a2"), alone(f3).as("a3"),
+          alone(f4).as("a4"), alone(f5).as("a5"),
+          only(f1, f2, f3, f4, f5).as("o1"),
+          only(f2, f1, f3, f4, f5).as("o2"),
+          only(f3, f1, f2, f4, f5).as("o3"),
+          only(f4, f1, f2, f3, f5).as("o4"),
+          only(f5, f1, f2, f3, f4).as("o5"))
+        .select(expr(
+          """stack(5,
+            |  1, 'min_chars',      a1, o1, n,
+            |  2, 'lang_allow',     a2, o2, n,
+            |  3, 'min_tokens',     a3, o3, n,
+            |  4, 'repetition_cap', a4, o4, n,
+            |  5, 'exact_dedup',    a5, o5, n)
+            |AS (stage, gate, n_fail, n_fail_only, n)""".stripMargin))
+        .select(col("stage"), col("gate"), col("n_fail"),
+          col("n_fail_only"),
+          r4(col("n_fail").cast(DoubleType) / col("n")).as("fail_share"))
+        .orderBy(col("stage"))
+    }),
+
     // code-vs-prose screen per document: the share of tokens carrying
     // code-ish characters (digits, underscores, brackets, operators —
     // one character class, valid in BOTH regex engines like the PII
@@ -2032,6 +2086,48 @@ object TextOps {
         |  round(CAST(n_docs * edge - kept_tokens AS DOUBLE)
         |    / (n_docs * edge), 4) AS waste_ratio
         |FROM g ORDER BY edge""".stripMargin,
+
+    "pipeline_gate_ablation" ->
+      s"""WITH tc AS (
+         |  SELECT doc_id, SUM(c) AS ntok, MAX(c) AS topc FROM (
+         |    SELECT doc_id, term, count(*) AS c FROM ($tokCte) GROUP BY 1, 2)
+         |  GROUP BY doc_id),
+         |flags AS (
+         |  SELECT d.n_chars >= $FunnelMinChars AS f1,
+         |    d.lang <> '$FunnelLangBlock' AS f2,
+         |    tc.ntok >= $FunnelMinTokens AS f3,
+         |    CAST(tc.topc AS DOUBLE) / tc.ntok <= $FunnelMaxTopShare AS f4,
+         |    row_number() OVER (PARTITION BY md5(d.text) ORDER BY d.doc_id)
+         |      = 1 AS f5
+         |  FROM documents d JOIN tc USING (doc_id)),
+         |c AS (
+         |  SELECT count(*) AS n,
+         |    count(*) FILTER (WHERE NOT f1) AS a1,
+         |    count(*) FILTER (WHERE NOT f2) AS a2,
+         |    count(*) FILTER (WHERE NOT f3) AS a3,
+         |    count(*) FILTER (WHERE NOT f4) AS a4,
+         |    count(*) FILTER (WHERE NOT f5) AS a5,
+         |    count(*) FILTER (WHERE NOT f1 AND f2 AND f3 AND f4 AND f5)
+         |      AS o1,
+         |    count(*) FILTER (WHERE NOT f2 AND f1 AND f3 AND f4 AND f5)
+         |      AS o2,
+         |    count(*) FILTER (WHERE NOT f3 AND f1 AND f2 AND f4 AND f5)
+         |      AS o3,
+         |    count(*) FILTER (WHERE NOT f4 AND f1 AND f2 AND f3 AND f5)
+         |      AS o4,
+         |    count(*) FILTER (WHERE NOT f5 AND f1 AND f2 AND f3 AND f4)
+         |      AS o5
+         |  FROM flags)
+         |SELECT stage, gate, n_fail, n_fail_only,
+         |  round(CAST(n_fail AS DOUBLE) / n, 4) AS fail_share
+         |FROM (
+         |  SELECT 1 AS stage, 'min_chars' AS gate, a1 AS n_fail,
+         |    o1 AS n_fail_only, n FROM c
+         |  UNION ALL SELECT 2, 'lang_allow', a2, o2, n FROM c
+         |  UNION ALL SELECT 3, 'min_tokens', a3, o3, n FROM c
+         |  UNION ALL SELECT 4, 'repetition_cap', a4, o4, n FROM c
+         |  UNION ALL SELECT 5, 'exact_dedup', a5, o5, n FROM c)
+         |ORDER BY stage""".stripMargin,
 
     "text_code_prose_ratio" ->
       """WITH t AS (

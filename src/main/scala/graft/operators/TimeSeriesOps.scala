@@ -1152,6 +1152,52 @@ object TimeSeriesOps {
           r4(col("vol").cast(DoubleType)).as("volume"),
           r4(col("obv").cast(DoubleType)).as("obv"))
         .orderBy(col("day"))
+    }),
+
+    // one-way ANOVA for a day-of-week effect on daily volume per
+    // series: F = (SSB/(k−1))/(SSW/(n−k)) and η² = SSB/SST — is
+    // "weekends differ" statistically real, and how much variance
+    // does the weekday label explain? (ts_seasonal_strength asks the
+    // hour-of-day version with an R²; this is the grouped-variance
+    // TEST with its effect size.) The seasonal_strength determinism
+    // discipline: identical IEEE mean closes, 4dp residual quantize,
+    // exact DECIMAL(38,8) square sums, SSB = SST − SSW in exact
+    // decimals; degenerate SSW = 0 or n ≤ k reads F = 0 by declared
+    // convention (exact compares). Bounded aggregates throughout.
+    "ts_dow_anova" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(r4(dsum(col("value"))).as("ds"))
+        .withColumn("dow", dayofweek(col("day")))
+      val prof = daily.groupBy(col("event_type"), col("dow"))
+        .agg(r4(sum(col("ds").cast(dec)).cast("double") / count(lit(1)))
+          .as("pmean"))
+      val grand = daily.groupBy(col("event_type"))
+        .agg(r4(sum(col("ds").cast(dec)).cast("double") / count(lit(1)))
+          .as("gmean"))
+      daily
+        .join(broadcast(prof), Seq("event_type", "dow"))
+        .join(broadcast(grand), Seq("event_type"))
+        .withColumn("r", round(col("ds") - col("pmean"), 4).cast(dec))
+        .withColumn("rt", round(col("ds") - col("gmean"), 4).cast(dec))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          countDistinct(col("dow")).as("k_groups"),
+          sum(col("r") * col("r")).as("ssw"),
+          sum(col("rt") * col("rt")).as("sst"))
+        .withColumn("ssb", col("sst") - col("ssw"))
+        .select(col("event_type"), col("n_days"), col("k_groups"),
+          r4(when(col("ssw") === 0 || col("n_days") <= col("k_groups") ||
+              col("k_groups") <= 1, lit(0.0))
+            .otherwise(
+              (col("ssb").cast(DoubleType) / (col("k_groups") - 1)) /
+              (col("ssw").cast(DoubleType) /
+                (col("n_days") - col("k_groups"))))).as("f_stat"),
+          r4(when(col("sst") === 0, lit(0.0)).otherwise(
+            col("ssb").cast(DoubleType) / col("sst").cast(DoubleType)))
+            .as("eta_sq"))
+        .orderBy(col("event_type"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -1929,5 +1975,46 @@ object TimeSeriesOps {
         |  round(CAST(SUM(sgn * vol) OVER (ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4)
         |    AS obv
-        |FROM sg ORDER BY day""".stripMargin)
+        |FROM sg ORDER BY day""".stripMargin,
+
+    "ts_dow_anova" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |      AS ds,
+        |    dayofweek(date_trunc('day', ts)) + 1 AS dow
+        |  FROM events GROUP BY 1, 2),
+        |prof AS (
+        |  SELECT event_type, dow,
+        |    round(CAST(SUM(CAST(ds AS DECIMAL(18,4))) AS DOUBLE)
+        |      / count(*), 4) AS pmean
+        |  FROM daily GROUP BY 1, 2),
+        |grand AS (
+        |  SELECT event_type,
+        |    round(CAST(SUM(CAST(ds AS DECIMAL(18,4))) AS DOUBLE)
+        |      / count(*), 4) AS gmean
+        |  FROM daily GROUP BY 1),
+        |res AS (
+        |  SELECT d.event_type,
+        |    CAST(round(d.ds - p.pmean, 4) AS DECIMAL(18,4)) AS r,
+        |    CAST(round(d.ds - g.gmean, 4) AS DECIMAL(18,4)) AS rt,
+        |    d.dow
+        |  FROM daily d
+        |  JOIN prof p ON d.event_type = p.event_type AND d.dow = p.dow
+        |  JOIN grand g ON d.event_type = g.event_type),
+        |st AS (
+        |  SELECT event_type, count(*) AS n_days,
+        |    count(DISTINCT dow) AS k_groups,
+        |    sum(r * r) AS ssw, sum(rt * rt) AS sst
+        |  FROM res GROUP BY 1)
+        |SELECT event_type, n_days, k_groups,
+        |  round(CASE WHEN ssw = 0 OR n_days <= k_groups OR k_groups <= 1
+        |    THEN 0.0
+        |    ELSE (CAST(sst - ssw AS DOUBLE) / (k_groups - 1))
+        |      / (CAST(ssw AS DOUBLE) / (n_days - k_groups)) END, 4)
+        |    AS f_stat,
+        |  round(CASE WHEN sst = 0 THEN 0.0
+        |    ELSE CAST(sst - ssw AS DOUBLE) / CAST(sst AS DOUBLE) END, 4)
+        |    AS eta_sq
+        |FROM st ORDER BY event_type""".stripMargin)
 }

@@ -784,4 +784,41 @@ class Round4fSpec extends SparkTestBase {
     assert(got == Seq((1L, 5, 3, 0.6, true), (2L, 3, 0, 0.0, false)),
       s"got $got")
   }
+
+  test("pipeline_gate_ablation: each planted failure attributes to its gate") {
+    val dir = tempDir()
+    import spark.implicits._
+    def words(tag: String) = (1 to 45).map(i => s"$tag$i").mkString(" ")
+    writeFixture(dir, "documents", Seq(
+      (1L, words("a"), "en", "s", 10L),   // short → min_chars only
+      (2L, words("b"), "zh", "s", 200L),  // blocked lang only
+      (3L, words("c"), "en", "s", 200L),  // clean, canonical copy
+      (4L, words("c"), "en", "s", 200L))  // duplicate → exact_dedup only
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = operators.TextOps.queries("pipeline_gate_ablation")(spark, dir)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == Seq(
+      ("min_chars", 1L, 1L, 0.25), ("lang_allow", 1L, 1L, 0.25),
+      ("min_tokens", 0L, 0L, 0.0), ("repetition_cap", 0L, 0L, 0.0),
+      ("exact_dedup", 1L, 1L, 0.25)), s"got $got")
+  }
+
+  test("ts_dow_anova: two weekday groups with within-noise score F = 8") {
+    val dir = tempDir()
+    import spark.implicits._
+    def ev(id: Long, date: String, v: Double) =
+      (id, java.sql.Timestamp.valueOf(s"$date 00:00:00").getTime * 1000000L,
+        1L, "view", v, "{}")
+    // Mondays 1, 3 (mean 2) vs Tuesdays 5, 7 (mean 6): SSW = 4,
+    // SST = 20 → F = (16/1)/(4/2) = 8, η² = 0.8
+    writeFixture(dir, "events", Seq(
+      ev(1, "2024-01-01", 1.0), ev(2, "2024-01-08", 3.0),
+      ev(3, "2024-01-02", 5.0), ev(4, "2024-01-09", 7.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = operators.TimeSeriesOps.queries("ts_dow_anova")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).head
+    assert(got == ((4L, 2L, 8.0, 0.8)), s"got $got")
+  }
 }
