@@ -1710,6 +1710,32 @@ object MiningOps {
         .orderBy(col("cls"))
     }),
 
+    // DAU/MAU stickiness per calendar month — THE product-engagement
+    // ratio ("what share of the monthly audience shows up on an
+    // average day"; ≥ 0.2 is the classic consumer bar): avg daily
+    // uniques ÷ monthly uniques. Exact integers: per-day and
+    // per-month distinct users are hash aggregates (shuffle ∝
+    // distinct (day, user)); the ratio divides exact counts in the
+    // identical IEEE order. Bounded monthly output.
+    "mine_dau_mau" -> ((s, d) => {
+      val dau = Tables.events(s, d)
+        .select(date_trunc("month", col("ts")).as("month"),
+          date_trunc("day", col("ts")).as("day"), col("user_id"))
+        .groupBy(col("month"), col("day"))
+        .agg(countDistinct(col("user_id")).as("du"))
+        .groupBy(col("month"))
+        .agg(count(lit(1)).as("n_days"), sum(col("du")).as("du_sum"))
+      val mau = Tables.events(s, d)
+        .groupBy(date_trunc("month", col("ts")).as("month"))
+        .agg(countDistinct(col("user_id")).as("mau"))
+      dau.join(mau, Seq("month"))
+        .select(ntz(col("month")).as("month"), col("n_days"), col("mau"),
+          r4(col("du_sum").cast(DoubleType) / col("n_days")).as("avg_dau"),
+          r4(col("du_sum").cast(DoubleType) / col("n_days") / col("mau"))
+            .as("stickiness"))
+        .orderBy(col("month"))
+    }),
+
     // Good–Turing frequency-of-frequencies over part purchase counts:
     // N_k = #parts bought exactly k times (k ≤ 10), the smoothed
     // next-count estimate k* = (k+1)·N_{k+1}/N_k, and the unseen-mass
@@ -2715,6 +2741,24 @@ object MiningOps {
         |    / CAST(t AS DOUBLE), 4) AS share
         |FROM cl CROSS JOIN tot
         |GROUP BY cls, t ORDER BY cls""".stripMargin,
+
+    "mine_dau_mau" ->
+      """WITH dd AS (
+        |  SELECT date_trunc('month', ts) AS month,
+        |    date_trunc('day', ts) AS day,
+        |    count(DISTINCT user_id) AS du
+        |  FROM events GROUP BY 1, 2),
+        |dau AS (
+        |  SELECT month, count(*) AS n_days, CAST(sum(du) AS BIGINT) AS du_sum
+        |  FROM dd GROUP BY 1),
+        |mau AS (
+        |  SELECT date_trunc('month', ts) AS month,
+        |    count(DISTINCT user_id) AS mau
+        |  FROM events GROUP BY 1)
+        |SELECT month, n_days, mau,
+        |  round(CAST(du_sum AS DOUBLE) / n_days, 4) AS avg_dau,
+        |  round(CAST(du_sum AS DOUBLE) / n_days / mau, 4) AS stickiness
+        |FROM dau JOIN mau USING (month) ORDER BY month""".stripMargin,
 
     "mine_good_turing" ->
       """WITH cnt AS (

@@ -406,6 +406,54 @@ object VectorOps {
             .cast(DoubleType) / count(lit(1))).as("mean_cos_gap"))
     }),
 
+    // recall@k curve of the IVF index over the probe set (vec_id <
+    // 100, the knn-join probe convention): mean recall at k = 1 and
+    // k = 5 against the brute-force truth — vec_ivf_recall_audit
+    // scores the single nearest neighbor; real ANN serving returns a
+    // SHORTLIST, and a system with fine recall@1 but poor recall@5
+    // ships bad candidate lists. Determinism: both rankings order by
+    // (ROUNDED cosine desc, id) — total orders; recalls divide exact
+    // integers once. Cost is probe-bounded: the truth join is 100 ×
+    // corpus, the IVF side rides the per-cell candidate relation.
+    "vec_ivf_recall_at_k" -> ((s, d) => {
+      CosineSimilarity.register(s)
+      val e = Tables.embeddings(s, d)
+      val k = math.ceil(math.sqrt(e.count().toDouble)).toInt
+      val centroids = e.orderBy(col("vec_id")).limit(k)
+        .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+      val asg = assignToCodebook(s, centroids, d)
+        .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
+      val probes = asg.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("p"), col("embedding").as("pe"), col("cell"))
+      val wP = Window.partitionBy(col("p")).orderBy(desc("cos"), asc("b"))
+      val ivf5 = probes
+        .join(asg.select(col("vec_id").as("b"), col("embedding").as("be"),
+          col("cell")), Seq("cell"))
+        .filter(col("p") =!= col("b"))
+        .select(col("p"), col("b"), round(cosine("pe", "be"), 4).as("cos"))
+        .withColumn("rn", row_number().over(wP)).filter(col("rn") <= 5)
+      val truth5 = probes.drop("cell")
+        .join(e.select(col("vec_id").as("b"), col("embedding").as("be")),
+          col("p") =!= col("b"))
+        .select(col("p"), col("b"), round(cosine("pe", "be"), 4).as("cos"))
+        .withColumn("tn", row_number().over(wP)).filter(col("tn") <= 5)
+      val m = truth5.select(col("p"), col("b"), col("tn"))
+        .join(ivf5.select(col("p"), col("b"), col("rn")), Seq("p", "b"))
+      val np = probes.agg(count(lit(1)).as("n_probes"))
+      val matched = m
+        .select(col("tn"), col("rn"), explode(expr("array(1, 5)")).as("kk"))
+        .filter(col("tn") <= col("kk") && col("rn") <= col("kk"))
+        .groupBy(col("kk")).agg(count(lit(1)).as("n_matched"))
+      np.select(explode(expr("array(1, 5)")).as("kk"), col("n_probes"))
+        .join(matched, Seq("kk"), "left")
+        .select(col("kk").as("k"), col("n_probes"),
+          coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+          r4(coalesce(col("n_matched"), lit(0L)).cast(DoubleType) /
+            (col("kk") * col("n_probes")).cast(DoubleType))
+            .as("mean_recall"))
+        .orderBy(col("k"))
+    }),
+
     // int8 scalar quantization — the storage/bandwidth reduction an
     // embedding store applies before ANN serving (4× smaller vectors,
     // distance ≈ preserved): per-vector min/max affine scale, code =
@@ -1266,6 +1314,38 @@ object VectorOps {
         |    AS avg_cos,
         |  round(min(cos), 4) AS min_cos
         |FROM assigned GROUP BY cell ORDER BY cell""".stripMargin,
+
+    "vec_ivf_recall_at_k" ->
+      s"""WITH $ivfCtesSql,
+         |ivf5 AS (
+         |  SELECT vec_id AS p, b, rn FROM (
+         |    SELECT vec_id, b, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, b ASC) AS rn
+         |    FROM nn WHERE vec_id < 100) t
+         |  WHERE rn <= 5),
+         |truth5 AS (
+         |  SELECT p, b, tn FROM (
+         |    SELECT x.vec_id AS p, y.vec_id AS b,
+         |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
+         |        round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+         |          CAST(y.embedding AS DOUBLE[])), 4) DESC,
+         |        y.vec_id ASC) AS tn
+         |    FROM embeddings x JOIN embeddings y ON x.vec_id <> y.vec_id
+         |    WHERE x.vec_id < 100) t
+         |  WHERE tn <= 5),
+         |m AS (
+         |  SELECT t.p, t.tn, i.rn FROM truth5 t
+         |  JOIN ivf5 i ON t.p = i.p AND t.b = i.b),
+         |np AS (SELECT count(*) AS n_probes FROM embeddings
+         |       WHERE vec_id < 100),
+         |ks AS (SELECT unnest([1, 5]) AS k)
+         |SELECT CAST(ks.k AS INT) AS k, np.n_probes,
+         |  (SELECT count(*) FROM m WHERE m.tn <= ks.k AND m.rn <= ks.k)
+         |    AS n_matched,
+         |  round(CAST((SELECT count(*) FROM m
+         |      WHERE m.tn <= ks.k AND m.rn <= ks.k) AS DOUBLE)
+         |    / CAST(ks.k * np.n_probes AS DOUBLE), 4) AS mean_recall
+         |FROM ks CROSS JOIN np ORDER BY k""".stripMargin,
 
     "vec_cell_label_purity" ->
       """WITH cents AS (

@@ -821,4 +821,36 @@ class Round4fSpec extends SparkTestBase {
         r.getDouble(4))).head
     assert(got == ((4L, 2L, 8.0, 0.8)), s"got $got")
   }
+
+  test("vec_ivf_recall_at_k: a single-cell corpus recalls everything available") {
+    val dir = tempDir()
+    import spark.implicits._
+    // four identical vectors: every assignment ties → cell 0 for all,
+    // IVF candidates = brute force. Only 3 neighbors exist, so
+    // recall@1 = 4/4 and recall@5 = 12/20 (the declared k·n
+    // denominator penalizes k beyond the corpus)
+    writeFixture(dir, "embeddings",
+      (0L to 3L).map(i => (i, Array(1f, 0f), 0))
+        .toDF("vec_id", "embedding", "label"))
+    val got = operators.VectorOps.queries("vec_ivf_recall_at_k")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq((1, 4L, 4L, 1.0), (5, 4L, 12L, 0.6)), s"got $got")
+  }
+
+  test("mine_dau_mau: stickiness is avg-daily over monthly uniques") {
+    val dir = tempDir()
+    import spark.implicits._
+    def ev(id: Long, date: String, user: Long) =
+      (id, java.sql.Timestamp.valueOf(s"$date 10:00:00").getTime * 1000000L,
+        user, "view", 1.0, "{}")
+    writeFixture(dir, "events", Seq(
+      ev(1, "2024-01-01", 1L), ev(2, "2024-01-01", 2L),
+      ev(3, "2024-01-02", 1L))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = operators.MiningOps.queries("mine_dau_mau")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).head
+    assert(got == ((2L, 2L, 1.5, 0.75)), s"got $got")
+  }
 }
