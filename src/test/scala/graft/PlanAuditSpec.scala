@@ -618,6 +618,36 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("round-4f second wave: no unbounded cartesian anywhere") {
+    for (q <- Seq("vec_cell_label_purity", "mine_markov_accuracy",
+        "mine_itemsets_3", "diag_drift_ks", "mine_good_turing",
+        "text_heaps_law", "text_source_lang_mix", "multimodal_format_sniff",
+        "ts_obv", "multimodal_payload_entropy", "win_bollinger_breach",
+        "mine_abc_classes", "agg_tail_ratio", "text_code_prose_ratio",
+        "pipeline_gate_ablation", "ts_dow_anova", "mine_dau_mau",
+        "mine_woe_iv", "mine_price_endings", "ts_seasonal_strength",
+        "graph_centralization", "ts_forecast_backtest",
+        "ts_mann_kendall", "mine_diff_in_diff")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q: no unbounded cartesian (broadcast scalars excepted):\n$p")
+    }
+  }
+
+  test("mine_abc_classes + diag_drift_ks: serial windows only over bucket aggregates") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    for (q <- Seq("mine_abc_classes", "diag_drift_ks")) {
+      val sp = SparkEntry.queries(q)(spark, sf001).queryExecution.sparkPlan
+      val bad = sp.collect { case w: WindowExec
+          if w.partitionSpec.isEmpty => w }
+        .filterNot(_.child.collect {
+          case a: BaseAggregateExec => a }.nonEmpty)
+      assert(bad.isEmpty,
+        s"$q: unpartitioned windows must only see the bucket aggregate:\n$sp")
+    }
+  }
+
   test("win_rolling_corr: the serial window sees only the joined hourly aggregate") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
