@@ -1710,6 +1710,46 @@ object MiningOps {
         .orderBy(col("cls"))
     }),
 
+    // monthly growth accounting: every month's actives decompose into
+    // NEW (first month ever), RETAINED (also active last month) and
+    // RESURRECTED (returning after a gap), with CHURNED = last
+    // month's actives who left — the four numbers whose identity
+    // actives_t = actives_{t−1} + new + resurrected − churned IS the
+    // growth report (ts_cohort_retention tracks one cohort forward;
+    // this explains each month's total). Exact integers: activity
+    // collapses to distinct (user, month) rows (integer month index
+    // — no float months_between, the cohort_ltv discipline), lag
+    // windows per user classify transitions, bounded monthly output.
+    "mine_growth_accounting" -> ((s, d) => {
+      val um = Tables.events(s, d)
+        .select(col("user_id"),
+          (year(col("ts")) * 12 + month(col("ts"))).cast("long").as("m"))
+        .distinct()
+      val wU = Window.partitionBy(col("user_id")).orderBy(col("m"))
+      val cls = um
+        .withColumn("pm", lag(col("m"), 1).over(wU))
+        .withColumn("status", when(col("pm").isNull, "new")
+          .when(col("pm") === col("m") - 1, "retained")
+          .otherwise("resurrected"))
+      val act = cls.groupBy(col("m"))
+        .agg(count(lit(1)).as("actives"),
+          count_if(col("status") === "new").as("new_users"),
+          count_if(col("status") === "retained").as("retained"),
+          count_if(col("status") === "resurrected").as("resurrected"))
+      // churned(t) = actives(t−1) − retained(t): last month's actives
+      // who did not return — derived, not re-scanned
+      val wM = Window.orderBy(col("m"))
+      act
+        .withColumn("churned",
+          coalesce(lag(col("actives"), 1).over(wM), lit(0L)) -
+            col("retained"))
+        .select(expr("CAST((m - 1) DIV 12 AS INT)").as("year"),
+          expr("CAST(((m - 1) % 12) + 1 AS INT)").as("month"),
+          col("actives"), col("new_users"), col("retained"),
+          col("resurrected"), col("churned"))
+        .orderBy(col("year"), col("month"))
+    }),
+
     // DAU/MAU stickiness per calendar month — THE product-engagement
     // ratio ("what share of the monthly audience shows up on an
     // average day"; ≥ 0.2 is the classic consumer bar): avg daily
@@ -2741,6 +2781,35 @@ object MiningOps {
         |    / CAST(t AS DOUBLE), 4) AS share
         |FROM cl CROSS JOIN tot
         |GROUP BY cls, t ORDER BY cls""".stripMargin,
+
+    "mine_growth_accounting" ->
+      """WITH um AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(year(ts) * 12 + month(ts) AS BIGINT) AS m
+        |  FROM events),
+        |cls AS (
+        |  SELECT m,
+        |    CASE WHEN pm IS NULL THEN 'new'
+        |         WHEN pm = m - 1 THEN 'retained'
+        |         ELSE 'resurrected' END AS status
+        |  FROM (
+        |    SELECT user_id, m,
+        |      lag(m) OVER (PARTITION BY user_id ORDER BY m) AS pm
+        |    FROM um) q),
+        |act AS (
+        |  SELECT m, count(*) AS actives,
+        |    CAST(SUM(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS new_users,
+        |    CAST(SUM(CASE WHEN status = 'retained' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS retained,
+        |    CAST(SUM(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS resurrected
+        |  FROM cls GROUP BY 1)
+        |SELECT CAST((m - 1) // 12 AS INT) AS year,
+        |  CAST(((m - 1) % 12) + 1 AS INT) AS month,
+        |  actives, new_users, retained, resurrected,
+        |  coalesce(lag(actives) OVER (ORDER BY m), 0) - retained AS churned
+        |FROM act ORDER BY year, month""".stripMargin,
 
     "mine_dau_mau" ->
       """WITH dd AS (

@@ -853,4 +853,31 @@ class Round4fSpec extends SparkTestBase {
         r.getDouble(4))).head
     assert(got == ((2L, 2L, 1.5, 0.75)), s"got $got")
   }
+
+  test("mine_growth_accounting: the four-way decomposition balances") {
+    val dir = tempDir()
+    import spark.implicits._
+    def ev(id: Long, date: String, user: Long) =
+      (id, java.sql.Timestamp.valueOf(s"$date 10:00:00").getTime * 1000000L,
+        user, "view", 1.0, "{}")
+    // u1 active Jan+Feb (retained), u2 Jan only (churns in Feb),
+    // u3 Jan then Mar (resurrected), u4 joins Feb
+    writeFixture(dir, "events", Seq(
+      ev(1, "2024-01-05", 1), ev(2, "2024-01-06", 2), ev(3, "2024-01-07", 3),
+      ev(4, "2024-02-05", 1), ev(5, "2024-02-06", 4),
+      ev(6, "2024-03-05", 3))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = operators.MiningOps
+      .queries("mine_growth_accounting")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == Seq(
+      (2024, 1, 3L, 3L, 0L, 0L, 0L),
+      (2024, 2, 2L, 1L, 1L, 0L, 2L),
+      (2024, 3, 1L, 0L, 0L, 1L, 2L)), s"got $got")
+    // identity: actives_t = actives_{t-1} + new + resurrected − churned
+    got.sliding(2).foreach { case Seq(p, c) =>
+      assert(c._3 == p._3 + c._4 + c._6 - c._7, s"identity broken at $c")
+    }
+  }
 }
