@@ -1154,6 +1154,53 @@ object TimeSeriesOps {
         .orderBy(col("day"))
     }),
 
+    // exceedance-run census per series: episodes of CONSECUTIVE hours
+    // strictly above the series' own exact p90 — duration-above-
+    // threshold is the hydrology/SLO question the point detectors
+    // (zscore, EWMA, CUSUM) don't answer: one 10-hour violation is an
+    // incident, ten 1-hour blips are noise. Threshold = integer-rank
+    // p90 (min value whose cum clears 90% of n — the quantileEdges
+    // discipline, no float quantile); runs = the win_gaps_islands
+    // identity on the hour number (hourno − row_number constant
+    // within a consecutive run); longest-run ties break to the
+    // earliest start. All integers until one share division.
+    "ts_exceedance_runs" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg((sum(col("value").cast(dec)) * 10000).cast("long").as("hu"))
+      val hist = hourly.groupBy(col("event_type"), col("hu"))
+        .agg(count(lit(1)).as("c"))
+      val tot = hourly.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col("hu"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val p90 = hist.withColumn("cum", sum(col("c")).over(wCum))
+        .join(broadcast(tot), Seq("event_type"))
+        .filter(col("cum") * 100 >= col("n") * 90)
+        .groupBy(col("event_type")).agg(min(col("hu")).as("p90u"))
+      val exceed = hourly.join(broadcast(p90), Seq("event_type"))
+        .filter(col("hu") > col("p90u"))
+        .withColumn("hourno", (col("hour").cast("long") / 3600L).cast("long"))
+      val wRn = Window.partitionBy(col("event_type")).orderBy(col("hourno"))
+      val runs = exceed
+        .withColumn("grp", col("hourno") - row_number().over(wRn))
+        .groupBy(col("event_type"), col("grp"))
+        .agg(count(lit(1)).as("len"), min(col("hour")).as("start"))
+      val best = Window.partitionBy(col("event_type"))
+        .orderBy(desc("len"), col("start"))
+      runs
+        .withColumn("n_episodes",
+          count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        .withColumn("n_exceed",
+          sum(col("len")).over(Window.partitionBy(col("event_type"))))
+        .withColumn("rn", row_number().over(best)).filter(col("rn") === 1)
+        .join(broadcast(tot), Seq("event_type"))
+        .select(col("event_type"), col("n_exceed"), col("n_episodes"),
+          col("len").as("longest_run"), ntz(col("start")).as("longest_start"),
+          r4(col("n_exceed").cast(DoubleType) / col("n")).as("exceed_share"))
+        .orderBy(col("event_type"))
+    }),
+
     // one-way ANOVA for a day-of-week effect on daily volume per
     // series: F = (SSB/(k−1))/(SSW/(n−k)) and η² = SSB/SST — is
     // "weekends differ" statistically real, and how much variance
@@ -1976,6 +2023,47 @@ object TimeSeriesOps {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4)
         |    AS obv
         |FROM sg ORDER BY day""".stripMargin,
+
+    "ts_exceedance_runs" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS hu
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, count(*) AS n FROM hourly GROUP BY 1),
+        |cum AS (
+        |  SELECT event_type, hu,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY hu
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM (SELECT event_type, hu, count(*) AS c FROM hourly
+        |        GROUP BY 1, 2) h),
+        |p90 AS (
+        |  SELECT c.event_type, min(c.hu) AS p90u
+        |  FROM cum c JOIN tot t USING (event_type)
+        |  WHERE c.cum * 100 >= t.n * 90 GROUP BY 1),
+        |ex AS (
+        |  SELECT h.event_type, h.hour, epoch(h.hour) // 3600 AS hourno
+        |  FROM hourly h JOIN p90 p USING (event_type)
+        |  WHERE h.hu > p.p90u),
+        |runs AS (
+        |  SELECT event_type, grp, count(*) AS len, min(hour) AS start
+        |  FROM (
+        |    SELECT event_type, hour, hourno - row_number() OVER (
+        |      PARTITION BY event_type ORDER BY hourno) AS grp
+        |    FROM ex) q
+        |  GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT event_type, grp, len, start,
+        |    count(*) OVER (PARTITION BY event_type) AS n_episodes,
+        |    CAST(SUM(len) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS n_exceed,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY len DESC, start) AS rn
+        |  FROM runs)
+        |SELECT a.event_type, a.n_exceed, a.n_episodes,
+        |  a.len AS longest_run, a.start AS longest_start,
+        |  round(CAST(a.n_exceed AS DOUBLE) / t.n, 4) AS exceed_share
+        |FROM agg a JOIN tot t USING (event_type)
+        |WHERE a.rn = 1 ORDER BY a.event_type""".stripMargin,
 
     "ts_dow_anova" ->
       """WITH daily AS (

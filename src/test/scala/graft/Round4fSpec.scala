@@ -880,4 +880,30 @@ class Round4fSpec extends SparkTestBase {
       assert(c._3 == p._3 + c._4 + c._6 - c._7, s"identity broken at $c")
     }
   }
+
+  test("ts_exceedance_runs: split runs above the exact p90 threshold") {
+    val dir = tempDir()
+    import spark.implicits._
+    def ev(id: Long, hour: Int, v: Double) =
+      (id, (1577836800L + hour * 3600L) * 1000000000L, 1L, "view", v, "{}")
+    // multiset [1×7, 9, 9, 20]: cum(9) = 9 ≥ ⌈0.9·10⌉ → p90 = 9 →
+    // only the 20 exceeds → 1 episode of length 1
+    writeFixture(dir, "events", ((0 to 5).map(h => ev(h + 1L, h, 1.0)) ++
+      Seq(ev(7, 6, 9.0), ev(8, 7, 9.0), ev(9, 8, 1.0), ev(10, 9, 20.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = operators.TimeSeriesOps
+      .queries("ts_exceedance_runs")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(5))).toSeq
+    assert(got == Seq((1L, 1L, 1L, 0.1)), s"got $got")
+    // 18×1, one 5, then 20,20 in CONSECUTIVE hours: p90 = 5, the two
+    // exceeders merge into ONE episode of length 2
+    writeFixture(dir, "events", ((0 to 17).map(h => ev(h + 1L, h, 1.0)) ++
+      Seq(ev(19, 18, 5.0), ev(20, 19, 20.0), ev(21, 20, 20.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val two = operators.TimeSeriesOps
+      .queries("ts_exceedance_runs")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(two == Seq((2L, 1L, 2L)), s"got $two")
+  }
 }
