@@ -493,6 +493,35 @@ object DedupOps {
         .orderBy(col("test_doc"), col("train_doc"))
     }),
 
+    // cross-source duplication matrix: for every source PAIR, how
+    // many distinct content fingerprints they share — the crawl-
+    // provenance census (two "independent" sources sharing half
+    // their fingerprints are one mirror crawled twice, and dedup
+    // budgets/source weights should know it; diag_dup_rate_by_source
+    // counts dups WITHIN the corpus, this says WHERE FROM). Distinct
+    // (source, md5) rows join on the fingerprint (shuffle ∝ distinct
+    // fingerprints — the lang_vocab_overlap shape); per-pair overlap
+    // coefficient divides exact integers by the SMALLER side
+    // (containment, not Jaccard — a tiny mirror inside a big crawl
+    // should read 1.0). Sides broadcast; ≤ sources² rows out.
+    "dedup_cross_source_matrix" -> ((s, d) => {
+      val fp = Tables.documents(s, d)
+        .select(col("source"), md5(col("text")).as("h")).distinct()
+      val sz = fp.groupBy(col("source")).agg(count(lit(1)).as("v"))
+      val a = fp.select(col("source").as("sa"), col("h"))
+      val b = fp.select(col("source").as("sb"), col("h"))
+      a.join(b, Seq("h")).filter(col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("shared"))
+        .join(broadcast(sz.select(col("source").as("sa"), col("v").as("va"))),
+          Seq("sa"))
+        .join(broadcast(sz.select(col("source").as("sb"), col("v").as("vb"))),
+          Seq("sb"))
+        .select(col("sa"), col("sb"), col("shared"),
+          Stable.r4(col("shared").cast("double") /
+            least(col("va"), col("vb"))).as("containment"))
+        .orderBy(col("sa"), col("sb"))
+    }),
+
     // n-gram decontamination — the REALISTIC benchmark-leak screen
     // (pipeline_contamination_check catches byte-identical docs; a
     // paraphrased or partially-quoted eval item shares 5-gram SPANS,
@@ -855,6 +884,22 @@ object DedupOps {
          |FROM sp t JOIN sp tr ON t.h = tr.h
          |WHERE t.split = 'test' AND tr.split = 'train'
          |ORDER BY test_doc, train_doc""".stripMargin,
+
+    "dedup_cross_source_matrix" ->
+      """WITH fp AS (
+        |  SELECT DISTINCT source, md5(text) AS h FROM documents),
+        |sz AS (SELECT source, count(*) AS v FROM fp GROUP BY 1),
+        |pairs AS (
+        |  SELECT x.source AS sa, y.source AS sb, count(*) AS shared
+        |  FROM fp x JOIN fp y ON x.h = y.h AND x.source < y.source
+        |  GROUP BY 1, 2)
+        |SELECT p.sa, p.sb, p.shared,
+        |  round(CAST(p.shared AS DOUBLE) / least(za.v, zb.v), 4)
+        |    AS containment
+        |FROM pairs p
+        |JOIN sz za ON za.source = p.sa
+        |JOIN sz zb ON zb.source = p.sb
+        |ORDER BY p.sa, p.sb""".stripMargin,
 
     "pipeline_ngram_contamination" ->
       s"""WITH sp AS (

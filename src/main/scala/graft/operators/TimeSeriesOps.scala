@@ -1154,6 +1154,49 @@ object TimeSeriesOps {
         .orderBy(col("day"))
     }),
 
+    // pairwise hour-of-day profile distance between series: L1
+    // distance between the event-share-by-hour distributions — which
+    // metrics breathe alike? (ts_seasonal_profile prints each shape;
+    // this compares them — alerts that can share a baseline, series
+    // that can share a forecast). The absent-hod mass closes
+    // analytically like the JS decomposition, so ONLY shared hods
+    // join; the distance numerator is exact INTEGERS throughout
+    // (|c_a·n_b − c_b·n_a| in DECIMAL(38,0)/HUGEINT), one division
+    // per pair; similarity = 1 − d/2 ∈ [0,1]. Aggregates bounded by
+    // series² × 24.
+    "ts_profile_similarity" -> ((s, d) => {
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val prof = Tables.events(s, d)
+        .groupBy(col("event_type"), hour(col("ts")).as("hod"))
+        .agg(count(lit(1)).as("c"))
+      val tot = prof.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
+      val a = prof.select(col("event_type").as("sa"), col("hod"),
+        col("c").as("ca"))
+      val b = prof.select(col("event_type").as("sb"), col("hod"),
+        col("c").as("cb"))
+      a.join(b, Seq("hod")).filter(col("sa") < col("sb"))
+        .join(broadcast(tot.select(col("event_type").as("sa"),
+          col("n").as("na"))), Seq("sa"))
+        .join(broadcast(tot.select(col("event_type").as("sb"),
+          col("n").as("nb"))), Seq("sb"))
+        .groupBy(col("sa"), col("sb"))
+        .agg(count(lit(1)).as("n_shared_hods"),
+          sum(abs(col("ca").cast(dec38) * col("nb") -
+            col("cb").cast(dec38) * col("na"))).as("dnum"),
+          sum(col("ca")).as("sca"), sum(col("cb")).as("scb"),
+          max(col("na")).as("na"), max(col("nb")).as("nb"))
+        .withColumn("dist",
+          (col("dnum") +
+            (col("na") - col("sca")).cast(dec38) * col("nb") +
+            (col("nb") - col("scb")).cast(dec38) * col("na"))
+            .cast(DoubleType) /
+          (col("na").cast(DoubleType) * col("nb")))
+        .select(col("sa"), col("sb"), col("n_shared_hods"),
+          r4(col("dist")).as("l1_distance"),
+          r4(lit(1.0) - col("dist") / 2.0).as("similarity"))
+        .orderBy(col("sa"), col("sb"))
+    }),
+
     // exceedance-run census per series: episodes of CONSECUTIVE hours
     // strictly above the series' own exact p90 — duration-above-
     // threshold is the hydrology/SLO question the point detectors
@@ -2023,6 +2066,37 @@ object TimeSeriesOps {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4)
         |    AS obv
         |FROM sg ORDER BY day""".stripMargin,
+
+    "ts_profile_similarity" ->
+      """WITH prof AS (
+        |  SELECT event_type, CAST(extract(hour FROM ts) AS INT) AS hod,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+        |        FROM prof GROUP BY 1),
+        |sh AS (
+        |  SELECT a.event_type AS sa, b.event_type AS sb,
+        |    a.c AS ca, b.c AS cb, ta.n AS na, tb.n AS nb
+        |  FROM prof a JOIN prof b
+        |    ON a.hod = b.hod AND a.event_type < b.event_type
+        |  JOIN tot ta ON ta.event_type = a.event_type
+        |  JOIN tot tb ON tb.event_type = b.event_type),
+        |g AS (
+        |  SELECT sa, sb, count(*) AS n_shared_hods,
+        |    SUM(abs(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na))
+        |      AS dnum,
+        |    CAST(SUM(ca) AS BIGINT) AS sca, CAST(SUM(cb) AS BIGINT) AS scb,
+        |    MAX(na) AS na, MAX(nb) AS nb
+        |  FROM sh GROUP BY 1, 2),
+        |dd AS (
+        |  SELECT sa, sb, n_shared_hods,
+        |    CAST(dnum + CAST(na - sca AS HUGEINT) * nb
+        |      + CAST(nb - scb AS HUGEINT) * na AS DOUBLE)
+        |      / (CAST(na AS DOUBLE) * nb) AS dist
+        |  FROM g)
+        |SELECT sa, sb, n_shared_hods, round(dist, 4) AS l1_distance,
+        |  round(1.0 - dist / 2.0, 4) AS similarity
+        |FROM dd ORDER BY sa, sb""".stripMargin,
 
     "ts_exceedance_runs" ->
       """WITH hourly AS (

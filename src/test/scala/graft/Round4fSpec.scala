@@ -906,4 +906,40 @@ class Round4fSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(two == Seq((2L, 1L, 2L)), s"got $two")
   }
+
+  test("dedup_cross_source_matrix: a shared fingerprint links the sources") {
+    val dir = tempDir()
+    import spark.implicits._
+    writeFixture(dir, "documents", Seq(
+      (1L, "mirror page", "en", "A", 1L), (2L, "unique a", "en", "A", 1L),
+      (3L, "mirror page", "en", "B", 1L), (4L, "other", "en", "C", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = operators.DedupOps
+      .queries("dedup_cross_source_matrix")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // B (1 fp) is fully contained in A (2 fps); C shares nothing and
+    // appears in no pair
+    assert(got == Seq(("A", "B", 1L, 1.0)), s"got $got")
+  }
+
+  test("ts_profile_similarity: identical shapes read 0, half-disjoint 1") {
+    val dir = tempDir()
+    import spark.implicits._
+    def ev(id: Long, hour: Int, tpe: String) =
+      (id, (1577836800L + hour * 3600L) * 1000000000L, 1L, tpe, 1.0, "{}")
+    // a and b: identical hod-0-only profiles → dist 0, sim 1;
+    // a vs d share hod 0 but split the other half → dist 1, sim 0.5
+    writeFixture(dir, "events", Seq(
+      ev(1, 0, "a"), ev(2, 1, "a"),
+      ev(3, 0, "b"), ev(4, 1, "b"),
+      ev(5, 0, "d"), ev(6, 2, "d"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = operators.TimeSeriesOps
+      .queries("ts_profile_similarity")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == Seq(("a", "b", 2L, 0.0, 1.0), ("a", "d", 1L, 1.0, 0.5),
+      ("b", "d", 1L, 1.0, 0.5)), s"got $got")
+  }
 }
