@@ -570,6 +570,36 @@ object Aggregates {
         .orderBy(col("l_returnflag"))
     }),
 
+    // top-5 brands by revenue + ONE rolled-up OTHER row — the
+    // dashboard contract ("never more than six wedges in the pie"):
+    // every revenue dollar lands in exactly one output row, so the
+    // shares sum to 1 by construction — the invariant a top-N WITHOUT
+    // the remainder silently breaks. Exact integer cents; the rank
+    // window runs over the bounded per-brand aggregate; scalar total
+    // broadcast; ties (cents, brand) total.
+    "agg_top5_other" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg((sum(col("l_extendedprice").cast(DecimalType(18, 2))) * 100)
+          .cast("long").as("cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(desc("cents"), col("p_brand"))
+      val tot = rev.agg(sum(col("cents")).as("t"))
+      rev.withColumn("rn", row_number().over(w))
+        .withColumn("grp",
+          when(col("rn") <= 5, col("p_brand")).otherwise("OTHER"))
+        .groupBy(col("grp"))
+        .agg(min(least(col("rn"), lit(6))).as("rank"),
+          count(lit(1)).as("n_brands"), sum(col("cents")).as("c"))
+        .crossJoin(broadcast(tot))
+        .select(col("rank"), col("grp").as("brand"), col("n_brands"),
+          r4(col("c").cast(DoubleType) / 100.0).as("revenue"),
+          r4(col("c").cast(DoubleType) / col("t").cast(DoubleType))
+            .as("share"))
+        .orderBy(col("rank"))
+    }),
+
     // tail-latency-style quantile ratio per series: EXACT p50/p95/p99
     // of the hourly volumes by integer rank arithmetic (min value
     // whose cumulative count clears q% of n — the quantileEdges
@@ -615,6 +645,28 @@ object Aggregates {
   private val dsumPrice = dsumSql("l_extendedprice")
 
   val oracle: Map[String, String] = Map(
+    "agg_top5_other" ->
+      """WITH rev AS (
+        |  SELECT p_brand,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+        |      AS BIGINT) AS cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM rev),
+        |rk AS (
+        |  SELECT p_brand, cents,
+        |    row_number() OVER (ORDER BY cents DESC, p_brand) AS rn
+        |  FROM rev),
+        |g AS (
+        |  SELECT CASE WHEN rn <= 5 THEN p_brand ELSE 'OTHER' END AS brand,
+        |    CAST(MIN(least(rn, 6)) AS INT) AS rank,
+        |    count(*) AS n_brands, CAST(sum(cents) AS BIGINT) AS c
+        |  FROM rk GROUP BY 1)
+        |SELECT rank, brand, n_brands,
+        |  round(CAST(c AS DOUBLE) / 100.0, 4) AS revenue,
+        |  round(CAST(c AS DOUBLE) / CAST(t AS DOUBLE), 4) AS share
+        |FROM g CROSS JOIN tot ORDER BY rank""".stripMargin,
+
     "agg_tail_ratio" ->
       """WITH hourly AS (
         |  SELECT event_type, date_trunc('hour', ts) AS hour,

@@ -1220,6 +1220,34 @@ object TextOps {
         .orderBy(col("stage"))
     }),
 
+    // Luhn-validated number detection — the PII gate one level above
+    // text_pii_redact's regex count: a 6+-digit string that ALSO
+    // passes the Luhn mod-10 checksum is plausibly a real card/account
+    // number, not a timestamp or order id — the distinction between
+    // "redact broadly" and "this document needs legal review". The
+    // checksum runs entirely in codegen'd higher-order expressions
+    // (reverse → per-digit double-and-fold → mod 10), written
+    // IDENTICALLY in both engines (ascii/substr/reverse arithmetic —
+    // integer-exact by construction). Output: docs containing long
+    // numbers, with the validated count.
+    "text_pii_luhn" -> ((s, d) => {
+      val luhn = "x -> aggregate(transform(sequence(1, length(x)), " +
+        "i -> IF(i % 2 = 0, " +
+        "IF((ascii(substr(reverse(x), i, 1)) - 48) * 2 > 9, " +
+        "(ascii(substr(reverse(x), i, 1)) - 48) * 2 - 9, " +
+        "(ascii(substr(reverse(x), i, 1)) - 48) * 2), " +
+        "ascii(substr(reverse(x), i, 1)) - 48)), 0, (a, v) -> a + v) " +
+        "% 10 = 0"
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr(s"regexp_extract_all(text, '$LongNumRe', 0)").as("nums"))
+        .filter(size(col("nums")) > 0)
+        .select(col("doc_id"), size(col("nums")).as("n_long_numbers"),
+          expr(s"size(filter(nums, $luhn))").as("n_luhn_valid"))
+        .withColumn("needs_review", col("n_luhn_valid") > 0)
+        .orderBy(col("doc_id"))
+    }),
+
     // code-vs-prose screen per document: the share of tokens carrying
     // code-ish characters (digits, underscores, brackets, operators —
     // one character class, valid in BOTH regex engines like the PII
@@ -2128,6 +2156,36 @@ object TextOps {
          |  UNION ALL SELECT 4, 'repetition_cap', a4, o4, n FROM c
          |  UNION ALL SELECT 5, 'exact_dedup', a5, o5, n FROM c)
          |ORDER BY stage""".stripMargin,
+
+    "text_pii_luhn" ->
+      s"""WITH nums AS (
+         |  SELECT doc_id, regexp_extract_all(text, '$LongNumRe') AS nums
+         |  FROM documents),
+         |f AS (SELECT doc_id, nums FROM nums WHERE len(nums) > 0)
+         |SELECT doc_id, CAST(len(nums) AS INT) AS n_long_numbers,
+         |  CAST(len(list_filter(nums, x ->
+         |    list_aggregate(list_transform(range(1, length(x) + 1),
+         |      i -> CASE WHEN i % 2 = 0 THEN
+         |        CASE WHEN (ascii(substr(reverse(x), CAST(i AS INT), 1))
+         |            - 48) * 2 > 9
+         |          THEN (ascii(substr(reverse(x), CAST(i AS INT), 1))
+         |            - 48) * 2 - 9
+         |          ELSE (ascii(substr(reverse(x), CAST(i AS INT), 1))
+         |            - 48) * 2 END
+         |        ELSE ascii(substr(reverse(x), CAST(i AS INT), 1)) - 48
+         |      END), 'sum') % 10 = 0)) AS INT) AS n_luhn_valid,
+         |  len(list_filter(nums, x ->
+         |    list_aggregate(list_transform(range(1, length(x) + 1),
+         |      i -> CASE WHEN i % 2 = 0 THEN
+         |        CASE WHEN (ascii(substr(reverse(x), CAST(i AS INT), 1))
+         |            - 48) * 2 > 9
+         |          THEN (ascii(substr(reverse(x), CAST(i AS INT), 1))
+         |            - 48) * 2 - 9
+         |          ELSE (ascii(substr(reverse(x), CAST(i AS INT), 1))
+         |            - 48) * 2 END
+         |        ELSE ascii(substr(reverse(x), CAST(i AS INT), 1)) - 48
+         |      END), 'sum') % 10 = 0)) > 0 AS needs_review
+         |FROM f ORDER BY doc_id""".stripMargin,
 
     "text_code_prose_ratio" ->
       """WITH t AS (

@@ -942,4 +942,38 @@ class Round4fSpec extends SparkTestBase {
     assert(got == Seq(("a", "b", 2L, 0.0, 1.0), ("a", "d", 1L, 1.0, 0.5),
       ("b", "d", 1L, 1.0, 0.5)), s"got $got")
   }
+
+  test("text_pii_luhn: the classic test number validates, a ramp does not") {
+    val dir = tempDir()
+    import spark.implicits._
+    // 79927398713 is THE Luhn test number; 123456 fails the checksum
+    writeFixture(dir, "documents", Seq(
+      (1L, "card 79927398713 and id 123456", "en", "s", 1L),
+      (2L, "no digits here", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = operators.TextOps.queries("text_pii_luhn")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getBoolean(3))).toSeq
+    assert(got == Seq((1L, 2, 1, true)), s"got $got")
+  }
+
+  test("agg_top5_other: shares always sum to 1, OTHER absorbs the tail") {
+    val dir = tempDir()
+    import spark.implicits._
+    writeFixture(dir, "part",
+      (1 to 7).map(i => (i.toLong, s"B$i")).toDF("p_partkey", "p_brand"))
+    writeFixture(dir, "lineitem",
+      (1 to 7).map(i => (i.toLong, (80 - 10 * i).toDouble))
+        .toDF("l_partkey", "l_extendedprice"))
+    val got = operators.Aggregates.queries("agg_top5_other")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // revenues 70..10: top5 B1..B5, OTHER = B6+B7 = 30
+    assert(got == Seq((1, "B1", 1L, 70.0), (2, "B2", 1L, 60.0),
+      (3, "B3", 1L, 50.0), (4, "B4", 1L, 40.0), (5, "B5", 1L, 30.0),
+      (6, "OTHER", 2L, 30.0)), s"got $got")
+    val shares = operators.Aggregates.queries("agg_top5_other")(spark, dir)
+      .collect().map(_.getDouble(4)).sum
+    assert(math.abs(shares - 1.0) < 1e-9, s"shares sum to $shares")
+  }
 }
