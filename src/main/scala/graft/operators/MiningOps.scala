@@ -1710,6 +1710,69 @@ object MiningOps {
         .orderBy(col("cls"))
     }),
 
+    // semi-structured schema profile of the event props column: every
+    // JSON key's row count and share — the drift detector for the
+    // one column a fixed schema can't pin (a new client version
+    // shipping a new key, or dropping one, shows up here first;
+    // scalar_json extracts KNOWN keys, this enumerates what's
+    // actually there). Key explosion is map-side; one bounded
+    // (key-universe) agg; scalar total broadcast.
+    "diag_json_key_profile" -> ((s, d) => {
+      val keys = Tables.events(s, d)
+        .select(explode(expr("json_object_keys(props)")).as("key"))
+        .groupBy(col("key")).agg(count(lit(1)).as("n_rows"))
+      val tot = Tables.events(s, d).agg(count(lit(1)).as("t"))
+      keys.crossJoin(broadcast(tot))
+        .select(col("key"), col("n_rows"),
+          r4(col("n_rows").cast(DoubleType) / col("t")).as("presence"))
+        .orderBy(col("key"))
+    }),
+
+    // delta-method confidence interval for the RATIO metric revenue-
+    // per-order, by arm (even/odd custkey) — the experimentation
+    // lesson every platform relearns: a ratio of sums is NOT a mean
+    // of ratios, and its variance needs the delta method
+    // Var(X̄/Ȳ) ≈ (σx² + R²σy² − 2Rσxy)/(n·ȳ²) (naive per-user
+    // averaging over-weights one-order customers; naive variance
+    // ignores the X–Y correlation entirely). All sufficient sums
+    // exact (cents BIGINT, squares/products DECIMAL(38,0)/HUGEINT
+    // over per-customer aggregates); one fixed IEEE closing
+    // expression per arm; ±1.96·se bounds on the ROUNDED pieces.
+    "mine_ratio_metric_ci" -> ((s, d) => {
+      val dec38 = DecimalType(38, 0)
+      val per = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+          .cast("long").as("x"), count(lit(1)).as("y"))
+        .withColumn("arm",
+          when(pmod(col("o_custkey"), lit(2L)) === 0, "treatment")
+            .otherwise("control"))
+      per.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(dec38)).as("sx"), sum(col("y").cast(dec38)).as("sy"),
+          sum(col("x").cast(dec38) * col("x").cast(dec38)).as("sxx"),
+          sum(col("y").cast(dec38) * col("y").cast(dec38)).as("syy"),
+          sum(col("x").cast(dec38) * col("y").cast(dec38)).as("sxy"))
+        .withColumn("r", col("sx").cast(DoubleType) / col("sy").cast(DoubleType))
+        .withColumn("vx", (col("n") * col("sxx") - col("sx") * col("sx"))
+          .cast(DoubleType) / (col("n").cast(DoubleType) * col("n")))
+        .withColumn("vy", (col("n") * col("syy") - col("sy") * col("sy"))
+          .cast(DoubleType) / (col("n").cast(DoubleType) * col("n")))
+        .withColumn("cxy", (col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast(DoubleType) / (col("n").cast(DoubleType) * col("n")))
+        .withColumn("ybar", col("sy").cast(DoubleType) / col("n"))
+        .withColumn("se", sqrt(
+          (col("vx") + col("r") * col("r") * col("vy") -
+            lit(2.0) * col("r") * col("cxy")) /
+          (col("n") * col("ybar") * col("ybar"))))
+        .select(col("arm"), col("n").as("n_units"),
+          r4(col("r") / 100.0).as("revenue_per_order"),
+          r4(col("se") / 100.0).as("se"),
+          r4((col("r") - lit(1.96) * col("se")) / 100.0).as("ci_low"),
+          r4((col("r") + lit(1.96) * col("se")) / 100.0).as("ci_high"))
+        .orderBy(col("arm"))
+    }),
+
     // monthly growth accounting: every month's actives decompose into
     // NEW (first month ever), RETAINED (also active last month) and
     // RESURRECTED (returning after a gap), with CHURNED = last
@@ -2781,6 +2844,54 @@ object MiningOps {
         |    / CAST(t AS DOUBLE), 4) AS share
         |FROM cl CROSS JOIN tot
         |GROUP BY cls, t ORDER BY cls""".stripMargin,
+
+    "diag_json_key_profile" ->
+      """WITH k AS (
+        |  SELECT unnest(json_keys(props)) AS key FROM events),
+        |c AS (SELECT key, count(*) AS n_rows FROM k GROUP BY 1),
+        |tot AS (SELECT count(*) AS t FROM events)
+        |SELECT key, n_rows,
+        |  round(CAST(n_rows AS DOUBLE) / t, 4) AS presence
+        |FROM c CROSS JOIN tot ORDER BY key""".stripMargin,
+
+    "mine_ratio_metric_ci" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS x,
+        |    count(*) AS y,
+        |    CASE WHEN o_custkey % 2 = 0 THEN 'treatment'
+        |         ELSE 'control' END AS arm
+        |  FROM orders GROUP BY o_custkey),
+        |g AS (
+        |  SELECT arm, count(*) AS n,
+        |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM per GROUP BY 1),
+        |cl AS (
+        |  SELECT arm, n,
+        |    CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS r,
+        |    CAST(n * sxx - sx * sx AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * n) AS vx,
+        |    CAST(n * syy - sy * sy AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * n) AS vy,
+        |    CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * n) AS cxy,
+        |    CAST(sy AS DOUBLE) / n AS ybar
+        |  FROM g),
+        |se AS (
+        |  SELECT arm, n, r,
+        |    sqrt((vx + r * r * vy - 2.0 * r * cxy) / (n * ybar * ybar))
+        |      AS se
+        |  FROM cl)
+        |SELECT arm, n AS n_units,
+        |  round(r / 100.0, 4) AS revenue_per_order,
+        |  round(se / 100.0, 4) AS se,
+        |  round((r - 1.96 * se) / 100.0, 4) AS ci_low,
+        |  round((r + 1.96 * se) / 100.0, 4) AS ci_high
+        |FROM se ORDER BY arm""".stripMargin,
 
     "mine_growth_accounting" ->
       """WITH um AS (

@@ -976,4 +976,42 @@ class Round4fSpec extends SparkTestBase {
       .collect().map(_.getDouble(4)).sum
     assert(math.abs(shares - 1.0) < 1e-9, s"shares sum to $shares")
   }
+
+  test("diag_json_key_profile: key presence shares from planted props") {
+    val dir = tempDir()
+    import spark.implicits._
+    def ev(id: Long, props: String) =
+      (id, 1577836800L * 1000000000L, 1L, "view", 1.0, props)
+    writeFixture(dir, "events", Seq(
+      ev(1, """{"a": 1}"""), ev(2, """{"a": 2}"""),
+      ev(3, """{"a": 3, "b": 9}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = operators.MiningOps
+      .queries("diag_json_key_profile")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(got == Seq(("a", 3L, 1.0), ("b", 1L, 0.3333)), s"got $got")
+  }
+
+  test("mine_ratio_metric_ci: delta-method se equals the hand formula") {
+    val dir = tempDir()
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    // control custs 1, 3: one order each at 1.00 and 3.00 → R = 2.00,
+    // vy = cxy = 0, vx = 10000 cent² → se = √(10000/2)/100
+    writeFixture(dir, "orders", Seq(
+      (1L, 1L, "O", 1.0, ts, "1-URGENT"),
+      (2L, 3L, "O", 3.0, ts, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"))
+    val got = operators.MiningOps.queries("mine_ratio_metric_ci")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    def q4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val se = math.sqrt(10000.0 / 2)
+    val exp = Seq(("control", 2L, 2.0, q4(se / 100),
+      q4((200.0 - 1.96 * se) / 100), q4((200.0 + 1.96 * se) / 100)))
+    assert(got == exp, s"got $got exp $exp")
+  }
 }
