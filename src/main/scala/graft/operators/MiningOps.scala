@@ -1773,6 +1773,35 @@ object MiningOps {
         .orderBy(col("arm"))
     }),
 
+    // experiment power analysis: the per-arm sample size needed to
+    // detect a 1% lift in per-customer revenue at α = 0.05 / 80%
+    // power — n = 2σ²(z_{0.975}+z_{0.8})²/δ² with the z-sum squared
+    // carried as the 4dp literal 7.8490 (neither engine evaluates a
+    // normal quantile; the ts_dominant_period literal discipline) —
+    // the "can we even run this test?" number that comes BEFORE
+    // mine_ab_welch_t/ratio_metric_ci ever read a result. σ² from
+    // exact moments (cents BIGINT, squares DECIMAL(38,0)/HUGEINT);
+    // one IEEE close; ceil on identical doubles.
+    "mine_power_sample_size" -> ((s, d) => {
+      val dec38 = DecimalType(38, 0)
+      val per = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+          .cast("long").as("x"))
+      per.agg(count(lit(1)).as("n"), sum(col("x").cast(dec38)).as("sx"),
+          sum(col("x").cast(dec38) * col("x").cast(dec38)).as("sxx"))
+        .withColumn("mean", col("sx").cast(DoubleType) / col("n"))
+        .withColumn("variance",
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType) /
+            (col("n").cast(DoubleType) * col("n")))
+        .withColumn("mde", col("mean") * 0.01)
+        .select(col("n").as("n_units"), r4(col("mean") / 100.0).as("mean"),
+          r4(sqrt(col("variance")) / 100.0).as("sd"),
+          r4(col("mde") / 100.0).as("mde_abs"),
+          ceil(lit(2.0) * col("variance") * 7.8490 /
+            (col("mde") * col("mde"))).cast("long").as("n_per_arm"))
+    }),
+
     // monthly growth accounting: every month's actives decompose into
     // NEW (first month ever), RETAINED (also active last month) and
     // RESURRECTED (returning after a gap), with CHURNED = last
@@ -2892,6 +2921,29 @@ object MiningOps {
         |  round((r - 1.96 * se) / 100.0, 4) AS ci_low,
         |  round((r + 1.96 * se) / 100.0, 4) AS ci_high
         |FROM se ORDER BY arm""".stripMargin,
+
+    "mine_power_sample_size" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS x
+        |  FROM orders GROUP BY 1),
+        |g AS (
+        |  SELECT count(*) AS n, SUM(CAST(x AS HUGEINT)) AS sx,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM per),
+        |cl AS (
+        |  SELECT n, CAST(sx AS DOUBLE) / n AS mean,
+        |    CAST(n * sxx - sx * sx AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * n) AS variance
+        |  FROM g),
+        |m AS (SELECT *, mean * 0.01 AS mde FROM cl)
+        |SELECT n AS n_units, round(mean / 100.0, 4) AS mean,
+        |  round(sqrt(variance) / 100.0, 4) AS sd,
+        |  round(mde / 100.0, 4) AS mde_abs,
+        |  CAST(ceil(2.0 * variance * 7.8490 / (mde * mde)) AS BIGINT)
+        |    AS n_per_arm
+        |FROM m""".stripMargin,
 
     "mine_growth_accounting" ->
       """WITH um AS (

@@ -1154,6 +1154,48 @@ object TimeSeriesOps {
         .orderBy(col("day"))
     }),
 
+    // Ljung–Box whiteness test on the seasonality-adjusted residuals:
+    // Q = n(n+2)·Σ_{k≤5} ρ̂_k²/(n−k) against the χ²₅ 95% line
+    // (11.0705) — "after removing the daily shape, is anything LEFT
+    // to model?" (the residual-diagnostic that closes the
+    // decomposition loop: seasonal_strength says how much the profile
+    // explains, this says whether the remainder is just noise).
+    // Residuals are the seasonal_residual_anomaly 4dp-quantized
+    // values; each lag-k autocovariance sums exact decimal products
+    // over ROW-lag windows; ρ̂ₖ quantizes at 4dp before squaring; the
+    // verdict compares the ROUNDED Q to the literal threshold.
+    "ts_ljung_box" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(r4(dsum(col("value"))).as("hsum"))
+        .withColumn("hod", hour(col("hour")))
+      val prof = hourly.groupBy(col("event_type"), col("hod"))
+        .agg(r4(sum(col("hsum").cast(dec)).cast("double") / count(lit(1)))
+          .as("pmean"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      val res = hourly.join(broadcast(prof), Seq("event_type", "hod"))
+        .withColumn("r", round(col("hsum") - col("pmean"), 4).cast(dec))
+      val lagged = res.select((col("event_type") +: col("r") +:
+        (1 to 5).map(k => lag(col("r"), k).over(w).as(s"l$k"))): _*)
+      val aggCols = count(lit(1)).as("n") +:
+        sum(col("r") * col("r")).as("s0") +:
+        (1 to 5).map(k => sum(col("r") * col(s"l$k")).as(s"s$k"))
+      val g = lagged.groupBy(col("event_type"))
+        .agg(aggCols.head, aggCols.tail: _*)
+      val rhoSq = (1 to 5).map { k =>
+        val rho = round(col(s"s$k").cast(DoubleType) /
+          col("s0").cast(DoubleType), 4)
+        rho * rho / (col("n") - k)
+      }.reduce(_ + _)
+      g.filter(col("n") > 5 && col("s0") =!= 0)
+        .withColumn("q", col("n").cast(DoubleType) * (col("n") + 2) * rhoSq)
+        .select(col("event_type"), col("n").as("n_hours"),
+          r4(col("q")).as("q_stat"),
+          (r4(col("q")) < 11.0705).as("white_noise"))
+        .orderBy(col("event_type"))
+    }),
+
     // pairwise hour-of-day profile distance between series: L1
     // distance between the event-share-by-hour distributions — which
     // metrics breathe alike? (ts_seasonal_profile prints each shape;
@@ -2066,6 +2108,57 @@ object TimeSeriesOps {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4)
         |    AS obv
         |FROM sg ORDER BY day""".stripMargin,
+
+    "ts_ljung_box" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |      AS hsum,
+        |    hour(date_trunc('hour', ts)) AS hod
+        |  FROM events GROUP BY 1, 2),
+        |prof AS (
+        |  SELECT event_type, hod,
+        |    round(CAST(SUM(CAST(hsum AS DECIMAL(18,4))) AS DOUBLE)
+        |      / count(*), 4) AS pmean
+        |  FROM hourly GROUP BY 1, 2),
+        |res AS (
+        |  SELECT h.event_type, h.hour,
+        |    CAST(round(h.hsum - p.pmean, 4) AS DECIMAL(18,4)) AS r
+        |  FROM hourly h JOIN prof p
+        |    ON h.event_type = p.event_type AND h.hod = p.hod),
+        |lagged AS (
+        |  SELECT event_type, r,
+        |    lag(r, 1) OVER w AS l1, lag(r, 2) OVER w AS l2,
+        |    lag(r, 3) OVER w AS l3, lag(r, 4) OVER w AS l4,
+        |    lag(r, 5) OVER w AS l5
+        |  FROM res WINDOW w AS (PARTITION BY event_type ORDER BY hour)),
+        |g AS (
+        |  SELECT event_type, count(*) AS n, sum(r * r) AS s0,
+        |    sum(r * l1) AS s1, sum(r * l2) AS s2, sum(r * l3) AS s3,
+        |    sum(r * l4) AS s4, sum(r * l5) AS s5
+        |  FROM lagged GROUP BY 1),
+        |q AS (
+        |  SELECT event_type, n,
+        |    CAST(n AS DOUBLE) * (n + 2) * (
+        |      round(CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE), 4)
+        |        * round(CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE), 4)
+        |        / (n - 1)
+        |      + round(CAST(s2 AS DOUBLE) / CAST(s0 AS DOUBLE), 4)
+        |        * round(CAST(s2 AS DOUBLE) / CAST(s0 AS DOUBLE), 4)
+        |        / (n - 2)
+        |      + round(CAST(s3 AS DOUBLE) / CAST(s0 AS DOUBLE), 4)
+        |        * round(CAST(s3 AS DOUBLE) / CAST(s0 AS DOUBLE), 4)
+        |        / (n - 3)
+        |      + round(CAST(s4 AS DOUBLE) / CAST(s0 AS DOUBLE), 4)
+        |        * round(CAST(s4 AS DOUBLE) / CAST(s0 AS DOUBLE), 4)
+        |        / (n - 4)
+        |      + round(CAST(s5 AS DOUBLE) / CAST(s0 AS DOUBLE), 4)
+        |        * round(CAST(s5 AS DOUBLE) / CAST(s0 AS DOUBLE), 4)
+        |        / (n - 5)) AS q
+        |  FROM g WHERE n > 5 AND s0 <> 0)
+        |SELECT event_type, n AS n_hours, round(q, 4) AS q_stat,
+        |  round(q, 4) < 11.0705 AS white_noise
+        |FROM q ORDER BY event_type""".stripMargin,
 
     "ts_profile_similarity" ->
       """WITH prof AS (

@@ -1014,4 +1014,43 @@ class Round4fSpec extends SparkTestBase {
       q4((200.0 - 1.96 * se) / 100), q4((200.0 + 1.96 * se) / 100)))
     assert(got == exp, s"got $got exp $exp")
   }
+
+  test("ts_ljung_box: a half-split level shift is loudly NOT white noise") {
+    val dir = tempDir()
+    import spark.implicits._
+    def ev(id: Long, hour: Int, v: Double) =
+      (id, (1577836800L + hour * 3600L) * 1000000000L, 1L, "view", v, "{}")
+    // two days over 24 hods: day 1 all 10, day 2 all 20 → residuals
+    // −5 ×24 then +5 ×24; ρ̂_k = (48 − 3k)/48 exactly
+    writeFixture(dir, "events",
+      (0 until 48).map(h => ev(h + 1L, h, if (h < 24) 10.0 else 20.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = operators.TimeSeriesOps.queries("ts_ljung_box")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .head
+    def q4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val q = 48.0 * 50 * (1 to 5).map { k =>
+      val rho = q4((48.0 - 3 * k) / 48)
+      rho * rho / (48 - k)
+    }.sum
+    assert(got == ((48L, q4(q), false)), s"got $got exp ${q4(q)}")
+  }
+
+  test("mine_power_sample_size: the 1%-MDE formula on a two-point sample") {
+    val dir = tempDir()
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    writeFixture(dir, "orders", Seq(
+      (1L, 1L, "O", 1.0, ts, "1-URGENT"),
+      (2L, 2L, "O", 3.0, ts, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"))
+    val got = operators.MiningOps
+      .queries("mine_power_sample_size")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).head
+    // σ² = 10000 c², δ = 2 c → n = ⌈2·10000·7.849/4⌉ = 39245
+    assert(got == ((2L, 2.0, 1.0, 0.02, 39245L)), s"got $got")
+  }
 }
