@@ -1710,6 +1710,30 @@ object MiningOps {
         .orderBy(col("cls"))
     }),
 
+    // encoding-anomaly audit per source: documents containing
+    // non-printable-ASCII characters and how many such characters —
+    // the mojibake/binary-contamination gate an ingest runs before
+    // any tokenizer sees the text (a double-encoded UTF-8 source or
+    // a binary file that slipped a text sniff lights up here; clean
+    // sources read zero). The character class [^ -~] (everything
+    // outside space..tilde) is valid in BOTH regex engines — the PII
+    // discipline; counts are exact integers from per-row codegen
+    // regexp extraction; one bounded per-source agg.
+    "diag_non_ascii_audit" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("source"),
+          size(expr("regexp_extract_all(text, '[^ -~]', 0)")).as("bad"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_if(col("bad") > 0).as("n_docs_flagged"),
+          sum(col("bad").cast("long")).as("n_bad_chars"))
+        .select(col("source"), col("n_docs"), col("n_docs_flagged"),
+          col("n_bad_chars"),
+          r4(col("n_docs_flagged").cast(DoubleType) / col("n_docs"))
+            .as("flag_rate"))
+        .orderBy(col("source"))
+    }),
+
     // semi-structured schema profile of the event props column: every
     // JSON key's row count and share — the drift detector for the
     // one column a fixed schema can't pin (a new client version
@@ -2873,6 +2897,19 @@ object MiningOps {
         |    / CAST(t AS DOUBLE), 4) AS share
         |FROM cl CROSS JOIN tot
         |GROUP BY cls, t ORDER BY cls""".stripMargin,
+
+    "diag_non_ascii_audit" ->
+      """WITH b AS (
+        |  SELECT source,
+        |    CAST(len(regexp_extract_all(text, '[^ -~]')) AS INT) AS bad
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN bad > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_docs_flagged,
+        |  CAST(SUM(bad) AS BIGINT) AS n_bad_chars,
+        |  round(CAST(SUM(CASE WHEN bad > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 4) AS flag_rate
+        |FROM b GROUP BY 1 ORDER BY source""".stripMargin,
 
     "diag_json_key_profile" ->
       """WITH k AS (

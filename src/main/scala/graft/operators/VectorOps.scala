@@ -247,6 +247,38 @@ object VectorOps {
         .orderBy(col("probe_id"), col("rank"))
     }),
 
+    // hubness audit over the probe set: the k-occurrence distribution
+    // — how many probes' top-3 lists each corpus vector appears in —
+    // plus the worst hub. Hubness is THE high-dimensional ANN
+    // pathology (a few vectors become everyone's neighbor as
+    // dimension grows, poisoning recall and diversity); a heavy tail
+    // here says "normalize/re-rank before trusting the shortlists".
+    // Same probe discipline as vec_cosine_topk (vec_id < 100), ranks
+    // on (ROUNDED cosine, id) total orders; the census and histogram
+    // are exact integers, bounded by probes × 3.
+    "vec_hubness_audit" -> ((s, d) => {
+      CosineSimilarity.register(s)
+      val e = Tables.embeddings(s, d)
+      val probes = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(desc("cos"), asc("vec_id"))
+      val top3 = e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(cosine("pe", "embedding"), 4).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+      val occ = top3.groupBy(col("vec_id")).agg(count(lit(1)).as("k_occ"))
+      val hub = occ.agg(max(struct(col("k_occ"),
+        (-col("vec_id")).as("nv"))).as("m"))
+      occ.groupBy(col("k_occ")).agg(count(lit(1)).as("n_vectors"))
+        .crossJoin(broadcast(hub))
+        .select(col("k_occ"), col("n_vectors"),
+          (-col("m.nv")).as("top_hub"), col("m.k_occ").as("top_hub_occ"))
+        .orderBy(col("k_occ"))
+    }),
+
     // maximum-inner-product search (MIPS) — the retrieval scorer for
     // UNnormalized embeddings (recommender / reranker dot-product
     // models), where cosine's norm division is wrong by design. Same
@@ -1314,6 +1346,28 @@ object VectorOps {
         |    AS avg_cos,
         |  round(min(cos), 4) AS min_cos
         |FROM assigned GROUP BY cell ORDER BY cell""".stripMargin,
+
+    "vec_hubness_audit" ->
+      """WITH probes AS (
+        |  SELECT vec_id AS probe_id, embedding AS pe
+        |  FROM embeddings WHERE vec_id < 100),
+        |top3 AS (
+        |  SELECT probe_id, vec_id FROM (
+        |    SELECT p.probe_id, e.vec_id,
+        |      row_number() OVER (PARTITION BY p.probe_id ORDER BY
+        |        round(list_cosine_similarity(CAST(p.pe AS DOUBLE[]),
+        |          CAST(e.embedding AS DOUBLE[])), 4) DESC,
+        |        e.vec_id ASC) AS rank
+        |    FROM embeddings e CROSS JOIN probes p
+        |    WHERE e.vec_id <> p.probe_id) t
+        |  WHERE rank <= 3),
+        |occ AS (SELECT vec_id, count(*) AS k_occ FROM top3 GROUP BY 1),
+        |hub AS (
+        |  SELECT vec_id AS top_hub, k_occ AS top_hub_occ FROM occ
+        |  ORDER BY k_occ DESC, vec_id ASC LIMIT 1)
+        |SELECT k_occ, count(*) AS n_vectors, hub.top_hub, hub.top_hub_occ
+        |FROM occ CROSS JOIN hub
+        |GROUP BY 1, 3, 4 ORDER BY k_occ""".stripMargin,
 
     "vec_ivf_recall_at_k" ->
       s"""WITH $ivfCtesSql,

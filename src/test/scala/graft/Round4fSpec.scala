@@ -1053,4 +1053,37 @@ class Round4fSpec extends SparkTestBase {
     // σ² = 10000 c², δ = 2 c → n = ⌈2·10000·7.849/4⌉ = 39245
     assert(got == ((2L, 2.0, 1.0, 0.02, 39245L)), s"got $got")
   }
+
+  test("vec_hubness_audit: a planted hub dominates every top-3 list") {
+    val dir = tempDir()
+    import spark.implicits._
+    // vec 0 is every probe's nearest; 1..3 probe each other at lower
+    // cos; all four are probes (< 100)
+    writeFixture(dir, "embeddings", Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0.9f, -0.1f), 0), (3L, Array(0.8f, 0.05f), 0))
+      .toDF("vec_id", "embedding", "label"))
+    val got = operators.VectorOps.queries("vec_hubness_audit")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // every vector appears in all 3 other probes' top-3 (k=3 of 3
+    // candidates) → one histogram row (3, 4); hub ties → lowest id 0
+    assert(got == Seq((3L, 4L, 0L, 3L)), s"got $got")
+  }
+
+  test("diag_non_ascii_audit: planted mojibake flags, clean source reads 0") {
+    val dir = tempDir()
+    import spark.implicits._
+    writeFixture(dir, "documents", Seq(
+      (1L, "clean ascii text", "en", "A", 1L),
+      (2L, "bad éé bytes", "en", "B", 1L),
+      (3L, "also clean", "en", "B", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = operators.MiningOps
+      .queries("diag_non_ascii_audit")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == Seq(("A", 1L, 0L, 0L, 0.0), ("B", 2L, 1L, 2L, 0.5)),
+      s"got $got")
+  }
 }
