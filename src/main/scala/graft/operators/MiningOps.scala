@@ -1710,6 +1710,26 @@ object MiningOps {
         .orderBy(col("cls"))
     }),
 
+    // sample-ratio-mismatch guardrail for the even/odd-custkey A/B
+    // split: z = (n_A − n_B)/√(n_A + n_B) against the 50/50 design,
+    // flagged at |z| > 3 — THE pre-readout check every experiment
+    // platform runs (an SRM means assignment or logging is broken
+    // and every downstream readout — z-test, Welch, DiD, ratio CI —
+    // is invalid; this op gates that whole family). Exact integer
+    // unit counts (distinct customers per arm); one IEEE close;
+    // verdict on the ROUNDED z.
+    "mine_ab_srm" -> ((s, d) => {
+      val arms = Tables.orders(s, d)
+        .select(col("o_custkey")).distinct()
+        .agg(count_if(pmod(col("o_custkey"), lit(2L)) === 0).as("n_a"),
+          count_if(pmod(col("o_custkey"), lit(2L)) === 1).as("n_b"))
+      arms
+        .withColumn("z", (col("n_a") - col("n_b")).cast(DoubleType) /
+          sqrt((col("n_a") + col("n_b")).cast(DoubleType)))
+        .select(col("n_a"), col("n_b"), r4(col("z")).as("z"),
+          (abs(r4(col("z"))) > 3.0).as("srm_detected"))
+    }),
+
     // encoding-anomaly audit per source: documents containing
     // non-printable-ASCII characters and how many such characters —
     // the mojibake/binary-contamination gate an ingest runs before
@@ -2897,6 +2917,23 @@ object MiningOps {
         |    / CAST(t AS DOUBLE), 4) AS share
         |FROM cl CROSS JOIN tot
         |GROUP BY cls, t ORDER BY cls""".stripMargin,
+
+    "mine_ab_srm" ->
+      """WITH u AS (SELECT DISTINCT o_custkey FROM orders),
+        |c AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN o_custkey % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b
+        |  FROM u),
+        |z AS (
+        |  SELECT n_a, n_b,
+        |    CAST(n_a - n_b AS DOUBLE) / sqrt(CAST(n_a + n_b AS DOUBLE)) AS z
+        |  FROM c)
+        |SELECT n_a, n_b, round(z, 4) AS z,
+        |  abs(round(z, 4)) > 3.0 AS srm_detected
+        |FROM z""".stripMargin,
 
     "diag_non_ascii_audit" ->
       """WITH b AS (

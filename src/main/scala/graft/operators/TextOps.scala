@@ -1220,6 +1220,38 @@ object TextOps {
         .orderBy(col("stage"))
     }),
 
+    // C4-style line-level dedup census: sentences (split on '. ')
+    // repeated across documents, per source — the granularity C4
+    // famously dedupes at, between whole-doc md5 (misses partial
+    // reuse) and prefix templates (only heads): per source, how many
+    // of its sentence INSTANCES are corpus-repeated and the share of
+    // text mass they carry. Sentence explosion is map-side, the
+    // repeat census one hash agg (shuffle ∝ distinct sentences);
+    // single-token "sentences" under 2 tokens are noise and excluded
+    // (declared); exact integers, two ratio closes.
+    "text_line_dedup_census" -> ((s, d) => {
+      val sent = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), "[.] ")).as("sent"))
+        .filter(expr("size(split(sent, ' ')) >= 2"))
+      val rep = sent.groupBy(col("sent"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1).select(col("sent"), lit(1L).as("is_rep"))
+      sent.join(rep, Seq("sent"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sentences"),
+          coalesce(sum(col("is_rep")), lit(0L)).as("n_repeated"),
+          sum(length(col("sent")).cast("long")).as("chars"),
+          coalesce(sum(when(col("is_rep") === 1,
+            length(col("sent")).cast("long"))), lit(0L)).as("rep_chars"))
+        .select(col("source"), col("n_sentences"), col("n_repeated"),
+          r4(col("n_repeated").cast(DoubleType) / col("n_sentences"))
+            .as("repeat_rate"),
+          r4(col("rep_chars").cast(DoubleType) / col("chars"))
+            .as("repeated_mass"))
+        .orderBy(col("source"))
+    }),
+
     // Luhn-validated number detection — the PII gate one level above
     // text_pii_redact's regex count: a 6+-digit string that ALSO
     // passes the Luhn mod-10 checksum is plausibly a real card/account
@@ -2156,6 +2188,27 @@ object TextOps {
          |  UNION ALL SELECT 4, 'repetition_cap', a4, o4, n FROM c
          |  UNION ALL SELECT 5, 'exact_dedup', a5, o5, n FROM c)
          |ORDER BY stage""".stripMargin,
+
+    "text_line_dedup_census" ->
+      """WITH sent AS (
+        |  SELECT doc_id, source,
+        |    unnest(regexp_split_to_array(text, '[.] ')) AS sent
+        |  FROM documents),
+        |f AS (SELECT * FROM sent
+        |      WHERE len(string_split(sent, ' ')) >= 2),
+        |rep AS (
+        |  SELECT sent, 1 AS is_rep FROM (
+        |    SELECT sent, count(DISTINCT doc_id) AS nd FROM f GROUP BY 1) q
+        |  WHERE nd > 1)
+        |SELECT source, count(*) AS n_sentences,
+        |  CAST(coalesce(SUM(is_rep), 0) AS BIGINT) AS n_repeated,
+        |  round(CAST(coalesce(SUM(is_rep), 0) AS DOUBLE) / count(*), 4)
+        |    AS repeat_rate,
+        |  round(CAST(coalesce(SUM(CASE WHEN is_rep = 1
+        |      THEN length(f.sent) END), 0) AS DOUBLE)
+        |    / SUM(length(f.sent)), 4) AS repeated_mass
+        |FROM f LEFT JOIN rep USING (sent)
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "text_pii_luhn" ->
       s"""WITH nums AS (

@@ -1086,4 +1086,39 @@ class Round4fSpec extends SparkTestBase {
     assert(got == Seq(("A", 1L, 0L, 0L, 0.0), ("B", 2L, 1L, 2L, 0.5)),
       s"got $got")
   }
+
+  test("text_line_dedup_census: a sentence shared across docs is repeated") {
+    val dir = tempDir()
+    import spark.implicits._
+    // "terms apply" appears in docs 1 and 2; "unique one"/"unique two"
+    // don't; the 1-token tail "x" is excluded
+    writeFixture(dir, "documents", Seq(
+      (1L, "terms apply. unique one", "en", "s", 1L),
+      (2L, "terms apply. unique two. x", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = operators.TextOps
+      .queries("text_line_dedup_census")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).head
+    // 4 sentences kept, 2 instances repeated; chars: 11+10+11+10=42,
+    // repeated mass 22/42
+    assert(got == ((4L, 2L, 0.5, 0.5238)), s"got $got")
+  }
+
+  test("mine_ab_srm: a planted 3:1 imbalance trips the guardrail") {
+    val dir = tempDir()
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    def ord(k: Long, c: Long) = (k, c, "O", 1.0, ts, "1-URGENT")
+    // 30 even customers vs 10 odd → z = 20/√40 → 3.1623 → SRM
+    val rows = (1L to 30L).map(i => ord(i, i * 2)) ++
+      (31L to 40L).map(i => ord(i, (i - 30) * 2 + 1))
+    writeFixture(dir, "orders", rows
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"))
+    val got = operators.MiningOps.queries("mine_ab_srm")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).head
+    assert(got == ((30L, 10L, 3.1623, true)), s"got $got")
+  }
 }
