@@ -594,6 +594,44 @@ object GraphOps {
         .orderBy(col("support"))
     }),
 
+    // triangle participation rate over the co-order part graph: how
+    // many vertices sit in at least one triangle — the cohesion
+    // headcount next to the global count (graph_triangles), the
+    // per-edge view (graph_edge_support) and the closure ratio
+    // (clustering coefficient): a graph can have many triangles all
+    // crammed into one clique (low participation) or spread thin.
+    // Rides the same degree-oriented enumeration as edge_support
+    // (each triangle materializes once, its 3 vertices fan out
+    // pipeline-side); the distinct-vertex and total-vertex aggregates
+    // are exact integers, one ratio close.
+    "graph_triangle_participation" -> ((s, d) => {
+      val co = coParts(s, d)
+      val sym = co.select(col("a").as("u"), col("b").as("v"))
+        .union(co.select(col("b").as("u"), col("a").as("v")))
+      val vk = sym.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+        .select(col("u").as("vertex"), struct(col("dg"), col("u")).as("k"))
+      val dir = sym
+        .join(vk.select(col("vertex").as("u"), col("k").as("ku")), Seq("u"))
+        .join(vk.select(col("vertex").as("v"), col("k").as("kv")), Seq("v"))
+        .filter(col("ku") < col("kv"))
+        .select(col("u"), col("v"))
+      val adj = dir.groupBy(col("u"))
+        .agg(array_sort(collect_list(col("v"))).as("ns"))
+      val tri = dir
+        .join(adj.select(col("u"), col("ns").as("nu")), Seq("u"))
+        .join(adj.select(col("u").as("v"), col("ns").as("nv")), Seq("v"))
+        .select(col("u"), col("v"),
+          explode(array_intersect(col("nu"), col("nv"))).as("w"))
+      val inTri = tri.select(explode(array(col("u"), col("v"), col("w")))
+        .as("x")).distinct()
+      val nv = sym.select(col("u")).distinct().agg(count(lit(1)).as("n"))
+      inTri.agg(count(lit(1)).as("n_in_triangle"))
+        .crossJoin(broadcast(nv))
+        .select(col("n").as("n_vertices"), col("n_in_triangle"),
+          Stable.r4(col("n_in_triangle").cast(DoubleType) / col("n"))
+            .as("participation"))
+    }),
+
     // top supplier pairs by shared customers — joined through the
     // low-degree side (per-customer supplier list) to bound the
     // intermediate pair explosion. Declared semantics include a degree
@@ -2135,6 +2173,30 @@ object GraphOps {
          |SELECT coalesce(support, 0) AS support, count(*) AS n_edges
          |FROM co LEFT JOIN sup USING (a, b)
          |GROUP BY 1 ORDER BY support""".stripMargin,
+
+    "graph_triangle_participation" ->
+      s"""WITH co AS ($coPartsSql),
+         |sym AS (SELECT a AS u, b AS v FROM co
+         |        UNION ALL SELECT b, a FROM co),
+         |dg AS (SELECT u, count(*) AS dg FROM sym GROUP BY 1),
+         |dir AS (
+         |  SELECT s.u, s.v FROM sym s
+         |  JOIN dg du ON du.u = s.u JOIN dg dv ON dv.u = s.v
+         |  WHERE du.dg < dv.dg OR (du.dg = dv.dg AND s.u < s.v)),
+         |tri AS (
+         |  SELECT e1.u, e1.v, e2.v AS w
+         |  FROM dir e1 JOIN dir e2 ON e2.u = e1.u
+         |  JOIN dir e3 ON e3.u = e1.v AND e3.v = e2.v),
+         |intri AS (
+         |  SELECT DISTINCT x FROM (
+         |    SELECT u AS x FROM tri UNION ALL SELECT v FROM tri
+         |    UNION ALL SELECT w FROM tri) q),
+         |nv AS (SELECT count(DISTINCT u) AS n FROM sym)
+         |SELECT nv.n AS n_vertices,
+         |  (SELECT count(*) FROM intri) AS n_in_triangle,
+         |  round(CAST((SELECT count(*) FROM intri) AS DOUBLE) / nv.n, 4)
+         |    AS participation
+         |FROM nv""".stripMargin,
 
     "graph_centralization" ->
       s"""WITH ed AS ($edgesSql),

@@ -1154,6 +1154,49 @@ object TimeSeriesOps {
         .orderBy(col("day"))
     }),
 
+    // Little's-law quantities over the merged activity intervals:
+    // arrival rate λ (sessions/hour), mean session duration W, and
+    // the TIME-AVERAGE concurrency L = Σdurations/horizon — the
+    // capacity-planning companion of ts_peak_concurrency (peak sizes
+    // the ceiling, L sizes the steady-state bill; λ·W = L is the
+    // sanity identity relating them). Intervals are
+    // ts_interval_union's islands; horizon = [min start, max end]
+    // from a one-row bounds aggregate; duration sums exact BIGINT
+    // microseconds; three IEEE closes.
+    "ts_littles_law" -> ((s, d) => {
+      val SpanUs = 1800000000L
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t0"))
+        .withColumn("t1", col("t0") + SpanUs)
+      val wPrev = Window.partitionBy(col("user_id"))
+        .orderBy(col("t0"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy(col("user_id"))
+        .orderBy(col("t0"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val iv = ev
+        .withColumn("starts", when(
+          col("t0") > coalesce(max(col("t1")).over(wPrev), lit(Long.MinValue)),
+          1L).otherwise(0L))
+        .withColumn("isl", sum(col("starts")).over(wRun))
+        .groupBy(col("user_id"), col("isl"))
+        .agg(min(col("t0")).as("s"), max(col("t1")).as("e"))
+      iv.agg(count(lit(1)).as("n_sessions"),
+          min(col("s")).as("lo"), max(col("e")).as("hi"),
+          sum(col("e") - col("s")).as("durus"))
+        .withColumn("horizon_h",
+          (col("hi") - col("lo")).cast(DoubleType) / 3600000000.0)
+        .select(col("n_sessions"), r4(col("horizon_h")).as("horizon_hours"),
+          r4(col("n_sessions").cast(DoubleType) / col("horizon_h"))
+            .as("lambda_per_hour"),
+          r4(col("durus").cast(DoubleType) / col("n_sessions") / 60000000.0)
+            .as("mean_duration_min"),
+          r4(col("durus").cast(DoubleType) /
+            (col("hi") - col("lo")).cast(DoubleType))
+            .as("time_avg_concurrency"))
+    }),
+
     // Ljung–Box whiteness test on the seasonality-adjusted residuals:
     // Q = n(n+2)·Σ_{k≤5} ρ̂_k²/(n−k) against the χ²₅ 95% line
     // (11.0705) — "after removing the daily shape, is anything LEFT
@@ -2108,6 +2151,39 @@ object TimeSeriesOps {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4)
         |    AS obv
         |FROM sg ORDER BY day""".stripMargin,
+
+    "ts_littles_law" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t0,
+        |    epoch_us(ts) + 1800000000 AS t1
+        |  FROM events),
+        |isl AS (
+        |  SELECT user_id, t0, t1,
+        |    SUM(starts) OVER (PARTITION BY user_id ORDER BY t0, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |  FROM (
+        |    SELECT *, CASE WHEN t0 > coalesce(max(t1) OVER (
+        |        PARTITION BY user_id ORDER BY t0, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |        -9223372036854775808) THEN 1 ELSE 0 END AS starts
+        |    FROM ev) q),
+        |iv AS (
+        |  SELECT user_id, min(t0) AS s, max(t1) AS e
+        |  FROM isl GROUP BY user_id, isl),
+        |g AS (
+        |  SELECT count(*) AS n_sessions, min(s) AS lo, max(e) AS hi,
+        |    CAST(SUM(e - s) AS BIGINT) AS durus
+        |  FROM iv),
+        |h AS (SELECT *, CAST(hi - lo AS DOUBLE) / 3600000000.0
+        |        AS horizon_h FROM g)
+        |SELECT n_sessions, round(horizon_h, 4) AS horizon_hours,
+        |  round(CAST(n_sessions AS DOUBLE) / horizon_h, 4)
+        |    AS lambda_per_hour,
+        |  round(CAST(durus AS DOUBLE) / n_sessions / 60000000.0, 4)
+        |    AS mean_duration_min,
+        |  round(CAST(durus AS DOUBLE) / CAST(hi - lo AS DOUBLE), 4)
+        |    AS time_avg_concurrency
+        |FROM h""".stripMargin,
 
     "ts_ljung_box" ->
       """WITH hourly AS (

@@ -1121,4 +1121,33 @@ class Round4fSpec extends SparkTestBase {
         r.getBoolean(3))).head
     assert(got == ((30L, 10L, 3.1623, true)), s"got $got")
   }
+
+  test("ts_littles_law: one user, two disjoint half-hour sessions") {
+    val dir = tempDir()
+    import spark.implicits._
+    def evm(id: Long, minute: Int) =
+      (id, (1577836800L + minute * 60L) * 1000000000L, 1L, "view", 1.0, "{}")
+    // sessions [0, 30m] and [60m, 90m] → horizon 1.5 h, λ = 2/1.5,
+    // W = 30 min, L = 60m/90m = 2/3
+    writeFixture(dir, "events", Seq(evm(1, 0), evm(2, 60))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = operators.TimeSeriesOps.queries("ts_littles_law")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).head
+    assert(got == ((2L, 1.5, 1.3333, 30.0, 0.6667)), s"got $got")
+  }
+
+  test("graph_triangle_participation: the pendant vertex stays out") {
+    val dir = tempDir()
+    import spark.implicits._
+    // order 1 co-orders {1,2,3} (triangle); order 2 {3,4} (pendant 4)
+    writeFixture(dir, "lineitem", Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L))
+      .toDF("l_orderkey", "l_partkey"))
+    operators.GraphOps.clearMemos(spark)
+    val got = operators.GraphOps
+      .queries("graph_triangle_participation")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).head
+    assert(got == ((4L, 3L, 0.75)), s"got $got")
+  }
 }
