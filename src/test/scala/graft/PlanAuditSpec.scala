@@ -648,6 +648,20 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("round-4f third wave: no unbounded cartesian anywhere") {
+    for (q <- Seq("dedup_cross_source_matrix", "ts_profile_similarity",
+        "text_pii_luhn", "agg_top5_other", "diag_json_key_profile",
+        "mine_ratio_metric_ci", "ts_ljung_box", "mine_power_sample_size",
+        "vec_hubness_audit", "diag_non_ascii_audit",
+        "text_line_dedup_census", "mine_ab_srm", "ts_littles_law",
+        "graph_triangle_participation", "vec_ivf_recall_at_k",
+        "mine_growth_accounting", "ts_exceedance_runs")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q: no unbounded cartesian (broadcast scalars excepted):\n$p")
+    }
+  }
+
   test("win_rolling_corr: the serial window sees only the joined hourly aggregate") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
