@@ -1710,6 +1710,41 @@ object MiningOps {
         .orderBy(col("cls"))
     }),
 
+    // intraclass correlation of line price by supplier: ICC =
+    // SS_between/SS_total — how much of price variance the supplier
+    // IDENTITY explains (≈0: prices are market-wide, supplier is not
+    // a useful blocking/clustering key; high: per-supplier pricing —
+    // and any experiment randomizing by supplier needs the
+    // design-effect correction this number feeds). The high-
+    // cardinality sibling of ts_dow_anova's 7-group ANOVA: with
+    // thousands of groups only the decomposition ratio is reportable.
+    // Per-group Σ²/n terms are rationals — each closes as one
+    // identical IEEE division, 4dp-quantizes into DECIMAL(38,4), and
+    // decimal-sums (the zipf discipline); global moments exact in
+    // DECIMAL(38,0)/HUGEINT; two closing expressions.
+    "mine_icc_price" -> ((s, d) => {
+      val dec38 = DecimalType(38, 0)
+      val x = Tables.lineitem(s, d)
+        .select(col("l_suppkey"),
+          (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+            .cast("long").as("c"))
+      val per = x.groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("ng"), sum(col("c").cast(dec38)).as("sg"))
+        .agg(count(lit(1)).as("k"),
+          sum(expr("CAST(round(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)" +
+            " / ng, 4) AS DECIMAL(38,4))")).as("tsum"))
+      val tot = x.agg(count(lit(1)).as("n"), sum(col("c").cast(dec38)).as("s"),
+        sum(col("c").cast(dec38) * col("c").cast(dec38)).as("sxx"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("cm", col("s").cast(DoubleType) *
+          col("s").cast(DoubleType) / col("n"))
+        .withColumn("ssb", col("tsum").cast(DoubleType) - col("cm"))
+        .withColumn("sst", col("sxx").cast(DoubleType) - col("cm"))
+        .select(col("n").as("n_rows"), col("k").as("n_groups"),
+          r4(when(col("sst") <= 0.0, lit(0.0))
+            .otherwise(col("ssb") / col("sst"))).as("icc"))
+    }),
+
     // sample-ratio-mismatch guardrail for the even/odd-custkey A/B
     // split: z = (n_A − n_B)/√(n_A + n_B) against the 50/50 design,
     // flagged at |z| > 3 — THE pre-readout check every experiment
@@ -2917,6 +2952,33 @@ object MiningOps {
         |    / CAST(t AS DOUBLE), 4) AS share
         |FROM cl CROSS JOIN tot
         |GROUP BY cls, t ORDER BY cls""".stripMargin,
+
+    "mine_icc_price" ->
+      """WITH x AS (
+        |  SELECT l_suppkey,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS c
+        |  FROM lineitem),
+        |per AS (
+        |  SELECT count(*) AS k,
+        |    SUM(CAST(round(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng, 4)
+        |      AS DECIMAL(38,4))) AS tsum
+        |  FROM (SELECT l_suppkey, count(*) AS ng,
+        |          SUM(CAST(c AS HUGEINT)) AS sg
+        |        FROM x GROUP BY 1) g),
+        |tot AS (
+        |  SELECT count(*) AS n, SUM(CAST(c AS HUGEINT)) AS s,
+        |    SUM(CAST(c AS HUGEINT) * c) AS sxx
+        |  FROM x),
+        |cl AS (
+        |  SELECT n, k, tsum, sxx,
+        |    CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n AS cm
+        |  FROM per CROSS JOIN tot)
+        |SELECT n AS n_rows, k AS n_groups,
+        |  round(CASE WHEN CAST(sxx AS DOUBLE) - cm <= 0.0 THEN 0.0
+        |    ELSE (CAST(tsum AS DOUBLE) - cm)
+        |      / (CAST(sxx AS DOUBLE) - cm) END, 4) AS icc
+        |FROM cl""".stripMargin,
 
     "mine_ab_srm" ->
       """WITH u AS (SELECT DISTINCT o_custkey FROM orders),

@@ -304,6 +304,44 @@ object VectorOps {
         .orderBy(col("probe_id"), col("rank"))
     }),
 
+    // metric-choice agreement audit: for each probe, top-10 by
+    // COSINE vs top-10 by raw DOT product, and the overlap between
+    // the two lists — the "should we normalize?" decision made
+    // measurable (agreement ≈ 1: norms are uniform and the cheaper
+    // dot suffices; low agreement: unnormalized MIPS is silently
+    // retrieving long vectors, not similar ones). Probe discipline
+    // and total orders as vec_cosine_topk/vec_mips_topk (ROUNDED
+    // score, id tie-break); overlap counts divide exact integers
+    // once. Probe-bounded cost.
+    "vec_metric_rank_agreement" -> ((s, d) => {
+      CosineSimilarity.register(s)
+      val e = Tables.embeddings(s, d)
+      val probes = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("p"), col("embedding").as("pe"))
+      val scored = e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("p"))
+        .select(col("p"), col("vec_id").as("b"),
+          round(cosine("pe", "embedding"), 4).as("cos"),
+          round(expr(
+            """aggregate(zip_with(pe, embedding,
+              |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+              |  CAST(0.0 AS DOUBLE), (a, v) -> a + v)""".stripMargin), 4)
+            .as("dot"))
+      val wc = Window.partitionBy(col("p")).orderBy(desc("cos"), asc("b"))
+      val wd = Window.partitionBy(col("p")).orderBy(desc("dot"), asc("b"))
+      val ranked = scored
+        .withColumn("rc", row_number().over(wc))
+        .withColumn("rd", row_number().over(wd))
+      val m = ranked.filter(col("rc") <= 10 && col("rd") <= 10)
+        .groupBy(col("p")).agg(count(lit(1)).as("ov"))
+      val np = probes.agg(count(lit(1)).as("n_probes"))
+      m.agg(sum(col("ov")).as("total_overlap"))
+        .crossJoin(broadcast(np))
+        .select(col("n_probes"), col("total_overlap"),
+          r4(col("total_overlap").cast(DoubleType) /
+            (col("n_probes") * 10).cast(DoubleType)).as("mean_overlap_10"))
+    }),
+
     // PRODUCT QUANTIZATION with asymmetric distance computation (ADC)
     // — the third ANN tier after IVF (coarse cells) and LSH (hash
     // buckets): compress every vector to PqM subspace codes against a
@@ -1346,6 +1384,33 @@ object VectorOps {
         |    AS avg_cos,
         |  round(min(cos), 4) AS min_cos
         |FROM assigned GROUP BY cell ORDER BY cell""".stripMargin,
+
+    "vec_metric_rank_agreement" ->
+      """WITH probes AS (
+        |  SELECT vec_id AS p, embedding AS pe
+        |  FROM embeddings WHERE vec_id < 100),
+        |scored AS (
+        |  SELECT pr.p, e.vec_id AS b,
+        |    round(list_cosine_similarity(CAST(pr.pe AS DOUBLE[]),
+        |      CAST(e.embedding AS DOUBLE[])), 4) AS cos,
+        |    round(list_inner_product(CAST(pr.pe AS DOUBLE[]),
+        |      CAST(e.embedding AS DOUBLE[])), 4) AS dot
+        |  FROM embeddings e CROSS JOIN probes pr
+        |  WHERE e.vec_id <> pr.p),
+        |ranked AS (
+        |  SELECT p, b,
+        |    row_number() OVER (PARTITION BY p ORDER BY cos DESC, b) AS rc,
+        |    row_number() OVER (PARTITION BY p ORDER BY dot DESC, b) AS rd
+        |  FROM scored),
+        |m AS (
+        |  SELECT p, count(*) AS ov FROM ranked
+        |  WHERE rc <= 10 AND rd <= 10 GROUP BY 1),
+        |np AS (SELECT count(*) AS n_probes FROM probes)
+        |SELECT np.n_probes,
+        |  CAST((SELECT sum(ov) FROM m) AS BIGINT) AS total_overlap,
+        |  round(CAST((SELECT sum(ov) FROM m) AS DOUBLE)
+        |    / CAST(np.n_probes * 10 AS DOUBLE), 4) AS mean_overlap_10
+        |FROM np""".stripMargin,
 
     "vec_hubness_audit" ->
       """WITH probes AS (

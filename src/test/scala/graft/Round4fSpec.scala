@@ -1150,4 +1150,36 @@ class Round4fSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).head
     assert(got == ((4L, 3L, 0.75)), s"got $got")
   }
+
+  test("vec_metric_rank_agreement: tiny corpora agree fully by construction") {
+    val dir = tempDir()
+    import spark.implicits._
+    // 4 probes, 3 candidates each — both top-10 lists hold everything,
+    // so overlap = 3 per probe and the mean is 12/40
+    writeFixture(dir, "embeddings", Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0.5f, 0.5f), 0), (3L, Array(0f, 1f), 0))
+      .toDF("vec_id", "embedding", "label"))
+    val got = operators.VectorOps
+      .queries("vec_metric_rank_agreement")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).head
+    assert(got == ((4L, 12L, 0.3)), s"got $got")
+  }
+
+  test("mine_icc_price: constant per-supplier prices read icc exactly 1") {
+    val dir = tempDir()
+    import spark.implicits._
+    writeFixture(dir, "lineitem", Seq(
+      (1L, 100.0), (1L, 100.0), (2L, 300.0), (2L, 300.0))
+      .toDF("l_suppkey", "l_extendedprice"))
+    val got = operators.MiningOps.queries("mine_icc_price")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).head
+    assert(got == ((4L, 2L, 1.0)), s"got $got")
+    // a single group cannot explain anything: SSB = 0 → icc 0
+    writeFixture(dir, "lineitem", Seq((1L, 100.0), (1L, 300.0))
+      .toDF("l_suppkey", "l_extendedprice"))
+    val one = operators.MiningOps.queries("mine_icc_price")(spark, dir)
+      .collect().map(r => r.getDouble(2)).head
+    assert(one == 0.0, s"got $one")
+  }
 }
