@@ -1220,6 +1220,46 @@ object TextOps {
         .orderBy(col("stage"))
     }),
 
+    // split-balance audit: per-split doc counts and token-length
+    // stats PLUS the exact train-vs-test KS distance over the length
+    // distributions — the check that the deterministic hash split
+    // didn't correlate with document length (a skewed split silently
+    // biases eval perplexity; KS ≈ 0 certifies the split is
+    // length-blind). Per-split stats are exact integers; the KS
+    // argmax runs on integers (|cum·n − cum·n| — the diag_drift_ks
+    // discipline) over the BOUNDED distinct-length relation; the
+    // constant ks column repeats per row (the heaps-beta precedent).
+    "pipeline_split_balance" -> ((s, d) => {
+      val sp = splitAssign(s, d)
+        .select(col("split"),
+          expr("size(split(text, ' '))").cast("long").as("t"))
+      val stats = sp.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("st"),
+          min(col("t")).as("min_tokens"), max(col("t")).as("max_tokens"))
+      val tt = sp.filter(col("split") =!= "val")
+        .groupBy(col("t"))
+        .agg(count_if(col("split") === "train").as("c1"),
+          count_if(col("split") === "test").as("c2"))
+      val wCum = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = tt.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      val ks = tt
+        .withColumn("cum1", sum(col("c1")).over(wCum))
+        .withColumn("cum2", sum(col("c2")).over(wCum))
+        .crossJoin(broadcast(tot))
+        .select(abs(col("cum1").cast(DecimalType(38, 0)) * col("n2") -
+          col("cum2").cast(DecimalType(38, 0)) * col("n1")).as("dn"),
+          col("n1"), col("n2"))
+        .agg(r4(max(col("dn")).cast(DoubleType) /
+          (max(col("n1")).cast(DoubleType) * max(col("n2"))))
+          .as("ks_train_test"))
+      stats.crossJoin(broadcast(ks))
+        .select(col("split"), col("n_docs"),
+          r4(col("st").cast(DoubleType) / col("n_docs")).as("mean_tokens"),
+          col("min_tokens"), col("max_tokens"), col("ks_train_test"))
+        .orderBy(col("split"))
+    }),
+
     // C4-style line-level dedup census: sentences (split on '. ')
     // repeated across documents, per source — the granularity C4
     // famously dedupes at, between whole-doc md5 (misses partial
@@ -2188,6 +2228,41 @@ object TextOps {
          |  UNION ALL SELECT 4, 'repetition_cap', a4, o4, n FROM c
          |  UNION ALL SELECT 5, 'exact_dedup', a5, o5, n FROM c)
          |ORDER BY stage""".stripMargin,
+
+    "pipeline_split_balance" ->
+      s"""WITH sp AS (
+         |  SELECT $splitCaseSql AS split,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+         |  FROM documents),
+         |stats AS (
+         |  SELECT split, count(*) AS n_docs, CAST(sum(t) AS BIGINT) AS st,
+         |    min(t) AS min_tokens, max(t) AS max_tokens
+         |  FROM sp GROUP BY 1),
+         |tt AS (
+         |  SELECT t,
+         |    CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS c1,
+         |    CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS c2
+         |  FROM sp WHERE split <> 'val' GROUP BY 1),
+         |cum AS (
+         |  SELECT t,
+         |    SUM(c1) OVER (ORDER BY t
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+         |    SUM(c2) OVER (ORDER BY t
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+         |  FROM tt),
+         |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+         |          CAST(sum(c2) AS BIGINT) AS n2 FROM tt),
+         |ks AS (
+         |  SELECT round(CAST(MAX(abs(CAST(cum1 AS HUGEINT) * n2
+         |      - CAST(cum2 AS HUGEINT) * n1)) AS DOUBLE)
+         |    / (CAST(MAX(n1) AS DOUBLE) * MAX(n2)), 4) AS ks_train_test
+         |  FROM cum CROSS JOIN tot)
+         |SELECT split, n_docs,
+         |  round(CAST(st AS DOUBLE) / n_docs, 4) AS mean_tokens,
+         |  min_tokens, max_tokens, ks.ks_train_test
+         |FROM stats CROSS JOIN ks ORDER BY split""".stripMargin,
 
     "text_line_dedup_census" ->
       """WITH sent AS (

@@ -1154,6 +1154,48 @@ object TimeSeriesOps {
         .orderBy(col("day"))
     }),
 
+    // Lo–MacKinlay variance-ratio test per series (q = 4): VR =
+    // Var(4-hour deltas)/(4·Var(1-hour deltas)) — a random walk reads
+    // 1; VR > 1 means momentum (shocks compound), VR < 1 mean
+    // reversion (shocks fade) — the "is this series trending or
+    // snapping back?" diagnostic the trend family (MK test, slopes)
+    // presumes an answer to. ROW-lag deltas over the bounded hourly
+    // aggregate; both delta populations' moments exact (units BIGINT,
+    // squares DECIMAL(38,0)); two variance closes and one ratio in
+    // identical IEEE expressions; degenerate Var₁ = 0 reads 0.
+    "ts_variance_ratio" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg((sum(col("value").cast(dec)) * 10000).cast("long").as("hu"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      val dl = hourly
+        .withColumn("d1", col("hu") - lag(col("hu"), 1).over(w))
+        .withColumn("d4", col("hu") - lag(col("hu"), 4).over(w))
+      def varOf(c: String, nc: String, sc: String, qc: String) = Seq(
+        count(col(c)).as(nc), sum(col(c).cast(dec38)).as(sc),
+        sum(col(c).cast(dec38) * col(c).cast(dec38)).as(qc))
+      val aggs = varOf("d1", "n1", "s1", "q1") ++ varOf("d4", "n4", "s4", "q4")
+      dl.groupBy(col("event_type")).agg(aggs.head, aggs.tail: _*)
+        .filter(col("n1") > 0 && col("n4") > 0)
+        .withColumn("v1", (col("n1") * col("q1") - col("s1") * col("s1"))
+          .cast(DoubleType) / (col("n1").cast(DoubleType) * col("n1")))
+        .withColumn("v4", (col("n4") * col("q4") - col("s4") * col("s4"))
+          .cast(DoubleType) / (col("n4").cast(DoubleType) * col("n4")))
+        .select(col("event_type"), col("n1").as("n_deltas"),
+          r4(when(col("v1") === 0.0, lit(0.0))
+            .otherwise(col("v4") / (lit(4.0) * col("v1")))).as("vr4"),
+          when(r4(when(col("v1") === 0.0, lit(0.0))
+              .otherwise(col("v4") / (lit(4.0) * col("v1")))) > 1.2,
+            "momentum")
+            .when(r4(when(col("v1") === 0.0, lit(0.0))
+              .otherwise(col("v4") / (lit(4.0) * col("v1")))) < 0.8,
+              "mean_reverting")
+            .otherwise("random_walk").as("verdict"))
+        .orderBy(col("event_type"))
+    }),
+
     // Little's-law quantities over the merged activity intervals:
     // arrival rate λ (sessions/hour), mean session duration W, and
     // the TIME-AVERAGE concurrency L = Σdurations/horizon — the
@@ -2151,6 +2193,40 @@ object TimeSeriesOps {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4)
         |    AS obv
         |FROM sg ORDER BY day""".stripMargin,
+
+    "ts_variance_ratio" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS hu
+        |  FROM events GROUP BY 1, 2),
+        |dl AS (
+        |  SELECT event_type,
+        |    hu - lag(hu, 1) OVER w AS d1, hu - lag(hu, 4) OVER w AS d4
+        |  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY hour)),
+        |g AS (
+        |  SELECT event_type,
+        |    count(d1) AS n1, SUM(CAST(d1 AS HUGEINT)) AS s1,
+        |    SUM(CAST(d1 AS HUGEINT) * d1) AS q1,
+        |    count(d4) AS n4, SUM(CAST(d4 AS HUGEINT)) AS s4,
+        |    SUM(CAST(d4 AS HUGEINT) * d4) AS q4
+        |  FROM dl GROUP BY 1),
+        |v AS (
+        |  SELECT event_type, n1,
+        |    CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+        |      / (CAST(n1 AS DOUBLE) * n1) AS v1,
+        |    CAST(n4 * q4 - s4 * s4 AS DOUBLE)
+        |      / (CAST(n4 AS DOUBLE) * n4) AS v4
+        |  FROM g WHERE n1 > 0 AND n4 > 0),
+        |r AS (
+        |  SELECT event_type, n1,
+        |    round(CASE WHEN v1 = 0.0 THEN 0.0
+        |      ELSE v4 / (4.0 * v1) END, 4) AS vr4
+        |  FROM v)
+        |SELECT event_type, n1 AS n_deltas, vr4,
+        |  CASE WHEN vr4 > 1.2 THEN 'momentum'
+        |       WHEN vr4 < 0.8 THEN 'mean_reverting'
+        |       ELSE 'random_walk' END AS verdict
+        |FROM r ORDER BY event_type""".stripMargin,
 
     "ts_littles_law" ->
       """WITH ev AS (

@@ -1182,4 +1182,44 @@ class Round4fSpec extends SparkTestBase {
       .collect().map(r => r.getDouble(2)).head
     assert(one == 0.0, s"got $one")
   }
+
+  test("ts_variance_ratio: a period-2 oscillator is perfectly mean-reverting") {
+    val dir = tempDir()
+    import spark.implicits._
+    def ev(id: Long, hour: Int, v: Double) =
+      (id, (1577836800L + hour * 3600L) * 1000000000L, 1L, "view", v, "{}")
+    // 1,3,1,3,…: 1-hour deltas are ±2 (positive variance) but every
+    // 4-hour delta is exactly 0 → VR₄ = 0 → mean_reverting
+    writeFixture(dir, "events",
+      (0 until 12).map(h => ev(h + 1L, h, if (h % 2 == 0) 1.0 else 3.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = operators.TimeSeriesOps
+      .queries("ts_variance_ratio")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getString(3)))
+      .head
+    assert(got == ((11L, 0.0, "mean_reverting")), s"got $got")
+  }
+
+  test("pipeline_split_balance: matched length distributions read KS 0") {
+    val dir = tempDir()
+    import spark.implicits._
+    def bucket(id: Long) =
+      math.floorMod(math.floorMod(id, 100000000L) * 2654435761L, 100L)
+    val trainIds = (1L to 500L).filter(bucket(_) < 80).take(2)
+    val testIds = (1L to 500L).filter(bucket(_) >= 90).take(2)
+    // both splits hold one 2-token and one 4-token doc → identical
+    // length CDFs → KS = 0
+    def doc(id: Long, n: Int) = (id, Seq.fill(n)("w").mkString(" "), "en",
+      "s", 1L)
+    writeFixture(dir, "documents", Seq(
+      doc(trainIds(0), 2), doc(trainIds(1), 4),
+      doc(testIds(0), 2), doc(testIds(1), 4))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = operators.TextOps
+      .queries("pipeline_split_balance")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(5))).toSeq
+    assert(got == Seq(("test", 2L, 3.0, 0.0), ("train", 2L, 3.0, 0.0)),
+      s"got $got")
+  }
 }
