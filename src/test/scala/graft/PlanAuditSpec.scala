@@ -662,6 +662,15 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("round-4f closing ops: no unbounded cartesian anywhere") {
+    for (q <- Seq("vec_metric_rank_agreement", "mine_icc_price",
+        "ts_variance_ratio", "pipeline_split_balance")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q: no unbounded cartesian (broadcast scalars excepted):\n$p")
+    }
+  }
+
   test("win_rolling_corr: the serial window sees only the joined hourly aggregate") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
