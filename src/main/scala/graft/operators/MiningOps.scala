@@ -1710,6 +1710,29 @@ object MiningOps {
         .orderBy(col("cls"))
     }),
 
+    // basket-size distribution: lineitems per order → order-count
+    // histogram with shares and cumulative shares — the order-shape
+    // profile behind every fulfillment/bundling decision (and the
+    // declared-bound witness for the pair/triple mining ops, whose
+    // per-order fan-out assumes exactly this histogram stays small).
+    // Two exact hash aggregates (order sizes, then the ≤max-size
+    // histogram); the cumulative window runs over the bounded
+    // histogram; one ratio close per row.
+    "mine_basket_size_dist" -> ((s, d) => {
+      val sz = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n_orders"))
+      val tot = sz.agg(sum(col("n_orders")).as("t"))
+      val w = Window.orderBy(col("k"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sz.crossJoin(broadcast(tot))
+        .withColumn("cum", sum(col("n_orders")).over(w))
+        .select(col("k").as("basket_size"), col("n_orders"),
+          r4(col("n_orders").cast(DoubleType) / col("t")).as("share"),
+          r4(col("cum").cast(DoubleType) / col("t")).as("cum_share"))
+        .orderBy(col("basket_size"))
+    }),
+
     // intraclass correlation of line price by supplier: ICC =
     // SS_between/SS_total — how much of price variance the supplier
     // IDENTITY explains (≈0: prices are market-wide, supplier is not
@@ -2952,6 +2975,22 @@ object MiningOps {
         |    / CAST(t AS DOUBLE), 4) AS share
         |FROM cl CROSS JOIN tot
         |GROUP BY cls, t ORDER BY cls""".stripMargin,
+
+    "mine_basket_size_dist" ->
+      """WITH sz AS (
+        |  SELECT k, count(*) AS n_orders FROM (
+        |    SELECT l_orderkey, count(*) AS k FROM lineitem GROUP BY 1) q
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_orders) AS BIGINT) AS t FROM sz),
+        |c AS (
+        |  SELECT k, n_orders,
+        |    SUM(n_orders) OVER (ORDER BY k
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM sz)
+        |SELECT k AS basket_size, n_orders,
+        |  round(CAST(n_orders AS DOUBLE) / t, 4) AS share,
+        |  round(CAST(cum AS DOUBLE) / t, 4) AS cum_share
+        |FROM c CROSS JOIN tot ORDER BY basket_size""".stripMargin,
 
     "mine_icc_price" ->
       """WITH x AS (

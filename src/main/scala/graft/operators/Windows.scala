@@ -347,6 +347,37 @@ object Windows {
         .orderBy(col("l_suppkey"))
     }),
 
+    // record-high census per series: hours whose volume STRICTLY
+    // exceeds every earlier hour — the all-time-high tracker
+    // (win_drawdown measures how far BELOW the peak the series falls;
+    // this counts how often the peak itself moves, and when it last
+    // did — a stale last-record date on a growth metric is the
+    // plateau signal). The first hour is a record by convention (no
+    // prior peak to beat, declared). Exact BIGINT units; one
+    // running-max window over the bounded hourly aggregate per
+    // series; first/last records via min/max on the filtered rows.
+    "win_record_highs" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg((sum(col("value").cast(DecimalType(18, 4))) * 10000)
+          .cast("long").as("hu"))
+      val wPrev = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val rec = hourly
+        .withColumn("pmax", max(col("hu")).over(wPrev))
+        .withColumn("isRec", col("pmax").isNull || col("hu") > col("pmax"))
+      rec.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          count_if(col("isRec")).as("n_records"),
+          ntz(min(when(col("isRec"), col("hour")))).as("first_record"),
+          ntz(max(when(col("isRec"), col("hour")))).as("last_record"))
+        .select(col("event_type"), col("n_hours"), col("n_records"),
+          col("first_record"), col("last_record"),
+          r4(col("n_records").cast(DoubleType) / col("n_hours"))
+            .as("record_rate"))
+        .orderBy(col("event_type"))
+    }),
+
     // rolling EXACT median of the hourly volume per series — the
     // robust trailing smoother next to win_moving_avg_range's mean
     // (one spiked hour drags a 25h mean for a day; the median
@@ -685,6 +716,29 @@ object Windows {
         |  round(CASE WHEN vx <= 0.0 OR vy <= 0.0 THEN 0.0
         |    ELSE num / (sqrt(vx) * sqrt(vy)) END, 4) AS corr
         |FROM c ORDER BY hour""".stripMargin,
+
+    "win_record_highs" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS hu
+        |  FROM events GROUP BY 1, 2),
+        |rec AS (
+        |  SELECT event_type, hour, hu,
+        |    max(hu) OVER (PARTITION BY event_type ORDER BY hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM hourly),
+        |f AS (
+        |  SELECT event_type, hour,
+        |    (pmax IS NULL OR hu > pmax) AS isrec
+        |  FROM rec)
+        |SELECT event_type, count(*) AS n_hours,
+        |  CAST(SUM(CASE WHEN isrec THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_records,
+        |  min(CASE WHEN isrec THEN hour END) AS first_record,
+        |  max(CASE WHEN isrec THEN hour END) AS last_record,
+        |  round(CAST(SUM(CASE WHEN isrec THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 4) AS record_rate
+        |FROM f GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "win_bollinger_breach" ->
       """WITH hourly AS (

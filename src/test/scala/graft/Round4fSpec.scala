@@ -1222,4 +1222,37 @@ class Round4fSpec extends SparkTestBase {
     assert(got == Seq(("test", 2L, 3.0, 0.0), ("train", 2L, 3.0, 0.0)),
       s"got $got")
   }
+
+  test("win_record_highs: strict records only, ties do not count") {
+    val dir = tempDir()
+    import spark.implicits._
+    def ev(id: Long, hour: Int, v: Double) =
+      (id, (1577836800L + hour * 3600L) * 1000000000L, 1L, "view", v, "{}")
+    // 10, 12, 12, 8, 15 → records at hours 0, 1, 4 (the tie at h2 and
+    // the dip at h3 are not records)
+    writeFixture(dir, "events", Seq(ev(1, 0, 10.0), ev(2, 1, 12.0),
+      ev(3, 2, 12.0), ev(4, 3, 8.0), ev(5, 4, 15.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = operators.Windows.queries("win_record_highs")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2),
+        r.getAs[java.time.LocalDateTime](4).toEpochSecond(
+          java.time.ZoneOffset.UTC),
+        r.getDouble(5))).head
+    assert(got == ((5L, 3L, 1577836800L + 4 * 3600L, 0.6)), s"got $got")
+  }
+
+  test("mine_basket_size_dist: histogram and cumulative shares by hand") {
+    val dir = tempDir()
+    import spark.implicits._
+    // orders of sizes 1, 1, 2, 3 → histogram (1,2)(2,1)(3,1)
+    writeFixture(dir, "lineitem", Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), (3L, 2L), (4L, 1L), (4L, 2L), (4L, 3L))
+      .toDF("l_orderkey", "l_partkey"))
+    val got = operators.MiningOps
+      .queries("mine_basket_size_dist")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq((1L, 2L, 0.5, 0.5), (2L, 1L, 0.25, 0.75),
+      (3L, 1L, 0.25, 1.0)), s"got $got")
+  }
 }
