@@ -87,7 +87,7 @@ object GraphOps {
     * DataFrames would recompute uncached on every timed action) */
   private[graft] def clearMemos(s: SparkSession): Unit = {
     Seq(edgeCache, symCache, cappedCache, coCiteCache, coPartCache, lpaCache,
-      walkCache).foreach(evict(_, s))
+      walkCache, triRelCache).foreach(evict(_, s))
     evict(triCache, s)
   }
 
@@ -415,63 +415,72 @@ object GraphOps {
        |${rounds.mkString(",\n")}""".stripMargin
   }
 
-  /** degree-oriented triangle count over the co-part graph — the
-    * shared engine behind graph_triangles and the clustering
-    * coefficient. Eager by design: the result is one scalar, and
-    * computing it inside the call lets the per-call caches be
-    * released (even on failure) instead of pinning O(edges)
-    * relations for the session. private[graft] so GraphSpec can drive
-    * the broadcast-vs-shuffle paths PAST the scalar memo.
+  /** oriented triangle RELATION (u, v, w) over the co-part graph —
+    * memoized + cached per (session, dir), r5: ONE degree-oriented
+    * enumeration now feeds graph_triangles, the clustering
+    * coefficient, graph_edge_support, graph_triangle_participation
+    * and the k-truss peel's first round (VERDICT r4 #1: each of the
+    * first four previously re-ran the identical ~25-line
+    * dir/adj/intersect derivation from scratch). Cache is bounded:
+    * 3 longs × triangles (measured 1.88 M rows / ~45 MB at sf0.1 —
+    * the relation grows with triangle count, not with wedge work).
+    * Eagerly materialized inside the memo so the dir/adj temporaries
+    * release immediately instead of pinning O(edges) blocks. */
+  private val triRelCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[graft] def triangleRel(s: SparkSession, d: String): DataFrame =
+    memo(triRelCache, (s, d)) {
+      val co = coParts(s, d)
+      val sym = co.select(col("a").as("u"), col("b").as("v"))
+        .union(co.select(col("b").as("u"), col("a").as("v")))
+      val vk = sym.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+        .select(col("u").as("vertex"), struct(col("dg"), col("u")).as("k"))
+      val dir = sym
+        .join(vk.select(col("vertex").as("u"), col("k").as("ku")), Seq("u"))
+        .join(vk.select(col("vertex").as("v"), col("k").as("kv")), Seq("v"))
+        .filter(col("ku") < col("kv"))
+        .select(col("u"), col("v"))
+        .cache()
+      val adj = dir.groupBy(col("u"))
+        .agg(array_sort(collect_list(col("v"))).as("ns")).cache()
+      val nu = adj.select(col("u"), col("ns").as("nu"))
+      val nv = adj.select(col("u").as("v"), col("ns").as("nv"))
+      try {
+        // inner joins are exact: an edge whose endpoint has no
+        // out-neighbors contributes ∅ witnesses and may drop
+        val joined = if (dir.count() <= edgeCap(s))
+          dir.join(broadcast(nu), Seq("u")).join(broadcast(nv), Seq("v"))
+        else
+          dir.join(nu, Seq("u")).join(nv, Seq("v"))
+        val tri = joined
+          .select(col("u"), col("v"),
+            explode(array_intersect(col("nu"), col("nv"))).as("w"))
+          .cache()
+        tri.count() // materialize NOW so dir/adj can release below
+        tri
+      } finally { dir.unpersist(); adj.unpersist() }
+    }
+
+  /** degree-oriented triangle count over the co-part graph — since r5
+    * a one-line count over the shared [[triangleRel]] relation (the
+    * census itself, the orientation rationale and the broadcast-vs-
+    * shuffle join strategy are documented there). private[graft] so
+    * GraphSpec can drive the derivation PAST the scalar memo.
     *
     * Census = adjacency-intersect (edge iterator), r4 — replaced the
     * wedge-join formulation after measuring both at sf0.1 (census
     * 3.2 s vs 5.7–10 s): per directed edge (u,v), triangles closing
     * through it = |N⁺(u) ∩ N⁺(v)| over the degree-oriented
-    * out-neighbor arrays. The Σ outdeg² wedge work still happens, but
-    * inside a codegen'd array_intersect over m pre-grouped rows
-    * instead of materializing Σ outdeg² wedge ROWS through a join
-    * probe. Orientation (total (degree, id) order via struct
-    * comparison — injective at any magnitude, where an arithmetic
-    * dg*C+id encoding silently collides once ids exceed C) bounds
-    * every array by O(√m), so a joined row is O(√m) wide — no skew
-    * hazard from hubs, the same guarantee that bounded the wedge
-    * stream.
-    *
-    * Join strategy by MEASURED edge count (dir is cached; the count
-    * is a metadata-cheap action): under the cap the adjacency table
-    * (n rows, Σ sizes = m) broadcasts and the edge stream never
-    * exchanges; above it, two co-partitioned shuffle joins on the
-    * vertex key — the round-1 lesson stands, an unconditional
-    * O(edges) broadcast build OOMs at cluster scale. */
-  private[graft] def triangleCountUncached(s: SparkSession, d: String): Long = {
-    val co = coParts(s, d)
-    val sym = co.select(col("a").as("u"), col("b").as("v"))
-      .union(co.select(col("b").as("u"), col("a").as("v")))
-    val vk = sym.groupBy(col("u")).agg(count(lit(1)).as("dg"))
-      .select(col("u").as("vertex"), struct(col("dg"), col("u")).as("k"))
-    val dir = sym
-      .join(vk.select(col("vertex").as("u"), col("k").as("ku")), Seq("u"))
-      .join(vk.select(col("vertex").as("v"), col("k").as("kv")), Seq("v"))
-      .filter(col("ku") < col("kv"))
-      .select(col("u"), col("v"))
-      .cache()
-    val adj = dir.groupBy(col("u"))
-      .agg(array_sort(collect_list(col("v"))).as("ns")).cache()
-    val nu = adj.select(col("u"), col("ns").as("nu"))
-    val nv = adj.select(col("u").as("v"), col("ns").as("nv"))
-    try {
-      // inner joins are exact: an edge whose endpoint has no
-      // out-neighbors contributes |∅ ∩ ·| = 0 and may drop
-      val joined = if (dir.count() <= edgeCap(s))
-        dir.join(broadcast(nu), Seq("u")).join(broadcast(nv), Seq("v"))
-      else
-        dir.join(nu, Seq("u")).join(nv, Seq("v"))
-      joined
-        .select(size(array_intersect(col("nu"), col("nv"))).as("t"))
-        .agg(coalesce(sum(col("t")), lit(0L)).as("n_triangles"))
-        .first().getLong(0)
-    } finally { dir.unpersist(); adj.unpersist() }
-  }
+    * out-neighbor arrays. Orientation (total (degree, id) order via
+    * struct comparison — injective at any magnitude, where an
+    * arithmetic dg*C+id encoding silently collides once ids exceed C)
+    * bounds every array by O(√m) — no skew hazard from hubs. */
+  private[graft] def triangleCountUncached(s: SparkSession, d: String): Long =
+    // count over the shared relation: Σ |N⁺(u) ∩ N⁺(v)| ≡ the row
+    // count of the exploded witnesses (each intersect element IS one
+    // oriented triangle row), and the relation is already cached
+    triangleRel(s, d).count()
 
   val queries: Map[String, QFn] = Map(
     "graph_edges" -> ((s, d) => {
@@ -563,22 +572,7 @@ object GraphOps {
     // 3·triangles, the Σ outdeg² wedge cost class. Integer-exact.
     "graph_edge_support" -> ((s, d) => {
       val co = coParts(s, d)
-      val sym = co.select(col("a").as("u"), col("b").as("v"))
-        .union(co.select(col("b").as("u"), col("a").as("v")))
-      val vk = sym.groupBy(col("u")).agg(count(lit(1)).as("dg"))
-        .select(col("u").as("vertex"), struct(col("dg"), col("u")).as("k"))
-      val dir = sym
-        .join(vk.select(col("vertex").as("u"), col("k").as("ku")), Seq("u"))
-        .join(vk.select(col("vertex").as("v"), col("k").as("kv")), Seq("v"))
-        .filter(col("ku") < col("kv"))
-        .select(col("u"), col("v"))
-      val adj = dir.groupBy(col("u"))
-        .agg(array_sort(collect_list(col("v"))).as("ns"))
-      val tri = dir
-        .join(adj.select(col("u"), col("ns").as("nu")), Seq("u"))
-        .join(adj.select(col("u").as("v"), col("ns").as("nv")), Seq("v"))
-        .select(col("u"), col("v"),
-          explode(array_intersect(col("nu"), col("nv"))).as("w"))
+      val tri = triangleRel(s, d) // shared cached enumeration (r5)
       val sup = tri.select(explode(array(
           struct(least(col("u"), col("v")).as("a"),
             greatest(col("u"), col("v")).as("b")),
@@ -606,25 +600,11 @@ object GraphOps {
     // are exact integers, one ratio close.
     "graph_triangle_participation" -> ((s, d) => {
       val co = coParts(s, d)
-      val sym = co.select(col("a").as("u"), col("b").as("v"))
-        .union(co.select(col("b").as("u"), col("a").as("v")))
-      val vk = sym.groupBy(col("u")).agg(count(lit(1)).as("dg"))
-        .select(col("u").as("vertex"), struct(col("dg"), col("u")).as("k"))
-      val dir = sym
-        .join(vk.select(col("vertex").as("u"), col("k").as("ku")), Seq("u"))
-        .join(vk.select(col("vertex").as("v"), col("k").as("kv")), Seq("v"))
-        .filter(col("ku") < col("kv"))
-        .select(col("u"), col("v"))
-      val adj = dir.groupBy(col("u"))
-        .agg(array_sort(collect_list(col("v"))).as("ns"))
-      val tri = dir
-        .join(adj.select(col("u"), col("ns").as("nu")), Seq("u"))
-        .join(adj.select(col("u").as("v"), col("ns").as("nv")), Seq("v"))
-        .select(col("u"), col("v"),
-          explode(array_intersect(col("nu"), col("nv"))).as("w"))
+      val tri = triangleRel(s, d) // shared cached enumeration (r5)
       val inTri = tri.select(explode(array(col("u"), col("v"), col("w")))
         .as("x")).distinct()
-      val nv = sym.select(col("u")).distinct().agg(count(lit(1)).as("n"))
+      val nv = co.select(col("a").as("u")).union(co.select(col("b").as("u")))
+        .distinct().agg(count(lit(1)).as("n"))
       inTri.agg(count(lit(1)).as("n_in_triangle"))
         .crossJoin(broadcast(nv))
         .select(col("n").as("n_vertices"), col("n_in_triangle"),
