@@ -1564,8 +1564,10 @@ object GraphOps {
     // contracted multigraph: (ca, cb, w, a, b) with ca < cb; init =
     // the input edges labeled by themselves. Materialized under the
     // session conf, loop under the pinned conf (the CC split).
+    // LAZY checkpoint (r5): the loop's g.count() materializes it —
+    // eager would pay a separate job per round for the same scan
     var g = wedges.select(col("a").as("ca"), col("b").as("cb"),
-      col("w"), col("a"), col("b")).localCheckpoint()
+      col("w"), col("a"), col("b")).localCheckpoint(false)
     conf.set("spark.sql.adaptive.enabled", "false")
     conf.set("spark.sql.shuffle.partitions", p.toString)
     // caches live per round and are released at round end; `live`
@@ -1585,6 +1587,14 @@ object GraphOps {
         // full width.
         val pr = math.max(1L, math.min(p.toLong, remaining / 50000L)).toInt
         conf.set("spark.sql.shuffle.partitions", pr.toString)
+        // the pointer/choice tables hold ≤ one row per component, and
+        // components ≤ 2·remaining — under the state cap every jump
+        // and contraction join BROADCASTS (zero shuffle stages; the
+        // jump loop is pure stage-floor cost, measured 3 shuffle
+        // stages → 1 broadcast job per jump). Above the cap (early
+        // rounds at cluster scale) the joins shuffle as before.
+        val bcastPtr = remaining * 2 <= stateCap(spark)
+        def side(df: DataFrame): DataFrame = if (bcastPtr) broadcast(df) else df
         // per-component best incident edge on the (w, a, b) total order
         val cand = g.select(col("ca").as("c"), col("cb").as("t"),
             col("w"), col("a"), col("b"))
@@ -1596,8 +1606,11 @@ object GraphOps {
             col("e.a").as("a"), col("e.b").as("b"))
           .cache()
         live ::= best
+        // forest entries stay LAZY over the cached best (r5): the old
+        // per-round eager localCheckpoint paid one scheduler job per
+        // round for data the final union re-scans anyway; now the
+        // bests stay cached until the single checkpoint at the end
         forest ::= best.select(col("a"), col("b"), col("w")).distinct()
-          .localCheckpoint()
         // choice graph c → t: break 2-cycles toward the smaller id
         // (which becomes its tree's root), then pointer-jump. The
         // loop uses cache() + explicit unpersist (the CC pinned-list
@@ -1608,7 +1621,7 @@ object GraphOps {
         // jumps stays a handful of joins — planning cost in the ms.
         val ptr0 = best.select(col("c"), col("t"))
         val back = ptr0.select(col("t").as("c2"), col("c").as("t2"))
-        var ptr = ptr0.join(back, ptr0("c") === back("c2") &&
+        var ptr = ptr0.join(side(back), ptr0("c") === back("c2") &&
             ptr0("t") === back("t2"), "left")
           .select(col("c"),
             when(col("t2").isNotNull && col("c") < col("t"), col("c"))
@@ -1618,8 +1631,14 @@ object GraphOps {
         var jumps = 0
         while (jumping) {
           val t0 = System.nanoTime()
+          // NOTE (r5): a double-squaring variant (q = p∘p, next = q∘q,
+          // halving the count actions) was built and MEASURED SLOWER
+          // (22.5 s vs 11.0 s min-of-3 at sf0.1): the extra
+          // materialization job per round outweighed the saved counts
+          // once the jump joins broadcast. Single squaring + broadcast
+          // sides is the winning shape.
           val hop = ptr.select(col("c").as("c2"), col("t").as("t2"))
-          val next = ptr.join(hop, ptr("t") === hop("c2"), "left")
+          val next = ptr.join(side(hop), ptr("t") === hop("c2"), "left")
             .select(col("c"), col("t").as("prev"),
               coalesce(col("t2"), col("t")).as("t"))
             .cache()
@@ -1640,7 +1659,7 @@ object GraphOps {
         // intra-component edges, keep the min struct per new pair
         val ra = ptr.select(col("c").as("ca"), col("t").as("ra"))
         val rb = ptr.select(col("c").as("cb"), col("t").as("rb"))
-        g = g.join(ra, Seq("ca"), "left").join(rb, Seq("cb"), "left")
+        g = g.join(side(ra), Seq("ca"), "left").join(side(rb), Seq("cb"), "left")
           .select(coalesce(col("ra"), col("ca")).as("na"),
             coalesce(col("rb"), col("cb")).as("nb"),
             col("w"), col("a"), col("b"))
@@ -1652,21 +1671,25 @@ object GraphOps {
           .agg(min(struct(col("w"), col("a"), col("b"))).as("e"))
           .select(col("ca"), col("cb"), col("e.w").as("w"),
             col("e.a").as("a"), col("e.b").as("b"))
-          .localCheckpoint()
+          .localCheckpoint(false) // materialized by the count below
         remaining = g.count()
-        // release the round's working caches — g (checkpointed) and
-        // the forest entries (checkpointed) no longer reference them
+        // release the round's jump caches — g (checkpointed) no longer
+        // references them. best stays cached: the lazy forest entries
+        // scan it at the final checkpoint; `live` carries it to the
+        // finally for release.
         jumpPinned.foreach(_.unpersist())
-        best.unpersist()
-        live = Nil
         round += 1
         vlog(s"round $round done: $remaining contracted edges remain")
       }
       if (remaining > 0) throw new IllegalStateException(
         s"boruvkaMsf did not converge in $maxRounds rounds " +
           s"($remaining cross-component edges remain)")
+      // ONE eager checkpoint materializes the whole forest off the
+      // cached per-round bests before the finally releases them —
+      // without it the returned plan would recompute every round's
+      // min-edge aggregate at the caller's first action
       if (forest.isEmpty) wedges.select(col("a"), col("b"), col("w")).limit(0)
-      else forest.reduce(_ unionByName _).distinct()
+      else forest.reduce(_ unionByName _).distinct().localCheckpoint()
     } finally {
       live.foreach { df =>
         try df.unpersist()
