@@ -32,6 +32,26 @@ class Round5Spec extends SparkTestBase {
     }.toSeq
   }
 
+  test("kTruss: planted clique survives, tails and bridges peel") {
+    import spark.implicits._
+    // 5-clique {1..5} (each edge in 3 triangles) + a triangle {6,7,8}
+    // hanging off vertex 5 via bridge 5-6, + pendant path 8-9-10.
+    // k=5 keeps ONLY the clique (support ≥ 3): the bridge closes no
+    // triangle, the small triangle's edges have support 1, and
+    // peeling cascades through the path.
+    val clique = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    val extra = Seq((5L, 6L), (6L, 7L), (6L, 8L), (7L, 8L), (8L, 9L), (9L, 10L))
+    val und = (clique ++ extra).toDF("a", "b")
+    val got = operators.GraphOps.kTruss(und, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == clique.map { case (a, b) => (a, b, 3L) }.toSet)
+    // k=3 keeps every triangle edge (support ≥ 1) and drops only the
+    // triangle-free bridge and path
+    val got3 = operators.GraphOps.kTruss(und, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got3 == (clique ++ Seq((6L, 7L), (6L, 8L), (7L, 8L))).toSet)
+  }
+
   test("graph_mst_boruvka: equals the driver-side Kruskal replica at sf0.01") {
     // 10× the Round4eSpec replica (VERDICT r4 #4): same check, the
     // sf the driver's correctness gate runs at — closing the one
