@@ -2,6 +2,7 @@ package graft.operators
 
 import graft._
 import graft.Stable._
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DoubleType
@@ -28,6 +29,14 @@ object TimeSeriesOps {
 
   /** forecast horizon (hours) for ts_holt_linear. */
   val HoltForecastH = 24
+
+  /** value-bucket count for ts_mann_kendall's pair decomposition —
+    * fixed-width integer buckets over each series' [min, max]; the
+    * cross-week same-bucket pair join is ∝ n²/MkValueBuckets on an
+    * even spread (a pathologically point-massed series degrades
+    * toward the pair join, bounded by that mass's size — declared).
+    * Shared with the oracle SQL so the two cannot drift. */
+  val MkValueBuckets = 128
 
   /** bucket size (points) for ts_downsample_ltob. */
   val LtobBucket = 10
@@ -1001,23 +1010,79 @@ object TimeSeriesOps {
     // outlier magnitude): S = Σ_{i<j} sign(x_j − x_i), tie-corrected
     // variance, z with the ±1 continuity correction, verdict at
     // |z| > 1.96 on the ROUNDED z. Everything integer until one sqrt
-    // + one division. Shape: the pair join runs per series over the
-    // BOUNDED hourly aggregate — pair count ∝ calendar-hours², a
-    // TIME-range cost, not a data-volume cost (declared: the join
-    // never sees raw events; 100× more events is the same H²).
+    // + one division. Shape (r5): NO hours² pair join — S decomposes
+    // over calendar-week × value buckets (see the in-query comment);
+    // the residual pair joins are bounded by the bucket widths, and
+    // everything runs over the BOUNDED hourly aggregate (100× more
+    // events is the same H).
     "ts_mann_kendall" -> ((s, d) => {
+      // r5 (VERDICT r4 #5): S without the hours² pair join. Each hour
+      // gets a calendar TIME bucket (ISO week — deterministic in both
+      // engines) and an integer-arithmetic VALUE bucket over the
+      // series' own [min, max] (numerator shifted non-negative so
+      // Spark DIV ≡ DuckDB // ≡ floor). Pairs decompose exactly:
+      //  A same-week pairs        → pair join bounded by 168 h/bucket
+      //  B cross-week, same vb    → pair join ∝ n²/VB on even spread
+      //  C cross-week, cross-vb   → sign is KNOWN from the vb order
+      //    (fixed-width buckets are value-disjoint ranges), so C
+      //    counts from the dense (week × vb) GRID: ct = items in
+      //    earlier weeks per vb (cumulative over ≤weeks rows), lo/hi
+      //    = lower/higher-vb prefix/suffix sums (over ≤VB rows),
+      //    contribution c·(lo−hi). Work ∝ n·168 + n²/VB + weeks·VB —
+      //    linear-log-class in hours where the old join was hours²
+      //    (3 y of hourly data: ~8 M rows vs ~340 M pairs/series).
+      // All three terms are exact BIGINT sign counts → S unchanged.
       val dec = org.apache.spark.sql.types.DecimalType(18, 4)
       val hourly = Tables.events(s, d)
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
         .agg((sum(col("value").cast(dec)) * 10000).cast("long").as("hu"))
-      val a = hourly.select(col("event_type"), col("hour").as("ha"),
-        col("hu").as("xa"))
-      val b = hourly.select(col("event_type"), col("hour").as("hb"),
-        col("hu").as("xb"))
-      val sStat = a.join(b, Seq("event_type")).filter(col("ha") < col("hb"))
+        .withColumn("tb", date_trunc("week", col("hour")))
+      val rng = hourly.groupBy(col("event_type"))
+        .agg(min(col("hu")).as("mn"), max(col("hu")).as("mx"))
+      val hb = hourly.join(broadcast(rng), Seq("event_type"))
+        .withColumn("vb", expr(s"((hu - mn) * $MkValueBuckets) DIV (mx - mn + 1)"))
+        .select(col("event_type"), col("hour"), col("tb"), col("hu"), col("vb"))
+      def sgn(later: Column, earlier: Column): Column =
+        when(later > earlier, 1L).when(later < earlier, -1L).otherwise(0L)
+      val sA = hb.select(col("event_type"), col("tb"),
+          col("hour").as("ha"), col("hu").as("xa"))
+        .join(hb.select(col("event_type"), col("tb"),
+          col("hour").as("hb2"), col("hu").as("xb")), Seq("event_type", "tb"))
+        .filter(col("ha") < col("hb2"))
         .groupBy(col("event_type"))
-        .agg(sum(when(col("xb") > col("xa"), 1L)
-          .when(col("xb") < col("xa"), -1L).otherwise(0L)).as("s_stat"))
+        .agg(sum(sgn(col("xb"), col("xa"))).as("sp"))
+      val sB = hb.select(col("event_type"), col("vb"),
+          col("tb").as("ta"), col("hu").as("xa"))
+        .join(hb.select(col("event_type"), col("vb"),
+          col("tb").as("tbb"), col("hu").as("xb")), Seq("event_type", "vb"))
+        .filter(col("ta") < col("tbb"))
+        .groupBy(col("event_type"))
+        .agg(sum(sgn(col("xb"), col("xa"))).as("sp"))
+      val grid = hb.groupBy(col("event_type"), col("tb"), col("vb"))
+        .agg(count(lit(1)).as("c"))
+      val dense = hb.select(col("event_type"), col("tb")).distinct()
+        .join(hb.select(col("event_type"), col("vb")).distinct(),
+          Seq("event_type"))
+        .join(grid, Seq("event_type", "tb", "vb"), "left")
+        .select(col("event_type"), col("tb"), col("vb"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val wCum = Window.partitionBy(col("event_type"), col("vb"))
+        .orderBy(col("tb"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wLo = Window.partitionBy(col("event_type"), col("tb"))
+        .orderBy(col("vb"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wHi = Window.partitionBy(col("event_type"), col("tb"))
+        .orderBy(col("vb"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      val sC = dense
+        .withColumn("ct", coalesce(sum(col("c")).over(wCum), lit(0L)))
+        .withColumn("lo", coalesce(sum(col("ct")).over(wLo), lit(0L)))
+        .withColumn("hi", coalesce(sum(col("ct")).over(wHi), lit(0L)))
+        .groupBy(col("event_type"))
+        .agg(sum(col("c") * (col("lo") - col("hi"))).as("sp"))
+      val sStat = sA.unionByName(sB).unionByName(sC)
+        .groupBy(col("event_type")).agg(sum(col("sp")).as("s_stat"))
       val n = hourly.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
       val ties = hourly.groupBy(col("event_type"), col("hu"))
         .agg(count(lit(1)).as("t")).filter(col("t") > 1)
@@ -2071,16 +2136,57 @@ object TimeSeriesOps {
          |FROM g ORDER BY event_type""".stripMargin,
 
     "ts_mann_kendall" ->
-      """WITH hourly AS (
+      s"""WITH hourly AS (
         |  SELECT event_type, date_trunc('hour', ts) AS hour,
-        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS hu
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS hu,
+        |    date_trunc('week', date_trunc('hour', ts)) AS tb
         |  FROM events GROUP BY 1, 2),
-        |s AS (
+        |rng AS (SELECT event_type, min(hu) AS mn, max(hu) AS mx
+        |        FROM hourly GROUP BY 1),
+        |hb AS (
+        |  SELECT h.event_type, h.hour, h.tb, h.hu,
+        |    ((h.hu - r.mn) * $MkValueBuckets) // (r.mx - r.mn + 1) AS vb
+        |  FROM hourly h JOIN rng r USING (event_type)),
+        |sa AS (
         |  SELECT a.event_type,
-        |    CAST(SUM(CASE WHEN b.hu > a.hu THEN 1
-        |      WHEN b.hu < a.hu THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
-        |  FROM hourly a JOIN hourly b
-        |    ON a.event_type = b.event_type AND a.hour < b.hour
+        |    SUM(CASE WHEN b.hu > a.hu THEN 1
+        |      WHEN b.hu < a.hu THEN -1 ELSE 0 END) AS sp
+        |  FROM hb a JOIN hb b ON a.event_type = b.event_type
+        |    AND a.tb = b.tb AND a.hour < b.hour
+        |  GROUP BY 1),
+        |sb AS (
+        |  SELECT a.event_type,
+        |    SUM(CASE WHEN b.hu > a.hu THEN 1
+        |      WHEN b.hu < a.hu THEN -1 ELSE 0 END) AS sp
+        |  FROM hb a JOIN hb b ON a.event_type = b.event_type
+        |    AND a.vb = b.vb AND a.tb < b.tb
+        |  GROUP BY 1),
+        |grid AS (SELECT event_type, tb, vb, count(*) AS c
+        |         FROM hb GROUP BY 1, 2, 3),
+        |dense AS (
+        |  SELECT t.event_type, t.tb, v.vb, coalesce(g.c, 0) AS c
+        |  FROM (SELECT DISTINCT event_type, tb FROM hb) t
+        |  JOIN (SELECT DISTINCT event_type, vb FROM hb) v USING (event_type)
+        |  LEFT JOIN grid g ON g.event_type = t.event_type
+        |    AND g.tb = t.tb AND g.vb = v.vb),
+        |cum AS (
+        |  SELECT *, coalesce(SUM(c) OVER (PARTITION BY event_type, vb
+        |    ORDER BY tb ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) AS ct
+        |  FROM dense),
+        |lg AS (
+        |  SELECT *,
+        |    coalesce(SUM(ct) OVER (PARTITION BY event_type, tb ORDER BY vb
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo,
+        |    coalesce(SUM(ct) OVER (PARTITION BY event_type, tb ORDER BY vb
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS hi
+        |  FROM cum),
+        |scc AS (SELECT event_type, SUM(c * (lo - hi)) AS sp
+        |        FROM lg GROUP BY 1),
+        |s AS (
+        |  SELECT event_type, CAST(SUM(sp) AS BIGINT) AS s_stat FROM (
+        |    SELECT * FROM sa UNION ALL SELECT * FROM sb
+        |    UNION ALL SELECT * FROM scc) q
         |  GROUP BY 1),
         |n AS (SELECT event_type, count(*) AS n FROM hourly GROUP BY 1),
         |ties AS (

@@ -52,6 +52,28 @@ class Round5Spec extends SparkTestBase {
     assert(got3 == (clique ++ Seq((6L, 7L), (6L, 8L), (7L, 8L))).toSet)
   }
 
+  test("ts_mann_kendall: bucketed S equals the brute-force pair join at sf0.001") {
+    // the r5 week×value-bucket decomposition (A same-week + B
+    // cross-week-same-bucket + C grid counting) must reproduce the
+    // hours² definition EXACTLY — S is an integer, so equality is
+    // bit-for-bit, not tolerance-based
+    val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+    val hourly = Tables.events(spark, sf001)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg((sum(col("value").cast(dec)) * 10000).cast("long").as("hu"))
+    val a = hourly.select(col("event_type"), col("hour").as("ha"), col("hu").as("xa"))
+    val b = hourly.select(col("event_type"), col("hour").as("hb"), col("hu").as("xb"))
+    val brute = a.join(b, Seq("event_type")).filter(col("ha") < col("hb"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("xb") > col("xa"), 1L)
+        .when(col("xb") < col("xa"), -1L).otherwise(0L)).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = operators.TimeSeriesOps.queries("ts_mann_kendall")(spark, sf001)
+      .select(col("event_type"), col("s_stat"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == brute)
+  }
+
   test("graph_mst_boruvka: equals the driver-side Kruskal replica at sf0.01") {
     // 10× the Round4eSpec replica (VERDICT r4 #4): same check, the
     // sf the driver's correctness gate runs at — closing the one
