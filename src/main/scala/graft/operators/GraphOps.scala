@@ -219,8 +219,14 @@ object GraphOps {
   private val partsCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), Long]
 
-  private[operators] def partsFor(s: SparkSession, d: String, table: String): Int = {
-    val rows = partsCache.getOrElseUpdate((d, table), {
+  /** exact row count of `<dir>/<table>.parquet` from footer metadata —
+    * driver-side I/O only (no Spark job), memoized per (dir, table).
+    * Shared by the partition-sizing rule below and by the IVF family's
+    * ⌈√N⌉ codebook size (ADVICE r4: the old `df.count()` there ran a
+    * full action at query-CONSTRUCTION time, including inside
+    * PlanAuditSpec's plan-only audits). */
+  private[operators] def tableRows(s: SparkSession, d: String, table: String): Long =
+    partsCache.getOrElseUpdate((d, table), {
       val path = new org.apache.hadoop.fs.Path(s"$d/$table.parquet")
       val conf = s.sparkContext.hadoopConfiguration
       val files = path.getFileSystem(conf).listStatus(path).toSeq
@@ -234,9 +240,10 @@ object GraphOps {
         try r.getRecordCount finally r.close()
       }.sum
     })
+
+  private[operators] def partsFor(s: SparkSession, d: String, table: String): Int =
     math.max(1L, math.min(s.sparkContext.defaultParallelism.toLong,
-      rows / 40000L)).toInt
-  }
+      tableRows(s, d, table) / 40000L)).toInt
 
   /** row caps for choosing an explicit broadcast over a co-partitioned
     * shuffle join. AQE cannot make this call here — the join inputs are

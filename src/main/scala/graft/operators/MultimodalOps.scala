@@ -122,7 +122,13 @@ object MultimodalOps {
     // tokenize family); flags compare the ROUNDED entropy against
     // the dyadic 6.0 threshold.
     "multimodal_payload_entropy" -> ((s, d) => {
+      // empty payloads are EXCLUDED by declaration (ADVICE r4, both
+      // engines): on '' Spark's split returns [""] (the doc would
+      // appear with n_bytes = 1) while DuckDB's string_split returns
+      // [] (absent) — a latent row-set divergence; the explicit
+      // filter makes the convention engine-independent
       val ch = Tables.documents(s, d)
+        .filter(length(col("text")) > 0)
         .select(col("doc_id"), explode(split(col("text"), "")).as("b"))
         .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
       ch.groupBy(col("doc_id"))
@@ -243,7 +249,7 @@ object MultimodalOps {
     "multimodal_payload_entropy" ->
       s"""WITH ch AS (
          |  SELECT doc_id, unnest(string_split(text, '')) AS b
-         |  FROM documents),
+         |  FROM documents WHERE length(text) > 0),
          |cnt AS (SELECT doc_id, b, count(*) AS c FROM ch GROUP BY 1, 2),
          |st AS (
          |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bytes,

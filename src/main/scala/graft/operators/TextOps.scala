@@ -1083,8 +1083,14 @@ object TextOps {
           r4(col("n_docs").cast(DoubleType) / col("tn")))
         .withColumn("p_temp",
           r4(col("w").cast(DoubleType) / col("tw").cast(DoubleType)))
+        // boost from EXACT pre-rounding integers (ADVICE r4): dividing
+        // the 4dp-ROUNDED shares made any source under ~0.005 % of the
+        // corpus read raw_share = 0.0 and boost = Infinity (with
+        // engine-divergent Inf handling). w·tn and tw·n_docs are exact
+        // decimals; ONE double division, one close.
         .select(col("source"), col("n_docs"), col("raw_share"), col("p_temp"),
-          r4(col("p_temp") / col("raw_share")).as("boost"))
+          r4((col("w") * col("tn")).cast(DoubleType) /
+            (col("tw") * col("n_docs")).cast(DoubleType)).as("boost"))
         .orderBy(col("source"))
     }),
 
@@ -2128,10 +2134,11 @@ object TextOps {
         |sh AS (
         |  SELECT source, n_docs,
         |    round(CAST(n_docs AS DOUBLE) / tn, 4) AS raw_share,
-        |    round(CAST(w AS DOUBLE) / CAST(tww AS DOUBLE), 4) AS p_temp
+        |    round(CAST(w AS DOUBLE) / CAST(tww AS DOUBLE), 4) AS p_temp,
+        |    round(CAST(w * tn AS DOUBLE)
+        |      / CAST(tww * n_docs AS DOUBLE), 4) AS boost
         |  FROM tw CROSS JOIN tot)
-        |SELECT source, n_docs, raw_share, p_temp,
-        |  round(p_temp / raw_share, 4) AS boost
+        |SELECT source, n_docs, raw_share, p_temp, boost
         |FROM sh ORDER BY source""".stripMargin,
 
     "pipeline_source_manifest" ->

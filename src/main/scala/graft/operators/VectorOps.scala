@@ -431,7 +431,8 @@ object VectorOps {
     "vec_ann_ivf" -> ((s, d) => {
       CosineSimilarity.register(s)
       val e = Tables.embeddings(s, d)
-      val k = math.ceil(math.sqrt(e.count().toDouble)).toInt
+      val k = math.ceil(math.sqrt(  // footer-metadata N: action-free (ADVICE r4)
+        GraphOps.tableRows(s, d, "embeddings").toDouble)).toInt
       val centroids = e.orderBy(col("vec_id")).limit(k)
         .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
       perCellTop1(assignToCodebook(s, centroids, d)
@@ -452,7 +453,8 @@ object VectorOps {
     "vec_ivf_recall_audit" -> ((s, d) => {
       CosineSimilarity.register(s)
       val e = Tables.embeddings(s, d)
-      val k = math.ceil(math.sqrt(e.count().toDouble)).toInt
+      val k = math.ceil(math.sqrt(  // footer-metadata N: action-free (ADVICE r4)
+        GraphOps.tableRows(s, d, "embeddings").toDouble)).toInt
       val centroids = e.orderBy(col("vec_id")).limit(k)
         .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
       val ivf = perCellTop1(assignToCodebook(s, centroids, d)
@@ -488,7 +490,8 @@ object VectorOps {
     "vec_ivf_recall_at_k" -> ((s, d) => {
       CosineSimilarity.register(s)
       val e = Tables.embeddings(s, d)
-      val k = math.ceil(math.sqrt(e.count().toDouble)).toInt
+      val k = math.ceil(math.sqrt(  // footer-metadata N: action-free (ADVICE r4)
+        GraphOps.tableRows(s, d, "embeddings").toDouble)).toInt
       val centroids = e.orderBy(col("vec_id")).limit(k)
         .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
       val asg = assignToCodebook(s, centroids, d)
@@ -833,7 +836,8 @@ object VectorOps {
   private def trainedCodebook(s: SparkSession, d: String): DataFrame =
     GraphOps.memo(codebookCache, (s, d)) {
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val k = math.ceil(math.sqrt(e.count().toDouble)).toInt
+      val k = math.ceil(math.sqrt(  // footer-metadata N: action-free (ADVICE r4)
+        GraphOps.tableRows(s, d, "embeddings").toDouble)).toInt
       // SAMPLE-BASED training (VERDICT r3 #4), the production IVF
       // shape: Lloyd iterates over a deterministic bounded sample (the
       // k·TrainSampleFactor lowest vec_ids — ⌈√N⌉·20 rows, ~√N× smaller

@@ -74,6 +74,24 @@ class Round5Spec extends SparkTestBase {
     assert(got == brute)
   }
 
+  test("multimodal_payload_entropy: empty documents excluded by declaration") {
+    // ADVICE r4: on '' Spark's split yields [""] but DuckDB's
+    // string_split yields [] — the declared convention (empty docs
+    // absent) now has an explicit filter in BOTH engines and this
+    // fixture exercises it
+    val dir = tempDir()
+    import spark.implicits._
+    writeFixture(dir, "documents", Seq(
+      (1L, "", "en", "web", 0L),
+      (2L, "aabb", "en", "web", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = operators.MultimodalOps.queries("multimodal_payload_entropy")(
+      spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // doc 1 absent; doc 2: n=4, two symbols ×2 → entropy 1.0 bit
+    assert(got.toSeq == Seq((2L, 4L, 2L, 1.0)), s"got ${got.toSeq}")
+  }
+
   test("graph_mst_boruvka: equals the driver-side Kruskal replica at sf0.01") {
     // 10× the Round4eSpec replica (VERDICT r4 #4): same check, the
     // sf the driver's correctness gate runs at — closing the one
