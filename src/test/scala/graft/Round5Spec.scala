@@ -92,6 +92,27 @@ class Round5Spec extends SparkTestBase {
     assert(got.toSeq == Seq((2L, 4L, 2L, 1.0)), s"got ${got.toSeq}")
   }
 
+  test("pipeline_mixture_schedule: bucket-composed rank equals the naive window") {
+    // VERDICT r4 #7: the rewritten shape (within-bucket row_number +
+    // per-source boundary offsets) must produce IDENTICAL rows to the
+    // low-cardinality per-source window it replaced
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val naive = Tables.documents(spark, sf001)
+      .select(col("source"), col("doc_id"))
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("n_s",
+        count(lit(1)).over(Window.partitionBy(col("source"))))
+      .select(col("source"), col("doc_id"),
+        expr("(2 * r - 1) * 1000000000000 DIV (2 * n_s)").as("pos"))
+      .orderBy(col("pos"), col("source"), col("doc_id"))
+      .limit(200)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = operators.TextOps.queries("pipeline_mixture_schedule")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == naive)
+  }
+
   test("graph_mst_boruvka: equals the driver-side Kruskal replica at sf0.01") {
     // 10× the Round4eSpec replica (VERDICT r4 #4): same check, the
     // sf the driver's correctness gate runs at — closing the one
