@@ -68,5 +68,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => LevenshteinBandRule)
     e.injectPlannerStrategy(_ => AsofJoinStrategy)
+    e.injectPlannerStrategy(_ => RangeJoinStrategy)
   }
 }

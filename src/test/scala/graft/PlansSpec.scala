@@ -93,4 +93,47 @@ class PlansSpec extends SparkTestBase {
     assert(!p.contains("Window") && !p.contains("Union"),
       s"native asof must not fall back to the union-window shape:\n$p")
   }
+
+  // --- RangeJoinExec: the second whole-operator rung (r5) ---
+
+  test("RangeJoinExec: closed band edges, key isolation, empty band") {
+    val l = Seq((1L, 100L, 1L), (1L, 200L, 2L), (2L, 100L, 3L), (3L, 100L, 4L))
+      .toDF("lk", "lt", "lid")
+    val r = Seq((1L, 90L, 10L), (1L, 110L, 11L), (1L, 111L, 12L),
+      (1L, 190L, 13L), (2L, 100L, 14L), (9L, 100L, 15L))
+      .toDF("rk", "rt", "rid")
+    // band [lt−10, lt+10] closed on both edges
+    val out = graft.plans.RangeJoin(l, r, l("lk"), r("rk"), l("lt"), r("rt"),
+        -10L, 10L)
+      .select(col("lid"), col("rid"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(out == Set(
+      (1L, 10L), (1L, 11L), // lt=100: 90 and 110 inclusive; 111 just out
+      (2L, 13L),            // lt=200: rt=190 sits ON the lower edge
+      (3L, 14L)             // key 2 matches its own row only;
+                            // key-3 left has no right rows (empty band);
+                            // key-9 right must not bleed anywhere
+    ), s"got $out")
+  }
+
+  test("RangeJoinExec result equals the bucketed composition on real data") {
+    val native = operators.Joins.queries("join_range_native")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val bucketed = operators.Joins.queries("join_range_bucketed")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(native == bucketed)
+    val ni = operators.Joins.queries("join_interval_native")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val comp = operators.Joins.queries("join_interval_overlap")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ni == comp)
+  }
+
+  test("RangeJoinExec plans as the native band merge: no union, no window") {
+    val p = operators.Joins.queries("join_range_native")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("RangeJoin"), s"native operator missing from:\n$p")
+    assert(!p.contains("Window") && !p.contains("Union"),
+      s"native band join must not fall back to the bucketed-union shape:\n$p")
+  }
 }

@@ -285,8 +285,12 @@ class Round4fSpec extends SparkTestBase {
       .queries("pipeline_temperature_weights")(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
         r.getDouble(3), r.getDouble(4))).toSeq
-    assert(got == Seq(("A", 1L, 0.2, 0.3333, 1.6665),
-      ("B", 4L, 0.8, 0.6667, 0.8334)), s"got $got")
+    // boost from the EXACT pre-rounding ratio (r5, ADVICE r4 fix):
+    // A: (1/3)/(1/5) = 5/3 → 1.6667, B: (2/3)/(4/5) = 5/6 → 0.8333 —
+    // the true values; the old 1.6665/0.8334 were artifacts of
+    // dividing the 4dp-rounded shares
+    assert(got == Seq(("A", 1L, 0.2, 0.3333, 1.6667),
+      ("B", 4L, 0.8, 0.6667, 0.8333)), s"got $got")
   }
 
   test("pipeline_ngram_contamination: span overlap flags at the ¼ threshold") {
