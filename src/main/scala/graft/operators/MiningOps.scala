@@ -1378,6 +1378,112 @@ object MiningOps {
               col("n_customers").cast(DoubleType)).as("gini"))
     }),
 
+    // Spearman rank correlation between a supplier's revenue and its
+    // customer BREADTH (distinct buyers) — "do the big earners also
+    // sell widely, or is revenue concentrated in narrow accounts?"
+    // The monotone-association number next to agg_corr_pairs'
+    // Pearson (which a single whale order can swamp). Declared tie
+    // convention: ranks on the (value, supplier) TOTAL order — exact
+    // integers, engine-identical (average-rank Spearman under ties
+    // is a different, float-valued statistic). BOTH global ranks
+    // compose from value-range buckets (the gini discipline:
+    // within-bucket row_number + ≤GiniBuckets boundary offsets) — no
+    // unpartitioned window sees raw suppliers; Σd² in
+    // DECIMAL(38,0)/HUGEINT, reported as BIGINT (exact to ~3e6
+    // suppliers, declared); ρ = 1 − 6Σd²/(n(n²−1)) is one IEEE close.
+    "mine_spearman_corr" -> ((s, d) => {
+      val dec4 = DecimalType(18, 4)
+      val dec38 = DecimalType(38, 0)
+      val m = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_suppkey"))
+        .agg((sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(dec4)) * 10000).cast("long").as("cents"),
+          countDistinct(col("o_custkey")).as("breadth"))
+      def bucketRank(v: String, out: String): org.apache.spark.sql.DataFrame = {
+        val vals = m.select(col("l_suppkey"), col(v))
+        val bounds = vals.agg(min(col(v)).as("lo"), max(col(v)).as("hi"))
+        val bk = vals.crossJoin(broadcast(bounds))
+          .withColumn("bk", expr(
+            s"CAST(($v - lo) DIV greatest(CAST(1 AS BIGINT), " +
+              s"(hi - lo + ${GiniBuckets - 1}) DIV $GiniBuckets) AS INT)"))
+          .drop("lo", "hi")
+        val off = bk.groupBy(col("bk")).agg(count(lit(1)).as("bc"))
+          .withColumn("boff", coalesce(sum(col("bc")).over(
+            Window.orderBy(col("bk"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("bk"), col("boff"))
+        val wIn = Window.partitionBy(col("bk"))
+          .orderBy(col(v), col("l_suppkey"))
+        bk.join(broadcast(off), Seq("bk"))
+          .select(col("l_suppkey"),
+            (col("boff") + row_number().over(wIn)).as(out))
+      }
+      bucketRank("cents", "ra").join(bucketRank("breadth", "rb"),
+          Seq("l_suppkey"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(((col("ra") - col("rb")) * (col("ra") - col("rb")))
+            .cast(dec38)).as("d2d"))
+        .select(col("n_suppliers"), col("d2d").cast("long").as("sum_d2"),
+          r4(when(col("n_suppliers") < 2, lit(0.0)).otherwise(
+            lit(1.0) - lit(6.0) * col("d2d").cast(DoubleType) /
+              (col("n_suppliers").cast(DoubleType) *
+                (col("n_suppliers").cast(DoubleType) *
+                  col("n_suppliers").cast(DoubleType) - 1.0)))).as("rho"))
+    }),
+
+    // Theil T inequality index of per-customer revenue with its
+    // between/within-nation decomposition — the inequality number
+    // that DECOMPOSES (gini cannot): how much of the concentration
+    // is nations being rich vs spread WITHIN nations. Exact-integer
+    // cents; each ln term is the identical IEEE expression in both
+    // engines, 4dp-quantized, then weighted by INTEGER cents into
+    // exact DECIMAL(38,4) sums (the zipf discipline); one double
+    // division closes each component; theil_within = theil −
+    // theil_between by declared identity. Zero-revenue customers
+    // contribute 0·ln0 = 0 and are excluded (x ln x → 0, declared).
+    // Shape: one per-customer agg, one ≤25-nation agg, both map-side
+    // combined; no window anywhere.
+    "mine_theil_index" -> ((s, d) => {
+      val dec2 = DecimalType(18, 2)
+      val dec38 = DecimalType(38, 0)
+      val dec384 = DecimalType(38, 4)
+      val rev = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg((sum(col("o_totalprice").cast(dec2)) * 100).cast("long")
+          .as("cents"))
+        .filter(col("cents") > 0)
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+      val tot = rev.agg(count(lit(1)).as("n"),
+        sum(col("cents").cast(dec38)).as("t"))
+      val terms = rev.crossJoin(broadcast(tot))
+        .withColumn("li", expr(
+          "CAST(round(ln(CAST(cents AS DOUBLE) * n / CAST(t AS DOUBLE)), 4)" +
+            " AS DECIMAL(18,4))"))
+        .groupBy(col("c_nationkey"), col("n"), col("t"))
+        .agg(count(lit(1)).as("ng"),
+          sum(col("cents").cast(dec38)).as("tg"),
+          sum(col("cents").cast(dec384) * col("li")).as("sw"))
+      terms
+        .withColumn("lg", expr(
+          "CAST(round(ln(CAST(tg AS DOUBLE) * n / " +
+            "(CAST(ng AS DOUBLE) * CAST(t AS DOUBLE))), 4) AS DECIMAL(18,4))"))
+        .groupBy(col("n"), col("t"))
+        .agg(sum(col("sw")).as("swt"),
+          sum(col("tg").cast(dec384) * col("lg")).as("sb"))
+        .select(col("n").as("n_customers"),
+          r4(col("swt").cast(DoubleType) / col("t").cast(DoubleType))
+            .as("theil"),
+          r4(col("sb").cast(DoubleType) / col("t").cast(DoubleType))
+            .as("theil_between"),
+          r4(r4(col("swt").cast(DoubleType) / col("t").cast(DoubleType)) -
+            r4(col("sb").cast(DoubleType) / col("t").cast(DoubleType)))
+            .as("theil_within"))
+    }),
+
     // rank-biased overlap (RBO, p = ½, depth 20) between the odd- and
     // even-month supplier revenue rankings — "did the leaderboard
     // actually change?" as ONE number (mine_rank_movers lists the
@@ -2766,6 +2872,67 @@ object MiningOps {
         |      / (count(*) * CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE))
         |    - (count(*) + 1.0) / count(*), 4) AS gini
         |FROM rk""".stripMargin,
+
+    "mine_spearman_corr" ->
+      """WITH m AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(18,4))) * 10000 AS BIGINT) AS cents,
+        |    count(DISTINCT o_custkey) AS breadth
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1),
+        |ra AS (SELECT l_suppkey,
+        |         row_number() OVER (ORDER BY cents, l_suppkey) AS ra
+        |       FROM m),
+        |rb AS (SELECT l_suppkey,
+        |         row_number() OVER (ORDER BY breadth, l_suppkey) AS rb
+        |       FROM m),
+        |st AS (
+        |  SELECT count(*) AS n,
+        |    CAST(SUM(CAST(ra.ra - rb.rb AS HUGEINT) * (ra.ra - rb.rb))
+        |      AS BIGINT) AS d2
+        |  FROM ra JOIN rb USING (l_suppkey))
+        |SELECT n AS n_suppliers, d2 AS sum_d2,
+        |  round(CASE WHEN n < 2 THEN 0.0 ELSE
+        |    1.0 - 6.0 * CAST(d2 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE)
+        |         * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0)) END, 4)
+        |    AS rho
+        |FROM st""".stripMargin,
+
+    "mine_theil_index" ->
+      """WITH rev AS (
+        |  SELECT o.o_custkey, c.c_nationkey,
+        |    CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2
+        |  HAVING CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+        |    AS BIGINT) > 0),
+        |tot AS (SELECT count(*) AS n, SUM(CAST(cents AS HUGEINT)) AS t
+        |        FROM rev),
+        |terms AS (
+        |  SELECT r.c_nationkey, t.n, t.t, count(*) AS ng,
+        |    SUM(CAST(r.cents AS HUGEINT)) AS tg,
+        |    SUM(CAST(r.cents AS DECIMAL(38,4))
+        |      * CAST(round(ln(CAST(r.cents AS DOUBLE) * t.n
+        |          / CAST(t.t AS DOUBLE)), 4) AS DECIMAL(18,4))) AS sw
+        |  FROM rev r CROSS JOIN tot t
+        |  GROUP BY 1, 2, 3),
+        |gl AS (
+        |  SELECT n, t, SUM(sw) AS swt,
+        |    SUM(CAST(tg AS DECIMAL(38,4))
+        |      * CAST(round(ln(CAST(tg AS DOUBLE) * n
+        |          / (CAST(ng AS DOUBLE) * CAST(t AS DOUBLE))), 4)
+        |        AS DECIMAL(18,4))) AS sb
+        |  FROM terms GROUP BY 1, 2)
+        |SELECT n AS n_customers,
+        |  round(CAST(swt AS DOUBLE) / CAST(t AS DOUBLE), 4) AS theil,
+        |  round(CAST(sb AS DOUBLE) / CAST(t AS DOUBLE), 4) AS theil_between,
+        |  round(round(CAST(swt AS DOUBLE) / CAST(t AS DOUBLE), 4)
+        |    - round(CAST(sb AS DOUBLE) / CAST(t AS DOUBLE), 4), 4)
+        |    AS theil_within
+        |FROM gl""".stripMargin,
 
     "mine_rank_rbo" ->
       """WITH rev AS (

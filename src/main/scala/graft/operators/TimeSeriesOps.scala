@@ -1109,6 +1109,98 @@ object TimeSeriesOps {
         .orderBy(col("event_type"))
     }),
 
+    // Wald–Wolfowitz runs test per series — the RANDOMNESS screen the
+    // trend family assumes away: hours classify above/below the
+    // series' exact lower median (median-equal hours drop, the
+    // standard convention, declared), R = runs of the +/− sequence,
+    // z = (R − R̄)/σ_R with R̄ = 1 + 2·n₁n₂/n. Too FEW runs =
+    // clustered (regimes/level shifts), too many = alternating
+    // (negative autocorrelation) — a series can pass Mann–Kendall
+    // (no monotone trend) while badly failing runs. Median from
+    // integer rank arithmetic over the unit histogram (the sax-edge
+    // discipline: min hu with cum·2 ≥ n); R, n₁, n₂ exact integers
+    // via one lag window over the bounded hourly aggregate; z is one
+    // IEEE expression of integers, 4dp-rounded; degenerate n₁ = 0 or
+    // n₂ = 0 reads z = 0 by convention.
+    "ts_runs_test" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg((sum(col("value").cast(dec)) * 10000).cast("long").as("hu"))
+      val tot = hourly.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col("hu"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val med = hourly.groupBy(col("event_type"), col("hu"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .join(broadcast(tot), Seq("event_type"))
+        .filter(col("cum") * 2 >= col("n"))
+        .groupBy(col("event_type")).agg(min(col("hu")).as("med"))
+      val wSeq = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      val signs = hourly.join(broadcast(med), Seq("event_type"))
+        .filter(col("hu") =!= col("med"))
+        .withColumn("sg", when(col("hu") > col("med"), 1).otherwise(-1))
+        .withColumn("prev", lag(col("sg"), 1).over(wSeq))
+      signs.groupBy(col("event_type"))
+        .agg(sum(when(col("sg") === 1, 1L).otherwise(0L)).as("n_above"),
+          sum(when(col("sg") === -1, 1L).otherwise(0L)).as("n_below"),
+          (sum(when(col("prev").isNull || col("prev") =!= col("sg"), 1L)
+            .otherwise(0L))).as("n_runs"))
+        .withColumn("nn", col("n_above") + col("n_below"))
+        .withColumn("z",
+          when(col("n_above") === 0 || col("n_below") === 0, lit(0.0))
+            .otherwise {
+              val p2 = (col("n_above") * col("n_below") * 2).cast(DoubleType)
+              val nn = col("nn").cast(DoubleType)
+              val rbar = lit(1.0) + p2 / nn
+              val vr = p2 * (p2 - nn) / (nn * nn * (nn - 1))
+              when(vr <= 0.0, lit(0.0))
+                .otherwise((col("n_runs") - rbar) / sqrt(vr))
+            })
+        .select(col("event_type"), col("n_above"), col("n_below"),
+          col("n_runs"), r4(col("z")).as("z"),
+          when(r4(col("z")) > 1.96, "alternating")
+            .when(r4(col("z")) < -1.96, "clustered")
+            .otherwise("random").as("verdict"))
+        .orderBy(col("event_type"))
+    }),
+
+    // turning-point test per series — the second randomness screen,
+    // orthogonal to runs (runs sees level clustering, turning points
+    // see local SHAPE): T = strict local extrema count over the
+    // hourly sequence, E[T] = 2(n−2)/3, Var[T] = (16n−29)/90,
+    // z = (T − E)/σ. A smooth trending series turns rarely (z ≪ 0),
+    // white noise hits the expectation, an oscillating load pattern
+    // overshoots. lag/lead over the bounded hourly aggregate; strict
+    // inequalities so plateaus never count; T exact; E/Var/z are
+    // identical IEEE expressions of the integer n in both engines.
+    "ts_turning_points" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg((sum(col("value").cast(dec)) * 10000).cast("long").as("hu"))
+      val wSeq = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      hourly
+        .withColumn("pv", lag(col("hu"), 1).over(wSeq))
+        .withColumn("nx", lead(col("hu"), 1).over(wSeq))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pv").isNotNull && col("nx").isNotNull &&
+            ((col("hu") > col("pv") && col("hu") > col("nx")) ||
+             (col("hu") < col("pv") && col("hu") < col("nx"))), 1L)
+            .otherwise(0L)).as("n_turns"))
+        .withColumn("z", when(col("n") < 4, lit(0.0)).otherwise(
+          (col("n_turns").cast(DoubleType) -
+            lit(2.0) * (col("n") - 2).cast(DoubleType) / 3.0) /
+            sqrt((lit(16.0) * col("n").cast(DoubleType) - 29.0) / 90.0)))
+        .select(col("event_type"), col("n").as("n_hours"), col("n_turns"),
+          r4(col("z")).as("z"),
+          when(r4(col("z")) < -1.96, "smooth")
+            .when(r4(col("z")) > 1.96, "oscillating")
+            .otherwise("noise_like").as("verdict"))
+        .orderBy(col("event_type"))
+    }),
+
     // forecaster backtest per series: MAE and RMSE of the naive
     // (x̂ₜ = xₜ₋₁) and seasonal-naive (x̂ₜ = xₜ₋₂₄) one-step
     // forecasters over the hourly history — the evaluation harness
@@ -2215,6 +2307,98 @@ object TimeSeriesOps {
         |       WHEN round(z, 4) < -1.96 THEN 'decreasing'
         |       ELSE 'no_trend' END AS trend
         |FROM z ORDER BY event_type""".stripMargin,
+
+    "ts_runs_test" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS hu
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, count(*) AS n FROM hourly GROUP BY 1),
+        |hist AS (SELECT event_type, hu, count(*) AS c
+        |         FROM hourly GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, hu,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY hu
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM hist),
+        |med AS (
+        |  SELECT c.event_type, min(c.hu) AS med
+        |  FROM cum c JOIN tot t USING (event_type)
+        |  WHERE c.cum * 2 >= t.n GROUP BY 1),
+        |sg AS (
+        |  SELECT h.event_type, h.hour,
+        |    CASE WHEN h.hu > m.med THEN 1 ELSE -1 END AS sg
+        |  FROM hourly h JOIN med m USING (event_type)
+        |  WHERE h.hu <> m.med),
+        |lg AS (
+        |  SELECT *, lag(sg) OVER (PARTITION BY event_type ORDER BY hour)
+        |    AS prev
+        |  FROM sg),
+        |st AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN sg = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_above,
+        |    CAST(SUM(CASE WHEN sg = -1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_below,
+        |    CAST(SUM(CASE WHEN prev IS NULL OR prev <> sg THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_runs
+        |  FROM lg GROUP BY 1),
+        |zz AS (
+        |  SELECT event_type, n_above, n_below, n_runs,
+        |    CASE WHEN n_above = 0 OR n_below = 0 THEN 0.0 ELSE
+        |      CASE WHEN CAST(n_above * n_below * 2 AS DOUBLE)
+        |          * (CAST(n_above * n_below * 2 AS DOUBLE)
+        |             - CAST(n_above + n_below AS DOUBLE))
+        |          / (CAST(n_above + n_below AS DOUBLE)
+        |             * CAST(n_above + n_below AS DOUBLE)
+        |             * (CAST(n_above + n_below AS DOUBLE) - 1)) <= 0.0
+        |        THEN 0.0
+        |        ELSE (CAST(n_runs AS DOUBLE)
+        |          - (1.0 + CAST(n_above * n_below * 2 AS DOUBLE)
+        |                 / CAST(n_above + n_below AS DOUBLE)))
+        |          / sqrt(CAST(n_above * n_below * 2 AS DOUBLE)
+        |            * (CAST(n_above * n_below * 2 AS DOUBLE)
+        |               - CAST(n_above + n_below AS DOUBLE))
+        |            / (CAST(n_above + n_below AS DOUBLE)
+        |               * CAST(n_above + n_below AS DOUBLE)
+        |               * (CAST(n_above + n_below AS DOUBLE) - 1)))
+        |      END END AS z
+        |  FROM st)
+        |SELECT event_type, n_above, n_below, n_runs, round(z, 4) AS z,
+        |  CASE WHEN round(z, 4) > 1.96 THEN 'alternating'
+        |       WHEN round(z, 4) < -1.96 THEN 'clustered'
+        |       ELSE 'random' END AS verdict
+        |FROM zz ORDER BY event_type""".stripMargin,
+
+    "ts_turning_points" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS hu
+        |  FROM events GROUP BY 1, 2),
+        |lg AS (
+        |  SELECT event_type, hu,
+        |    lag(hu) OVER (PARTITION BY event_type ORDER BY hour) AS pv,
+        |    lead(hu) OVER (PARTITION BY event_type ORDER BY hour) AS nx
+        |  FROM hourly),
+        |st AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(SUM(CASE WHEN pv IS NOT NULL AND nx IS NOT NULL
+        |      AND ((hu > pv AND hu > nx) OR (hu < pv AND hu < nx))
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_turns
+        |  FROM lg GROUP BY 1),
+        |zz AS (
+        |  SELECT event_type, n, n_turns,
+        |    CASE WHEN n < 4 THEN 0.0 ELSE
+        |      (CAST(n_turns AS DOUBLE)
+        |        - 2.0 * CAST(n - 2 AS DOUBLE) / 3.0)
+        |      / sqrt((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0)
+        |    END AS z
+        |  FROM st)
+        |SELECT event_type, n AS n_hours, n_turns, round(z, 4) AS z,
+        |  CASE WHEN round(z, 4) < -1.96 THEN 'smooth'
+        |       WHEN round(z, 4) > 1.96 THEN 'oscillating'
+        |       ELSE 'noise_like' END AS verdict
+        |FROM zz ORDER BY event_type""".stripMargin,
 
     "ts_forecast_backtest" ->
       """WITH hourly AS (

@@ -113,6 +113,100 @@ class Round5Spec extends SparkTestBase {
     assert(got == naive)
   }
 
+  private def evRow(id: Long, hour: Int, v: Double) =
+    (id, (1577836800L + hour * 3600L) * 1000000000L, 1L, "view", v, "{}")
+
+  test("ts_runs_test: split halves cluster, zigzag alternates") {
+    val dir = tempDir()
+    import spark.implicits._
+    // values 1..12 hour-ordered ascending: median drops value 6, the
+    // remaining signs are −−−−− ++++++ → 2 runs, far too few
+    writeFixture(dir, "events",
+      (1 to 12).map(h => evRow(h.toLong, h, h.toDouble))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val a = operators.TimeSeriesOps.queries("ts_runs_test")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getString(5))).head
+    assert(a._1 == 6L && a._2 == 5L && a._3 == 2L, s"got $a")
+    assert(a._4 < -1.96 && a._5 == "clustered", s"got $a")
+    // zigzag 1,12,2,11,… : signs alternate −+−+… (value 6 drops, its
+    // + neighbor merges) → 10 runs, far too many
+    val zig = Seq(1, 12, 2, 11, 3, 10, 4, 9, 5, 8, 6, 7)
+    writeFixture(dir, "events",
+      zig.zipWithIndex.map { case (v, h) => evRow(h + 1L, h, v.toDouble) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val b = operators.TimeSeriesOps.queries("ts_runs_test")(spark, dir)
+      .collect().map(r => (r.getLong(3), r.getDouble(4), r.getString(5))).head
+    assert(b._1 == 10L && b._2 > 1.96 && b._3 == "alternating", s"got $b")
+  }
+
+  test("ts_turning_points: monotone ramp is smooth, zigzag oscillates") {
+    val dir = tempDir()
+    import spark.implicits._
+    writeFixture(dir, "events",
+      (1 to 12).map(h => evRow(h.toLong, h, h.toDouble))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val a = operators.TimeSeriesOps.queries("ts_turning_points")(spark, dir)
+      .collect().map(r => (r.getLong(2), r.getDouble(3), r.getString(4))).head
+    assert(a._1 == 0L && a._2 < -1.96 && a._3 == "smooth", s"got $a")
+    val zig = Seq(1, 12, 2, 11, 3, 10, 4, 9, 5, 8, 6, 7)
+    writeFixture(dir, "events",
+      zig.zipWithIndex.map { case (v, h) => evRow(h + 1L, h, v.toDouble) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val b = operators.TimeSeriesOps.queries("ts_turning_points")(spark, dir)
+      .collect().map(r => (r.getLong(2), r.getDouble(3), r.getString(4))).head
+    // every interior hour of the zigzag is a strict extremum → 10
+    assert(b._1 == 10L && b._2 > 1.96 && b._3 == "oscillating", s"got $b")
+  }
+
+  test("mine_spearman_corr: concordant ranks read 1, reversed read -1") {
+    val dir = tempDir()
+    import spark.implicits._
+    // s1 < s2 < s3 in BOTH revenue and breadth → Σd² = 0 → ρ = 1
+    writeFixture(dir, "orders", Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 1L),
+      (5L, 2L), (6L, 3L)).toDF("o_orderkey", "o_custkey"))
+    def li(ok: Long, sk: Long) = (ok, sk, 100.0, 0.0)
+    writeFixture(dir, "lineitem",
+      Seq(li(1, 1), li(2, 2), li(3, 2), li(4, 3), li(5, 3), li(6, 3))
+        .toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"))
+    val a = operators.MiningOps.queries("mine_spearman_corr")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).head
+    assert(a == ((3L, 0L, 1.0)), s"got $a")
+    // s1 earns most but sells narrowest → ranks exactly reversed → −1
+    writeFixture(dir, "lineitem",
+      Seq(li(1, 1), (1L, 1L, 200.0, 0.0), // s1: rev 300, breadth 1
+        li(2, 2), li(3, 2),               // s2: rev 200, breadth 2
+        (4L, 3L, 40.0, 0.0), (5L, 3L, 30.0, 0.0), (6L, 3L, 30.0, 0.0))
+        .toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"))
+    val b = operators.MiningOps.queries("mine_spearman_corr")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).head
+    assert(b == ((8L, -1.0)), s"got $b")
+  }
+
+  test("mine_theil_index: equal revenues read 0, within-equal shifts to between") {
+    val dir = tempDir()
+    import spark.implicits._
+    writeFixture(dir, "customer",
+      Seq((1L, 1), (2L, 1), (3L, 2), (4L, 2))
+        .toDF("c_custkey", "c_nationkey")) // nationkey INT32, per schema
+    // all four customers equal → theil = between = within = 0
+    writeFixture(dir, "orders",
+      (1 to 4).map(i => (i.toLong, i.toLong, 100.0))
+        .toDF("o_orderkey", "o_custkey", "o_totalprice"))
+    val a = operators.MiningOps.queries("mine_theil_index")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).head
+    assert(a == ((4L, 0.0, 0.0, 0.0)), s"got $a")
+    // nations internally equal (100,100 vs 300,300): ALL inequality is
+    // between-nation — theil == theil_between, within = 0
+    writeFixture(dir, "orders",
+      Seq((1L, 1L, 100.0), (2L, 2L, 100.0), (3L, 3L, 300.0), (4L, 4L, 300.0))
+        .toDF("o_orderkey", "o_custkey", "o_totalprice"))
+    val b = operators.MiningOps.queries("mine_theil_index")(spark, dir)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3))).head
+    assert(b._1 > 0.0 && b._1 == b._2 && b._3 == 0.0, s"got $b")
+  }
+
   test("graph_mst_boruvka: equals the driver-side Kruskal replica at sf0.01") {
     // 10× the Round4eSpec replica (VERDICT r4 #4): same check, the
     // sf the driver's correctness gate runs at — closing the one
