@@ -622,6 +622,73 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // conditional bigram entropy H(w₂|w₁) per source — the
+    // REPETITIVENESS number unigram entropy can't see: a corpus can
+    // have rich vocabulary (high H(w)) yet be template-stitched
+    // (once you've seen w₁, w₂ is forced — low H(w₂|w₁)). N·H =
+    // Σ_ctx c_u·lg₂c_u − Σ_bigram c_b·lg₂c_b, both sums over exact
+    // integer counts with per-term 4dp quantization into exact
+    // decimal sums (the entropy_stats discipline, log2 basis);
+    // context counts derive FROM the bigram counts (one extra
+    // hash agg, no second corpus pass); one double division closes.
+    "text_bigram_entropy" -> ((s, d) => {
+      val dec = DecimalType(18, 4)
+      val bg = Tables.documents(s, d)
+        .select(col("source"), split(col("text"), " ").as("ts"))
+        .select(col("source"), explode(expr(
+          """IF(size(ts) < 2, array(),
+            |  zip_with(slice(ts, 1, size(ts) - 1), slice(ts, 2, size(ts) - 1),
+            |    (a, b) -> struct(a AS w1, b AS w2)))""".stripMargin)).as("p"))
+        .groupBy(col("source"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(count(lit(1)).as("cb"))
+      val ctx = bg.groupBy(col("source"), col("w1"))
+        .agg(sum(col("cb")).as("cu"),
+          sum(round(col("cb").cast(DoubleType) * log2(col("cb")), 4)
+            .cast(dec)).as("sb"))
+      ctx.groupBy(col("source"))
+        .agg(sum(col("cu")).as("n_bigrams"),
+          count(lit(1)).as("n_contexts"),
+          sum(round(col("cu").cast(DoubleType) * log2(col("cu")), 4)
+            .cast(dec)).as("su"),
+          sum(col("sb")).as("sbt"))
+        .select(col("source"), col("n_bigrams"), col("n_contexts"),
+          r4((col("su") - col("sbt")).cast(DoubleType) /
+            col("n_bigrams").cast(DoubleType)).as("cond_entropy_bits"))
+        .orderBy(col("source"))
+    }),
+
+    // exact token-length percentiles per source (p50/p90/p99/max) —
+    // the sequence-length profile a dataloader/packing decision reads
+    // BEFORE choosing bucket edges (pipeline_padding_waste then
+    // scores the chosen edges): integer rank arithmetic over the
+    // per-source length histogram (min len with cum·100 ≥ q·n, the
+    // sax-edge discipline) — no approx_percentile, no sort of raw
+    // docs; shuffle ∝ distinct (source, length) pairs.
+    "pipeline_len_quantiles" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("tok"))
+      val tot = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), max(col("tok")).as("max_tok"))
+      val wCum = Window.partitionBy(col("source")).orderBy(col("tok"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .join(broadcast(tot), Seq("source"))
+        .select(col("source"), col("tok"), col("cum"), col("n_docs"),
+          explode(expr("array(50, 90, 99)")).as("q"))
+        .filter(col("cum") * 100 >= col("q") * col("n_docs"))
+        .groupBy(col("source"), col("q")).agg(min(col("tok")).as("e"))
+        .groupBy(col("source"))
+        .agg(min(when(col("q") === 50, col("e"))).as("p50"),
+          min(when(col("q") === 90, col("e"))).as("p90"),
+          min(when(col("q") === 99, col("e"))).as("p99"))
+        .join(broadcast(tot), Seq("source"))
+        .select(col("source"), col("n_docs"), col("p50"), col("p90"),
+          col("p99"), col("max_tok"))
+        .orderBy(col("source"))
+    }),
+
     // inverted-index build — the retrieval-side artifact of a training
     // pipeline: per term, document frequency + the first 10 posting
     // doc_ids. The posting cap is applied BEFORE any list is
@@ -2022,6 +2089,54 @@ object TextOps {
         |  WHERE rn <= 10 GROUP BY term)
         |SELECT term, df, postings_head FROM df JOIN heads USING (term)
         |ORDER BY term""".stripMargin,
+
+    "text_bigram_entropy" ->
+      """WITH t AS (
+        |  SELECT source, string_split(text, ' ') AS ts FROM documents),
+        |bg AS (
+        |  SELECT source, z[1] AS w1, z[2] AS w2, count(*) AS cb FROM (
+        |    SELECT source, unnest(CASE WHEN len(ts) < 2 THEN []
+        |      ELSE list_zip(ts[1:len(ts)-1], ts[2:len(ts)]) END) AS z
+        |    FROM t) q
+        |  GROUP BY 1, 2, 3),
+        |ctx AS (
+        |  SELECT source, w1, CAST(SUM(cb) AS BIGINT) AS cu,
+        |    SUM(CAST(round(CAST(cb AS DOUBLE) * log2(cb), 4)
+        |      AS DECIMAL(18,4))) AS sb
+        |  FROM bg GROUP BY 1, 2)
+        |SELECT source, CAST(SUM(cu) AS BIGINT) AS n_bigrams,
+        |  count(*) AS n_contexts,
+        |  round(CAST(SUM(CAST(round(CAST(cu AS DOUBLE) * log2(cu), 4)
+        |        AS DECIMAL(18,4))) - SUM(sb) AS DOUBLE)
+        |    / CAST(SUM(cu) AS DOUBLE), 4) AS cond_entropy_bits
+        |FROM ctx GROUP BY source ORDER BY source""".stripMargin,
+
+    "pipeline_len_quantiles" ->
+      """WITH docs AS (
+        |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        |  FROM documents),
+        |tot AS (SELECT source, count(*) AS n_docs, max(tok) AS max_tok
+        |        FROM docs GROUP BY 1),
+        |hist AS (SELECT source, tok, count(*) AS c FROM docs GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT source, tok,
+        |    SUM(c) OVER (PARTITION BY source ORDER BY tok
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM hist),
+        |ed AS (
+        |  SELECT c.source, q.q, min(c.tok) AS e
+        |  FROM cum c JOIN tot t USING (source)
+        |  CROSS JOIN (SELECT unnest([50, 90, 99]) AS q) q
+        |  WHERE c.cum * 100 >= q.q * t.n_docs
+        |  GROUP BY 1, 2),
+        |pv AS (
+        |  SELECT source,
+        |    min(CASE WHEN q = 50 THEN e END) AS p50,
+        |    min(CASE WHEN q = 90 THEN e END) AS p90,
+        |    min(CASE WHEN q = 99 THEN e END) AS p99
+        |  FROM ed GROUP BY 1)
+        |SELECT p.source, t.n_docs, p.p50, p.p90, p.p99, t.max_tok
+        |FROM pv p JOIN tot t USING (source) ORDER BY p.source""".stripMargin,
 
     "pipeline_source_mix" ->
       s"""WITH counts AS (

@@ -629,6 +629,47 @@ object TimeSeriesOps {
         .orderBy(col("event_type"))
     }),
 
+    // partial autocorrelation at lags 1–2 per series (Durbin–Levinson
+    // order 2): φ₁₁ = r₁, φ₂₂ = (r₂ − r₁²)/(1 − r₁²) — the AR-order
+    // detector ts_autocorr alone cannot give (an AR(1) has r₂ ≈ r₁²
+    // so φ₂₂ ≈ 0; a genuine second-order dependence survives the
+    // partialling). Both lag Pearsons use ts_autocorr's exact-decimal
+    // sufficient sums over the bounded hourly aggregate, computed in
+    // ONE pass (conditional aggregates per lag); r's 4dp-quantize
+    // BEFORE the φ₂₂ close so the division sees identical inputs in
+    // both engines; |r₁| = 1 (degenerate denominator) reads 0.
+    "ts_pacf" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 8)
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(sum(col("value").cast(dec)).as("h"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      def dbl(c: Column) = c.cast(DoubleType)
+      def rk(p: String): Column = {
+        val n = sum(when(col(p).isNotNull, 1L).otherwise(0L))
+        val sx = sum(when(col(p).isNotNull, col(p)))
+        val sy = sum(when(col(p).isNotNull, col("h")))
+        val sxy = sum(when(col(p).isNotNull, (col(p) * col("h")).cast(dec38)))
+        val sxx = sum(when(col(p).isNotNull, (col(p) * col(p)).cast(dec38)))
+        val syy = sum(when(col(p).isNotNull, (col("h") * col("h")).cast(dec38)))
+        round((n * dbl(sxy) - dbl(sx) * dbl(sy)) /
+          (sqrt(n * dbl(sxx) - dbl(sx) * dbl(sx)) *
+           sqrt(n * dbl(syy) - dbl(sy) * dbl(sy))), 4)
+      }
+      hourly
+        .withColumn("p1", lag(col("h"), 1).over(w))
+        .withColumn("p2", lag(col("h"), 2).over(w))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          rk("p1").as("acf1"), rk("p2").as("acf2"))
+        .select(col("event_type"), col("n_hours"), col("acf1"), col("acf2"),
+          r4(when(abs(col("acf1")) === 1.0, lit(0.0)).otherwise(
+            (col("acf2") - col("acf1") * col("acf1")) /
+              (lit(1.0) - col("acf1") * col("acf1")))).as("pacf2"))
+        .orderBy(col("event_type"))
+    }),
+
     // single change-point detection per series (binary segmentation's
     // first split): over the hourly sums, the boundary t maximizing
     // the scaled mean-shift statistic |mean(1..t) − mean(t+1..n)| ·
@@ -2083,6 +2124,57 @@ object TimeSeriesOps {
         |     * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
         |    4) AS acf1
         |FROM st ORDER BY event_type""".stripMargin,
+
+    "ts_pacf" ->
+      """WITH hourly AS (
+        |  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hour,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS h
+        |  FROM events GROUP BY 1, 2),
+        |lg AS (
+        |  SELECT event_type, h,
+        |    lag(h, 1) OVER (PARTITION BY event_type ORDER BY hour) AS p1,
+        |    lag(h, 2) OVER (PARTITION BY event_type ORDER BY hour) AS p2
+        |  FROM hourly),
+        |st AS (
+        |  SELECT event_type, count(*) AS n_hours,
+        |    SUM(CASE WHEN p1 IS NOT NULL THEN 1 ELSE 0 END) AS n1,
+        |    SUM(CASE WHEN p1 IS NOT NULL THEN p1 END) AS sx1,
+        |    SUM(CASE WHEN p1 IS NOT NULL THEN h END) AS sy1,
+        |    SUM(CASE WHEN p1 IS NOT NULL
+        |      THEN CAST(p1 * h AS DECIMAL(38,8)) END) AS sxy1,
+        |    SUM(CASE WHEN p1 IS NOT NULL
+        |      THEN CAST(p1 * p1 AS DECIMAL(38,8)) END) AS sxx1,
+        |    SUM(CASE WHEN p1 IS NOT NULL
+        |      THEN CAST(h * h AS DECIMAL(38,8)) END) AS syy1,
+        |    SUM(CASE WHEN p2 IS NOT NULL THEN 1 ELSE 0 END) AS n2,
+        |    SUM(CASE WHEN p2 IS NOT NULL THEN p2 END) AS sx2,
+        |    SUM(CASE WHEN p2 IS NOT NULL THEN h END) AS sy2,
+        |    SUM(CASE WHEN p2 IS NOT NULL
+        |      THEN CAST(p2 * h AS DECIMAL(38,8)) END) AS sxy2,
+        |    SUM(CASE WHEN p2 IS NOT NULL
+        |      THEN CAST(p2 * p2 AS DECIMAL(38,8)) END) AS sxx2,
+        |    SUM(CASE WHEN p2 IS NOT NULL
+        |      THEN CAST(h * h AS DECIMAL(38,8)) END) AS syy2
+        |  FROM lg GROUP BY 1),
+        |rr AS (
+        |  SELECT event_type, n_hours,
+        |    round((n1 * CAST(sxy1 AS DOUBLE)
+        |        - CAST(sx1 AS DOUBLE) * CAST(sy1 AS DOUBLE))
+        |      / (sqrt(n1 * CAST(sxx1 AS DOUBLE)
+        |          - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE))
+        |       * sqrt(n1 * CAST(syy1 AS DOUBLE)
+        |          - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE))), 4) AS acf1,
+        |    round((n2 * CAST(sxy2 AS DOUBLE)
+        |        - CAST(sx2 AS DOUBLE) * CAST(sy2 AS DOUBLE))
+        |      / (sqrt(n2 * CAST(sxx2 AS DOUBLE)
+        |          - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE))
+        |       * sqrt(n2 * CAST(syy2 AS DOUBLE)
+        |          - CAST(sy2 AS DOUBLE) * CAST(sy2 AS DOUBLE))), 4) AS acf2
+        |  FROM st)
+        |SELECT event_type, n_hours, acf1, acf2,
+        |  round(CASE WHEN abs(acf1) = 1.0 THEN 0.0
+        |    ELSE (acf2 - acf1 * acf1) / (1.0 - acf1 * acf1) END, 4) AS pacf2
+        |FROM rr ORDER BY event_type""".stripMargin,
 
     "ts_changepoint_meanshift" ->
       """WITH hourly AS (
