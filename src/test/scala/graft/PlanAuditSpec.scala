@@ -682,4 +682,100 @@ class PlanAuditSpec extends SparkTestBase {
           s"the frame windows must run over the hourly aggregate:\n$sp")
       }
   }
+
+  // --- round-5 plan shapes ---
+
+  test("triangle family: four queries share ONE cached oriented-triangle relation") {
+    // VERDICT r4 #1: the shared derivation pin. After the first
+    // consumer materializes the memoized relation, every other
+    // consumer's plan scans an InMemoryTableScan instead of
+    // re-deriving dir/adj/intersect — the plan must contain the cache
+    // scan and must NOT contain a fresh array_intersect derivation.
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    operators.GraphOps.clearMemos(spark)
+    spark.catalog.clearCache()
+    SparkEntry.queries("graph_triangles")(spark, sf001).collect() // warms memo
+    for (q <- Seq("graph_edge_support", "graph_triangle_participation")) {
+      // tree traversal, not string: the string rendering includes the
+      // cached relation's BUILD plan (which legitimately contains the
+      // intersect), while .collect stops at the cache scan boundary
+      val sp = SparkEntry.queries(q)(spark, sf001).queryExecution.sparkPlan
+      assert(sp.collect { case s: InMemoryTableScanExec => s }.nonEmpty,
+        s"$q must consume the cached triangle relation:\n$sp")
+      val fresh = sp.collect {
+        case n if n.expressions.exists(_.toString.contains("array_intersect")) => n
+      }
+      assert(fresh.isEmpty,
+        s"$q must not re-run the adjacency-intersect derivation:\n$sp")
+    }
+  }
+
+  test("ts_mann_kendall: the bucketed pair decomposition is in the plan") {
+    // VERDICT r4 #5 pin: the A term joins on (event_type, tb), the B
+    // term on (event_type, vb), and the C term's grid windows
+    // partition on the SAME two-column keys. The remaining
+    // event_type-only joins (per-series min/max broadcast, dense-grid
+    // dimension cross) have a bounded side by construction — the
+    // hours² shape (both sides the raw hourly relation on event_type
+    // alone) no longer exists, which Round5Spec pins semantically via
+    // the brute-force equality.
+    import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, ShuffledHashJoinExec, BroadcastHashJoinExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    val sp = SparkEntry.queries("ts_mann_kendall")(spark, sf001)
+      .queryExecution.sparkPlan
+    val joinKeys = sp.collect {
+      case j: SortMergeJoinExec => j.leftKeys.map(_.sql).mkString(",")
+      case j: ShuffledHashJoinExec => j.leftKeys.map(_.sql).mkString(",")
+      case j: BroadcastHashJoinExec => j.leftKeys.map(_.sql).mkString(",")
+    }
+    assert(joinKeys.exists(k => k.contains("event_type") && k.contains("tb")),
+      s"missing the same-week (event_type, tb) pair join:\n$joinKeys")
+    assert(joinKeys.exists(k => k.contains("event_type") && k.contains("vb")),
+      s"missing the cross-week same-bucket (event_type, vb) join:\n$joinKeys")
+    val winParts = sp.collect { case w: WindowExec =>
+      w.partitionSpec.map(_.sql).mkString(",") }
+    assert(winParts.exists(p => p.contains("vb")) &&
+      winParts.exists(p => p.contains("tb")),
+      s"missing the grid cumulative windows:\n$winParts")
+  }
+
+  test("mine_spearman_corr: no window partitions on nothing over raw suppliers") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val sp = SparkEntry.queries("mine_spearman_corr")(spark, sf001)
+      .queryExecution.sparkPlan
+    // the only unpartitioned windows are the ≤GiniBuckets boundary
+    // cumulatives, which must sit over a bucket AGGREGATE — never the
+    // raw per-supplier rows
+    sp.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      .foreach { w =>
+        assert(w.child.collect { case a: BaseAggregateExec => a }.nonEmpty,
+          s"unpartitioned window must run over the bucket aggregate:\n$sp")
+      }
+  }
+
+  test("pipeline_mixture_schedule: rank windows carry the bucket key") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val sp = SparkEntry.queries("pipeline_mixture_schedule")(spark, sf001)
+      .queryExecution.sparkPlan
+    val rowNumWindows = sp.collect {
+      case w: WindowExec if w.windowExpression.mkString.contains("row_number") => w
+    }
+    assert(rowNumWindows.nonEmpty, s"expected the within-bucket rank:\n$sp")
+    rowNumWindows.foreach { w =>
+      assert(w.partitionSpec.size >= 2,
+        s"row_number must partition on (source, bucket), not source alone:\n$sp")
+    }
+  }
+
+  test("graph_ktruss: final state carries positive in-truss supports") {
+    // semantic pin next to the Round5Spec fixture: at sf0.001 the
+    // 12-truss survivors (if any) all report support ≥ k−2
+    val rows = SparkEntry.queries("graph_ktruss")(spark, sf001)
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) >= operators.GraphOps.KtrussK - 2,
+        s"edge below declared support survived: $r")
+    }
+  }
 }
