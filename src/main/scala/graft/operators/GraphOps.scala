@@ -1165,6 +1165,23 @@ object GraphOps {
       kCore(symEdges(s, d), k = KcoreK, symmetrized = true,
         numParts = graphParts(s, d)).orderBy(col("v"))),
 
+    // dyadic core ladder: the k-core SIZE profile at k ∈ CoreLadderKs
+    // — how fast the graph's cohesive interior shrinks as the degree
+    // bar doubles (graph_kcore gives ONE rung's membership; the
+    // ladder is the decomposition summary a connectivity audit reads
+    // first, and the dyadic spacing bounds the cost at 4 peels).
+    // Each rung reuses the kCore peel on the memoized symmetric edge
+    // set; n_edges = Σ in-core degrees DIV 2 (exact — the peel's
+    // surviving degree sum is twice the undirected survivor count).
+    "graph_core_ladder" -> ((s, d) =>
+      CoreLadderKs.map { k =>
+        kCore(symEdges(s, d), k = k, symmetrized = true,
+          numParts = graphParts(s, d))
+          .agg(count(lit(1)).as("n_vertices"),
+            expr("CAST(coalesce(sum(deg), 0) DIV 2 AS BIGINT)").as("n_edges"))
+          .select(lit(k).cast("int").as("k"), col("n_vertices"), col("n_edges"))
+      }.reduce(_ unionByName _).orderBy(col("k"))),
+
     // k-truss decomposition (k = KtrussK) of the co-part graph: the
     // maximal subgraph where every edge closes ≥ k−2 triangles — the
     // EDGE peel next to kcore's vertex peel, and the consumer that
@@ -1388,6 +1405,10 @@ object GraphOps {
 
   /** k-core k, shared by the engine loop and the oracle SQL */
   val KcoreK = 3
+
+  /** dyadic k ladder for graph_core_ladder — shared with the oracle
+    * SQL so the rungs cannot drift */
+  val CoreLadderKs = Seq(2, 4, 8, 16)
 
   /** k-truss k, shared by the engine loop and the oracle SQL. 12 by
     * measurement: over the sf0.01 co-part graph the 12-truss peel
@@ -2296,6 +2317,33 @@ object GraphOps {
          |SELECT src AS v, count(*) AS deg FROM peel
          |WHERE iter = $KcoreOracleRounds
          |GROUP BY src ORDER BY v""".stripMargin,
+
+    // four recursive peels in one WITH RECURSIVE clause, one per
+    // ladder rung — each is the graph_kcore construction verbatim
+    // (capped idempotent rounds); vertices = distinct surviving
+    // sources, edges = surviving directed rows // 2
+    "graph_core_ladder" ->
+      s"""WITH RECURSIVE ed AS ($edgesSql),
+         |sym AS (SELECT src, dst FROM ed
+         |        UNION SELECT dst AS src, src AS dst FROM ed),
+         |${CoreLadderKs.map { k =>
+          s"""peel$k(iter, src, dst) AS (
+             |  SELECT 0, src, dst FROM sym
+             |  UNION ALL
+             |  SELECT iter + 1, src, dst FROM (
+             |    SELECT iter, src, dst,
+             |      count(*) OVER (PARTITION BY iter, src) AS sdeg,
+             |      count(*) OVER (PARTITION BY iter, dst) AS ddeg
+             |    FROM peel$k) q
+             |  WHERE sdeg >= $k AND ddeg >= $k
+             |    AND iter < $KcoreOracleRounds)""".stripMargin
+        }.mkString(",\n")}
+         |${CoreLadderKs.map { k =>
+          s"""SELECT $k AS k, count(DISTINCT src) AS n_vertices,
+             |  CAST(count(*) // 2 AS BIGINT) AS n_edges
+             |FROM peel$k WHERE iter = $KcoreOracleRounds""".stripMargin
+        }.mkString("\nUNION ALL\n")}
+         |ORDER BY k""".stripMargin,
 
     // the support peel unrolled: one (triangles → per-edge support →
     // filter) block per round, each survivor CTE MATERIALIZED — it is

@@ -352,6 +352,31 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // tokenizer fertility per source — sub-tokens emitted per
+    // whitespace word, THE tokenizer-efficiency number a multilingual
+    // training budget is planned around (fertility 2.5 means a corpus
+    // costs 2.5× its word count in sequence positions). Sub-token
+    // count uses the fixed ⌈len/4⌉ rule-of-thumb proxy (≈4 chars per
+    // BPE token, declared — swap a real vocab at the marked
+    // expression for production); everything integer until the two
+    // ratio closes; one scan, one bounded per-source agg.
+    "pipeline_tokenizer_fertility" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("w")).cast("long")).as("n_chars"),
+          // the tokenizer proxy: ⌈len/4⌉ sub-tokens per word
+          sum(expr("CAST((length(w) + 3) DIV 4 AS BIGINT)")).as("n_subtokens"))
+        .select(col("source"), col("n_words"), col("n_subtokens"),
+          r4(col("n_subtokens").cast(DoubleType) /
+            col("n_words").cast(DoubleType)).as("fertility"),
+          r4(col("n_chars").cast(DoubleType) /
+            col("n_subtokens").cast(DoubleType)).as("chars_per_token"))
+        .orderBy(col("source"))
+    }),
+
     // BPE-ish regex token classes: alphabetic tokens, long tokens,
     // consonant-heavy tokens — counted per document via higher-order
     // filters (no UDF, stays in codegen)
@@ -2195,6 +2220,22 @@ object TextOps {
          |  round(-slp / n_bigrams, 4) AS cross_entropy,
          |  round(exp(-slp / n_bigrams), 4) AS perplexity
          |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "pipeline_tokenizer_fertility" ->
+      """WITH w AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |st AS (
+        |  SELECT source, count(*) AS n_words,
+        |    CAST(SUM(length(w)) AS BIGINT) AS n_chars,
+        |    CAST(SUM((length(w) + 3) // 4) AS BIGINT) AS n_subtokens
+        |  FROM w WHERE length(w) > 0 GROUP BY 1)
+        |SELECT source, n_words, n_subtokens,
+        |  round(CAST(n_subtokens AS DOUBLE) / CAST(n_words AS DOUBLE), 4)
+        |    AS fertility,
+        |  round(CAST(n_chars AS DOUBLE) / CAST(n_subtokens AS DOUBLE), 4)
+        |    AS chars_per_token
+        |FROM st ORDER BY source""".stripMargin,
 
     "text_token_classes" ->
       """SELECT doc_id,

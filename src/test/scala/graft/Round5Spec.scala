@@ -251,6 +251,33 @@ class Round5Spec extends SparkTestBase {
     assert(got == ((1.0, 1.0, 0.0)), s"got $got")
   }
 
+  test("pipeline_tokenizer_fertility: ceil(len/4) proxy on hand words") {
+    val dir = tempDir()
+    import spark.implicits._
+    // "ab cdef ghijk": sub-tokens ⌈2/4⌉+⌈4/4⌉+⌈5/4⌉ = 1+1+2 = 4 over
+    // 3 words → fertility 1.3333; chars 11/4 → 2.75
+    writeFixture(dir, "documents", Seq((1L, "ab cdef ghijk", "en", "web", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = operators.TextOps.queries("pipeline_tokenizer_fertility")(
+      spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .head
+    assert(got == ((3L, 4L, 1.3333, 2.75)), s"got $got")
+  }
+
+  test("graph_core_ladder: monotone non-increasing rungs at sf0.001") {
+    val rows = operators.GraphOps.queries("graph_core_ladder")(spark, sf001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq(2, 4, 8, 16))
+    // a (k+1)-core is a subgraph of the k-core: both counts shrink
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2 && b._3 <= a._3, s"ladder not monotone: $a -> $b")
+    }
+    // and the k=2 rung must be inside the full graph
+    val full = operators.GraphOps.edges(spark, sf001).count()
+    assert(rows.head._3 <= full)
+  }
+
   test("graph_mst_boruvka: equals the driver-side Kruskal replica at sf0.01") {
     // 10× the Round4eSpec replica (VERDICT r4 #4): same check, the
     // sf the driver's correctness gate runs at — closing the one
