@@ -527,6 +527,73 @@ object VectorOps {
         .orderBy(col("k"))
     }),
 
+    // IVF recall-vs-nprobe tuning curve over the probe set: recall@1
+    // and mean candidate count at nprobe = 1 and 2 — THE knob an IVF
+    // serving deployment actually turns (more probed cells buy recall
+    // with candidate volume; the curve says what a point of recall
+    // COSTS). nprobe-2 candidates = corpus rows whose home cell is
+    // among the probe's 2 nearest centroids; every ranking orders by
+    // (ROUNDED cosine desc, id) — total orders, engine-identical.
+    // Cost is probe-bounded: probes × codebook for the cell ranking,
+    // probes' candidate cells for the search, probes × corpus ONLY in
+    // the truth side (the declared audit quadratic, 100 rows wide).
+    "vec_ann_recall_vs_probes" -> ((s, d) => {
+      CosineSimilarity.register(s)
+      val e = Tables.embeddings(s, d)
+      val k = math.ceil(math.sqrt(  // footer-metadata N: action-free (ADVICE r4)
+        GraphOps.tableRows(s, d, "embeddings").toDouble)).toInt
+      val centroids = e.orderBy(col("vec_id")).limit(k)
+        .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+      val asg = assignToCodebook(s, centroids, d)
+        .select(col("vec_id").as("b"), col("embedding").as("be"),
+          col("c_id").as("cell"))
+      val probes = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("p"), col("embedding").as("pe"))
+      val wC = Window.partitionBy(col("p")).orderBy(desc("ccos"), asc("c_id"))
+      val pcells = probes.crossJoin(broadcast(centroids))
+        .select(col("p"), col("pe"), col("c_id"),
+          round(cosine("ce", "pe"), 4).as("ccos"))
+        .withColumn("rk", row_number().over(wC))
+        .filter(col("rk") <= 2)
+        .select(col("p"), col("pe"), col("c_id").as("cell"), col("rk"))
+      // each corpus vector lives in exactly ONE cell, so a candidate
+      // (p, b) appears once, tagged with its cell's probe rank
+      val cand = pcells.join(asg, Seq("cell"))
+        .filter(col("p") =!= col("b"))
+        .select(col("p"), col("b"), col("rk"),
+          round(cosine("pe", "be"), 4).as("cos"))
+      val truth = probes
+        .join(e.select(col("vec_id").as("b"), col("embedding").as("be")),
+          col("p") =!= col("b"))
+        .select(col("p"),
+          struct(round(cosine("pe", "be"), 4).as("cos"),
+            (-col("b")).as("negb")).as("sc"))
+        .groupBy(col("p")).agg(max(col("sc")).as("best"))
+        .select(col("p"), (-col("best.negb")).as("t_nn"))
+      val np = probes.agg(count(lit(1)).as("n_probes"))
+      val wP = Window.partitionBy(col("nprobe"), col("p"))
+        .orderBy(desc("cos"), asc("b"))
+      val curve = cand
+        .select(col("p"), col("b"), col("rk"), col("cos"),
+          explode(expr("array(1, 2)")).as("nprobe"))
+        .filter(col("rk") <= col("nprobe"))
+      val hits = curve
+        .withColumn("rn", row_number().over(wP)).filter(col("rn") === 1)
+        .join(truth, Seq("p"))
+        .groupBy(col("nprobe"))
+        .agg(sum(when(col("b") === col("t_nn"), 1L).otherwise(0L))
+          .as("n_hits"))
+      val vol = curve.groupBy(col("nprobe"))
+        .agg(count(lit(1)).as("n_candidates"))
+      hits.join(vol, Seq("nprobe")).crossJoin(broadcast(np))
+        .select(col("nprobe"), col("n_probes"), col("n_candidates"),
+          r4(col("n_hits").cast(DoubleType) / col("n_probes"))
+            .as("recall_at_1"),
+          r4(col("n_candidates").cast(DoubleType) / col("n_probes"))
+            .as("mean_candidates"))
+        .orderBy(col("nprobe"))
+    }),
+
     // int8 scalar quantization — the storage/bandwidth reduction an
     // embedding store applies before ANN serving (4× smaller vectors,
     // distance ≈ preserved): per-vector min/max affine scale, code =
@@ -1355,6 +1422,56 @@ object VectorOps {
          |  round(CAST(SUM(CAST(truth.t_cos - ivf.cos AS DECIMAL(18,4)))
          |    AS DOUBLE) / count(*), 4) AS mean_cos_gap
          |FROM ivf JOIN truth USING (vec_id)""".stripMargin,
+
+    "vec_ann_recall_vs_probes" ->
+      s"""WITH $ivfCtesSql,
+         |probes AS (
+         |  SELECT vec_id AS p, embedding AS pe FROM embeddings
+         |  WHERE vec_id < 100),
+         |pc AS (
+         |  SELECT p, pe, c_id AS cell, rk FROM (
+         |    SELECT pr.p, pr.pe, c.c_id,
+         |      row_number() OVER (PARTITION BY pr.p ORDER BY
+         |        round(list_cosine_similarity(CAST(c.ce AS DOUBLE[]),
+         |          CAST(pr.pe AS DOUBLE[])), 4) DESC, c.c_id ASC) AS rk
+         |    FROM probes pr CROSS JOIN cents c) t
+         |  WHERE rk <= 2),
+         |cand AS (
+         |  SELECT pc.p, a.vec_id AS b, pc.rk,
+         |    round(list_cosine_similarity(CAST(pc.pe AS DOUBLE[]),
+         |      CAST(a.embedding AS DOUBLE[])), 4) AS cos
+         |  FROM pc JOIN assigned a ON pc.cell = a.cell AND pc.p <> a.vec_id),
+         |truth AS (
+         |  SELECT p, b AS t_nn FROM (
+         |    SELECT pr.p, e.vec_id AS b,
+         |      row_number() OVER (PARTITION BY pr.p ORDER BY
+         |        round(list_cosine_similarity(CAST(pr.pe AS DOUBLE[]),
+         |          CAST(e.embedding AS DOUBLE[])), 4) DESC, e.vec_id ASC)
+         |        AS rn
+         |    FROM probes pr JOIN embeddings e ON pr.p <> e.vec_id) t
+         |  WHERE rn = 1),
+         |np AS (SELECT count(*) AS n_probes FROM probes),
+         |curve AS (
+         |  SELECT c.p, c.b, c.cos, q.nprobe
+         |  FROM cand c CROSS JOIN (SELECT unnest([1, 2]) AS nprobe) q
+         |  WHERE c.rk <= q.nprobe),
+         |hits AS (
+         |  SELECT nprobe,
+         |    CAST(SUM(CASE WHEN b = t_nn THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_hits
+         |  FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY nprobe, p
+         |      ORDER BY cos DESC, b ASC) AS rn
+         |    FROM curve) t JOIN truth USING (p)
+         |  WHERE rn = 1 GROUP BY 1),
+         |vol AS (SELECT nprobe, count(*) AS n_candidates FROM curve
+         |        GROUP BY 1)
+         |SELECT h.nprobe, np.n_probes, v.n_candidates,
+         |  round(CAST(h.n_hits AS DOUBLE) / np.n_probes, 4) AS recall_at_1,
+         |  round(CAST(v.n_candidates AS DOUBLE) / np.n_probes, 4)
+         |    AS mean_candidates
+         |FROM hits h JOIN vol v USING (nprobe) CROSS JOIN np
+         |ORDER BY h.nprobe""".stripMargin,
 
     "vec_quantize_int8" ->
       """WITH e AS (

@@ -278,6 +278,18 @@ class Round5Spec extends SparkTestBase {
     assert(rows.head._3 <= full)
   }
 
+  test("vec_ann_recall_vs_probes: recall and volume grow with nprobe") {
+    val rows = operators.VectorOps.queries("vec_ann_recall_vs_probes")(
+      spark, sf001).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == Seq(1, 2))
+    val Array(n1, n2) = rows
+    // probing a second cell can only ADD candidates, and the top-1
+    // over a superset can only match the truth at least as often
+    assert(n2._2 >= n1._2 && n2._3 >= n1._3 && n2._4 >= n1._4,
+      s"curve not monotone: $n1 -> $n2")
+  }
+
   test("graph_mst_boruvka: equals the driver-side Kruskal replica at sf0.01") {
     // 10× the Round4eSpec replica (VERDICT r4 #4): same check, the
     // sf the driver's correctness gate runs at — closing the one
