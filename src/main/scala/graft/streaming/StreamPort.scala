@@ -164,6 +164,33 @@ object StreamPort {
         col("view_ts"), col("click_ts"))
   }
 
+  /** streaming twin of Joins."join_range_native" (and of the batch
+    * RangeJoinExec's semantics): same-user event pairs within 120 s,
+    * each unordered pair emitted exactly once FROM ITS EARLIER
+    * member — the one-sided [x_ts, x_ts + 120 s] window plus the
+    * (later-ts, then larger-id at a tie) dedup predicate covers the
+    * batch op's |Δt| ≤ W pair set. Stream-stream inner self-join:
+    * both watermarks + the time-bounded condition make either side's
+    * state evictable (the bounded-state contract every stream-stream
+    * join here carries); on batch DataFrames the identical plan is a
+    * plain inner join. */
+  def bandPairs(xs: DataFrame, ys: DataFrame): DataFrame = {
+    val x = xs.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("x_id"), col("user_id"),
+        col("ts").as("x_ts"))
+    val y = ys.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("y_id"), col("user_id").as("y_user"),
+        col("ts").as("y_ts"))
+    x.join(y,
+      col("user_id") === col("y_user") &&
+        col("y_ts") >= col("x_ts") &&
+        col("y_ts") <= col("x_ts") + expr("interval 120 seconds") &&
+        (col("y_ts") > col("x_ts") ||
+          (col("y_ts") === col("x_ts") && col("y_id") > col("x_id"))))
+      .select(col("user_id"), col("x_id"), col("y_id"),
+        col("x_ts"), col("y_ts"))
+  }
+
   /** foreachBatch file sink, idempotent per micro-batch: batch `id` is
     * always written to the same `batch_id=<id>` directory with
     * overwrite, so a RETRIED batch (failure between write and commit)

@@ -585,4 +585,33 @@ class StreamPortSpec extends SparkTestBase {
     }.toSet
     assert(got == exp, s"got $got exp $exp")
   }
+
+  test("streaming band pairs == batch pairs within 120s (r5 RangeJoin twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: 10:00:00 / 10:01:30 / 10:02:30 → pairs (1,2) Δ90s and
+    // (2,3) Δ60s but NOT (1,3) Δ150s; user 2 isolated; equal-ts pair
+    // (5,6) dedups by id from the lower id
+    val evs = Seq(
+      Ev(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "view", 0.0),
+      Ev(2, Timestamp.valueOf("2024-01-01 10:01:30"), 1, "view", 0.0),
+      Ev(3, Timestamp.valueOf("2024-01-01 10:02:30"), 1, "view", 0.0),
+      Ev(4, Timestamp.valueOf("2024-01-01 10:00:30"), 2, "view", 0.0),
+      Ev(5, Timestamp.valueOf("2024-01-01 11:00:00"), 3, "view", 0.0),
+      Ev(6, Timestamp.valueOf("2024-01-01 11:00:00"), 3, "view", 0.0))
+    val mem = MemoryStream[Ev]
+    val q = StreamPort.bandPairs(mem.toDF(), mem.toDF())
+      .writeStream.format("memory").queryName("bandpairs")
+      .outputMode("append").start()
+    mem.addData(evs: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("bandpairs")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    assert(streamed == Set((1L, 2L), (2L, 3L), (5L, 6L)), s"got $streamed")
+    // batch parity: identical plan on plain DataFrames
+    val batch = StreamPort.bandPairs(evs.toDF(), evs.toDF())
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(batch == streamed)
+  }
 }
