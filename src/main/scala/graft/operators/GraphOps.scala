@@ -87,7 +87,7 @@ object GraphOps {
     * DataFrames would recompute uncached on every timed action) */
   private[graft] def clearMemos(s: SparkSession): Unit = {
     Seq(edgeCache, symCache, cappedCache, coCiteCache, coPartCache, lpaCache,
-      walkCache, triRelCache).foreach(evict(_, s))
+      walkCache, triRelCache, seedDistCache, ccCache).foreach(evict(_, s))
     evict(triCache, s)
   }
 
@@ -395,6 +395,48 @@ object GraphOps {
   private def lpaLabels(s: SparkSession, d: String): DataFrame =
     memo(lpaCache, (s, d))(
       labelPropagation(symEdges(s, d), iters = LpaRounds, symmetrized = true,
+        numParts = graphParts(s, d)))
+
+  /** per-seed bounded BFS distances (seed, v, dist ≤ 3) over the
+    * symmetric graph — memoized + cached per (session, dir), r5: the
+    * four BFS-family queries (bfs_distance, distance_histogram,
+    * closeness_bounded, eccentricity_bounded) consume the identical
+    * min-propagation; previously each re-ran its own 3-round loop.
+    * The merged multi-source variant is min-over-seeds of this
+    * relation. Cache ≤ seeds × reached vertices (10 × V). Eagerly
+    * materialized inside the memo (one count) so consumers scan the
+    * cache, never the 3-join lineage. */
+  private val seedDistCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def seedDistances(s: SparkSession, d: String): DataFrame =
+    memo(seedDistCache, (s, d)) {
+      val sym = symEdges(s, d)
+      var dist = sym.select(col("src").as("v")).distinct()
+        .filter(col("v") <= 10L)
+        .select(col("v").as("seed"), col("v"), lit(0L).as("dist"))
+      for (_ <- 1 to 3) {
+        val nd = sym.join(dist, col("src") === col("v"))
+          .select(col("seed"), col("dst").as("v"),
+            (col("dist") + 1L).as("dist"))
+        dist = dist.unionByName(nd)
+          .groupBy(col("seed"), col("v")).agg(min(col("dist")).as("dist"))
+      }
+      val out = dist.cache()
+      out.count()
+      out
+    }
+
+  /** connected-component labels, memoized per (session, dir) — both
+    * graph_connected_components and graph_component_size_dist consume
+    * the identical fixpoint (the loop ends in an eager
+    * localCheckpoint, so the memoized frame is already materialized). */
+  private val ccCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def ccLabels(s: SparkSession, d: String): DataFrame =
+    memo(ccCache, (s, d))(
+      connectedComponents(symEdges(s, d), symmetrized = true,
         numParts = graphParts(s, d)))
 
   /** CTE prefix unrolling the [[LpaRounds]] synchronous LPA rounds in
@@ -750,8 +792,7 @@ object GraphOps {
     // the recursive-CTE oracle exactly. Deterministic (min is
     // order-independent).
     "graph_connected_components" -> ((s, d) =>
-      connectedComponents(symEdges(s, d), symmetrized = true,
-        numParts = graphParts(s, d)).orderBy(col("v"))),
+      ccLabels(s, d).orderBy(col("v"))),
 
     // degree assortativity — Pearson correlation of endpoint degrees
     // over the symmetric edge list (do high-degree vertices attach to
@@ -851,20 +892,12 @@ object GraphOps {
     // and min-aggregates: same answer, exponentially more rows, which
     // is exactly why the engine does propagation instead (the one
     // iterative operator cheap enough at bounded depth to
-    // oracle-check).
-    "graph_bfs_distance" -> ((s, d) => {
-      val sym = symEdges(s, d)
-      var dist = sym.select(col("src").as("v")).distinct()
-        .filter(col("v") <= 10L)
-        .select(col("v"), lit(0L).as("dist"))
-      for (_ <- 1 to 3) {
-        val nd = sym.join(dist, col("src") === col("v"))
-          .select(col("dst").as("v"), (col("dist") + 1L).as("dist"))
-        dist = dist.unionByName(nd)
-          .groupBy(col("v")).agg(min(col("dist")).as("dist"))
-      }
-      dist.orderBy(col("v"))
-    }),
+    // oracle-check). r5: min over the memoized per-seed relation —
+    // the min distance to ANY seed equals the merged propagation.
+    "graph_bfs_distance" -> ((s, d) =>
+      seedDistances(s, d)
+        .groupBy(col("v")).agg(min(col("dist")).as("dist"))
+        .orderBy(col("v"))),
 
     // reachability histogram of the BFS seed set — the hop-distance
     // distribution plus the unreached remainder: per distance d ≤ 3,
@@ -876,15 +909,8 @@ object GraphOps {
     // exact longs.
     "graph_distance_histogram" -> ((s, d) => {
       val sym = symEdges(s, d)
-      var dist = sym.select(col("src").as("v")).distinct()
-        .filter(col("v") <= 10L)
-        .select(col("v"), lit(0L).as("dist"))
-      for (_ <- 1 to 3) {
-        val nd = sym.join(dist, col("src") === col("v"))
-          .select(col("dst").as("v"), (col("dist") + 1L).as("dist"))
-        dist = dist.unionByName(nd)
-          .groupBy(col("v")).agg(min(col("dist")).as("dist"))
-      }
+      val dist = seedDistances(s, d) // shared cached propagation (r5)
+        .groupBy(col("v")).agg(min(col("dist")).as("dist"))
       val verts = sym.select(col("src").as("v")).distinct()
       val tot = verts.agg(count(lit(1)).as("n_vertices"))
       val hist = verts.join(dist, Seq("v"), "left")
@@ -916,17 +942,8 @@ object GraphOps {
     // round(1e9/d) NANO-UNITS as a BIGINT (the graph_adamic_adar
     // convention) — integer sums, ONE final double division by 1e9.
     "graph_closeness_bounded" -> ((s, d) => {
-      val sym = symEdges(s, d)
-      var dist = sym.select(col("src").as("v")).distinct()
-        .filter(col("v") <= 10L)
-        .select(col("v").as("seed"), col("v"), lit(0L).as("dist"))
-      for (_ <- 1 to 3) {
-        val nd = sym.join(dist, col("src") === col("v"))
-          .select(col("seed"), col("dst").as("v"), (col("dist") + 1L).as("dist"))
-        dist = dist.unionByName(nd)
-          .groupBy(col("seed"), col("v")).agg(min(col("dist")).as("dist"))
-      }
-      dist.filter(col("dist") > 0L)
+      seedDistances(s, d) // shared cached propagation (r5)
+        .filter(col("dist") > 0L)
         .select(col("seed"),
           expr("cast(round(1000000000.0 / dist, 0) as bigint)").as("w9"))
         .groupBy(col("seed"))
@@ -968,17 +985,8 @@ object GraphOps {
     // lexicographic struct max = highest dist then lowest id, a total
     // order, so the witness cannot flip between engines.
     "graph_eccentricity_bounded" -> ((s, d) => {
-      val sym = symEdges(s, d)
-      var dist = sym.select(col("src").as("v")).distinct()
-        .filter(col("v") <= 10L)
-        .select(col("v").as("seed"), col("v"), lit(0L).as("dist"))
-      for (_ <- 1 to 3) {
-        val nd = sym.join(dist, col("src") === col("v"))
-          .select(col("seed"), col("dst").as("v"), (col("dist") + 1L).as("dist"))
-        dist = dist.unionByName(nd)
-          .groupBy(col("seed"), col("v")).agg(min(col("dist")).as("dist"))
-      }
-      dist.filter(col("dist") > 0L)
+      seedDistances(s, d) // shared cached propagation (r5)
+        .filter(col("dist") > 0L)
         .groupBy(col("seed"))
         .agg(count(lit(1)).as("n_reached"),
           max(struct(col("dist"), (-col("v")).as("nv"))).as("m"))
@@ -1013,8 +1021,7 @@ object GraphOps {
     // size → count) are hash aggs whose state is bounded by distinct
     // labels / distinct sizes.
     "graph_component_size_dist" -> ((s, d) => {
-      val sizes = connectedComponents(symEdges(s, d), symmetrized = true,
-          numParts = graphParts(s, d))
+      val sizes = ccLabels(s, d) // shared memoized fixpoint (r5)
         .groupBy(col("lbl")).agg(count(lit(1)).as("size"))
       sizes.groupBy(col("size")).agg(count(lit(1)).as("n_components"))
         .orderBy(col("size"))
