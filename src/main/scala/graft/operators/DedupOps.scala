@@ -77,6 +77,10 @@ object DedupOps {
     * see [[minhashCtesSql]] — so both LSH queries are hash-oracled. */
   private val MinHashK = 32; private val LshBands = 8; private val LshRows = 4
 
+  /** (bands, rows) splits of the k=32 signature swept by
+    * dedup_band_sweep — shared with its oracle SQL */
+  val BandSweepConfigs = Seq((16, 2), (8, 4), (4, 8))
+
   private def minhashVerifiedPairs(s: SparkSession, d: String): DataFrame = {
     val tok = shingleSets(s, d)
     val minhash = udaf(new MinHashAgg(MinHashK))
@@ -98,7 +102,10 @@ object DedupOps {
     * the Spark aggregator, emitted by [[graft.functions.Md5Hash]]),
     * band collision on the 4-long slice, exact-Jaccard verification.
     * Final relation: `mpairs(a, b, jaccard)`. */
-  private def minhashCtesSql: String = {
+  /** the signature/size prefix shared by [[minhashCtesSql]] and the
+    * band-sweep oracle: bigram sets, md5-60-bit base hash, k=32 affine
+    * permutations — ends at `msig(doc_id, i, mh)` + `msz(doc_id, sz)`. */
+  private def minhashSigSql: String = {
     import graft.functions.Md5Hash
     s"""mtoks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
        |mbi AS (
@@ -111,6 +118,12 @@ object DedupOps {
        |msig AS (
        |  SELECT doc_id, s.i, min(${Md5Hash.duckPerm("s.a", "s.b", "hsh.h")}) AS mh
        |  FROM hsh CROSS JOIN seeds s GROUP BY doc_id, s.i),
+       |msz AS (SELECT doc_id, count(*) AS sz FROM mbi GROUP BY doc_id)"""
+      .stripMargin
+  }
+
+  private def minhashCtesSql: String =
+    s"""$minhashSigSql,
        |mband AS (
        |  SELECT doc_id, i // $LshRows AS band, list(mh ORDER BY i) AS bsig
        |  FROM msig GROUP BY doc_id, i // $LshRows),
@@ -118,7 +131,6 @@ object DedupOps {
        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |  FROM mband x JOIN mband y
        |    ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
-       |msz AS (SELECT doc_id, count(*) AS sz FROM mbi GROUP BY doc_id),
        |minter AS (
        |  SELECT c.a, c.b, count(*) AS n
        |  FROM mcand c
@@ -132,7 +144,6 @@ object DedupOps {
        |  JOIN msz sa ON sa.doc_id = t.a JOIN msz sb ON sb.doc_id = t.b
        |  WHERE round(CAST(t.n AS DOUBLE) / (sa.sz + sb.sz - t.n), 4) >= 0.5)"""
       .stripMargin
-  }
 
   /** near-dup cluster labels, unordered: connected components over the
     * n-gram-Jaccard pair graph (self-loops enroll pairless docs as
@@ -317,6 +328,44 @@ object DedupOps {
     // semantics; the LSH side is the same full-corpus derivation the
     // dedup runs, filtered to the probe. Degenerate denominators
     // (no pairs) read as 1.0 — vacuous, declared on both sides.
+    // LSH banding-parameter sweep over the SAME k=32 signature — the
+    // dedup twin of vec_ann_recall_vs_probes' nprobe curve: for each
+    // (bands, rows) split of the signature, candidate-pair volume,
+    // verified (J ≥ 0.5) pair count, and candidate precision. More,
+    // shorter bands move the S-curve left (more candidates, more
+    // recall, lower precision); fewer, longer bands move it right —
+    // THE tuning decision a 100 TB dedup makes before paying the
+    // verify joins, now measurable instead of theoretical. Everything
+    // rides the md5 signature basis, so the whole sweep is DuckDB-
+    // recomputable; n_verified varies with banding because
+    // verification only sees CANDIDATES (the point of the audit).
+    "dedup_band_sweep" -> ((s, d) => {
+      val tok = shingleSets(s, d)
+      val minhash = udaf(new MinHashAgg(MinHashK))
+      val sigs = tok.groupBy(col("doc_id"))
+        .agg(minhash(col("term")).as("sig"))
+      BandSweepConfigs.map { case (bands, rows) =>
+        val bandCols = (0 until bands).map(j =>
+          slice(col("sig"), j * rows + 1, rows))
+        val banded = sigs.select(col("doc_id"), posexplode(array(bandCols: _*)))
+          .select(col("doc_id"), col("pos").as("band"), col("col").as("bsig"))
+        val cand = banded.as("x").join(banded.as("y"),
+            col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+        val nv = jaccardPairs(tok, 0.5, candidates = Some(cand))
+          .agg(count(lit(1)).as("n_verified"))
+        cand.agg(count(lit(1)).as("n_candidates"))
+          .crossJoin(nv)
+          .select(lit(bands).cast("int").as("n_bands"),
+            lit(rows).cast("int").as("rows_per_band"),
+            col("n_candidates"), col("n_verified"),
+            when(col("n_candidates") === 0L, lit(1.0))
+              .otherwise(r4(col("n_verified").cast("double") /
+                col("n_candidates"))).as("precision"))
+      }.reduce(_ unionByName _).orderBy(col("n_bands"))
+    }),
+
     "dedup_lsh_quality_audit" -> ((s, d) => {
       val truth = jaccardPairs(shingleSets(s, d, cap = 200L), 0.5)
         .select(col("a"), col("b"), lit(1).as("t"))
@@ -783,6 +832,40 @@ object DedupOps {
          |FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
          |WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.3
          |ORDER BY a, b""".stripMargin,
+
+    "dedup_band_sweep" ->
+      s"""WITH $minhashSigSql,
+         |${BandSweepConfigs.map { case (b, r) =>
+          s"""bandw$b AS (
+             |  SELECT doc_id, i // $r AS band, list(mh ORDER BY i) AS bsig
+             |  FROM msig GROUP BY doc_id, i // $r),
+             |candw$b AS (
+             |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             |  FROM bandw$b x JOIN bandw$b y
+             |    ON x.band = y.band AND x.bsig = y.bsig
+             |   AND x.doc_id < y.doc_id),
+             |intw$b AS (
+             |  SELECT c.a, c.b, count(*) AS n
+             |  FROM candw$b c
+             |  JOIN mbi x ON x.doc_id = c.a
+             |  JOIN mbi y ON y.doc_id = c.b AND y.term = x.term
+             |  GROUP BY c.a, c.b),
+             |verw$b AS (
+             |  SELECT count(*) AS nv FROM intw$b t
+             |  JOIN msz sa ON sa.doc_id = t.a
+             |  JOIN msz sb ON sb.doc_id = t.b
+             |  WHERE round(CAST(t.n AS DOUBLE) / (sa.sz + sb.sz - t.n), 4)
+             |    >= 0.5),
+             |nc$b AS (SELECT count(*) AS nc FROM candw$b)""".stripMargin
+        }.mkString(",\n")}
+         |${BandSweepConfigs.map { case (b, r) =>
+          s"""SELECT $b AS n_bands, $r AS rows_per_band,
+             |  nc.nc AS n_candidates, v.nv AS n_verified,
+             |  CASE WHEN nc.nc = 0 THEN 1.0
+             |    ELSE round(CAST(v.nv AS DOUBLE) / nc.nc, 4) END AS precision
+             |FROM nc$b nc CROSS JOIN verw$b v""".stripMargin
+        }.mkString("\nUNION ALL\n")}
+         |ORDER BY n_bands""".stripMargin,
 
     "dedup_lsh_quality_audit" ->
       s"""WITH $minhashCtesSql,

@@ -290,6 +290,20 @@ class Round5Spec extends SparkTestBase {
       s"curve not monotone: $n1 -> $n2")
   }
 
+  test("dedup_band_sweep: finer bandings are candidate supersets") {
+    // a (4,8) band collision forces both constituent (8,4) halves to
+    // collide, and each of those forces its (16,2) halves — so both
+    // candidate and verified counts are monotone in the band count
+    val rows = operators.DedupOps.queries("dedup_band_sweep")(spark, sf001)
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == Seq(4, 8, 16))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 >= a._2 && b._3 >= a._3,
+        s"finer banding lost candidates: $a -> $b")
+    }
+  }
+
   test("graph_mst_boruvka: equals the driver-side Kruskal replica at sf0.01") {
     // 10× the Round4eSpec replica (VERDICT r4 #4): same check, the
     // sf the driver's correctness gate runs at — closing the one
