@@ -272,14 +272,45 @@ object Windows {
     // a pricing dashboard shows: ntile(10) over (price, orderkey) —
     // the unique tie-break makes the banding deterministic (§2.0
     // rule 7) — then per-(priority, decile) count/min/max/exact-sum.
-    // The window partitions by o_orderpriority (5 values): the
-    // documented low-cardinality caveat of win_rank_variants applies;
-    // the banded AGGREGATE that follows is bounded (50 rows).
+    // r5: the low-cardinality caveat is RETIRED — the per-priority
+    // rank composes from price-range buckets (the mixture_schedule
+    // discipline: within-(priority, bucket) row_number + ≤128-row
+    // boundary offsets), and the decile comes from ntile's own
+    // integer arithmetic (base = n DIV 10, the first n % 10 tiles
+    // one row larger — Spark's NTile definition, evaluated lazily so
+    // the base = 0 branch never divides by zero). No window ever
+    // partitions on the 5-value priority alone; rows identical to
+    // the native ntile (Round5Spec pins it), oracle unchanged.
     "win_ntile_deciles" -> ((s, d) => {
-      val w = Window.partitionBy(col("o_orderpriority"))
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      Tables.orders(s, d)
-        .withColumn("decile", ntile(10).over(w))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")
+            .as("cents"))
+      val bounds = o.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+      val bk = o.crossJoin(broadcast(bounds))
+        .withColumn("bk", expr(
+          "CAST((cents - lo) DIV greatest(CAST(1 AS BIGINT), " +
+            "(hi - lo + 127) DIV 128) AS INT)"))
+        .drop("lo", "hi")
+      val perB = bk.groupBy(col("o_orderpriority"), col("bk"))
+        .agg(count(lit(1)).as("bc"))
+      val wPrev = Window.partitionBy(col("o_orderpriority")).orderBy(col("bk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = perB
+        .withColumn("boff", coalesce(sum(col("bc")).over(wPrev), lit(0L)))
+        .select(col("o_orderpriority"), col("bk"), col("boff"))
+      val ns = perB.groupBy(col("o_orderpriority")).agg(sum(col("bc")).as("n"))
+      val wIn = Window.partitionBy(col("o_orderpriority"), col("bk"))
+        .orderBy(col("cents"), col("o_orderkey"))
+      bk.join(broadcast(offs), Seq("o_orderpriority", "bk"))
+        .join(broadcast(ns), Seq("o_orderpriority"))
+        .withColumn("i", row_number().over(wIn).cast("long") + col("boff"))
+        .withColumn("decile", expr(
+          """CAST(IF(i <= (n % 10) * (n DIV 10 + 1),
+            |  (i - 1) DIV (n DIV 10 + 1),
+            |  n % 10 + (i - (n % 10) * (n DIV 10 + 1) - 1)
+            |    DIV greatest(n DIV 10, CAST(1 AS BIGINT))) + 1
+            |  AS INT)""".stripMargin))
         .groupBy(col("o_orderpriority"), col("decile"))
         .agg(count(lit(1)).as("n"),
           min(col("o_totalprice")).as("lo"),

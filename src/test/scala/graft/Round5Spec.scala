@@ -304,6 +304,27 @@ class Round5Spec extends SparkTestBase {
     }
   }
 
+  test("win_ntile_deciles: bucket-composed deciles equal the native ntile") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val naive = Tables.orders(spark, sf001)
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("o_orderpriority"), col("decile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      .orderBy(col("o_orderpriority"), col("decile"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    val got = operators.Windows.queries("win_ntile_deciles")(spark, sf001)
+      .select(col("o_orderpriority"), col("decile"), col("n"),
+        col("lo"), col("hi"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == naive)
+  }
+
   test("graph_mst_boruvka: equals the driver-side Kruskal replica at sf0.01") {
     // 10× the Round4eSpec replica (VERDICT r4 #4): same check, the
     // sf the driver's correctness gate runs at — closing the one
