@@ -165,17 +165,49 @@ object Windows {
     // distribution-position functions: percent_rank / cume_dist /
     // decile over a TOTAL window order ((price, orderkey) is unique, so
     // ranks — and therefore the quotients — are engine-independent).
-    // Same low-cardinality-partition caveat as win_rank_variants:
-    // o_orderpriority has 5 values, each ~1/5 of the table through one
-    // WindowExec task — inherent to per-key total-order semantics.
+    // r5: the low-cardinality caveat is RETIRED — under the UNIQUE
+    // order, percent_rank = (i−1)/(n−1), cume_dist = i/n and the
+    // decile is ntile's integer arithmetic, all pure functions of the
+    // bucket-composed rank i (win_ntile_deciles' machinery); no
+    // window partitions on the 5-value priority alone. Rows identical
+    // to the native functions (Round5Spec pins it), oracle unchanged.
     "win_percent_dist" -> ((s, d) => {
-      val w = Window.partitionBy(col("o_orderpriority"))
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      Tables.orders(s, d)
+      val o = Tables.orders(s, d)
         .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
-          r4(percent_rank().over(w)).as("pct_rank"),
-          r4(cume_dist().over(w)).as("cum_dist"),
-          ntile(10).over(w).as("decile"))
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")
+            .as("cents"))
+      val bounds = o.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+      val bk = o.crossJoin(broadcast(bounds))
+        .withColumn("bk", expr(
+          "CAST((cents - lo) DIV greatest(CAST(1 AS BIGINT), " +
+            "(hi - lo + 127) DIV 128) AS INT)"))
+        .drop("lo", "hi")
+      val perB = bk.groupBy(col("o_orderpriority"), col("bk"))
+        .agg(count(lit(1)).as("bc"))
+      val wPrev = Window.partitionBy(col("o_orderpriority")).orderBy(col("bk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = perB
+        .withColumn("boff", coalesce(sum(col("bc")).over(wPrev), lit(0L)))
+        .select(col("o_orderpriority"), col("bk"), col("boff"))
+      val ns = perB.groupBy(col("o_orderpriority")).agg(sum(col("bc")).as("n"))
+      val wIn = Window.partitionBy(col("o_orderpriority"), col("bk"))
+        .orderBy(col("cents"), col("o_orderkey"))
+      bk.join(broadcast(offs), Seq("o_orderpriority", "bk"))
+        .join(broadcast(ns), Seq("o_orderpriority"))
+        .withColumn("i", row_number().over(wIn).cast("long") + col("boff"))
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          // n = 1 degenerate: percent_rank is 0 by definition
+          r4(when(col("n") === 1L, lit(0.0)).otherwise(
+            (col("i") - 1).cast(DoubleType) / (col("n") - 1).cast(DoubleType)))
+            .as("pct_rank"),
+          r4(col("i").cast(DoubleType) / col("n").cast(DoubleType))
+            .as("cum_dist"),
+          expr(
+            """CAST(IF(i <= (n % 10) * (n DIV 10 + 1),
+              |  (i - 1) DIV (n DIV 10 + 1),
+              |  n % 10 + (i - (n % 10) * (n DIV 10 + 1) - 1)
+              |    DIV greatest(n DIV 10, CAST(1 AS BIGINT))) + 1
+              |  AS INT)""".stripMargin).as("decile"))
         .orderBy(col("o_orderpriority"), col("o_orderkey"))
     }),
 

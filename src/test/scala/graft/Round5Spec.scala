@@ -325,6 +325,26 @@ class Round5Spec extends SparkTestBase {
     assert(got == naive)
   }
 
+  test("win_percent_dist: bucket-composed positions equal the native functions") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val naive = Tables.orders(spark, sf001)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        round(percent_rank().over(w), 4).as("pr"),
+        round(cume_dist().over(w), 4).as("cd"),
+        ntile(10).over(w).as("de"))
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getInt(4))).toSeq
+    val got = operators.Windows.queries("win_percent_dist")(spark, sf001)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("pct_rank"),
+        col("cum_dist"), col("decile"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getInt(4))).toSeq
+    assert(got == naive)
+  }
+
   test("graph_mst_boruvka: equals the driver-side Kruskal replica at sf0.01") {
     // 10× the Round4eSpec replica (VERDICT r4 #4): same check, the
     // sf the driver's correctness gate runs at — closing the one
