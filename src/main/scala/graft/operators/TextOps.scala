@@ -747,11 +747,13 @@ object TextOps {
     // floored at 1 (every source is represented) and capped at the
     // source size. Determinism: per-source weights round to 4 dp and
     // total as an exact decimal; quota = floor of identical doubles.
-    // Scale caveat (the win_rank_variants class, documented): the
-    // hash-rank window totally orders each source's partition; with
-    // quota ≪ source size the at-scale variant is a per-source
-    // top-quota (TakeOrdered) or a hash-threshold prefilter — the
-    // declared semantics here keep the exact rank for the oracle.
+    // r5: the hash-rank caveat is RETIRED — the per-source rank
+    // composes from 256 hash-PREFIX buckets (the first 2 hex chars of
+    // the md5 sort key are monotone in its lexicographic order, so
+    // bucket + within-bucket rank + ≤256-row boundary offsets = the
+    // exact global rank); no window partitions on the 20-value source
+    // key alone. Row-identity vs the naive window pinned in
+    // Round5Spec; oracle unchanged.
     "pipeline_source_mix" -> ((s, d) => {
       val dec = org.apache.spark.sql.types.DecimalType(18, 4)
       val docs = Tables.documents(s, d)
@@ -765,9 +767,21 @@ object TextOps {
             floor(lit(MixTarget) *
               round(sqrt(col("n_docs").cast("double")), 4) / col("wsum"))))
             .as("quota"))
-      val rn = docs.select(col("source"), col("doc_id"),
-        row_number().over(Window.partitionBy(col("source"))
-          .orderBy(md5(col("text")), col("doc_id"))).as("rn"))
+      val h = docs.select(col("source"), col("doc_id"),
+          md5(col("text")).as("h"))
+        .withColumn("bk", substring(col("h"), 1, 2))
+      val perB = h.groupBy(col("source"), col("bk"))
+        .agg(count(lit(1)).as("bc"))
+      val wPrev = Window.partitionBy(col("source")).orderBy(col("bk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = perB
+        .withColumn("boff", coalesce(sum(col("bc")).over(wPrev), lit(0L)))
+        .select(col("source"), col("bk"), col("boff"))
+      val wIn = Window.partitionBy(col("source"), col("bk"))
+        .orderBy(col("h"), col("doc_id"))
+      val rn = h.join(broadcast(offs), Seq("source", "bk"))
+        .withColumn("rn", row_number().over(wIn).cast("long") + col("boff"))
+        .select(col("source"), col("doc_id"), col("rn"))
       val samp = rn.join(q.select(col("source"), col("quota")), Seq("source"))
         .filter(col("rn") <= col("quota"))
         .groupBy(col("source"))

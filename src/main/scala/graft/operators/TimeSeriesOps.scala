@@ -967,8 +967,8 @@ object TimeSeriesOps {
     // arithmetic over the hourly-unit histogram (cum·3 ≥ dq·n — the
     // quantileEdges discipline), symbols compare exact BIGINTs, words
     // are strings, ranks break ties on the word. Windows partition by
-    // the series key over the bounded hourly aggregate (the
-    // win_rank_variants low-cardinality caveat, declared there); the
+    // the series key over the bounded hourly aggregate — per-partition
+    // rows ∝ calendar hours, not data volume; the
     // histogram/edge relations are bounded by distinct hourly values.
     "ts_sax_motifs" -> ((s, d) => {
       val dec = org.apache.spark.sql.types.DecimalType(18, 4)
@@ -1016,8 +1016,8 @@ object TimeSeriesOps {
     // boundary, so only values enter the math; per-term lns are
     // identical IEEE expressions 4dp-quantized then decimal-summed
     // (zipf discipline), x_k compares exact BIGINT units. Window
-    // state ∝ hours per series (bounded hourly aggregate; the
-    // win_rank_variants low-cardinality caveat is declared there).
+    // state ∝ hours per series (bounded hourly aggregate — calendar-
+    // bounded per-partition rows, not data-volume-bounded).
     "ts_hill_tail_index" -> ((s, d) => {
       val dec = org.apache.spark.sql.types.DecimalType(18, 4)
       val hourly = Tables.events(s, d)

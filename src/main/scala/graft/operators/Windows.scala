@@ -29,28 +29,51 @@ object Windows {
         .orderBy(col("o_custkey"), col("rn"))
     }),
 
-    // CARDINALITY CAVEAT (shared with win_percent_dist): the partition
-    // key here has 3–5 distinct values, so each window partition is a
-    // large fraction of the corpus through ONE WindowExec task. That is
-    // inherent to the declared semantics — rank/ntile/percent_rank need
-    // a total order PER KEY, and a global per-key rank cannot be
-    // composed from independent sub-partitions without a second
-    // merge pass. At 100 TB, either (a) rank within a
-    // higher-cardinality key — win_rank_topn_pergroup IS that shape
-    // (per-custkey partitions, corpus/|customers| rows per WindowExec
-    // task), (b) pre-aggregate before ranking (what win_global_share
-    // does), or (c) use approx quantiles when the rank itself isn't
-    // required. Do not copy this shape blindly onto a low-cardinality
-    // key at scale.
+    // rank / dense_rank / ntile over (quantity DESC, orderkey,
+    // linenumber) per returnflag. r5: the low-cardinality caveat this
+    // query carried since round 1 is RETIRED — the leading sort key
+    // (l_quantity, ~50 integer values) IS the bucket: ties share a
+    // quantity, so they can never span buckets, which makes every
+    // rank flavor composable: rnk = within-(flag, qty) rank + the
+    // per-flag cumulative ROW count of higher-qty buckets; drnk =
+    // within-bucket dense_rank + cumulative DISTINCT-tuple count;
+    // quartile = ntile's integer arithmetic over the composed
+    // row_number. The boundary windows see ≤ |distinct qty| rows per
+    // flag; no window partitions on the 3-value flag alone. Rows
+    // identical to the native functions (Round5Spec pins it).
     "win_rank_variants" -> ((s, d) => {
-      val w = Window.partitionBy(col("l_returnflag"))
-        .orderBy(desc("l_quantity"), asc("l_orderkey"), asc("l_linenumber"))
-      Tables.lineitem(s, d)
+      val li = Tables.lineitem(s, d)
         .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
-          col("l_quantity"),
-          rank().over(w).as("rnk"),
-          dense_rank().over(w).as("drnk"),
-          ntile(4).over(w).as("quartile"))
+          col("l_quantity"))
+      val perB = li.groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("bc"),
+          countDistinct(col("l_orderkey"), col("l_linenumber")).as("dc"))
+      val wPrev = Window.partitionBy(col("l_returnflag"))
+        .orderBy(desc("l_quantity"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = perB
+        .withColumn("boff", coalesce(sum(col("bc")).over(wPrev), lit(0L)))
+        .withColumn("doff", coalesce(sum(col("dc")).over(wPrev), lit(0L)))
+        .select(col("l_returnflag"), col("l_quantity"), col("boff"),
+          col("doff"))
+      val ns = perB.groupBy(col("l_returnflag")).agg(sum(col("bc")).as("n"))
+      val wIn = Window.partitionBy(col("l_returnflag"), col("l_quantity"))
+        .orderBy(asc("l_orderkey"), asc("l_linenumber"))
+      li.join(broadcast(offs), Seq("l_returnflag", "l_quantity"))
+        .join(broadcast(ns), Seq("l_returnflag"))
+        .withColumn("rnk", (rank().over(wIn).cast("long") + col("boff"))
+          .cast("int"))
+        .withColumn("drnk", (dense_rank().over(wIn).cast("long") + col("doff"))
+          .cast("int"))
+        .withColumn("i", row_number().over(wIn).cast("long") + col("boff"))
+        .withColumn("quartile", expr(
+          """CAST(IF(i <= (n % 4) * (n DIV 4 + 1),
+            |  (i - 1) DIV (n DIV 4 + 1),
+            |  n % 4 + (i - (n % 4) * (n DIV 4 + 1) - 1)
+            |    DIV greatest(n DIV 4, CAST(1 AS BIGINT))) + 1
+            |  AS INT)""".stripMargin))
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("rnk"), col("drnk"), col("quartile"))
         // rows fully tied in the window order (the synthetic data has
         // duplicate (l_orderkey, l_linenumber) keys) may receive either
         // quartile at an ntile boundary — including quartile in the
@@ -449,8 +472,10 @@ object Windows {
     // sorts in codegen, and the LOWER median (element ⌈n/2⌉ of the
     // sorted frame, declared) indexes out — both engines pick the
     // identical integer. State ∝ frame × hours, never raw events; the
-    // window partitions by the series key (the win_rank_variants
-    // low-cardinality caveat applies and is declared there).
+    // window partitions by the series key over the BOUNDED hourly
+    // aggregate — per-partition rows ∝ calendar hours, not data
+    // volume (the ts_late_data boundedness argument; the raw-corpus
+    // low-cardinality hazard was retired with win_rank_variants r5).
     "win_rolling_median" -> ((s, d) => {
       val hourly = Tables.events(s, d)
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
