@@ -768,6 +768,32 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("NO query runs an unpartitioned window over unbounded raw rows") {
+    // the r5 closing sweep over EVERY declared query: an unpartitioned
+    // WindowExec may only sit over an aggregate (the ≤128-row boundary
+    // discipline) or a limit/top-k (bounded by the declared output) —
+    // the class of shapes that funnels data-volume-proportional rows
+    // through one task must not exist anywhere. This is the invariant
+    // the round-5 rewrites (rank_variants, percent_dist, ntile_deciles,
+    // mixture_schedule, source_mix) closed; the sweep keeps it closed.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.{GlobalLimitExec, TakeOrderedAndProjectExec}
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val sp = fn(spark, sf001).queryExecution.sparkPlan
+      sp.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+        .foreach { w =>
+          val bounded = w.child.collect {
+            case a: BaseAggregateExec => a
+            case l: GlobalLimitExec => l
+            case t: TakeOrderedAndProjectExec => t
+          }.nonEmpty
+          assert(bounded,
+            s"$name: unpartitioned window over unbounded raw rows:\n$w")
+        }
+    }
+  }
+
   test("graph_ktruss: final state carries positive in-truss supports") {
     // semantic pin next to the Round5Spec fixture: at sf0.001 the
     // 12-truss survivors (if any) all report support ≥ k−2
