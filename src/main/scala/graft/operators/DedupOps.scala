@@ -81,6 +81,13 @@ object DedupOps {
     * dedup_band_sweep — shared with its oracle SQL */
   val BandSweepConfigs = Seq((16, 2), (8, 4), (4, 8))
 
+  // NOTE (r5): memoizing + caching the signature table across the LSH
+  // consumers was built and MEASURED SLOWER at sf0.1 (band_sweep 3.9 s
+  // lazy-recompute vs 4.4–5.2 s cached; cluster_lsh 1.96 → 2.5 s):
+  // the MinHashAgg over this corpus is cheaper than the cache's
+  // array ser/deser, so recomputation wins. At 100 TB the calculus
+  // flips — materialize the signatures as a TABLE (bucketed parquet),
+  // not an in-memory cache.
   private def minhashVerifiedPairs(s: SparkSession, d: String): DataFrame = {
     val tok = shingleSets(s, d)
     val minhash = udaf(new MinHashAgg(MinHashK))
