@@ -1817,12 +1817,14 @@ object GraphOps {
         var jumps = 0
         while (jumping) {
           val t0 = System.nanoTime()
-          // NOTE (r5): a double-squaring variant (q = p∘p, next = q∘q,
-          // halving the count actions) was built and MEASURED SLOWER
-          // (22.5 s vs 11.0 s min-of-3 at sf0.1): the extra
-          // materialization job per round outweighed the saved counts
-          // once the jump joins broadcast. Single squaring + broadcast
-          // sides is the winning shape.
+          // NOTE (r5): a double-squaring variant (q = p∘p cached,
+          // next = q∘q, halving the count actions) was built and
+          // measured TWICE — 22.5 s pre-broadcast and 21.8 s
+          // re-measured WITH the broadcast sides, vs 10.3–11.0 s for
+          // this single-squaring shape: the intermediate's cache
+          // materialization + second broadcast build per round cost
+          // more than the counts they save. Single squaring +
+          // broadcast sides is the winning shape, twice confirmed.
           val hop = ptr.select(col("c").as("c2"), col("t").as("t2"))
           val next = ptr.join(side(hop), ptr("t") === hop("c2"), "left")
             .select(col("c"), col("t").as("prev"),
