@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev scratch: stage-level timing of graph_betweenness_seeds. */
+object DevBetween {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.1"
+    def time[T](n: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"$n%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    time("full query")(operators.GraphOps.queries("graph_betweenness_seeds")(spark, d).count())
+    time("again (memos warm)")(operators.GraphOps.queries("graph_betweenness_seeds")(spark, d).count())
+    spark.stop()
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+object DevBetween3 {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.1"
+    def time[T](n: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"$n%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s  -> $r"); r
+    }
+    // warm the memos
+    time("seedDistances rows") {
+      val m = operators.GraphOps.getClass.getDeclaredMethods
+        .find(_.getName == "seedDistances").get
+      m.setAccessible(true)
+      m.invoke(operators.GraphOps, spark, d)
+        .asInstanceOf[org.apache.spark.sql.DataFrame].count()
+    }
+    time("seedPathCounts rows") {
+      val m = operators.GraphOps.getClass.getDeclaredMethods
+        .find(_.getName == "seedPathCounts").get
+      m.setAccessible(true)
+      m.invoke(operators.GraphOps, spark, d)
+        .asInstanceOf[org.apache.spark.sql.DataFrame].count()
+    }
+    time("full query warm")(operators.GraphOps.queries("graph_betweenness_seeds")(spark, d).count())
+    spark.stop()
+  }
+}

@@ -395,6 +395,24 @@ class Round5Spec extends SparkTestBase {
     assert(qHist(got, "quartile") == qHist(naive, "q"))
   }
 
+  test("graph_betweenness_seeds: diamond splits the pair's unit flow") {
+    val dir = tempDir()
+    import spark.implicits._
+    // customers 1 and 2 each buy from suppliers 7 and 8 → the trade
+    // graph is the diamond c1—S7—c2, c1—S8—c2: the (1,2) seed pair has
+    // two shortest paths, so each supplier brokers 1·1/2 = 0.5
+    writeFixture(dir, "orders",
+      Seq((1L, 1L), (2L, 2L), (3L, 1L), (4L, 2L))
+        .toDF("o_orderkey", "o_custkey"))
+    writeFixture(dir, "lineitem",
+      Seq((1L, 7L), (2L, 7L), (3L, 8L), (4L, 8L))
+        .toDF("l_orderkey", "l_suppkey"))
+    val off = operators.GraphOps.SupplierVertexOffset
+    val got = operators.GraphOps.queries("graph_betweenness_seeds")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == Set((7L + off, 0.5), (8L + off, 0.5)), s"got $got")
+  }
+
   test("graph_mst_boruvka: equals the driver-side Kruskal replica at sf0.01") {
     // 10× the Round4eSpec replica (VERDICT r4 #4): same check, the
     // sf the driver's correctness gate runs at — closing the one
