@@ -413,6 +413,21 @@ class Round5Spec extends SparkTestBase {
     assert(got == Set((7L + off, 0.5), (8L + off, 0.5)), s"got $got")
   }
 
+  test("kTruss: the truss is a fixed point of its own peel at sf0.001") {
+    // maximality half of the k-truss definition: peeling the surviving
+    // subgraph again must change nothing — every edge already has
+    // in-truss support ≥ k−2
+    val k = operators.GraphOps.KtrussK
+    val truss = operators.GraphOps.queries("graph_ktruss")(spark, sf001)
+      .select(col("a"), col("b"), col("support"))
+    val again = operators.GraphOps.kTruss(truss.select(col("a"), col("b")), k)
+    val t1 = truss.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2))).toSet
+    val t2 = again.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2))).toSet
+    assert(t1 == t2, s"peel not idempotent: ${t1.size} vs ${t2.size} edges")
+  }
+
   test("graph_mst_boruvka: equals the driver-side Kruskal replica at sf0.01") {
     // 10× the Round4eSpec replica (VERDICT r4 #4): same check, the
     // sf the driver's correctness gate runs at — closing the one
