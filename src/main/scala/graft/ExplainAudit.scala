@@ -35,7 +35,13 @@ object ExplainAudit {
       // WindowExec, group-and-explode CF pairs
       "sample_weighted_priority", "mine_rfm_segments",
       "win_time_range_sum", "join_lateral_topk", "win_sessionize_ids",
-      "mine_item_cf_topk")
+      "mine_item_cf_topk",
+      // round-5 shapes: native band merge (no union/window), bucketed
+      // Mann–Kendall (no hours² join), bucket-composed rank variants,
+      // the nprobe curve's probe-bounded joins, seed-pair betweenness
+      "join_range_native", "ts_mann_kendall", "win_rank_variants",
+      "pipeline_mixture_schedule", "vec_ann_recall_vs_probes",
+      "graph_betweenness_seeds")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
