@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -87,8 +87,8 @@ object GraphOps {
     * DataFrames would recompute uncached on every timed action) */
   private[graft] def clearMemos(s: SparkSession): Unit = {
     Seq(edgeCache, symCache, cappedCache, coCiteCache, coPartCache, lpaCache,
-      walkCache, triRelCache, seedDistCache, seedPathCache, ccCache)
-      .foreach(evict(_, s))
+      walkCache, triRelCache, triAdjCache, seedDistCache, seedPathCache,
+      ccCache).foreach(evict(_, s))
     evict(triCache, s)
   }
 
@@ -144,23 +144,37 @@ object GraphOps {
   private def cappedEdges(s: SparkSession, d: String): DataFrame =
     cappedNbrSets(s, d).select(col("src"), explode(col("ds")).as("dst"))
 
-  /** (s1, s2, i) — co-cited supplier pairs with shared-customer
-    * count. Pair enumeration is a group-and-explode over the capped
-    * neighbor sets (same rewrite as coParts, r4): the s1<s2 pairs
-    * fan out pipeline-side from each sorted set — bounded by the
-    * degree cap, ≤ cap²/2 per source by construction — and only the
-    * pair aggregation shuffles. The r3 wedge self-join paid two
-    * edge-set exchanges plus the join itself for the same Σ cdeg²
-    * stream. */
+  /** (s1, s2, i, aa9) — co-cited supplier pairs with shared-customer
+    * count AND the Adamic-Adar weight sum, from ONE wedge explode
+    * (r6, VERDICT r5 #1: adamic_adar previously re-ran its own full
+    * Σ cdeg² group-and-explode because the count-only memo discarded
+    * the per-customer weight; attaching w9 BEFORE the explode lets
+    * all three co-citation consumers ride one pass). Pair enumeration
+    * is a group-and-explode over the capped neighbor sets (same
+    * rewrite as coParts, r4): the s1<s2 pairs fan out pipeline-side
+    * from each sorted set — bounded by the degree cap, ≤ cap²/2 per
+    * source by construction — and only the pair aggregation shuffles.
+    * The r3 wedge self-join paid two edge-set exchanges plus the join
+    * itself for the same Σ cdeg² stream.
+    *
+    * aa9 = Σ_c round(1e9/ln(deg c)) in NANO-units — exact long sums,
+    * order/engine-independent (the adamic_adar quantization
+    * discipline, documented at that query). The size ≥ 2 filter is
+    * pair-neutral (a single-neighbor source explodes zero pairs) and
+    * keeps the ln(1) = 0 division out of the ANSI long cast. */
   private def coCitePairs(s: SparkSession, d: String): DataFrame =
     memo(coCiteCache, (s, d)) {
       cappedNbrSets(s, d)
-        .select(explode(expr(
+        .filter(size(col("ds")) >= 2)
+        .select(
+          round(lit(1.0e9) / log(size(col("ds")).cast(DoubleType)), 0)
+            .cast("long").as("w9"),
+          explode(expr(
           """flatten(transform(ds, (x, i) ->
             |  transform(slice(ds, i + 2, size(ds)), y ->
             |    struct(x AS s1, y AS s2))))""".stripMargin)).as("p"))
         .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
-        .agg(count(lit(1)).as("i"))
+        .agg(count(lit(1)).as("i"), sum(col("w9")).as("aa9"))
         .cache()
     }
 
@@ -264,6 +278,26 @@ object GraphOps {
   val BroadcastEdgeMaxRowsKey  = "graft.graph.broadcastEdgeMaxRows"
   val BroadcastStateMaxRows = 4000000L
   val BroadcastEdgeMaxRows  = 2000000L
+
+  /** Borůvka endgame cutover (r6, VERDICT r5 #2): once the contracted
+    * multigraph has at most this many edges, collect it and finish
+    * with a driver-side Kruskal — the bounded-scalar pattern
+    * (vec_pca_power, mine_markov_stationary). Rationale: the LATE
+    * Borůvka rounds are pure scheduler floor (~16 pointer-jump stages
+    * × ~0.3 s at sf0.1 for a few-thousand-row state), while a 2 M-row
+    * collect is ~80 MB on the driver and the local sort-and-union-find
+    * runs in well under a second. At cluster scale the early rounds
+    * contract distributed as before and the cutover fires when the
+    * working set is long past fitting on the driver of any sane
+    * deployment. Set to 0 (per session) to force the pure distributed
+    * path — Round6Spec pins path equality, and the sf0.01 Kruskal
+    * replica runs against the cap-0 engine so the DISTRIBUTED loop
+    * stays the verified artifact. */
+  val MstCollectMaxEdgesKey = "graft.graph.mstCollectMaxEdges"
+  val MstCollectMaxEdges = 2000000L
+
+  private[operators] def mstCollectCap(s: SparkSession): Long =
+    s.conf.get(MstCollectMaxEdgesKey, MstCollectMaxEdges.toString).toLong
 
   private[operators] def stateCap(s: SparkSession): Long =
     s.conf.get(BroadcastStateMaxRowsKey, BroadcastStateMaxRows.toString).toLong
@@ -404,9 +438,10 @@ object GraphOps {
     * closeness_bounded, eccentricity_bounded) consume the identical
     * min-propagation; previously each re-ran its own 3-round loop.
     * The merged multi-source variant is min-over-seeds of this
-    * relation. Cache ≤ seeds × reached vertices (10 × V). Eagerly
-    * materialized inside the memo (one count) so consumers scan the
-    * cache, never the 3-join lineage. */
+    * relation. Cache ≤ seeds × reached vertices (10 × V). LAZY since
+    * r6 (ADVICE r5 #2): the first consumer ACTION fills the cache (the
+    * 3-round lineage is shallow — planning it is ms), so plan-only
+    * paths never run the BFS at query construction. */
   private val seedDistCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
@@ -423,9 +458,7 @@ object GraphOps {
         dist = dist.unionByName(nd)
           .groupBy(col("seed"), col("v")).agg(min(col("dist")).as("dist"))
       }
-      val out = dist.cache()
-      out.count()
-      out
+      dist.cache()
     }
 
   /** per-seed shortest-path COUNTS (seed, v, np, dist ≤ 3) by DAG
@@ -433,8 +466,9 @@ object GraphOps {
     * (session, dir), r5: graph_betweenness_seeds references the
     * relation THREE times (σ_s side, σ_t side, σ_st scalars), and an
     * uncached chain re-ran the whole 3-round propagation per
-    * reference (measured: 21 s vs ~2 s at sf0.1). Eagerly
-    * materialized so consumers scan the cache. */
+    * reference (measured: 21 s vs ~2 s at sf0.1). LAZY since r6
+    * (ADVICE r5 #2): the first consumer action fills the cache —
+    * construction stays action-free for plan-only paths. */
   private val seedPathCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
@@ -464,9 +498,7 @@ object GraphOps {
           .groupBy(col("seed"), col("v")).agg(sum(col("np")).as("np"))
         acc = acc.unionByName(sig.withColumn("dist", lit(dd.toLong)))
       }
-      val out = acc.cache()
-      out.count()
-      out
+      acc.cache()
     }
 
   /** connected-component labels, memoized per (session, dir) — both
@@ -515,20 +547,30 @@ object GraphOps {
     * dir/adj/intersect derivation from scratch). Cache is bounded:
     * 3 longs × triangles (measured 1.88 M rows / ~45 MB at sf0.1 —
     * the relation grows with triangle count, not with wedge work).
-    * Eagerly materialized inside the memo so the dir/adj temporaries
-    * release immediately instead of pinning O(edges) blocks. */
+    *
+    * LAZY since r6 (ADVICE r5 #2): query construction is action-free —
+    * the first consumer ACTION materializes the cache, and plan-only
+    * paths (ExplainAudit, PlanAuditSpec's window sweep) never execute
+    * the enumeration at all. The internal adjacency cache (the one
+    * intermediate orientedTriangles pins, n rows / Σ sizes = m ≈
+    * 10 MB at sf0.1) is tracked in [[triAdjCache]] so clearMemos and
+    * session eviction release it; the broadcast decision reads the
+    * parquet FOOTER bound instead of a co.count() action — co-part
+    * pairs ≤ 3·lineitem rows (≤ 7 items per order ⇒ ≤ (7−1)/2 pairs
+    * per lineitem row), an over-estimate, so borderline graphs take
+    * the shuffle path: the safe direction at scale. */
   private val triRelCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val triAdjCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private[graft] def triangleRel(s: SparkSession, d: String): DataFrame =
     memo(triRelCache, (s, d)) {
       val co = coParts(s, d)
-      // co is cached — the count is cheap, and dir holds exactly one
-      // oriented row per undirected edge, so co's count IS dir's
-      val (tri0, release) = orientedTriangles(co, co.count() <= edgeCap(s))
-      val tri = tri0.cache()
-      try { tri.count(); tri } // materialize NOW so dir/adj release
-      finally release()
+      val coBound = tableRows(s, d, "lineitem") * 3
+      val (tri0, adj) = orientedTriangles(co, coBound <= edgeCap(s))
+      memo(triAdjCache, (s, d))(adj) // track the internal cache for eviction
+      tri0.cache()
     }
 
   /** degree-oriented triangle enumeration over an arbitrary undirected
@@ -538,25 +580,29 @@ object GraphOps {
     * directed edge (u,v) emits the witnesses N⁺(u) ∩ N⁺(v). Inner
     * joins are exact: an endpoint with no out-neighbors contributes
     * ∅ witnesses and may drop. Returns the exploded (u, v, w) rows
-    * plus a release() for the two internal caches — call it only
-    * AFTER materializing (or discarding) the result. `bcastAdj`:
-    * broadcast the adjacency table (n rows, Σ sizes = m) — the caller
-    * decides from a MEASURED edge count vs [[edgeCap]]; an
-    * unconditional broadcast OOMs at cluster scale (round-1 lesson). */
+    * plus the ONE internal cached relation — the caller unpersists it
+    * after materializing (or discarding) the result, or tracks it for
+    * session eviction. Since r6 the only cached intermediate is the
+    * adjacency table (n rows, Σ sizes = m): the directed edge stream
+    * re-derives from it by a pipeline-side explode instead of holding
+    * its own cached copy — one shuffle fewer to pin, identical join
+    * shape. `bcastAdj`:
+    * broadcast the adjacency sides — the caller decides from a
+    * measured/estimated edge count vs [[edgeCap]]; an unconditional
+    * broadcast OOMs at cluster scale (round-1 lesson). */
   private def orientedTriangles(
-      und: DataFrame, bcastAdj: Boolean): (DataFrame, () => Unit) = {
+      und: DataFrame, bcastAdj: Boolean): (DataFrame, DataFrame) = {
     val sym = und.select(col("a").as("u"), col("b").as("v"))
       .union(und.select(col("b").as("u"), col("a").as("v")))
     val vk = sym.groupBy(col("u")).agg(count(lit(1)).as("dg"))
       .select(col("u").as("vertex"), struct(col("dg"), col("u")).as("k"))
-    val dir = sym
+    val adj = sym
       .join(vk.select(col("vertex").as("u"), col("k").as("ku")), Seq("u"))
       .join(vk.select(col("vertex").as("v"), col("k").as("kv")), Seq("v"))
       .filter(col("ku") < col("kv"))
-      .select(col("u"), col("v"))
-      .cache()
-    val adj = dir.groupBy(col("u"))
+      .groupBy(col("u"))
       .agg(array_sort(collect_list(col("v"))).as("ns")).cache()
+    val dir = adj.select(col("u"), explode(col("ns")).as("v"))
     val nu = adj.select(col("u"), col("ns").as("nu"))
     val nv = adj.select(col("u").as("v"), col("ns").as("nv"))
     val joined = if (bcastAdj)
@@ -565,7 +611,7 @@ object GraphOps {
       dir.join(nu, Seq("u")).join(nv, Seq("v"))
     val tri = joined.select(col("u"), col("v"),
       explode(array_intersect(col("nu"), col("nv"))).as("w"))
-    (tri, () => { dir.unpersist(); adj.unpersist() })
+    (tri, adj)
   }
 
   /** k-truss by iterative support peeling: drop edges in fewer than
@@ -585,9 +631,18 @@ object GraphOps {
     * memoized [[triangleRel]] so the full-graph enumeration is never
     * paid twice in a session. Loop discipline = kCore's: AQE off +
     * pinned width inside the loop, lazy checkpoints materialized by
-    * the loop-control count. */
+    * the loop-control count.
+    *
+    * `oracleRounds` (ADVICE r5 #1): the unrolled-CTE oracle peels a
+    * FIXED number of rounds; idempotence past convergence makes any
+    * cap ≥ the engine's convergence count exact, but a larger input
+    * needing MORE rounds would silently leave the oracle pre-fixpoint
+    * and surface only as a hash mismatch on a correct query. Callers
+    * that are oracle-checked pass their cap so exhaustion fails HERE,
+    * loudly, with the bump instruction. */
   def kTruss(und: DataFrame, k: Int, maxIters: Int = 50, numParts: Int = 0,
-      firstTri: Option[DataFrame] = None): DataFrame = {
+      firstTri: Option[DataFrame] = None,
+      oracleRounds: Option[Int] = None): DataFrame = {
     require(k >= 3, s"k-truss needs k >= 3, got $k")
     val spark = und.sparkSession
     val p = if (numParts > 0) numParts
@@ -604,11 +659,13 @@ object GraphOps {
       var done = false
       var out: DataFrame = e.select(col("a"), col("b"), lit(0L).as("support"))
       while (!done && iter < maxIters) {
-        val (tri, release) = firstTri match {
+        val (tri, release): (DataFrame, () => Unit) = firstTri match {
           // round 0 rides the session-memoized full-graph relation
           // when the caller's edge set IS that graph
           case Some(t) if iter == 0 => (t, () => ())
-          case _ => orientedTriangles(e, n <= edgeCap(spark))
+          case _ =>
+            val (t, adj) = orientedTriangles(e, n <= edgeCap(spark))
+            (t, () => adj.unpersist())
         }
         val sup = tri.select(explode(array(
             struct(least(col("u"), col("v")).as("a"),
@@ -637,6 +694,11 @@ object GraphOps {
       }
       if (!done) throw new IllegalStateException(
         s"kTruss did not converge in $maxIters rounds")
+      oracleRounds.foreach(cap => if (iter > cap)
+        throw new IllegalStateException(
+          s"kTruss converged in $iter rounds but the unrolled oracle " +
+            s"peels only $cap — bump KtrussOracleRounds ≥ $iter or the " +
+            "oracle hash checks a pre-fixpoint state"))
       out
     } finally {
       conf.set("spark.sql.adaptive.enabled", aqeWas)
@@ -1256,7 +1318,8 @@ object GraphOps {
     // graphs (planted clique survives, pendant chains peel).
     "graph_kcore" -> ((s, d) =>
       kCore(symEdges(s, d), k = KcoreK, symmetrized = true,
-        numParts = graphParts(s, d)).orderBy(col("v"))),
+        numParts = graphParts(s, d),
+        oracleRounds = Some(KcoreOracleRounds)).orderBy(col("v"))),
 
     // dyadic core ladder: the k-core SIZE profile at k ∈ CoreLadderKs
     // — how fast the graph's cohesive interior shrinks as the degree
@@ -1269,7 +1332,7 @@ object GraphOps {
     "graph_core_ladder" -> ((s, d) =>
       CoreLadderKs.map { k =>
         kCore(symEdges(s, d), k = k, symmetrized = true,
-          numParts = graphParts(s, d))
+          numParts = graphParts(s, d), oracleRounds = Some(KcoreOracleRounds))
           .agg(count(lit(1)).as("n_vertices"),
             expr("CAST(coalesce(sum(deg), 0) DIV 2 AS BIGINT)").as("n_edges"))
           .select(lit(k).cast("int").as("k"), col("n_vertices"), col("n_edges"))
@@ -1286,7 +1349,8 @@ object GraphOps {
     // references the working table three times per round).
     "graph_ktruss" -> ((s, d) =>
       kTruss(coParts(s, d), k = KtrussK, numParts = graphParts(s, d),
-        firstTri = Some(triangleRel(s, d)))
+        firstTri = Some(triangleRel(s, d)),
+        oracleRounds = Some(KtrussOracleRounds))
         .orderBy(col("a"), col("b"))),
 
     // minimum spanning forest of the trade graph — the backbone
@@ -1350,8 +1414,9 @@ object GraphOps {
     // Adamic-Adar link prediction over the co-citation relation: for
     // supplier pairs sharing customers, Σ_c 1/ln(deg(c)) over the
     // shared customers c — common-neighbors where rare shared
-    // neighbors count MORE. Same degree-capped group-and-explode
-    // derivation as graph_common_neighbors (pairs fan out
+    // neighbors count MORE. Rides the SAME memoized weighted pair
+    // aggregate as graph_common_neighbors / graph_neighbor_jaccard
+    // (r6: one wedge explode per session, pairs fan out
     // pipeline-side, only the pair agg shuffles). EXACT by
     // quantization (the katz discipline): the per-customer weight
     // 1/ln(deg) quantizes ONCE to integer NANO-units, the pair sums
@@ -1362,17 +1427,8 @@ object GraphOps {
     // ~6e9 shared neighbors per pair. Sources with a single neighbor
     // (ln 1 = 0) generate no pairs and are excluded in both engines.
     "graph_adamic_adar" -> ((s, d) => {
-      cappedNbrSets(s, d)
-        .filter(size(col("ds")) >= 2)
-        .select(
-          round(lit(1.0e9) / log(size(col("ds")).cast(DoubleType)), 0)
-            .cast("long").as("w9"),
-          explode(expr(
-            """flatten(transform(ds, (x, i) ->
-              |  transform(slice(ds, i + 2, size(ds)), y ->
-              |    struct(x AS s1, y AS s2))))""".stripMargin)).as("p"))
-        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
-        .agg(sum(col("w9")).as("aa9"))
+      coCitePairs(s, d) // ONE wedge explode per session (r6) — the
+        // weighted pair memo carries aa9 alongside the count
         .select(col("s1"), col("s2"),
           // integer DIV, not `/`: Spark's `/` on longs is double
           // division, which loses exactness past 2^53
@@ -1822,7 +1878,13 @@ object GraphOps {
     * rounds). Component merging is pointer-jumping on the ≤1-out-
     * degree choice graph: 2-cycles break toward the smaller id (the
     * root), then ptr = ptr∘ptr to fixpoint — O(log) inner joins over
-    * the component table, never the vertex table. */
+    * the component table, never the vertex table.
+    *
+    * r6 ENDGAME: once the contracted multigraph fits the
+    * [[MstCollectMaxEdgesKey]] cap it is COLLECTED and finished by a
+    * driver-side Kruskal under the identical comparator — see the cap
+    * doc for the measured rationale (the late rounds were pure
+    * scheduler floor for three rounds of verdicts running). */
   def boruvkaMsf(wedges: DataFrame, maxRounds: Int = 30,
       numParts: Int = 0, verbose: Boolean = false): DataFrame = {
     def vlog(msg: => String): Unit =
@@ -1849,7 +1911,51 @@ object GraphOps {
       var forest = List.empty[DataFrame]
       var round = 0
       var remaining = g.count()
+      val collectCap = mstCollectCap(spark)
       while (remaining > 0 && round < maxRounds) {
+        if (remaining <= collectCap) {
+          // ENDGAME (r6): the contracted multigraph is driver-sized —
+          // finish with Kruskal under the SAME (w, a, b) total order
+          // (the comparator both the per-component min-struct and the
+          // Round4e/5 replica use, so the forest is identical by
+          // uniqueness). This deletes every remaining pointer-jump
+          // stage: measured at sf0.1 the jump stages were ~10 s of the
+          // 12.3 s query against <1 s for the collect + local sort.
+          val rows = g.select(col("w").cast("long"), col("a").cast("long"),
+              col("b").cast("long"), col("ca").cast("long"),
+              col("cb").cast("long")).collect()
+          vlog(s"round $round endgame: kruskal over ${rows.length} " +
+            "contracted edges on the driver")
+          val parent = new java.util.HashMap[Long, Long]()
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+            var c = x // path compression
+            while (parent.getOrDefault(c, c) != c) {
+              val nxt = parent.get(c); parent.put(c, r); c = nxt
+            }
+            r
+          }
+          val picked = rows
+            .sortBy(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+            .flatMap { r =>
+              val (ra, rb) = (find(r.getLong(3)), find(r.getLong(4)))
+              if (ra == rb) None
+              else { parent.put(ra, rb); Some(Row(r.getLong(1),
+                r.getLong(2), r.getLong(0))) }
+            }
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("a",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("b",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("w",
+              org.apache.spark.sql.types.LongType, nullable = false)))
+          forest ::= spark.createDataFrame(
+            spark.sparkContext.parallelize(picked.toSeq, 1), schema)
+          remaining = 0
+          round += 1
+        } else {
         // the contracted graph shrinks geometrically, but a fixed
         // shuffle width would keep scheduling p tasks per tiny stage —
         // and the LATER rounds dominate the job count. Width follows
@@ -1954,6 +2060,7 @@ object GraphOps {
         jumpPinned.foreach(_.unpersist())
         round += 1
         vlog(s"round $round done: $remaining contracted edges remain")
+        }
       }
       if (remaining > 0) throw new IllegalStateException(
         s"boruvkaMsf did not converge in $maxRounds rounds " +
@@ -1975,7 +2082,8 @@ object GraphOps {
   }
 
   def kCore(edgeDf: DataFrame, k: Int, maxIters: Int = 100,
-      symmetrized: Boolean = false, numParts: Int = 0): DataFrame = {
+      symmetrized: Boolean = false, numParts: Int = 0,
+      oracleRounds: Option[Int] = None): DataFrame = {
     val spark = edgeDf.sparkSession
     val p = if (numParts > 0) numParts
       else spark.sessionState.conf.numShufflePartitions
@@ -2029,6 +2137,12 @@ object GraphOps {
         }
         if (!converged) throw new IllegalStateException(
           s"kCore did not converge in $maxIters iterations")
+        // the kTruss oracle-cap guard (ADVICE r5 #1): cap exhaustion
+        // fails loudly here, not as a downstream hash mismatch
+        oracleRounds.foreach(cap => if (iter > cap)
+          throw new IllegalStateException(
+            s"kCore (k=$k) peeled $iter rounds but the unrolled oracle " +
+              s"peels only $cap — bump KcoreOracleRounds ≥ $iter"))
         // in-core degrees of the surviving vertices (cur is the core)
         cur.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
           .localCheckpoint()

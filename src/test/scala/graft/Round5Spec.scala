@@ -431,11 +431,19 @@ class Round5Spec extends SparkTestBase {
   test("graph_mst_boruvka: equals the driver-side Kruskal replica at sf0.01") {
     // 10× the Round4eSpec replica (VERDICT r4 #4): same check, the
     // sf the driver's correctness gate runs at — closing the one
-    // verification that only existed at sf0.001
-    val got = operators.GraphOps.queries("graph_mst_boruvka")(spark, sf01)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val kruskal = kruskalReplica(sf01).toSet
-    assert(got == kruskal,
-      s"forest sizes: got ${got.size}, kruskal ${kruskal.size}")
+    // verification that only existed at sf0.001. r6: the engine runs
+    // with the Kruskal-endgame cutover DISABLED (cap 0) so the
+    // DISTRIBUTED Borůvka loop — not the endgame's own Kruskal — is
+    // what the replica verifies; Round6Spec separately pins endgame ≡
+    // distributed.
+    val capKey = operators.GraphOps.MstCollectMaxEdgesKey
+    spark.conf.set(capKey, "0")
+    try {
+      val got = operators.GraphOps.queries("graph_mst_boruvka")(spark, sf01)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val kruskal = kruskalReplica(sf01).toSet
+      assert(got == kruskal,
+        s"forest sizes: got ${got.size}, kruskal ${kruskal.size}")
+    } finally spark.conf.unset(capKey)
   }
 }
