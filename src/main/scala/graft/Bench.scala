@@ -104,17 +104,33 @@ object Bench {
       .filter(q => only.forall(_.contains(q._1)))
       .sortBy(_._1)
     val best = scala.collection.mutable.Map.empty[String, Double]
+    // every pass's time per query (r6, VERDICT r5 #8): the file
+    // records [t1..tN] alongside the min so the driver can tell box
+    // noise (one inflated pass) from a real regression (all passes
+    // moved) without re-running
+    val passTimes = scala.collection.mutable.Map.empty[String,
+      scala.collection.mutable.ArrayBuffer[Double]]
+    // memo-warming consumers (ADVICE r5 #5): queries whose timed run
+    // BUILT at least one shared session memo — their per-query time
+    // carries a family's shared-relation cost and is only comparable
+    // round-over-round against other warming runs
+    val memoWarm = scala.collection.mutable.Set.empty[String]
     val failedQ = scala.collection.mutable.Set.empty[String]
     for (_ <- 1 to reps) {
       clearSessionState(spark)
       System.gc()
       sorted.foreach { case (name, fn) =>
         if (!failedQ.contains(name)) {
+          val builds0 = graft.operators.GraphOps.memoBuilds.get()
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).count()
             val t = (System.nanoTime() - t0) / 1e9
             if (!best.get(name).exists(_ <= t)) best(name) = t
+            passTimes.getOrElseUpdate(name,
+              scala.collection.mutable.ArrayBuffer.empty) += t
+            if (graft.operators.GraphOps.memoBuilds.get() > builds0)
+              memoWarm += name
           } catch {
             // a failed query reports -1, not its time-to-exception — a
             // silent failure must not masquerade as a fast bench entry
@@ -135,9 +151,21 @@ object Bench {
     // durable per-query record (VERDICT r4 #8): the driver captures
     // only the stdout TAIL, hiding keys a–t from BENCH_r0N.json — the
     // full map also lands in a file next to the repo so round-over-
-    // round regression comparison never depends on tail-capture luck
+    // round regression comparison never depends on tail-capture luck.
+    // r6 schema additions (VERDICT r5 #8 + ADVICE r5 #5): "passes" =
+    // every rep's time per query (min vs spread separates box noise
+    // from regression), "memo_warm" = the queries whose timed run
+    // built a shared session memo (their time carries a family's
+    // shared-relation cost). The stdout contract lines are UNCHANGED.
+    val passesJson = sorted.collect {
+      case (name, _) if passTimes.contains(name) =>
+        "\"" + name + "\":[" +
+          passTimes(name).map(t => f"$t%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val warmJson = memoWarm.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     try Files.writeString(Paths.get("bench_queries.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passesJson,"memo_warm":$warmJson}""")
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] bench_queries.json write failed: $e") }
     // Two lines, long-then-short (round-1 post-mortem): the driver may

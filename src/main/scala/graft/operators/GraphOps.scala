@@ -53,8 +53,17 @@ object GraphOps {
       if (!keep) unpersistQuietly(v) // blocks die with the session; belt
       keep
     }
-    cache.getOrElseUpdate(key, build)
+    cache.getOrElseUpdate(key, { memoBuilds.incrementAndGet(); build })
   }
+
+  /** count of memo BUILDS since JVM start, across every module that
+    * funnels through [[memo]] (GraphOps, DedupOps, VectorOps) — Bench
+    * samples it around each timed query to mark the memo-warming
+    * consumers in bench_queries.json (ADVICE r5 #5: per-query times
+    * charge each shared relation's build to its alphabetically-first
+    * consumer, and round-over-round comparison needs to know WHICH
+    * rows carry that charge). */
+  private[graft] val memoBuilds = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** a memoized value may be a cache()'d DataFrame — release its
     * storage when evicting so callers other than Bench (which

@@ -637,7 +637,11 @@ object TimeSeriesOps {
     // sufficient sums over the bounded hourly aggregate, computed in
     // ONE pass (conditional aggregates per lag); r's 4dp-quantize
     // BEFORE the φ₂₂ close so the division sees identical inputs in
-    // both engines; |r₁| = 1 (degenerate denominator) reads 0.
+    // both engines; |r₁| = 1 (degenerate denominator) reads 0, and a
+    // ZERO-VARIANCE series (n·sxx = sx² or n·syy = sy²) reads r = 0
+    // by declared convention (ADVICE r5 #3: Spark's 0/0 is NaN while
+    // DuckDB's double division may differ — the guard is explicit in
+    // BOTH engines so degenerate data cannot diverge the row set).
     "ts_pacf" -> ((s, d) => {
       val dec = org.apache.spark.sql.types.DecimalType(18, 4)
       val dec38 = org.apache.spark.sql.types.DecimalType(38, 8)
@@ -653,9 +657,19 @@ object TimeSeriesOps {
         val sxy = sum(when(col(p).isNotNull, (col(p) * col("h")).cast(dec38)))
         val sxx = sum(when(col(p).isNotNull, (col(p) * col(p)).cast(dec38)))
         val syy = sum(when(col(p).isNotNull, (col("h") * col("h")).cast(dec38)))
-        round((n * dbl(sxy) - dbl(sx) * dbl(sy)) /
+        // zero-variance guard as EXACT decimal min = max (not a
+        // sufficient-sum identity in double, whose 2^-53 resolution at
+        // ~1e18 magnitudes could spuriously collide two distinct
+        // variances): engine-independent by construction
+        val zeroVar =
+          (min(when(col(p).isNotNull, col(p))) ===
+            max(when(col(p).isNotNull, col(p)))) ||
+          (min(when(col(p).isNotNull, col("h"))) ===
+            max(when(col(p).isNotNull, col("h"))))
+        round(when(zeroVar, lit(0.0)).otherwise(
+          (n * dbl(sxy) - dbl(sx) * dbl(sy)) /
           (sqrt(n * dbl(sxx) - dbl(sx) * dbl(sx)) *
-           sqrt(n * dbl(syy) - dbl(sy) * dbl(sy))), 4)
+           sqrt(n * dbl(syy) - dbl(sy) * dbl(sy)))), 4)
       }
       hourly
         .withColumn("p1", lag(col("h"), 1).over(w))
@@ -1081,7 +1095,17 @@ object TimeSeriesOps {
       val rng = hourly.groupBy(col("event_type"))
         .agg(min(col("hu")).as("mn"), max(col("hu")).as("mx"))
       val hb = hourly.join(broadcast(rng), Seq("event_type"))
-        .withColumn("vb", expr(s"((hu - mn) * $MkValueBuckets) DIV (mx - mn + 1)"))
+        // vb in DECIMAL(38,0) (ADVICE r5 #4): (hu − mn)·128 wraps
+        // int64 once the per-series range exceeds ~7.2e16 — and wraps
+        // IDENTICALLY in both engines, so the broken bucket
+        // monotonicity (which the C term's known-sign inference rests
+        // on) would pass the hash while S is silently wrong. Decimal
+        // width makes the precondition unbreakable; vb itself is < 128
+        // and casts back to BIGINT losslessly.
+        .withColumn("vb", expr(
+          s"""CAST(((CAST(hu AS DECIMAL(38,0)) - mn) * $MkValueBuckets)
+             |  DIV (CAST(mx AS DECIMAL(38,0)) - mn + 1) AS BIGINT)"""
+            .stripMargin))
         .select(col("event_type"), col("hour"), col("tb"), col("hu"), col("vb"))
       def sgn(later: Column, earlier: Column): Column =
         when(later > earlier, 1L).when(later < earlier, -1L).otherwise(0L)
@@ -2154,22 +2178,32 @@ object TimeSeriesOps {
         |    SUM(CASE WHEN p2 IS NOT NULL
         |      THEN CAST(p2 * p2 AS DECIMAL(38,8)) END) AS sxx2,
         |    SUM(CASE WHEN p2 IS NOT NULL
-        |      THEN CAST(h * h AS DECIMAL(38,8)) END) AS syy2
+        |      THEN CAST(h * h AS DECIMAL(38,8)) END) AS syy2,
+        |    MIN(CASE WHEN p1 IS NOT NULL THEN p1 END) AS mnx1,
+        |    MAX(CASE WHEN p1 IS NOT NULL THEN p1 END) AS mxx1,
+        |    MIN(CASE WHEN p1 IS NOT NULL THEN h END) AS mny1,
+        |    MAX(CASE WHEN p1 IS NOT NULL THEN h END) AS mxy1,
+        |    MIN(CASE WHEN p2 IS NOT NULL THEN p2 END) AS mnx2,
+        |    MAX(CASE WHEN p2 IS NOT NULL THEN p2 END) AS mxx2,
+        |    MIN(CASE WHEN p2 IS NOT NULL THEN h END) AS mny2,
+        |    MAX(CASE WHEN p2 IS NOT NULL THEN h END) AS mxy2
         |  FROM lg GROUP BY 1),
         |rr AS (
         |  SELECT event_type, n_hours,
-        |    round((n1 * CAST(sxy1 AS DOUBLE)
+        |    round(CASE WHEN mnx1 = mxx1 OR mny1 = mxy1 THEN 0.0
+        |      ELSE (n1 * CAST(sxy1 AS DOUBLE)
         |        - CAST(sx1 AS DOUBLE) * CAST(sy1 AS DOUBLE))
         |      / (sqrt(n1 * CAST(sxx1 AS DOUBLE)
         |          - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE))
         |       * sqrt(n1 * CAST(syy1 AS DOUBLE)
-        |          - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE))), 4) AS acf1,
-        |    round((n2 * CAST(sxy2 AS DOUBLE)
+        |          - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE))) END, 4) AS acf1,
+        |    round(CASE WHEN mnx2 = mxx2 OR mny2 = mxy2 THEN 0.0
+        |      ELSE (n2 * CAST(sxy2 AS DOUBLE)
         |        - CAST(sx2 AS DOUBLE) * CAST(sy2 AS DOUBLE))
         |      / (sqrt(n2 * CAST(sxx2 AS DOUBLE)
         |          - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE))
         |       * sqrt(n2 * CAST(syy2 AS DOUBLE)
-        |          - CAST(sy2 AS DOUBLE) * CAST(sy2 AS DOUBLE))), 4) AS acf2
+        |          - CAST(sy2 AS DOUBLE) * CAST(sy2 AS DOUBLE))) END, 4) AS acf2
         |  FROM st)
         |SELECT event_type, n_hours, acf1, acf2,
         |  round(CASE WHEN abs(acf1) = 1.0 THEN 0.0
@@ -2329,7 +2363,8 @@ object TimeSeriesOps {
         |        FROM hourly GROUP BY 1),
         |hb AS (
         |  SELECT h.event_type, h.hour, h.tb, h.hu,
-        |    ((h.hu - r.mn) * $MkValueBuckets) // (r.mx - r.mn + 1) AS vb
+        |    CAST(((CAST(h.hu AS HUGEINT) - r.mn) * $MkValueBuckets)
+        |      // (CAST(r.mx AS HUGEINT) - r.mn + 1) AS BIGINT) AS vb
         |  FROM hourly h JOIN rng r USING (event_type)),
         |sa AS (
         |  SELECT a.event_type,
