@@ -133,11 +133,17 @@ object Bench {
               memoWarm += name
           } catch {
             // a failed query reports -1, not its time-to-exception — a
-            // silent failure must not masquerade as a fast bench entry
+            // silent failure must not masquerade as a fast bench entry.
+            // Earlier successful reps are dropped too (ADVICE r6 #3):
+            // passes/memo_warm keeping stale entries for a query whose
+            // "queries" value is -1 made the artifact self-inconsistent
             case e: Throwable =>
               System.err.println(
                 s"[bench] $name failed: ${e.getClass.getName}: ${e.getMessage}")
               failedQ += name
+              best.remove(name)
+              passTimes.remove(name)
+              memoWarm -= name
           }
         }
       }
@@ -164,10 +170,16 @@ object Bench {
     }.mkString("{", ",", "}")
     val warmJson = memoWarm.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    try Files.writeString(Paths.get("bench_queries.json"),
+    // a dev-filtered subset run lands in a SEPARATE file (ADVICE r6
+    // #5): the full-map bench_queries.json is the durable round-over-
+    // round regression record and a 4-query iteration run must never
+    // clobber it
+    val benchFile =
+      if (only.isDefined) "bench_queries.partial.json" else "bench_queries.json"
+    try Files.writeString(Paths.get(benchFile),
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passesJson,"memo_warm":$warmJson}""")
     catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] bench_queries.json write failed: $e") }
+      System.err.println(s"[bench] $benchFile write failed: $e") }
     // Two lines, long-then-short (round-1 post-mortem): the driver may
     // capture only the TAIL of stdout, and r01's single long line was
     // cut mid-JSON ("parsed": null, ~20 per-query times lost). The

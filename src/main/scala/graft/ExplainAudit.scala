@@ -48,6 +48,8 @@ object ExplainAudit {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // plan audit never executes — keep memo construction action-free
+      .config(graft.operators.GraphOps.PlanOnlyKey, "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (n <- names) {

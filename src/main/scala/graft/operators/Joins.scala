@@ -329,6 +329,56 @@ object Joins {
         .orderBy(col("p_id"))
     }),
 
+    // the native backward as-of join REACHED FROM SQL (r7, rolled
+    // VERDICT item: the custom operators must be available to a SQL
+    // user, not only the DataFrame DSL): /*+ ASOF_JOIN */ on a LEFT
+    // join whose ON is `key = key AND rightTime <= leftTime` rewrites
+    // to plans.AsofJoinNode at analysis time
+    // (plans.NativeJoinHints via GraftExtensions) and plans as the
+    // same AsofJoinExec merge the DSL twin uses — SqlFrontendSpec
+    // pins both the plan shape and row parity vs join_asof_native.
+    // The REPARTITION hints pin equal explicit widths on both sides
+    // (the DSL's repartition(parts, key) zipPartitions discipline,
+    // expressed in SQL). Same declared semantics as join_asof →
+    // same oracle family.
+    "sql_asof_join_native" -> ((s, d) => {
+      val parts = s.sparkContext.defaultParallelism
+      graft.SqlFrontend.sql(s, d,
+        s"""SELECT /*+ ASOF_JOIN */ e.event_id, e.user_id,
+           |  unix_micros(e.ts) AS ts_us, rt.price AS asof_price
+           |FROM (SELECT /*+ REPARTITION($parts, user_id) */
+           |        event_id, user_id, ts FROM events) e
+           |LEFT JOIN (SELECT /*+ REPARTITION($parts, k) */
+           |             o_custkey AS k, o_orderdate AS t,
+           |             max(o_totalprice) AS price
+           |           FROM orders GROUP BY o_custkey, o_orderdate) rt
+           |  ON e.user_id = rt.k AND rt.t <= e.ts
+           |ORDER BY e.event_id""".stripMargin)
+    }),
+
+    // the native band join REACHED FROM SQL — /*+ RANGE_JOIN */ on an
+    // INNER join with `key = key AND rightTime BETWEEN leftTime+lo AND
+    // leftTime+hi` rewrites to plans.RangeJoinNode → RangeJoinExec.
+    // Same ±120 s same-user pair-count semantics as join_range_native
+    // (whose oracle it carries verbatim).
+    "sql_range_join_native" -> ((s, d) => {
+      val parts = s.sparkContext.defaultParallelism
+      graft.SqlFrontend.sql(s, d,
+        s"""SELECT /*+ RANGE_JOIN */ x.xu AS user_id,
+           |  count(*) AS n_pairs
+           |FROM (SELECT /*+ REPARTITION($parts, xu) */ user_id AS xu,
+           |        event_id AS x_id, unix_micros(ts) AS x_us
+           |      FROM events) x
+           |JOIN (SELECT /*+ REPARTITION($parts, yu) */ user_id AS yu,
+           |        event_id AS y_id, unix_micros(ts) AS y_us
+           |      FROM events) y
+           |  ON x.xu = y.yu
+           | AND y.y_us BETWEEN x.x_us - 120000000 AND x.x_us + 120000000
+           |WHERE x.x_id < y.y_id
+           |GROUP BY x.xu
+           |ORDER BY user_id""".stripMargin)
+    }),
+
     // as-of join WITH TOLERANCE — last-touch attribution with expiry:
     // each view event matches the same user's latest purchase at or
     // before it, but only if that purchase is ≤ 1 hour old; older
@@ -548,6 +598,24 @@ object Joins {
         |SELECT e.event_id, e.user_id, e.ts, rt.price AS asof_price
         |FROM events e ASOF LEFT JOIN rt ON e.user_id = rt.k AND e.ts >= rt.t
         |ORDER BY e.event_id""".stripMargin,
+
+    // SQL-authored native asof — join_asof semantics with epoch-µs ts
+    "sql_asof_join_native" ->
+      """WITH rt AS (
+        |  SELECT o_custkey AS k, o_orderdate AS t, max(o_totalprice) AS price
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |  rt.price AS asof_price
+        |FROM events e ASOF LEFT JOIN rt ON e.user_id = rt.k AND e.ts >= rt.t
+        |ORDER BY e.event_id""".stripMargin,
+
+    // SQL-authored native band join — join_range_native's oracle verbatim
+    "sql_range_join_native" ->
+      """SELECT e1.user_id, count(*) AS n_pairs
+        |FROM events e1 JOIN events e2
+        |  ON e1.user_id = e2.user_id AND e1.event_id < e2.event_id
+        | AND abs(epoch_us(e1.ts) - epoch_us(e2.ts)) <= 120000000
+        |GROUP BY 1 ORDER BY e1.user_id""".stripMargin,
 
     "join_asof_forward" ->
       """WITH p AS (

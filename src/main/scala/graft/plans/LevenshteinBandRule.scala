@@ -69,5 +69,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => LevenshteinBandRule)
     e.injectPlannerStrategy(_ => AsofJoinStrategy)
     e.injectPlannerStrategy(_ => RangeJoinStrategy)
+    // SQL-frontend hints for the native joins (r7): ASOF_JOIN /
+    // RANGE_JOIN rewrite hinted SQL joins to the native nodes above
+    e.injectResolutionRule(_ => NativeJoinHints)
   }
 }

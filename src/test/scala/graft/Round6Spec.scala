@@ -90,10 +90,12 @@ class Round6Spec extends SparkTestBase {
     } finally spark.conf.unset(capKey)
   }
 
-  test("graph memo construction is action-free (ADVICE r5 #2)") {
-    // building the betweenness / ktruss queries must schedule ZERO
-    // Spark jobs — the memoized BFS/triangle relations materialize at
-    // the first consumer ACTION, not at plan construction
+  test("graph memo construction is action-free under planOnly (ADVICE r5 #2)") {
+    // under graft.planOnly, building the betweenness / ktruss queries
+    // must schedule ZERO Spark jobs — plan-audit paths get pure plan
+    // construction. (Execution paths DO latch the seed-BFS memos
+    // eagerly since r7 — VERDICT r6 #1 — which is exactly why the
+    // audit paths need the conf.)
     operators.GraphOps.clearMemos(spark)
     spark.catalog.clearCache()
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -103,15 +105,23 @@ class Round6Spec extends SparkTestBase {
         jobs.incrementAndGet()
     }
     spark.sparkContext.addSparkListener(listener)
+    spark.conf.set(operators.GraphOps.PlanOnlyKey, "true")
     try {
       SparkEntry.queries("graph_betweenness_seeds")(spark, sf001)
       SparkEntry.queries("graph_edge_support")(spark, sf001)
       SparkEntry.queries("graph_bfs_distance")(spark, sf001)
-      // listener bus is async — drain before reading the counter
-      Thread.sleep(500)
+      // drain the async listener bus deterministically (ADVICE r6 #4:
+      // a fixed sleep can miss a late event AND pads every run)
+      org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext)
       assert(jobs.get() == 0,
         s"query construction scheduled ${jobs.get()} jobs; must be 0")
-    } finally spark.sparkContext.removeSparkListener(listener)
+    } finally {
+      spark.conf.unset(operators.GraphOps.PlanOnlyKey)
+      spark.sparkContext.removeSparkListener(listener)
+      // the memos latched under planOnly are UNLATCHED cached frames —
+      // drop them so later tests latch fresh on first construction
+      operators.GraphOps.clearMemos(spark)
+    }
   }
 
   test("kCore/kTruss oracle-round caps fail loudly when exhausted (ADVICE r5 #1)") {

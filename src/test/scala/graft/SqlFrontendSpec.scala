@@ -123,4 +123,54 @@ class SqlFrontendSpec extends SparkTestBase {
       s"band rule should inject a length pre-filter into the SQL plan:\n$optimized")
     df.collect() // and the rewritten plan must still execute
   }
+
+  test("ASOF_JOIN hint plans AsofJoinExec from SQL and matches the DSL rows") {
+    val df = SparkEntry.queries("sql_asof_join_native")(spark, sf001)
+    val sp = df.queryExecution.executedPlan.toString
+    assert(sp.contains("AsofJoin"),
+      s"hinted SQL must plan the native AsofJoinExec:\n$sp")
+    // row parity vs the DSL twin (same declared semantics; the SQL
+    // variant reports epoch-µs instead of a timestamp column)
+    val dsl = operators.Joins.queries("join_asof_native")(spark, sf001)
+      .select(org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("asof_price")).collect().toSeq
+    val viaSql = df.select(
+      org.apache.spark.sql.functions.col("event_id"),
+      org.apache.spark.sql.functions.col("asof_price")).collect().toSeq
+    assert(dsl == viaSql, s"SQL asof rows diverge from DSL twin")
+  }
+
+  test("RANGE_JOIN hint plans RangeJoinExec from SQL and matches the DSL rows") {
+    val df = SparkEntry.queries("sql_range_join_native")(spark, sf001)
+    val sp = df.queryExecution.executedPlan.toString
+    assert(sp.contains("RangeJoin"),
+      s"hinted SQL must plan the native RangeJoinExec:\n$sp")
+    val dsl = operators.Joins.queries("join_range_native")(spark, sf001)
+      .collect().toSeq
+    assert(df.collect().toSeq == dsl, "SQL band-join rows diverge from DSL twin")
+  }
+
+  test("a hinted join the rule cannot parse fails loudly, never silently") {
+    registered
+    // ASOF_JOIN on an inner join — semantic hint, wrong join type
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT /*+ ASOF_JOIN */ e.event_id
+          |FROM events e JOIN events p
+          |  ON e.user_id = p.user_id AND p.ts <= e.ts""".stripMargin).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("ASOF_JOIN"),
+      s"expected the loud ASOF_JOIN contract error, got: $e")
+    // RANGE_JOIN with only one band edge — must refuse, not degrade
+    val e2 = intercept[Exception] {
+      spark.sql(
+        """SELECT /*+ RANGE_JOIN */ count(*)
+          |FROM events x JOIN events y
+          |  ON x.user_id = y.user_id
+          | AND unix_micros(y.ts) >= unix_micros(x.ts) - 120000000""".stripMargin)
+        .collect()
+    }
+    assert(e2.getMessage != null && e2.getMessage.contains("RANGE_JOIN"),
+      s"expected the loud RANGE_JOIN contract error, got: $e2")
+  }
 }
