@@ -27,6 +27,11 @@ object Aggregates {
   /** register count for the own-HLL pair (agg_hll_md5*) */
   val HllM = 512
 
+  /** survivor capacity for the KLL-style quantile sketch
+    * (agg_quantile_kll) — shared with the oracle SQL's min-level
+    * derivation so engine and oracle compact identically */
+  val KllK = 1024
+
   /** max register rank for m=512: 63-bit hash − 9 index bits → 54-bit
     * rank window, rank ∈ 0 (empty) .. 55 */
   private val HllMaxRank = 55
@@ -215,6 +220,42 @@ object Aggregates {
       cum.groupBy(col("l_returnflag"))
         .agg(max(col("n")).as("n"),
           est(0.50, "p50_est"), est(0.90, "p90_est"), est(0.99, "p99_est"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // KLL-style mergeable quantile sketch (functions.KllAgg, r7 —
+    // rolled VERDICT item): bounded-state quantiles whose sketch is a
+    // PURE FUNCTION of the input multiset — compaction drops rows by
+    // their own md5 hash bits (level L keeps tz(h) ≥ L, halving the
+    // sample per level) instead of KLL's random even/odd coin, so the
+    // final survivor set is order-independent, merge-associative, and
+    // rebuildable row-by-row in DuckDB: the p50/p90/p99 estimates
+    // themselves are hash-ORACLED. The exact percentile twin rides
+    // alongside to show the O(1/√k) sample error. State ≤ 1+2k longs
+    // per group at ANY scale; the exact twin's sort state grows with
+    // rows — the 100 TB contrast, same pairing discipline as
+    // agg_quantile_hist / text_cm_frequent_terms.
+    "agg_quantile_kll" -> ((s, d) => {
+      val kll = udaf(new graft.functions.KllAgg(KllK))
+      val base = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+            .cast("long").as("cents"),
+          expr(graft.functions.Md5Hash.sparkHash60(
+            """concat(cast(l_orderkey as string), '|',
+              |cast(l_linenumber as string))""".stripMargin)).as("h"))
+      def kq(q: Double, name: String) = expr(
+        s"round(element_at(vs, greatest(1, cast(ceil($q * size(vs)) as int)))" +
+          s" / 100.0, 4)").as(name)
+      base.groupBy(col("l_returnflag"))
+        .agg(kll(col("h"), col("cents")).as("vs"),
+          r4(expr("percentile(l_extendedprice, 0.5)")).as("exact_p50"),
+          r4(expr("percentile(l_extendedprice, 0.9)")).as("exact_p90"),
+          r4(expr("percentile(l_extendedprice, 0.99)")).as("exact_p99"))
+        .select(col("l_returnflag"),
+          size(col("vs")).cast("long").as("n_sample"),
+          kq(0.50, "kll_p50"), kq(0.90, "kll_p90"), kq(0.99, "kll_p99"),
+          col("exact_p50"), col("exact_p90"), col("exact_p99"))
         .orderBy(col("l_returnflag"))
     }),
 
