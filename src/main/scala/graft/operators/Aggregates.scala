@@ -244,9 +244,13 @@ object Aggregates {
           expr(graft.functions.Md5Hash.sparkHash60(
             """concat(cast(l_orderkey as string), '|',
               |cast(l_linenumber as string))""".stripMargin)).as("h"))
+      // cast BEFORE the division so both engines do the same IEEE
+      // double divide (DuckDB's `/` is float division; Spark's
+      // bigint/decimal would be decimal) — cents/100 has 2 decimals,
+      // so round(_, 4) is far from any representability edge
       def kq(q: Double, name: String) = expr(
-        s"round(element_at(vs, greatest(1, cast(ceil($q * size(vs)) as int)))" +
-          s" / 100.0, 4)").as(name)
+        s"round(cast(element_at(vs, greatest(1, cast(ceil($q * size(vs)) " +
+          s"as int))) as double) / 100.0, 4)").as(name)
       base.groupBy(col("l_returnflag"))
         .agg(kll(col("h"), col("cents")).as("vs"),
           r4(expr("percentile(l_extendedprice, 0.5)")).as("exact_p50"),
@@ -891,6 +895,61 @@ object Aggregates {
          |  CAST(min(CASE WHEN cum * 100 >= n * 99
          |    THEN (bin + 1) * $QuantileHistWidth END) AS BIGINT) AS p99_est
          |FROM cum GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Rebuilds the ENTIRE KllAgg sketch row-by-row (the reason the
+    // sketch compacts by hash bits, not coin flips): tz via the
+    // bit_count((h & -h) - 1) identity (h=0 → -1 → 64, matching
+    // Long.numberOfTrailingZeros), final level = min{L : |{tz≥L}| ≤ k}
+    // — a pure data property equal to the aggregator's adaptive-
+    // compaction fixpoint — survivors = filter at that level, then the
+    // same lower-rank quantile extraction over the value-sorted set.
+    "agg_quantile_kll" -> {
+      import graft.functions.Md5Hash
+      def okq(q: String, name: String) =
+        s"""round(CAST(max(cents) FILTER (rn = greatest(1,
+           |      CAST(ceil($q * n) AS INT))) AS DOUBLE) / 100.0, 4) AS $name"""
+          .stripMargin
+      s"""WITH src AS (
+         |  SELECT l_returnflag AS g,
+         |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      AS cents,
+         |    ${Md5Hash.duckHash60(
+               "concat(CAST(l_orderkey AS VARCHAR), '|', " +
+                 "CAST(l_linenumber AS VARCHAR))")} AS h
+         |  FROM lineitem),
+         |tzs AS (SELECT g, cents, bit_count((h & -h) - 1) AS tz FROM src),
+         |lvl AS (
+         |  SELECT g, min(L) AS level FROM (
+         |    SELECT t.g, ls.L, count(*) FILTER (t.tz >= ls.L) AS c
+         |    FROM tzs t CROSS JOIN
+         |      (SELECT unnest(generate_series(0, 64)) AS L) ls
+         |    GROUP BY 1, 2) cnt
+         |  WHERE c <= $KllK GROUP BY g),
+         |surv AS (
+         |  SELECT t.g, t.cents,
+         |    row_number() OVER (PARTITION BY t.g ORDER BY t.cents) AS rn,
+         |    count(*) OVER (PARTITION BY t.g) AS n
+         |  FROM tzs t JOIN lvl ON lvl.g = t.g AND t.tz >= lvl.level),
+         |kq AS (
+         |  SELECT g, CAST(max(n) AS BIGINT) AS n_sample,
+         |    ${okq("0.5", "kll_p50")},
+         |    ${okq("0.9", "kll_p90")},
+         |    ${okq("0.99", "kll_p99")}
+         |  FROM surv GROUP BY g),
+         |ex AS (
+         |  SELECT l_returnflag AS g,
+         |    round(percentile_cont(0.5) WITHIN GROUP
+         |      (ORDER BY l_extendedprice), 4) AS exact_p50,
+         |    round(percentile_cont(0.9) WITHIN GROUP
+         |      (ORDER BY l_extendedprice), 4) AS exact_p90,
+         |    round(percentile_cont(0.99) WITHIN GROUP
+         |      (ORDER BY l_extendedprice), 4) AS exact_p99
+         |  FROM lineitem GROUP BY 1)
+         |SELECT kq.g AS l_returnflag, kq.n_sample, kq.kll_p50, kq.kll_p90,
+         |  kq.kll_p99, ex.exact_p50, ex.exact_p90, ex.exact_p99
+         |FROM kq JOIN ex ON ex.g = kq.g
+         |ORDER BY l_returnflag""".stripMargin
+    },
 
     "agg_collect_sorted" ->
       """SELECT l_orderkey, array_to_string(list_sort(list(l_partkey)), ',') AS parts
