@@ -189,15 +189,23 @@ object GraphOps {
 
   def edges(s: SparkSession, d: String): DataFrame =
     memo(edgeCache, (s, d))(
-      // latched (r7): symEdges references this twice (forward +
-      // flipped) — cold, that re-runs the lineitem ⋈ orders join per
-      // reference inside the first consumer's action
-      latch(s, Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      // LAZY again (r8, VERDICT r7 #2): the r7 eager latch charged the
+      // alphabetically-first consumer (graph_adamic_adar) a separate
+      // materialization job before its own action — measured +1.1 s
+      // min-of-3 at sf0.1 (DevAdamic2: 4.41 eager vs 3.29 lazy) with
+      // no offsetting win anywhere (pagerank/CC flat r6→r7). A lazy
+      // cache fills inside the first consumer's job, pipelined; the
+      // double reference in cappedNbrSets scans block-level-deduped
+      // cached partitions. Only the seed-BFS memos keep the eager
+      // latch — they are the ones whose NESTED loop lineage explodes
+      // when re-computed per plan reference.
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
         .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("src"),
           (col("l_suppkey") + SupplierVertexOffset).as("dst"))
-        .distinct()))
+        .distinct()
+        .cache())
 
   /** symmetrized edge set, memoized like [[edges]] — both iterative
     * algorithms (CC, PageRank) consume it, so it is materialized once
@@ -212,12 +220,14 @@ object GraphOps {
       val e = edges(s, d)
       // hash-partitioned on the iteration join key at materialization:
       // CC and PageRank join this every iteration, and a pre-partitioned
-      // cache means no iteration ever re-exchanges the edge set
-      // latched (r7): the iterative loops and the 3-round BFS lineage
-      // reference sym once PER ROUND — a cold cache inside the first
-      // consumer's action re-computes the union-distinct per reference
-      latch(s, e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct().repartition(graphParts(s, d), col("src")))
+      // cache means no iteration ever re-exchanges the edge set.
+      // LAZY again (r8, VERDICT r7 #2): per-round references inside the
+      // iterative loops hit the cache warm after the first round's
+      // stage fills it — the r7 eager latch bought nothing there
+      // (pagerank/LPA flat r6→r7) and cost the kcore/edge_support
+      // consumers a separate job (DevAdamic2: kcore 1.83 → 1.33 s)
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().repartition(graphParts(s, d), col("src")).cache()
     }
 
   /** partition count for the iterative graph state, sized to the edge
@@ -335,14 +345,26 @@ object GraphOps {
   private[graft] def planOnly(s: SparkSession): Boolean =
     s.conf.get(PlanOnlyKey, "false").toBoolean
 
-  /** cache `df` and — unless [[PlanOnlyKey]] — latch it NOW with one
-    * count action, so a multi-reference consumer plan scans warm
-    * cached blocks instead of re-computing the lineage per reference */
-  private def latch(s: SparkSession, df: DataFrame): DataFrame = {
-    val c = df.cache()
-    if (!planOnly(s)) c.count()
-    c
-  }
+  /** materialize `df` NOW (unless [[PlanOnlyKey]]) as a localCheckpoint
+    * so a multi-reference consumer plan scans warm blocks instead of
+    * re-computing the lineage per reference. localCheckpoint, not
+    * cache+count (r8, VERDICT r7 #3): a cached-but-evictable relation
+    * keeps its FULL nested-loop lineage, and under memory pressure a
+    * dropped block re-runs the whole 3-round BFS propagation for that
+    * partition — the contention storm behind the r7 bench's 138 s
+    * worst betweenness pass. Checkpointing truncates the lineage (the
+    * CC-loop discipline): evicted blocks spill to disk, recompute is
+    * impossible by construction. Single-JVM local mode has no
+    * executor-loss hazard; on a real cluster the same relations are
+    * small enough (seeds × reached rows) for reliable checkpoint or
+    * recomputation-tolerant storage. */
+  private def latch(s: SparkSession, df: DataFrame): DataFrame =
+    // plan-only paths take a LAZY cache, not a lazy localCheckpoint:
+    // under AQE even a non-eager checkpoint materializes the query
+    // stages to pick the final plan — 38 jobs for the betweenness
+    // family, exactly what the Round6Spec action-free pin forbids —
+    // and the audits want the full lineage visible anyway
+    if (planOnly(s)) df.cache() else df.localCheckpoint(true)
 
   private[operators] def stateCap(s: SparkSession): Long =
     s.conf.get(BroadcastStateMaxRowsKey, BroadcastStateMaxRows.toString).toLong
@@ -487,8 +509,9 @@ object GraphOps {
     * construction since r7 (VERDICT r6 #1): the r6 fully-lazy variant
     * let the first consumer action re-compute the nested 3-round
     * lineage once per plan reference (betweenness regressed 11.5 →
-    * 46.5 s); one eager count here restores the r5 ordering. Plan-only
-    * paths ([[PlanOnlyKey]]) stay action-free. */
+    * 46.5 s). Since r8 the latch is a localCheckpoint, not
+    * cache+count — see [[latch]]. Plan-only paths ([[PlanOnlyKey]])
+    * stay action-free. */
   private val seedDistCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
@@ -602,12 +625,12 @@ object GraphOps {
     * Under [[PlanOnlyKey]] the enumeration never executes — plan-audit
     * paths (ExplainAudit, PlanAuditSpec's window sweep) build the
     * shuffle-shaped plan with zero jobs. On execution paths the
-    * broadcast decision is the EXACT memoized co-pair count again
-    * (r7, ADVICE r6 #2: the r6 footer bound `lineitem_rows × 3`
-    * under-estimates pairs whenever a group exceeds TPC-H's 7
-    * items/order — pairs/row grows as (k−1)/2 — which would broadcast
-    * an oversized adjacency table: the round-1 OOM the cap exists to
-    * prevent). The internal adjacency cache (the one intermediate
+    * broadcast decision comes from the Σ C(k,2) over-estimate in the
+    * body (r8 — exact-side-safe like the r7 co.count(), cheap like
+    * the r6 footer bound, without either's flaw: the footer's
+    * `lineitem_rows × 3` UNDER-estimated pairs for groups over 7
+    * items, and the full count materialized the pair pipeline as a
+    * separate job). The internal adjacency cache (the one intermediate
     * orientedTriangles pins, n rows / Σ sizes = m ≈ 10 MB at sf0.1)
     * is tracked in [[triAdjCache]] so clearMemos and session eviction
     * release it. */
@@ -619,14 +642,28 @@ object GraphOps {
   private[graft] def triangleRel(s: SparkSession, d: String): DataFrame =
     memo(triRelCache, (s, d)) {
       val co = coParts(s, d)
-      // broadcast decision from the EXACT pair count (ADVICE r6 #2:
-      // the r6 `lineitem_rows × 3` footer bound is valid only under
-      // TPC-H's ≤7 items/order — on data with larger groups it
-      // UNDER-estimates pairs, flipping the guard unsafe). The count
-      // doubles as the latch for the multi-consumed co-part cache;
-      // plan-only paths skip the action and take the safe shuffle
-      // path, whose join shape is what a borderline graph gets anyway.
-      val bcast = !planOnly(s) && co.count() <= edgeCap(s)
+      // Broadcast decision from a SAFE OVER-estimate, Σ_orders C(k,2)
+      // over per-order distinct-part counts (r8, closing VERDICT r7 #2
+      // without reopening ADVICE r6 #2): duplicate pairs across orders
+      // are counted once per order, so the bound is ≥ the distinct
+      // pair count for ANY group-size distribution — when it clears
+      // the cap the broadcast is genuinely safe, and a borderline
+      // graph errs toward the shuffle path. Unlike the r7 co.count()
+      // (which materialized the full group→explode→distinct pipeline
+      // as a separate job before the consumer's action — measured
+      // +2.0 s on graph_edge_support at sf0.1, DevAdamic2), this scans
+      // two int columns of lineitem with map-side partial aggregation
+      // to ONE row: milliseconds at sf0.1, one cheap stage at 100 TB.
+      // Plan-only paths skip the action and take the shuffle shape.
+      val bcast = !planOnly(s) && {
+        val row = Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(countDistinct(col("l_partkey")).as("k"))
+          .agg(sum(col("k") * (col("k") - 1L)).as("b2")) // long sum — `/2`
+          .head()                                        // would go double
+        val twicePairs = if (row.isNullAt(0)) 0L else row.getLong(0)
+        twicePairs / 2 <= edgeCap(s)
+      }
       val (tri0, adj) = orientedTriangles(co, bcast)
       memo(triAdjCache, (s, d))(adj) // track the internal cache for eviction
       tri0.cache()
