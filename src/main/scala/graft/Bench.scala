@@ -144,6 +144,13 @@ object Bench {
               best.remove(name)
               passTimes.remove(name)
               memoWarm -= name
+              // ADVICE r7 #4: a query that fails AFTER building a
+              // shared memo leaves it warm, so later consumers in the
+              // same pass would time against a cache they didn't build
+              // and never get the memo_warm flag. Drop all session
+              // state; the next consumer rebuilds and (via the
+              // memoBuilds delta) carries the flag honestly.
+              clearSessionState(spark)
           }
         }
       }

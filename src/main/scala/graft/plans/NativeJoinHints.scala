@@ -171,35 +171,56 @@ object NativeJoinHints extends Rule[LogicalPlan] {
         "semantic contract — refusing to run the plain join instead. " +
         "See graft.plans.NativeJoinHints for the required ON shape.")
 
+  /** rewrite the TOP-most join under the hint (ADVICE r7: transformUp
+    * rewrote the BOTTOM-most, so a nested inner join whose ON happened
+    * to match the asof shape could be converted instead of the join
+    * the user hinted — the outer join is what a query-level hint
+    * names). Pre-order recursion that stops descending once a join is
+    * rewritten. */
   private def rewrite(child: LogicalPlan, hint: String): LogicalPlan = {
     var applied = false
-    val out = child.transformUp {
-      case j @ Join(l, r, jt, Some(cond), _) if !applied =>
+    def go(p: LogicalPlan): LogicalPlan = p match {
+      case Join(l, r, jt, Some(cond), _) if !applied =>
+        applied = true
         hint match {
           case "ASOF_JOIN" =>
             if (jt != LeftOuter)
               fail(hint, s"join type is $jt, the asof contract is LEFT OUTER")
-            parseAsof(l, r, cond).map { n => applied = true; n }
+            parseAsof(l, r, cond)
               .getOrElse(fail(hint, s"condition `$cond` is not " +
                 "`leftKey = rightKey AND rightTime <= leftTime` over " +
                 "long-backed columns"))
           case _ =>
             if (jt != Inner)
               fail(hint, s"join type is $jt, the band contract is INNER")
-            parseRange(l, r, cond).map { n => applied = true; n }
+            parseRange(l, r, cond)
               .getOrElse(fail(hint, s"condition `$cond` is not " +
                 "`leftKey = rightKey AND rightTime BETWEEN leftTime+lo " +
                 "AND leftTime+hi` with literal long offsets"))
         }
+      case other => other.mapChildren(go)
     }
+    val out = go(child)
     if (!applied) fail(hint, "no join with an ON condition found under the hint")
     out
   }
 
+  private def isNativeHint(name: String): Boolean = {
+    val n = name.toUpperCase
+    n == "ASOF_JOIN" || n == "RANGE_JOIN"
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
     case UnresolvedHint(name, Nil, child)
-        if (name.toUpperCase == "ASOF_JOIN" || name.toUpperCase == "RANGE_JOIN") &&
-          child.resolved =>
+        if isNativeHint(name) && child.resolved =>
       rewrite(child, name.toUpperCase)
+    // ADVICE r7: a parameterized form like /*+ ASOF_JOIN(x) */ used to
+    // fall through this rule, get dropped by Spark's RemoveAllHints
+    // with only a log warning, and run the PLAIN left join — every
+    // past row instead of the latest, the exact silent fall-through
+    // the contract forbids. The hints take no parameters; say so.
+    case UnresolvedHint(name, params, _) if isNativeHint(name) && params.nonEmpty =>
+      fail(name.toUpperCase,
+        s"the hint takes no parameters, got (${params.mkString(", ")})")
   }
 }

@@ -173,4 +173,46 @@ class SqlFrontendSpec extends SparkTestBase {
     assert(e2.getMessage != null && e2.getMessage.contains("RANGE_JOIN"),
       s"expected the loud RANGE_JOIN contract error, got: $e2")
   }
+
+  test("a parameterized native hint errors instead of silently dropping") {
+    registered
+    // ADVICE r7: /*+ ASOF_JOIN(x) */ used to miss the Nil-params match,
+    // get dropped by RemoveAllHints with a log warning, and run the
+    // PLAIN left join — every past row instead of the latest
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT /*+ ASOF_JOIN(events) */ e.event_id
+          |FROM events e LEFT JOIN events p
+          |  ON e.user_id = p.user_id AND p.ts <= e.ts""".stripMargin).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("no parameters"),
+      s"expected the no-parameters contract error, got: $e")
+  }
+
+  test("the hint rewrites the TOP-most join, not a nested matching one") {
+    registered
+    // ADVICE r7: the old transformUp rewrote the BOTTOM-most join, so
+    // a nested left join whose ON coincidentally matched the asof
+    // shape was silently converted to latest-only semantics. The
+    // query-level hint names the OUTER join: after the rewrite the
+    // result must keep one row per outer-left row — i.e. exactly the
+    // nested plain-join's row count — and exactly one AsofJoin node
+    // may appear in the plan.
+    val nested =
+      """SELECT a.user_id, a.ts, a.event_id
+        |FROM events a LEFT JOIN events b
+        |  ON a.user_id = b.user_id AND b.ts <= a.ts""".stripMargin
+    val innerRows = spark.sql(nested).count()
+    val df = spark.sql(
+      s"""SELECT /*+ ASOF_JOIN */ e.event_id
+         |FROM ($nested) e
+         |LEFT JOIN events p ON e.user_id = p.user_id AND p.ts <= e.ts"""
+        .stripMargin)
+    val sp = df.queryExecution.executedPlan.toString
+    assert("AsofJoin".r.findAllIn(sp).size == 1,
+      s"exactly one native asof node expected:\n$sp")
+    assert(df.count() == innerRows,
+      "outer-join rewrite must preserve one row per outer-left row — " +
+        "a diverging count means the NESTED join was converted")
+  }
 }
