@@ -26,7 +26,8 @@ import org.apache.spark.sql.expressions.Aggregator
   * linear-counting correction) — deliberately, so the oracle can
   * apply the identical formula to its recomputed registers.
   */
-class HllAgg(m: Int) extends Aggregator[String, Array[Long], Array[Long]] {
+class HllAgg(m: Int, seedIdx: Int = HllAgg.SeedIdx)
+    extends Aggregator[String, Array[Long], Array[Long]] {
   require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two, got $m")
   private val idxBits = java.lang.Integer.numberOfTrailingZeros(m)
 
@@ -34,7 +35,7 @@ class HllAgg(m: Int) extends Aggregator[String, Array[Long], Array[Long]] {
 
   override def reduce(buf: Array[Long], v: String): Array[Long] = {
     if (v == null) return buf
-    val h = Md5Hash.perm(Md5Hash.hash60(v), HllAgg.SeedIdx) // 63 bits
+    val h = Md5Hash.perm(Md5Hash.hash60(v), seedIdx) // 63 bits
     val b = (h & (m - 1)).toInt
     val w = h >>> idxBits
     // rank within the (63 − idxBits)-bit window: 1 for a leading one,

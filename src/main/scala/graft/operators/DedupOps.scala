@@ -351,26 +351,62 @@ object DedupOps {
       val minhash = udaf(new MinHashAgg(MinHashK))
       val sigs = tok.groupBy(col("doc_id"))
         .agg(minhash(col("term")).as("sig"))
-      BandSweepConfigs.map { case (bands, rows) =>
-        val bandCols = (0 until bands).map(j =>
-          slice(col("sig"), j * rows + 1, rows))
-        val banded = sigs.select(col("doc_id"), posexplode(array(bandCols: _*)))
-          .select(col("doc_id"), col("pos").as("band"), col("col").as("bsig"))
-        val cand = banded.as("x").join(banded.as("y"),
-            col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
-            col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-        val nv = jaccardPairs(tok, 0.5, candidates = Some(cand))
-          .agg(count(lit(1)).as("n_verified"))
-        cand.agg(count(lit(1)).as("n_candidates"))
-          .crossJoin(nv)
-          .select(lit(bands).cast("int").as("n_bands"),
+      // ONE banding at the MAX resolution prices all three configs
+      // (VERDICT r6 #7 / r7 #7): every swept (bands, rows) split is an
+      // aligned coarsening of the finest one — a coarse band of width
+      // g = maxBands/bands sub-bands collides  ⟺  ALL g sub-bands
+      // collide — so the per-pair BITMASK of colliding sub-bands
+      // decides candidacy for every config at once. Replaces 3
+      // independent explode + self-join + verify chains with one
+      // explode, one self-join, one verify join, and a single-row
+      // conditional aggregate (measured r8: 3.78 → ~2 s at sf0.1).
+      // Also the at-scale shape: the self-join (the dominant cost,
+      // shuffle ∝ band-collision volume) runs on the finest banding,
+      // whose collisions are a superset of every config's — no coarser
+      // join could be skipped anyway.
+      val (maxBands, minRows) = BandSweepConfigs.maxBy(_._1)
+      val bandCols = (0 until maxBands).map(j =>
+        slice(col("sig"), j * minRows + 1, minRows))
+      val banded = sigs.select(col("doc_id"), posexplode(array(bandCols: _*)))
+        .select(col("doc_id"), col("pos").as("band"), col("col").as("bsig"))
+      // ≤ one row per (a, b, band) by construction, so the power sum
+      // IS the collision bitmask
+      val masks = banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          col("x.band").as("band"))
+        .groupBy(col("a"), col("b"))
+        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), band)")).as("mask"))
+      def isCand(bands: Int) = {
+        val g = maxBands / bands
+        (0 until bands).map { j =>
+          val grp = ((1L << g) - 1L) << (j * g)
+          col("mask").bitwiseAND(lit(grp)) === lit(grp)
+        }.reduce(_ || _)
+      }
+      // verify ONCE over the finest config's candidates (the superset)
+      val ver = jaccardPairs(tok, 0.5,
+          candidates = Some(masks.select(col("a"), col("b"))))
+        .select(col("a"), col("b"), lit(1L).as("v"))
+      val aggCols = BandSweepConfigs.flatMap { case (bands, _) =>
+        Seq(count_if(isCand(bands)).as(s"c$bands"),
+          count_if(isCand(bands) && col("v").isNotNull).as(s"v$bands"))
+      }
+      masks.join(ver, Seq("a", "b"), "left")
+        .agg(aggCols.head, aggCols.tail: _*)
+        .select(explode(array(BandSweepConfigs.map { case (bands, rows) =>
+          struct(lit(bands).cast("int").as("n_bands"),
             lit(rows).cast("int").as("rows_per_band"),
-            col("n_candidates"), col("n_verified"),
-            when(col("n_candidates") === 0L, lit(1.0))
-              .otherwise(r4(col("n_verified").cast("double") /
-                col("n_candidates"))).as("precision"))
-      }.reduce(_ unionByName _).orderBy(col("n_bands"))
+            col(s"c$bands").as("n_candidates"),
+            col(s"v$bands").as("n_verified"))
+        }: _*)).as("r"))
+        .select(col("r.n_bands"), col("r.rows_per_band"),
+          col("r.n_candidates"), col("r.n_verified"),
+          when(col("r.n_candidates") === 0L, lit(1.0))
+            .otherwise(r4(col("r.n_verified").cast("double") /
+              col("r.n_candidates"))).as("precision"))
+        .orderBy(col("n_bands"))
     }),
 
     "dedup_lsh_quality_audit" -> ((s, d) => {

@@ -66,6 +66,132 @@ class Round8Spec extends SparkTestBase {
       == agg.finish(whole).toSeq)
   }
 
+  // ---- round-8 graph additions (VERDICT r7 #4/#5/#6) ----
+
+  /** orders/lineitem fixture rows in the GraphSpec shape */
+  private def writeGraph(dir: String, pairs: Seq[(Long, Long)]): Unit = {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    writeFixture(dir, "orders", pairs.zipWithIndex.map { case ((c, _), i) =>
+      ((i + 1).toLong, c, "O", 10.0, ts, "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority"))
+    writeFixture(dir, "lineitem", pairs.zipWithIndex.map { case ((_, sp), i) =>
+      ((i + 1).toLong, 100L + i, sp, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", ts)
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+      "l_linestatus", "l_shipdate"))
+  }
+
+  /** like writeGraph but with explicit order keys (so the %10 delta
+    * convention can be planted) */
+  private def writeGraphKeyed(dir: String, rows: Seq[(Long, Long, Long)]): Unit = {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    writeFixture(dir, "orders", rows.map { case (ok, c, _) =>
+      (ok, c, "O", 10.0, ts, "1-URGENT")
+    }.distinct.toDF("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority"))
+    writeFixture(dir, "lineitem", rows.zipWithIndex.map {
+      case ((ok, _, sp), i) =>
+        (ok, 100L + i, sp, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", ts)
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+      "l_linestatus", "l_shipdate"))
+  }
+
+  test("HllMergeAgg max-merge of register arrays == HllAgg over the union") {
+    val m = operators.GraphOps.HbM
+    val hll = new functions.HllAgg(m, operators.GraphOps.HbSeedIdx)
+    val mrg = new functions.HllMergeAgg(m)
+    def regsOf(xs: Seq[String]) = xs.foldLeft(hll.zero)(hll.reduce)
+    val a = (0 until 300).map(i => s"a-$i")
+    val b = (150 until 500).map(i => s"a-$i") // overlaps a
+    val merged = mrg.merge(regsOf(a).clone(), regsOf(b))
+    assert(merged.toSeq == regsOf(a ++ b).toSeq,
+      "register max-merge must equal the sketch of the union " +
+        "(the HyperBall propagation law)")
+    // idempotent: merging a sketch with itself changes nothing
+    assert(mrg.merge(regsOf(a).clone(), regsOf(a)).toSeq == regsOf(a).toSeq)
+  }
+
+  test("graph_effective_diameter: planted path graph reads eff diameter 3") {
+    // customers chosen so EVERY one passes the hb| seed-sampling mod
+    // (tiny fixtures would otherwise sample zero seeds); suppliers
+    // chosen to fail it, so the readout is exactly the 8 path
+    // customers. Path c1-s1-c2-s2-...-c8: interior ball sizes grow
+    // 1,3,5,7 over h=0..3, so N(2)/N(3) ≈ 5/7 — far below the 0.9
+    // threshold — and the effective diameter reads the horizon, 3.
+    def isSeed(vstr: String): Boolean =
+      functions.Md5Hash.hash60(s"hb|$vstr") % operators.GraphOps.HbSeedMod == 0
+    val custs = Iterator.from(1).map(_.toLong)
+      .filter(c => isSeed(c.toString)).take(8).toSeq
+    val supps = Iterator.from(1).map(_.toLong)
+      .filter(sp => !isSeed((sp + operators.GraphOps.SupplierVertexOffset).toString))
+      .take(7).toSeq
+    val pairs = (0 until 7).flatMap(i =>
+      Seq((custs(i), supps(i)), (custs(i + 1), supps(i))))
+    val dir = tempDir()
+    writeGraph(dir, pairs)
+    val rows = operators.GraphOps.queries("graph_effective_diameter")(spark, dir)
+      .collect()
+    assert(rows.length == 4, s"one row per h=0..3, got ${rows.length}")
+    val byH = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byH.values.forall(_.getLong(1) == 8L), "readout = the 8 seed customers")
+    // N(0) estimates 8 singleton balls — linear counting is near-exact
+    assert(math.abs(byH(0L).getDouble(2) - 8.0) < 0.5,
+      s"nf(0) should be ~8, got ${byH(0L).getDouble(2)}")
+    assert(rows.forall(_.getLong(4) == 3L),
+      s"path effective diameter at horizon must be 3: ${rows.mkString(";")}")
+    // shares are monotone and end at 1.0
+    assert(byH(3L).getDouble(3) == 1.0)
+    assert(byH(2L).getDouble(3) < 0.9, "N(2) must sit below the 0.9 threshold")
+  }
+
+  test("graph_cc_incremental: delta bridge merges two base components ≡ full recompute") {
+    // base: {c1,c2,s1} and {c3,c4,s2}; delta order 10 bridges c1→s2
+    val off = operators.GraphOps.SupplierVertexOffset
+    val dir = tempDir()
+    writeGraphKeyed(dir, Seq(
+      (1L, 1L, 1L), (2L, 2L, 1L), (3L, 3L, 2L), (4L, 4L, 2L),
+      (10L, 1L, 2L)))
+    val got = operators.GraphOps.queries("graph_cc_incremental")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    val expected = Map(
+      1L -> ((1L, 1L, false)), 2L -> ((1L, 1L, false)),
+      (off + 1L) -> ((1L, 1L, false)),
+      3L -> ((1L, 3L, true)), 4L -> ((1L, 3L, true)),
+      (off + 2L) -> ((1L, 3L, true)))
+    assert(got == expected, s"got $got")
+    // ≡ full recompute: the merged labels equal CC over ALL edges
+    import org.apache.spark.sql.functions._
+    val allEdges = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + off).as("dst")).distinct()
+    val full = operators.GraphOps.connectedComponents(allEdges, numParts = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.map { case (v, (l, _, _)) => v -> l } == full,
+      "incremental merge must equal the from-scratch fixpoint")
+  }
+
+  test("graph_betweenness_sampled: planted star scores the hub with all pairs") {
+    // 4 customers on one supplier: every customer is sampled (≤ 32
+    // seeds exist), every pair (6 ≤ 64) is sampled, each pair's unique
+    // shortest path brokers through the hub → betweenness(hub) = 6
+    val off = operators.GraphOps.SupplierVertexOffset
+    val dir = tempDir()
+    writeGraph(dir, Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)))
+    val rows = operators.GraphOps.queries("graph_betweenness_sampled")(spark, dir)
+      .collect()
+    assert(rows.length == 1, s"only the hub brokers: ${rows.mkString(";")}")
+    assert(rows(0).getLong(0) == off + 1L)
+    assert(rows(0).getDouble(1) == 6.0, s"got ${rows(0).getDouble(1)}")
+  }
+
   test("agg_quantile_kll: sample quantiles within O(1/√k) of exact") {
     val rows = operators.Aggregates.queries("agg_quantile_kll")(spark, sf001)
       .collect()
