@@ -820,4 +820,42 @@ class PlanAuditSpec extends SparkTestBase {
         s"edge below declared support survived: $r")
     }
   }
+
+  test("graph_cc_incremental: label remap broadcasts; no cartesian") {
+    // the incremental contract: the remap table is the CC of a
+    // ≤2·|delta|-vertex LABEL graph, declared broadcast — at scale
+    // the refresh must never shuffle all V rows against it
+    val p = plan("graph_cc_incremental")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"remap join must broadcast the contracted label table:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no unbounded cartesian in the refresh:\n$p")
+  }
+
+  test("graph_betweenness_sampled: pair table broadcast-bound before the v-join") {
+    // the fan-out guard: σ rows join the ≤BwPairs pair table FIRST
+    // (broadcast), so the per-vertex contribution explode is bounded
+    // by sampled pairs, never seeds² — the property that keeps the
+    // estimator's cost constant-per-vertex at any graph scale
+    val p = plan("graph_betweenness_sampled")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"sampled pair table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no unbounded cartesian (the seed-pair cross is a bounded " +
+        s"broadcast of ${operators.GraphOps.BwSeeds} rows):\n$p")
+  }
+
+  test("graph_effective_diameter: register merge is a partial (map-side) aggregate") {
+    // HyperBall's 100 TB property: the round shuffle carries
+    // PARTIALLY max-merged registers (∝ V·m), not one register row
+    // per edge (∝ E·m) — the merge aggregate must have a partial
+    // level below the exchange
+    val p = plan("graph_effective_diameter")
+    assert(p.contains("ObjectHashAggregate"),
+      s"typed-Aggregator register merge must plan as ObjectHashAggregate:\n$p")
+    assert(p.contains("partial_"),
+      s"register merge must combine map-side before the shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian (the N(horizon) scalar is a broadcast single row):\n$p")
+  }
 }
