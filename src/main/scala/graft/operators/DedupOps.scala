@@ -81,6 +81,15 @@ object DedupOps {
     * dedup_band_sweep — shared with its oracle SQL */
   val BandSweepConfigs = Seq((16, 2), (8, 4), (4, 8))
 
+  /** dedup_embedding_cluster knobs, shared with the oracle SQL and
+    * the Round8Spec replica: 4 × 8-bit signature bands (the MinHash
+    * banding discipline applied to sign-plane bits) and the declared
+    * cosine verification threshold (see the query's scaladoc for why
+    * 0.35 on this corpus) */
+  val EmbClusterBands = 4
+  val EmbClusterBandBits = 8
+  val EmbClusterTau = 0.35
+
   // NOTE (r5): memoizing + caching the signature table across the LSH
   // consumers was built and MEASURED SLOWER at sf0.1 (band_sweep 3.9 s
   // lazy-recompute vs 4.4–5.2 s cached; cluster_lsh 1.96 → 2.5 s):
@@ -697,6 +706,60 @@ object DedupOps {
         .orderBy(col("a"), col("b"))
     }),
 
+    // semantic dedup CLUSTERS — the embedding-space twin of
+    // dedup_cluster_lsh, completing the dedup matrix: MinHash has the
+    // full pairs → clusters → canonical ladder, embeddings until now
+    // stopped at pairs (dedup_embedding_cosine, label-blocked). This
+    // is the semantic-dedup composition a training-data pipeline
+    // runs: a 32-bit signed-random-projection signature per vector
+    // (VectorOps.clusterPlanes — exact integer sign bits on the
+    // shared decimal basis), banded 4 × 8 bits for OR-amplified
+    // recall exactly like the MinHash banding scheme, same-band
+    // candidates verified at cosine ≥ [[EmbClusterTau]], connected
+    // components over the verified-pair graph, label = min vec_id
+    // (the cluster's canonical representative). τ = 0.35 is the
+    // declared demonstration threshold: the synthetic corpus's
+    // similarity ceiling is ~0.48 (production semantic dedup runs
+    // 0.9+ where the same 8-bit bands collide at ~0.43/band) — the
+    // knob moves without changing any shape. The 100 TB shape:
+    // candidate fan-out is band-bounded (8-bit bands collide at
+    // ~1/256 for unrelated vectors — no all-pairs anywhere; widen
+    // bits with the corpus to hold occupancy flat), the verify join
+    // rejoins embeddings only for DISTINCT collided pairs, and the
+    // CC runs on the pair graph, ≪ corpus. HASH-ORACLED end to end:
+    // signatures are exact integer signs, the cosine rounds through
+    // the shared 4dp gate, and the cluster labels replay as a
+    // recursive-CTE min-label walk.
+    "dedup_embedding_cluster" -> ((s, d) => {
+      graft.functions.CosineSimilarity.register(s)
+      val sig = VectorOps.signedProjected(s, d, VectorOps.clusterPlanes, "sig")
+        .select(col("vec_id"), col("sig"))
+      val bandCols = (0 until EmbClusterBands).map(j =>
+        shiftright(col("sig"), j * EmbClusterBandBits)
+          .bitwiseAND(lit((1L << EmbClusterBandBits) - 1)))
+      val banded = sig.select(col("vec_id"), posexplode(array(bandCols: _*)))
+        .select(col("vec_id"), col("pos").as("band"), col("col").as("bh"))
+      val cand = banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+        .distinct()
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val pairs = cand
+        .join(emb.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
+        .join(emb.select(col("vec_id").as("b"), col("embedding").as("eb")), Seq("b"))
+        .filter(round(expr("cosine_sim(ea, eb)"), 4) >= EmbClusterTau)
+        .select(col("a").as("src"), col("b").as("dst"))
+      val verts = emb.select(col("vec_id").as("src"), col("vec_id").as("dst"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+      GraphOps.connectedComponents(pairs.unionByName(verts),
+          numParts = GraphOps.partsFor(s, d, "embeddings"))
+        .select(col("v").as("vec_id"), col("lbl").as("cluster"))
+        .withColumn("cluster_size", count(lit(1)).over(w))
+        .withColumn("is_canonical", col("vec_id") === col("cluster"))
+        .orderBy(col("vec_id"))
+    }),
+
     // near-dup candidate pairs from shared WINNOWING fingerprints
     // (r4 continuation) — the posting-list composition the winnowing
     // scheme exists for: explode each document's fingerprint set,
@@ -1080,6 +1143,41 @@ object DedupOps {
         |WHERE round(list_cosine_similarity(
         |    CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])), 4) >= 0.9
         |ORDER BY a, b""".stripMargin,
+
+    // the 32-bit signature replays via the shared sign-plane CTE
+    // block (exact integer sign bits), band-collided candidates via
+    // the same (band, value) join, verified pairs via the same
+    // rounded cosine gate, and the cluster labels via the recursive
+    // min-label walk (the CC oracle discipline)
+    "dedup_embedding_cluster" ->
+      s"""WITH RECURSIVE ${VectorOps.signatureCtesSql(VectorOps.clusterPlanes)},
+         |bands AS (
+         |  SELECT vec_id, bj.band,
+         |    (bucket >> (bj.band * $EmbClusterBandBits))
+         |      & ${(1L << EmbClusterBandBits) - 1} AS bh
+         |  FROM bk CROSS JOIN
+         |    (SELECT range AS band FROM range($EmbClusterBands)) bj),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bh = y.bh AND x.vec_id < y.vec_id),
+         |pr AS (
+         |  SELECT c.a, c.b FROM cand c
+         |  JOIN embeddings ea ON ea.vec_id = c.a
+         |  JOIN embeddings eb ON eb.vec_id = c.b
+         |  WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+         |    CAST(eb.embedding AS DOUBLE[])), 4) >= $EmbClusterTau),
+         |sym AS (SELECT a, b FROM pr UNION SELECT b, a FROM pr),
+         |verts AS (SELECT DISTINCT vec_id AS v FROM embeddings),
+         |walk(v, l) AS (
+         |  SELECT v, v FROM verts
+         |  UNION
+         |  SELECT sym.b, walk.l FROM sym JOIN walk ON sym.a = walk.v),
+         |cl AS (SELECT v AS vec_id, min(l) AS cluster FROM walk GROUP BY v)
+         |SELECT vec_id, cluster,
+         |  count(*) OVER (PARTITION BY cluster) AS cluster_size,
+         |  vec_id = cluster AS is_canonical
+         |FROM cl ORDER BY vec_id""".stripMargin,
 
     "dedup_winnow_pairs" ->
       s"""WITH ${TextOps.winnowFpsSqlCtes},

@@ -726,20 +726,7 @@ object VectorOps {
     // DuckDB recomputes the identical bucket for every vector.
     "vec_ann_lsh" -> ((s, d) => {
       CosineSimilarity.register(s)
-      val bucketBits = (0 until 16).map { i =>
-        when(expr(s"""aggregate(
-          |  zip_with(embedding, ${planeExpr(i)},
-          |    (x, y) -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(20,8))
-          |                   * 100000000 AS BIGINT) * y),
-          |  CAST(0 AS BIGINT), (a, v) -> a + v)""".stripMargin) > 0,
-          shiftleft(lit(1L), i)).otherwise(lit(0L))
-      }
-      // no cache: the bucket bits are 16 codegen'd higher-order exprs,
-      // cheaper to recompute on each side of the self-join than to pin
-      // the whole bucketed corpus in storage memory for the session
-      // (the round-1 per-call cache was never unpersisted)
-      val e = Tables.embeddings(s, d)
-        .withColumn("bucket", bucketBits.reduce(_ + _))
+      val e = lshBucketed(s, d)
       val x = e.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("ea"))
       val y = e.select(col("bucket"), col("vec_id").as("b"), col("embedding").as("eb"))
       val w = Window.partitionBy(col("a")).orderBy(desc("cos"), asc("b"))
@@ -952,19 +939,74 @@ object VectorOps {
     * every bucket bit is engine-identical and vec_ann_lsh is
     * hash-oracled, where the former real-valued planes' double fold
     * was association-order-dependent. */
-  lazy val planes: Array[Array[Int]] =
-    Array.tabulate(16, 64)((i, j) =>
-      if (((graft.functions.Md5Hash.permA(200 + i * 64 + j) >> 7) & 1L) == 1L) 1
+  /** a family of k random sign planes over the 64 embedding dims,
+    * derived from the md5 permutation constants at `base` — each
+    * family (ANN buckets, cluster bands) gets a disjoint base */
+  private def planesFor(base: Int, k: Int): Array[Array[Int]] =
+    Array.tabulate(k, 64)((i, j) =>
+      if (((graft.functions.Md5Hash.permA(base + i * 64 + j) >> 7) & 1L) == 1L) 1
       else -1)
 
-  /** SQL array literal for plane i (used inside higher-order exprs) */
-  private def planeExpr(i: Int): String =
-    planes(i).mkString("array(", ", ", ")")
+  lazy val planes: Array[Array[Int]] = planesFor(200, 16)
 
-  /** DuckDB VALUES rows `(p, j, s)` for all 16×64 plane signs */
-  private def planeRowsSql: String =
-    (0 until 16).flatMap(i => (0 until 64).map(j =>
-      s"($i, $j, ${planes(i)(j)})")).mkString(", ")
+  /** the dedup_embedding_cluster signature family: 32 planes = 4
+    * bands × 8 bits (base 5000, disjoint from the 200-family) */
+  lazy val clusterPlanes: Array[Array[Int]] = planesFor(5000, 32)
+
+  /** embeddings with the k-bit signed-random-projection signature of
+    * plane family `ps` in column `colName`. Each signature bit is the
+    * sign of an exact INTEGER dot product (components quantized
+    * through the engine-identical DECIMAL(20,8) → 1e-8-unit BIGINT
+    * cast), so the fold is order-independent and DuckDB recomputes
+    * the identical signature per vector ([[signatureCtesSql]] is the
+    * oracle-side twin). No cache: the sign bits are codegen'd
+    * higher-order exprs, cheaper to recompute on each side of a
+    * self-join than to pin the bucketed corpus in storage memory for
+    * the session (the round-1 per-call cache was never unpersisted). */
+  private[operators] def signedProjected(
+      s: SparkSession, d: String, ps: Array[Array[Int]],
+      colName: String): DataFrame = {
+    val bits = ps.indices.map { i =>
+      when(expr(s"""aggregate(
+        |  zip_with(embedding, ${ps(i).mkString("array(", ", ", ")")},
+        |    (x, y) -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(20,8))
+        |                   * 100000000 AS BIGINT) * y),
+        |  CAST(0 AS BIGINT), (a, v) -> a + v)""".stripMargin) > 0,
+        shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    Tables.embeddings(s, d).withColumn(colName, bits.reduce(_ + _))
+  }
+
+  /** embeddings with their 16-bit LSH `bucket` (the vec_ann_lsh
+    * single-probe basis, 200-family planes) */
+  private[operators] def lshBucketed(s: SparkSession, d: String): DataFrame =
+    signedProjected(s, d, planes, "bucket")
+
+  /** the DuckDB CTE block rebuilding a [[signedProjected]] signature
+    * per vector (`pl`/`dims`/`bits` → `bk(vec_id, bucket)`) for plane
+    * family `ps` — spliced into every oracle that blocks on a
+    * sign-plane signature */
+  private[operators] def signatureCtesSql(ps: Array[Array[Int]]): String = {
+    val rows = ps.indices.flatMap(i => (0 until 64).map(j =>
+      s"($i, $j, ${ps(i)(j)})")).mkString(", ")
+    s"""pl(p, j, s) AS (VALUES $rows),
+       |dims AS (
+       |  SELECT vec_id, j.j AS j,
+       |    CAST(CAST(CAST(embedding[j.j + 1] AS DOUBLE) AS DECIMAL(20,8))
+       |         * 100000000 AS BIGINT) AS d
+       |  FROM embeddings CROSS JOIN (SELECT range AS j FROM range(64)) j),
+       |bits AS (
+       |  SELECT d.vec_id, pl.p,
+       |    CASE WHEN sum(d.d * pl.s) > 0
+       |      THEN CAST(1 AS BIGINT) << pl.p ELSE CAST(0 AS BIGINT) END AS bit
+       |  FROM dims d JOIN pl ON pl.j = d.j
+       |  GROUP BY d.vec_id, pl.p),
+       |bk AS (SELECT vec_id, CAST(sum(bit) AS BIGINT) AS bucket
+       |       FROM bits GROUP BY vec_id)""".stripMargin
+  }
+
+  /** [[signatureCtesSql]] for the vec_ann_lsh 16-bit bucket family */
+  private[operators] def lshBucketCtesSql: String = signatureCtesSql(planes)
 
   /** 1e-8 component quantization unit (the vec_ann_lsh integer basis)
     * and the 1e-12 power-iteration vector scale — shared with the
@@ -1631,20 +1673,7 @@ object VectorOps {
     // decimal quantization as the Spark expression, so buckets match
     // bit-for-bit
     "vec_ann_lsh" ->
-      s"""WITH pl(p, j, s) AS (VALUES $planeRowsSql),
-         |dims AS (
-         |  SELECT vec_id, j.j AS j,
-         |    CAST(CAST(CAST(embedding[j.j + 1] AS DOUBLE) AS DECIMAL(20,8))
-         |         * 100000000 AS BIGINT) AS d
-         |  FROM embeddings CROSS JOIN (SELECT range AS j FROM range(64)) j),
-         |bits AS (
-         |  SELECT d.vec_id, pl.p,
-         |    CASE WHEN sum(d.d * pl.s) > 0
-         |      THEN CAST(1 AS BIGINT) << pl.p ELSE CAST(0 AS BIGINT) END AS bit
-         |  FROM dims d JOIN pl ON pl.j = d.j
-         |  GROUP BY d.vec_id, pl.p),
-         |bk AS (SELECT vec_id, CAST(sum(bit) AS BIGINT) AS bucket
-         |       FROM bits GROUP BY vec_id),
+      s"""WITH $lshBucketCtesSql,
          |e AS (SELECT b.vec_id, b.bucket, emb.embedding
          |      FROM bk b JOIN embeddings emb USING (vec_id)),
          |scored AS (

@@ -192,6 +192,69 @@ class Round8Spec extends SparkTestBase {
     assert(rows(0).getDouble(1) == 6.0, s"got ${rows(0).getDouble(1)}")
   }
 
+  test("dedup_embedding_cluster: union-find replica over LSH-bucketed cosine pairs") {
+    // independent driver-side replica of the whole semantic-dedup
+    // composition at sf0.001: quantize components exactly like the
+    // engine (double → DECIMAL(20,8) → 1e-8-unit long), bucket on the
+    // 16 plane-sign bits, verify same-bucket pairs at the 4dp-rounded
+    // cosine ≥ 0.9, union-find with min-label roots — must reproduce
+    // every (cluster, cluster_size, is_canonical) row
+    val got = operators.DedupOps.queries("dedup_embedding_cluster")(spark, sf001)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    val emb = Tables.embeddings(spark, sf001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def q(x: Double): Long =
+      (BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+        * BigDecimal(100000000L)).toLongExact
+    val planes = operators.VectorOps.clusterPlanes
+    def signature(v: Array[Double]): Long =
+      planes.indices.map { i =>
+        val s = v.indices.map(j => q(v(j)) * planes(i)(j)).sum
+        if (s > 0) 1L << i else 0L
+      }.sum
+    def bandsOf(sig: Long): Seq[(Int, Long)] =
+      (0 until operators.DedupOps.EmbClusterBands).map(j => j ->
+        ((sig >> (j * operators.DedupOps.EmbClusterBandBits)) &
+          ((1L << operators.DedupOps.EmbClusterBandBits) - 1)))
+    def cos4(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      for (j <- a.indices) { dot += a(j) * b(j); nx += a(j) * a(j); ny += b(j) * b(j) }
+      BigDecimal(dot / math.sqrt(nx * ny))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byId = emb.toMap
+    val cand = (for {
+      (id, v) <- emb.iterator
+      bd <- bandsOf(signature(v))
+    } yield bd -> id).toSeq.groupBy(_._1).values
+      .flatMap(g => g.map(_._2).sorted.combinations(2).map(p => (p(0), p(1))))
+      .toSet
+    val parent = scala.collection.mutable.Map(emb.map(e => e._1 -> e._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for ((a, b) <- cand if cos4(byId(a), byId(b)) >= operators.DedupOps.EmbClusterTau) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val label = emb.map { case (id, _) => id -> find(id) }.toMap
+    val size = label.values.groupBy(identity).map { case (l, g) => l -> g.size.toLong }
+    val expected = emb.map { case (id, _) =>
+      id -> ((label(id), size(label(id)), id == label(id)))
+    }.toMap
+    assert(got.size == emb.length, "one row per vector")
+    assert(got == expected,
+      s"diff: ${(got.toSet -- expected.toSet).take(5)} vs ${(expected.toSet -- got.toSet).take(5)}")
+    // the corpus actually exercises the path: non-singleton clusters
+    // exist, including a transitive (size ≥ 3) chain — the CC step is
+    // doing real work, not labeling singletons
+    assert(size.values.exists(_ >= 3L),
+      "sf0.001 must produce at least one transitive semantic cluster")
+  }
+
   test("agg_quantile_kll: sample quantiles within O(1/√k) of exact") {
     val rows = operators.Aggregates.queries("agg_quantile_kll")(spark, sf001)
       .collect()
