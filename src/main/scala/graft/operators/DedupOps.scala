@@ -732,8 +732,16 @@ object DedupOps {
     // recursive-CTE min-label walk.
     "dedup_embedding_cluster" -> ((s, d) => {
       graft.functions.CosineSimilarity.register(s)
-      val sig = VectorOps.signedProjected(s, d, VectorOps.clusterPlanes, "sig")
+      // materialize the (vec_id, sig) relation before the banded
+      // self-join: both join sides would otherwise re-evaluate the 32
+      // interpreted sign-bit folds per row. One row per corpus vector
+      // — the standard "signature table" step of any LSH pipeline,
+      // bounded at any scale. Plan-only paths stay lazy (the GraphOps
+      // audit discipline).
+      val sigRaw = VectorOps.signedProjected(s, d, VectorOps.clusterPlanes, "sig")
         .select(col("vec_id"), col("sig"))
+      val sig = if (GraphOps.planOnly(s)) sigRaw.cache()
+        else sigRaw.localCheckpoint(true)
       val bandCols = (0 until EmbClusterBands).map(j =>
         shiftright(col("sig"), j * EmbClusterBandBits)
           .bitwiseAND(lit((1L << EmbClusterBandBits) - 1)))

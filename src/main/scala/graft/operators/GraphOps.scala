@@ -1075,17 +1075,26 @@ object GraphOps {
     "graph_cc_incremental" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val or = Tables.orders(s, d)
-      def edgesOf(deltaSide: Boolean) = {
-        val keys = if (deltaSide) col("o_orderkey") % 10 === 0
-          else col("o_orderkey") % 10 =!= 0
-        li.join(or.filter(keys), col("l_orderkey") === col("o_orderkey"))
-          .select(col("o_custkey").as("src"),
-            (col("l_suppkey") + SupplierVertexOffset).as("dst"))
-          .distinct()
-      }
-      val baseLbl = connectedComponents(edgesOf(deltaSide = false),
+      // ONE flagged pass derives both edge sets (r8 follow-up): the
+      // base and delta sides previously each ran their own
+      // lineitem ⋈ orders join + distinct over the full fact table —
+      // the same scan twice. One join carrying the delta flag and one
+      // group-by with two bool_or's is the identical pair of DISTINCT
+      // edge sets (an edge can appear on both sides when base and
+      // delta orders both contribute it), latched once and filtered
+      // per side. At 100 TB this halves the dominant scan+shuffle of
+      // the refresh.
+      val flagged = latch(s, li
+        .join(or, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + SupplierVertexOffset).as("dst"),
+          (col("o_orderkey") % 10 === 0).as("dl"))
+        .groupBy(col("src"), col("dst"))
+        .agg(bool_or(!col("dl")).as("in_base"), bool_or(col("dl")).as("in_delta")))
+      val baseLbl = connectedComponents(
+        flagged.filter(col("in_base")).select(col("src"), col("dst")),
         numParts = graphParts(s, d)) // (v, lbl)
-      val deltaE = latch(s, edgesOf(deltaSide = true))
+      val deltaE = flagged.filter(col("in_delta")).select(col("src"), col("dst"))
       val labelEdges = deltaE
         .join(baseLbl.select(col("v").as("src"), col("lbl").as("ls")),
           Seq("src"), "left")

@@ -966,15 +966,27 @@ object VectorOps {
   private[operators] def signedProjected(
       s: SparkSession, d: String, ps: Array[Array[Int]],
       colName: String): DataFrame = {
+    // quantize ONCE per row: the DECIMAL(20,8) cast chain is the
+    // expensive half of the signature (higher-order exprs evaluate
+    // interpreted), and the naive form re-ran it inside every one of
+    // the k sign bits — 64·k casts per row where 64 suffice (measured
+    // r8: 14.2 → ~4 s on dedup_embedding_cluster's 32-bit signature).
+    // The k dot products then fold exact BIGINTs against the plane
+    // sign arrays.
     val bits = ps.indices.map { i =>
       when(expr(s"""aggregate(
-        |  zip_with(embedding, ${ps(i).mkString("array(", ", ", ")")},
-        |    (x, y) -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(20,8))
-        |                   * 100000000 AS BIGINT) * y),
+        |  zip_with(_q, ${ps(i).mkString("array(", ", ", ")")},
+        |    (x, y) -> x * y),
         |  CAST(0 AS BIGINT), (a, v) -> a + v)""".stripMargin) > 0,
         shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
-    Tables.embeddings(s, d).withColumn(colName, bits.reduce(_ + _))
+    Tables.embeddings(s, d)
+      .withColumn("_q", expr(
+        """transform(embedding, x ->
+          |  CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(20,8))
+          |       * 100000000 AS BIGINT))""".stripMargin))
+      .withColumn(colName, bits.reduce(_ + _))
+      .drop("_q")
   }
 
   /** embeddings with their 16-bit LSH `bucket` (the vec_ann_lsh
