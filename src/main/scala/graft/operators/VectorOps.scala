@@ -5,7 +5,7 @@ import graft.Stable._
 import graft.functions.CosineSimilarity
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** §2.11 similarity search over the embedding column.
@@ -739,6 +739,53 @@ object VectorOps {
         .orderBy(col("vec_id"))
     }),
 
+    // multi-probe LSH (Lv et al., VLDB 2007) — the serving-side
+    // recall knob the single-probe rung lacks: besides its own
+    // bucket, each query probes the buckets reached by flipping its
+    // [[LshProbeFlips]] LOWEST-MARGIN signature bits. The margin IS
+    // the exact integer plane dot product (planeDotted — |dot|
+    // measures distance to the separating hyperplane), so the bits
+    // most likely to differ on a true neighbor are flipped first and
+    // the whole probe schedule is deterministic and hash-oracled.
+    // via_probe records which probe found the winner (0 = own
+    // bucket). The 100 TB story: recall rises by probing T ≪ 2^bits
+    // buckets per query instead of widening buckets (which grows
+    // EVERY bucket's candidate set) — probe volume scales with the
+    // query count, not the corpus. A query vector's (a, b) candidate
+    // appears under at most ONE probe (b has one bucket; a's probes
+    // are distinct), so the join needs no dedup.
+    "vec_ann_lsh_multiprobe" -> ((s, d) => {
+      CosineSimilarity.register(s)
+      val dotted = planeDotted(s, d, planes, "dots")
+        .withColumn("bucket", bucketOfDots(planes, "dots"))
+      // probe list = own bucket, then the LshProbeFlips lowest-|dot|
+      // bit flips in (|dot|, plane) order — ties break on the plane
+      // index, mirrored in the oracle's ORDER BY abs(dot), p
+      val probes = dotted.select(col("vec_id").as("a"),
+          col("embedding").as("ea"),
+          posexplode(expr(
+          s"""concat(array(bucket),
+             |  transform(slice(transform(array_sort(
+             |      transform(dots, (x, i) -> struct(abs(x) AS m, i AS i))),
+             |    t -> t.i), 1, $LshProbeFlips),
+             |  f -> bucket ^ shiftleft(CAST(1 AS BIGINT), f)))""".stripMargin)))
+        .select(col("a"), col("ea"), col("pos").as("via_probe"),
+          col("col").as("probe"))
+      val corpus = lshBucketed(s, d)
+        .select(col("bucket").as("probe"), col("vec_id").as("b"),
+          col("embedding").as("eb"))
+      val w = Window.partitionBy(col("a")).orderBy(desc("cos"), asc("b"))
+      probes.join(corpus, Seq("probe"))
+        .filter(col("a") =!= col("b"))
+        .select(col("a"), col("via_probe"), col("b"),
+          round(cosine("ea", "eb"), 4).as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("a").as("vec_id"), col("b").as("nn_id"), col("cos"),
+          col("via_probe"))
+        .orderBy(col("vec_id"))
+    }),
+
     // second-moment (Gram) matrix of the embedding corpus — the
     // mergeable statistic behind PCA whitening, covariance drift
     // monitoring, and dimensionality audits of an embedding store.
@@ -949,6 +996,11 @@ object VectorOps {
 
   lazy val planes: Array[Array[Int]] = planesFor(200, 16)
 
+  /** vec_ann_lsh_multiprobe: extra buckets probed per query = the
+    * [[LshProbeFlips]] lowest-margin bit flips (shared with the
+    * oracle SQL) */
+  val LshProbeFlips = 2
+
   /** the dedup_embedding_cluster signature family: 32 planes = 4
     * bands × 8 bits (base 5000, disjoint from the 200-family) */
   lazy val clusterPlanes: Array[Array[Int]] = planesFor(5000, 32)
@@ -963,31 +1015,49 @@ object VectorOps {
     * higher-order exprs, cheaper to recompute on each side of a
     * self-join than to pin the bucketed corpus in storage memory for
     * the session (the round-1 per-call cache was never unpersisted). */
-  private[operators] def signedProjected(
+  /** embeddings with the exact integer plane dot products of family
+    * `ps` as an array<bigint> column — the shared basis of both the
+    * signature sign bits ([[signedProjected]]) and the multi-probe
+    * bit-flip margins (vec_ann_lsh_multiprobe: |dot| IS the distance
+    * to the plane, so the lowest-|dot| bits are the ones most likely
+    * flipped on a true neighbor). Quantization runs ONCE per row: the
+    * DECIMAL(20,8) cast chain is the expensive half (higher-order
+    * exprs evaluate interpreted), and the naive form re-ran it inside
+    * every one of the k folds — 64·k casts per row where 64 suffice
+    * (measured r8: 14.2 → ~4 s on dedup_embedding_cluster's 32-bit
+    * signature). */
+  private[operators] def planeDotted(
       s: SparkSession, d: String, ps: Array[Array[Int]],
       colName: String): DataFrame = {
-    // quantize ONCE per row: the DECIMAL(20,8) cast chain is the
-    // expensive half of the signature (higher-order exprs evaluate
-    // interpreted), and the naive form re-ran it inside every one of
-    // the k sign bits — 64·k casts per row where 64 suffice (measured
-    // r8: 14.2 → ~4 s on dedup_embedding_cluster's 32-bit signature).
-    // The k dot products then fold exact BIGINTs against the plane
-    // sign arrays.
-    val bits = ps.indices.map { i =>
-      when(expr(s"""aggregate(
+    val dots = ps.indices.map { i =>
+      expr(s"""aggregate(
         |  zip_with(_q, ${ps(i).mkString("array(", ", ", ")")},
         |    (x, y) -> x * y),
-        |  CAST(0 AS BIGINT), (a, v) -> a + v)""".stripMargin) > 0,
-        shiftleft(lit(1L), i)).otherwise(lit(0L))
+        |  CAST(0 AS BIGINT), (a, v) -> a + v)""".stripMargin)
     }
     Tables.embeddings(s, d)
       .withColumn("_q", expr(
         """transform(embedding, x ->
           |  CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(20,8))
           |       * 100000000 AS BIGINT))""".stripMargin))
-      .withColumn(colName, bits.reduce(_ + _))
+      .withColumn(colName, array(dots: _*))
       .drop("_q")
   }
+
+  /** the k-bit signature from [[planeDotted]]'s sign bits */
+  private[operators] def bucketOfDots(
+      ps: Array[Array[Int]], dotsCol: String): Column =
+    ps.indices.map { i =>
+      when(element_at(col(dotsCol), i + 1) > 0, shiftleft(lit(1L), i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private[operators] def signedProjected(
+      s: SparkSession, d: String, ps: Array[Array[Int]],
+      colName: String): DataFrame =
+    planeDotted(s, d, ps, "_dots")
+      .withColumn(colName, bucketOfDots(ps, "_dots"))
+      .drop("_dots")
 
   /** embeddings with their 16-bit LSH `bucket` (the vec_ann_lsh
     * single-probe basis, 200-family planes) */
@@ -1697,6 +1767,50 @@ object VectorOps {
          |  SELECT *, row_number() OVER (PARTITION BY a
          |    ORDER BY cos DESC, b ASC) AS rn FROM scored) t
          |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // the raw dot products replay per (vec, plane) (dt — the same
+    // arithmetic signatureCtesSql folds into sign bits), the probe
+    // schedule via the identical (abs(dot), p) margin rank, and the
+    // flipped buckets via xor
+    "vec_ann_lsh_multiprobe" -> {
+      val rows = planes.indices.flatMap(i => (0 until 64).map(j =>
+        s"($i, $j, ${planes(i)(j)})")).mkString(", ")
+      s"""WITH pl(p, j, s) AS (VALUES $rows),
+         |dims AS (
+         |  SELECT vec_id, j.j AS j,
+         |    CAST(CAST(CAST(embedding[j.j + 1] AS DOUBLE) AS DECIMAL(20,8))
+         |         * 100000000 AS BIGINT) AS d
+         |  FROM embeddings CROSS JOIN (SELECT range AS j FROM range(64)) j),
+         |dt AS (SELECT d.vec_id, pl.p, sum(d.d * pl.s) AS dot
+         |       FROM dims d JOIN pl ON pl.j = d.j GROUP BY 1, 2),
+         |bk AS (SELECT vec_id,
+         |         CAST(sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << p
+         |           ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+         |       FROM dt GROUP BY 1),
+         |mr AS (SELECT vec_id, p, row_number() OVER (
+         |         PARTITION BY vec_id ORDER BY abs(dot), p) AS rk
+         |       FROM dt),
+         |probes AS (
+         |  SELECT vec_id AS a, CAST(0 AS INT) AS via_probe, bucket AS probe
+         |  FROM bk
+         |  UNION ALL
+         |  SELECT mr.vec_id, CAST(mr.rk AS INT),
+         |    xor(bk.bucket, CAST(1 AS BIGINT) << mr.p)
+         |  FROM mr JOIN bk ON bk.vec_id = mr.vec_id
+         |  WHERE mr.rk <= $LshProbeFlips),
+         |scored AS (
+         |  SELECT pr.a, pr.via_probe, c.vec_id AS b,
+         |    round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+         |      CAST(eb.embedding AS DOUBLE[])), 4) AS cos
+         |  FROM probes pr
+         |  JOIN bk c ON c.bucket = pr.probe AND c.vec_id <> pr.a
+         |  JOIN embeddings ea ON ea.vec_id = pr.a
+         |  JOIN embeddings eb ON eb.vec_id = c.vec_id)
+         |SELECT a AS vec_id, b AS nn_id, cos, via_probe FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY a
+         |    ORDER BY cos DESC, b ASC) AS rn FROM scored) t
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+    },
 
     "vec_rp_project_audit" ->
       s"""WITH q AS (

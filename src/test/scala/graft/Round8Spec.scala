@@ -255,6 +255,32 @@ class Round8Spec extends SparkTestBase {
       "sf0.001 must produce at least one transitive semantic cluster")
   }
 
+  test("vec_ann_lsh_multiprobe dominates single-probe LSH") {
+    // the recall-knob contract: multiprobe searches a SUPERSET of the
+    // single-probe candidates (own bucket ⊂ probe set), so per vector
+    // the best-found cosine can only improve — and on this corpus at
+    // least one vector must strictly improve (the probes do work) and
+    // at least one winner must arrive via a flipped bucket
+    val single = operators.VectorOps.queries("vec_ann_lsh")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val multi = operators.VectorOps.queries("vec_ann_lsh_multiprobe")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(2), r.getInt(3)))).toMap
+    assert(single.keySet.subsetOf(multi.keySet),
+      "every single-probe vector must still find a neighbor")
+    for ((v, cs) <- single) {
+      assert(multi(v)._1 >= cs, s"vec $v: multiprobe ${multi(v)._1} < single $cs")
+    }
+    // at sf0.001 the recall gain is COVERAGE: the corpus occupies
+    // ~500 of 2^16 buckets, so most vectors are alone in theirs and
+    // single-probe finds nothing — probing the two nearest flipped
+    // buckets must recover some of them (measured: 4 → 16 covered)
+    assert(multi.size > single.size,
+      s"multiprobe must cover more vectors (single ${single.size}, " +
+        s"multi ${multi.size})")
+    assert(multi.exists { case (v, (_, p)) => !single.contains(v) && p > 0 },
+      "newly covered vectors must arrive via a flipped bucket")
+  }
+
   test("agg_quantile_kll: sample quantiles within O(1/√k) of exact") {
     val rows = operators.Aggregates.queries("agg_quantile_kll")(spark, sf001)
       .collect()
