@@ -845,6 +845,18 @@ class PlanAuditSpec extends SparkTestBase {
         s"broadcast of ${operators.GraphOps.BwSeeds} rows):\n$p")
   }
 
+  test("dedup_embedding_cluster / vec_ann_lsh_multiprobe: band/probe joins equi-keyed, no cartesian") {
+    // the two r8 embedding operators must block on equi-keys (band
+    // value / probe bucket) — the property that keeps candidate
+    // volume bucket-bounded instead of all-pairs at corpus scale
+    for (q <- Seq("dedup_embedding_cluster", "vec_ann_lsh_multiprobe")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: candidate generation must be an equi-join:\n$p")
+    }
+  }
+
   test("graph_effective_diameter: register merge is a partial (map-side) aggregate") {
     // HyperBall's 100 TB property: the round shuffle carries
     // PARTIALLY max-merged registers (∝ V·m), not one register row
