@@ -41,7 +41,13 @@ object ExplainAudit {
       // the nprobe curve's probe-bounded joins, seed-pair betweenness
       "join_range_native", "ts_mann_kendall", "win_rank_variants",
       "pipeline_mixture_schedule", "vec_ann_recall_vs_probes",
-      "graph_betweenness_seeds")
+      "graph_betweenness_seeds",
+      // round-8 shapes: broadcast label remap, broadcast pair table
+      // before the contribution join, partial register max-merge,
+      // band-bounded candidate equi-joins, probe-bucket equi-join
+      "graph_cc_incremental", "graph_betweenness_sampled",
+      "graph_effective_diameter", "dedup_embedding_cluster",
+      "vec_ann_lsh_multiprobe")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

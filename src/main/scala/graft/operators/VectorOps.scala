@@ -762,13 +762,7 @@ object VectorOps {
       // bit flips in (|dot|, plane) order — ties break on the plane
       // index, mirrored in the oracle's ORDER BY abs(dot), p
       val probes = dotted.select(col("vec_id").as("a"),
-          col("embedding").as("ea"),
-          posexplode(expr(
-          s"""concat(array(bucket),
-             |  transform(slice(transform(array_sort(
-             |      transform(dots, (x, i) -> struct(abs(x) AS m, i AS i))),
-             |    t -> t.i), 1, $LshProbeFlips),
-             |  f -> bucket ^ shiftleft(CAST(1 AS BIGINT), f)))""".stripMargin)))
+          col("embedding").as("ea"), posexplode(expr(multiProbeSchedule)))
         .select(col("a"), col("ea"), col("pos").as("via_probe"),
           col("col").as("probe"))
       val corpus = lshBucketed(s, d)
@@ -784,6 +778,65 @@ object VectorOps {
         .select(col("a").as("vec_id"), col("b").as("nn_id"), col("cos"),
           col("via_probe"))
         .orderBy(col("vec_id"))
+    }),
+
+    // recall@1 as a function of the probe count — the LSH twin of
+    // vec_ann_recall_vs_probes (IVF): for the bounded probe set
+    // (vec_id < 100), compare the multi-probe winner at nprobe ∈
+    // {1 = own bucket, 2, 3} against the exact brute-force nearest
+    // neighbor. This is the number that PRICES the LshProbeFlips
+    // knob: recall and candidate volume per probe level, so an
+    // operator raises probes exactly until the recall target is met.
+    // Truth side is probe-bounded (|probes| × corpus, the
+    // vec_cosine_topk baseline shape) — never all-pairs.
+    "vec_ann_multiprobe_recall_curve" -> ((s, d) => {
+      CosineSimilarity.register(s)
+      val dotted = planeDotted(s, d, planes, "dots")
+        .withColumn("bucket", bucketOfDots(planes, "dots"))
+      val pb = dotted.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("p"), col("embedding").as("pe"),
+          posexplode(expr(multiProbeSchedule)))
+        .select(col("p"), col("pe"), (col("pos") + 1).as("rk"),
+          col("col").as("probe"))
+      val corpus = dotted.select(col("bucket").as("probe"),
+        col("vec_id").as("b"), col("embedding").as("be"))
+      val cand = pb.join(corpus, Seq("probe"))
+        .filter(col("p") =!= col("b"))
+        .select(col("p"), col("b"), col("rk"),
+          round(cosine("pe", "be"), 4).as("cos"))
+      val e = Tables.embeddings(s, d)
+      val probes = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("p"), col("embedding").as("pe"))
+      val truth = probes
+        .join(e.select(col("vec_id").as("b"), col("embedding").as("be")),
+          col("p") =!= col("b"))
+        .select(col("p"),
+          struct(round(cosine("pe", "be"), 4).as("cos"),
+            (-col("b")).as("negb")).as("sc"))
+        .groupBy(col("p")).agg(max(col("sc")).as("best"))
+        .select(col("p"), (-col("best.negb")).as("t_nn"))
+      val np = probes.agg(count(lit(1)).as("n_probes"))
+      val wP = Window.partitionBy(col("nprobe"), col("p"))
+        .orderBy(desc("cos"), asc("b"))
+      val curve = cand
+        .select(col("p"), col("b"), col("rk"), col("cos"),
+          explode(expr("array(1, 2, 3)")).as("nprobe"))
+        .filter(col("rk") <= col("nprobe"))
+      val hits = curve
+        .withColumn("rn", row_number().over(wP)).filter(col("rn") === 1)
+        .join(truth, Seq("p"))
+        .groupBy(col("nprobe"))
+        .agg(sum(when(col("b") === col("t_nn"), 1L).otherwise(0L))
+          .as("n_hits"))
+      val vol = curve.groupBy(col("nprobe"))
+        .agg(count(lit(1)).as("n_candidates"))
+      hits.join(vol, Seq("nprobe")).crossJoin(broadcast(np))
+        .select(col("nprobe"), col("n_probes"), col("n_candidates"),
+          r4(col("n_hits").cast(DoubleType) / col("n_probes"))
+            .as("recall_at_1"),
+          r4(col("n_candidates").cast(DoubleType) / col("n_probes"))
+            .as("mean_candidates"))
+        .orderBy(col("nprobe"))
     }),
 
     // second-moment (Gram) matrix of the embedding corpus — the
@@ -1000,6 +1053,18 @@ object VectorOps {
     * [[LshProbeFlips]] lowest-margin bit flips (shared with the
     * oracle SQL) */
   val LshProbeFlips = 2
+
+  /** the multi-probe schedule as a SQL expression over (bucket, dots):
+    * own bucket first, then the [[LshProbeFlips]] lowest-|dot| bit
+    * flips in (|dot|, plane) order — ties break on the plane index,
+    * mirrored in the oracle's ORDER BY abs(dot), p. Shared by
+    * vec_ann_lsh_multiprobe and its recall curve. */
+  private def multiProbeSchedule: String =
+    s"""concat(array(bucket),
+       |  transform(slice(transform(array_sort(
+       |      transform(dots, (x, i) -> struct(abs(x) AS m, i AS i))),
+       |    t -> t.i), 1, $LshProbeFlips),
+       |  f -> bucket ^ shiftleft(CAST(1 AS BIGINT), f)))""".stripMargin
 
   /** the dedup_embedding_cluster signature family: 32 planes = 4
     * bands × 8 bits (base 5000, disjoint from the 200-family) */
@@ -1810,6 +1875,78 @@ object VectorOps {
          |  SELECT *, row_number() OVER (PARTITION BY a
          |    ORDER BY cos DESC, b ASC) AS rn FROM scored) t
          |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+    },
+
+    // same dot/margin/xor replay as vec_ann_lsh_multiprobe, plus the
+    // vec_ann_recall_vs_probes curve scaffolding (brute-force truth
+    // over the bounded probe set, per-nprobe top-1 vs t_nn)
+    "vec_ann_multiprobe_recall_curve" -> {
+      val rows = planes.indices.flatMap(i => (0 until 64).map(j =>
+        s"($i, $j, ${planes(i)(j)})")).mkString(", ")
+      s"""WITH pl(p2, j, s) AS (VALUES $rows),
+         |dims AS (
+         |  SELECT vec_id, j.j AS j,
+         |    CAST(CAST(CAST(embedding[j.j + 1] AS DOUBLE) AS DECIMAL(20,8))
+         |         * 100000000 AS BIGINT) AS d
+         |  FROM embeddings CROSS JOIN (SELECT range AS j FROM range(64)) j),
+         |dt AS (SELECT d.vec_id, pl.p2, sum(d.d * pl.s) AS dot
+         |       FROM dims d JOIN pl ON pl.j = d.j GROUP BY 1, 2),
+         |bk AS (SELECT vec_id,
+         |         CAST(sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << p2
+         |           ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+         |       FROM dt GROUP BY 1),
+         |mr AS (SELECT vec_id, p2, row_number() OVER (
+         |         PARTITION BY vec_id ORDER BY abs(dot), p2) AS mrk
+         |       FROM dt),
+         |pb AS (
+         |  SELECT vec_id AS p, CAST(1 AS INT) AS rk, bucket AS probe
+         |  FROM bk WHERE vec_id < 100
+         |  UNION ALL
+         |  SELECT mr.vec_id, CAST(mr.mrk + 1 AS INT),
+         |    xor(bk.bucket, CAST(1 AS BIGINT) << mr.p2)
+         |  FROM mr JOIN bk ON bk.vec_id = mr.vec_id
+         |  WHERE mr.mrk <= $LshProbeFlips AND mr.vec_id < 100),
+         |cand AS (
+         |  SELECT pb.p, c.vec_id AS b, pb.rk,
+         |    round(list_cosine_similarity(CAST(pe.embedding AS DOUBLE[]),
+         |      CAST(be.embedding AS DOUBLE[])), 4) AS cos
+         |  FROM pb
+         |  JOIN bk c ON c.bucket = pb.probe AND c.vec_id <> pb.p
+         |  JOIN embeddings pe ON pe.vec_id = pb.p
+         |  JOIN embeddings be ON be.vec_id = c.vec_id),
+         |probes AS (SELECT vec_id AS p, embedding AS pe FROM embeddings
+         |           WHERE vec_id < 100),
+         |truth AS (
+         |  SELECT p, b AS t_nn FROM (
+         |    SELECT pr.p, e.vec_id AS b,
+         |      row_number() OVER (PARTITION BY pr.p ORDER BY
+         |        round(list_cosine_similarity(CAST(pr.pe AS DOUBLE[]),
+         |          CAST(e.embedding AS DOUBLE[])), 4) DESC, e.vec_id ASC)
+         |        AS rn
+         |    FROM probes pr JOIN embeddings e ON pr.p <> e.vec_id) t
+         |  WHERE rn = 1),
+         |np AS (SELECT count(*) AS n_probes FROM probes),
+         |curve AS (
+         |  SELECT c.p, c.b, c.cos, q.nprobe
+         |  FROM cand c CROSS JOIN (SELECT unnest([1, 2, 3]) AS nprobe) q
+         |  WHERE c.rk <= q.nprobe),
+         |hits AS (
+         |  SELECT nprobe,
+         |    CAST(SUM(CASE WHEN b = t_nn THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_hits
+         |  FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY nprobe, p
+         |      ORDER BY cos DESC, b ASC) AS rn
+         |    FROM curve) t JOIN truth USING (p)
+         |  WHERE rn = 1 GROUP BY 1),
+         |vol AS (SELECT nprobe, count(*) AS n_candidates FROM curve
+         |        GROUP BY 1)
+         |SELECT h.nprobe, np.n_probes, v.n_candidates,
+         |  round(CAST(h.n_hits AS DOUBLE) / np.n_probes, 4) AS recall_at_1,
+         |  round(CAST(v.n_candidates AS DOUBLE) / np.n_probes, 4)
+         |    AS mean_candidates
+         |FROM hits h JOIN vol v USING (nprobe) CROSS JOIN np
+         |ORDER BY nprobe""".stripMargin
     },
 
     "vec_rp_project_audit" ->

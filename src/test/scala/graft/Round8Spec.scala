@@ -281,6 +281,27 @@ class Round8Spec extends SparkTestBase {
       "newly covered vectors must arrive via a flipped bucket")
   }
 
+  test("vec_ann_multiprobe_recall_curve: monotone in the probe budget") {
+    // the curve's contract: raising nprobe only ADDS candidates (rk ≤
+    // nprobe is a widening filter), so candidate volume and recall@1
+    // are nondecreasing, and every present level is internally sane
+    val rows = operators.VectorOps
+      .queries("vec_ann_multiprobe_recall_curve")(spark, sf001)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty, "some probe level must produce candidates")
+    for (w <- rows.sliding(2) if w.length == 2) {
+      val (a, b) = (w(0), w(1))
+      assert(b._3 >= a._3, s"candidates must be nondecreasing: $a -> $b")
+      assert(b._4 >= a._4, s"recall@1 must be nondecreasing: $a -> $b")
+    }
+    rows.foreach { r =>
+      assert(r._2 == 100L, s"probe set is vec_id < 100: $r")
+      assert(r._4 >= 0.0 && r._4 <= 1.0, s"recall out of range: $r")
+    }
+  }
+
   test("agg_quantile_kll: sample quantiles within O(1/√k) of exact") {
     val rows = operators.Aggregates.queries("agg_quantile_kll")(spark, sf001)
       .collect()
