@@ -281,6 +281,35 @@ class Round8Spec extends SparkTestBase {
       "newly covered vectors must arrive via a flipped bucket")
   }
 
+  test("dedup_embedding_cluster: planted near-dups cluster, orthogonal vectors stay singleton") {
+    // the production-threshold story on a controlled corpus: two
+    // near-identical vectors (cos ≈ 1 ≫ τ — identical sign bits, so
+    // EVERY band collides and banding recall is exact), one shifted
+    // copy still above τ (transitive chain), and one orthogonal
+    // vector (cos ≈ 0 < τ — must stay singleton even when a band
+    // happens to collide, pinning that the cosine VERIFY gate, not
+    // the banding, decides membership)
+    import spark.implicits._
+    val dir = tempDir()
+    val base = Array.tabulate(64)(j => math.sin(j * 1.7).toFloat)
+    val nudge = base.zipWithIndex.map { case (x, j) =>
+      x + (if (j % 7 == 0) 0.01f else -0.005f) }
+    val nudge2 = base.zipWithIndex.map { case (x, j) =>
+      x + (if (j % 5 == 0) -0.012f else 0.004f) }
+    val ortho = Array.tabulate(64)(j => math.cos(j * 1.7).toFloat)
+    writeFixture(dir, "embeddings", Seq(
+      (1L, base.toSeq, "A"), (2L, nudge.toSeq, "A"),
+      (3L, nudge2.toSeq, "A"), (4L, ortho.toSeq, "B"))
+      .toDF("vec_id", "embedding", "label"))
+    val got = operators.DedupOps.queries("dedup_embedding_cluster")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(got == Map(
+      1L -> ((1L, 3L, true)), 2L -> ((1L, 3L, false)), 3L -> ((1L, 3L, false)),
+      4L -> ((4L, 1L, true))), s"got $got")
+  }
+
   test("vec_ann_multiprobe_recall_curve: monotone in the probe budget") {
     // the curve's contract: raising nprobe only ADDS candidates (rk ≤
     // nprobe is a widening filter), so candidate volume and recall@1
