@@ -613,6 +613,13 @@ object GraphOps {
     * any graph scale. Shared with the oracle SQL. */
   val HbSeedMod = 16
 
+  /** error-audit sub-sample modulus (graph_hyperball_error_audit):
+    * the EXACT balls are recomputed only at md5₆₀('hb|'‖v) ≡ 0
+    * (mod 64) — a subset of the readout seeds (16 | 64), small enough
+    * that the exact BFS stays a bounded audit cost at any scale.
+    * Shared with the oracle SQL. */
+  val HbAuditMod = 64
+
   /** HLL estimate for an m=[[HbM]] register array column — the
     * Aggregates.hllEstimate formula parameterized to the HyperBall
     * register count (exact DECIMAL(38,0) register sum, ONE double
@@ -1494,6 +1501,65 @@ object GraphOps {
         .select(col("h"), col("n_seeds"),
           Stable.r4(col("nfd").cast(DoubleType)).as("nf_approx"),
           col("nf_share"), col("eff_diameter"))
+        .orderBy(col("h"))
+    }),
+
+    // HyperBall accuracy audit — closes the sketch-quality loop for
+    // the neighborhood function exactly as vec_ivf_recall_audit
+    // closed IVF's: on the md5-sampled AUDIT seeds (mod 64 — a subset
+    // of the mod-16 readout seeds, so the audit measures the very
+    // registers the effective diameter reads), compare the HLL ball
+    // estimate against the EXACT ball size from a seed-bounded BFS,
+    // per round h = 0..horizon. Output: (h, n_seeds, nf_exact,
+    // nf_approx, rel_err). The exact side is ∝ audit_seeds × reached
+    // — a declared, bounded audit cost, NOT the Θ(V²) census (raise
+    // the modulus as the graph grows); the sketch side is the same
+    // V·m register propagation the production query runs. The
+    // documented m=64 operating point predicts ~13% relative error —
+    // this query is the number that tells an operator whether to
+    // spend more registers.
+    "graph_hyperball_error_audit" -> ((s, d) => {
+      val sym = symEdges(s, d)
+      val hll = udaf(new graft.functions.HllAgg(HbM, HbSeedIdx))
+      val regMerge = udaf(new graft.functions.HllMergeAgg(HbM))
+      val verts = sym.select(col("src").as("v")).distinct()
+      val isAudit = expr(s"${graft.functions.Md5Hash.sparkHash60(
+        "concat('hb|', cast(v as string))")} % $HbAuditMod = 0")
+      var regs = latch(s, verts.groupBy(col("v"))
+        .agg(hll(col("v").cast("string")).as("reg")))
+      var dist = verts.filter(isAudit)
+        .select(col("v").as("seed"), col("v"), lit(0L).as("dd"))
+      var sk = regs.filter(isAudit)
+        .select(lit(0L).as("h"), hbEstimate("reg").as("est"))
+      var ex = dist.select(lit(0L).as("h"), col("seed"), col("v"))
+      for (h <- 1 to HbRounds) {
+        val prop = sym
+          .join(regs.select(col("v").as("src"), col("reg")), Seq("src"))
+          .select(col("dst").as("v"), col("reg"))
+        regs = latch(s, regs.unionByName(prop)
+          .groupBy(col("v")).agg(regMerge(col("reg")).as("reg")))
+        sk = sk.unionByName(regs.filter(isAudit)
+          .select(lit(h.toLong).as("h"), hbEstimate("reg").as("est")))
+        val nd = sym
+          .join(dist.select(col("seed"), col("v").as("src"), col("dd")),
+            Seq("src"))
+          .select(col("seed"), col("dst").as("v"), (col("dd") + 1L).as("dd"))
+        dist = latch(s, dist.unionByName(nd)
+          .groupBy(col("seed"), col("v")).agg(min(col("dd")).as("dd")))
+        ex = ex.unionByName(dist
+          .select(lit(h.toLong).as("h"), col("seed"), col("v")))
+      }
+      val exact = ex.groupBy(col("h")).agg(count(lit(1)).as("nf_exact"))
+      val nf = sk
+        .select(col("h"), expr("CAST(round(est, 4) AS DECIMAL(18,4))").as("e"))
+        .groupBy(col("h"))
+        .agg(count(lit(1)).as("n_seeds"), sum(col("e")).as("nfa"))
+      nf.join(exact, Seq("h"))
+        .select(col("h"), col("n_seeds"), col("nf_exact"),
+          Stable.r4(col("nfa").cast(DoubleType)).as("nf_approx"),
+          Stable.r4(abs(col("nfa").cast(DoubleType)
+              - col("nf_exact").cast(DoubleType))
+            / col("nf_exact").cast(DoubleType)).as("rel_err"))
         .orderBy(col("h"))
     }),
 
@@ -3056,6 +3122,65 @@ object GraphOps {
          |  nf_share,
          |  (SELECT min(h) FROM sh WHERE nf_share >= 0.9) AS eff_diameter
          |FROM sh ORDER BY h""".stripMargin
+    },
+
+    // the effective-diameter oracle's register-rebuild machinery at
+    // the audit modulus, plus the exact per-h ball counts straight
+    // from the bounded recursive walk
+    "graph_hyperball_error_audit" -> {
+      import graft.functions.Md5Hash
+      val pa = Md5Hash.permA(HbSeedIdx).toString
+      val pb = Md5Hash.permB(HbSeedIdx).toString
+      val rankCase = (0 until hbWindow)
+        .map(i => s"WHEN w >= ${1L << (hbWindow - 1 - i)} THEN ${i + 1}")
+        .mkString("CASE ", " ", s" ELSE ${hbWindow + 1} END")
+      val maxRank = hbWindow + 1
+      val estSql =
+        s"""round(CASE WHEN $hbNumerator / CAST(s AS DOUBLE) <= ${2.5 * HbM}
+           |    AND zeros > 0
+           |  THEN ${HbM.toDouble} * ln(${HbM.toDouble} / zeros)
+           |  ELSE $hbNumerator / CAST(s AS DOUBLE) END, 4)""".stripMargin
+      s"""WITH RECURSIVE ed AS ($edgesSql),
+         |sym AS (SELECT src AS a, dst AS b FROM ed
+         |        UNION SELECT dst, src FROM ed),
+         |verts AS (SELECT DISTINCT a AS v FROM sym),
+         |seeds AS (SELECT v FROM verts
+         |  WHERE ${Md5Hash.duckHash60("'hb|' || CAST(v AS VARCHAR)")}
+         |    % $HbAuditMod = 0),
+         |walk(seed, v, dd) AS (
+         |  SELECT v, v, CAST(0 AS BIGINT) FROM seeds
+         |  UNION
+         |  SELECT walk.seed, sym.b, walk.dd + 1
+         |  FROM sym JOIN walk ON sym.a = walk.v WHERE walk.dd < $HbRounds),
+         |ball AS (SELECT seed, v, min(dd) AS dist FROM walk GROUP BY 1, 2),
+         |mem AS (SELECT hs.h, b.seed, b.v FROM ball b
+         |        JOIN (SELECT range AS h FROM range(${HbRounds + 1})) hs
+         |          ON b.dist <= hs.h),
+         |exact AS (SELECT h, count(*) AS nf_exact FROM mem GROUP BY 1),
+         |hv AS (SELECT h, seed, ${Md5Hash.duckPerm(pa, pb,
+                Md5Hash.duckHash60("CAST(v AS VARCHAR)"))} AS ph FROM mem),
+         |rk AS (SELECT h, seed, CAST(ph & ${HbM - 1} AS INT) AS rb,
+         |         $rankCase AS r
+         |       FROM (SELECT h, seed, ph, ph >> $hbIdxBits AS w FROM hv) t),
+         |mx AS (SELECT h, seed, rb, max(r) AS m FROM rk GROUP BY 1, 2, 3),
+         |grid AS (SELECT DISTINCT h, seed FROM mem),
+         |regs AS (SELECT grid.h, grid.seed, gs.rb, coalesce(mx.m, 0) AS m
+         |         FROM grid CROSS JOIN (SELECT range AS rb FROM range($HbM)) gs
+         |         LEFT JOIN mx ON mx.h = grid.h AND mx.seed = grid.seed
+         |           AND mx.rb = gs.rb),
+         |st AS (SELECT h, seed,
+         |         sum(CAST(1 AS BIGINT) << ($maxRank - CAST(m AS INT))) AS s,
+         |         count(*) FILTER (m = 0) AS zeros
+         |       FROM regs GROUP BY 1, 2),
+         |est AS (SELECT h, seed, $estSql AS e FROM st),
+         |nf AS (SELECT h, count(*) AS n_seeds,
+         |         SUM(CAST(round(e, 4) AS DECIMAL(18,4))) AS nfa
+         |       FROM est GROUP BY h)
+         |SELECT nf.h, nf.n_seeds, exact.nf_exact,
+         |  round(CAST(nfa AS DOUBLE), 4) AS nf_approx,
+         |  round(abs(CAST(nfa AS DOUBLE) - CAST(nf_exact AS DOUBLE))
+         |    / CAST(nf_exact AS DOUBLE), 4) AS rel_err
+         |FROM nf JOIN exact USING (h) ORDER BY nf.h""".stripMargin
     },
 
     // the betweenness multiplicity-walk oracle with md5-rank-sampled

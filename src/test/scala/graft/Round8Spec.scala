@@ -331,6 +331,25 @@ class Round8Spec extends SparkTestBase {
     }
   }
 
+  test("graph_hyperball_error_audit: sketch error within the m=64 operating point") {
+    // the audit's own sanity at sf0.001: radius-0 balls are the seeds
+    // themselves (nf_exact(0) = n_seeds), exact mass is monotone in h,
+    // and every round's relative error stays far inside the ~13%
+    // m=64 design point (≤ 30% leaves ~2σ of slack on 3 seeds)
+    val rows = operators.GraphOps.queries("graph_hyperball_error_audit")(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0L to operators.GraphOps.HbRounds.toLong),
+      s"one row per round: ${rows.mkString(";")}")
+    assert(rows.head._3 == rows.head._2, "radius-0 ball mass = seed count")
+    for (w <- rows.sliding(2) if w.length == 2)
+      assert(w(1)._3 >= w(0)._3, s"exact mass must be monotone: ${w.toSeq}")
+    rows.foreach { r =>
+      assert(r._4 <= 0.30, s"relative error beyond the design point: $r")
+    }
+  }
+
   test("agg_quantile_kll: sample quantiles within O(1/√k) of exact") {
     val rows = operators.Aggregates.queries("agg_quantile_kll")(spark, sf001)
       .collect()
