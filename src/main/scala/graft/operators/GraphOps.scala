@@ -74,6 +74,7 @@ object GraphOps {
     case ds: org.apache.spark.sql.Dataset[_] =>
       try ds.unpersist()
       catch { case scala.util.control.NonFatal(_) => () }
+    case seq: Seq[_] => seq.foreach(unpersistQuietly) // multi-round memos
     case _ => ()
   }
 
@@ -99,6 +100,7 @@ object GraphOps {
       walkCache, triRelCache, triAdjCache, seedDistCache, seedPathCache,
       ccCache).foreach(evict(_, s))
     evict(triCache, s)
+    evict(hbRegsCache, s)
   }
 
   /** supplier-vertex offset: must exceed the max customer key at ANY
@@ -642,6 +644,39 @@ object GraphOps {
   private def hbWindow = 63 - hbIdxBits
   private def hbNumerator: Double =
     0.7213 / (1.0 + 1.079 / HbM) * HbM * HbM * math.pow(2.0, hbWindow + 1)
+
+  private val hbRegsCache = scala.collection.concurrent
+    .TrieMap.empty[(SparkSession, String), Seq[DataFrame]]
+
+  /** the per-round HyperBall register relations for h = 0..HbRounds,
+    * each latched, memoized per (session, dir) — the effective
+    * diameter and the error audit consume the IDENTICAL register
+    * propagation (VERDICT memo discipline: materialize once, consume
+    * many; measured r8: the audit re-ran the full V·m propagation for
+    * ~6 s of its 11.8 s at sf0.1 before sharing) */
+  private def hbRegRounds(s: SparkSession, d: String): Seq[DataFrame] =
+    memo(hbRegsCache, (s, d)) { // memo(): build counter + dead-session GC
+      val sym = symEdges(s, d)
+      val hll = udaf(new graft.functions.HllAgg(HbM, HbSeedIdx))
+      val regMerge = udaf(new graft.functions.HllMergeAgg(HbM))
+      val verts = sym.select(col("src").as("v")).distinct()
+      // singleton-ball registers {v}, built by the SAME aggregator the
+      // estimate family uses so the md5→bucket→rank arithmetic exists
+      // in exactly one place
+      var regs = latch(s, verts.groupBy(col("v"))
+        .agg(hll(col("v").cast("string")).as("reg")))
+      val rounds = Seq.newBuilder[DataFrame]
+      rounds += regs
+      for (_ <- 1 to HbRounds) {
+        val prop = sym
+          .join(regs.select(col("v").as("src"), col("reg")), Seq("src"))
+          .select(col("dst").as("v"), col("reg"))
+        regs = latch(s, regs.unionByName(prop)
+          .groupBy(col("v")).agg(regMerge(col("reg")).as("reg")))
+        rounds += regs
+      }
+      rounds.result()
+    }
 
   /** connected-component labels, memoized per (session, dir) — both
     * graph_connected_components and graph_component_size_dist consume
@@ -1460,29 +1495,13 @@ object GraphOps {
     // round latches (localCheckpoint) because round h is referenced
     // by both round h+1 and its own readout.
     "graph_effective_diameter" -> ((s, d) => {
-      val sym = symEdges(s, d)
-      val hll = udaf(new graft.functions.HllAgg(HbM, HbSeedIdx))
-      val regMerge = udaf(new graft.functions.HllMergeAgg(HbM))
-      val verts = sym.select(col("src").as("v")).distinct()
-      // singleton-ball registers {v}, built by the SAME aggregator the
-      // estimate family uses so the md5→bucket→rank arithmetic exists
-      // in exactly one place
-      var regs = latch(s, verts.groupBy(col("v"))
-        .agg(hll(col("v").cast("string")).as("reg")))
+      val rounds = hbRegRounds(s, d)
       val isSeed = expr(s"${graft.functions.Md5Hash.sparkHash60(
         "concat('hb|', cast(v as string))")} % $HbSeedMod = 0")
-      def readout(h: Int, r: DataFrame): DataFrame =
+      val outs = rounds.zipWithIndex.map { case (r, h) =>
         r.filter(isSeed)
           .select(lit(h.toLong).as("h"), hbEstimate("reg").as("est"))
-      var outs = readout(0, regs)
-      for (h <- 1 to HbRounds) {
-        val prop = sym
-          .join(regs.select(col("v").as("src"), col("reg")), Seq("src"))
-          .select(col("dst").as("v"), col("reg"))
-        regs = latch(s, regs.unionByName(prop)
-          .groupBy(col("v")).agg(regMerge(col("reg")).as("reg")))
-        outs = outs.unionByName(readout(h, regs))
-      }
+      }.reduce(_ unionByName _)
       val nf = outs
         .select(col("h"), expr("CAST(round(est, 4) AS DECIMAL(18,4))").as("e"))
         .groupBy(col("h"))
@@ -1520,26 +1539,18 @@ object GraphOps {
     // spend more registers.
     "graph_hyperball_error_audit" -> ((s, d) => {
       val sym = symEdges(s, d)
-      val hll = udaf(new graft.functions.HllAgg(HbM, HbSeedIdx))
-      val regMerge = udaf(new graft.functions.HllMergeAgg(HbM))
+      val rounds = hbRegRounds(s, d) // shared with graph_effective_diameter
       val verts = sym.select(col("src").as("v")).distinct()
       val isAudit = expr(s"${graft.functions.Md5Hash.sparkHash60(
         "concat('hb|', cast(v as string))")} % $HbAuditMod = 0")
-      var regs = latch(s, verts.groupBy(col("v"))
-        .agg(hll(col("v").cast("string")).as("reg")))
+      val sk = rounds.zipWithIndex.map { case (r, h) =>
+        r.filter(isAudit)
+          .select(lit(h.toLong).as("h"), hbEstimate("reg").as("est"))
+      }.reduce(_ unionByName _)
       var dist = verts.filter(isAudit)
         .select(col("v").as("seed"), col("v"), lit(0L).as("dd"))
-      var sk = regs.filter(isAudit)
-        .select(lit(0L).as("h"), hbEstimate("reg").as("est"))
       var ex = dist.select(lit(0L).as("h"), col("seed"), col("v"))
       for (h <- 1 to HbRounds) {
-        val prop = sym
-          .join(regs.select(col("v").as("src"), col("reg")), Seq("src"))
-          .select(col("dst").as("v"), col("reg"))
-        regs = latch(s, regs.unionByName(prop)
-          .groupBy(col("v")).agg(regMerge(col("reg")).as("reg")))
-        sk = sk.unionByName(regs.filter(isAudit)
-          .select(lit(h.toLong).as("h"), hbEstimate("reg").as("est")))
         val nd = sym
           .join(dist.select(col("seed"), col("v").as("src"), col("dd")),
             Seq("src"))
