@@ -115,13 +115,14 @@ class Round8Spec extends SparkTestBase {
     assert(mrg.merge(regsOf(a).clone(), regsOf(a)).toSeq == regsOf(a).toSeq)
   }
 
-  test("graph_effective_diameter: planted path graph reads eff diameter 3") {
+  test("graph_effective_diameter: deep planted path saturates the cap VISIBLY") {
     // customers chosen so EVERY one passes the hb| seed-sampling mod
     // (tiny fixtures would otherwise sample zero seeds); suppliers
     // chosen to fail it, so the readout is exactly the 8 path
-    // customers. Path c1-s1-c2-s2-...-c8: interior ball sizes grow
-    // 1,3,5,7 over h=0..3, so N(2)/N(3) ≈ 5/7 — far below the 0.9
-    // threshold — and the effective diameter reads the horizon, 3.
+    // customers. Path c1-s1-c2-s2-...-c8 has diameter 14 — ball sizes
+    // keep growing ≥ ~9%/round through the HbMaxRounds cap, so the
+    // convergence loop never fires and the query must SAY so
+    // (saturated=1; r8's fixed horizon reported 3 silently here).
     def isSeed(vstr: String): Boolean =
       functions.Md5Hash.hash60(s"hb|$vstr") % operators.GraphOps.HbSeedMod == 0
     val custs = Iterator.from(1).map(_.toLong)
@@ -135,17 +136,20 @@ class Round8Spec extends SparkTestBase {
     writeGraph(dir, pairs)
     val rows = operators.GraphOps.queries("graph_effective_diameter")(spark, dir)
       .collect()
-    assert(rows.length == 4, s"one row per h=0..3, got ${rows.length}")
+    assert(rows.length == operators.GraphOps.HbMaxRounds + 1,
+      s"one row per h = 0..cap, got ${rows.length}")
     val byH = rows.map(r => r.getLong(0) -> r).toMap
     assert(byH.values.forall(_.getLong(1) == 8L), "readout = the 8 seed customers")
     // N(0) estimates 8 singleton balls — linear counting is near-exact
     assert(math.abs(byH(0L).getDouble(2) - 8.0) < 0.5,
       s"nf(0) should be ~8, got ${byH(0L).getDouble(2)}")
-    assert(rows.forall(_.getLong(4) == 3L),
-      s"path effective diameter at horizon must be 3: ${rows.mkString(";")}")
-    // shares are monotone and end at 1.0
-    assert(byH(3L).getDouble(3) == 1.0)
-    assert(byH(2L).getDouble(3) < 0.9, "N(2) must sit below the 0.9 threshold")
+    assert(rows.forall(_.getLong(5) == 1L),
+      s"cap hit while still growing must flag saturated: ${rows.mkString(";")}")
+    assert(rows.forall(_.getLong(4) > 3L),
+      s"eff_diameter must track the extended horizon, not r8's fixed 3: " +
+        rows.mkString(";"))
+    // shares end at 1.0 at the horizon row
+    assert(byH(operators.GraphOps.HbMaxRounds.toLong).getDouble(3) == 1.0)
   }
 
   test("graph_cc_incremental: delta bridge merges two base components ≡ full recompute") {
@@ -340,8 +344,12 @@ class Round8Spec extends SparkTestBase {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
       .sortBy(_._1)
-    assert(rows.map(_._1).toSeq == (0L to operators.GraphOps.HbRounds.toLong),
-      s"one row per round: ${rows.mkString(";")}")
+    // r9: the horizon is convergence-detected — one row per round up
+    // to wherever the readout stopped growing (≥ h=0..1, ≤ the cap)
+    assert(rows.map(_._1).toSeq == (0L until rows.length).toSeq &&
+      rows.length >= 2 &&
+      rows.length <= operators.GraphOps.HbMaxRounds + 1,
+      s"contiguous rounds up to the detected horizon: ${rows.mkString(";")}")
     assert(rows.head._3 == rows.head._2, "radius-0 ball mass = seed count")
     for (w <- rows.sliding(2) if w.length == 2)
       assert(w(1)._3 >= w(0)._3, s"exact mass must be monotone: ${w.toSeq}")

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-9 pins: the convergence-detected HyperBall horizon (VERDICT
+  * r8 weak #1 — the r8 fixed horizon of 3 silently reported
+  * eff_diameter = 3 on any deeper graph).
+  *
+  * The load-bearing test is an EXACT replica: a planted path graph
+  * whose true effective diameter exceeds the old fixed horizon, with
+  * every expected output cell rebuilt driver-side from exact BFS
+  * balls + the engine's own HllAgg registers + the shared estimate
+  * formula ([[operators.GraphOps.hbEstimateValue]]) — so the test
+  * pins the horizon rule, the shares, the eff_diameter readout and
+  * the saturated flag value-for-value, not just structurally.
+  */
+class Round9Spec extends SparkTestBase {
+
+  private val off = operators.GraphOps.SupplierVertexOffset
+
+  /** orders/lineitem fixture rows in the GraphSpec shape */
+  private def writeGraph(dir: String, pairs: Seq[(Long, Long)]): Unit = {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    writeFixture(dir, "orders", pairs.zipWithIndex.map { case ((c, _), i) =>
+      ((i + 1).toLong, c, "O", 10.0, ts, "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority"))
+    writeFixture(dir, "lineitem", pairs.zipWithIndex.map { case ((_, sp), i) =>
+      ((i + 1).toLong, 100L + i, sp, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", ts)
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+      "l_linestatus", "l_shipdate"))
+  }
+
+  private def r4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** driver-side replica of the whole effective-diameter readout:
+    * exact balls → HllAgg registers → estimate → DECIMAL(18,4) sums →
+    * growth-rule horizon → shares → eff_diameter. Returns the
+    * expected output rows (h, n_seeds, nf_approx, nf_share,
+    * eff_diameter, saturated). */
+  private def hbReplica(edges: Seq[(Long, Long)], seeds: Seq[Long])
+      : Seq[(Long, Long, Double, Double, Long, Long)] = {
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+    def ballsOf(seed: Long): Iterator[Set[Long]] =
+      Iterator.iterate(Set(seed))(b => b ++ b.flatMap(adj.getOrElse(_, Set.empty)))
+    val hll = new functions.HllAgg(
+      operators.GraphOps.HbM, operators.GraphOps.HbSeedIdx)
+    def est(members: Set[Long]): Double = operators.GraphOps.hbEstimateValue(
+      members.toSeq.map(_.toString).foldLeft(hll.zero)(hll.reduce).toSeq)
+    val cap = operators.GraphOps.HbMaxRounds
+    val perSeed = seeds.map(s => ballsOf(s).take(cap + 1).toSeq)
+    val nfd = (0 to cap).map(h => perSeed.map(balls =>
+      BigDecimal(est(balls(h))).setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum)
+    val eps = operators.GraphOps.HbGrowthEps
+    val horizon = (1 to cap).find(h =>
+      nfd(h).toDouble <= nfd(h - 1).toDouble * (1.0 + eps))
+    val hMax = horizon.getOrElse(cap)
+    val sat = if (horizon.isEmpty) 1L else 0L
+    val shares = (0 to hMax).map(h => r4(nfd(h).toDouble / nfd(hMax).toDouble))
+    val eff = (0 to hMax).find(h => shares(h) >= 0.9).get.toLong
+    (0 to hMax).map(h => (h.toLong, seeds.size.toLong,
+      r4(nfd(h).toDouble), shares(h), eff, sat))
+  }
+
+  test("graph_effective_diameter: convergence horizon reads a >3 diameter exactly") {
+    // path c1-s1-c2-s2-c3-s3-c4 (7 vertices, true diameter 6): balls
+    // stop growing at h = 6, so the growth rule MUST fire by h = 7 —
+    // below the HbMaxRounds cap — and the planted effective diameter
+    // sits beyond r8's fixed horizon of 3. Customers all pass the
+    // mod-16 readout sample, suppliers all fail it.
+    def isSeed(vstr: String): Boolean =
+      functions.Md5Hash.hash60(s"hb|$vstr") % operators.GraphOps.HbSeedMod == 0
+    val custs = Iterator.from(1).map(_.toLong)
+      .filter(c => isSeed(c.toString)).take(4).toSeq
+    val supps = Iterator.from(1).map(_.toLong)
+      .filter(sp => !isSeed((sp + off).toString)).take(3).toSeq
+    val pairs = (0 until 3).flatMap(i =>
+      Seq((custs(i), supps(i)), (custs(i + 1), supps(i))))
+    val dir = tempDir()
+    writeGraph(dir, pairs)
+    val got = operators.GraphOps.queries("graph_effective_diameter")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5)))
+      .sortBy(_._1).toSeq
+    val edges = pairs.map { case (c, sp) => (c, sp + off) }
+    val want = hbReplica(edges, custs)
+    assert(got == want,
+      s"engine vs replica:\n got=${got.mkString("\n     ")}\nwant=${want.mkString("\n     ")}")
+    // and the round-9 contract itself: converged below the cap (no
+    // saturation), with an effective diameter the r8 horizon could
+    // never have reported
+    assert(got.head._6 == 0L, "diameter-6 path must converge below the cap")
+    assert(got.head._5 > 3L,
+      s"eff_diameter must exceed the old fixed horizon: ${got.head._5}")
+    assert(got.length < operators.GraphOps.HbMaxRounds + 1,
+      "the loop must STOP at convergence, not run to the cap")
+  }
+}
