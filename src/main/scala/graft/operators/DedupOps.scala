@@ -172,10 +172,34 @@ object DedupOps {
   private val canonCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** the embedding-cluster signature table (vec_id, sig) — memoized
+    * per (session, dir) like [[canonCache]] so repeated invocations in
+    * one session reuse the latched relation AND its checkpoint blocks
+    * release deterministically through [[clearMemos]] (r8 ADVICE: a
+    * per-call latch leaked blocks to ContextCleaner GC) */
+  private val embSigCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def embSignatures(s: SparkSession, d: String): DataFrame =
+    GraphOps.memo(embSigCache, (s, d)) {
+      // one row per corpus vector — the standard "signature table"
+      // step of any LSH pipeline, bounded at any scale. Materialized
+      // before the banded self-join: both join sides would otherwise
+      // re-evaluate the 32 interpreted sign-bit folds per row.
+      // Plan-only paths stay lazy (the GraphOps audit discipline).
+      val sigRaw = VectorOps
+        .signedProjected(s, d, VectorOps.clusterPlanes, "sig")
+        .select(col("vec_id"), col("sig"))
+      if (GraphOps.planOnly(s)) sigRaw.cache()
+      else sigRaw.localCheckpoint(true)
+    }
+
   /** see GraphOps.clearMemos — Bench drops all session memos after
     * its warmup pass (and between timed reps); eviction unpersists */
-  private[graft] def clearMemos(s: SparkSession): Unit =
+  private[graft] def clearMemos(s: SparkSession): Unit = {
     GraphOps.evict(canonCache, s)
+    GraphOps.evict(embSigCache, s)
+  }
 
   private def clusterCanonical(s: SparkSession, d: String): DataFrame =
     GraphOps.memo(canonCache, (s, d)) {
@@ -732,16 +756,9 @@ object DedupOps {
     // recursive-CTE min-label walk.
     "dedup_embedding_cluster" -> ((s, d) => {
       graft.functions.CosineSimilarity.register(s)
-      // materialize the (vec_id, sig) relation before the banded
-      // self-join: both join sides would otherwise re-evaluate the 32
-      // interpreted sign-bit folds per row. One row per corpus vector
-      // — the standard "signature table" step of any LSH pipeline,
-      // bounded at any scale. Plan-only paths stay lazy (the GraphOps
-      // audit discipline).
-      val sigRaw = VectorOps.signedProjected(s, d, VectorOps.clusterPlanes, "sig")
-        .select(col("vec_id"), col("sig"))
-      val sig = if (GraphOps.planOnly(s)) sigRaw.cache()
-        else sigRaw.localCheckpoint(true)
+      // memoized signature table (see embSigCache) — latched once per
+      // (session, dir), released through clearMemos
+      val sig = embSignatures(s, d)
       val bandCols = (0 until EmbClusterBands).map(j =>
         shiftright(col("sig"), j * EmbClusterBandBits)
           .bitwiseAND(lit((1L << EmbClusterBandBits) - 1)))

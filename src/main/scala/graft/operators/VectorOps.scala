@@ -818,9 +818,14 @@ object VectorOps {
       val np = probes.agg(count(lit(1)).as("n_probes"))
       val wP = Window.partitionBy(col("nprobe"), col("p"))
         .orderBy(desc("cos"), asc("b"))
+      // nprobe grid DERIVED from the declared knob (1..flips+1 — own
+      // bucket alone, then each additional flip), so raising
+      // LshProbeFlips extends the curve in engine and oracle together
+      // (r8 ADVICE: a hardcoded grid would silently truncate it)
+      val grid = (1 to LshProbeFlips + 1).mkString(", ")
       val curve = cand
         .select(col("p"), col("b"), col("rk"), col("cos"),
-          explode(expr("array(1, 2, 3)")).as("nprobe"))
+          explode(expr(s"array($grid)")).as("nprobe"))
         .filter(col("rk") <= col("nprobe"))
       val hits = curve
         .withColumn("rn", row_number().over(wP)).filter(col("rn") === 1)
@@ -1928,7 +1933,9 @@ object VectorOps {
          |np AS (SELECT count(*) AS n_probes FROM probes),
          |curve AS (
          |  SELECT c.p, c.b, c.cos, q.nprobe
-         |  FROM cand c CROSS JOIN (SELECT unnest([1, 2, 3]) AS nprobe) q
+         |  FROM cand c CROSS JOIN (
+         |    SELECT unnest([${(1 to LshProbeFlips + 1).mkString(", ")}])
+         |      AS nprobe) q
          |  WHERE c.rk <= q.nprobe),
          |hits AS (
          |  SELECT nprobe,

@@ -171,13 +171,31 @@ object NativeJoinHints extends Rule[LogicalPlan] {
         "semantic contract — refusing to run the plain join instead. " +
         "See graft.plans.NativeJoinHints for the required ON shape.")
 
+  /** the top-most conditioned joins under `p` — the first Join with an
+    * ON condition along each root-to-leaf path (what [[rewrite]]'s
+    * pre-order traversal can reach). More than one means a multi-child
+    * operator (a UNION of joins) sits between the hint and the joins,
+    * and "the join the user hinted" is ambiguous. */
+  private def hintableJoins(p: LogicalPlan): Seq[Join] = p match {
+    case j @ Join(_, _, _, Some(_), _) => Seq(j)
+    case other => other.children.flatMap(hintableJoins)
+  }
+
   /** rewrite the TOP-most join under the hint (ADVICE r7: transformUp
     * rewrote the BOTTOM-most, so a nested inner join whose ON happened
     * to match the asof shape could be converted instead of the join
     * the user hinted — the outer join is what a query-level hint
     * names). Pre-order recursion that stops descending once a join is
-    * rewritten. */
+    * rewritten. ADVICE r8: when several top-most joins exist on
+    * sibling branches (a UNION of joins), rewriting only the leftmost
+    * would silently leave the others plain — the hint REFUSES instead;
+    * apply it inside each branch. */
   private def rewrite(child: LogicalPlan, hint: String): LogicalPlan = {
+    val cands = hintableJoins(child)
+    if (cands.size > 1)
+      fail(hint, s"${cands.size} top-most joins found under the hint " +
+        "(e.g. a UNION of joins) — the query-level hint names ONE join; " +
+        "apply the hint inside each branch instead")
     var applied = false
     def go(p: LogicalPlan): LogicalPlan = p match {
       case Join(l, r, jt, Some(cond), _) if !applied =>

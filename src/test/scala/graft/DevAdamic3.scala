@@ -10,6 +10,11 @@ import org.apache.spark.sql.SparkSession
 object DevAdamic3 {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // codegen warmup dir: second arg if given, else the measured dir
+    // itself (r8 ADVICE: a hardcoded sf0.001 path broke on any box
+    // without that exact layout; warming on sfDir only costs one
+    // extra warm pass of the measured data)
+    val warmDir = args.drop(1).headOption.getOrElse(sfDir)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -41,7 +46,8 @@ object DevAdamic3 {
       println(f"$name%-44s ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     // warm codegen
-    operators.GraphOps.queries("graph_adamic_adar")(spark, "/root/testdata/sf0.001").count()
+    operators.GraphOps.queries("graph_adamic_adar")(spark, warmDir).count()
+    if (warmDir != sfDir) operators.GraphOps.clearMemos(spark)
     for (rep <- 1 to 3) {
       operators.GraphOps.clearMemos(spark)
       spark.catalog.clearCache()

@@ -100,4 +100,51 @@ class Round9Spec extends SparkTestBase {
     assert(got.length < operators.GraphOps.HbMaxRounds + 1,
       "the loop must STOP at convergence, not run to the cap")
   }
+
+  // ---- r8 ADVICE regressions ----
+
+  test("recall-curve nprobe grid derives from LshProbeFlips in engine and oracle") {
+    val flips = operators.VectorOps.LshProbeFlips
+    val rows = operators.VectorOps
+      .queries("vec_ann_multiprobe_recall_curve")(spark, sf001)
+      .select(col("nprobe")).collect().map(_.getInt(0)).toSeq
+    assert(rows == (1 to flips + 1),
+      s"curve must span nprobe 1..${flips + 1}, got $rows")
+    val grid = (1 to flips + 1).mkString(", ")
+    assert(operators.VectorOps.oracle("vec_ann_multiprobe_recall_curve")
+        .contains(s"unnest([$grid])"),
+      "oracle SQL must splice the SAME knob-derived grid")
+  }
+
+  test("a query-level native-join hint over a UNION of joins refuses loudly") {
+    SqlFrontend.register(spark, sf001)
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT /*+ ASOF_JOIN */ * FROM (
+          |  SELECT e.event_id FROM events e LEFT JOIN events p
+          |    ON e.user_id = p.user_id AND p.ts <= e.ts
+          |  UNION ALL
+          |  SELECT e.event_id FROM events e LEFT JOIN events p
+          |    ON e.user_id = p.user_id AND p.ts <= e.ts) u""".stripMargin)
+        .collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("top-most joins"),
+      s"expected the ambiguity refusal, got: $e")
+  }
+
+  test("embedding-cluster signature table memoizes and evicts via clearMemos") {
+    operators.DedupOps.clearMemos(spark)
+    val b0 = operators.GraphOps.memoBuilds.get()
+    operators.DedupOps.queries("dedup_embedding_cluster")(spark, sf001)
+    val b1 = operators.GraphOps.memoBuilds.get()
+    assert(b1 > b0, "first construction must BUILD the signature memo")
+    operators.DedupOps.queries("dedup_embedding_cluster")(spark, sf001)
+    val b2 = operators.GraphOps.memoBuilds.get()
+    assert(b2 == b1,
+      "second construction in one session must reuse the latched table")
+    operators.DedupOps.clearMemos(spark)
+    operators.DedupOps.queries("dedup_embedding_cluster")(spark, sf001)
+    assert(operators.GraphOps.memoBuilds.get() > b2,
+      "clearMemos must evict so the next construction rebuilds")
+  }
 }
