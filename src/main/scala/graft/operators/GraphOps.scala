@@ -97,9 +97,9 @@ object GraphOps {
     * (clearCache() strips the cache markers; without this the memoized
     * DataFrames would recompute uncached on every timed action) */
   private[graft] def clearMemos(s: SparkSession): Unit = {
-    Seq(edgeCache, symCache, cappedCache, coCiteCache, coPartCache, lpaCache,
-      walkCache, triRelCache, triAdjCache, seedDistCache, seedPathCache,
-      ccCache).foreach(evict(_, s))
+    Seq(edgeCache, symCache, wSymCache, cappedCache, coCiteCache, coPartCache,
+      lpaCache, walkCache, triRelCache, triAdjCache, seedDistCache,
+      seedPathCache, ccCache).foreach(evict(_, s))
     evict(triCache, s)
     evict(hbRegsCache, s)
   }
@@ -231,6 +231,31 @@ object GraphOps {
       // consumers a separate job (DevAdamic2: kcore 1.83 → 1.33 s)
       e.union(e.select(col("dst").as("src"), col("src").as("dst")))
         .distinct().repartition(graphParts(s, d), col("src")).cache()
+    }
+
+  /** WEIGHTED symmetrized edge set (src, dst, w) — edge strength =
+    * shared distinct-order count between the customer and the
+    * supplier (the MST builder's n_orders, used directly as the
+    * conductance weight rather than inverted into a distance). Both
+    * directions carry the same weight (the graph is undirected).
+    * Memoized like [[symEdges]]: both weighted-PageRank variants
+    * consume it every iteration. Derivation cost = the SAME
+    * lineitem ⋈ orders scan as [[edges]] with a count aggregate in
+    * place of the distinct — one shuffle, map-side combined. */
+  private val wSymCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def wSymEdges(s: SparkSession, d: String): DataFrame =
+    memo(wSymCache, (s, d)) {
+      val pair = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("src"),
+          (col("l_suppkey") + SupplierVertexOffset).as("dst"))
+        .agg(countDistinct(col("l_orderkey")).as("w"))
+      pair.union(pair.select(col("dst"), col("src"), col("w")))
+        .repartition(graphParts(s, d), col("src")).cache()
     }
 
   /** partition count for the iterative graph state, sized to the edge
@@ -1925,6 +1950,36 @@ object GraphOps {
         .orderBy(col("v"))
     }),
 
+    // WEIGHTED PageRank (VERDICT r8 #6): a neighbor's share of the
+    // rank is its edge weight over the vertex's total outgoing weight
+    // — w/Σw in place of 1/odeg — with weight = shared distinct-order
+    // count between customer and supplier (the MST builder's strength
+    // signal used as conductance, not inverted into a distance). A
+    // customer splitting 100 orders 99/1 between two suppliers sends
+    // 99% of its rank to the first, where the uniform walk sends 50%.
+    // Same decimal-exact contribution discipline, so the rounds
+    // unroll as the same CTE oracle shape (prwUnrolledSql).
+    "graph_pagerank_weighted" -> ((s, d) =>
+      pageRank(wSymEdges(s, d), iters = PrRounds, symmetrized = true,
+        numParts = graphParts(s, d), weighted = true)
+        .select(col("v"), round(col("pr"), 4).as("pr")).orderBy(col("v"))),
+
+    // weighted + personalized: restart mass on the 10 lowest vertex
+    // ids AND weighted conductance — the recommendation walk a
+    // production similarity engine actually runs (proximity to the
+    // seeds, discounted through order-volume edge strength). Same
+    // seed convention as graph_pagerank_personalized; only reachable
+    // (ppr > 0 after rounding) vertices are emitted.
+    "graph_pagerank_weighted_personalized" -> ((s, d) => {
+      val seeds = wSymEdges(s, d).select(col("src").as("v")).distinct()
+        .orderBy(col("v")).limit(10)
+      pageRank(wSymEdges(s, d), iters = PrRounds, symmetrized = true,
+        numParts = graphParts(s, d), seeds = Some(seeds), weighted = true)
+        .select(col("v"), round(col("pr"), 4).as("ppr"))
+        .filter(col("ppr") > 0.0)
+        .orderBy(col("v"))
+    }),
+
     // Adamic-Adar link prediction over the co-citation relation: for
     // supplier pairs sharing customers, Σ_c 1/ln(deg(c)) over the
     // shared customers c — common-neighbors where rare shared
@@ -2196,6 +2251,79 @@ object GraphOps {
        |        UNION SELECT dst AS src, src AS dst FROM ed),
        |deg AS (SELECT src, count(*) AS odeg FROM sym GROUP BY src),
        |ew AS (SELECT s.src, s.dst, d.odeg FROM sym s JOIN deg d USING (src)),
+       |sd AS (SELECT src AS v FROM deg ORDER BY src LIMIT 10),
+       |rbase AS (
+       |  SELECT d.src AS v,
+       |    CASE WHEN s.v IS NOT NULL THEN CAST(1.0 AS DOUBLE)
+       |         ELSE CAST(0.0 AS DOUBLE) END AS r0
+       |  FROM deg d LEFT JOIN sd s ON d.src = s.v),
+       |q0 AS (SELECT v, r0 AS pr FROM rbase),
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  /** weighted-edge CTE prefix shared by the two weighted-PageRank
+    * oracles: (src, dst, w = shared distinct-order count), both
+    * directions via UNION ALL (the bipartite vertex namespaces are
+    * disjoint, so no pair collides), Σw divisor cast back to BIGINT
+    * (DuckDB SUM(BIGINT) widens to HUGEINT; the engine's long sum is
+    * the same value — the weights are order counts, nowhere near
+    * 2^53). */
+  private val wEdgesPrefixSql =
+    """ed AS (SELECT o_custkey AS src,
+      |         l_suppkey + 1000000000000 AS dst,
+      |         count(DISTINCT l_orderkey) AS w
+      |       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |       GROUP BY 1, 2),
+      |sym AS (SELECT src, dst, w FROM ed
+      |        UNION ALL SELECT dst, src, w FROM ed),
+      |deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS odeg
+      |        FROM sym GROUP BY src),
+      |ew AS (SELECT s.src, s.dst, s.w, d.odeg
+      |       FROM sym s JOIN deg d USING (src))""".stripMargin
+
+  /** CTE prefix unrolling the [[PrRounds]] WEIGHTED PageRank rounds —
+    * prUnrolledSql with the contribution `pr·w/Σw` in place of
+    * `pr/odeg`. The product and division are plain IEEE double ops on
+    * engine-identical inputs (pr by induction, w/Σw exact longs), and
+    * the per-vertex sum quantizes through the same DECIMAL(28,12)
+    * gate, so every round is engine-independent. Same CTE-inlining
+    * discipline (each p$i referenced once). Ends at `p$PrRounds`. */
+  private def prwUnrolledSql: String = {
+    val rounds = (1 to PrRounds).map { i =>
+      s"""s$i AS (
+         |  SELECT e.dst AS v,
+         |    CAST(SUM(CAST(p.pr * e.w / e.odeg AS DECIMAL(28,12))) AS DOUBLE)
+         |      AS sc
+         |  FROM ew e JOIN p${i - 1} p ON e.src = p.v
+         |  GROUP BY e.dst),
+         |p$i AS (
+         |  SELECT d.src AS v, CAST(0.15 AS DOUBLE)
+         |      + CAST(0.85 AS DOUBLE) * coalesce(s.sc, 0) AS pr
+         |  FROM deg d LEFT JOIN s$i s ON d.src = s.v)""".stripMargin
+    }
+    s"""$wEdgesPrefixSql,
+       |p0 AS (SELECT src AS v, CAST(1.0 AS DOUBLE) AS pr FROM deg),
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  /** CTE prefix unrolling the [[PrRounds]] WEIGHTED PERSONALIZED
+    * rounds — [[prwUnrolledSql]]'s contribution with
+    * [[pprUnrolledSql]]'s seed-concentrated restart vector. Ends at
+    * `q$PrRounds`. */
+  private def pprwUnrolledSql: String = {
+    val rounds = (1 to PrRounds).map { i =>
+      s"""t$i AS (
+         |  SELECT e.dst AS v,
+         |    CAST(SUM(CAST(p.pr * e.w / e.odeg AS DECIMAL(28,12))) AS DOUBLE)
+         |      AS sc
+         |  FROM ew e JOIN q${i - 1} p ON e.src = p.v
+         |  GROUP BY e.dst),
+         |q$i AS (
+         |  SELECT d.v, CAST(0.15 AS DOUBLE) * d.r0
+         |      + CAST(0.85 AS DOUBLE) * coalesce(s.sc, 0) AS pr
+         |  FROM rbase d LEFT JOIN t$i s ON d.v = s.v)""".stripMargin
+    }
+    s"""$wEdgesPrefixSql,
        |sd AS (SELECT src AS v FROM deg ORDER BY src LIMIT 10),
        |rbase AS (
        |  SELECT d.src AS v,
@@ -2727,8 +2855,18 @@ object GraphOps {
 
   def pageRank(edgeDf: DataFrame, iters: Int,
       symmetrized: Boolean = false, numParts: Int = 0,
-      seeds: Option[DataFrame] = None): DataFrame = {
+      seeds: Option[DataFrame] = None,
+      weighted: Boolean = false): DataFrame = {
     val spark = edgeDf.sparkSession
+    // WEIGHTED variant (r9): edgeDf carries (src, dst, w BIGINT) and a
+    // neighbor's share of the rank is w/Σw instead of 1/odeg —
+    // everything else (restart arithmetic, decimal-exact contribution
+    // sums, loop discipline) is IDENTICAL, which is what keeps the
+    // weighted rounds unrollable as the same CTE oracle shape. The
+    // caller symmetrizes (each direction carrying the edge's weight):
+    // a generic union here couldn't know whether w is direction-bound.
+    require(!weighted || symmetrized,
+      "weighted pageRank expects pre-symmetrized (src, dst, w) edges")
     val parts = if (numParts > 0) numParts
       else spark.sessionState.conf.numShufflePartitions
     // edge derivation + rank init run under the session conf (AQE on,
@@ -2738,7 +2876,11 @@ object GraphOps {
       if (symmetrized) edgeDf
       else edgeDf.union(edgeDf.select(col("dst").as("src"), col("src").as("dst")))
         .distinct().repartition(parts, col("src")).cache()
-    val outDeg = sym.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+    // odeg = out-degree (uniform) or Σ outgoing weight (weighted) —
+    // the contribution divisor either way
+    val outDeg = (if (weighted)
+        sym.groupBy(col("src")).agg(sum(col("w")).as("odeg"))
+      else sym.groupBy(col("src")).agg(count(lit(1)).as("odeg")))
       .repartition(parts, col("src")).cache()
     // degree-annotated edges, cached pre-partitioned on src (sym is
     // src-partitioned, so the join preserves that partitioning): each
@@ -2794,7 +2936,9 @@ object GraphOps {
         // ≤5e-13 per contribution — invisible at the 4 dp output.
         val contrib = withDeg.join(p, withDeg("src") === p("v"))
           .select(col("dst").as("v2"),
-            (col("pr") / col("odeg")).cast(DecimalType(28, 12)).as("c"))
+            (if (weighted) col("pr") * col("w") / col("odeg")
+             else col("pr") / col("odeg"))
+              .cast(DecimalType(28, 12)).as("c"))
           .groupBy(col("v2")).agg(sum(col("c")).cast("double").as("sc"))
           .repartition(parts, col("v2")) // pin the state exchange width
         val next = (restart match {
@@ -3047,6 +3191,15 @@ object GraphOps {
 
     "graph_pagerank_personalized" ->
       s"""WITH $pprUnrolledSql
+         |SELECT v, round(pr, 4) AS ppr FROM q$PrRounds
+         |WHERE round(pr, 4) > 0.0 ORDER BY v""".stripMargin,
+
+    "graph_pagerank_weighted" ->
+      s"""WITH $prwUnrolledSql
+         |SELECT v, round(pr, 4) AS pr FROM p$PrRounds ORDER BY v""".stripMargin,
+
+    "graph_pagerank_weighted_personalized" ->
+      s"""WITH $pprwUnrolledSql
          |SELECT v, round(pr, 4) AS ppr FROM q$PrRounds
          |WHERE round(pr, 4) > 0.0 ORDER BY v""".stripMargin,
 

@@ -101,6 +101,50 @@ class Round9Spec extends SparkTestBase {
       "the loop must STOP at convergence, not run to the cap")
   }
 
+  test("graph_pagerank_weighted matches a driver-side quantized replica " +
+      "on a hand-weighted fixture") {
+    // weights via REPEATED orders per (customer, supplier) pair:
+    // c1–s1 ×3, c1–s2 ×1, c2–s2 ×2 — the skew makes the weighted walk
+    // visibly different from the uniform one (c1 sends 3/4 of its rank
+    // to s1, not 1/2)
+    val mult = Seq((1L, 1L, 3), (1L, 2L, 1), (2L, 2L, 2))
+    val pairs = mult.flatMap { case (c, sp, n) => Seq.fill(n)((c, sp)) }
+    val dir = tempDir()
+    writeGraph(dir, pairs) // one order per row → order count = multiplicity
+    val got = operators.GraphOps.queries("graph_pagerank_weighted")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+
+    // replica: the engine's exact recurrence — contribution pr·w/Σw
+    // quantized to DECIMAL(28,12) HALF_UP, summed exactly, then
+    // 0.15 + 0.85·sc in double
+    val wEdges = mult.flatMap { case (c, sp, n) =>
+      val s = sp + off
+      Seq(((c, s), n.toLong), ((s, c), n.toLong))
+    }.toMap
+    val wsum = wEdges.groupBy(_._1._1).map { case (v, es) => v -> es.values.sum }
+    val verts = wsum.keys.toSeq.sorted
+    var pr = verts.map(_ -> 1.0).toMap
+    for (_ <- 1 to operators.GraphOps.PrRounds) {
+      val sc = verts.map { v =>
+        val in = wEdges.collect { case ((u, t), w) if t == v =>
+          BigDecimal(pr(u) * w / wsum(u))
+            .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        }
+        v -> (if (in.isEmpty) 0.0 else in.sum.toDouble)
+      }.toMap
+      pr = verts.map(v => v -> (0.15 + 0.85 * sc(v))).toMap
+    }
+    val want = pr.map { case (v, x) => v -> r4(x) }
+    assert(got == want, s"engine $got vs replica $want")
+    // and the semantics: same topology, different scores — the uniform
+    // walk splits c1's rank 50/50 where the weighted one sends 3/4 to
+    // s1, so the two rankings must diverge on this skewed fixture
+    val uniform = operators.GraphOps.queries("graph_pagerank")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got != uniform,
+      "weighted ranks must differ from uniform on a skewed fixture")
+  }
+
   // ---- r8 ADVICE regressions ----
 
   test("recall-curve nprobe grid derives from LshProbeFlips in engine and oracle") {
