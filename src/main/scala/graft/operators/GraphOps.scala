@@ -1233,29 +1233,32 @@ object GraphOps {
           (col("o_orderkey") % 10 === 0).as("dl"))
         .groupBy(col("src"), col("dst"))
         .agg(bool_or(!col("dl")).as("in_base"), bool_or(col("dl")).as("in_delta")))
+      // NUMERIC delta-size guard (VERDICT r8 #7): the numParts=1
+      // label-graph CC and the broadcast remap are only safe under the
+      // delta ≪ V contract — declare it as a number and REFUSE loudly
+      // past it (a delta comparable to the graph should recompute from
+      // scratch, and silently running the merge shape on it would hide
+      // a driver-side bottleneck at exactly the scale this operator
+      // documents itself for). flagged is latched, so the two counts
+      // read warm blocks — one aggregate job. Plan-only audit sessions
+      // skip the guard: they never execute, and the audits pin
+      // action-free construction.
+      if (!planOnly(s)) {
+        val c = flagged.agg(
+          sum(when(col("in_base"), 1L).otherwise(0L)).as("nb"),
+          sum(when(col("in_delta"), 1L).otherwise(0L)).as("nd")).head()
+        val (nb, nd) = (c.getLong(0), c.getLong(1))
+        require(nd <= CcIncrementalMaxDeltaFrac * nb,
+          s"graph_cc_incremental: delta edge count $nd exceeds " +
+            s"$CcIncrementalMaxDeltaFrac x base edge count $nb - the " +
+            "incremental merge contract (delta << base) does not hold; " +
+            "run the full fixpoint (graph_connected_components) instead")
+      }
       val baseLbl = connectedComponents(
         flagged.filter(col("in_base")).select(col("src"), col("dst")),
         numParts = graphParts(s, d)) // (v, lbl)
       val deltaE = flagged.filter(col("in_delta")).select(col("src"), col("dst"))
-      val labelEdges = deltaE
-        .join(baseLbl.select(col("v").as("src"), col("lbl").as("ls")),
-          Seq("src"), "left")
-        .join(baseLbl.select(col("v").as("dst"), col("lbl").as("ld")),
-          Seq("dst"), "left")
-        .select(coalesce(col("ls"), col("src")).as("src"),
-          coalesce(col("ld"), col("dst")).as("dst"))
-        .filter(col("src") =!= col("dst"))
-      val remap = connectedComponents(labelEdges, numParts = 1)
-        .select(col("v").as("old_lbl"), col("lbl").as("new_lbl"))
-      val newVerts = deltaE.select(col("src").as("v"))
-        .union(deltaE.select(col("dst"))).distinct()
-        .join(baseLbl, Seq("v"), "left_anti")
-      val pre = baseLbl.select(col("v"), col("lbl"), col("lbl").as("base_lbl"))
-        .unionByName(newVerts.select(col("v"), col("v").as("lbl"),
-          lit(-1L).as("base_lbl")))
-      pre.join(broadcast(remap), col("lbl") === col("old_lbl"), "left")
-        .select(col("v"), coalesce(col("new_lbl"), col("lbl")).as("lbl"),
-          col("base_lbl"))
+      mergeCcDelta(baseLbl, deltaE)
         .withColumn("moved",
           col("base_lbl") === -1L || col("lbl") =!= col("base_lbl"))
         .orderBy(col("v"))
@@ -2392,6 +2395,51 @@ object GraphOps {
     * the symmetrized edge set. Label = min reachable vertex id.
     * Deterministic (min is order-independent). Public library API —
     * works on any (src, dst) edge DataFrame. */
+  /** declared numeric bound of the incremental-CC contract: the delta
+    * edge count must not exceed this fraction of the base edge count.
+    * Past it the merge's efficiency assumptions (label-graph CC on few
+    * partitions, broadcast remap) stop holding and
+    * `graph_cc_incremental` refuses loudly — recompute from scratch
+    * instead (VERDICT r8 #7). */
+  val CcIncrementalMaxDeltaFrac = 0.25
+
+  /** merge a DELTA edge set into existing CC labels — the shared core
+    * of `graph_cc_incremental` and the streaming refresh sink
+    * ([[graft.streaming.StreamPort.ccRefreshSink]]). Labels are
+    * component-min vertex ids, so the merge is exact: each delta edge
+    * contracts to its endpoints' base labels (vertices unknown to the
+    * base label themselves), CC runs on that LABEL graph — ≤ 2·|delta|
+    * vertices, ≪ V — and min-over-merged-group ≡ the full recompute's
+    * label for ANY delta. Returns (v, lbl, base_lbl) with
+    * base_lbl = −1 for vertices new in the delta; the remap table
+    * broadcasts (≤ label-graph vertices rows, bounded by the delta).
+    *
+    * `labelParts` sizes the label-graph CC: callers honoring the
+    * delta ≪ base contract pass 1 (the batch query); the streaming
+    * sink sizes it from the measured delta. */
+  def mergeCcDelta(baseLbl: DataFrame, deltaE: DataFrame,
+      labelParts: Int = 1): DataFrame = {
+    val labelEdges = deltaE
+      .join(baseLbl.select(col("v").as("src"), col("lbl").as("ls")),
+        Seq("src"), "left")
+      .join(baseLbl.select(col("v").as("dst"), col("lbl").as("ld")),
+        Seq("dst"), "left")
+      .select(coalesce(col("ls"), col("src")).as("src"),
+        coalesce(col("ld"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val remap = connectedComponents(labelEdges, numParts = labelParts)
+      .select(col("v").as("old_lbl"), col("lbl").as("new_lbl"))
+    val newVerts = deltaE.select(col("src").as("v"))
+      .union(deltaE.select(col("dst"))).distinct()
+      .join(baseLbl, Seq("v"), "left_anti")
+    val pre = baseLbl.select(col("v"), col("lbl"), col("lbl").as("base_lbl"))
+      .unionByName(newVerts.select(col("v"), col("v").as("lbl"),
+        lit(-1L).as("base_lbl")))
+    pre.join(broadcast(remap), col("lbl") === col("old_lbl"), "left")
+      .select(col("v"), coalesce(col("new_lbl"), col("lbl")).as("lbl"),
+        col("base_lbl"))
+  }
+
   def connectedComponents(edgeDf: DataFrame, maxIters: Int = 50,
       symmetrized: Boolean = false, numParts: Int = 0): DataFrame = {
     val spark = edgeDf.sparkSession

@@ -246,6 +246,63 @@ object StreamPort {
   def upsertSnapshotSink(df: DataFrame, out: String, key: String) =
     df.writeStream.foreachBatch(applyUpsertBatch(out, key) _)
 
+  /** streaming INCREMENTAL-CC refresh sink (VERDICT r8 #5) — the
+    * stream form of `graph_cc_incremental`: each micro-batch is a set
+    * of delta edges (src, dst), and the sink maintains a component-
+    * label SNAPSHOT (v, lbl = component-min vertex id) under `out` as
+    * versioned directories `v=<batchId>` (the [[upsertSnapshotSink]]
+    * idempotency pattern: batch N always merges from the newest
+    * snapshot STRICTLY below N and overwrites `v=N`, so a retried
+    * batch re-merges from the same parent and rewrites identical
+    * bytes).
+    *
+    * Merge contract = [[graft.operators.GraphOps.mergeCcDelta]]
+    * verbatim: delta edges contract to their endpoints' snapshot
+    * labels, CC runs on the resulting LABEL graph (≤ 2·|delta|
+    * vertices — sized from the measured delta, never the accumulated
+    * graph), and min-label remap makes the refreshed snapshot EQUAL
+    * the full recompute over every edge seen so far — after every
+    * batch, not just eventually (pinned in StreamPortSpec). The first
+    * batch (no parent snapshot) runs the plain fixpoint on its own
+    * edges.
+    *
+    * At 100 TB: per-batch work ∝ the delta (label contraction joins
+    * against the bounded snapshot; the snapshot itself is one row per
+    * vertex, the label graph one row per delta edge). A batch
+    * comparable to the accumulated graph violates the incremental
+    * contract `graph_cc_incremental` declares numerically — here it
+    * stays CORRECT (the merge is exact for any delta) but the label
+    * CC widens to the measured delta, so the guard is capacity
+    * planning, not correctness. */
+  def applyCcRefreshBatch(out: String)(batch: DataFrame, id: Long): Unit = {
+    val spark = batch.sparkSession
+    // distinct + self-loop-free delta, latched: counted once for the
+    // label-CC width, then consumed by the merge
+    val delta = batch.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    try {
+      val labels = snapshotVersionBefore(spark, out, id) match {
+        case None =>
+          graft.operators.GraphOps.connectedComponents(delta)
+            .select(col("v"), col("lbl"))
+        case Some(ver) =>
+          val base = spark.read.parquet(s"$out/v=$ver")
+            .select(col("v"), col("lbl"))
+          // 40k-rows-per-partition rule (graphParts), floor 1: a
+          // typical delta runs the label CC single-partition
+          val parts = math.max(1L, math.min(
+            spark.sparkContext.defaultParallelism.toLong,
+            delta.count() / 40000L + 1L)).toInt
+          graft.operators.GraphOps.mergeCcDelta(base, delta, parts)
+            .select(col("v"), col("lbl"))
+      }
+      labels.write.mode("overwrite").parquet(s"$out/v=$id")
+    } finally delta.unpersist()
+  }
+
+  def ccRefreshSink(df: DataFrame, out: String) =
+    df.writeStream.foreachBatch(applyCcRefreshBatch(out) _)
+
   /** newest committed snapshot version strictly below `beforeId` (so a
     * retried batch never reads its own partial output). Listed through
     * the Hadoop FileSystem API, so the sink works on any cluster

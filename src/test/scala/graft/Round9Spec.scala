@@ -145,6 +145,29 @@ class Round9Spec extends SparkTestBase {
       "weighted ranks must differ from uniform on a skewed fixture")
   }
 
+  test("graph_cc_incremental refuses a delta past the declared fraction") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    // explicit orderkeys: 10/20/30 land on the delta side (%10 == 0),
+    // only orderkey 1 is base — delta edges 3 > 0.25 × 1 base edge
+    val rows = Seq((10L, 1L, 1L), (20L, 2L, 2L), (30L, 3L, 3L), (1L, 4L, 4L))
+    val dir = tempDir()
+    writeFixture(dir, "orders", rows.map { case (o, c, _) =>
+      (o, c, "O", 10.0, ts, "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority"))
+    writeFixture(dir, "lineitem", rows.zipWithIndex.map { case ((o, _, sp), i) =>
+      (o, 100L + i, sp, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", ts)
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+      "l_linestatus", "l_shipdate"))
+    val e = intercept[IllegalArgumentException] {
+      operators.GraphOps.queries("graph_cc_incremental")(spark, dir)
+    }
+    assert(e.getMessage.contains("delta edge count"),
+      s"expected the numeric-contract refusal, got: $e")
+  }
+
   // ---- r8 ADVICE regressions ----
 
   test("recall-curve nprobe grid derives from LshProbeFlips in engine and oracle") {

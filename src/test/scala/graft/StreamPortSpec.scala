@@ -614,4 +614,40 @@ class StreamPortSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
     assert(batch == streamed)
   }
+
+  test("cc refresh sink: snapshot equals the full recompute after EVERY " +
+      "batch, idempotent on retry") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = tempDir() + "/cclabels"
+    def snap(): Seq[(Long, Long)] = StreamPort.readSnapshot(spark, out)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    def full(edges: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      operators.GraphOps.connectedComponents(edges.toDF("src", "dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamPort.ccRefreshSink(mem.toDF().toDF("src", "dst"), out).start()
+    // batch 0: two separate components
+    val b0 = Seq((1L, 2L), (10L, 11L))
+    mem.addData(b0: _*); q.processAllAvailable()
+    assert(snap() == full(b0), "first batch must equal the plain fixpoint")
+    // batch 1: a BRIDGE edge merges the two base components — the
+    // label-contraction case the merge contract exists for
+    val b1 = Seq((2L, 10L))
+    mem.addData(b1: _*); q.processAllAvailable()
+    assert(snap() == full(b0 ++ b1), "merged components must relabel to the " +
+      "component min exactly as a full recompute would")
+    // batch 2: new vertices attach to an existing component AND form a
+    // fresh one (base_lbl unknown on both ends)
+    val b2 = Seq((11L, 20L), (30L, 31L))
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val want = full(b0 ++ b1 ++ b2)
+    assert(snap() == want, "delta-attached vertices must label like a full recompute")
+    // RETRY the last batch id: re-applying the same delta must rebuild
+    // the identical snapshot (the sink merges from the version BELOW
+    // its own id, never from its own partial output)
+    StreamPort.applyCcRefreshBatch(out)(b2.toDF("src", "dst"), 2L)
+    assert(snap() == want, "retried batch changed the snapshot")
+  }
 }
