@@ -1654,24 +1654,33 @@ object GraphOps {
         r.filter(isAudit)
           .select(lit(h.toLong).as("h"), hbEstimate("reg").as("est"))
       }.reduce(_ unionByName _)
-      // ONE min-distance table to the horizon instead of a per-round
-      // membership snapshot union (r9): ball(seed, h) = {v : dd ≤ h},
-      // so the FINAL dist relation prices every per-h exact count via
-      // a broadcast h-grid — H fewer checkpointed snapshots to union
-      // and one aggregate instead of H stacked ones
-      var dist = verts.filter(isAudit)
+      // FRONTIER BFS for the exact side (r9, twice over): in an
+      // unweighted BFS a vertex's min distance IS its first-seen
+      // round, so each round only expands the LAST round's frontier
+      // (new (seed, v) pairs, anti-joined against everything seen) —
+      // the earlier accumulate-and-regroup form re-aggregated the
+      // ENTIRE accumulated ball per round (measured 9.0 s min-of-3;
+      // frontier + count-by-distance below ~halves the exact side).
+      // dist stays a lazy union of the H+1 latched frontiers.
+      var frontier = verts.filter(isAudit)
         .select(col("v").as("seed"), col("v"), lit(0L).as("dd"))
-      for (_ <- 1 to horizon) {
+      var dist = frontier
+      for (h <- 1 to horizon) {
         val nd = sym
-          .join(dist.select(col("seed"), col("v").as("src"), col("dd")),
-            Seq("src"))
-          .select(col("seed"), col("dst").as("v"), (col("dd") + 1L).as("dd"))
-        dist = latch(s, dist.unionByName(nd)
-          .groupBy(col("seed"), col("v")).agg(min(col("dd")).as("dd")))
+          .join(frontier.select(col("seed"), col("v").as("src")), Seq("src"))
+          .select(col("seed"), col("dst").as("v")).distinct()
+        frontier = latch(s, nd.join(dist, Seq("seed", "v"), "left_anti")
+          .select(col("seed"), col("v"), lit(h.toLong).as("dd")))
+        dist = dist.unionByName(frontier)
       }
+      // exact counts: ONE ball-wide aggregate (rows per distance),
+      // then the ≤ H+1-row distance histogram fans out over the
+      // broadcast h-grid — never the ball itself (ball × grid was the
+      // other half of the measured cost)
       val hGrid = s.range(horizon + 1L).select(col("id").as("h"))
-      val exact = dist.join(broadcast(hGrid), col("dd") <= col("h"))
-        .groupBy(col("h")).agg(count(lit(1)).as("nf_exact"))
+      val byD = dist.groupBy(col("dd")).agg(count(lit(1)).as("c"))
+      val exact = byD.join(broadcast(hGrid), col("dd") <= col("h"))
+        .groupBy(col("h")).agg(sum(col("c")).as("nf_exact"))
       val nf = sk
         .select(col("h"), expr("CAST(round(est, 4) AS DECIMAL(18,4))").as("e"))
         .groupBy(col("h"))
