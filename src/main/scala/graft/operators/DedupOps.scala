@@ -808,31 +808,70 @@ object DedupOps {
       // posting agg, pair agg). The earlier two-join form re-evaluated
       // the scan-side fingerprint derivation for the |fps| relation
       // and paid two more exchanges (measured 8.1 s vs ~1 s at sf0.1).
-      val wf = TextOps.winnowFpArrays(s, d)
-        .select(col("doc_id"), size(col("fps")).as("n_fp"),
-          explode(col("fps")).as("fp"))
-      val post = wf.groupBy(col("fp"))
-        .agg(sort_array(collect_list(struct(col("doc_id"), col("n_fp"))))
-          .as("ds"))
-        .filter(size(col("ds")).between(2, WinnowPostingCap))
-      post.select(explode(expr(
-        """flatten(transform(sequence(1, size(ds) - 1),
-          |  i -> transform(sequence(i + 1, size(ds)),
-          |    j -> named_struct('a', element_at(ds, i),
-          |                      'b', element_at(ds, j)))))""".stripMargin))
-        .as("p"))
-        .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
-          col("p.a.n_fp").as("nfa"), col("p.b.n_fp").as("nfb"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        // nfa/nfb are functionally dependent on the grouping keys —
-        // max() is just the aggregate-safe way to carry them through
-        .agg(count(lit(1)).as("n_shared"),
-          max(col("nfa")).as("nfa"), max(col("nfb")).as("nfb"))
+      winnowPairRel(s, d)
         .filter(col("n_shared") >= WinnowMinShared)
         .select(col("doc_a"), col("doc_b"), col("n_shared"),
           r4(col("n_shared").cast("double") /
             (col("nfa") + col("nfb") - col("n_shared"))).as("overlap_est"))
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // asymmetric CONTAINMENT over the same winnowing posting pass —
+    // the quote/subset detector Jaccard misses: a short document fully
+    // quoted inside a long one has low Jaccard (union is dominated by
+    // the long doc) but containment |A∩B|/|A| ≈ 1 from the short
+    // side. Training-data pipelines screen on containment exactly for
+    // this (licence blurbs, quoted passages, nested crawls). Same
+    // candidate semantics as dedup_winnow_pairs (posting-capped
+    // fingerprint intersection ≥ WinnowMinShared — the cap bounds
+    // pair fan-out at any corpus size); both directions emitted, the
+    // max flagged, so the consumer reads one row per pair.
+    "dedup_containment_pairs" -> ((s, d) =>
+      winnowPairRel(s, d)
+        .filter(col("n_shared") >= WinnowMinShared)
+        .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          r4(col("n_shared").cast("double") / col("nfa")).as("contain_a"),
+          r4(col("n_shared").cast("double") / col("nfb")).as("contain_b"),
+          r4(greatest(col("n_shared").cast("double") / col("nfa"),
+            col("n_shared").cast("double") / col("nfb"))).as("contain_max"))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // eval-set DECONTAMINATION (the screen every LLM training pipeline
+    // runs before training): flag train documents sharing long-gram
+    // winnowing fingerprints with the held-out eval set (doc_id %
+    // DecontamEvalMod = 0 — the %-convention of the delta/upsert
+    // family). The gram is DELIBERATELY longer than the near-dup
+    // default (DecontamK = 16 vs WinnowK = 8): at k=8 this corpus's
+    // shared vocabulary fires on every doc (measured 495/495 at
+    // sf0.01), at k=16 only real shared spans fire (185 docs, 39 ≥
+    // the threshold) — the same reason production decontamination
+    // uses 13-grams, documented as the knob's rationale. Scale shape:
+    // the eval POOL (distinct eval-doc fingerprints) is ~1/mod of the
+    // corpus and BROADCASTS against the exploded train fingerprints —
+    // no self-join, no all-pairs, the eval-ngrams-vs-crawl shape a
+    // 100 TB decontamination actually runs; the doc_id filters push
+    // to the scan through the fingerprint chain's aggregate barrier
+    // (grouping-key predicates cross it), so the pool side only pays
+    // the chain for eval docs. Output = the audit report: every train
+    // doc with ≥1 hit, its hit count/fraction, and the contaminated
+    // flag at DecontamMinShared.
+    "pipeline_decontaminate" -> ((s, d) => {
+      val ex = TextOps.winnowFpArrays(s, d, DecontamK, DecontamW)
+        .select(col("doc_id"),
+          // BIGINT like the oracle's len() — n_fp is an OUTPUT column
+          // here, unlike the pair queries where it only feeds ratios
+          size(col("fps")).cast("long").as("n_fp"),
+          explode(col("fps")).as("fp"))
+      val pool = ex.filter(col("doc_id") % DecontamEvalMod === 0L)
+        .select(col("fp")).distinct()
+      ex.filter(col("doc_id") % DecontamEvalMod =!= 0L)
+        .join(broadcast(pool), Seq("fp"))
+        .groupBy(col("doc_id"), col("n_fp"))
+        .agg(count(lit(1)).as("n_hit"))
+        .select(col("doc_id"), col("n_fp"), col("n_hit"),
+          r4(col("n_hit").cast("double") / col("n_fp")).as("hit_frac"),
+          (col("n_hit") >= DecontamMinShared).as("contaminated"))
+        .orderBy(col("doc_id"))
     }),
 
     // sub-document block dedup — the repeated-passage removal pass of
@@ -878,6 +917,44 @@ object DedupOps {
     * yields 164 pairs. */
   val WinnowPostingCap = 8
   val WinnowMinShared = 3
+
+  /** decontamination gram length / winnow window — LONGER than the
+    * near-dup default (see pipeline_decontaminate's rationale) */
+  val DecontamK = 16
+  val DecontamW = 4
+  /** eval-set convention: doc_id % mod = 0 is held out */
+  val DecontamEvalMod = 100L
+  /** shared long-gram fingerprints at which a train doc is flagged */
+  val DecontamMinShared = 3L
+
+  /** shared pre-threshold winnowing pair relation (doc_a, doc_b,
+    * n_shared, nfa, nfb) — the SINGLE-PASS posting shape documented at
+    * dedup_winnow_pairs, factored so dedup_containment_pairs prices
+    * its asymmetric ratios off the identical candidate semantics. Not
+    * memoized: the chain is ~1 s at sf0.1 and per-query honesty keeps
+    * the bench attribution simple. */
+  private def winnowPairRel(s: SparkSession, d: String): DataFrame = {
+    val wf = TextOps.winnowFpArrays(s, d)
+      .select(col("doc_id"), size(col("fps")).as("n_fp"),
+        explode(col("fps")).as("fp"))
+    val post = wf.groupBy(col("fp"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_fp"))))
+        .as("ds"))
+      .filter(size(col("ds")).between(2, WinnowPostingCap))
+    post.select(explode(expr(
+      """flatten(transform(sequence(1, size(ds) - 1),
+        |  i -> transform(sequence(i + 1, size(ds)),
+        |    j -> named_struct('a', element_at(ds, i),
+        |                      'b', element_at(ds, j)))))""".stripMargin))
+      .as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        col("p.a.n_fp").as("nfa"), col("p.b.n_fp").as("nfb"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      // nfa/nfb are functionally dependent on the grouping keys —
+      // max() is just the aggregate-safe way to carry them through
+      .agg(count(lit(1)).as("n_shared"),
+        max(col("nfa")).as("nfa"), max(col("nfb")).as("nfb"))
+  }
 
   /** dedup_shared_blocks block width (tokens) — shared with the
     * oracle SQL so the two cannot drift */
@@ -1220,5 +1297,38 @@ object DedupOps {
          |    / (na.n_fp + nb.n_fp - n_shared), 4) AS overlap_est
          |FROM pr JOIN nf na ON na.doc_id = doc_a
          |        JOIN nf nb ON nb.doc_id = doc_b
-         |ORDER BY doc_a, doc_b""".stripMargin)
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_containment_pairs" ->
+      s"""WITH ${TextOps.winnowFpsSqlCtes},
+         |wf AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+         |ok AS (SELECT fp FROM wf GROUP BY fp
+         |       HAVING count(*) BETWEEN 2 AND $WinnowPostingCap),
+         |wfo AS (SELECT wf.doc_id, wf.fp FROM wf JOIN ok USING (fp)),
+         |pr AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |  FROM wfo a JOIN wfo b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared),
+         |nf AS (SELECT doc_id, len(fps) AS n_fp FROM f)
+         |SELECT doc_a, doc_b, n_shared,
+         |  round(CAST(n_shared AS DOUBLE) / na.n_fp, 4) AS contain_a,
+         |  round(CAST(n_shared AS DOUBLE) / nb.n_fp, 4) AS contain_b,
+         |  round(greatest(CAST(n_shared AS DOUBLE) / na.n_fp,
+         |    CAST(n_shared AS DOUBLE) / nb.n_fp), 4) AS contain_max
+         |FROM pr JOIN nf na ON na.doc_id = doc_a
+         |        JOIN nf nb ON nb.doc_id = doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "pipeline_decontaminate" ->
+      s"""WITH ${TextOps.winnowFpsSqlCtes(DecontamK, DecontamW)},
+         |ex AS (SELECT doc_id, len(fps) AS n_fp, unnest(fps) AS fp FROM f),
+         |pool AS (SELECT DISTINCT fp FROM ex
+         |         WHERE doc_id % $DecontamEvalMod = 0)
+         |SELECT e.doc_id, e.n_fp, count(*) AS n_hit,
+         |  round(CAST(count(*) AS DOUBLE) / e.n_fp, 4) AS hit_frac,
+         |  count(*) >= $DecontamMinShared AS contaminated
+         |FROM ex e JOIN pool p USING (fp)
+         |WHERE e.doc_id % $DecontamEvalMod <> 0
+         |GROUP BY 1, 2
+         |ORDER BY doc_id""".stripMargin)
 }

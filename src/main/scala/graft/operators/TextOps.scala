@@ -47,9 +47,16 @@ object TextOps {
     * how the optimizer collapses the surrounding projections — the
     * guarantee lives in the expression, not in plan shape. */
   def winnowFpArrays(s: org.apache.spark.sql.SparkSession, d: String)
-      : org.apache.spark.sql.DataFrame = {
-    val k = WinnowK
-    val w = WinnowW
+      : org.apache.spark.sql.DataFrame =
+    winnowFpArrays(s, d, WinnowK, WinnowW)
+
+  /** (k, w)-parameterized variant (r9): `pipeline_decontaminate` runs
+    * the SAME winnowing chain at a LONGER gram (k=16) so incidental
+    * vocabulary overlap cannot fire — the near-dup default (k=8)
+    * matches every doc pair on this corpus's shared vocabulary, which
+    * is exactly why production decontamination uses long n-grams. */
+  def winnowFpArrays(s: org.apache.spark.sql.SparkSession, d: String,
+      k: Int, w: Int): org.apache.spark.sql.DataFrame = {
     // COMPUTE FAN-OUT: the per-doc fingerprint chain is interpreted
     // (higher-order functions never codegen) at ~1.5 ms per document —
     // the dominant cost of every winnow consumer — so it must run at
@@ -93,21 +100,25 @@ object TextOps {
     * of [[winnowFpArrays]] (k-gram hash = first 15 md5 hex digits as a
     * 60-bit int, engine-identical). Splice as `WITH $winnowFpsSqlCtes,
     * ...`. */
-  def winnowFpsSqlCtes: String =
+  def winnowFpsSqlCtes: String = winnowFpsSqlCtes(WinnowK, WinnowW)
+
+  /** (k, w)-parameterized oracle twin of the parameterized
+    * [[winnowFpArrays]] */
+  def winnowFpsSqlCtes(k: Int, w: Int): String =
     s"""base AS (
        |  SELECT doc_id, lower(text) AS t FROM documents
-       |  WHERE length(lower(text)) >= ${WinnowK + WinnowW - 1}),
+       |  WHERE length(lower(text)) >= ${k + w - 1}),
        |h AS (
        |  SELECT doc_id,
-       |    list_transform(range(1, length(t) - ${WinnowK - 2}),
-       |      i -> CAST(('0x' || substr(md5(substr(t, i, $WinnowK)), 1, 15))
+       |    list_transform(range(1, length(t) - ${k - 2}),
+       |      i -> CAST(('0x' || substr(md5(substr(t, i, $k)), 1, 15))
        |           AS BIGINT)) AS hs
        |  FROM base),
        |f AS (
        |  SELECT doc_id,
        |    list_sort(list_distinct(
-       |      list_transform(range(1, len(hs) - ${WinnowW - 2}),
-       |        j -> list_min(list_slice(hs, j, j + ${WinnowW - 1}))))) AS fps
+       |      list_transform(range(1, len(hs) - ${w - 2}),
+       |        j -> list_min(list_slice(hs, j, j + ${w - 1}))))) AS fps
        |  FROM h)""".stripMargin
 
   /** minimum bigram support for text_collocations_pmi. */

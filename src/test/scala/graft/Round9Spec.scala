@@ -168,6 +168,45 @@ class Round9Spec extends SparkTestBase {
       s"expected the numeric-contract refusal, got: $e")
   }
 
+  test("pipeline_decontaminate flags a planted eval quote; " +
+      "dedup_containment_pairs scores the subset direction Jaccard misses") {
+    import spark.implicits._
+    val evalText = "held out benchmark question about catalyst optimizer " +
+      "internals and the tungsten execution engine pipeline"
+    // train doc 1 QUOTES a long span of the eval doc inside fresh text;
+    // train doc 2 is clean; doc 3 is a SHORT doc fully contained in 1
+    val quote = "benchmark question about catalyst optimizer internals"
+    val d1 = s"a training document that leaked the $quote verbatim " +
+      "surrounded by otherwise novel prose about distributed shuffles"
+    val d2 = "completely clean text discussing parquet row groups, " +
+      "bloom filters, and adaptive query execution at length"
+    val dir = tempDir()
+    writeFixture(dir, "documents", Seq(
+      (100L, evalText, "en", "eval", evalText.length.toLong), // %100 = 0
+      (1L, d1, "en", "train", d1.length.toLong),
+      (2L, d2, "en", "train", d2.length.toLong),
+      (3L, quote, "en", "train", quote.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val dec = operators.DedupOps.queries("pipeline_decontaminate")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getBoolean(4))).toMap
+    assert(dec.get(1L).contains(true),
+      s"the quoting doc must be flagged contaminated, got $dec")
+    assert(!dec.contains(2L), "the clean doc must not even report a hit")
+    // containment: doc 3 ⊂ doc 1 — every fingerprint of 3 appears in 1,
+    // so the short side's containment is 1.0 while Jaccard (shared /
+    // union) stays well below the near-dup bar
+    val cp = operators.DedupOps.queries("dedup_containment_pairs")(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val key = (1L, 3L)
+    assert(cp.contains(key), s"planted subset pair missing: ${cp.keys}")
+    val (_, containA, containB, containMax) = cp(key)
+    assert(containB == 1.0,
+      s"the contained doc's containment must be 1.0, got $containB")
+    assert(containMax == 1.0 && containA < 1.0,
+      "max flags the subset direction; the long side stays partial")
+  }
+
   // ---- r8 ADVICE regressions ----
 
   test("recall-curve nprobe grid derives from LshProbeFlips in engine and oracle") {
