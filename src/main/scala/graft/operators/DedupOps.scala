@@ -730,6 +730,37 @@ object DedupOps {
         .orderBy(col("a"), col("b"))
     }),
 
+    // SEMANTIC decontamination — the embedding-space twin of
+    // pipeline_decontaminate, completing the decontamination story
+    // (exact long-gram overlap catches verbatim leaks; cosine
+    // similarity catches paraphrased ones): per train vector, the
+    // nearest held-out eval vector (vec_id % DecontamEvalMod = 0, the
+    // shared eval convention) by rounded cosine, ties toward the
+    // smallest eval id, flagged at cosine ≥ [[SemanticDecontamTau]]
+    // (the corpus's similarity ceiling is ~0.48 — same declared-knob
+    // rationale as dedup_embedding_cluster; production runs 0.9+).
+    // Scale shape: the eval side is ~1/mod of the corpus and
+    // BROADCASTS — train × evals is the probe-bounded brute-force
+    // baseline (the vec_cosine_topk shape), never train × train; the
+    // LSH-bucketed scale path is the dedup_embedding_cluster banding,
+    // documented there. Output = one audit row per train vector.
+    "pipeline_decontaminate_semantic" -> ((s, d) => {
+      graft.functions.CosineSimilarity.register(s)
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val evals = e.filter(col("vec_id") % DecontamEvalMod === 0L)
+        .select(col("vec_id").as("ev"), col("embedding").as("ee"))
+      e.filter(col("vec_id") % DecontamEvalMod =!= 0L)
+        .join(broadcast(evals))
+        .select(col("vec_id"),
+          struct(round(expr("cosine_sim(embedding, ee)"), 4).as("cos"),
+            (-col("ev")).as("nev")).as("sc"))
+        .groupBy(col("vec_id")).agg(max(col("sc")).as("best"))
+        .select(col("vec_id"), (-col("best.nev")).as("nearest_eval"),
+          col("best.cos").as("max_cos"),
+          (col("best.cos") >= SemanticDecontamTau).as("contaminated"))
+        .orderBy(col("vec_id"))
+    }),
+
     // semantic dedup CLUSTERS — the embedding-space twin of
     // dedup_cluster_lsh, completing the dedup matrix: MinHash has the
     // full pairs → clusters → canonical ladder, embeddings until now
@@ -926,6 +957,10 @@ object DedupOps {
   val DecontamEvalMod = 100L
   /** shared long-gram fingerprints at which a train doc is flagged */
   val DecontamMinShared = 3L
+
+  /** semantic-decontamination cosine threshold — declared demo knob
+    * (this corpus's similarity ceiling is ~0.48; production 0.9+) */
+  val SemanticDecontamTau = 0.35
 
   /** shared pre-threshold winnowing pair relation (doc_a, doc_b,
     * n_shared, nfa, nfb) — the SINGLE-PASS posting shape documented at
@@ -1318,6 +1353,24 @@ object DedupOps {
          |FROM pr JOIN nf na ON na.doc_id = doc_a
          |        JOIN nf nb ON nb.doc_id = doc_b
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "pipeline_decontaminate_semantic" ->
+      s"""WITH ev AS (
+         |  SELECT vec_id AS evid, CAST(embedding AS DOUBLE[]) AS ee
+         |  FROM embeddings WHERE vec_id % $DecontamEvalMod = 0),
+         |sc AS (
+         |  SELECT t.vec_id, ev.evid,
+         |    round(list_cosine_similarity(
+         |      CAST(t.embedding AS DOUBLE[]), ev.ee), 4) AS cos,
+         |    row_number() OVER (PARTITION BY t.vec_id
+         |      ORDER BY round(list_cosine_similarity(
+         |        CAST(t.embedding AS DOUBLE[]), ev.ee), 4) DESC,
+         |        ev.evid ASC) AS rn
+         |  FROM embeddings t CROSS JOIN ev
+         |  WHERE t.vec_id % $DecontamEvalMod <> 0)
+         |SELECT vec_id, evid AS nearest_eval, cos AS max_cos,
+         |  cos >= $SemanticDecontamTau AS contaminated
+         |FROM sc WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     "pipeline_decontaminate" ->
       s"""WITH ${TextOps.winnowFpsSqlCtes(DecontamK, DecontamW)},

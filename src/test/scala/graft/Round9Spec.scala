@@ -207,6 +207,28 @@ class Round9Spec extends SparkTestBase {
       "max flags the subset direction; the long side stays partial")
   }
 
+  test("pipeline_decontaminate_semantic flags a planted paraphrase-neighbor " +
+      "and tie-breaks the nearest eval toward the smallest id") {
+    import spark.implicits._
+    val dir = tempDir()
+    writeFixture(dir, "embeddings", Seq(
+      (100L, Array(1f, 0f, 0f, 0f), 0),   // eval A
+      (200L, Array(0f, 0f, 1f, 0f), 0),   // eval B
+      (1L, Array(0.999f, 0.045f, 0f, 0f), 1), // ~eval A: cos ≈ 0.999
+      (2L, Array(0f, 1f, 0f, 0f), 1))     // orthogonal to both: cos 0
+      .toDF("vec_id", "embedding", "label"))
+    val rows = operators.DedupOps
+      .queries("pipeline_decontaminate_semantic")(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    val (ne1, cos1, flag1) = rows(1L)
+    assert(ne1 == 100L && flag1 && cos1 > 0.99,
+      s"planted neighbor must flag against eval 100: ${rows(1L)}")
+    val (ne2, cos2, flag2) = rows(2L)
+    assert(ne2 == 100L && !flag2 && cos2 == 0.0,
+      s"orthogonal vec: no flag, tie toward the smallest eval id: ${rows(2L)}")
+  }
+
   // ---- r8 ADVICE regressions ----
 
   test("recall-curve nprobe grid derives from LshProbeFlips in engine and oracle") {
