@@ -857,6 +857,50 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("graph_hyperball_error_audit: frontier expansion anti-joins the seen set; no cartesian") {
+    // the r9 exact-walk shape: each round's candidates anti-join the
+    // accumulated (seed, v) set so a vertex is expanded once per seed
+    // — the declared audit_seeds × E bound (the accumulate-and-regroup
+    // form re-aggregated the whole ball per round, measured 4.4× slower)
+    val p = plan("graph_hyperball_error_audit")
+    assert(p.contains("LeftAnti"),
+      s"frontier must anti-join the seen set:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian (the h-grid fans out a ≤H+1-row histogram, broadcast):\n$p")
+  }
+
+  test("pipeline_decontaminate: eval pool broadcasts against the train fingerprints") {
+    // the 100 TB decontamination shape: the eval fingerprint pool
+    // (~1/mod of the corpus) must broadcast — shuffling the exploded
+    // train fingerprints against it would move the whole crawl
+    val p = plan("pipeline_decontaminate")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"eval pool must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian in the pool join:\n$p")
+  }
+
+  test("pipeline_decontaminate_semantic: probe-bounded broadcast cross, never train x train") {
+    // the brute-force baseline's declared shape: train × evals with
+    // the ~1% eval side broadcast (BroadcastNestedLoopJoin IS the
+    // intended bounded cross); an unplanned CartesianProduct would
+    // mean the broadcast hint was lost and both sides shuffle
+    val p = plan("pipeline_decontaminate_semantic")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"eval side must broadcast into the scoring cross:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the cross must ride the broadcast, not a cartesian shuffle:\n$p")
+  }
+
+  test("dedup_containment_pairs: posting-derived, no all-pairs join") {
+    // same candidate-generation property as dedup_winnow_pairs — the
+    // shared winnowPairRel must keep pair fan-out posting-bounded
+    val p = plan("dedup_containment_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"containment pairs must derive from postings, never an all-pairs join:\n$p")
+  }
+
   test("graph_effective_diameter: register merge is a partial (map-side) aggregate") {
     // HyperBall's 100 TB property: the round shuffle carries
     // PARTIALLY max-merged registers (∝ V·m), not one register row
