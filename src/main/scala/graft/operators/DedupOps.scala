@@ -887,22 +887,10 @@ object DedupOps {
     // doc with ≥1 hit, its hit count/fraction, and the contaminated
     // flag at DecontamMinShared.
     "pipeline_decontaminate" -> ((s, d) => {
-      val ex = TextOps.winnowFpArrays(s, d, DecontamK, DecontamW)
-        .select(col("doc_id"),
-          // BIGINT like the oracle's len() — n_fp is an OUTPUT column
-          // here, unlike the pair queries where it only feeds ratios
-          size(col("fps")).cast("long").as("n_fp"),
-          explode(col("fps")).as("fp"))
-      val pool = ex.filter(col("doc_id") % DecontamEvalMod === 0L)
-        .select(col("fp")).distinct()
-      ex.filter(col("doc_id") % DecontamEvalMod =!= 0L)
-        .join(broadcast(pool), Seq("fp"))
-        .groupBy(col("doc_id"), col("n_fp"))
-        .agg(count(lit(1)).as("n_hit"))
-        .select(col("doc_id"), col("n_fp"), col("n_hit"),
-          r4(col("n_hit").cast("double") / col("n_fp")).as("hit_frac"),
-          (col("n_hit") >= DecontamMinShared).as("contaminated"))
-        .orderBy(col("doc_id"))
+      val train = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .filter(col("doc_id") % DecontamEvalMod =!= 0L)
+      decontamReport(train, evalFpPool(s, d)).orderBy(col("doc_id"))
     }),
 
     // sub-document block dedup — the repeated-passage removal pass of
@@ -961,6 +949,34 @@ object DedupOps {
   /** semantic-decontamination cosine threshold — declared demo knob
     * (this corpus's similarity ceiling is ~0.48; production 0.9+) */
   val SemanticDecontamTau = 0.35
+
+  /** the eval set's long-gram fingerprint POOL (distinct fp) — shared
+    * by the batch screen and the streaming sink
+    * ([[graft.streaming.StreamPort.decontaminateSink]]). ~1/mod of the
+    * corpus pays the chain (the doc_id filter pushes through the
+    * aggregate barrier); broadcast-sized by the eval-set contract. */
+  def evalFpPool(s: SparkSession, d: String): DataFrame =
+    TextOps.winnowFpArrays(s, d, DecontamK, DecontamW)
+      .filter(col("doc_id") % DecontamEvalMod === 0L)
+      .select(explode(col("fps")).as("fp")).distinct()
+
+  /** per-batch train-side screen against a (broadcast) fingerprint
+    * pool — the SHARED report shape of pipeline_decontaminate and the
+    * streaming sink: (doc_id, n_fp, n_hit, hit_frac, contaminated) for
+    * every doc with ≥ 1 hit */
+  def decontamReport(docs: DataFrame, pool: DataFrame): DataFrame = {
+    val ex = TextOps.winnowFpsOf(docs, DecontamK, DecontamW)
+      .select(col("doc_id"),
+        // BIGINT like the oracle's len() — n_fp is an OUTPUT column
+        size(col("fps")).cast("long").as("n_fp"),
+        explode(col("fps")).as("fp"))
+    ex.join(broadcast(pool), Seq("fp"))
+      .groupBy(col("doc_id"), col("n_fp"))
+      .agg(count(lit(1)).as("n_hit"))
+      .select(col("doc_id"), col("n_fp"), col("n_hit"),
+        r4(col("n_hit").cast("double") / col("n_fp")).as("hit_frac"),
+        (col("n_hit") >= DecontamMinShared).as("contaminated"))
+  }
 
   /** shared pre-threshold winnowing pair relation (doc_a, doc_b,
     * n_shared, nfa, nfb) — the SINGLE-PASS posting shape documented at

@@ -68,8 +68,21 @@ object TextOps {
     // it is NOT an extra cost class: the posting stage downstream
     // already shuffles ~290 (fp, doc, n_fp) rows ≈ 7 KB per doc, more
     // than the ~0.3 KB of raw text this exchange carries.
-    Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    winnowFpsOf(
+      Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+      k, w)
+  }
+
+  /** the fingerprint chain over ANY (doc_id, text)-shaped DataFrame —
+    * batch or a streaming micro-batch (the streaming decontamination
+    * sink screens each batch through this; see
+    * [[graft.streaming.StreamPort.decontaminateSink]]). Callers wanting
+    * full-width evaluation repartition BEFORE calling (the parquet
+    * split-count caveat above). */
+  def winnowFpsOf(docs: org.apache.spark.sql.DataFrame, k: Int, w: Int)
+      : org.apache.spark.sql.DataFrame = {
+    docs
       .filter(length(lower(col("text"))) >= k + w - 1)
       .select(col("doc_id"), expr(
         s"""element_at(transform(array(lower(text)), t ->

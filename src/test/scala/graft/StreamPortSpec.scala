@@ -615,6 +615,55 @@ class StreamPortSpec extends SparkTestBase {
     assert(batch == streamed)
   }
 
+  test("decontamination sink: streamed per-batch reports equal the batch " +
+      "screen over the same docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = tempDir() + "/decontam"
+    // fixture: eval doc 100 + three train docs, one quoting the eval
+    // span (the Round9Spec planted-quote construction), split across
+    // two micro-batches
+    val evalText = "held out benchmark question about catalyst optimizer " +
+      "internals and the tungsten execution engine pipeline"
+    val quote = "benchmark question about catalyst optimizer internals"
+    val d1 = s"a training document that leaked the $quote verbatim " +
+      "surrounded by otherwise novel prose about distributed shuffles"
+    val d2 = "completely clean text discussing parquet row groups, " +
+      "bloom filters, and adaptive query execution at length"
+    val dir = tempDir()
+    writeFixture(dir, "documents", Seq(
+      (100L, evalText, "en", "eval", evalText.length.toLong),
+      (1L, d1, "en", "train", d1.length.toLong),
+      (2L, d2, "en", "train", d2.length.toLong),
+      (3L, quote, "en", "train", quote.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    // the static pool materializes ONCE from the fixture dir; the
+    // train docs stream past it
+    val pool = operators.DedupOps.evalFpPool(spark, dir).localCheckpoint(true)
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamPort.decontaminateSink(
+      mem.toDF().toDF("doc_id", "text"), pool, out).start()
+    mem.addData((1L, d1), (2L, d2)); q.processAllAvailable()
+    mem.addData((3L, quote)); q.processAllAvailable()
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).sortBy(_._1).toSeq
+    val streamed = rows(spark.read.parquet(out)
+      .select("doc_id", "n_fp", "n_hit", "hit_frac", "contaminated"))
+    val batch = rows(operators.DedupOps.decontamReport(
+      Seq((1L, d1), (2L, d2), (3L, quote)).toDF("doc_id", "text"), pool))
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(streamed.exists(r => r._1 == 1L && r._5),
+      "the planted quote must be flagged through the stream path")
+    // RETRY batch 0: identical bytes, not duplicates
+    StreamPort.applyDecontamBatch(pool, out)(
+      Seq((1L, d1), (2L, d2)).toDF("doc_id", "text"), 0L)
+    assert(rows(spark.read.parquet(out)
+        .select("doc_id", "n_fp", "n_hit", "hit_frac", "contaminated"))
+      == streamed, "retried batch changed the report")
+  }
+
   test("cc refresh sink: snapshot equals the full recompute after EVERY " +
       "batch, idempotent on retry") {
     import spark.implicits._
