@@ -229,6 +229,45 @@ class Round9Spec extends SparkTestBase {
       s"orthogonal vec: no flag, tie toward the smallest eval id: ${rows(2L)}")
   }
 
+  test("graph_sssp_seeds matches a driver-side Bellman-Ford replica " +
+      "on a hand-weighted fixture") {
+    // c1—s1 ×3 orders (dist 333333), c1—s2 ×1 (1000000), c2—s2 ×2
+    // (500000): the cheap 2-hop route c2→s2→c1 (1500000 — wait, via
+    // s2: 500000 + 1000000) vs any alternative exercises the
+    // multi-hop minimization
+    val mult = Seq((1L, 1L, 3), (1L, 2L, 1), (2L, 2L, 2))
+    val pairs = mult.flatMap { case (c, sp, n) => Seq.fill(n)((c, sp)) }
+    val dir = tempDir()
+    writeGraph(dir, pairs)
+    val got = operators.GraphOps.queries("graph_sssp_seeds")(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    // replica: plain Bellman–Ford to SsspHops rounds over the
+    // symmetric weighted edges, dist = 1e6 DIV order-count
+    val wEdges = mult.flatMap { case (c, sp, n) =>
+      val s2 = sp + off; val dw = 1000000L / n
+      Seq(((c, s2), dw), ((s2, c), dw))
+    }
+    val verts = wEdges.map(_._1._1).distinct.sorted
+    val seeds = verts.take(10)
+    var dist = seeds.map(sd => (sd, sd) -> 0L).toMap
+    for (_ <- 1 to operators.GraphOps.SsspHops) {
+      val relaxed = for {
+        ((u, v), dw) <- wEdges
+        sd <- seeds
+        du <- dist.get((sd, u))
+      } yield (sd, v) -> (du + dw)
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(_._2).min }
+    }
+    val want = dist.toSeq.sortBy(_._1)
+    assert(got == want, s"engine\n  $got\nvs replica\n  $want")
+    // the multi-hop minimization is really exercised: c2's distance
+    // to s1 must be the 3-hop route c2→s2→c1→s1
+    assert(dist((2L, 1L + off)) == 500000L + 1000000L + 333333L,
+      "3-hop route must win for c2→s1")
+  }
+
   // ---- r8 ADVICE regressions ----
 
   test("recall-curve nprobe grid derives from LshProbeFlips in engine and oracle") {
