@@ -664,12 +664,16 @@ object GraphOps {
     * any graph scale. Shared with the oracle SQL. */
   val HbSeedMod = 16
 
-  /** error-audit sub-sample modulus (graph_hyperball_error_audit):
-    * the EXACT balls are recomputed only at md5₆₀('hb|'‖v) ≡ 0
-    * (mod 64) — a subset of the readout seeds (16 | 64), small enough
-    * that the exact BFS stays a bounded audit cost at any scale.
-    * Shared with the oracle SQL. */
-  val HbAuditMod = 64
+  /** error-audit sample SIZE (graph_hyperball_error_audit): the EXACT
+    * balls are recomputed only at the [[HbAuditSeeds]] lowest readout
+    * seeds by md5₆₀('hb|'‖v) rank — a CONSTANT-size sample (the
+    * graph_betweenness_sampled discipline), so the exact side costs
+    * audit_seeds × E at ANY graph scale by construction. r9: the
+    * earlier mod-64 sub-sample grew linearly with V (250 seeds at
+    * sf0.1, measured 32 s in the full bench) — the "raise the modulus
+    * as the graph grows" caveat is now automatic. Shared with the
+    * oracle SQL. */
+  val HbAuditSeeds = 32
 
   /** HLL estimate for an m=[[HbM]] register array column — the
     * Aggregates.hllEstimate formula parameterized to the HyperBall
@@ -1648,10 +1652,18 @@ object GraphOps {
       val (rounds, _) = hbRegRounds(s, d) // shared with graph_effective_diameter
       val horizon = rounds.size - 1 // convergence-detected like the diameter
       val verts = sym.select(col("src").as("v")).distinct()
-      val isAudit = expr(s"${graft.functions.Md5Hash.sparkHash60(
-        "concat('hb|', cast(v as string))")} % $HbAuditMod = 0")
+      // audit sample: the HbAuditSeeds lowest READOUT seeds by md5
+      // rank — constant-size (the betweenness_sampled discipline), a
+      // subset of the mod-16 readout set so the oracle's register
+      // rebuild covers it
+      val aud = latch(s, verts
+        .select(col("v"), expr(graft.functions.Md5Hash.sparkHash60(
+          "concat('hb|', cast(v as string))")).as("rk"))
+        .filter(col("rk") % HbSeedMod === 0)
+        .orderBy(col("rk"), col("v")).limit(HbAuditSeeds)
+        .select(col("v")))
       val sk = rounds.zipWithIndex.map { case (r, h) =>
-        r.filter(isAudit)
+        r.join(broadcast(aud), Seq("v"))
           .select(lit(h.toLong).as("h"), hbEstimate("reg").as("est"))
       }.reduce(_ unionByName _)
       // FRONTIER BFS for the exact side (r9, twice over): in an
@@ -1662,7 +1674,7 @@ object GraphOps {
       // ENTIRE accumulated ball per round (measured 9.0 s min-of-3;
       // frontier + count-by-distance below ~halves the exact side).
       // dist stays a lazy union of the H+1 latched frontiers.
-      var frontier = verts.filter(isAudit)
+      var frontier = aud
         .select(col("v").as("seed"), col("v"), lit(0L).as("dd"))
       var dist = frontier
       for (h <- 1 to horizon) {
@@ -3572,9 +3584,10 @@ object GraphOps {
          |hz AS (SELECT coalesce(min(h), $HbMaxRounds) AS hmax
          |       FROM gr WHERE h >= 1 AND CAST(nfd AS DOUBLE)
          |         <= CAST(prev AS DOUBLE) * ${1.0 + HbGrowthEps}),
-         |aud AS (SELECT v FROM verts
-         |  WHERE ${Md5Hash.duckHash60("'hb|' || CAST(v AS VARCHAR)")}
-         |    % $HbAuditMod = 0),
+         |aud AS (SELECT v FROM (
+         |    SELECT v, ${Md5Hash.duckHash60("'hb|' || CAST(v AS VARCHAR)")}
+         |      AS rk FROM seeds) t
+         |  ORDER BY rk, v LIMIT $HbAuditSeeds),
          |exact AS (SELECT h, count(*) AS nf_exact FROM mem
          |          JOIN aud ON mem.seed = aud.v GROUP BY 1),
          |anf AS (SELECT h, count(*) AS n_seeds,
