@@ -97,9 +97,9 @@ object GraphOps {
     * (clearCache() strips the cache markers; without this the memoized
     * DataFrames would recompute uncached on every timed action) */
   private[graft] def clearMemos(s: SparkSession): Unit = {
-    Seq(edgeCache, symCache, wSymCache, cappedCache, coCiteCache, coPartCache,
-      lpaCache, walkCache, triRelCache, triAdjCache, seedDistCache,
-      seedPathCache, ccCache).foreach(evict(_, s))
+    Seq(edgeCache, symCache, wSymCache, ssspCache, cappedCache, coCiteCache,
+      coPartCache, lpaCache, walkCache, triRelCache, triAdjCache,
+      seedDistCache, seedPathCache, ccCache).foreach(evict(_, s))
     evict(triCache, s)
     evict(hbRegsCache, s)
   }
@@ -256,6 +256,41 @@ object GraphOps {
         .agg(countDistinct(col("l_orderkey")).as("w"))
       pair.union(pair.select(col("dst"), col("src"), col("w")))
         .repartition(graphParts(s, d), col("src")).cache()
+    }
+
+  /** bounded-hop weighted SSSP distance table (seed, v, dd) from the
+    * 10 lowest vertex ids — memoized per (session, dir): both
+    * graph_sssp_seeds and graph_closeness_weighted consume it. The
+    * loop latches per round (lineage truncation); the memo holds the
+    * final latched relation. */
+  private val ssspCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def ssspDist(s: SparkSession, d: String): DataFrame =
+    memo(ssspCache, (s, d)) {
+      val wsym = wSymEdges(s, d).select(col("src"), col("dst"),
+        expr("CAST(1000000 DIV w AS BIGINT)").as("dw"))
+      val seeds = wsym.select(col("src").as("v")).distinct()
+        .orderBy(col("v")).limit(10)
+      var dist = seeds.select(col("v").as("seed"), col("v"), lit(0L).as("dd"))
+      var frontier = dist
+      for (_ <- 1 to SsspHops) {
+        val relax = wsym
+          .join(frontier.select(col("seed"), col("v").as("src"), col("dd")),
+            Seq("src"))
+          .select(col("seed"), col("dst").as("v"),
+            (col("dd") + col("dw")).as("dd"))
+          .groupBy(col("seed"), col("v")).agg(min(col("dd")).as("dd"))
+        val improved = latch(s, relax
+          .join(dist.select(col("seed"), col("v"), col("dd").as("old")),
+            Seq("seed", "v"), "left")
+          .filter(col("old").isNull || col("dd") < col("old"))
+          .select(col("seed"), col("v"), col("dd")))
+        dist = latch(s, dist.unionByName(improved)
+          .groupBy(col("seed"), col("v")).agg(min(col("dd")).as("dd")))
+        frontier = improved
+      }
+      dist
     }
 
   /** partition count for the iterative graph state, sized to the edge
@@ -1989,31 +2024,29 @@ object GraphOps {
     // stops an inlining planner from expanding it exponentially, the
     // ktruss oracle discipline). State ∝ seeds × reached — bounded by
     // the 10-seed convention at any graph scale.
-    "graph_sssp_seeds" -> ((s, d) => {
-      val wsym = wSymEdges(s, d).select(col("src"), col("dst"),
-        expr("CAST(1000000 DIV w AS BIGINT)").as("dw"))
-      val seeds = wsym.select(col("src").as("v")).distinct()
-        .orderBy(col("v")).limit(10)
-      var dist = seeds.select(col("v").as("seed"), col("v"), lit(0L).as("dd"))
-      var frontier = dist
-      for (_ <- 1 to SsspHops) {
-        val relax = wsym
-          .join(frontier.select(col("seed"), col("v").as("src"), col("dd")),
-            Seq("src"))
-          .select(col("seed"), col("dst").as("v"),
-            (col("dd") + col("dw")).as("dd"))
-          .groupBy(col("seed"), col("v")).agg(min(col("dd")).as("dd"))
-        val improved = latch(s, relax
-          .join(dist.select(col("seed"), col("v"), col("dd").as("old")),
-            Seq("seed", "v"), "left")
-          .filter(col("old").isNull || col("dd") < col("old"))
-          .select(col("seed"), col("v"), col("dd")))
-        dist = latch(s, dist.unionByName(improved)
-          .groupBy(col("seed"), col("v")).agg(min(col("dd")).as("dd")))
-        frontier = improved
-      }
-      dist.orderBy(col("seed"), col("v"))
-    }),
+    "graph_sssp_seeds" -> ((s, d) =>
+      ssspDist(s, d).orderBy(col("seed"), col("v"))),
+
+    // bounded-hop WEIGHTED harmonic closeness of the SSSP seed set —
+    // the weighted twin of graph_closeness_bounded: h_w(s) =
+    // Σ_{v ≠ s reached} 1/(dd/1e6) over the weighted distances (dd in
+    // the MST 1e6 micro-distance units, so 1/dd·1e6 = inverse
+    // order-distance). Same exactness discipline as the unweighted
+    // op: each term quantizes ONCE to integer units
+    // (round(1e12/dd) — ~1e6-scale per term, exact long sum), one
+    // IEEE close. Rides the memoized SSSP relation — the distance
+    // table is computed once per session and both consumers read it
+    // warm.
+    "graph_closeness_weighted" -> ((s, d) =>
+      ssspDist(s, d)
+        .filter(col("dd") > 0L)
+        .select(col("seed"),
+          expr("cast(round(1000000000000.0 / dd, 0) as bigint)").as("w12"))
+        .groupBy(col("seed"))
+        .agg(count(lit(1)).as("n_reached"), sum(col("w12")).as("w12s"))
+        .select(col("seed"), col("n_reached"),
+          Stable.r4(col("w12s").cast(DoubleType) / 1e6).as("harmonic_w"))
+        .orderBy(col("seed"))),
 
     // WEIGHTED PageRank (VERDICT r8 #6): a neighbor's share of the
     // rank is its edge weight over the vertex's total outgoing weight
@@ -2327,6 +2360,34 @@ object GraphOps {
        |         ELSE CAST(0.0 AS DOUBLE) END AS r0
        |  FROM deg d LEFT JOIN sd s ON d.src = s.v),
        |q0 AS (SELECT v, r0 AS pr FROM rbase),
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  /** CTE prefix unrolling the [[SsspHops]] weighted-SSSP rounds,
+    * shared by graph_sssp_seeds and graph_closeness_weighted — ends
+    * at `d$SsspHops` = (seed, v, dd) */
+  private def ssspCteSql: String = {
+    val rounds = (1 to SsspHops).map { i =>
+      s"""r$i AS (
+         |  SELECT d.seed, e.dst AS v, min(d.dd + e.dw) AS dd
+         |  FROM ed e JOIN d${i - 1} d ON e.src = d.v GROUP BY 1, 2),
+         |d$i AS MATERIALIZED (
+         |  SELECT seed, v, min(dd) AS dd FROM (
+         |    SELECT seed, v, dd FROM d${i - 1}
+         |    UNION ALL SELECT seed, v, dd FROM r$i) u GROUP BY 1, 2)"""
+        .stripMargin
+    }
+    s"""pair AS (
+       |  SELECT o_custkey AS src, l_suppkey + 1000000000000 AS dst,
+       |    CAST(1000000 // count(DISTINCT l_orderkey) AS BIGINT) AS dw
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2),
+       |ed AS MATERIALIZED (
+       |  SELECT src, dst, dw FROM pair
+       |  UNION ALL SELECT dst, src, dw FROM pair),
+       |sd AS (SELECT src AS v FROM ed GROUP BY src ORDER BY src LIMIT 10),
+       |d0 AS MATERIALIZED (
+       |  SELECT v AS seed, v, CAST(0 AS BIGINT) AS dd FROM sd),
        |${rounds.mkString(",\n")}""".stripMargin
   }
 
@@ -3317,31 +3378,16 @@ object GraphOps {
     // full (not improved-only) relax per round — identical fixpoint:
     // d_i = min-cost over paths of ≤ i edges either way. MATERIALIZED
     // d-chain (double-referenced per round) — the ktruss discipline.
-    "graph_sssp_seeds" -> {
-      val rounds = (1 to SsspHops).map { i =>
-        s"""r$i AS (
-           |  SELECT d.seed, e.dst AS v, min(d.dd + e.dw) AS dd
-           |  FROM ed e JOIN d${i - 1} d ON e.src = d.v GROUP BY 1, 2),
-           |d$i AS MATERIALIZED (
-           |  SELECT seed, v, min(dd) AS dd FROM (
-           |    SELECT seed, v, dd FROM d${i - 1}
-           |    UNION ALL SELECT seed, v, dd FROM r$i) u GROUP BY 1, 2)"""
-          .stripMargin
-      }
-      s"""WITH pair AS (
-         |  SELECT o_custkey AS src, l_suppkey + 1000000000000 AS dst,
-         |    CAST(1000000 // count(DISTINCT l_orderkey) AS BIGINT) AS dw
-         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         |  GROUP BY 1, 2),
-         |ed AS MATERIALIZED (
-         |  SELECT src, dst, dw FROM pair
-         |  UNION ALL SELECT dst, src, dw FROM pair),
-         |sd AS (SELECT src AS v FROM ed GROUP BY src ORDER BY src LIMIT 10),
-         |d0 AS MATERIALIZED (
-         |  SELECT v AS seed, v, CAST(0 AS BIGINT) AS dd FROM sd),
-         |${rounds.mkString(",\n")}
-         |SELECT seed, v, dd FROM d$SsspHops ORDER BY seed, v""".stripMargin
-    },
+    "graph_sssp_seeds" ->
+      s"""WITH $ssspCteSql
+         |SELECT seed, v, dd FROM d$SsspHops ORDER BY seed, v""".stripMargin,
+
+    "graph_closeness_weighted" ->
+      s"""WITH $ssspCteSql
+         |SELECT seed, count(*) AS n_reached,
+         |  round(CAST(SUM(CAST(round(1000000000000.0 / dd, 0) AS BIGINT))
+         |    AS DOUBLE) / 1000000.0, 4) AS harmonic_w
+         |FROM d$SsspHops WHERE dd > 0 GROUP BY seed ORDER BY seed""".stripMargin,
 
     "graph_pagerank_weighted" ->
       s"""WITH $prwUnrolledSql

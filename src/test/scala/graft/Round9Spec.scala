@@ -266,6 +266,20 @@ class Round9Spec extends SparkTestBase {
     // to s1 must be the 3-hop route c2→s2→c1→s1
     assert(dist((2L, 1L + off)) == 500000L + 1000000L + 333333L,
       "3-hop route must win for c2→s1")
+    // weighted closeness rides the same memoized distances: replica =
+    // the engine's exact quantization (round(1e12/dd) per term, exact
+    // sum, /1e6 close, 4dp)
+    val gotCl = operators.GraphOps
+      .queries("graph_closeness_weighted")(spark, dir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .toMap
+    val wantCl = dist.toSeq.filter(_._2 > 0L).groupBy(_._1._1)
+      .map { case (sd, es) =>
+        val w12s = es.map(e => math.round(1e12 / e._2)).sum
+        sd -> ((es.size.toLong,
+          r4(w12s.toDouble / 1e6)))
+      }
+    assert(gotCl == wantCl, s"closeness engine $gotCl vs replica $wantCl")
   }
 
   // ---- r8 ADVICE regressions ----
