@@ -47,7 +47,14 @@ object ExplainAudit {
       // band-bounded candidate equi-joins, probe-bucket equi-join
       "graph_cc_incremental", "graph_betweenness_sampled",
       "graph_effective_diameter", "dedup_embedding_cluster",
-      "vec_ann_lsh_multiprobe")
+      "vec_ann_lsh_multiprobe",
+      // round-9 shapes: frontier anti-join audit walk, broadcast eval
+      // pool, broadcast scoring cross, improved-frontier Bellman–Ford
+      // (graph_pagerank_weighted is audited via PlanAuditSpec-adjacent
+      // pins only: the pageRank loop sizes its broadcast by a measured
+      // count, so its construction is not action-free)
+      "graph_hyperball_error_audit", "pipeline_decontaminate",
+      "pipeline_decontaminate_semantic", "graph_sssp_seeds")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
