@@ -2048,6 +2048,21 @@ object GraphOps {
           Stable.r4(col("w12s").cast(DoubleType) / 1e6).as("harmonic_w"))
         .orderBy(col("seed"))),
 
+    // bounded-hop WEIGHTED eccentricity — the weighted twin of
+    // graph_eccentricity_bounded, third consumer of the memoized
+    // SSSP relation: the FARTHEST cost within the hop bound (argmax
+    // tie toward the lowest vertex id — the unweighted op's total
+    // order), exact integers end to end.
+    "graph_eccentricity_weighted" -> ((s, d) =>
+      ssspDist(s, d)
+        .filter(col("dd") > 0L)
+        .groupBy(col("seed"))
+        .agg(count(lit(1)).as("n_reached"),
+          max(struct(col("dd"), (-col("v")).as("nv"))).as("m"))
+        .select(col("seed"), col("m.dd").as("ecc_w"), col("n_reached"),
+          (-col("m.nv")).as("far_vertex"))
+        .orderBy(col("seed"))),
+
     // WEIGHTED PageRank (VERDICT r8 #6): a neighbor's share of the
     // rank is its edge weight over the vertex's total outgoing weight
     // — w/Σw in place of 1/odeg — with weight = shared distinct-order
@@ -3388,6 +3403,15 @@ object GraphOps {
          |  round(CAST(SUM(CAST(round(1000000000000.0 / dd, 0) AS BIGINT))
          |    AS DOUBLE) / 1000000.0, 4) AS harmonic_w
          |FROM d$SsspHops WHERE dd > 0 GROUP BY seed ORDER BY seed""".stripMargin,
+
+    "graph_eccentricity_weighted" ->
+      s"""WITH $ssspCteSql,
+         |agg AS (
+         |  SELECT seed, max(dd) AS ecc_w, count(*) AS n_reached
+         |  FROM d$SsspHops WHERE dd > 0 GROUP BY seed)
+         |SELECT a.seed, a.ecc_w, a.n_reached, min(m.v) AS far_vertex
+         |FROM agg a JOIN d$SsspHops m ON m.seed = a.seed AND m.dd = a.ecc_w
+         |GROUP BY 1, 2, 3 ORDER BY a.seed""".stripMargin,
 
     "graph_pagerank_weighted" ->
       s"""WITH $prwUnrolledSql

@@ -280,6 +280,19 @@ class Round9Spec extends SparkTestBase {
           r4(w12s.toDouble / 1e6)))
       }
     assert(gotCl == wantCl, s"closeness engine $gotCl vs replica $wantCl")
+    // weighted eccentricity: farthest cost per seed, tie toward the
+    // lowest vertex id
+    val gotEc = operators.GraphOps
+      .queries("graph_eccentricity_weighted")(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val wantEc = dist.toSeq.filter(_._2 > 0L).groupBy(_._1._1)
+      .map { case (sd, es) =>
+        val ecc = es.map(_._2).max
+        sd -> ((ecc, es.size.toLong,
+          es.collect { case ((_, v), dd) if dd == ecc => v }.min))
+      }
+    assert(gotEc == wantEc, s"eccentricity engine $gotEc vs replica $wantEc")
   }
 
   // ---- r8 ADVICE regressions ----
