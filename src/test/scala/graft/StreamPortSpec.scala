@@ -698,5 +698,10 @@ class StreamPortSpec extends SparkTestBase {
     // its own id, never from its own partial output)
     StreamPort.applyCcRefreshBatch(out)(b2.toDF("src", "dst"), 2L)
     assert(snap() == want, "retried batch changed the snapshot")
+    // an EMPTY micro-batch (idle trigger / all rows self-loops) must
+    // carry the snapshot forward unchanged, not corrupt or drop it
+    StreamPort.applyCcRefreshBatch(out)(
+      Seq((7L, 7L)).toDF("src", "dst"), 3L) // self-loop filters to empty
+    assert(snap() == want, "empty delta must preserve the snapshot")
   }
 }
