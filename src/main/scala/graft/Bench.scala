@@ -1,7 +1,35 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicLong
 object Bench {
+
+  /** per-query shuffle telemetry (VERDICT r9 #5): stage-level shuffle
+    * bytes/rows, spill, and peak task memory, accumulated by one
+    * session-lifetime listener. The bench drains the async listener
+    * bus (ListenerBusDrain) around each timed query so the counter
+    * DELTAS attribute to that query — turning every future 100×-scale
+    * judgment ("does this op shuffle more than it must?") from
+    * plan-reading into arithmetic on bench_queries.json. */
+  private final class ShuffleTelemetry
+      extends org.apache.spark.scheduler.SparkListener {
+    val writeBytes = new AtomicLong
+    val writeRows = new AtomicLong
+    val readBytes = new AtomicLong
+    val spillBytes = new AtomicLong
+    val peakMem = new AtomicLong // max per-stage peakExecutionMemory
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      writeBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      writeRows.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+      readBytes.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      peakMem.accumulateAndGet(m.peakExecutionMemory, Math.max(_, _))
+    }
+    def snapshot: (Long, Long, Long, Long) =
+      (writeBytes.get, writeRows.get, readBytes.get, spillBytes.get)
+  }
 
   /** drop every cached relation and session-lifetime memo — run before
     * each timed rep so no query (or rep) reads a pre-computed scalar or
@@ -116,17 +144,36 @@ object Bench {
     // round-over-round against other warming runs
     val memoWarm = scala.collection.mutable.Set.empty[String]
     val failedQ = scala.collection.mutable.Set.empty[String]
+    // telemetry deltas for the pass that holds each query's MIN time,
+    // so the recorded shuffle profile describes the same run the
+    // seconds describe. The drains sit OUTSIDE the timed region (one
+    // before t0, one after t is captured).
+    val telemetry = new ShuffleTelemetry
+    spark.sparkContext.addSparkListener(telemetry)
+    val shuffleOf = scala.collection.mutable.Map.empty[String,
+      (Long, Long, Long, Long, Long)]
+    def drain(): Unit =
+      org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext)
     for (_ <- 1 to reps) {
       clearSessionState(spark)
       System.gc()
       sorted.foreach { case (name, fn) =>
         if (!failedQ.contains(name)) {
           val builds0 = graft.operators.GraphOps.memoBuilds.get()
+          drain()
+          telemetry.peakMem.set(0L)
+          val snap0 = telemetry.snapshot
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).count()
             val t = (System.nanoTime() - t0) / 1e9
-            if (!best.get(name).exists(_ <= t)) best(name) = t
+            drain()
+            if (!best.get(name).exists(_ <= t)) {
+              best(name) = t
+              val s1 = telemetry.snapshot
+              shuffleOf(name) = (s1._1 - snap0._1, s1._2 - snap0._2,
+                s1._3 - snap0._3, s1._4 - snap0._4, telemetry.peakMem.get)
+            }
             passTimes.getOrElseUpdate(name,
               scala.collection.mutable.ArrayBuffer.empty) += t
             if (graft.operators.GraphOps.memoBuilds.get() > builds0)
@@ -144,6 +191,7 @@ object Bench {
               best.remove(name)
               passTimes.remove(name)
               memoWarm -= name
+              shuffleOf.remove(name)
               // ADVICE r7 #4: a query that fails AFTER building a
               // shared memo leaves it warm, so later consumers in the
               // same pass would time against a cache they didn't build
@@ -177,6 +225,17 @@ object Bench {
     }.mkString("{", ",", "}")
     val warmJson = memoWarm.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // r10 schema addition (VERDICT r9 #5): per-query shuffle profile
+    // from the min-time pass — shuffle write bytes/rows, shuffle read
+    // bytes, spilled bytes, max per-stage peakExecutionMemory. The
+    // stdout contract lines are UNCHANGED.
+    val shuffleJson = sorted.collect {
+      case (name, _) if shuffleOf.contains(name) =>
+        val (wb, wr, rb, sp, pk) = shuffleOf(name)
+        "\"" + name + "\":{\"write_bytes\":" + wb + ",\"write_rows\":" + wr +
+          ",\"read_bytes\":" + rb + ",\"spill_bytes\":" + sp +
+          ",\"peak_mem\":" + pk + "}"
+    }.mkString("{", ",", "}")
     // a dev-filtered subset run lands in a SEPARATE file (ADVICE r6
     // #5): the full-map bench_queries.json is the durable round-over-
     // round regression record and a 4-query iteration run must never
@@ -184,7 +243,7 @@ object Bench {
     val benchFile =
       if (only.isDefined) "bench_queries.partial.json" else "bench_queries.json"
     try Files.writeString(Paths.get(benchFile),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passesJson,"memo_warm":$warmJson}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passesJson,"memo_warm":$warmJson,"shuffle":$shuffleJson}""")
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] $benchFile write failed: $e") }
     // Two lines, long-then-short (round-1 post-mortem): the driver may

@@ -747,8 +747,14 @@ object DedupOps {
     "pipeline_decontaminate_semantic" -> ((s, d) => {
       graft.functions.CosineSimilarity.register(s)
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val evals = e.filter(col("vec_id") % DecontamEvalMod === 0L)
-        .select(col("vec_id").as("ev"), col("embedding").as("ee"))
+      // guarded broadcast (VERDICT r9 #1): eval vectors counted against
+      // the declared cap before broadcasting — see guardedPool
+      val evals = guardedPool(
+        e.filter(col("vec_id") % DecontamEvalMod === 0L)
+          .select(col("vec_id").as("ev"), col("embedding").as("ee")),
+        evalVecCap(s), "pipeline_decontaminate_semantic",
+        "run the LSH-banded screen (dedup_embedding_cluster discipline) " +
+          "or supply a bounded external eval set")
       e.filter(col("vec_id") % DecontamEvalMod =!= 0L)
         .join(broadcast(evals))
         .select(col("vec_id"),
@@ -890,7 +896,14 @@ object DedupOps {
       val train = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .filter(col("doc_id") % DecontamEvalMod =!= 0L)
-      decontamReport(train, evalFpPool(s, d)).orderBy(col("doc_id"))
+      // guarded broadcast (VERDICT r9 #1): the fp pool is counted
+      // against the declared cap BEFORE it broadcasts — see guardedPool
+      val pool = guardedPool(evalFpPool(s, d), poolCap(s),
+        "pipeline_decontaminate",
+        "screen via the posting-capped fingerprint join " +
+          "(dedup_winnow_pairs discipline) or supply a bounded " +
+          "external eval set")
+      decontamReport(train, pool).orderBy(col("doc_id"))
     }),
 
     // sub-document block dedup — the repeated-passage removal pass of
@@ -949,6 +962,51 @@ object DedupOps {
   /** semantic-decontamination cosine threshold — declared demo knob
     * (this corpus's similarity ceiling is ~0.48; production 0.9+) */
   val SemanticDecontamTau = 0.35
+
+  /** broadcast-pool contract (VERDICT r9 #1, the
+    * [[GraphOps.CcIncrementalMaxDeltaFrac]] pattern): both
+    * decontamination screens BROADCAST their eval pool, and this
+    * corpus derives that pool as a %-mod slice of the corpus itself —
+    * so without a numeric bound the broadcast grows LINEARLY with the
+    * corpus and a 100× scale-up degrades silently (driver/executor
+    * OOM) instead of refusing. In production the eval set is a FIXED
+    * external corpus, so the contract is absolute, not fractional:
+    * the pool must fit a single executor's broadcast budget at ANY
+    * corpus size. Caps are rows of the broadcast relation —
+    * 2M fingerprint rows ≈ 70 MB of md5 strings; 200k embedding rows
+    * × 64 floats ≈ 60 MB — both comfortably inside a default 1 GB
+    * broadcast budget with headroom for the hash map. Past the cap
+    * the screen refuses loudly and names the banded alternative
+    * (the dedup_embedding_cluster / dedup_winnow_pairs posting
+    * discipline runs the same screen with bounded fan-out and no
+    * broadcast). Session-overridable like the graph broadcast caps so
+    * the refusal is testable and cluster operators can retune. */
+  val DecontamPoolMaxRowsKey = "graft.decontam.poolMaxRows"
+  val DecontamEvalVecMaxRowsKey = "graft.decontam.evalVecMaxRows"
+  val DecontamPoolMaxRows = 2000000L
+  val DecontamEvalVecMaxRows = 200000L
+
+  private def poolCap(s: SparkSession): Long =
+    s.conf.get(DecontamPoolMaxRowsKey, DecontamPoolMaxRows.toString).toLong
+  private def evalVecCap(s: SparkSession): Long =
+    s.conf.get(DecontamEvalVecMaxRowsKey, DecontamEvalVecMaxRows.toString).toLong
+
+  /** measure `pool` and refuse loudly past `cap` — one bounded count
+    * action (the measured-count discipline of GraphOps.stateCap), run
+    * before the broadcast so the failure is the CONTRACT message, not
+    * an OOM mid-join. Plan-only audit sessions skip the count (they
+    * never execute). Returns the pool unchanged for inline use. */
+  private[graft] def guardedPool(pool: DataFrame, cap: Long, what: String,
+      alternative: String): DataFrame = {
+    if (!GraphOps.planOnly(pool.sparkSession)) {
+      val n = pool.count()
+      require(n <= cap,
+        s"$what: broadcast eval pool has $n rows, exceeding the declared " +
+          s"cap $cap - the pool << corpus broadcast contract does not " +
+          s"hold; $alternative")
+    }
+    pool
+  }
 
   /** the eval set's long-gram fingerprint POOL (distinct fp) — shared
     * by the batch screen and the streaming sink

@@ -268,8 +268,13 @@ object GraphOps {
 
   private def ssspDist(s: SparkSession, d: String): DataFrame =
     memo(ssspCache, (s, d)) {
+      // cost floor 1 (ADVICE r9): 1000000 DIV w floors to 0 past 1e6
+      // distinct orders on one edge, and a zero-cost edge gives reached
+      // vertices dd = 0 — conflated with the seed self-row by the
+      // `dd > 0` consumers. GREATEST(1, ·) keeps reached ≠ seed at any
+      // weight; values are unchanged wherever w ≤ 1e6 (all test SFs).
       val wsym = wSymEdges(s, d).select(col("src"), col("dst"),
-        expr("CAST(1000000 DIV w AS BIGINT)").as("dw"))
+        expr("CAST(GREATEST(1, 1000000 DIV w) AS BIGINT)").as("dw"))
       val seeds = wsym.select(col("src").as("v")).distinct()
         .orderBy(col("v")).limit(10)
       var dist = seeds.select(col("v").as("seed"), col("v"), lit(0L).as("dd"))
@@ -1282,7 +1287,7 @@ object GraphOps {
       // read warm blocks — one aggregate job. Plan-only audit sessions
       // skip the guard: they never execute, and the audits pin
       // action-free construction.
-      if (!planOnly(s)) {
+      val ndMeasured: Long = if (!planOnly(s)) {
         val c = flagged.agg(
           sum(when(col("in_base"), 1L).otherwise(0L)).as("nb"),
           sum(when(col("in_delta"), 1L).otherwise(0L)).as("nd")).head()
@@ -1292,12 +1297,13 @@ object GraphOps {
             s"$CcIncrementalMaxDeltaFrac x base edge count $nb - the " +
             "incremental merge contract (delta << base) does not hold; " +
             "run the full fixpoint (graph_connected_components) instead")
-      }
+        nd
+      } else -1L
       val baseLbl = connectedComponents(
         flagged.filter(col("in_base")).select(col("src"), col("dst")),
         numParts = graphParts(s, d)) // (v, lbl)
       val deltaE = flagged.filter(col("in_delta")).select(col("src"), col("dst"))
-      mergeCcDelta(baseLbl, deltaE)
+      mergeCcDelta(baseLbl, deltaE, deltaRows = ndMeasured)
         .withColumn("moved",
           col("base_lbl") === -1L || col("lbl") =!= col("base_lbl"))
         .orderBy(col("v"))
@@ -1954,13 +1960,15 @@ object GraphOps {
     // minimum spanning forest of the trade graph — the backbone
     // extraction: per (customer, supplier) pair, distance = 1e6 DIV
     // shared-order count (more orders = closer), forest = boruvkaMsf
-    // under the (w, a, b) total order. NO ORACLE BY DESIGN: the
-    // component contraction relabels state data-dependently each
-    // round — not expressible as a DuckDB recursive CTE (the one
-    // iterative shape on this surface that isn't; see SURVEY §2.10) —
-    // so correctness pins on Round4eSpec's driver-side Kruskal
-    // replica under the identical comparator (the forest is UNIQUE
-    // given the total order, so set equality is the full check).
+    // under the (w, a, b) total order. HASH-ORACLED as of r10
+    // (VERDICT r9 #4): the contraction is not a recursive CTE (the
+    // relabeling references its working table many times per round),
+    // but it UNROLLS — mstUnrolledSql replays MstOracleRounds
+    // contraction rounds as MATERIALIZED CTE stages with squaring
+    // pointer jumps, and the forest's uniqueness under the total
+    // order makes round-by-round agreement unnecessary: any
+    // convergent replay yields the identical edge set. Round4eSpec's
+    // driver-side Kruskal replica remains as the independent pin.
     "graph_mst_boruvka" -> ((s, d) => {
       val pair = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_suppkey"))
@@ -2265,6 +2273,21 @@ object GraphOps {
     * the oracle SQL. */
   val RichClubKs = Seq(1, 2, 4, 8, 16, 32)
 
+  /** Borůvka-oracle unroll caps (VERDICT r9 #4). The forest is UNIQUE
+    * under the (w, a, b) total order, so the oracle may run Borůvka
+    * itself, unrolled: contraction halves the component count per
+    * round, and measured convergence at sf0.01 is 4 rounds — 8 is 2×
+    * headroom (over-unrolled rounds run on an EMPTY contracted graph
+    * and contribute nothing, so padding is free except SQL text).
+    * Jumps are SQUARING pointer hops (t ← t∘t), so 6 stages resolve
+    * choice-tree depth 2⁶ = 64 — measured depth at sf0.01 is < 8. A
+    * cap that were too small fails LOUDLY: the oracle emits a
+    * (-1, -1, n_unconverged) sentinel row whenever the last contracted
+    * graph is non-empty, forcing a row-count mismatch instead of a
+    * silently short forest. */
+  val MstOracleRounds = 8
+  val MstOracleJumps = 6
+
   /** Katz iteration count — shared by the engine loop and the
     * unrolled oracle SQL so the two cannot drift */
   val KatzRounds = 3
@@ -2309,6 +2332,73 @@ object GraphOps {
     s"""co AS ($coPartsSql),
        |e0 AS MATERIALIZED (SELECT a, b FROM co),
        |$rounds""".stripMargin
+  }
+
+  /** Unrolled-Borůvka oracle SQL (VERDICT r9 #4) — the round shape of
+    * [[boruvkaMsf]] re-expressed as MATERIALIZED CTE stages: per round,
+    * (1) best incident edge per component under the (w, a, b) total
+    * order (row_number, the min-struct twin), (2) the choice pointer
+    * with 2-cycles broken toward the smaller id, (3) [[MstOracleJumps]]
+    * squaring pointer hops to each tree's root, (4) contraction:
+    * relabel endpoints to roots, drop intra-component edges, keep the
+    * min edge per contracted pair. The forest = the UNION (set) of
+    * every round's best edges — identical to the engine's
+    * Borůvka + Kruskal-endgame output because the forest is unique
+    * under the total order, regardless of which rounds found which
+    * edge. The data-dependent piece the engine iterates (jump count,
+    * round count) is replaced by the declared caps above, with the
+    * loud non-convergence sentinel. */
+  private def mstUnrolledSql: String = {
+    val rounds = (0 until MstOracleRounds).map { r =>
+      val jumps = (0 until MstOracleJumps).map { j =>
+        val prev = if (j == 0) s"brk$r" else s"j${r}_${j - 1}"
+        s"""j${r}_$j AS MATERIALIZED (
+           |  SELECT p.c, coalesce(q.t, p.t) AS t
+           |  FROM $prev p LEFT JOIN $prev q ON p.t = q.c)""".stripMargin
+      }.mkString(",\n")
+      val root = s"j${r}_${MstOracleJumps - 1}"
+      s"""cand$r AS (
+         |  SELECT ca AS c, cb AS t, w, a, b FROM mg$r
+         |  UNION ALL SELECT cb, ca, w, a, b FROM mg$r),
+         |best$r AS MATERIALIZED (
+         |  SELECT c, t, w, a, b FROM (
+         |    SELECT c, t, w, a, b,
+         |      row_number() OVER (PARTITION BY c ORDER BY w, a, b, t) AS rn
+         |    FROM cand$r) q WHERE rn = 1),
+         |brk$r AS MATERIALIZED (
+         |  SELECT p.c,
+         |    CASE WHEN q.c IS NOT NULL AND p.c < p.t THEN p.c ELSE p.t END AS t
+         |  FROM best$r p LEFT JOIN best$r q ON p.t = q.c AND p.c = q.t),
+         |$jumps,
+         |mg${r + 1} AS MATERIALIZED (
+         |  SELECT ca, cb, w, a, b FROM (
+         |    SELECT least(coalesce(ja.t, g.ca), coalesce(jb.t, g.cb)) AS ca,
+         |      greatest(coalesce(ja.t, g.ca), coalesce(jb.t, g.cb)) AS cb,
+         |      g.w, g.a, g.b,
+         |      row_number() OVER (
+         |        PARTITION BY least(coalesce(ja.t, g.ca), coalesce(jb.t, g.cb)),
+         |          greatest(coalesce(ja.t, g.ca), coalesce(jb.t, g.cb))
+         |        ORDER BY g.w, g.a, g.b) AS rn
+         |    FROM mg$r g
+         |    LEFT JOIN $root ja ON g.ca = ja.c
+         |    LEFT JOIN $root jb ON g.cb = jb.c) q
+         |  WHERE ca <> cb AND rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val bests = (0 until MstOracleRounds)
+      .map(r => s"SELECT a, b, w FROM best$r").mkString("\nUNION\n")
+    s"""mpair AS (
+       |  SELECT o_custkey AS a, l_suppkey + $SupplierVertexOffset AS b,
+       |    CAST(1000000 // count(DISTINCT l_orderkey) AS BIGINT) AS w
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2),
+       |mg0 AS MATERIALIZED (SELECT a AS ca, b AS cb, w, a, b FROM mpair),
+       |$rounds,
+       |msent AS (
+       |  SELECT CAST(-1 AS BIGINT) AS a, CAST(-1 AS BIGINT) AS b,
+       |    count(*) AS w
+       |  FROM mg$MstOracleRounds HAVING count(*) > 0)
+       |$bests
+       |UNION SELECT a, b, w FROM msent""".stripMargin
   }
 
   /** CTE prefix unrolling the [[PrRounds]] PageRank iterations in ANSI
@@ -2394,7 +2484,7 @@ object GraphOps {
     }
     s"""pair AS (
        |  SELECT o_custkey AS src, l_suppkey + 1000000000000 AS dst,
-       |    CAST(1000000 // count(DISTINCT l_orderkey) AS BIGINT) AS dw
+       |    CAST(GREATEST(1, 1000000 // count(DISTINCT l_orderkey)) AS BIGINT) AS dw
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |  GROUP BY 1, 2),
        |ed AS MATERIALIZED (
@@ -2560,13 +2650,22 @@ object GraphOps {
     * vertices, ≪ V — and min-over-merged-group ≡ the full recompute's
     * label for ANY delta. Returns (v, lbl, base_lbl) with
     * base_lbl = −1 for vertices new in the delta; the remap table
-    * broadcasts (≤ label-graph vertices rows, bounded by the delta).
+    * (≤ label-graph vertices rows, ≤ 2·|delta|) broadcasts ONLY under
+    * the measured gate below.
     *
     * `labelParts` sizes the label-graph CC: callers honoring the
     * delta ≪ base contract pass 1 (the batch query); the streaming
-    * sink sizes it from the measured delta. */
+    * sink sizes it from the measured delta.
+    *
+    * `deltaRows` = the caller's MEASURED delta edge count (−1 when no
+    * measurement exists, e.g. plan-only audits). The remap broadcast
+    * is gated on it numerically (ADVICE r9 #3): a remap table past
+    * [[BroadcastStateMaxRows]] would fail via driver OOM instead of a
+    * contract decision, so past the cap the remap flows through a
+    * plain shuffle join — same result (pinned in Round10Spec), merge
+    * stays correct for ANY delta, only the join strategy changes. */
   def mergeCcDelta(baseLbl: DataFrame, deltaE: DataFrame,
-      labelParts: Int = 1): DataFrame = {
+      labelParts: Int = 1, deltaRows: Long = -1L): DataFrame = {
     val labelEdges = deltaE
       .join(baseLbl.select(col("v").as("src"), col("lbl").as("ls")),
         Seq("src"), "left")
@@ -2583,7 +2682,15 @@ object GraphOps {
     val pre = baseLbl.select(col("v"), col("lbl"), col("lbl").as("base_lbl"))
       .unionByName(newVerts.select(col("v"), col("v").as("lbl"),
         lit(-1L).as("base_lbl")))
-    pre.join(broadcast(remap), col("lbl") === col("old_lbl"), "left")
+    // remap rows ≤ 2·deltaRows (one per label-graph vertex): broadcast
+    // only when that bound fits the declared state cap, or when no
+    // measurement exists (plan-only paths keep the contract-bounded
+    // broadcast shape the audits pin)
+    val remapSide =
+      if (deltaRows < 0 || 2 * deltaRows <= stateCap(baseLbl.sparkSession))
+        broadcast(remap)
+      else remap
+    pre.join(remapSide, col("lbl") === col("old_lbl"), "left")
       .select(col("v"), coalesce(col("new_lbl"), col("lbl")).as("lbl"),
         col("base_lbl"))
   }
@@ -3225,6 +3332,10 @@ object GraphOps {
          |  UNION
          |  SELECT sym.b, walk.l FROM sym JOIN walk ON sym.a = walk.v)
          |SELECT v, min(l) AS lbl FROM walk GROUP BY v ORDER BY v""".stripMargin,
+
+    "graph_mst_boruvka" ->
+      s"""WITH $mstUnrolledSql
+         |ORDER BY a, b""".stripMargin,
 
     // the oracle IS the ≡-full-recompute assertion: final labels come
     // from the full-graph walk (base ∪ delta = every edge), so a hash

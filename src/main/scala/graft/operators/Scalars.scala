@@ -189,7 +189,43 @@ object Scalars {
           expr("parse_url(url, 'HOST')").as("host"),
           expr("parse_url(url, 'PATH')").as("path"),
           expr("parse_url(url, 'QUERY', 'lang')").as("lang_param"))
-        .orderBy(col("doc_id"))))
+        .orderBy(col("doc_id"))),
+
+    // XML parsing breadth (VERDICT r9 #2 — the reconstructed
+    // reference's parse stage is weekly XML records): synthesize a
+    // deterministic XML record per part (the corpus carries no
+    // physical XML — the scalar_url_extract discipline) and parse it
+    // back TWO ways in one pass: Spark 4's native `from_xml` fills
+    // the typed struct (the id ATTRIBUTE via the `_`-prefix
+    // convention, a string element, an int element, and the repeated
+    // <w> element as an array), and the `xpath` family independently
+    // counts the repeated element. The oracle re-extracts the same
+    // fields from the same string with anchored regexps; equivalence
+    // holds because the synthesized records are well-formed by
+    // construction (field values are [a-zA-Z0-9 ] — no XML escaping
+    // exists to disagree on, declared semantics). Pure codegen'd
+    // string build + a per-row parse: no shuffle, no UDF, scan →
+    // project at any scale.
+    "scalar_xml" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"), concat(
+          lit("<p id=\""), col("p_partkey"), lit("\"><ty>"), col("p_type"),
+          lit("</ty><sz>"), col("p_size"), lit("</sz>"),
+          expr("array_join(transform(split(p_name, ' '), " +
+            "t -> concat('<w>', t, '</w>')), '')"),
+          lit("</p>")).as("x"))
+        .select(col("p_partkey"), col("x"),
+          expr("from_xml(x, '_id BIGINT, ty STRING, sz INT, w ARRAY<STRING>')")
+            .as("px"),
+          expr("xpath(x, '/p/w/text()')").as("ws"))
+        .select(col("p_partkey"), col("x"),
+          col("px._id").as("xml_id"),
+          col("px.ty").as("ty"),
+          col("px.sz").as("sz"),
+          // BIGINT like the oracle's len() (differ dtype discipline)
+          size(col("ws")).cast("long").as("n_w"),
+          array_join(col("px.w"), ",").as("words"))
+        .orderBy(col("p_partkey"))))
 
   val oracle: Map[String, String] = Map(
     "scalar_string" ->
@@ -308,5 +344,21 @@ object Scalars {
         |  SELECT doc_id, 'https://' || source || '.example.com/docs/'
         |    || doc_id || '?lang=' || lang || '&v=2' AS url
         |  FROM documents) t
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+
+    "scalar_xml" ->
+      """SELECT p_partkey, x,
+        |  CAST(regexp_extract(x, 'id="(\d+)"', 1) AS BIGINT) AS xml_id,
+        |  regexp_extract(x, '<ty>([^<]*)</ty>', 1) AS ty,
+        |  CAST(regexp_extract(x, '<sz>(\d+)</sz>', 1) AS INT) AS sz,
+        |  len(regexp_extract_all(x, '<w>([^<]*)</w>', 1)) AS n_w,
+        |  array_to_string(regexp_extract_all(x, '<w>([^<]*)</w>', 1), ',')
+        |    AS words
+        |FROM (
+        |  SELECT p_partkey, '<p id="' || p_partkey || '"><ty>' || p_type
+        |    || '</ty><sz>' || p_size || '</sz>'
+        |    || array_to_string(list_transform(string_split(p_name, ' '),
+        |         t -> '<w>' || t || '</w>'), '') || '</p>' AS x
+        |  FROM part) t
+        |ORDER BY p_partkey""".stripMargin)
 }

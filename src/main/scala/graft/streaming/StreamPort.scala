@@ -191,6 +191,41 @@ object StreamPort {
         col("x_ts"), col("y_ts"))
   }
 
+  /** FILE-ARRIVAL ingest stream (VERDICT r9 #3 — the reconstructed
+    * reference's ingest is weekly files landing in object storage):
+    * `readStream` over a landing DIRECTORY with a pinned schema. The
+    * schema is mandatory (streaming file sources don't infer — and at
+    * 100 TB the ingest schema is a contract, not a guess); `format` is
+    * json/parquet/csv/orc per landing convention; `maxFilesPerTrigger`
+    * bounds a backlog replay to bounded micro-batches instead of one
+    * giant catch-up batch. Which files are already ingested is the
+    * SOURCE's checkpoint state — exactly-once per file with no manifest
+    * bookkeeping of ours, which is exactly why the file source beats a
+    * hand-rolled directory poller. */
+  def fileLandingStream(spark: org.apache.spark.sql.SparkSession,
+      dir: String, schema: org.apache.spark.sql.types.StructType,
+      format: String = "json", maxFilesPerTrigger: Int = 4): DataFrame =
+    spark.readStream.format(format).schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .load(dir)
+
+  /** normalize an orders-shaped increment to the multi_source_union
+    * row shape (id, ts, val, src) — the streaming-increment form of
+    * `multi_source_union`'s orders side (operators/Scans.scala). Works
+    * identically on batch DataFrames: the file-ingest parity tests
+    * compare the drained stream against this same projection over the
+    * landed rows. */
+  def ordersAsUnionRows(df: DataFrame): DataFrame =
+    df.select(col("o_orderkey").as("id"),
+      graft.Stable.ntz(col("o_orderdate")).as("ts"),
+      col("o_totalprice").as("val"), lit("orders").as("src"))
+
+  /** events-side twin of [[ordersAsUnionRows]] */
+  def eventsAsUnionRows(df: DataFrame): DataFrame =
+    df.select(col("event_id").as("id"),
+      graft.Stable.ntz(col("ts")).as("ts"),
+      col("value").as("val"), lit("events").as("src"))
+
   /** foreachBatch file sink, idempotent per micro-batch: batch `id` is
     * always written to the same `batch_id=<id>` directory with
     * overwrite, so a RETRIED batch (failure between write and commit)
@@ -268,8 +303,21 @@ object StreamPort {
       .decontamReport(batch.select(col("doc_id"), col("text")), pool)
       .write.mode("overwrite").parquet(s"$out/batch_id=$id")
 
-  def decontaminateSink(docs: DataFrame, pool: DataFrame, out: String) =
+  def decontaminateSink(docs: DataFrame, pool: DataFrame, out: String) = {
+    // pool-size contract (VERDICT r9 #1): the static pool broadcasts
+    // against EVERY micro-batch, so it is counted against the declared
+    // cap ONCE at sink construction — an over-cap pool refuses here,
+    // before the stream starts, with the contract message
+    graft.operators.DedupOps.guardedPool(pool,
+      pool.sparkSession.conf.get(
+        graft.operators.DedupOps.DecontamPoolMaxRowsKey,
+        graft.operators.DedupOps.DecontamPoolMaxRows.toString).toLong,
+      "decontaminateSink",
+      "screen via the posting-capped fingerprint join " +
+        "(dedup_winnow_pairs discipline) or supply a bounded " +
+        "external eval set")
     docs.writeStream.foreachBatch(applyDecontamBatch(pool, out) _)
+  }
 
   /** streaming INCREMENTAL-CC refresh sink (VERDICT r8 #5) — the
     * stream form of `graph_cc_incremental`: each micro-batch is a set
@@ -314,11 +362,16 @@ object StreamPort {
           val base = spark.read.parquet(s"$out/v=$ver")
             .select(col("v"), col("lbl"))
           // 40k-rows-per-partition rule (graphParts), floor 1: a
-          // typical delta runs the label CC single-partition
+          // typical delta runs the label CC single-partition. The same
+          // measured count feeds mergeCcDelta's remap-broadcast gate
+          // (ADVICE r9 #3): an oversized micro-batch switches the
+          // remap to a shuffle join instead of OOMing the driver.
+          val nDelta = delta.count()
           val parts = math.max(1L, math.min(
             spark.sparkContext.defaultParallelism.toLong,
-            delta.count() / 40000L + 1L)).toInt
-          graft.operators.GraphOps.mergeCcDelta(base, delta, parts)
+            nDelta / 40000L + 1L)).toInt
+          graft.operators.GraphOps.mergeCcDelta(base, delta, parts,
+              deltaRows = nDelta)
             .select(col("v"), col("lbl"))
       }
       labels.write.mode("overwrite").parquet(s"$out/v=$id")

@@ -54,6 +54,25 @@ class PlanAuditSpec extends SparkTestBase {
       s"nation-side join must broadcast the small dimension:\n$p")
   }
 
+  test("join_multiway_star: nation/region broadcast from STATISTICS, not hints") {
+    // VERDICT r9 #7 — the stats-informed planning demonstration: the
+    // nation and region joins carry no broadcast() hint (see Joins),
+    // so their BroadcastHashJoins below come from Spark's leaf-size
+    // statistics (parquet bytes vs autoBroadcastJoinThreshold). One
+    // ResolvedHint remains by design: customer's deliberate pin.
+    val df = SparkEntry.queries("join_multiway_star")(spark, sf001)
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.size == 1,
+      s"exactly the customer hint expected, got ${hints.size}")
+    val p = df.queryExecution.executedPlan.toString
+    val nBcast = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(nBcast >= 3,
+      s"customer, nation, AND region must all broadcast (nation/region " +
+        s"from size statistics alone) — found $nBcast BroadcastHashJoins:\n$p")
+  }
+
   test("topk_global: global top-k plans as TakeOrderedAndProject, not a full sort") {
     val p = plan("topk_global")
     assert(p.contains("TakeOrderedAndProject"),

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+
+/** Round-10 pins (VERDICT r9 #1 + ADVICE r9 #3): the decontamination
+  * eval-pool broadcast is now under a declared numeric cap with loud
+  * refusal — the last place a 100× scale-up degraded silently — and
+  * mergeCcDelta's remap broadcast is gated on the measured delta
+  * (shuffle-join fallback past the state cap, identical result).
+  */
+class Round10Spec extends SparkTestBase {
+
+  /** a documents fixture whose eval slice (doc_id % DecontamEvalMod
+    * = 0) is non-empty: doc 0 and 100 are eval, 1..6 are train. Texts
+    * long enough to carry k=16 winnow grams. */
+  private def writeDocs(dir: String): Unit = {
+    import spark.implicits._
+    val words = (1 to 40).map(i => s"w$i").mkString(" ")
+    val rows = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 100L).map { id =>
+      (id, s"doc $id $words tail$id", "en", "src", 0L)
+    }
+    writeFixture(dir, "documents",
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+  }
+
+  private def writeEmb(dir: String, n: Int): Unit = {
+    import spark.implicits._
+    val rows = (0 until n).map(i =>
+      (i.toLong, Seq.tabulate(8)(j => (i * 8 + j).toFloat / 100f), i % 3))
+    writeFixture(dir, "embeddings", rows.toDF("vec_id", "embedding", "label"))
+  }
+
+  test("pipeline_decontaminate refuses an over-cap fingerprint pool loudly") {
+    val dir = tempDir()
+    writeDocs(dir)
+    spark.conf.set(operators.DedupOps.DecontamPoolMaxRowsKey, "1")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        operators.DedupOps.queries("pipeline_decontaminate")(spark, dir)
+      }
+      assert(e.getMessage.contains("broadcast eval pool") &&
+        e.getMessage.contains("pipeline_decontaminate"),
+        s"expected the pool-cap contract refusal, got: $e")
+    } finally spark.conf.unset(operators.DedupOps.DecontamPoolMaxRowsKey)
+  }
+
+  test("pipeline_decontaminate under the cap matches the unguarded report") {
+    val dir = tempDir()
+    writeDocs(dir)
+    val got = operators.DedupOps.queries("pipeline_decontaminate")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    // the same report built WITHOUT the guard path: the cap is a
+    // measurement + refusal, never a plan change
+    val train = Tables.documents(spark, dir)
+      .filter(col("doc_id") % operators.DedupOps.DecontamEvalMod =!= 0L)
+    val want = operators.DedupOps
+      .decontamReport(train, operators.DedupOps.evalFpPool(spark, dir))
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    assert(got == want, s"guarded $got vs unguarded $want")
+    assert(got.nonEmpty, "fixture must produce at least one audit row")
+  }
+
+  test("pipeline_decontaminate_semantic refuses an over-cap eval vector set") {
+    val dir = tempDir()
+    writeEmb(dir, 10) // vec_id 0 is the single eval vector
+    spark.conf.set(operators.DedupOps.DecontamEvalVecMaxRowsKey, "0")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        operators.DedupOps.queries("pipeline_decontaminate_semantic")(spark, dir)
+      }
+      assert(e.getMessage.contains("pipeline_decontaminate_semantic"),
+        s"expected the eval-vector cap refusal, got: $e")
+    } finally spark.conf.unset(operators.DedupOps.DecontamEvalVecMaxRowsKey)
+    // and under the default cap the audit covers every train vector
+    val rows = operators.DedupOps
+      .queries("pipeline_decontaminate_semantic")(spark, dir).collect()
+    assert(rows.length == 9, s"9 train vectors expected, got ${rows.length}")
+  }
+
+  test("decontaminateSink refuses an over-cap pool at construction") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val pool = Seq("a", "b", "c").toDF("fp")
+    spark.conf.set(operators.DedupOps.DecontamPoolMaxRowsKey, "2")
+    try {
+      val docs = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)].toDF()
+        .select(col("_1").as("doc_id"), col("_2").as("text"))
+      val e = intercept[IllegalArgumentException] {
+        streaming.StreamPort.decontaminateSink(docs, pool, tempDir())
+      }
+      assert(e.getMessage.contains("decontaminateSink"),
+        s"expected the sink pool-cap refusal, got: $e")
+    } finally spark.conf.unset(operators.DedupOps.DecontamPoolMaxRowsKey)
+  }
+
+  test("mergeCcDelta past the state cap drops the remap broadcast hint, " +
+      "identical labels") {
+    import spark.implicits._
+    // base: {1,2} and {3,4} labeled by component-min; delta bridges 2-3
+    // and introduces 5-6
+    val base = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L)).toDF("v", "lbl")
+    val delta = Seq((2L, 3L), (5L, 6L)).toDF("src", "dst")
+    def labels(deltaRows: Long): (Seq[(Long, Long, Long)], Int) = {
+      val df = operators.GraphOps.mergeCcDelta(base, delta,
+        labelParts = 1, deltaRows = deltaRows)
+      val hints = df.queryExecution.analyzed.collect {
+        case h: ResolvedHint => h }.size
+      (df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq, hints)
+    }
+    val (bcast, hintsB) = labels(deltaRows = -1L) // unmeasured: broadcast shape
+    spark.conf.set(operators.GraphOps.BroadcastStateMaxRowsKey, "0")
+    val (shuffle, hintsS) =
+      try labels(deltaRows = 2L) // measured 2 > cap 0: shuffle remap
+      finally spark.conf.unset(operators.GraphOps.BroadcastStateMaxRowsKey)
+    assert(hintsB > hintsS,
+      s"the gate must drop the broadcast hint past the cap " +
+        s"(hints: broadcast-path $hintsB, shuffle-path $hintsS)")
+    val want = Seq((1L, 1L, 1L), (2L, 1L, 1L), (3L, 1L, 3L), (4L, 1L, 3L),
+      (5L, 5L, -1L), (6L, 5L, -1L))
+    assert(bcast == want, s"broadcast path $bcast vs $want")
+    assert(shuffle == want, s"shuffle path $shuffle vs $want")
+  }
+}

@@ -149,7 +149,8 @@ class Round9Spec extends SparkTestBase {
     import spark.implicits._
     val ts = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
     // explicit orderkeys: 10/20/30 land on the delta side (%10 == 0),
-    // only orderkey 1 is base — delta edges 3 > 0.25 × 1 base edge
+    // only orderkey 1 is base — delta edges 3 exceed
+    // CcIncrementalMaxDeltaFrac (0.5) × 1 base edge
     val rows = Seq((10L, 1L, 1L), (20L, 2L, 2L), (30L, 3L, 3L), (1L, 4L, 4L))
     val dir = tempDir()
     writeFixture(dir, "orders", rows.map { case (o, c, _) =>
