@@ -107,10 +107,28 @@ class SqlSweepSpec extends SparkTestBase {
     val mm = mismatched.result()
     assert(mm.isEmpty,
       s"spark.sql result diverges from the DSL plan for: ${mm.mkString(", ")}")
-    // measured r9: 151 swept / 202 skipped (parse 140, analysis 60,
-    // runtime 2) — the floor leaves headroom for oracle-text drift
-    // while still catching a catalog regression
-    assert(sw.size >= 140,
+    // runtime-skip PIN (ADVICE r9 #2): a key that analyzed via
+    // spark.sql but failed at execution is declared dialect divergence
+    // — and there are exactly two, both regex-dialect: the oracle
+    // texts pass DuckDB's 'g' flag to regexp_replace, which Spark
+    // parses (it's just a string arg) but rejects at execution. A key
+    // moving from swept to runtime-failing must fail HERE explicitly,
+    // not vanish into the skip headroom.
+    val runtimeSkipped = sk.collect {
+      case (k, r) if r.startsWith("runtime") => k
+    }.toSet
+    val expectedRuntime = Set("scalar_regex_extract", "text_pii_redact")
+    assert(runtimeSkipped == expectedRuntime,
+      s"runtime-skip set drifted: got $runtimeSkipped, pinned " +
+        s"$expectedRuntime - a swept key regressing to a runtime " +
+        "failure (or a new dialect divergence) must be re-pinned " +
+        "deliberately")
+    // floor RATCHETED to the measured sweep size (VERDICT r9 #8):
+    // r10 measured 151 swept / 210 skipped (parse 145, analysis 63,
+    // runtime 2). With the runtime set pinned exactly, the floor can
+    // sit AT the measurement — any swept key dropping out (catalog
+    // regression, oracle-text drift to DuckDB-only surface) fails.
+    assert(sw.size >= 151,
       s"sweep breadth regressed: only ${sw.size} keys ran via spark.sql " +
         s"(catalog or function registration gap?); skipped=${sk.size}")
   }
