@@ -822,6 +822,55 @@ object DedupOps {
         .orderBy(col("vec_id"))
     }),
 
+    // URL-canonicalization dedup (r10, unasked) — the URL-level screen
+    // a web-corpus pipeline runs BEFORE any content dedup (the same
+    // page crawled as HTTPS://Host/path?utm_source=…#frag and
+    // https://host/path is one document; CommonCrawl-style pipelines
+    // dedup on the canonical URL first because it needs no content
+    // read at all). The corpus carries no physical URLs, so a noisy
+    // URL is synthesized per document (the scalar_url_extract
+    // discipline — case noise on scheme/host, tracking params,
+    // trailing slash, fragment, all deterministic in doc_id), then
+    // canonicalized: scheme+host lowercased, query string and
+    // fragment DROPPED (the aggressive declared variant), trailing
+    // slash stripped. Output = per-doc audit: canonical URL, dup
+    // group size, min-doc_id keeper flag. Scale shape: map-side
+    // string work + ONE shuffle on the canonical key (the window) —
+    // the cheapest dedup in the whole family at any corpus size.
+    "dedup_url_canonical" -> ((s, d) => {
+      val raw = Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(
+            when(col("doc_id") % 2 === 0, lit("HTTPS://"))
+              .otherwise(lit("https://")),
+            when(col("doc_id") % 3 === 0, upper(col("source")))
+              .otherwise(col("source")),
+            lit(".Example.COM/docs/"), (col("doc_id") % 50).cast("string"),
+            when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+            when(col("doc_id") % 4 === 0,
+                concat(lit("?utm_source=feed&ref="), col("lang")))
+              .when(col("doc_id") % 4 === 1, concat(lit("?ref="), col("lang")))
+              .otherwise(lit("")),
+            when(col("doc_id") % 3 === 0,
+                concat(lit("#sec"), (col("doc_id") % 3).cast("string")))
+              .otherwise(lit(""))).as("url"))
+      val canon = raw.select(col("doc_id"), col("url"),
+        concat(
+          lower(regexp_extract(col("url"), "^([^/]+//[^/?#]+)", 1)),
+          regexp_replace(
+            regexp_extract(col("url"), "^[^/]+//[^/?#]+([^?#]*)", 1),
+            "/$", "")).as("canonical"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("canonical"))
+      canon
+        .withColumn("group_size", count(lit(1)).over(w))
+        .withColumn("keep_doc", min(col("doc_id")).over(w))
+        .select(col("doc_id"), col("url"), col("canonical"),
+          col("group_size"),
+          (col("doc_id") === col("keep_doc")).as("is_canonical"))
+        .orderBy(col("doc_id"))
+    }),
+
     // near-dup candidate pairs from shared WINNOWING fingerprints
     // (r4 continuation) — the posting-list composition the winnowing
     // scheme exists for: explode each document's fingerprint set,
@@ -1070,6 +1119,32 @@ object DedupOps {
   val BlockW = 8
 
   val oracle: Map[String, String] = Map(
+    "dedup_url_canonical" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END)
+        |    || '.Example.COM/docs/' || CAST(doc_id % 50 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&ref=' || lang
+        |             WHEN doc_id % 4 = 1 THEN '?ref=' || lang
+        |             ELSE '' END)
+        |    || (CASE WHEN doc_id % 3 = 0
+        |             THEN '#sec' || CAST(doc_id % 3 AS VARCHAR)
+        |             ELSE '' END) AS url
+        |  FROM documents),
+        |canon AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^([^/]+//[^/?#]+)', 1))
+        |    || regexp_replace(
+        |         regexp_extract(url, '^[^/]+//[^/?#]+([^?#]*)', 1), '/$', '')
+        |      AS canonical
+        |  FROM raw)
+        |SELECT doc_id, url, canonical,
+        |  count(*) OVER (PARTITION BY canonical) AS group_size,
+        |  doc_id = min(doc_id) OVER (PARTITION BY canonical) AS is_canonical
+        |FROM canon ORDER BY doc_id""".stripMargin,
+
     "dedup_shared_blocks" ->
       s"""WITH toks AS (
          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -73,6 +73,19 @@ class PlanAuditSpec extends SparkTestBase {
         s"from size statistics alone) — found $nBcast BroadcastHashJoins:\n$p")
   }
 
+  test("scalar_xml: per-row parse is scan -> project, no shuffle, no UDF") {
+    val df = SparkEntry.queries("scalar_xml")(spark, sf001)
+    val p = df.queryExecution.executedPlan.toString
+    // the only exchange allowed is the output ORDER BY's range
+    // partitioning — the parse itself must not shuffle
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"XML parse must not shuffle (found $exchanges):\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"XML parse must stay native (from_xml/xpath), no UDF:\n$p")
+    assert(p.contains("from_xml") || p.contains("FromXml") ||
+      p.toLowerCase.contains("xpath"), s"expected the XML expressions in:\n$p")
+  }
+
   test("topk_global: global top-k plans as TakeOrderedAndProject, not a full sort") {
     val p = plan("topk_global")
     assert(p.contains("TakeOrderedAndProject"),
