@@ -199,6 +199,7 @@ object DedupOps {
   private[graft] def clearMemos(s: SparkSession): Unit = {
     GraphOps.evict(canonCache, s)
     GraphOps.evict(embSigCache, s)
+    GraphOps.evict(evalPoolCache, s)
   }
 
   private def clusterCanonical(s: SparkSession, d: String): DataFrame =
@@ -855,11 +856,7 @@ object DedupOps {
                 concat(lit("#sec"), (col("doc_id") % 3).cast("string")))
               .otherwise(lit(""))).as("url"))
       val canon = raw.select(col("doc_id"), col("url"),
-        concat(
-          lower(regexp_extract(col("url"), "^([^/]+//[^/?#]+)", 1)),
-          regexp_replace(
-            regexp_extract(col("url"), "^[^/]+//[^/?#]+([^?#]*)", 1),
-            "/$", "")).as("canonical"))
+        canonicalUrl(col("url")).as("canonical"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("canonical"))
       canon
@@ -1061,11 +1058,22 @@ object DedupOps {
     * by the batch screen and the streaming sink
     * ([[graft.streaming.StreamPort.decontaminateSink]]). ~1/mod of the
     * corpus pays the chain (the doc_id filter pushes through the
-    * aggregate barrier); broadcast-sized by the eval-set contract. */
+    * aggregate barrier); broadcast-sized by the eval-set contract.
+    * Memoized + LATCHED per (session, dir) as of r10 (the embSigCache
+    * discipline): the pool-cap guard COUNTS it and the screen then
+    * BROADCASTS it — without the latch each would re-run the eval-side
+    * winnow chain (measured: the guard added ~0.6 s at sf0.1 on the
+    * unlatched pool; latched, the count reads the warm blocks). */
+  private val evalPoolCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   def evalFpPool(s: SparkSession, d: String): DataFrame =
-    TextOps.winnowFpArrays(s, d, DecontamK, DecontamW)
-      .filter(col("doc_id") % DecontamEvalMod === 0L)
-      .select(explode(col("fps")).as("fp")).distinct()
+    GraphOps.memo(evalPoolCache, (s, d)) {
+      val pool = TextOps.winnowFpArrays(s, d, DecontamK, DecontamW)
+        .filter(col("doc_id") % DecontamEvalMod === 0L)
+        .select(explode(col("fps")).as("fp")).distinct()
+      if (GraphOps.planOnly(s)) pool.cache() else pool.localCheckpoint(true)
+    }
 
   /** per-batch train-side screen against a (broadcast) fingerprint
     * pool — the SHARED report shape of pipeline_decontaminate and the
@@ -1117,6 +1125,18 @@ object DedupOps {
   /** dedup_shared_blocks block width (tokens) — shared with the
     * oracle SQL so the two cannot drift */
   val BlockW = 8
+
+  /** canonical form of a URL column (scheme+host lowercased, query
+    * string and fragment dropped, trailing slash stripped) — the ONE
+    * expression `dedup_url_canonical` and the streaming frontier dedup
+    * ([[graft.streaming.StreamPort.urlFrontierDedup]]) share, so batch
+    * and stream can never canonicalize differently. Pure codegen'd
+    * string work — map-side at any scale. */
+  def canonicalUrl(u: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      lower(regexp_extract(u, "^([^/]+//[^/?#]+)", 1)),
+      regexp_replace(regexp_extract(u, "^[^/]+//[^/?#]+([^?#]*)", 1),
+        "/$", ""))
 
   val oracle: Map[String, String] = Map(
     "dedup_url_canonical" ->

@@ -191,6 +191,26 @@ object StreamPort {
         col("x_ts"), col("y_ts"))
   }
 
+  /** streaming URL-FRONTIER dedup (≙ `dedup_url_canonical`'s
+    * canonical key — the crawl-frontier discipline): each arriving
+    * (url, ts) row is canonicalized MAP-SIDE with the identical shared
+    * expression the batch op uses
+    * ([[graft.operators.DedupOps.canonicalUrl]] — batch and stream can
+    * never canonicalize differently), and only the FIRST arrival per
+    * canonical key within the watermark survives
+    * (dropDuplicatesWithinWatermark). State = one key per canonical
+    * URL, EVICTED at the horizon — the bounded-state compromise every
+    * streaming frontier makes (a URL re-crawled after the horizon
+    * passes again; the batch op is the exact-history truth). This is
+    * the gate a crawl pipeline runs ON INGEST, before any content is
+    * even fetched into the corpus. */
+  def urlFrontierDedup(urls: DataFrame): DataFrame =
+    urls
+      .withColumn("canonical",
+        graft.operators.DedupOps.canonicalUrl(col("url")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("canonical")
+
   /** FILE-ARRIVAL ingest stream (VERDICT r9 #3 — the reconstructed
     * reference's ingest is weekly files landing in object storage):
     * `readStream` over a landing DIRECTORY with a pinned schema. The

@@ -95,6 +95,47 @@ class Round10Spec extends SparkTestBase {
     } finally spark.conf.unset(operators.DedupOps.DecontamPoolMaxRowsKey)
   }
 
+  test("streaming URL-frontier dedup keeps the first arrival per canonical key") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = streaming.StreamPort
+      .urlFrontierDedup(mem.toDF().toDF("event_id", "ts", "url"))
+      .writeStream.format("memory").queryName("urlfrontier")
+      .outputMode("append").start()
+    try {
+      val t = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      mem.addData((1L, t, "HTTPS://Host.EXAMPLE.com/a/?utm_source=x#f"),
+        (2L, t, "https://other.example.com/b"))
+      q.processAllAvailable()
+      // batch 2: 3 and 4 are case/param/slash variants of 1 and 2 —
+      // dropped by the canonical-key state; 5 is genuinely new
+      mem.addData((3L, t, "https://host.example.com/a"),
+        (4L, t, "https://other.example.com/b?ref=y"),
+        (5L, t, "https://third.example.com/c"))
+      q.processAllAvailable()
+      val got = spark.table("urlfrontier").select(col("event_id"))
+        .collect().map(_.getLong(0)).toSet
+      assert(got == Set(1L, 2L, 5L), s"got $got")
+      // and the canonical expression IS the batch op's: variant 3's
+      // canonical equals variant 1's under the shared expression
+      val c = Seq("HTTPS://Host.EXAMPLE.com/a/?utm_source=x#f",
+        "https://host.example.com/a").toDF("url")
+        .select(operators.DedupOps.canonicalUrl(col("url"))).distinct().count()
+      assert(c == 1L)
+    } finally q.stop()
+  }
+
+  test("scalar_xml: from_xml/to_xml round trip is the identity on the struct") {
+    // parse -> print -> parse fixpoint: the XML family's breadth pin
+    // beyond the hash-oracled scalar_xml extraction
+    val df = spark.range(1, 4).selectExpr(
+        "named_struct('a', id, 'b', concat('v', id)) AS s")
+      .selectExpr("s", "from_xml(to_xml(s), 'a BIGINT, b STRING') AS rt")
+    assert(df.filter("s.a != rt.a OR s.b != rt.b").count() == 0)
+  }
+
   test("mergeCcDelta past the state cap drops the remap broadcast hint, " +
       "identical labels") {
     import spark.implicits._
