@@ -54,7 +54,12 @@ object ExplainAudit {
       // pins only: the pageRank loop sizes its broadcast by a measured
       // count, so its construction is not action-free)
       "graph_hyperball_error_audit", "pipeline_decontaminate",
-      "pipeline_decontaminate_semantic", "graph_sssp_seeds")
+      "pipeline_decontaminate_semantic", "graph_sssp_seeds",
+      // round-10 shapes: XML parse scan→project (no shuffle, no UDF),
+      // URL canonicalization's single canonical-key window
+      // (join_multiway_star's stats-driven broadcasts already audit
+      // via the default-list entry above + the PlanAuditSpec pin)
+      "scalar_xml", "dedup_url_canonical")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

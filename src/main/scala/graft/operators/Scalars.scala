@@ -191,6 +191,45 @@ object Scalars {
           expr("parse_url(url, 'QUERY', 'lang')").as("lang_param"))
         .orderBy(col("doc_id"))),
 
+    // CSV-line parsing scalar — completes the text-format scalar
+    // battery (json/xml/variant/url/csv): a delimited record
+    // synthesized per customer (the scalar_url_extract discipline),
+    // parsed back typed with `from_csv` against a pinned schema — the
+    // per-row form of the CSV SOURCE (sources/TextSources) for
+    // embedded delimited payloads (a log line's CSV tail, a
+    // measurement field). Oracle re-splits the same line. Values
+    // carry no delimiter by construction (declared semantics — CSV
+    // quoting is the source layer's job, TextSourcesSpec pins it).
+    "scalar_csv" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"), concat_ws(",", col("c_custkey"),
+          col("c_mktsegment"), col("c_nationkey")).as("line"))
+        .select(col("c_custkey"), col("line"),
+          expr("from_csv(line, 'id BIGINT, seg STRING, nat INT')").as("r"))
+        .select(col("c_custkey"), col("line"),
+          col("r.id").as("id"), col("r.seg").as("seg"),
+          col("r.nat").as("nat"))
+        .orderBy(col("c_custkey"))),
+
+    // Spark 4 VARIANT path for semi-structured data — the
+    // engine-native twin of scalar_json's string-path
+    // get_json_object: `parse_json` builds the binary VARIANT value
+    // once (the open-format shredded encoding Spark 4 introduces for
+    // exactly the 100 TB semi-structured case — field access is an
+    // offset lookup, not a re-parse), `variant_get` extracts a typed
+    // field, `try_variant_get` returns NULL on a missing path instead
+    // of erroring (the null-semantics contract of schema-free data).
+    // The VARIANT value itself never reaches the output (binary
+    // encoding is engine-private — the scalar_map plan-A discipline);
+    // the oracle re-derives the same scalars from the JSON text.
+    "scalar_variant" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          expr("variant_get(parse_json(props), '$.k', 'int')").as("k"),
+          expr("try_variant_get(parse_json(props), '$.absent', 'string')")
+            .as("absent"))
+        .orderBy(col("event_id"))),
+
     // XML parsing breadth (VERDICT r9 #2 — the reconstructed
     // reference's parse stage is weekly XML records): synthesize a
     // deterministic XML record per part (the corpus carries no
@@ -345,6 +384,23 @@ object Scalars {
         |    || doc_id || '?lang=' || lang || '&v=2' AS url
         |  FROM documents) t
         |ORDER BY doc_id""".stripMargin,
+
+    "scalar_csv" ->
+      """SELECT c_custkey, line,
+        |  CAST(string_split(line, ',')[1] AS BIGINT) AS id,
+        |  string_split(line, ',')[2] AS seg,
+        |  CAST(string_split(line, ',')[3] AS INT) AS nat
+        |FROM (
+        |  SELECT c_custkey, CAST(c_custkey AS VARCHAR) || ',' ||
+        |    c_mktsegment || ',' || CAST(c_nationkey AS VARCHAR) AS line
+        |  FROM customer) t
+        |ORDER BY c_custkey""".stripMargin,
+
+    "scalar_variant" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |  CAST(NULL AS VARCHAR) AS absent
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "scalar_xml" ->
       """SELECT p_partkey, x,
