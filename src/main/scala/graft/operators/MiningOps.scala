@@ -162,9 +162,76 @@ object MiningOps {
       .orderBy(col("brand_a"), col("brand_b"))
   }
 
+  /** mine_linreg_normal's shared SQL texts — engine (selectExpr) and
+    * oracle evaluate the IDENTICAL expression trees: the sufficient
+    * statistics are EXACT decimal sums (engine-independent), and the
+    * closed-form solve below is double arithmetic whose every
+    * multiply/add/divide is IEEE correctly-rounded, so identical
+    * inputs + identical expression order ⇒ identical doubles. */
+  // inputs quantize to 1e-4 INTEGER units as DECIMAL(20,0) (the
+  // sample_weighted_priority wide-decimal discipline — width 20 keeps
+  // DuckDB on the int128 path where DECIMAL(18,·) products overflow
+  // int64); the cast stage divides the unit scale back out in DOUBLE
+  private val LinregUnit = "10000"
+  private val LinregCast = Seq(
+    "CAST(n AS BIGINT) AS n", "CAST(n AS DOUBLE) AS dn",
+    "CAST(ds1 AS DOUBLE) / 1e4 AS s1", "CAST(ds2 AS DOUBLE) / 1e4 AS s2",
+    "CAST(dsy AS DOUBLE) / 1e4 AS sy", "CAST(ds11 AS DOUBLE) / 1e8 AS s11",
+    "CAST(ds12 AS DOUBLE) / 1e8 AS s12", "CAST(ds22 AS DOUBLE) / 1e8 AS s22",
+    "CAST(ds1y AS DOUBLE) / 1e8 AS s1y", "CAST(ds2y AS DOUBLE) / 1e8 AS s2y",
+    "CAST(dsyy AS DOUBLE) / 1e8 AS syy")
+  // Cramer's rule on M = [[dn,s1,s2],[s1,s11,s12],[s2,s12,s22]],
+  // v = [sy,s1y,s2y]: det_i replaces column i of M with v
+  private val LinregDets = Seq("n", "dn", "sy", "s1y", "s2y", "syy",
+    "dn*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2) AS det",
+    "sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y) AS det0",
+    "dn*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2) AS det1",
+    "dn*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2) AS det2")
+  private val LinregOut = Seq(
+    "n",
+    "round(det0/det, 4) AS b0",
+    "round(det1/det, 4) AS b1",
+    "round(det2/det, 4) AS b2",
+    "round(((det0/det)*sy + (det1/det)*s1y + (det2/det)*s2y - sy*sy/dn)" +
+      " / (syy - sy*sy/dn), 6) AS r2")
+
   val queries: Map[String, QFn] = Map(
 
     "mine_assoc_rules" -> ((s, d) => assocRules(s, d, MinSupport)),
+
+    // multivariate OLS via NORMAL EQUATIONS — the regression a 100 TB
+    // pipeline actually runs: ONE map-side-combined aggregate collects
+    // the 10 sufficient statistics (n, Σx, ΣxxT, Σxy, Σy²) as EXACT
+    // decimal sums, and the 3×3 solve is closed-form Cramer driver-
+    // free scalar arithmetic — no per-row second pass, no gradient
+    // loop, no shuffle beyond the single partial-agg exchange, state
+    // O(features²) at ANY row count (the vec_pca_power bounded-scalar
+    // discipline without even the driver matrix). Model:
+    // l_extendedprice ~ b0 + b1·l_quantity + b2·l_discount, plus R²
+    // from the same sums. Hash-oracled: exact decimal sums + the
+    // shared IEEE expression text (LinregCast/Dets/Out) in both
+    // engines.
+    "mine_linreg_normal" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(
+          expr(s"CAST(CAST(l_quantity AS DECIMAL(18,4)) * $LinregUnit" +
+            " AS DECIMAL(20,0))").as("x1"),
+          expr(s"CAST(CAST(l_discount AS DECIMAL(18,4)) * $LinregUnit" +
+            " AS DECIMAL(20,0))").as("x2"),
+          expr(s"CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * $LinregUnit" +
+            " AS DECIMAL(20,0))").as("y"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x1")).as("ds1"), sum(col("x2")).as("ds2"),
+          sum(col("y")).as("dsy"),
+          sum(col("x1") * col("x1")).as("ds11"),
+          sum(col("x1") * col("x2")).as("ds12"),
+          sum(col("x2") * col("x2")).as("ds22"),
+          sum(col("x1") * col("y")).as("ds1y"),
+          sum(col("x2") * col("y")).as("ds2y"),
+          sum(col("y") * col("y")).as("dsyy"))
+        .selectExpr(LinregCast: _*)
+        .selectExpr(LinregDets: _*)
+        .selectExpr(LinregOut: _*)),
 
     // key-distribution skew profile — what you run BEFORE choosing a
     // shuffle key at 100 TB. Top-N hot keys by row count with absolute
@@ -2105,6 +2172,26 @@ object MiningOps {
     }))
 
   val oracle: Map[String, String] = Map(
+    "mine_linreg_normal" ->
+      s"""WITH q AS (
+         |  SELECT
+         |    CAST(CAST(l_quantity AS DECIMAL(18,4)) * $LinregUnit
+         |      AS DECIMAL(20,0)) AS x1,
+         |    CAST(CAST(l_discount AS DECIMAL(18,4)) * $LinregUnit
+         |      AS DECIMAL(20,0)) AS x2,
+         |    CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * $LinregUnit
+         |      AS DECIMAL(20,0)) AS y
+         |  FROM lineitem),
+         |sums AS (
+         |  SELECT count(*) AS n,
+         |    SUM(x1) AS ds1, SUM(x2) AS ds2, SUM(y) AS dsy,
+         |    SUM(x1*x1) AS ds11, SUM(x1*x2) AS ds12, SUM(x2*x2) AS ds22,
+         |    SUM(x1*y) AS ds1y, SUM(x2*y) AS ds2y, SUM(y*y) AS dsyy
+         |  FROM q),
+         |c AS (SELECT ${LinregCast.mkString(", ")} FROM sums),
+         |dets AS (SELECT ${LinregDets.mkString(", ")} FROM c)
+         |SELECT ${LinregOut.mkString(", ")} FROM dets""".stripMargin,
+
     "mine_markov_stationary" ->
       s"""WITH tr AS (
          |  SELECT p, nx, count(*) AS c FROM (
