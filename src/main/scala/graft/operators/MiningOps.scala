@@ -195,9 +195,76 @@ object MiningOps {
     "round(((det0/det)*sy + (det1/det)*s1y + (det2/det)*s2y - sy*sy/dn)" +
       " / (syy - sy*sy/dn), 6) AS r2")
 
+  /** mine_logreg_gd shared texts — the linreg discipline extended to
+    * an ITERATIVE training loop: per-row gradient contributions
+    * quantize to DECIMAL(28,12) (order-independent exact sums, the
+    * pageRank contribution discipline), the weight update is scalar
+    * double arithmetic in identical expression text, and the
+    * squashing function is the RATIONAL sigmoid
+    * σ̃(z) = 0.5 + z/(2(1+|z|)) — +,×,÷,abs only, all IEEE
+    * correctly-rounded, so both engines compute bit-equal doubles
+    * where exp()-based logistic could differ in the last ulp
+    * (declared semantics: production swaps in exp, same shapes). */
+  val LogregRounds = 3
+  private val LogregFeat = Seq(
+    "CAST(l_quantity AS DOUBLE)/10 AS f1",
+    "CAST(l_discount AS DOUBLE)*10 AS f2",
+    "CASE WHEN l_tax > 0.04 THEN CAST(1.0 AS DOUBLE)" +
+      " ELSE CAST(0.0 AS DOUBLE) END AS y")
+  private val LogregSig =
+    "(0.5 + (w0 + w1*f1 + w2*f2)/(2*(1+abs(w0 + w1*f1 + w2*f2))))"
+  private val LogregGrad = Seq(
+    s"CAST(($LogregSig - y) * 1.0 AS DECIMAL(28,12)) AS g0r",
+    s"CAST(($LogregSig - y) * f1 AS DECIMAL(28,12)) AS g1r",
+    s"CAST(($LogregSig - y) * f2 AS DECIMAL(28,12)) AS g2r")
+  private val LogregUpdate = Seq(
+    "pw0 - 0.5 * CAST(sg0 AS DOUBLE) / CAST(gn AS DOUBLE) AS w0",
+    "pw1 - 0.5 * CAST(sg1 AS DOUBLE) / CAST(gn AS DOUBLE) AS w1",
+    "pw2 - 0.5 * CAST(sg2 AS DOUBLE) / CAST(gn AS DOUBLE) AS w2")
+
   val queries: Map[String, QFn] = Map(
 
     "mine_assoc_rules" -> ((s, d) => assocRules(s, d, MinSupport)),
+
+    // logistic-style classifier trained by BATCH GRADIENT DESCENT —
+    // the distributed training loop itself, hash-oracled: LogregRounds
+    // full-batch rounds of w ← w − η·∇L/n predicting the derived
+    // label (l_tax > 0.04) from normalized quantity/discount. Each
+    // round is ONE map-side-combined aggregate over the feature scan
+    // (gradient state = 3 decimal sums — O(features) at any row
+    // count); weights stay a 1-row RELATION broadcast into the next
+    // round (no driver collect, construction stays action-free for
+    // the plan audits). The oracle unrolls the rounds as CTE stages
+    // over the IDENTICAL shared expression texts, so engine and
+    // DuckDB agree bit-for-bit. Output: n, final weights (4 dp),
+    // training accuracy at the 0.5 threshold (6 dp).
+    "mine_logreg_gd" -> ((s, d) => {
+      val feat = Tables.lineitem(s, d).selectExpr(LogregFeat: _*)
+      var w = feat.sparkSession.range(1).selectExpr(
+        "CAST(0.0 AS DOUBLE) AS w0", "CAST(0.0 AS DOUBLE) AS w1",
+        "CAST(0.0 AS DOUBLE) AS w2")
+      for (_ <- 1 to LogregRounds) {
+        val g = feat.crossJoin(broadcast(w))
+          .selectExpr((Seq("w0", "w1", "w2") ++ LogregGrad): _*)
+          .agg(sum(col("g0r")).as("sg0"), sum(col("g1r")).as("sg1"),
+            sum(col("g2r")).as("sg2"), count(lit(1)).as("gn"),
+            max(col("w0")).as("pw0"), max(col("w1")).as("pw1"),
+            max(col("w2")).as("pw2"))
+        w = g.selectExpr(LogregUpdate: _*)
+      }
+      feat.crossJoin(broadcast(w))
+        .selectExpr("w0", "w1", "w2",
+          s"CASE WHEN $LogregSig >= 0.5 THEN CAST(1.0 AS DOUBLE)" +
+            " ELSE CAST(0.0 AS DOUBLE) END = y AS correct")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("correct"), 1L).otherwise(0L)).as("ncorr"),
+          max(col("w0")).as("fw0"), max(col("w1")).as("fw1"),
+          max(col("w2")).as("fw2"))
+        .selectExpr("CAST(n AS BIGINT) AS n",
+          "round(fw0, 4) AS w0", "round(fw1, 4) AS w1",
+          "round(fw2, 4) AS w2",
+          "round(CAST(ncorr AS DOUBLE) / CAST(n AS DOUBLE), 6) AS accuracy")
+    }),
 
     // multivariate OLS via NORMAL EQUATIONS — the regression a 100 TB
     // pipeline actually runs: ONE map-side-combined aggregate collects
@@ -2172,6 +2239,37 @@ object MiningOps {
     }))
 
   val oracle: Map[String, String] = Map(
+    "mine_logreg_gd" -> {
+      val rounds = (1 to LogregRounds).map { r =>
+        s"""g$r AS (
+           |  SELECT sum(g0r) AS sg0, sum(g1r) AS sg1, sum(g2r) AS sg2,
+           |    count(*) AS gn, max(w0) AS pw0, max(w1) AS pw1,
+           |    max(w2) AS pw2
+           |  FROM (SELECT w0, w1, w2, ${LogregGrad.mkString(", ")}
+           |        FROM feat CROSS JOIN wc${r - 1}) t$r),
+           |wc$r AS (SELECT ${LogregUpdate.mkString(", ")} FROM g$r)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH feat AS MATERIALIZED (
+         |  SELECT ${LogregFeat.mkString(", ")} FROM lineitem),
+         |wc0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0,
+         |  CAST(0.0 AS DOUBLE) AS w1, CAST(0.0 AS DOUBLE) AS w2),
+         |$rounds,
+         |sc AS (
+         |  SELECT w0, w1, w2,
+         |    (CASE WHEN $LogregSig >= 0.5 THEN CAST(1.0 AS DOUBLE)
+         |          ELSE CAST(0.0 AS DOUBLE) END = y) AS correct
+         |  FROM feat CROSS JOIN wc$LogregRounds),
+         |fin AS (
+         |  SELECT count(*) AS n,
+         |    sum(CASE WHEN correct THEN 1 ELSE 0 END) AS ncorr,
+         |    max(w0) AS fw0, max(w1) AS fw1, max(w2) AS fw2 FROM sc)
+         |SELECT CAST(n AS BIGINT) AS n, round(fw0, 4) AS w0,
+         |  round(fw1, 4) AS w1, round(fw2, 4) AS w2,
+         |  round(CAST(ncorr AS DOUBLE) / CAST(n AS DOUBLE), 6) AS accuracy
+         |FROM fin""".stripMargin
+    },
+
     "mine_linreg_normal" ->
       s"""WITH q AS (
          |  SELECT
