@@ -2,6 +2,7 @@ package graft.operators
 
 import graft._
 import graft.Stable._
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -195,6 +196,35 @@ object MiningOps {
     "round(((det0/det)*sy + (det1/det)*s1y + (det2/det)*s2y - sy*sy/dn)" +
       " / (syy - sy*sy/dn), 6) AS r2")
 
+  /** the whole mine_linreg_normal pipeline over ANY lineitem-shaped
+    * frame — batch or STREAMING: the 10 sufficient statistics are
+    * plain sums, i.e. mergeable aggregate state (micro-batch partials
+    * add cell-wise), so under complete-mode streaming the drained
+    * stream's fit equals the batch fit EXACTLY at constant state
+    * (O(features²) numbers regardless of stream length — the
+    * model-quality monitor a training-data stream runs; parity
+    * pinned in Round10Spec). */
+  def linregFit(li: DataFrame): DataFrame =
+    li.select(
+        expr(s"CAST(CAST(l_quantity AS DECIMAL(18,4)) * $LinregUnit" +
+          " AS DECIMAL(20,0))").as("x1"),
+        expr(s"CAST(CAST(l_discount AS DECIMAL(18,4)) * $LinregUnit" +
+          " AS DECIMAL(20,0))").as("x2"),
+        expr(s"CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * $LinregUnit" +
+          " AS DECIMAL(20,0))").as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x1")).as("ds1"), sum(col("x2")).as("ds2"),
+        sum(col("y")).as("dsy"),
+        sum(col("x1") * col("x1")).as("ds11"),
+        sum(col("x1") * col("x2")).as("ds12"),
+        sum(col("x2") * col("x2")).as("ds22"),
+        sum(col("x1") * col("y")).as("ds1y"),
+        sum(col("x2") * col("y")).as("ds2y"),
+        sum(col("y") * col("y")).as("dsyy"))
+      .selectExpr(LinregCast: _*)
+      .selectExpr(LinregDets: _*)
+      .selectExpr(LinregOut: _*)
+
   /** mine_logreg_gd shared texts — the linreg discipline extended to
     * an ITERATIVE training loop: per-row gradient contributions
     * quantize to DECIMAL(28,12) (order-independent exact sums, the
@@ -278,27 +308,7 @@ object MiningOps {
     // from the same sums. Hash-oracled: exact decimal sums + the
     // shared IEEE expression text (LinregCast/Dets/Out) in both
     // engines.
-    "mine_linreg_normal" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .select(
-          expr(s"CAST(CAST(l_quantity AS DECIMAL(18,4)) * $LinregUnit" +
-            " AS DECIMAL(20,0))").as("x1"),
-          expr(s"CAST(CAST(l_discount AS DECIMAL(18,4)) * $LinregUnit" +
-            " AS DECIMAL(20,0))").as("x2"),
-          expr(s"CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * $LinregUnit" +
-            " AS DECIMAL(20,0))").as("y"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("x1")).as("ds1"), sum(col("x2")).as("ds2"),
-          sum(col("y")).as("dsy"),
-          sum(col("x1") * col("x1")).as("ds11"),
-          sum(col("x1") * col("x2")).as("ds12"),
-          sum(col("x2") * col("x2")).as("ds22"),
-          sum(col("x1") * col("y")).as("ds1y"),
-          sum(col("x2") * col("y")).as("ds2y"),
-          sum(col("y") * col("y")).as("dsyy"))
-        .selectExpr(LinregCast: _*)
-        .selectExpr(LinregDets: _*)
-        .selectExpr(LinregOut: _*)),
+    "mine_linreg_normal" -> ((s, d) => linregFit(Tables.lineitem(s, d))),
 
     // key-distribution skew profile — what you run BEFORE choosing a
     // shuffle key at 100 TB. Top-N hot keys by row count with absolute

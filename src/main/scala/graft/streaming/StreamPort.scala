@@ -191,6 +191,17 @@ object StreamPort {
         col("x_ts"), col("y_ts"))
   }
 
+  /** streaming OLS fit (≙ `mine_linreg_normal`) — the model-quality
+    * monitor over a training-data stream: the 10 sufficient
+    * statistics are plain sums (mergeable aggregate state — partials
+    * add cell-wise), so the complete-mode output over the drained
+    * stream equals the batch fit EXACTLY, at O(features²) state
+    * regardless of stream length. Shared pipeline:
+    * [[graft.operators.MiningOps.linregFit]] (batch and stream can
+    * never fit differently). Parity pinned in Round10Spec. */
+  def linregFit(rows: DataFrame): DataFrame =
+    graft.operators.MiningOps.linregFit(rows)
+
   /** streaming URL-FRONTIER dedup (≙ `dedup_url_canonical`'s
     * canonical key — the crawl-frontier discipline): each arriving
     * (url, ts) row is canonicalized MAP-SIDE with the identical shared

@@ -127,6 +127,40 @@ class Round10Spec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming OLS fit over two batches equals the batch fit exactly") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // planted exact linear signal: y = 100 + 5·qty + 1000·disc → the
+    // fit must recover (100, 5, 1000) with r² = 1
+    val rows = (0 until 20).map { i =>
+      val qty = (i % 10 + 1).toDouble
+      val disc = (i % 5) / 100.0
+      (qty, disc, 100.0 + 5.0 * qty + 1000.0 * disc)
+    }
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Double, Double, Double)]
+    val q = streaming.StreamPort.linregFit(
+        mem.toDF().toDF("l_quantity", "l_discount", "l_extendedprice"))
+      .writeStream.format("memory").queryName("linregfit")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows.take(10): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(10): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("linregfit").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4))).toSeq
+      val batch = operators.MiningOps.linregFit(
+          rows.toDF("l_quantity", "l_discount", "l_extendedprice"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4))).toSeq
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+      assert(streamed == Seq((20L, 100.0, 5.0, 1000.0, 1.0)),
+        s"planted signal not recovered: $streamed")
+    } finally q.stop()
+  }
+
   test("scalar_xml: from_xml/to_xml round trip is the identity on the struct") {
     // parse -> print -> parse fixpoint: the XML family's breadth pin
     // beyond the hash-oracled scalar_xml extraction
