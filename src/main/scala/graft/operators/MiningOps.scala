@@ -252,9 +252,78 @@ object MiningOps {
     "pw1 - 0.5 * CAST(sg1 AS DOUBLE) / CAST(gn AS DOUBLE) AS w1",
     "pw2 - 0.5 * CAST(sg2 AS DOUBLE) / CAST(gn AS DOUBLE) AS w2")
 
+  /** mine_naive_bayes score text — Laplace-smoothed class score
+    * P(c)·P(f1|c)·P(f2|c) over the bounded count grid, double
+    * arithmetic in ONE shared expression (IEEE correctly-rounded ops
+    * + identical order ⇒ identical doubles in both engines, the
+    * logreg discipline). `cN` = class count, `nf1`/`nf2` = per-class
+    * feature counts, `tot` = corpus rows, `v1`/`v2` = feature
+    * vocabulary sizes. */
+  private def nbScore(cN: String, nf1: String, nf2: String): String =
+    s"(CAST($cN AS DOUBLE)/CAST(tot AS DOUBLE))" +
+      s" * ((CAST($nf1 AS DOUBLE)+1)/(CAST($cN AS DOUBLE)+CAST(v1 AS DOUBLE)))" +
+      s" * ((CAST($nf2 AS DOUBLE)+1)/(CAST($cN AS DOUBLE)+CAST(v2 AS DOUBLE)))"
+
   val queries: Map[String, QFn] = Map(
 
     "mine_assoc_rules" -> ((s, d) => assocRules(s, d, MinSupport)),
+
+    // categorical NAIVE BAYES classifier — train AND score in one
+    // query, the third ML-training operator next to the OLS and GD
+    // pair: predict the derived label (l_tax > 0.04) from two
+    // categorical features (l_returnflag, l_linestatus). The 100 TB
+    // shape: ONE map-side-combined count aggregate over the corpus
+    // (state = |f1|×|f2|×2 cells — bounded by the vocabularies, not
+    // the rows); every subsequent step (marginals via window sums,
+    // the full feature grid, Laplace-smoothed scores, the per-cell
+    // argmax, training accuracy) runs on that ≤ dozen-row aggregate.
+    // Scores are double arithmetic in the ONE shared expression text
+    // (nbScore) so both engines agree bit-for-bit; the argmax ties
+    // toward class 1 (>=, declared). Output: one row per feature
+    // cell with counts, both scores (8 dp), the prediction, and the
+    // corpus-wide accuracy.
+    "mine_naive_bayes" -> ((s, d) => {
+      val cell = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("f1"), col("l_linestatus").as("f2"),
+          when(col("l_tax") > 0.04, 1L).otherwise(0L).as("y"))
+        .agg(count(lit(1)).as("cnt"))
+      // everything below runs on the ≤ |f1|·|f2|·2-row aggregate
+      val tots = cell.agg(sum(col("cnt")).as("tot"),
+        countDistinct(col("f1")).as("v1"), countDistinct(col("f2")).as("v2"))
+      val cls = cell.groupBy(col("y")).agg(sum(col("cnt")).as("cn"))
+      val m1 = cell.groupBy(col("f1"), col("y")).agg(sum(col("cnt")).as("nf1"))
+      val m2 = cell.groupBy(col("f2"), col("y")).agg(sum(col("cnt")).as("nf2"))
+      // full (f1, f2, y) grid so a class absent from a cell still
+      // scores (its feature counts come from the marginals; 0 if the
+      // feature value never co-occurs with the class)
+      val grid = cell.select(col("f1")).distinct()
+        .crossJoin(cell.select(col("f2")).distinct())
+        .crossJoin(cls)
+        .crossJoin(broadcast(tots))
+        .join(m1, Seq("f1", "y"), "left")
+        .join(m2, Seq("f2", "y"), "left")
+        .na.fill(0L, Seq("nf1", "nf2"))
+        .join(cell, Seq("f1", "f2", "y"), "left")
+        .na.fill(0L, Seq("cnt"))
+      val scored = grid.selectExpr("f1", "f2", "y", "cnt", "tot",
+        nbScore("cn", "nf1", "nf2") + " AS score")
+      val byCell = scored.groupBy(col("f1"), col("f2"))
+        .agg(max(col("tot")).as("tot"), sum(col("cnt")).as("n_cell"),
+          max(when(col("y") === 0L, col("score"))).as("s0"),
+          max(when(col("y") === 1L, col("score"))).as("s1"),
+          sum(when(col("y") === 1L, col("cnt")).otherwise(0L)).as("n1"))
+        .withColumn("predicted",
+          when(col("s1") >= col("s0"), 1L).otherwise(0L))
+      val acc = byCell
+        .agg((sum(when(col("predicted") === 1L, col("n1"))
+            .otherwise(col("n_cell") - col("n1"))).cast("double") /
+          max(col("tot")).cast("double")).as("a"))
+      byCell.crossJoin(broadcast(acc))
+        .select(col("f1"), col("f2"), col("n_cell"), col("n1"),
+          round(col("s0"), 8).as("score0"), round(col("s1"), 8).as("score1"),
+          col("predicted"), round(col("a"), 6).as("accuracy"))
+        .orderBy(col("f1"), col("f2"))
+    }),
 
     // logistic-style classifier trained by BATCH GRADIENT DESCENT —
     // the distributed training loop itself, hash-oracled: LogregRounds
@@ -2249,6 +2318,49 @@ object MiningOps {
     }))
 
   val oracle: Map[String, String] = Map(
+    "mine_naive_bayes" ->
+      s"""WITH cell AS (
+         |  SELECT l_returnflag AS f1, l_linestatus AS f2,
+         |    CASE WHEN l_tax > CAST(0.04 AS DOUBLE) THEN 1 ELSE 0 END AS y,
+         |    count(*) AS cnt
+         |  FROM lineitem GROUP BY 1, 2, 3),
+         |tots AS (SELECT SUM(cnt) AS tot, count(DISTINCT f1) AS v1,
+         |  count(DISTINCT f2) AS v2 FROM cell),
+         |cls AS (SELECT y, SUM(cnt) AS cn FROM cell GROUP BY 1),
+         |m1 AS (SELECT f1, y, SUM(cnt) AS nf1 FROM cell GROUP BY 1, 2),
+         |m2 AS (SELECT f2, y, SUM(cnt) AS nf2 FROM cell GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT a.f1, b.f2, c.y, c.cn, t.tot, t.v1, t.v2,
+         |    coalesce(m1.nf1, 0) AS nf1, coalesce(m2.nf2, 0) AS nf2,
+         |    coalesce(cell.cnt, 0) AS cnt
+         |  FROM (SELECT DISTINCT f1 FROM cell) a
+         |  CROSS JOIN (SELECT DISTINCT f2 FROM cell) b
+         |  CROSS JOIN cls c CROSS JOIN tots t
+         |  LEFT JOIN m1 ON m1.f1 = a.f1 AND m1.y = c.y
+         |  LEFT JOIN m2 ON m2.f2 = b.f2 AND m2.y = c.y
+         |  LEFT JOIN cell ON cell.f1 = a.f1 AND cell.f2 = b.f2
+         |    AND cell.y = c.y),
+         |scored AS (
+         |  SELECT f1, f2, y, cnt, tot,
+         |    ${nbScore("cn", "nf1", "nf2")} AS score
+         |  FROM grid),
+         |bycell AS (
+         |  SELECT f1, f2, max(tot) AS tot, SUM(cnt) AS n_cell,
+         |    max(CASE WHEN y = 0 THEN score END) AS s0,
+         |    max(CASE WHEN y = 1 THEN score END) AS s1,
+         |    SUM(CASE WHEN y = 1 THEN cnt ELSE 0 END) AS n1
+         |  FROM scored GROUP BY 1, 2),
+         |pred AS (SELECT *, CASE WHEN s1 >= s0 THEN 1 ELSE 0 END AS predicted
+         |  FROM bycell),
+         |acc AS (SELECT SUM(CASE WHEN predicted = 1 THEN n1
+         |    ELSE n_cell - n1 END) AS corr, max(tot) AS tot FROM pred)
+         |SELECT p.f1, p.f2, CAST(p.n_cell AS BIGINT) AS n_cell,
+         |  CAST(p.n1 AS BIGINT) AS n1,
+         |  round(p.s0, 8) AS score0, round(p.s1, 8) AS score1,
+         |  CAST(p.predicted AS BIGINT) AS predicted,
+         |  round(CAST(a.corr AS DOUBLE) / CAST(a.tot AS DOUBLE), 6) AS accuracy
+         |FROM pred p CROSS JOIN acc a ORDER BY p.f1, p.f2""".stripMargin,
+
     "mine_logreg_gd" -> {
       val rounds = (1 to LogregRounds).map { r =>
         s"""g$r AS (
