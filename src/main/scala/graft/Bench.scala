@@ -11,7 +11,7 @@ object Bench {
     * DELTAS attribute to that query — turning every future 100×-scale
     * judgment ("does this op shuffle more than it must?") from
     * plan-reading into arithmetic on bench_queries.json. */
-  private final class ShuffleTelemetry
+  private[graft] final class ShuffleTelemetry
       extends org.apache.spark.scheduler.SparkListener {
     val writeBytes = new AtomicLong
     val writeRows = new AtomicLong

@@ -170,6 +170,25 @@ class Round10Spec extends SparkTestBase {
     assert(df.filter("s.a != rt.a OR s.b != rt.b").count() == 0)
   }
 
+  test("ShuffleTelemetry attributes a shuffle's bytes and rows to its window") {
+    // the bench's per-query shuffle profile (VERDICT r9 #5) rests on
+    // this listener — pin that a known shuffle lands in the counters
+    // once the bus drains, so a Spark metrics rename can't silently
+    // zero the telemetry
+    val t = new Bench.ShuffleTelemetry
+    spark.sparkContext.addSparkListener(t)
+    try {
+      org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext)
+      val before = t.snapshot
+      spark.range(100000).selectExpr("id % 97 AS k")
+        .repartition(4, col("k")).groupBy(col("k")).count().count()
+      org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext)
+      val after = t.snapshot
+      assert(after._1 > before._1 && after._2 >= before._2 + 100000L,
+        s"shuffle not attributed: before=$before after=$after")
+    } finally spark.sparkContext.removeSparkListener(t)
+  }
+
   test("mergeCcDelta past the state cap drops the remap broadcast hint, " +
       "identical labels") {
     import spark.implicits._
