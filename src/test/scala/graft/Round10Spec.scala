@@ -170,6 +170,28 @@ class Round10Spec extends SparkTestBase {
     assert(df.filter("s.a != rt.a OR s.b != rt.b").count() == 0)
   }
 
+  test("mine_naive_bayes separates a planted perfectly-predictive feature") {
+    import spark.implicits._
+    // returnflag 'A' rows always have tax 0.08 (label 1), 'N' rows
+    // 0.0 (label 0) — NB must predict per-f1 and score 100% accuracy
+    val ts = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    val rows = (0 until 40).map { i =>
+      val a = i % 2 == 0
+      ((i + 1).toLong, 1L, 1L, 1, 1.0, 10.0, 0.0,
+        if (a) 0.08 else 0.0, if (a) "A" else "N", "O", ts)
+    }
+    val dir = tempDir()
+    writeFixture(dir, "lineitem", rows.toDF("l_orderkey", "l_partkey",
+      "l_suppkey", "l_linenumber", "l_quantity", "l_extendedprice",
+      "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"))
+    val got = operators.MiningOps.queries("mine_naive_bayes")(spark, dir)
+      .select(col("f1"), col("predicted"), col("accuracy"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got == Set(("A", 1L, 1.0), ("N", 0L, 1.0)),
+      s"planted signal not separated: $got")
+  }
+
   test("ShuffleTelemetry attributes a shuffle's bytes and rows to its window") {
     // the bench's per-query shuffle profile (VERDICT r9 #5) rests on
     // this listener — pin that a known shuffle lands in the counters
