@@ -106,6 +106,8 @@ object Bench {
     // relation the warmup pre-computed (clearCache alone would leave
     // those memoized-but-uncached — recomputing on every action).
     clearSessionState(spark)
+    // warmup builds must not leak into the timed memo_build record
+    graft.operators.GraphOps.drainMemoBuildTimes()
     System.gc()
     // min-of-N timing (VERDICT r3 #1): the r3 driver bench lost the 2×
     // gate to a transient load spike that inflated one contiguous
@@ -242,8 +244,19 @@ object Bench {
     // clobber it
     val benchFile =
       if (only.isDefined) "bench_queries.partial.json" else "bench_queries.json"
+    // r11 schema addition (VERDICT r10 #7): "memo_build" = min observed
+    // build seconds per shared-memo label across the timed passes
+    // (memos clear between passes, so every pass rebuilds). Cross-round
+    // comparison of a memo_warm row subtracts its family's build line
+    // instead of reading a memo move as query drift. Lazy builds record
+    // ~0 by construction — their cost rides the first action, which
+    // memo_warm already marks.
+    val memoBuildJson = graft.operators.GraphOps.drainMemoBuildTimes()
+      .toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
     try Files.writeString(Paths.get(benchFile),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passesJson,"memo_warm":$warmJson,"shuffle":$shuffleJson}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passesJson,"memo_warm":$warmJson,"shuffle":$shuffleJson,"memo_build":$memoBuildJson}""")
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] $benchFile write failed: $e") }
     // Two lines, long-then-short (round-1 post-mortem): the driver may

@@ -180,6 +180,10 @@ object DedupOps {
   private val embSigCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  // memo_build attribution labels (VERDICT r10 #7)
+  GraphOps.registerMemo(canonCache, "dedupCanon")
+  GraphOps.registerMemo(embSigCache, "embSig")
+
   private def embSignatures(s: SparkSession, d: String): DataFrame =
     GraphOps.memo(embSigCache, (s, d)) {
       // one row per corpus vector — the standard "signature table"
@@ -1066,6 +1070,7 @@ object DedupOps {
     * unlatched pool; latched, the count reads the warm blocks). */
   private val evalPoolCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  GraphOps.registerMemo(evalPoolCache, "evalPool") // memo_build label
 
   def evalFpPool(s: SparkSession, d: String): DataFrame =
     GraphOps.memo(evalPoolCache, (s, d)) {

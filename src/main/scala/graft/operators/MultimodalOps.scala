@@ -49,11 +49,18 @@ object MultimodalOps {
     * magic-byte sniff — PPM/BMP decode for real, the rest hit the
     * opaque stub. */
   private def decoded(s: org.apache.spark.sql.SparkSession, d: String) =
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"), col("source"))
-      .as(Encoders.product[Payload])
-      .mapPartitions(_.map(PayloadDecoders.decode))(Encoders.product[Features])
-      .toDF()
+    decodePayloads(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"),
+          col("source"))
+        .as(Encoders.product[Payload])).toDF()
+
+  /** the decode operator on an arbitrary typed payload dataset — the
+    * public entry a caller with real image columns uses (and the one
+    * Round11Spec drives with genuine PNG payloads) */
+  def decodePayloads(ds: org.apache.spark.sql.Dataset[Payload])
+      : org.apache.spark.sql.Dataset[Features] =
+    ds.mapPartitions(_.map(PayloadDecoders.decode))(Encoders.product[Features])
 
   val queries: Map[String, QFn] = Map(
     // text bytes stand in for an image payload; the pipeline shape is

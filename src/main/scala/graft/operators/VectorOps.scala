@@ -962,6 +962,7 @@ object VectorOps {
     * same training. */
   private val codebookCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  GraphOps.registerMemo(codebookCache, "codebook") // memo_build label
 
   /** see GraphOps.clearMemos — Bench drops all session memos after
     * its warmup pass (and between timed reps); eviction unpersists */
@@ -1172,6 +1173,7 @@ object VectorOps {
     * queries consume the same matrix */
   private val gramCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  GraphOps.registerMemo(gramCache, "gram") // memo_build label
 
   /** Why mapPartitions (policy exception (d), like the multimodal
     * decoders): the Gram is a per-partition ACCUMULATION — O(d²)

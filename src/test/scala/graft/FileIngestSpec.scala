@@ -138,4 +138,71 @@ class FileIngestSpec extends SparkTestBase {
       assert(snap() == merged, "retried file batch changed the snapshot")
     } finally q.stop()
   }
+
+  test("crash recovery: stop, land files while down, delete the last commit " +
+      "marker (crash between sink write and checkpoint commit), restart — " +
+      "no loss, no duplication (VERDICT r10 #8)") {
+    import spark.implicits._
+    val land = tempDir()
+    val out = tempDir() + "/snap"
+    val ckpt = tempDir() + "/ckpt"
+    def snap(): Seq[(Long, Double)] = StreamPort.readSnapshot(spark, out)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    def start() = StreamPort.upsertSnapshotSink(
+        StreamPort.fileLandingStream(spark, land, ordersSchema),
+        out, "o_orderkey")
+      .option("checkpointLocation", ckpt).start()
+
+    // run 1: week1 lands, batch 0 commits, the query "crashes" (stop)
+    landJsonl(land, "week1.jsonl", Seq(
+      oJson(1, "2024-01-01T10:00:00", 10.0),
+      oJson(2, "2024-01-01T11:00:00", 20.0)))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(snap() == Seq((1L, 10.0), (2L, 20.0)), s"before crash: ${snap()}")
+
+    // while DOWN: week2 lands (repricing key 2, adding key 3)
+    landJsonl(land, "week2.jsonl", Seq(
+      oJson(2, "2024-01-08T10:00:00", 22.0),
+      oJson(3, "2024-01-08T11:00:00", 30.0)))
+
+    // run 2: restart from the checkpoint — week1 must NOT replay
+    // (no duplication), week2 MUST be picked up (no loss)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val afterRestart = snap()
+    assert(afterRestart == Seq((1L, 10.0), (2L, 22.0), (3L, 30.0)),
+      s"restart lost or duplicated a landing: $afterRestart")
+
+    // crash MID-BATCH: Structured Streaming commits a batch by writing
+    // <ckpt>/commits/<id> AFTER the sink ran — deleting the newest
+    // marker reproduces a crash in that window exactly, and on restart
+    // the engine REPLAYS that batch id from its logged offsets. The
+    // sink's version-below-id merge discipline must absorb the replay
+    // byte-identically.
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.nonEmpty, "expected commit markers in the checkpoint")
+    val lastCommit = commits.last
+    val replayId = lastCommit.getName.toLong
+    assert(lastCommit.delete(), s"could not delete $lastCommit")
+    // the local ChecksumFs keeps a .N.crc sidecar per marker — a real
+    // crash loses both (they're written together); leaving it would
+    // fail the replay's rename with FileAlreadyExists
+    val crc = new java.io.File(s"$ckpt/commits/.$replayId.crc")
+    if (crc.exists()) assert(crc.delete(), s"could not delete $crc")
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(snap() == afterRestart,
+      s"replay of batch $replayId after a simulated mid-commit crash " +
+        s"changed the snapshot: ${snap()} vs $afterRestart")
+    // and the recovered stream keeps consuming: week3 lands, applies once
+    landJsonl(land, "week3.jsonl",
+      Seq(oJson(4, "2024-01-15T10:00:00", 40.0)))
+    val q4 = start()
+    try q4.processAllAvailable() finally q4.stop()
+    assert(snap() == Seq((1L, 10.0), (2L, 22.0), (3L, 30.0), (4L, 40.0)),
+      s"post-recovery landing mis-applied: ${snap()}")
+  }
 }

@@ -2,25 +2,27 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 
-/** SQL-frontend SWEEP (VERDICT r8 #8): SqlFrontendSpec pins
-  * representative queries; this suite executes EVERY oracle-carrying
-  * §2 key's SQL text through `spark.sql` against the registered views
-  * at sf0.001 and compares row-for-row with the DSL plan.
+/** SQL-frontend SWEEP, two tiers (VERDICT r8 #8, widened per VERDICT
+  * r10 #1): SqlFrontendSpec pins representative queries; this suite
+  * executes EVERY oracle-carrying §2 key through `spark.sql` against
+  * the registered views at sf0.001 and compares row-for-row with the
+  * DSL plan.
   *
-  * The oracle strings are written for DuckDB, so the sweep is
-  * best-effort by construction: keys whose SQL uses DuckDB-only
-  * surface (HUGEINT, `//`, list_* lambdas, unnest, ASOF JOIN, xor,
-  * FILTER clauses Spark lacks, DuckDB's `range` table column name)
-  * fail PARSE or ANALYSIS and are recorded as skipped — that is the
-  * declared boundary of the sweep, not a failure. Keys that parse,
-  * analyze and execute MUST match the DSL result exactly under the
-  * normalized comparison below (numbers through BigDecimal at 6 dp —
-  * both sides already quantize through the Stable discipline, so a
-  * surviving difference is a real catalog/function/semantics gap).
+  *  - Tier 1 (shared dialect): the DuckDB oracle text itself happens to
+  *    be Spark-parseable and runs unchanged. ~150 keys.
+  *  - Tier 2 (Spark dialect): the oracle text is DuckDB-only, so the
+  *    key's Spark spelling comes from [[SparkDialect]] — the
+  *    deterministic DuckDB→Spark transpiler plus the hand-authored
+  *    overrides/patches in [[SparkDialectOverrides]]. Tier 2 has NO
+  *    skip headroom: every key not in [[SparkDialect.notExpressible]]
+  *    MUST run and match the DSL exactly.
   *
-  * The floor pins the sweep's breadth: a catalog regression (a view
-  * or SQL function dropping out of SqlFrontend.register) would
-  * push swept keys below it even if nothing mismatches.
+  * The not-expressible set is pinned exactly (each entry carries its
+  * documented reason — recursive-CTE UNION-distinct fixpoints, peel
+  * rounds aggregating over the recursive reference, unrolled cascades
+  * that require DuckDB's AS MATERIALIZED). A key may only join it by
+  * editing SparkDialect with a reason; a key silently dropping out of
+  * either tier fails here.
   */
 class SqlSweepSpec extends SparkTestBase {
 
@@ -71,65 +73,76 @@ class SqlSweepSpec extends SparkTestBase {
       .sorted.toSeq
   }
 
-  test("every Spark-parseable oracle runs via spark.sql and matches its DSL plan") {
+  /** confs the Spark-dialect tier needs (deep recursive CTEs in the
+    * hourly time-series texts, the 8-round unrolled Borůvka analyzer
+    * depth) — set for the sweep, restored after */
+  private val sweepConfs = Seq(
+    "spark.sql.cteRecursionLevelLimit" -> "20000",
+    "spark.sql.cteRecursionRowLimit" -> "10000000",
+    "spark.sql.analyzer.maxIterations" -> "1000")
+
+  test("every oracle key runs via spark.sql — shared or transpiled dialect — " +
+      "and matches its DSL plan; not-expressible set pinned exactly") {
     SqlFrontend.register(spark, sf001)
-    val keys = SparkEntry.oracleSql.keys.toSeq.sorted
-    val swept = Seq.newBuilder[String]
-    val skipped = Seq.newBuilder[(String, String)]
-    val mismatched = Seq.newBuilder[String]
-    for (k <- keys) {
-      val viaSql =
-        try Some(fingerprint(spark.sql(SparkEntry.oracleSql(k))))
-        catch {
-          // DuckDB-only syntax / functions / types — the declared
-          // sweep boundary
-          case e: org.apache.spark.sql.catalyst.parser.ParseException =>
-            skipped += (k -> "parse"); None
-          case e: org.apache.spark.sql.AnalysisException =>
-            skipped += (k -> "analysis"); None
-          case scala.util.control.NonFatal(e) =>
-            // analyzed but failed at runtime (dialect-divergent
-            // execution semantics, e.g. overflow behavior)
-            skipped += (k -> s"runtime:${e.getClass.getSimpleName}"); None
+    val prior = sweepConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    sweepConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val keys = SparkEntry.oracleSql.keys.toSeq.sorted
+      val shared = Seq.newBuilder[String]
+      val transpiled = Seq.newBuilder[String]
+      val skippedNE = Seq.newBuilder[String]
+      val failed = Seq.newBuilder[(String, String)]
+      for (k <- keys) {
+        val dsl0 = () => fingerprint(SparkEntry.queries(k)(spark, sf001))
+        // tier 1: the oracle text as-is
+        val tier1 =
+          try Some(fingerprint(spark.sql(SparkEntry.oracleSql(k))))
+          catch { case scala.util.control.NonFatal(_) => None }
+        tier1 match {
+          case Some(viaSql) =>
+            if (viaSql == dsl0()) shared += k
+            else failed += (k -> "tier1 mismatch")
+          case None =>
+            // tier 2: the engine's Spark-dialect spelling — mandatory
+            SparkDialect.sparkSqlFor(k, SparkEntry.oracleSql(k)) match {
+              case None => skippedNE += k
+              case Some(sql) =>
+                try {
+                  val viaSql = fingerprint(spark.sql(sql))
+                  if (viaSql == dsl0()) transpiled += k
+                  else failed += (k -> "tier2 mismatch")
+                } catch {
+                  case scala.util.control.NonFatal(e) =>
+                    failed += (k -> ("tier2 " + e.getClass.getSimpleName +
+                      ": " + Option(e.getMessage).getOrElse("")
+                        .linesIterator.take(1).mkString.take(160)))
+                }
+            }
         }
-      viaSql.foreach { s =>
-        val dsl = fingerprint(SparkEntry.queries(k)(spark, sf001))
-        if (s == dsl) swept += k
-        else mismatched += k
       }
+      val sh = shared.result(); val tr = transpiled.result()
+      val ne = skippedNE.result(); val bad = failed.result()
+      info(s"tier1 shared-dialect ${sh.size}, tier2 Spark-dialect " +
+        s"${tr.size}, not-expressible ${ne.size} of ${keys.size}")
+      assert(bad.isEmpty, s"sweep failures:\n  ${bad.map { case (k, r) =>
+        s"$k: $r" }.mkString("\n  ")}")
+      // the not-expressible set is EXACT: every member must actually
+      // fail tier 1 (else it should graduate out), and nothing may
+      // land there undeclared
+      assert(ne.toSet == SparkDialect.notExpressible.keySet,
+        s"not-expressible drift: swept=$ne declared=" +
+          s"${SparkDialect.notExpressible.keySet.toSeq.sorted}")
+      // breadth floors RATCHETED to the r11 measurement: 151 shared
+      // (unchanged since r10) + every remaining key transpiled. Tier 2
+      // has zero headroom by construction (any error fails above), so
+      // the floor only guards tier-1 keys regressing INTO tier 2.
+      assert(sh.size >= 151,
+        s"shared-dialect breadth regressed: ${sh.size} < 151")
+      assert(sh.size + tr.size == keys.size - ne.size,
+        "coverage accounting broke")
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
-    val sk = skipped.result()
-    val sw = swept.result()
-    info(s"swept ${sw.size} keys, skipped ${sk.size} " +
-      s"(parse=${sk.count(_._2 == "parse")}, " +
-      s"analysis=${sk.count(_._2 == "analysis")}, " +
-      s"runtime=${sk.count(_._2.startsWith("runtime"))})")
-    val mm = mismatched.result()
-    assert(mm.isEmpty,
-      s"spark.sql result diverges from the DSL plan for: ${mm.mkString(", ")}")
-    // runtime-skip PIN (ADVICE r9 #2): a key that analyzed via
-    // spark.sql but failed at execution is declared dialect divergence
-    // — and there are exactly two, both regex-dialect: the oracle
-    // texts pass DuckDB's 'g' flag to regexp_replace, which Spark
-    // parses (it's just a string arg) but rejects at execution. A key
-    // moving from swept to runtime-failing must fail HERE explicitly,
-    // not vanish into the skip headroom.
-    val runtimeSkipped = sk.collect {
-      case (k, r) if r.startsWith("runtime") => k
-    }.toSet
-    val expectedRuntime = Set("scalar_regex_extract", "text_pii_redact")
-    assert(runtimeSkipped == expectedRuntime,
-      s"runtime-skip set drifted: got $runtimeSkipped, pinned " +
-        s"$expectedRuntime - a swept key regressing to a runtime " +
-        "failure (or a new dialect divergence) must be re-pinned " +
-        "deliberately")
-    // floor RATCHETED to the measured sweep size (VERDICT r9 #8):
-    // r10 measured 151 swept / 210 skipped (parse 145, analysis 63,
-    // runtime 2). With the runtime set pinned exactly, the floor can
-    // sit AT the measurement — any swept key dropping out (catalog
-    // regression, oracle-text drift to DuckDB-only surface) fails.
-    assert(sw.size >= 151,
-      s"sweep breadth regressed: only ${sw.size} keys ran via spark.sql " +
-        s"(catalog or function registration gap?); skipped=${sk.size}")
   }
 }
