@@ -90,6 +90,17 @@ object DedupOps {
   val EmbClusterBandBits = 8
   val EmbClusterTau = 0.35
 
+  /** declared ceiling on the embedding-LSH candidate mass
+    * (Σ k·(k−1)/2 over band-bucket occupancies k) — measured before
+    * the banded self-join, refused loudly past it (r11; the 10×
+    * scale probe showed dense planted clusters growing the mass
+    * quadratically while every other dedup/vector head stayed
+    * band-bounded). Session-overridable like the decontam caps. */
+  val EmbCandidateMaxPairsKey = "graft.dedup.embCandidateMaxPairs"
+  val EmbCandidateMaxPairs = 50000000L
+  private def embCandidateCap(s: SparkSession): Long =
+    s.conf.get(EmbCandidateMaxPairsKey, EmbCandidateMaxPairs.toString).toLong
+
   // NOTE (r5): memoizing + caching the signature table across the LSH
   // consumers was built and MEASURED SLOWER at sf0.1 (band_sweep 3.9 s
   // lazy-recompute vs 4.4–5.2 s cached; cluster_lsh 1.96 → 2.5 s):
@@ -183,6 +194,18 @@ object DedupOps {
   // memo_build attribution labels (VERDICT r10 #7)
   GraphOps.registerMemo(canonCache, "dedupCanon")
   GraphOps.registerMemo(embSigCache, "embSig")
+
+  /** the banded view of [[embSignatures]]: one (vec_id, band, bh) row
+    * per vector per band — shared by dedup_embedding_cluster (its
+    * self-join input AND candidate-mass guard) and the
+    * dedup_lsh_bucket_audit pricing query */
+  private def embBanded(s: SparkSession, d: String): DataFrame = {
+    val bandCols = (0 until EmbClusterBands).map(j =>
+      shiftright(col("sig"), j * EmbClusterBandBits)
+        .bitwiseAND(lit((1L << EmbClusterBandBits) - 1)))
+    embSignatures(s, d).select(col("vec_id"), posexplode(array(bandCols: _*)))
+      .select(col("vec_id"), col("pos").as("band"), col("col").as("bh"))
+  }
 
   private def embSignatures(s: SparkSession, d: String): DataFrame =
     GraphOps.memo(embSigCache, (s, d)) {
@@ -798,14 +821,30 @@ object DedupOps {
     // recursive-CTE min-label walk.
     "dedup_embedding_cluster" -> ((s, d) => {
       graft.functions.CosineSimilarity.register(s)
-      // memoized signature table (see embSigCache) — latched once per
-      // (session, dir), released through clearMemos
-      val sig = embSignatures(s, d)
-      val bandCols = (0 until EmbClusterBands).map(j =>
-        shiftright(col("sig"), j * EmbClusterBandBits)
-          .bitwiseAND(lit((1L << EmbClusterBandBits) - 1)))
-      val banded = sig.select(col("vec_id"), posexplode(array(bandCols: _*)))
-        .select(col("vec_id"), col("pos").as("band"), col("col").as("bh"))
+      val banded = embBanded(s, d)
+      // candidate-mass guard (r11, from the 10× scale probe): the
+      // banded self-join produces Σ k·(k−1)/2 pairs over bucket
+      // occupancies k — flat for a corpus whose near-dup clusters stay
+      // small, but a corpus with DENSE duplicate clusters (the probe
+      // planted 10 clusters of 2k members → ~16M candidates at 20k
+      // vectors) grows it quadratically in cluster size. Price it with
+      // one cheap aggregate over the signature table BEFORE paying the
+      // join, and refuse loudly past the cap naming the mitigations —
+      // the decontam-pool guard discipline.
+      if (!GraphOps.planOnly(s)) {
+        val mass = banded.groupBy(col("band"), col("bh"))
+          .agg(count(lit(1)).as("k"))
+          .agg(sum(col("k") * (col("k") - 1) / 2).cast("long"))
+          .head().getLong(0)
+        val cap = embCandidateCap(s)
+        require(mass <= cap,
+          s"dedup_embedding_cluster: banded LSH candidate mass is $mass " +
+            s"pairs, exceeding the declared cap $cap - the corpus's " +
+            "near-dup clusters are dense enough that the band-bounded " +
+            "contract no longer holds; widen EmbClusterBandBits for " +
+            "this density, pre-collapse exact duplicates, or raise " +
+            s"$EmbCandidateMaxPairsKey deliberately")
+      }
       val cand = banded.as("x").join(banded.as("y"),
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.vec_id") < col("y.vec_id"))
@@ -825,6 +864,27 @@ object DedupOps {
         .withColumn("cluster_size", count(lit(1)).over(w))
         .withColumn("is_canonical", col("vec_id") === col("cluster"))
         .orderBy(col("vec_id"))
+    }),
+
+    // LSH bucket-occupancy audit (r11, from the 10× scale probe): the
+    // candidate-mass pricing of the embedding-cluster guard as a
+    // first-class QUERY — per band: bucket count, max occupancy,
+    // singleton share, and Σ k·(k−1)/2 candidate pairs. This is the
+    // number a 100 TB semantic dedup reads BEFORE paying the banded
+    // self-join (dense near-dup clusters grow it quadratically; the
+    // mitigation — widening EmbClusterBandBits — is priced by exactly
+    // this table). Two cheap aggregates over the memoized signature
+    // table; every output column an exact integer.
+    "dedup_lsh_bucket_audit" -> ((s, d) => {
+      embBanded(s, d)
+        .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("k"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_buckets"),
+          max(col("k")).as("max_k"),
+          sum(when(col("k") === 1, 1L).otherwise(0L)).as("singleton_buckets"),
+          (sum(col("k") * (col("k") - 1)) / 2).cast("long")
+            .as("candidate_pairs"))
+        .orderBy(col("band"))
     }),
 
     // URL-canonicalization dedup (r10, unasked) — the URL-level screen
@@ -1489,6 +1549,23 @@ object DedupOps {
          |  count(*) OVER (PARTITION BY cluster) AS cluster_size,
          |  vec_id = cluster AS is_canonical
          |FROM cl ORDER BY vec_id""".stripMargin,
+
+    // same plane table + banding arithmetic as the cluster oracle, so
+    // the audited buckets ARE the cluster query's buckets
+    "dedup_lsh_bucket_audit" ->
+      s"""WITH ${VectorOps.signatureCtesSql(VectorOps.clusterPlanes)},
+         |bands AS (
+         |  SELECT vec_id, CAST(bj.band AS INT) AS band,
+         |    (bucket >> (bj.band * $EmbClusterBandBits))
+         |      & ${(1L << EmbClusterBandBits) - 1} AS bh
+         |  FROM bk CROSS JOIN
+         |    (SELECT range AS band FROM range($EmbClusterBands)) bj),
+         |occ AS (SELECT band, bh, count(*) AS k FROM bands GROUP BY 1, 2)
+         |SELECT band, count(*) AS n_buckets, max(k) AS max_k,
+         |  CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS singleton_buckets,
+         |  CAST(sum(k * (k - 1)) / 2 AS BIGINT) AS candidate_pairs
+         |FROM occ GROUP BY band ORDER BY band""".stripMargin,
 
     "dedup_winnow_pairs" ->
       s"""WITH ${TextOps.winnowFpsSqlCtes},

@@ -83,8 +83,16 @@ object DevScaleProbeDV {
   val heads = Seq(
     ("dedup_cluster_lsh", (s: SparkSession, d: String) =>
       operators.DedupOps.queries("dedup_cluster_lsh")(s, d).count()),
-    ("dedup_embedding_cluster", (s: SparkSession, d: String) =>
-      operators.DedupOps.queries("dedup_embedding_cluster")(s, d).count()),
+    // the 10× synthetic's planted clusters push the candidate mass to
+    // ~65M pairs — the r11 guard REFUSES at the 50M default (the probe
+    // demonstrates that below); the timing row uses the documented
+    // deliberate override so the join's scaling is still measured
+    ("dedup_embedding_cluster", (s: SparkSession, d: String) => {
+      s.conf.set(operators.DedupOps.EmbCandidateMaxPairsKey,
+        Long.MaxValue.toString)
+      try operators.DedupOps.queries("dedup_embedding_cluster")(s, d).count()
+      finally s.conf.unset(operators.DedupOps.EmbCandidateMaxPairsKey)
+    }),
     ("vec_ann_ivf_trained", (s: SparkSession, d: String) =>
       operators.VectorOps.queries("vec_ann_ivf_trained")(s, d).count()),
     ("pipeline_decontaminate", (s: SparkSession, d: String) =>
@@ -120,6 +128,21 @@ object DevScaleProbeDV {
     println(f"${"query"}%-26s ${"sf0.1"}%8s ${"10x"}%8s ratio")
     sf01.zip(probe).foreach { case ((n, a), (_, b)) =>
       println(f"$n%-26s $a%8.2f $b%8.2f ${b / a}%5.2f") }
+    // embedding-LSH candidate mass at 10× (the r11 guard's number,
+    // via its first-class audit query) vs the production cap
+    val mass = operators.DedupOps.queries("dedup_lsh_bucket_audit")(spark, probeDir)
+      .agg(sum(col("candidate_pairs"))).head().getLong(0)
+    println(s"embedding-LSH candidate mass at 10x: $mass pairs " +
+      s"(cap ${operators.DedupOps.EmbCandidateMaxPairs}) -> " +
+      (if (mass <= operators.DedupOps.EmbCandidateMaxPairs) "legal side"
+       else "OVER CAP"))
+    val embRefused =
+      try { operators.DedupOps.queries("dedup_embedding_cluster")(spark, probeDir).count(); false }
+      catch { case _: IllegalArgumentException => true }
+    println(s"emb guard at the PRODUCTION cap on this density: " +
+      (if (embRefused == mass > operators.DedupOps.EmbCandidateMaxPairs)
+         s"refused=$embRefused (correct for mass $mass)"
+       else s"refused=$embRefused (WRONG for mass $mass)"))
     // decontam pool count at 10× vs the production cap
     val pool = operators.DedupOps.evalFpPool(spark, probeDir).count()
     val cap = operators.DedupOps.DecontamPoolMaxRows

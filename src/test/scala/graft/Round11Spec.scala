@@ -94,6 +94,27 @@ class Round11Spec extends SparkTestBase {
     graft.operators.DedupOps.clearMemos(spark)
   }
 
+  test("embedding-LSH candidate-mass guard: refuses loudly past the cap, " +
+      "naming the knob; result unchanged when legal (r11 scale-probe fix)") {
+    import graft.operators.DedupOps
+    def run() = SparkEntry.queries("dedup_embedding_cluster")(spark, sf001)
+      .collect().map(_.toString).sorted.toSeq
+    graft.operators.DedupOps.clearMemos(spark)
+    val baseline = run()
+    // cap of 0 must trip on any corpus with at least one colliding pair
+    spark.conf.set(DedupOps.EmbCandidateMaxPairsKey, "0")
+    val e = intercept[IllegalArgumentException] { run() }
+    spark.conf.unset(DedupOps.EmbCandidateMaxPairsKey)
+    assert(e.getMessage.contains("candidate mass") &&
+      e.getMessage.contains(DedupOps.EmbCandidateMaxPairsKey),
+      s"refusal must name the contract and the knob: ${e.getMessage}")
+    // a legal cap changes nothing (guard is a count, not a filter)
+    spark.conf.set(DedupOps.EmbCandidateMaxPairsKey, Long.MaxValue.toString)
+    val relaxed = run()
+    spark.conf.unset(DedupOps.EmbCandidateMaxPairsKey)
+    assert(relaxed == baseline, "guard altered the result set")
+  }
+
   test("PNG payloads flow through the partition-batched decode operator") {
     import spark.implicits._
     val px = testPixels(8, 4)
