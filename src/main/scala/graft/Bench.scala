@@ -220,10 +220,15 @@ object Bench {
     // from regression), "memo_warm" = the queries whose timed run
     // built a shared session memo (their time carries a family's
     // shared-relation cost). The stdout contract lines are UNCHANGED.
+    // Locale.ROOT (ADVICE r11 #3): the f"" interpolator uses the JVM
+    // default locale, and a comma-decimal locale would emit "0,123" —
+    // invalid JSON. Double.toString (the "queries" map) is immune.
+    def fmt3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val passesJson = sorted.collect {
       case (name, _) if passTimes.contains(name) =>
         "\"" + name + "\":[" +
-          passTimes(name).map(t => f"$t%.3f").mkString(",") + "]"
+          passTimes(name).map(fmt3).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val warmJson = memoWarm.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -253,7 +258,7 @@ object Bench {
     // memo_warm already marks.
     val memoBuildJson = graft.operators.GraphOps.drainMemoBuildTimes()
       .toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + fmt3(v) }
       .mkString("{", ",", "}")
     try Files.writeString(Paths.get(benchFile),
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passesJson,"memo_warm":$warmJson,"shuffle":$shuffleJson,"memo_build":$memoBuildJson}""")

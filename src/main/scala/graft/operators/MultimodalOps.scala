@@ -8,12 +8,13 @@ import org.apache.spark.sql.Encoders
 /** §2.11 multimodal columns: opaque binary payloads + typed metadata,
   * decode/feature-extract as partition-batched typed transforms.
   *
-  * Decoding is pluggable (see [[PayloadDecoders]]): binary PPM and
-  * uncompressed 24-bit BMP are decoded FOR REAL in pure JVM code
-  * (header dimensions + pixel luminance histogram); payloads in any
-  * other format fall back to [[OpaqueDecoder]], a deterministic
-  * byte-level stub standing in for codec-library formats (JPEG,
-  * audio) this container cannot decode. The surrounding pipeline is
+  * Decoding is pluggable (see [[PayloadDecoders]]): binary PPM,
+  * uncompressed 24-bit BMP (pure JVM code), PNG and JPEG (the JDK's
+  * javax.imageio codecs) are decoded FOR REAL (header dimensions +
+  * pixel luminance histogram); payloads in any other format fall back
+  * to [[OpaqueDecoder]], a deterministic byte-level stub standing in
+  * for codec-library formats (audio, video) this container cannot
+  * decode. The surrounding pipeline is
   * the real at-scale plumbing and is what the tests exercise:
   *  - binary payload column with typed metadata columns alongside,
   *  - `mapPartitions` over a typed Dataset — the Scala analogue of

@@ -136,13 +136,16 @@ object DevScaleProbeDV {
       s"(cap ${operators.DedupOps.EmbCandidateMaxPairs}) -> " +
       (if (mass <= operators.DedupOps.EmbCandidateMaxPairs) "legal side"
        else "OVER CAP"))
+    // r12 (VERDICT r11 #2): the guard now WIDENS the banding before
+    // refusing — at the production cap this dense corpus must COMPLETE
+    // under a widened banding instead of refusing as it did in r11
     val embRefused =
       try { operators.DedupOps.queries("dedup_embedding_cluster")(spark, probeDir).count(); false }
       catch { case _: IllegalArgumentException => true }
     println(s"emb guard at the PRODUCTION cap on this density: " +
-      (if (embRefused == mass > operators.DedupOps.EmbCandidateMaxPairs)
-         s"refused=$embRefused (correct for mass $mass)"
-       else s"refused=$embRefused (WRONG for mass $mass)"))
+      (if (!embRefused)
+         s"completed under adaptive re-banding (8-bit mass $mass)"
+       else s"REFUSED (wrong - r12 widening should have found a legal banding)"))
     // decontam pool count at 10× vs the production cap
     val pool = operators.DedupOps.evalFpPool(spark, probeDir).count()
     val cap = operators.DedupOps.DecontamPoolMaxRows

@@ -946,4 +946,51 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"),
       s"no cartesian (the N(horizon) scalar is a broadcast single row):\n$p")
   }
+
+  test("CBO-on plan sweep: enabling cbo + joinReorder degrades NO query's " +
+      "plan shape (VERDICT r11 #8)") {
+    // CboStatsSpec proves CBO reorders an ANALYZE'd catalog star join.
+    // The engine's own queries read path-based parquet relations with
+    // NO catalog column stats — so turning CBO on must be a NO-OP for
+    // their plan shapes: broadcasts must not flip to shuffle joins,
+    // no cartesian may appear, and the shuffle count must not grow.
+    // A production deployment that ANALYZEs its tables therefore gets
+    // CBO's reorders on ITS catalog without destabilizing any of the
+    // engine's 370 shipped plans.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+      BroadcastNestedLoopJoinExec, CartesianProductExec, SortMergeJoinExec}
+    def shape(sp: SparkPlan): (Int, Int, Int, Int) = (
+      sp.collect { case j: BroadcastHashJoinExec => j }.size,
+      sp.collect { case j: SortMergeJoinExec => j }.size,
+      sp.collect { case j: CartesianProductExec => j }.size +
+        sp.collect { case j: BroadcastNestedLoopJoinExec => j }.size,
+      sp.collect { case e: ShuffleExchangeExec => e }.size)
+    val cboKeys = Seq("spark.sql.cbo.enabled",
+      "spark.sql.cbo.joinReorder.enabled")
+    val baseline = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
+        name -> shape(fn(spark, sf001).queryExecution.sparkPlan)
+    }
+    val prior = cboKeys.map(k => k -> spark.conf.getOption(k))
+    cboKeys.foreach(spark.conf.set(_, "true"))
+    try {
+      for ((name, (bhj0, smj0, cart0, shuf0)) <- baseline) {
+        val (bhj1, smj1, cart1, shuf1) =
+          shape(SparkEntry.queries(name)(spark, sf001)
+            .queryExecution.sparkPlan)
+        assert(bhj1 >= bhj0 && smj1 <= smj0,
+          s"$name: CBO flipped a broadcast join to a shuffle join " +
+            s"(bhj $bhj0->$bhj1, smj $smj0->$smj1)")
+        assert(cart1 <= cart0,
+          s"$name: CBO introduced a cartesian/BNLJ ($cart0->$cart1)")
+        assert(shuf1 <= shuf0,
+          s"$name: CBO grew the shuffle count ($shuf0->$shuf1)")
+      }
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

@@ -101,8 +101,12 @@ class Round11Spec extends SparkTestBase {
       .collect().map(_.toString).sorted.toSeq
     graft.operators.DedupOps.clearMemos(spark)
     val baseline = run()
-    // cap of 0 must trip on any corpus with at least one colliding pair
-    spark.conf.set(DedupOps.EmbCandidateMaxPairsKey, "0")
+    // a negative cap must trip on ANY corpus (mass ≥ 0 can never be
+    // legal) — r12's adaptive re-banding means a cap of 0 may now
+    // legitimately PASS at the widest banding when no two vectors
+    // share a full 32-bit signature, so the unconditional-refusal pin
+    // uses -1; Round12Spec pins the density-driven refusal separately
+    spark.conf.set(DedupOps.EmbCandidateMaxPairsKey, "-1")
     val e = intercept[IllegalArgumentException] { run() }
     spark.conf.unset(DedupOps.EmbCandidateMaxPairsKey)
     assert(e.getMessage.contains("candidate mass") &&
