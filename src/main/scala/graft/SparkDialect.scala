@@ -758,6 +758,25 @@ object SparkDialect {
     * exponential in the round bound on cyclic graphs (81 walk rows for
     * a 7-vertex fixture at bound 3), which is why the DSL loop's
     * per-round dedup remains the engine's spelling. */
+  // reasons BEFORE the map: forward references to plain vals
+  // initialize as null inside a Map literal (the scalac
+  // "uninitialized value" warning) — the keys were never affected,
+  // but the documented reasons must actually be present at runtime
+  private val RecUnionReason =
+    "recursive-CTE fixpoint terminating via UNION-distinct; Spark " +
+      "recursion is UNION ALL-only (no per-round dedup) — the DSL loop " +
+      "operator is the engine's spelling"
+  private val RecAggReason =
+    "aggregation over the recursive reference (degree recount per peel " +
+      "round); Spark recursive CTEs reject it — the DSL loop operator " +
+      "is the engine's spelling"
+  private val CteMatReason =
+    "8-round unrolled self-join cascade whose oracle text REQUIRES " +
+      "per-round CTE materialization (DuckDB AS MATERIALIZED); Spark " +
+      "SQL has no materialization hint, the multi-referenced rounds " +
+      "re-expand and the plan explodes — the DSL loop materializes " +
+      "per round and is the engine's spelling"
+
   val notExpressible: Map[String, String] = Map(
     "dedup_cluster_canonical" -> RecUnionReason,
     "dedup_cluster_lsh" -> RecUnionReason,
@@ -773,19 +792,4 @@ object SparkDialect {
     "graph_core_ladder" -> RecAggReason,
     "graph_ktruss" -> CteMatReason,
     "graph_mst_boruvka" -> CteMatReason)
-
-  private val RecUnionReason =
-    "recursive-CTE fixpoint terminating via UNION-distinct; Spark " +
-      "recursion is UNION ALL-only (no per-round dedup) — the DSL loop " +
-      "operator is the engine's spelling"
-  private val RecAggReason =
-    "aggregation over the recursive reference (degree recount per peel " +
-      "round); Spark recursive CTEs reject it — the DSL loop operator " +
-      "is the engine's spelling"
-  private val CteMatReason =
-    "8-round unrolled self-join cascade whose oracle text REQUIRES " +
-      "per-round CTE materialization (DuckDB AS MATERIALIZED); Spark " +
-      "SQL has no materialization hint, the multi-referenced rounds " +
-      "re-expand and the plan explodes — the DSL loop materializes " +
-      "per round and is the engine's spelling"
 }
