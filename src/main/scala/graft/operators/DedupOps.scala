@@ -931,6 +931,40 @@ object DedupOps {
         .orderBy(col("band"))
     }),
 
+    // adaptive band PLAN (r12, from the adaptive re-banding): the
+    // candidate-pair mass priced at EVERY width of the widening
+    // schedule (8, 12, …, 32 bits — the exact rungs
+    // dedup_embedding_cluster's guard climbs), plus whether each rung
+    // sits under the default cap. This is the table a 100 TB operator
+    // reads to pick a banding BEFORE paying any self-join — the
+    // bucket-audit discipline extended across the whole schedule. One
+    // pass: the signature table explodes to Σ n_bands(w) = 12 rows per
+    // vector (a constant), one (bits, band, bh) occupancy aggregate,
+    // one per-width fold — bounded at any corpus size.
+    "dedup_band_plan" -> ((s, d) => {
+      val widths = EmbClusterBandBits to EmbSigBits by EmbBandWidenStep
+      val bandCols = widths.flatMap { bits =>
+        (0 until EmbSigBits / bits).map { j =>
+          struct(lit(bits).as("bits"), lit(j).as("band"),
+            shiftright(col("sig"), j * bits)
+              .bitwiseAND(lit((1L << bits) - 1)).as("bh"))
+        }
+      }
+      embSignatures(s, d)
+        .select(col("vec_id"), explode(array(bandCols: _*)).as("w"))
+        .groupBy(col("w.bits").as("band_bits"), col("w.band"), col("w.bh"))
+        .agg(count(lit(1)).as("k"))
+        .groupBy(col("band_bits"))
+        .agg(coalesce(sum(col("k") * (col("k") - 1)) / 2, lit(0.0))
+          .cast("long").as("candidate_pairs"))
+        .select(col("band_bits"),
+          expr(s"CAST($EmbSigBits DIV band_bits AS INT)").as("n_bands"),
+          col("candidate_pairs"),
+          (col("candidate_pairs") <= EmbCandidateMaxPairs)
+            .as("under_default_cap"))
+        .orderBy(col("band_bits"))
+    }),
+
     // URL-canonicalization dedup (r10, unasked) — the URL-level screen
     // a web-corpus pipeline runs BEFORE any content dedup (the same
     // page crawled as HTTPS://Host/path?utm_source=…#frag and
@@ -1610,6 +1644,29 @@ object DedupOps {
          |    AS singleton_buckets,
          |  CAST(sum(k * (k - 1)) / 2 AS BIGINT) AS candidate_pairs
          |FROM occ GROUP BY band ORDER BY band""".stripMargin,
+
+    // the bucket-audit arithmetic replayed at EVERY widening-schedule
+    // width over the same plane-table CTEs — the widths grid is a
+    // VALUES table, bands per width bounded by 32 // bits
+    "dedup_band_plan" ->
+      s"""WITH ${VectorOps.signatureCtesSql(VectorOps.clusterPlanes)},
+         |widths(bits) AS (VALUES ${
+          (EmbClusterBandBits to EmbSigBits by EmbBandWidenStep)
+            .map(b => s"($b)").mkString(", ")}),
+         |bands AS (
+         |  SELECT w.bits, bk.vec_id, CAST(gs.range AS INT) AS band,
+         |    (bucket >> (CAST(gs.range AS INT) * w.bits))
+         |      & ((CAST(1 AS BIGINT) << w.bits) - 1) AS bh
+         |  FROM bk CROSS JOIN widths w
+         |  CROSS JOIN range(${EmbSigBits / EmbClusterBandBits}) gs
+         |  WHERE gs.range < $EmbSigBits // w.bits),
+         |occ AS (SELECT bits, band, bh, count(*) AS k
+         |        FROM bands GROUP BY 1, 2, 3)
+         |SELECT bits AS band_bits, CAST($EmbSigBits // bits AS INT) AS n_bands,
+         |  CAST(sum(k * (k - 1)) / 2 AS BIGINT) AS candidate_pairs,
+         |  CAST(sum(k * (k - 1)) / 2 AS BIGINT) <= $EmbCandidateMaxPairs
+         |    AS under_default_cap
+         |FROM occ GROUP BY bits ORDER BY band_bits""".stripMargin,
 
     "dedup_winnow_pairs" ->
       s"""WITH ${TextOps.winnowFpsSqlCtes},

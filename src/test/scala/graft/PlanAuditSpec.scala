@@ -947,6 +947,19 @@ class PlanAuditSpec extends SparkTestBase {
       s"no cartesian (the N(horizon) scalar is a broadcast single row):\n$p")
   }
 
+  test("dedup_band_plan: the whole widening schedule prices join-free in " +
+      "one pass (r12)") {
+    // the adaptive guard's decision table must never pay a self-join:
+    // a constant 12-rows-per-vector explode, two aggregate levels,
+    // zero join operators of any kind
+    val p = plan("dedup_band_plan")
+    for (j <- Seq("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+        "BroadcastNestedLoopJoin", "ShuffledHashJoin"))
+      assert(!p.contains(j), s"band plan must be join-free, found $j:\n$p")
+    assert(p.contains("partial_"),
+      s"occupancy counts must combine map-side before the shuffle:\n$p")
+  }
+
   test("CBO-on plan sweep: enabling cbo + joinReorder degrades NO query's " +
       "plan shape (VERDICT r11 #8)") {
     // CboStatsSpec proves CBO reorders an ANALYZE'd catalog star join.
