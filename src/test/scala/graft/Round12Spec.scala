@@ -269,6 +269,41 @@ class Round12Spec extends SparkTestBase {
       s"refusal must name the widest step and the knob: ${e.getMessage}")
   }
 
+  test("dedup_band_plan prices the dense fixture's analytic rungs and " +
+      "agrees with the adaptive guard's choice (r12)") {
+    import graft.operators.DedupOps
+    val dir = tempDir()
+    synthDense(dir)
+    val plan = SparkEntry.queries("dedup_band_plan")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    assert(plan.map(_._1).toSeq == Seq(8, 12, 16, 20, 24, 28, 32),
+      s"one row per schedule rung: ${plan.toSeq}")
+    val byBits = plan.map(p => p._1 -> p).toMap
+    assert(byBits(8)._2 == 4 && byBits(12)._2 == 2 && byBits(16)._2 == 2 &&
+      byBits(20)._2 == 1 && byBits(32)._2 == 1, "bands per width = 32 DIV bits")
+    // 10 clusters × 60 identical signatures → mass floor per band =
+    // 10 × C(60,2) = 17 700; accidental cross-cluster bucket
+    // collisions can only ADD (bounded by a few 60×60 blocks)
+    def within(bits: Int, floor: Long): Unit = {
+      val m = byBits(bits)._3
+      assert(m >= floor && m <= floor + 15 * 3600L,
+        s"$bits-bit mass $m outside [$floor, ${floor + 15 * 3600L}]")
+    }
+    within(8, 4 * 17700L); within(12, 2 * 17700L); within(32, 17700L)
+    // the default cap is far above every rung on this corpus
+    assert(plan.forall(_._4), s"all rungs sit under the 50M default: ${plan.toSeq}")
+    // coherence with the guard: at cap 20 000 the adaptive loop must
+    // stop exactly at the first rung the plan prices as legal
+    val firstLegal = plan.filter(_._3 <= 20000L).map(_._1).min
+    assert(firstLegal >= 20,
+      s"the 4/2/2-band rungs all exceed 20 000 by construction: ${plan.toSeq}")
+    spark.conf.set(DedupOps.EmbCandidateMaxPairsKey, "20000")
+    try {
+      val n = SparkEntry.queries("dedup_embedding_cluster")(spark, dir).count()
+      assert(n == 600L, "the guard must run at the plan's first legal rung")
+    } finally spark.conf.unset(DedupOps.EmbCandidateMaxPairsKey)
+  }
+
   test("candidate-mass pricing is NULL-safe: an empty corpus prices to 0 " +
       "and the query returns 0 rows (ADVICE r11 #2)") {
     import spark.implicits._
