@@ -29,7 +29,8 @@ object SparkEntry {
     (operators.DedupOps.queries, operators.DedupOps.oracle),
     (operators.VectorOps.queries, operators.VectorOps.oracle),
     (operators.MultimodalOps.queries, operators.MultimodalOps.oracle),
-    (operators.MiningOps.queries, operators.MiningOps.oracle))
+    (operators.MiningOps.queries, operators.MiningOps.oracle),
+    (operators.PatentPipeline.queries, operators.PatentPipeline.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, QFn] = sets.map(_._1).reduce(_ ++ _)

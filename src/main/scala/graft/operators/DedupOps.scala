@@ -101,6 +101,17 @@ object DedupOps {
   private def embCandidateCap(s: SparkSession): Long =
     s.conf.get(EmbCandidateMaxPairsKey, EmbCandidateMaxPairs.toString).toLong
 
+  /** readback key (r13, ADVICE r12 #1): after dedup_embedding_cluster's
+    * guard runs, the session conf holds the band width the adaptive
+    * loop actually selected — an operator can distinguish a default
+    * 8-bit run from a silently-widened one (widened runs trade band
+    * recall for occupancy and can legitimately differ from a fixed
+    * 8-bit layout). A widening past the default additionally logs a
+    * WARN naming the width and the priced mass. */
+  val EmbEffectiveBandBitsKey = "graft.dedup.embCluster.effectiveBandBits"
+
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.DedupOps")
+
   /** adaptive re-banding schedule (r12, VERDICT r11 #2): when the
     * priced candidate mass exceeds the cap at the default 8-bit
     * banding, the query re-prices at +4 bits per step — each step one
@@ -888,6 +899,16 @@ object DedupOps {
             "that no banding honors the band-bounded contract; " +
             "pre-collapse exact duplicates before the semantic pass, " +
             s"or raise $EmbCandidateMaxPairsKey deliberately")
+        // observable width selection (r13, ADVICE r12 #1): record the
+        // width the run actually used, and warn when it widened — a
+        // widened run has lower band recall than the default layout
+        // and must be distinguishable from one
+        s.conf.set(EmbEffectiveBandBitsKey, bits.toString)
+        if (bits != EmbClusterBandBits)
+          log.warn(s"dedup_embedding_cluster widened banding " +
+            s"$EmbClusterBandBits -> $bits bits (candidate mass $mass " +
+            s"under cap $cap); read $EmbEffectiveBandBitsKey for the " +
+            "selected width")
       }
       val cand = banded.as("x").join(banded.as("y"),
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -941,6 +962,14 @@ object DedupOps {
     // pass: the signature table explodes to Σ n_bands(w) = 12 rows per
     // vector (a constant), one (bits, band, bh) occupancy aggregate,
     // one per-width fold — bounded at any corpus size.
+    // NOTE (r13, ADVICE r12 #2): under_default_cap compares against the
+    // compiled DEFAULT EmbCandidateMaxPairs on purpose — the DuckDB
+    // oracle cannot see a Spark session conf, and the column is a
+    // property of the schedule, not of one session. When a session
+    // overrides EmbCandidateMaxPairsKey, the adaptive guard's actual
+    // decision uses the override; recompute legality against
+    // candidate_pairs yourself (the Round12 coherence test does
+    // exactly that), or read EmbEffectiveBandBitsKey after a run.
     "dedup_band_plan" -> ((s, d) => {
       val widths = EmbClusterBandBits to EmbSigBits by EmbBandWidenStep
       val bandCols = widths.flatMap { bits =>

@@ -824,7 +824,7 @@ object GraphOps {
     regs.filter(hbIsSeed("v"))
       .select(hbEstimate("reg").as("est"))
       .agg(sum(expr("CAST(round(est, 4) AS DECIMAL(18,4))")))
-      .head.getDecimal(0)
+      .head().getDecimal(0)
 
   private val hbRegsCache = scala.collection.concurrent
     .TrieMap.empty[(SparkSession, String), (Seq[DataFrame], Boolean)]
@@ -1164,9 +1164,20 @@ object GraphOps {
     // arrays — the Σ outdeg² work of the standard O(m^1.5) algorithm,
     // kept inside a codegen'd array_intersect instead of a wedge-row
     // join (see triangleCountUncached).
+    // Under [[PlanOnlyKey]] the count plans LAZILY over the shared
+    // triangle relation (r13, VERDICT r12 #6): audit sessions see the
+    // real aggregate shape instead of a pre-computed LocalRelation, so
+    // the plan sweeps cover this family like every other key.
+    // Execution paths keep the eager memoized scalar — the count is
+    // shared with the clustering coefficient and the memo survives
+    // cache release.
     "graph_triangles" -> ((s, d) => {
-      import s.implicits._
-      Seq(triangleCount(s, d)).toDF("n_triangles")
+      if (planOnly(s))
+        triangleRel(s, d).agg(count(lit(1)).as("n_triangles"))
+      else {
+        import s.implicits._
+        Seq(triangleCount(s, d)).toDF("n_triangles")
+      }
     }),
 
     // global clustering coefficient = 3·triangles / wedges, with
@@ -1177,6 +1188,28 @@ object GraphOps {
     // degree aggregate); only the final ratio is double. Eager scalars
     // like graph_triangles, for the same cache-release reason.
     "graph_clustering_coefficient" -> ((s, d) => {
+      if (planOnly(s)) {
+        // lazy audit twin (r13, VERDICT r12 #6): the same two exact
+        // sufficient statistics — Σ dg·(dg−1) as DECIMAL(38,0) and the
+        // triangle row count — composed as one declarative plan whose
+        // scalar close is a single-row broadcast, never a cartesian.
+        // Execution paths below keep the eager memoized scalars (and
+        // the longValueExact overflow loudness the lazy cast lacks).
+        val dec = DecimalType(38, 0)
+        val co0 = coParts(s, d)
+        val w = co0.select(col("a").as("v"))
+          .unionByName(co0.select(col("b").as("v")))
+          .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+          .agg(coalesce(sum(col("dg").cast(dec) * (col("dg") - 1).cast(dec)),
+            lit(0).cast(dec)).as("w2"))
+          .select((col("w2") / 2).cast("long").as("n_wedges"))
+        val t = triangleRel(s, d).agg(count(lit(1)).as("n_triangles"))
+        w.crossJoin(broadcast(t))
+          .select(col("n_wedges"), col("n_triangles"),
+            Stable.r4(when(col("n_wedges") === 0L, lit(0.0))
+              .otherwise(lit(3.0) * col("n_triangles") / col("n_wedges")))
+              .as("global_cc"))
+      } else {
       val tri = triangleCount(s, d)
       val co = coParts(s, d)
       // coalesce: sum over ZERO degree rows (empty co-part graph) is
@@ -1201,6 +1234,7 @@ object GraphOps {
       Seq((wedges, tri)).toDF("n_wedges", "n_triangles")
         .select(col("n_wedges"), col("n_triangles"),
           Stable.r4(lit(cc)).as("global_cc"))
+      }
     }),
 
     // per-edge triangle support census over the co-order part graph —

@@ -259,6 +259,15 @@ object JpegDecoder extends PayloadDecoder {
       if (m == 0xff) i += 1 // fill bytes before a marker are legal
       else if (m == 0x01 || (m >= 0xd0 && m <= 0xd9)) i += 2 // standalone
       else {
+        // SOS (FF DA) starts entropy-coded scan data: a SOF must
+        // precede it in any decodable JPEG, so reaching it without one
+        // means the walk would continue into compressed bytes where
+        // FF Cx pairs are data, not markers — stop loudly instead of
+        // claiming garbage dimensions (r13, ADVICE r12 #3; outcome is
+        // the same opaque fallback, but via the honest path)
+        if (m == 0xda)
+          throw new IllegalArgumentException(
+            "JPEG SOS reached with no preceding SOF marker")
         val len = ImageIoDecode.be16(b, i + 2)
         require(len >= 2, s"JPEG segment with impossible length $len")
         if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {

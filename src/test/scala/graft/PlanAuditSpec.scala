@@ -960,6 +960,47 @@ class PlanAuditSpec extends SparkTestBase {
       s"occupancy counts must combine map-side before the shuffle:\n$p")
   }
 
+  test("pipeline_patent_refresh: no cartesian anywhere; every window " +
+      "keyed (merge on pid, serve on cl) (r13 capstone)") {
+    // the capstone composes five verified stages; its plan must keep
+    // their shapes — the XML parse never shuffles markup (only keys
+    // and fixed-width state cross exchanges), the latest-wins merge
+    // and the serving rank both partition on their keys, and no stage
+    // degenerates to an all-pairs join
+    import org.apache.spark.sql.execution.window.WindowExec
+    val sp = SparkEntry.queries("pipeline_patent_refresh")(spark, sf001)
+      .queryExecution.sparkPlan
+    val p = sp.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"capstone must never all-pairs join:\n$p")
+    sp.collect { case w: WindowExec => w }.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"capstone windows must partition on their stage key:\n$w")
+    }
+  }
+
+  test("triangle scalars plan REAL aggregates under audit sessions " +
+      "(VERDICT r12 #6)") {
+    // pre-r13 these two computed eagerly in the constructor and
+    // returned a LocalRelation — the one corner of the surface whose
+    // physical plan the sweeps could not pin. Under planOnly they now
+    // route through the lazy twin: the aggregate over the shared
+    // triangle relation must be visible, nothing pre-computed may be
+    // embedded, and the scalar close must broadcast.
+    import org.apache.spark.sql.execution.LocalTableScanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    for (q <- Seq("graph_triangles", "graph_clustering_coefficient")) {
+      val sp = SparkEntry.queries(q)(spark, sf001).queryExecution.sparkPlan
+      assert(sp.collect { case a: BaseAggregateExec => a }.nonEmpty,
+        s"$q must plan its aggregate, not embed a pre-computed scalar:\n$sp")
+      assert(sp.collect { case l: LocalTableScanExec => l }.isEmpty,
+        s"$q under planOnly must not contain eagerly-computed results:\n$sp")
+      assert(!sp.toString.contains("CartesianProduct"),
+        s"$q: the single-row scalar close must broadcast:\n$sp")
+    }
+  }
+
   test("CBO-on plan sweep: enabling cbo + joinReorder degrades NO query's " +
       "plan shape (VERDICT r11 #8)") {
     // CboStatsSpec proves CBO reorders an ANALYZE'd catalog star join.
@@ -993,7 +1034,11 @@ class PlanAuditSpec extends SparkTestBase {
         val (bhj1, smj1, cart1, shuf1) =
           shape(SparkEntry.queries(name)(spark, sf001)
             .queryExecution.sparkPlan)
-        assert(bhj1 >= bhj0 && smj1 <= smj0,
+        // degradation = a broadcast join FLIPPING to a shuffle join
+        // (bhj down AND smj up). A bhj drop alongside an smj drop is a
+        // legitimate reorder that eliminated a join — allowed (r13,
+        // ADVICE r12 #4)
+        assert(!(bhj1 < bhj0 && smj1 > smj0),
           s"$name: CBO flipped a broadcast join to a shuffle join " +
             s"(bhj $bhj0->$bhj1, smj $smj0->$smj1)")
         assert(cart1 <= cart0,
