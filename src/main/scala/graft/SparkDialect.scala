@@ -37,11 +37,15 @@ object SparkDialect {
     // backslash escapes, so every literal backslash doubles
     s = escapeLiteralBackslashes(s)
     // `AS MATERIALIZED (` — DuckDB CTE materialization hint, no Spark
-    // equivalent (Catalyst decides); drop the keyword
-    s = s.replaceAll("(?i)\\bAS\\s+MATERIALIZED\\s*\\(", "AS (")
+    // equivalent (Catalyst decides); drop the keyword. Literal-aware
+    // (r13, VERDICT r12 #8): a user literal containing the phrase must
+    // pass through verbatim.
+    s = outsideLiterals(s)(
+      _.replaceAll("(?i)\\bAS\\s+MATERIALIZED\\s*\\(", "AS ("))
     // DuckDB `len(bin(x))` is a STRING length — keep it off the
     // generic array-`size` rename below
-    s = s.replaceAll("(?i)\\blen\\(\\s*bin\\(", "length(bin(")
+    s = outsideLiterals(s)(
+      _.replaceAll("(?i)\\blen\\(\\s*bin\\(", "length(bin("))
     // --- structural idioms (they consume constructs the simple
     // renames below would otherwise half-rewrite) ---
     s = rewriteHexCast(s)
@@ -576,18 +580,21 @@ object SparkDialect {
         .replaceAll("(?i)\\b(\\w+)\\.range\\b", "$1.id"))
 
   /** `DOUBLE[]` / `VARCHAR[]` / `VARCHAR[][]` ... -> `ARRAY<...>`,
-    * iterated so nested array types resolve inside-out. */
-  private def rewriteArrayTypes(s0: String): String = {
-    var s = s0.replaceAll(
-      "(?i)\\b(DOUBLE|FLOAT|REAL|BIGINT|INTEGER|INT|SMALLINT|TINYINT|VARCHAR|STRING|BOOLEAN)\\s*\\[\\s*\\]",
-      "ARRAY<$1>")
-    var prev = ""
-    while (prev != s) {
-      prev = s
-      s = s.replaceAll("(ARRAY<[^\\[\\]]+>)\\s*\\[\\s*\\]", "ARRAY<$1>")
+    * iterated so nested array types resolve inside-out. Literal-aware
+    * (r13, VERDICT r12 #8) — a type spelling inside a user string
+    * literal is content, not a type. */
+  private def rewriteArrayTypes(s0: String): String =
+    outsideLiterals(s0) { seg =>
+      var s = seg.replaceAll(
+        "(?i)\\b(DOUBLE|FLOAT|REAL|BIGINT|INTEGER|INT|SMALLINT|TINYINT|VARCHAR|STRING|BOOLEAN)\\s*\\[\\s*\\]",
+        "ARRAY<$1>")
+      var prev = ""
+      while (prev != s) {
+        prev = s
+        s = s.replaceAll("(ARRAY<[^\\[\\]]+>)\\s*\\[\\s*\\]", "ARRAY<$1>")
+      }
+      s
     }
-    s
-  }
 
   /** `a // b` -> `a DIV b` (integral floor division on this corpus). */
   private def rewriteFloorDiv(s: String): String = {

@@ -157,7 +157,13 @@ object PatentPipeline {
   /** the whole pipeline as one DuckDB CTE chain: XML synthesis via
     * string_agg, regexp re-extraction (the scalar_xml oracle
     * discipline), latest-wins merge, the graph_pagerank unrolled-round
-    * shape at [[RefreshPrRounds]], and the serving window */
+    * shape at [[RefreshPrRounds]], and the serving window.
+    *
+    * edges0/edges (r13): `unnest` stays TOP-LEVEL in its own select —
+    * the transpiled Spark `explode` cannot nest inside expressions
+    * (UNSUPPORTED_GENERATOR), so the BIGINT cast lives one CTE level
+    * out. No SQL comments in this text: the transpiler's literal
+    * scanner treats an apostrophe inside a `--` comment as a quote. */
   private def refreshSql: String = {
     val off = GraphOps.SupplierVertexOffset
     val rounds = (1 to RefreshPrRounds).map { i =>
@@ -212,8 +218,10 @@ object PatentPipeline {
        |  FROM (SELECT *, row_number() OVER (PARTITION BY pid
        |          ORDER BY pri DESC) AS rn FROM parsed) t
        |  WHERE rn = 1),
+       |edges0 AS (
+       |  SELECT pid AS src, unnest(cs) AS c FROM merged),
        |edges AS (
-       |  SELECT pid AS src, CAST(unnest(cs) AS BIGINT) AS dst FROM merged),
+       |  SELECT src, CAST(c AS BIGINT) AS dst FROM edges0),
        |sym AS (SELECT src, dst FROM edges
        |        UNION SELECT dst AS src, src AS dst FROM edges),
        |deg AS (SELECT src, count(*) AS odeg FROM sym GROUP BY src),

@@ -116,4 +116,112 @@ class Round13Spec extends SparkTestBase {
         "a widened run must record the width the loop selected")
     } finally spark.conf.unset(DedupOps.EmbCandidateMaxPairsKey)
   }
+
+  test("vec_ann_serving_point reaches recall@1 >= 0.8 on the real corpus " +
+      "with candidate mass priced under the serving cap (VERDICT r12 #4)") {
+    import graft.operators.VectorOps
+    val r = SparkEntry.queries("vec_ann_serving_point")(spark, sf001)
+      .collect()
+    assert(r.length == 1, "the serving point is ONE priced row")
+    val row = r.head
+    val recall = row.getAs[Double]("recall_at_1")
+    val meanCand = row.getAs[Double]("mean_candidates")
+    // the served target: the measured (8 tables x 6 bits x 5 flips)
+    // config reaches the 0.8 recall floor the VERDICT asks for (0.86
+    // measured at sf0.001, 0.84 at sf0.01 — flips=4 sat exactly AT
+    // 0.80, so the shipped config carries one extra flip of margin)
+    assert(recall >= 0.8, s"serving recall@1 must be >= 0.8, got $recall")
+    // and the price is DECLARED legal: mean candidates per probe under
+    // the serving cap (~54% of this weakly-correlated 500-vector
+    // corpus — the honest cost of 0.8 recall at cosine-0.4 neighbor
+    // strength)
+    assert(row.getAs[Boolean]("under_serving_cap"),
+      s"candidate price must sit under the cap, got $meanCand")
+    assert(meanCand > 0 && meanCand <= VectorOps.ServingCandidateCap,
+      s"mean candidates must be positive and capped: $meanCand")
+    assert(row.getAs[Int]("n_tables") == VectorOps.ServingTables &&
+      row.getAs[Int]("band_bits") == VectorOps.ServingBandBits &&
+      row.getAs[Int]("n_flips") == VectorOps.ServingProbeFlips,
+      "the emitted config must be the declared serving constants")
+  }
+
+  test("vec_ann_serving_point: at production duplicate similarity the " +
+      "config collides near-certainly and recall is exact (VERDICT r12 #4)") {
+    import spark.implicits._
+    val dir = tempDir()
+    // 20 clusters x 2 IDENTICAL members on disjoint 3-dim supports:
+    // every probe's true nearest neighbor is its exact duplicate
+    // (cosine 1.0). At this similarity each table's 6-bit bucket of
+    // the pair matches with certainty, so the duplicate is ALWAYS a
+    // candidate — the comment's claim that the 54%-of-corpus price is
+    // a property of the weakly-correlated corpus, not of the config.
+    val rows = (0 until 40).map { i =>
+      val c = i / 2
+      val emb = Array.tabulate(64) { j =>
+        if (j >= 3 * c && j < 3 * c + 3) ((c + j) % 4 + 1) * 0.25f else 0f
+      }
+      (i.toLong, emb)
+    }
+    writeFixture(dir, "embeddings", rows.toDF("vec_id", "embedding"))
+    val row = SparkEntry.queries("vec_ann_serving_point")(spark, dir)
+      .collect().head
+    assert(row.getAs[Double]("recall_at_1") == 1.0,
+      "exact duplicates must be recalled with certainty")
+    assert(row.getAs[Long]("n_probes") == 40L)
+    assert(row.getAs[Boolean]("under_serving_cap"))
+  }
+
+  test("fromDuckDb literal safety: ADVERSARIAL literal content passes " +
+      "through the transpiler verbatim and evaluates identically " +
+      "(VERDICT r12 #8, property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.propBoolean
+    // content built from the transpiler's own rewrite TARGETS — every
+    // fragment is a phrase some fromDuckDb pass matches on, so any
+    // rewrite that is not literal-aware corrupts the literal. This
+    // fuzz found (and now pins the fixes for) three raw-replaceAll
+    // gaps: `AS MATERIALIZED (`, `len(bin(`, and the DOUBLE[]/
+    // VARCHAR[] array-type spellings.
+    val traps = Gen.oneOf(
+      "FILTER (x > 1)", "filter (", "range AS r", "t.range",
+      "len(", "len(bin(", "list_transform(xs, x -> x)", "unnest(",
+      "xor(a, b)", "a // b", "VARCHAR", "DOUBLE[]", "VARCHAR[][]",
+      "HUGEINT", "[1:2]", "epoch(ts)", "string_agg(x)",
+      "AS MATERIALIZED (", "\\", "\\n", "''", "'",
+      "generate_series(1,3)", "arg_max(a, b)", "json_keys(j)",
+      "strftime(ts, '%Y')", "CAST(x AS VARCHAR)")
+    val plain = Gen.listOf(Gen.alphaNumChar).map(_.mkString.take(6))
+    val frag = Gen.frequency(3 -> traps, 2 -> plain,
+      1 -> Gen.oneOf(" ", ", ", " -> ", "(", ")", "%", "$"))
+    val content = Gen.choose(0, 6).flatMap(n =>
+      Gen.listOfN(n, frag).map(_.mkString.take(80)))
+    def esc(c: String) = c.replace("'", "''")
+    val prop = Prop.forAll(content) { c =>
+      val e = esc(c)
+      // template 1: literal next to a FILTER clause + the qualified
+      // range-column rename (r.range -> r.id), executed over range(3)
+      val t1 = SparkDialect.fromDuckDb(
+        s"SELECT '$e' AS s, count(*) FILTER (r.range > 0) AS c " +
+          "FROM range(3) r")
+      val r1 = spark.sql(t1).collect().head
+      // template 2: literal beside an operator/function rewrite
+      val t2 = SparkDialect.fromDuckDb(
+        s"SELECT xor(5, 3) AS x, '$e' AS s, length('$e') AS n")
+      val r2 = spark.sql(t2).collect().head
+      // the Spark-dialect text must carry the literal VERBATIM modulo
+      // the declared backslash doubling
+      val carried = "'" + e.replace("\\", "\\\\") + "'"
+      (t1.contains(carried) :| s"t1 lost the literal: $t1") &&
+        (t2.contains(carried) :| s"t2 lost the literal: $t2") &&
+        ((r1.getString(0) == c) :| s"t1 eval: <${r1.getString(0)}> != <$c>") &&
+        ((r1.getAs[Number]("c").longValue == 2L)
+          :| "t1 FILTER clause broke") &&
+        ((r2.getAs[Number]("x").longValue == 6L) :| "t2 xor broke") &&
+        ((r2.getString(1) == c) :| s"t2 eval: <${r2.getString(1)}> != <$c>") &&
+        ((r2.getAs[Number]("n").intValue == c.length) :| "t2 length broke")
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
