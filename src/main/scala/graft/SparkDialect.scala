@@ -143,6 +143,24 @@ object SparkDialect {
     j
   }
 
+  /** per-character literal map of `s` under DuckDB quoting (quotes
+    * included): mask(i) == true ⇔ s(i) is part of a string literal.
+    * Lets BACKWARD walks (which cannot replay skipLiteral) stay
+    * literal-safe (r13, VERDICT r12 #8). */
+  private def literalMask(s: String): Array[Boolean] = {
+    val mask = new Array[Boolean](s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == '\'') {
+        val j = skipLiteral(s, i)
+        var k = i
+        while (k < j && k < s.length) { mask(k) = true; k += 1 }
+        i = j
+      } else i += 1
+    }
+    mask
+  }
+
   /** Apply a text rewrite only OUTSIDE single-quoted literals (r12,
     * ADVICE r11 #4): the string is split at literal boundaries, `f`
     * runs on each non-literal segment, literals pass through verbatim.
@@ -651,7 +669,13 @@ object SparkDialect {
             }
             require(close > 0, s"unbalanced [ at $i")
             val inner = s.substring(i + 1, close)
-            if (inner.exists(c => c == '[')) { i += 1 } // rewrite inner first
+            // nested [ defers to an inner rewrite pass — but only a
+            // REAL bracket counts; one inside a string literal is
+            // content and would defer forever (r13, VERDICT r12 #8)
+            val im = literalMask(inner)
+            if (inner.indices.exists(k => inner(k) == '[' && !im(k))) {
+              i += 1 // rewrite inner first
+            }
             else {
               // classify by what precedes
               var p = i - 1
@@ -675,15 +699,19 @@ object SparkDialect {
                 changed = true
               } else {
                 // extract base: identifier chain, or a balanced
-                // parenthesized expression (walked backwards — the
-                // corpus has no ')' inside literals in these spots)
+                // parenthesized expression. The backward walk consults
+                // a literal MASK (r13, VERDICT r12 #8): a ')' or '('
+                // INSIDE a string literal must not count toward paren
+                // balance, or a base like `array('a', 'filter (')[2]`
+                // extracts a fragment of the literal as the base.
+                val mask = literalMask(s)
                 val baseStart =
                   if (s(p) == ')') {
                     var d = 0
                     var b2 = p
                     var open2 = -1
                     while (b2 >= 0 && open2 < 0) {
-                      s(b2) match {
+                      if (!mask(b2)) s(b2) match {
                         case ')' => d += 1
                         case '(' => d -= 1; if (d == 0) open2 = b2
                         case _ =>

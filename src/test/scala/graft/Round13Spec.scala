@@ -208,6 +208,12 @@ class Round13Spec extends SparkTestBase {
       val t2 = SparkDialect.fromDuckDb(
         s"SELECT xor(5, 3) AS x, '$e' AS s, length('$e') AS n")
       val r2 = spark.sql(t2).collect().head
+      // template 3: the bracket rewriter — an indexed array literal
+      // CONTAINING the adversarial literal (the postfix base walk must
+      // not count parens inside it) plus a slice over the same base
+      val t3 = SparkDialect.fromDuckDb(
+        s"SELECT ['a', '$e'][2] AS x, ['a', '$e', 'c'][2:3] AS sl")
+      val r3 = spark.sql(t3).collect().head
       // the Spark-dialect text must carry the literal VERBATIM modulo
       // the declared backslash doubling
       val carried = "'" + e.replace("\\", "\\\\") + "'"
@@ -218,7 +224,9 @@ class Round13Spec extends SparkTestBase {
           :| "t1 FILTER clause broke") &&
         ((r2.getAs[Number]("x").longValue == 6L) :| "t2 xor broke") &&
         ((r2.getString(1) == c) :| s"t2 eval: <${r2.getString(1)}> != <$c>") &&
-        ((r2.getAs[Number]("n").intValue == c.length) :| "t2 length broke")
+        ((r2.getAs[Number]("n").intValue == c.length) :| "t2 length broke") &&
+        ((r3.getString(0) == c) :| s"t3 index eval: <${r3.getString(0)}>") &&
+        ((r3.getSeq[String](1) == Seq(c, "c")) :| "t3 slice eval broke")
     }
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
