@@ -980,6 +980,46 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("rank-limit pushdown: the serve shapes bound window state to " +
+      "top-N BEFORE the shuffle (VERDICT r13 #3)") {
+    // a `row_number() <= N` filter over a partitioned window must plan
+    // a WindowGroupLimit PAIR — a Partial node below the exchange (so
+    // each map task keeps only its local top-N rows per key; without
+    // it a low-cardinality serve key sorts entire groups in single
+    // reduce tasks at 100×) and a Final above it. Spark 4's
+    // InferWindowGroupLimit infers both from the filter; this pin
+    // keeps the serve stages honest against a rewrite that breaks the
+    // rank-filter idiom the rule matches on.
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    def groupLimits(q: String): Seq[WindowGroupLimitExec] =
+      SparkEntry.queries(q)(spark, sf001).queryExecution.sparkPlan
+        .collect { case w: WindowGroupLimitExec => w }
+    for (q <- Seq("win_rank_topn_pergroup", "join_lateral_topk")) {
+      val ws = groupLimits(q)
+      assert(ws.exists(_.toString.contains("Partial")),
+        s"$q must bound per-partition window state map-side: $ws")
+      assert(ws.exists(_.toString.contains("Final")),
+        s"$q must re-bound after the shuffle: $ws")
+    }
+    // the capstone carries TWO rank windows — latest-wins merge on pid
+    // (limit 1) and the serve rank on cl (limit RefreshTopN). The
+    // serve pair sits in the outer plan; the merge pair lives INSIDE
+    // the memoized snapshot's InMemoryRelation (node collection does
+    // not recurse into cached plans), so it pins via the plan string.
+    val capPlan = SparkEntry.queries("pipeline_patent_refresh")(spark, sf001)
+      .queryExecution.sparkPlan
+    val servN = operators.PatentPipeline.RefreshTopN
+    val serve = capPlan.collect {
+      case w: WindowGroupLimitExec if w.limit == servN => w }
+    assert(serve.exists(_.toString.contains("Partial")) &&
+      serve.exists(_.toString.contains("Final")),
+      s"capstone serve window must push Partial+Final limit-$servN: $serve")
+    val capStr = capPlan.toString
+    for (mode <- Seq("Partial", "Final"))
+      assert(capStr.contains(s"row_number(), 1, $mode"),
+        s"capstone merge window must plan a $mode limit-1 bound:\n$capStr")
+  }
+
   test("triangle scalars plan REAL aggregates under audit sessions " +
       "(VERDICT r12 #6)") {
     // pre-r13 these two computed eagerly in the constructor and
