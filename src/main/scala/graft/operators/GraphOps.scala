@@ -3232,13 +3232,22 @@ object GraphOps {
       var labels = sym0.select(col("src").as("v")).distinct()
         .select(col("v"), col("v").as("lbl"))
       for (_ <- 1 to iters) {
+        // join keyed on src, not dst (r14, guide §2.4): sym0 is cached
+        // hash-partitioned on src, so the per-round join re-exchanged
+        // the FULL edge relation by dst every round — 5 edge-sized
+        // shuffles per run. The graph is symmetric by construction
+        // (both paths above), so "labels of my neighbors" reads
+        // identically off either orientation: row (src=y, dst=x)
+        // delivers y's label to x exactly as row (src=x, dst=y) did
+        // under the dst-keyed join. Only the small (v, lbl) state and
+        // the counted partials shuffle now.
         val nl = sym0.select(col("src"), col("dst"))
-          .join(labels, col("dst") === col("v"))
-          .select(col("src"), col("lbl"))
-        val cnt = nl.groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
-        labels = cnt.groupBy(col("src"))
+          .join(labels, col("src") === col("v"))
+          .select(col("dst"), col("lbl"))
+        val cnt = nl.groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+        labels = cnt.groupBy(col("dst"))
           .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("b"))
-          .select(col("src").as("v"), (-col("b.nl")).as("lbl"))
+          .select(col("dst").as("v"), (-col("b.nl")).as("lbl"))
       }
       labels.localCheckpoint() // one eager job for all rounds
     } finally {
@@ -3296,9 +3305,21 @@ object GraphOps {
           .otherwise(lit(0.0)).as("r0"))
         .repartition(parts, col("v")).cache()
     }
+    // CONSTANT frame relation for the per-round left join (r14, guide
+    // §2.4/§5): the vertex set is round-invariant (= outDeg's keys), so
+    // framing `contrib` against this cached projection instead of the
+    // previous round's `pr` leaves the state single-referenced per
+    // round — the per-round `.cache()` (and its storage churn: measured
+    // 300–600 ms of GC per loop stage at sf0.1) goes away, and the
+    // lineage between the every-3rd-round checkpoints stays a LINEAR
+    // chain instead of doubling per round. Arithmetic is unchanged:
+    // pr's vertex set ≡ verts every round, and the personalized path
+    // already framed against the cached restart vector.
+    val verts = restart.map(_.select(col("v")))
+      .getOrElse(outDeg.select(col("src").as("v")))
     var pr = restart
       .map(_.select(col("v"), col("r0").as("pr")))
-      .getOrElse(outDeg.select(col("src").as("v"), lit(1.0).as("pr")))
+      .getOrElse(verts.select(col("v"), lit(1.0).as("pr")))
       .localCheckpoint()
     // join strategy by MEASURED vertex count, as in connectedComponents:
     // broadcast the rank vector while it fits AND the edge side spans
@@ -3315,43 +3336,42 @@ object GraphOps {
     val shufWas = conf.get("spark.sql.shuffle.partitions")
     conf.set("spark.sql.adaptive.enabled", "false")
     conf.set("spark.sql.shuffle.partitions", parts.toString)
-    var toRelease = List.empty[DataFrame]
     try {
     try {
       for (i <- 1 to iters) {
         // lineage truncated every 3rd iteration (a checkpoint per
-        // iteration costs more than the ≤3-deep plan it avoids); in
-        // the shuffle-join path those checkpoints are the ONLY jobs —
-        // three iterations of single-digit-task stages per job
+        // iteration costs more than the ≤3-deep plan it avoids); the
+        // checkpoints are the ONLY per-loop jobs — three iterations of
+        // single-digit-task stages per job (broadcast builds pipeline
+        // inside them)
         val p = if (bcastState) broadcast(pr) else pr
         // contribution sum as exact DECIMAL(28,12) (Stable.dsum
         // discipline at 12 dp): order-independent across partial/final
         // aggregation AND engines, which is what lets graph_pagerank
         // carry a DuckDB oracle (prUnrolledSql). The quantization is
         // ≤5e-13 per contribution — invisible at the 4 dp output.
+        // No repartition after the aggregate (r14, guide §2.4): the
+        // loop conf pins spark.sql.shuffle.partitions = parts, so the
+        // groupBy's own exchange already lands hash(v2, parts) — the
+        // old explicit repartition was a second, redundant exchange of
+        // the state vector every round.
         val contrib = withDeg.join(p, withDeg("src") === p("v"))
           .select(col("dst").as("v2"),
             (if (weighted) col("pr") * col("w") / col("odeg")
              else col("pr") / col("odeg"))
               .cast(DecimalType(28, 12)).as("c"))
           .groupBy(col("v2")).agg(sum(col("c")).cast("double").as("sc"))
-          .repartition(parts, col("v2")) // pin the state exchange width
         val next = (restart match {
           case Some(rb) => rb.join(contrib, rb("v") === col("v2"), "left")
             .select(col("v"), (lit(0.15) * col("r0") +
               lit(0.85) * coalesce(col("sc"), lit(0.0))).as("pr"))
-          case None => pr.join(contrib, pr("v") === col("v2"), "left")
+          case None => verts.join(contrib, verts("v") === col("v2"), "left")
             .select(col("v"), (lit(0.15) +
               lit(0.85) * coalesce(col("sc"), lit(0.0))).as("pr"))
-        }).cache() // each pr is consumed twice within an iteration
-        toRelease ::= next
+        })
         pr = if (i % 3 == 0 || i == iters) next.localCheckpoint() else next
       }
     } finally {
-      // release intermediate iteration state — also on a failed action:
-      // only the final checkpointed result survives (a 10-iteration run
-      // would otherwise pin ~10 vertex tables in storage memory)
-      toRelease.foreach(_.unpersist())
       if (!symmetrized) sym.unpersist()
       outDeg.unpersist(); withDeg.unpersist()
       restart.foreach(_.unpersist())

@@ -86,12 +86,17 @@ object PatentPipeline {
     * distinct citation list (empty array when the order has no
     * lineitems — a patent citing nothing parses to zero edges) */
   private def records(s: SparkSession, d: String): DataFrame = {
-    val cit = Tables.lineitem(s, d)
+    // ONE exchange for the citation list (r14, guide §2.3/§2.4): the
+    // old distinct() + collect_list paid two shuffles of the same
+    // (pid, cited) pairs — collect_set dedups inside the aggregation
+    // buffer (bounded: distinct suppliers per order ≤ lineitems per
+    // order), and sort_array makes the set order-canonical exactly as
+    // before. Same rows out, one exchange instead of two.
+    val agg = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("pid"),
         (col("l_suppkey") + GraphOps.SupplierVertexOffset).as("cited"))
-      .distinct()
-    val agg = cit.groupBy(col("pid"))
-      .agg(sort_array(collect_list(col("cited"))).as("cs"))
+      .groupBy(col("pid"))
+      .agg(sort_array(collect_set(col("cited"))).as("cs"))
     Tables.orders(s, d)
       .select(col("o_orderkey").as("pid"), col("o_orderpriority").as("cl"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
@@ -115,15 +120,32 @@ object PatentPipeline {
     GraphOps.memo(mergedCache, (s, d)) {
       val rec = records(s, d)
       val cut = lit(RefreshCutoff).cast("timestamp")
-      val baseX = rec.filter(col("od") < cut)
-        .select(xmlCol.as("x"), lit(0).as("pri"), lit("base").as("src"))
-      val newX = rec.filter(col("od") >= cut)
-        .select(xmlCol.as("x"), lit(1).as("pri"), lit("delta").as("src"))
-      val reissueX = rec
-        .filter(col("od") < cut && col("pid") % ReissueMod === 0)
-        .withColumn("cs", expr("filter(cs, c -> c % 2 = 0)"))
-        .select(xmlCol.as("x"), lit(1).as("pri"), lit("delta").as("src"))
-      val files = baseX.unionByName(newX).unionByName(reissueX)
+      // ONE pass over the records (r14, guide §1.2 "don't compute
+      // things you throw away"): the old three-branch union referenced
+      // `rec` three times, so every action re-ran the lineitem⋈orders
+      // scan + citation aggregate once PER BRANCH. Each record instead
+      // explodes pipeline-side into its file variants — base rows
+      // before the cutoff (plus the corrected re-issue delta for
+      // pid ≡ 0 mod ReissueMod), delta rows on/after it — exactly the
+      // same (x, pri, src) rows the union produced, from one scan.
+      val variants = rec.select(col("pid"), col("cl"), col("d"),
+        explode(when(col("od") < cut,
+          when(col("pid") % ReissueMod === 0,
+            array(
+              struct(col("cs").as("vcs"), lit(0).as("pri"),
+                lit("base").as("src")),
+              struct(expr("filter(cs, c -> c % 2 = 0)").as("vcs"),
+                lit(1).as("pri"), lit("delta").as("src"))))
+          .otherwise(array(
+            struct(col("cs").as("vcs"), lit(0).as("pri"),
+              lit("base").as("src")))))
+        .otherwise(array(
+          struct(col("cs").as("vcs"), lit(1).as("pri"),
+            lit("delta").as("src"))))).as("f"))
+      val files = variants
+        .select(col("pid"), col("cl"), col("d"), col("f.vcs").as("cs"),
+          col("f.pri").as("pri"), col("f.src").as("src"))
+        .select(xmlCol.as("x"), col("pri"), col("src"))
       // PARSE back out of the markup — the typed record (attribute id
       // via the `_` convention, repeated <c> as ARRAY<BIGINT>); a
       // no-citation record parses its c array to NULL → empty
