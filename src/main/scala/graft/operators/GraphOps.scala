@@ -471,6 +471,21 @@ object GraphOps {
   private[graft] def planOnly(s: SparkSession): Boolean =
     s.conf.get(PlanOnlyKey, "false").toBoolean
 
+  /** A/B override for the iterative-loop AQE pin (r14, VERDICT r13
+    * #7): the loops pin spark.sql.adaptive.enabled=false from a
+    * round-3 measurement (~40 jobs vs ~6 per 10-round PageRank —
+    * AQE splits every materializing action into one job per shuffle
+    * query stage). `true` leaves AQE on inside the loops so the pin
+    * can be re-measured on the current runtime without a code edit
+    * (re-measured on Spark 4.1.2 this round: AQE-on graph_pagerank
+    * 44 jobs / 5.91 s vs pinned 21 jobs / 3.94 s warm min at sf0.1 —
+    * pin re-justified, see OPTIMIZATION_r14.md). Dev-only knob;
+    * results are identical either way. */
+  val LoopAqeKey = "graft.graph.loopAqe"
+  private[operators] def loopAqe(
+      conf: org.apache.spark.sql.RuntimeConfig): String =
+    if (conf.get(LoopAqeKey, "false").toBoolean) "true" else "false"
+
   /** materialize `df` NOW (unless [[PlanOnlyKey]]) as a localCheckpoint
     * so a multi-reference consumer plan scans warm blocks instead of
     * re-computing the lineage per reference. localCheckpoint, not
@@ -484,7 +499,7 @@ object GraphOps {
     * executor-loss hazard; on a real cluster the same relations are
     * small enough (seeds × reached rows) for reliable checkpoint or
     * recomputation-tolerant storage. */
-  private def latch(s: SparkSession, df: DataFrame): DataFrame =
+  private[operators] def latch(s: SparkSession, df: DataFrame): DataFrame =
     // plan-only paths take a LAZY cache, not a lazy localCheckpoint:
     // under AQE even a non-eager checkpoint materializes the query
     // stages to pick the final plan — 38 jobs for the betweenness
@@ -1053,7 +1068,7 @@ object GraphOps {
     val conf = spark.conf
     val aqeWas = conf.get("spark.sql.adaptive.enabled", "true")
     val shufWas = conf.get("spark.sql.shuffle.partitions")
-    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.adaptive.enabled", loopAqe(conf))
     conf.set("spark.sql.shuffle.partitions", p.toString)
     try {
       var iter = 0
@@ -2025,14 +2040,22 @@ object GraphOps {
     // Each rung reuses the kCore peel on the memoized symmetric edge
     // set; n_edges = Σ in-core degrees DIV 2 (exact — the peel's
     // surviving degree sum is twice the undirected survivor count).
-    "graph_core_ladder" -> ((s, d) =>
+    "graph_core_ladder" -> ((s, d) => {
+      // CHAINED rungs (r14, guide §1.2): core_k(core_j(G)) = core_k(G)
+      // for j ≤ k — the dyadic ladder is nested, so each rung peels the
+      // PREVIOUS rung's (checkpointed, shrinking) survivor set instead
+      // of re-peeling the full graph from scratch four times. Same
+      // fixpoints, strictly less work per rung at any scale.
+      var cur = symEdges(s, d)
       CoreLadderKs.map { k =>
-        kCore(symEdges(s, d), k = k, symmetrized = true,
+        cur = kCoreEdges(cur, k = k, symmetrized = true,
           numParts = graphParts(s, d), oracleRounds = Some(KcoreOracleRounds))
+        cur.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
           .agg(count(lit(1)).as("n_vertices"),
             expr("CAST(coalesce(sum(deg), 0) DIV 2 AS BIGINT)").as("n_edges"))
           .select(lit(k).cast("int").as("k"), col("n_vertices"), col("n_edges"))
-      }.reduce(_ unionByName _).orderBy(col("k"))),
+      }.reduce(_ unionByName _).orderBy(col("k"))
+    }),
 
     // k-truss decomposition (k = KtrussK) of the co-part graph: the
     // maximal subgraph where every edge closes ≥ k−2 triangles — the
@@ -2286,18 +2309,28 @@ object GraphOps {
       val conf = s.conf
       val aqeWas = conf.get("spark.sql.adaptive.enabled", "true")
       val shufWas = conf.get("spark.sql.shuffle.partitions")
-      conf.set("spark.sql.adaptive.enabled", "false")
+      conf.set("spark.sql.adaptive.enabled", loopAqe(conf))
       conf.set("spark.sql.shuffle.partitions", parts.toString)
       try {
         var toRelease = List.empty[DataFrame]
+        // the power steps alternate join keys (src for the auth pull,
+        // dst for the hub pull), and the memoized edge cache is
+        // partitioned on neither — so every step re-exchanged the FULL
+        // edge relation (6 edge shuffles per query). Two pre-partitioned
+        // checkpointed copies pay that exchange once per orientation
+        // (r14, guide §2.4: two operations keyed the same way share one
+        // exchange); each step then shuffles only the vertex state.
+        val eBySrc = e.repartition(parts, col("src")).localCheckpoint(false)
+        val eByDst = e.repartition(parts, col("dst")).localCheckpoint(false)
         // one normalized power step: raw[v] = Σ state over the edges
         // incident at `to`, framed to the full vertex set, then
         // L1-normalized back to Σx = 10⁶ in integer space — the total
         // is a broadcast one-row scalar, never a global window
         def step(state: DataFrame, from: String, to: String): DataFrame = {
-          val raw = e.join(state.withColumnRenamed("v", "sv"),
-              e(from) === col("sv"))
-            .groupBy(e(to).as("cv"))
+          val eK = if (from == "src") eBySrc else eByDst
+          val raw = eK.join(state.withColumnRenamed("v", "sv"),
+              eK(from) === col("sv"))
+            .groupBy(eK(to).as("cv"))
             .agg(sum(col("x").cast(dec)).as("sx"))
           val framed = verts.join(raw, col("v") === col("cv"), "left")
             .select(col("v"), coalesce(col("sx"), lit(0).cast(dec)).as("r"))
@@ -2834,7 +2867,7 @@ object GraphOps {
     val conf = spark.conf
     val aqeWas = conf.get("spark.sql.adaptive.enabled", "true")
     val shufWas = conf.get("spark.sql.shuffle.partitions")
-    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.adaptive.enabled", loopAqe(conf))
     conf.set("spark.sql.shuffle.partitions", p.toString)
     try {
     var changed = 1L
@@ -2843,14 +2876,25 @@ object GraphOps {
     try {
       while (changed > 0 && iter < maxIters) {
         val l = if (bcastState) broadcast(labels) else labels
+        // no repartition after the aggregate (r14, guide §2.4): the
+        // loop conf pins spark.sql.shuffle.partitions = p, so the
+        // groupBy's own exchange already lands hash(v2, p) — the old
+        // explicit repartition was a second, redundant exchange of the
+        // label table every iteration
         val prop = sym.join(l, sym("src") === l("v"))
           .groupBy(col("dst").as("v2")).agg(min(col("lbl")).as("nlbl"))
-          .repartition(p, col("v2")) // pin the state exchange width to p
         // carry the previous label so the convergence count and the
         // cache materialization are ONE job — round 1 ran a second
         // labels⋈next join per iteration just to count changes, and
         // round 2 still paid a separate eager-checkpoint job per
         // iteration before the count
+        // NOTE (r14): a pointer-jump acceleration (shortcut each vertex
+        // to its label's own PREVIOUS label after the one-hop step —
+        // hop-doubling, ~log(diameter) rounds) was built and measured:
+        // cc_incremental 54 jobs/76 stages/~10 s → 68 jobs/91 stages/
+        // ~15 s at sf0.1. The extra state join + broadcast build per
+        // iteration cost more than the ~2 iterations it saves on this
+        // graph's single-digit diameter; rejected, single-hop retained.
         val nextFull = labels.join(prop, labels("v") === prop("v2"), "left")
           .select(col("v"), col("lbl").as("prev"),
             least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
@@ -2939,7 +2983,7 @@ object GraphOps {
     // eager would pay a separate job per round for the same scan
     var g = wedges.select(col("a").as("ca"), col("b").as("cb"),
       col("w"), col("a"), col("b")).localCheckpoint(false)
-    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.adaptive.enabled", loopAqe(conf))
     conf.set("spark.sql.shuffle.partitions", p.toString)
     // caches live per round and are released at round end; `live`
     // tracks them so a thrown action mid-round cannot leak blocks
@@ -3118,8 +3162,10 @@ object GraphOps {
     }
   }
 
-  def kCore(edgeDf: DataFrame, k: Int, maxIters: Int = 100,
-      symmetrized: Boolean = false, numParts: Int = 0,
+  /** k-core peel returning the surviving symmetric EDGE set (the
+    * chained form [[kCore]] and graph_core_ladder share) */
+  private[operators] def kCoreEdges(edgeDf: DataFrame, k: Int,
+      maxIters: Int = 100, symmetrized: Boolean = false, numParts: Int = 0,
       oracleRounds: Option[Int] = None): DataFrame = {
     val spark = edgeDf.sparkSession
     val p = if (numParts > 0) numParts
@@ -3135,7 +3181,7 @@ object GraphOps {
     val conf = spark.conf
     val aqeWas = conf.get("spark.sql.adaptive.enabled", "true")
     val shufWas = conf.get("spark.sql.shuffle.partitions")
-    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.adaptive.enabled", loopAqe(conf))
     conf.set("spark.sql.shuffle.partitions", p.toString)
     try {
       var cur = sym0
@@ -3180,9 +3226,10 @@ object GraphOps {
           throw new IllegalStateException(
             s"kCore (k=$k) peeled $iter rounds but the unrolled oracle " +
               s"peels only $cap — bump KcoreOracleRounds ≥ $iter"))
-        // in-core degrees of the surviving vertices (cur is the core)
-        cur.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
-          .localCheckpoint()
+        // the surviving SYMMETRIC edge set, checkpointed before the
+        // per-round caches release — returned so graph_core_ladder can
+        // chain rungs (core_k(core_j(G)) = core_k(G) for j ≤ k)
+        cur.localCheckpoint()
       } finally {
         pinned.foreach(_.unpersist())
         if (!symmetrized) sym0.unpersist()
@@ -3192,6 +3239,14 @@ object GraphOps {
       conf.set("spark.sql.shuffle.partitions", shufWas)
     }
   }
+
+  def kCore(edgeDf: DataFrame, k: Int, maxIters: Int = 100,
+      symmetrized: Boolean = false, numParts: Int = 0,
+      oracleRounds: Option[Int] = None): DataFrame =
+    // in-core degrees of the surviving vertices — a lazy aggregate over
+    // the checkpointed core edge set (consumers act on it immediately)
+    kCoreEdges(edgeDf, k, maxIters, symmetrized, numParts, oracleRounds)
+      .groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
 
   /** PageRank (damping 0.85, unnormalized GraphX-style: pr = 0.15 +
     * 0.85·Σ pr_in/outdeg) on the symmetrized graph — symmetrization
@@ -3226,7 +3281,7 @@ object GraphOps {
     val conf = spark.conf
     val aqeWas = conf.get("spark.sql.adaptive.enabled", "true")
     val shufWas = conf.get("spark.sql.shuffle.partitions")
-    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.adaptive.enabled", loopAqe(conf))
     conf.set("spark.sql.shuffle.partitions", p.toString)
     try {
       var labels = sym0.select(col("src").as("v")).distinct()
@@ -3334,7 +3389,7 @@ object GraphOps {
     val conf = spark.conf
     val aqeWas = conf.get("spark.sql.adaptive.enabled", "true")
     val shufWas = conf.get("spark.sql.shuffle.partitions")
-    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.adaptive.enabled", loopAqe(conf))
     conf.set("spark.sql.shuffle.partitions", parts.toString)
     try {
     try {

@@ -1124,9 +1124,19 @@ object VectorOps {
         // carry forward centroids whose cell went empty (duplicate
         // seed vectors lose every member to the lower c_id on the
         // rounded-cosine tie) — the codebook must stay k cells wide,
-        // not silently shrink
-        centroids = centroids.join(updated, Seq("c_id"), "left")
-          .select(col("c_id"), coalesce(col("ce_new"), col("ce")).as("ce"))
+        // not silently shrink.
+        // LATCHED per round (r14, guide §1.2/§5): centroids is
+        // referenced twice per round (the assignment broadcast + this
+        // carry-forward join), so the lazy chain doubled per round and
+        // each nested broadcast re-executed the earlier rounds'
+        // subtrees — measured 33 jobs for the cold ivf_trained chain.
+        // The latch is a ≤k-row materialization (√N centroids), one
+        // tiny job per round, and the chain stays linear. Plan-only
+        // audit sessions keep the action-free lazy cache via latch's
+        // planOnly branch.
+        centroids = GraphOps.latch(s,
+          centroids.join(updated, Seq("c_id"), "left")
+            .select(col("c_id"), coalesce(col("ce_new"), col("ce")).as("ce")))
       }
       centroids.cache()
     }

@@ -22,6 +22,7 @@ object DevR14Probe {
     val sfDir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
     val stageMs = args.drop(2).headOption.map(_.toLong).getOrElse(150L)
     val warmDir = "/root/testdata/sf0.001"
+    val loopAqe = args.drop(3).headOption.contains("aqe") // A/B the loop pin
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -29,6 +30,7 @@ object DevR14Probe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config(operators.GraphOps.LoopAqeKey, loopAqe.toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
