@@ -2040,22 +2040,23 @@ object GraphOps {
     // Each rung reuses the kCore peel on the memoized symmetric edge
     // set; n_edges = Σ in-core degrees DIV 2 (exact — the peel's
     // surviving degree sum is twice the undirected survivor count).
-    "graph_core_ladder" -> ((s, d) => {
-      // CHAINED rungs (r14, guide §1.2): core_k(core_j(G)) = core_k(G)
-      // for j ≤ k — the dyadic ladder is nested, so each rung peels the
-      // PREVIOUS rung's (checkpointed, shrinking) survivor set instead
-      // of re-peeling the full graph from scratch four times. Same
-      // fixpoints, strictly less work per rung at any scale.
-      var cur = symEdges(s, d)
+    // NOTE (r14): a chained-rung variant (each k peeling the previous
+    // rung's survivors — core_k(core_j(G)) = core_k(G) for j ≤ k) was
+    // built and MEASURED WORSE in the full bench: 2.87 → 6.52 s. The
+    // graph barely shrinks between the dyadic rungs at this corpus
+    // (core-2 ≈ the full graph), so the chain saved almost no peel
+    // work while its per-rung survivor handoff re-materialized the
+    // full edge relation four times (a localCheckpoint per rung vs the
+    // original's one small degree checkpoint). Rejected; independent
+    // peels off the shared cached symEdges retained.
+    "graph_core_ladder" -> ((s, d) =>
       CoreLadderKs.map { k =>
-        cur = kCoreEdges(cur, k = k, symmetrized = true,
+        kCore(symEdges(s, d), k = k, symmetrized = true,
           numParts = graphParts(s, d), oracleRounds = Some(KcoreOracleRounds))
-        cur.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
           .agg(count(lit(1)).as("n_vertices"),
             expr("CAST(coalesce(sum(deg), 0) DIV 2 AS BIGINT)").as("n_edges"))
           .select(lit(k).cast("int").as("k"), col("n_vertices"), col("n_edges"))
-      }.reduce(_ unionByName _).orderBy(col("k"))
-    }),
+      }.reduce(_ unionByName _).orderBy(col("k"))),
 
     // k-truss decomposition (k = KtrussK) of the co-part graph: the
     // maximal subgraph where every edge closes ≥ k−2 triangles — the
@@ -3162,10 +3163,8 @@ object GraphOps {
     }
   }
 
-  /** k-core peel returning the surviving symmetric EDGE set (the
-    * chained form [[kCore]] and graph_core_ladder share) */
-  private[operators] def kCoreEdges(edgeDf: DataFrame, k: Int,
-      maxIters: Int = 100, symmetrized: Boolean = false, numParts: Int = 0,
+  def kCore(edgeDf: DataFrame, k: Int, maxIters: Int = 100,
+      symmetrized: Boolean = false, numParts: Int = 0,
       oracleRounds: Option[Int] = None): DataFrame = {
     val spark = edgeDf.sparkSession
     val p = if (numParts > 0) numParts
@@ -3226,10 +3225,9 @@ object GraphOps {
           throw new IllegalStateException(
             s"kCore (k=$k) peeled $iter rounds but the unrolled oracle " +
               s"peels only $cap — bump KcoreOracleRounds ≥ $iter"))
-        // the surviving SYMMETRIC edge set, checkpointed before the
-        // per-round caches release — returned so graph_core_ladder can
-        // chain rungs (core_k(core_j(G)) = core_k(G) for j ≤ k)
-        cur.localCheckpoint()
+        // in-core degrees of the surviving vertices (cur is the core)
+        cur.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+          .localCheckpoint()
       } finally {
         pinned.foreach(_.unpersist())
         if (!symmetrized) sym0.unpersist()
@@ -3239,14 +3237,6 @@ object GraphOps {
       conf.set("spark.sql.shuffle.partitions", shufWas)
     }
   }
-
-  def kCore(edgeDf: DataFrame, k: Int, maxIters: Int = 100,
-      symmetrized: Boolean = false, numParts: Int = 0,
-      oracleRounds: Option[Int] = None): DataFrame =
-    // in-core degrees of the surviving vertices — a lazy aggregate over
-    // the checkpointed core edge set (consumers act on it immediately)
-    kCoreEdges(edgeDf, k, maxIters, symmetrized, numParts, oracleRounds)
-      .groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
 
   /** PageRank (damping 0.85, unnormalized GraphX-style: pr = 0.15 +
     * 0.85·Σ pr_in/outdeg) on the symmetrized graph — symmetrization

@@ -23,11 +23,15 @@ object DevR14Probe {
     val stageMs = args.drop(2).headOption.map(_.toLong).getOrElse(150L)
     val warmDir = "/root/testdata/sf0.001"
     val loopAqe = args.drop(3).headOption.contains("aqe") // A/B the loop pin
+    // "coal": A/B size-first AQE coalescing (parallelismFirst=false)
+    val coal = args.drop(3).headOption.contains("coal")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        (!coal).toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config(operators.GraphOps.LoopAqeKey, loopAqe.toString)
