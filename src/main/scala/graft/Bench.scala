@@ -246,9 +246,17 @@ object Bench {
     // a dev-filtered subset run lands in a SEPARATE file (ADVICE r6
     // #5): the full-map bench_queries.json is the durable round-over-
     // round regression record and a 4-query iteration run must never
-    // clobber it
+    // clobber it. A non-default core count lands in its OWN file too
+    // (VERDICT r14 #2): the driver's 8-core scaling rerun used to
+    // overwrite the 32-core map — bench_queries.json held the c8 run
+    // and PERF_r14's per_query/geomean came up empty. Now the scaling
+    // rerun writes bench_queries.c8.json and the 32-core record
+    // survives it; the "cpus" payload field makes each file
+    // self-describing. Stdout contract lines unchanged.
     val benchFile =
-      if (only.isDefined) "bench_queries.partial.json" else "bench_queries.json"
+      if (only.isDefined) "bench_queries.partial.json"
+      else if (cpus != "32") s"bench_queries.c$cpus.json"
+      else "bench_queries.json"
     // r11 schema addition (VERDICT r10 #7): "memo_build" = min observed
     // build seconds per shared-memo label across the timed passes
     // (memos clear between passes, so every pass rebuilds). Cross-round
@@ -261,7 +269,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + fmt3(v) }
       .mkString("{", ",", "}")
     try Files.writeString(Paths.get(benchFile),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passesJson,"memo_warm":$warmJson,"shuffle":$shuffleJson,"memo_build":$memoBuildJson}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"queries":$qs,"sf":"$sfDir","passes":$passesJson,"memo_warm":$warmJson,"shuffle":$shuffleJson,"memo_build":$memoBuildJson}""")
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] $benchFile write failed: $e") }
     // Two lines, long-then-short (round-1 post-mortem): the driver may

@@ -227,6 +227,13 @@ object GraphOps {
     * The r3 wedge self-join paid two edge-set exchanges plus the join
     * itself for the same Σ cdeg² stream.
     *
+    * r15: the fan-out is the native [[graft.functions.SortedPairs]]
+    * generator, not the flatten/transform/slice composition — that
+    * expression tree was interpreted (higher-order functions skip
+    * codegen) and allocated O(n²) slice copies per source row;
+    * VERDICT r14 measured 317 s of CPU in this one stage. Same pair
+    * stream, same (i, j) order.
+    *
     * aa9 = Σ_c round(1e9/ln(deg c)) in NANO-units — exact long sums,
     * order/engine-independent (the adamic_adar quantization
     * discipline, documented at that query). The size ≥ 2 filter is
@@ -234,16 +241,14 @@ object GraphOps {
     * keeps the ln(1) = 0 division out of the ANSI long cast. */
   private def coCitePairs(s: SparkSession, d: String): DataFrame =
     memo(coCiteCache, (s, d)) {
+      graft.functions.SortedCombinations.register(s)
       cappedNbrSets(s, d)
         .filter(size(col("ds")) >= 2)
         .select(
           round(lit(1.0e9) / log(size(col("ds")).cast(DoubleType)), 0)
             .cast("long").as("w9"),
-          explode(expr(
-          """flatten(transform(ds, (x, i) ->
-            |  transform(slice(ds, i + 2, size(ds)), y ->
-            |    struct(x AS s1, y AS s2))))""".stripMargin)).as("p"))
-        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+          expr("sorted_pairs(ds)").as(Seq("s1", "s2")))
+        .groupBy(col("s1"), col("s2"))
         .agg(count(lit(1)).as("i"), sum(col("w9")).as("aa9"))
         .cache()
     }
@@ -477,10 +482,14 @@ object GraphOps {
     * AQE splits every materializing action into one job per shuffle
     * query stage). `true` leaves AQE on inside the loops so the pin
     * can be re-measured on the current runtime without a code edit
-    * (re-measured on Spark 4.1.2 this round: AQE-on graph_pagerank
+    * (re-measured on Spark 4.1.2 in r14: AQE-on graph_pagerank
     * 44 jobs / 5.91 s vs pinned 21 jobs / 3.94 s warm min at sf0.1 —
     * pin re-justified, see OPTIMIZATION_r14.md). Dev-only knob;
-    * results are identical either way. */
+    * results are identical either way. A/B caveat (ADVICE r14 #4):
+    * since r14 removed the explicit post-aggregate repartitions inside
+    * the loops, an AQE-on run also lets AQE coalesce the state
+    * exchanges — flipping this knob no longer isolates the job-split
+    * effect alone; treat AQE-on numbers as the combined effect. */
   val LoopAqeKey = "graft.graph.loopAqe"
   private[operators] def loopAqe(
       conf: org.apache.spark.sql.RuntimeConfig): String =
@@ -506,6 +515,21 @@ object GraphOps {
     // family, exactly what the Round6Spec action-free pin forbids —
     // and the audits want the full lineage visible anyway
     if (planOnly(s)) df.cache() else df.localCheckpoint(true)
+
+  /** free the storage blocks behind a localCheckpoint'd Dataset (r15,
+    * ADVICE r14 #1): Dataset.unpersist is a no-op for checkpoint
+    * blocks — they belong to the internal RDD wrapped by the
+    * LogicalRDD leaf — so loop-scoped checkpoints (HITS's two
+    * pre-partitioned edge orientations) lingered until ContextCleaner
+    * GC. Only call this once every consumer of the frame has
+    * MATERIALIZED (checkpoint blocks cannot be recomputed); callers
+    * release loop-internal state after the loop's last eager step. */
+  private[operators] def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   private[operators] def stateCap(s: SparkSession): Long =
     s.conf.get(BroadcastStateMaxRowsKey, BroadcastStateMaxRows.toString).toLong
@@ -596,14 +620,15 @@ object GraphOps {
       // basket data) cap the set (slice) or fall back to the
       // self-join, which spreads a hot key's pair generation across
       // the join's probe side.
+      graft.functions.SortedCombinations.register(s)
       Tables.lineitem(s, d)
         .groupBy(col("l_orderkey"))
         .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
-        .select(explode(expr(
-          """flatten(transform(ps, (x, i) ->
-            |  transform(slice(ps, i + 2, size(ps)), y ->
-            |    struct(x AS a, y AS b))))""".stripMargin)).as("p"))
-        .select(col("p.a"), col("p.b")).distinct().cache()
+        // r15: native sorted_pairs generator (see coCitePairs) — same
+        // a<b pair stream as the flatten/transform/slice composition,
+        // produced codegen-side with no per-index slice copies
+        .select(expr("sorted_pairs(ps)").as(Seq("a", "b")))
+        .distinct().cache()
     }
 
   private val coPartsSql =
@@ -2357,7 +2382,16 @@ object GraphOps {
               (floor((col("ax") + 50) / 100).cast(DoubleType) / 10000.0)
                 .as("auth"))
             .orderBy(col("v"))
-        } finally toRelease.foreach(_.unpersist())
+        } finally {
+          toRelease.foreach(_.unpersist())
+          // r15 (ADVICE r14 #1): the two edge orientations are
+          // loop-scoped and every loop step has materialized (each
+          // step ends in an EAGER localCheckpoint, and the final join
+          // reads only h/a blocks) — free their checkpoint blocks now
+          // instead of leaking them until ContextCleaner GC
+          releaseLocalCheckpoint(eBySrc)
+          releaseLocalCheckpoint(eByDst)
+        }
       } finally {
         conf.set("spark.sql.adaptive.enabled", aqeWas)
         conf.set("spark.sql.shuffle.partitions", shufWas)
@@ -2789,7 +2823,13 @@ object GraphOps {
     * [[BroadcastStateMaxRows]] would fail via driver OOM instead of a
     * contract decision, so past the cap the remap flows through a
     * plain shuffle join — same result (pinned in Round10Spec), merge
-    * stays correct for ANY delta, only the join strategy changes. */
+    * stays correct for ANY delta, only the join strategy changes.
+    *
+    * r15: under the same measured gate the remap is computed by a
+    * driver-side union-find over the collected label edges (min-id
+    * roots ≡ CC's component-min labels — pinned in Round15Spec)
+    * instead of the distributed CC loop; past the cap or unmeasured,
+    * the distributed loop remains the execution path. */
   def mergeCcDelta(baseLbl: DataFrame, deltaE: DataFrame,
       labelParts: Int = 1, deltaRows: Long = -1L): DataFrame = {
     val labelEdges = deltaE
@@ -2800,8 +2840,6 @@ object GraphOps {
       .select(coalesce(col("ls"), col("src")).as("src"),
         coalesce(col("ld"), col("dst")).as("dst"))
       .filter(col("src") =!= col("dst"))
-    val remap = connectedComponents(labelEdges, numParts = labelParts)
-      .select(col("v").as("old_lbl"), col("lbl").as("new_lbl"))
     val newVerts = deltaE.select(col("src").as("v"))
       .union(deltaE.select(col("dst"))).distinct()
       .join(baseLbl, Seq("v"), "left_anti")
@@ -2813,9 +2851,60 @@ object GraphOps {
     // measurement exists (plan-only paths keep the contract-bounded
     // broadcast shape the audits pin)
     val remapSide =
-      if (deltaRows < 0 || 2 * deltaRows <= stateCap(baseLbl.sparkSession))
-        broadcast(remap)
-      else remap
+      if (deltaRows >= 0 && 2 * deltaRows <= stateCap(baseLbl.sparkSession)) {
+        // r15 DRIVER UNION-FIND ENDGAME (VERDICT r14 next-round #4,
+        // the MST Kruskal-cutover discipline): under the SAME numeric
+        // gate that already ships the remap to the driver as a
+        // broadcast, compute it there directly — collect the ≤
+        // deltaRows label edges (no more driver bytes than the remap
+        // broadcast itself held) and union-find with min-id roots.
+        // This deletes the whole inner CC loop: its per-iteration
+        // join+aggregate+convergence-count jobs were pure driver
+        // latency on a ≤ 2·deltaRows-vertex graph (r14 measured the
+        // AQE-on/off A/B moving cc_incremental ~1 s either way —
+        // the loop's fixed overhead, not its data, was the cost).
+        // Attaching the larger root under the smaller at every union
+        // makes each component's final root its MIN vertex id — the
+        // exact label connectedComponents assigns — and find() after
+        // all unions fully resolves every path, so the remap rows are
+        // identical. Past the cap (or unmeasured), the distributed
+        // loop below remains the scale path.
+        val spark = baseLbl.sparkSession
+        val es = labelEdges.collect()
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+          var c = x // path compression
+          while (parent.getOrDefault(c, c) != c) {
+            val nxt = parent.get(c); parent.put(c, r); c = nxt
+          }
+          r
+        }
+        es.foreach { e =>
+          val ra = find(e.getLong(0))
+          val rb = find(e.getLong(1))
+          if (ra < rb) parent.put(rb, ra)
+          else if (rb < ra) parent.put(ra, rb)
+        }
+        val verts = new java.util.TreeSet[java.lang.Long]()
+        es.foreach { e => verts.add(e.getLong(0)); verts.add(e.getLong(1)) }
+        val remapRows = new scala.collection.mutable.ArrayBuffer[
+          org.apache.spark.sql.Row](verts.size())
+        verts.forEach(v => remapRows += org.apache.spark.sql.Row(
+          v.longValue(), find(v.longValue())))
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("old_lbl",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("new_lbl",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+        broadcast(spark.createDataFrame(
+          spark.sparkContext.parallelize(remapRows.toSeq, 1), schema))
+      } else {
+        val remap = connectedComponents(labelEdges, numParts = labelParts)
+          .select(col("v").as("old_lbl"), col("lbl").as("new_lbl"))
+        if (deltaRows < 0) broadcast(remap) else remap
+      }
     pre.join(remapSide, col("lbl") === col("old_lbl"), "left")
       .select(col("v"), coalesce(col("new_lbl"), col("lbl")).as("lbl"),
         col("base_lbl"))
@@ -3257,7 +3346,16 @@ object GraphOps {
     * Scale shape: the edge set stays hash-partitioned on the
     * propagation key; each round exchanges one (vertex, label) row per
     * vertex plus the counted (vertex, label) partials — never raw
-    * edges. Same loop conf discipline as [[connectedComponents]]. */
+    * edges. Same loop conf discipline as [[connectedComponents]].
+    *
+    * CONTRACT for `symmetrized = true` (ADVICE r14 #2): the caller's
+    * edge set must actually be symmetric (every (a, b) has its (b, a)
+    * mirror). The r14 src-keyed propagation reads "my neighbors'
+    * labels" off the OUT-orientation; on a genuinely asymmetric edge
+    * set passed with symmetrized=true it would propagate along
+    * out-edges where the dst-keyed form read in-edges — different
+    * answers, not a crash. All in-repo callers pass the memoized
+    * symmetric relation (symEdges / the explicitly-unioned sym0). */
   def labelPropagation(edgeDf: DataFrame, iters: Int = 5,
       symmetrized: Boolean = false, numParts: Int = 0): DataFrame = {
     val spark = edgeDf.sparkSession

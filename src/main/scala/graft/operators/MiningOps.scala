@@ -137,14 +137,15 @@ object MiningOps {
     * both engines. */
   def assocRules(s: org.apache.spark.sql.SparkSession, d: String,
       minSupport: Int): org.apache.spark.sql.DataFrame = {
+    graft.functions.SortedCombinations.register(s)
     val ob = brandBaskets(s, d)
     val pairs = ob.groupBy(col("ok"))
       .agg(array_sort(collect_set(col("b"))).as("bs"))
-      .select(explode(expr(
-        """flatten(transform(bs, (x, i) ->
-          |  transform(slice(bs, i + 2, size(bs)), y ->
-          |    struct(x AS ba, y AS bb))))""".stripMargin)).as("p"))
-      .groupBy(col("p.ba").as("brand_a"), col("p.bb").as("brand_b"))
+      // r15: native sorted_pairs generator (see GraphOps.coCitePairs)
+      // — same a<b pair stream as the flatten/transform/slice
+      // composition, produced codegen-side with no slice copies
+      .select(expr("sorted_pairs(bs)").as(Seq("brand_a", "brand_b")))
+      .groupBy(col("brand_a"), col("brand_b"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
     val totals = ob.groupBy(col("b")).agg(count(lit(1)).as("sb"))
@@ -705,13 +706,12 @@ object MiningOps {
     "mine_cooccur_pmi" -> ((s, d) => {
       val ut = Tables.events(s, d)
         .select(col("user_id").as("u"), col("event_type").as("t")).distinct()
+      graft.functions.SortedCombinations.register(s)
       val pairs = ut.groupBy(col("u"))
         .agg(array_sort(collect_set(col("t"))).as("ts"))
-        .select(explode(expr(
-          """flatten(transform(ts, (x, i) ->
-            |  transform(slice(ts, i + 2, size(ts)), y ->
-            |    struct(x AS ta, y AS tb))))""".stripMargin)).as("p"))
-        .groupBy(col("p.ta").as("type_a"), col("p.tb").as("type_b"))
+        // r15: native sorted_pairs generator (see GraphOps.coCitePairs)
+        .select(expr("sorted_pairs(ts)").as(Seq("type_a", "type_b")))
+        .groupBy(col("type_a"), col("type_b"))
         .agg(count(lit(1)).as("support"))
       val totals = ut.groupBy(col("t")).agg(count(lit(1)).as("s"))
       val n = ut.agg(countDistinct(col("u")).as("n_users"))
@@ -1052,14 +1052,13 @@ object MiningOps {
     // 4dp-ROUNDED cosine (house rule: last-ulp differences cannot
     // flip an argmax) with brand_b as the total tiebreak.
     "mine_item_cf_topk" -> ((s, d) => {
+      graft.functions.SortedCombinations.register(s)
       val ob = brandBaskets(s, d)
       val pairs = ob.groupBy(col("ok"))
         .agg(array_sort(collect_set(col("b"))).as("bs"))
-        .select(explode(expr(
-          """flatten(transform(bs, (x, i) ->
-            |  transform(slice(bs, i + 2, size(bs)), y ->
-            |    struct(x AS ba, y AS bb))))""".stripMargin)).as("p"))
-        .groupBy(col("p.ba").as("ba"), col("p.bb").as("bb"))
+        // r15: native sorted_pairs generator (see GraphOps.coCitePairs)
+        .select(expr("sorted_pairs(bs)").as(Seq("ba", "bb")))
+        .groupBy(col("ba"), col("bb"))
         .agg(count(lit(1)).as("co"))
       // both directions explode pipeline-side from ONE pair-agg branch
       // (a union of two references to `pairs` re-runs the whole
@@ -1830,17 +1829,16 @@ object MiningOps {
     // DOUBLE (three 1e9-order brand counts overflow int64 at the
     // documented scale).
     "mine_itemsets_3" -> ((s, d) => {
+      graft.functions.SortedCombinations.register(s)
       val ob = brandBaskets(s, d)
       val tri = ob.groupBy(col("ok"))
         .agg(array_sort(collect_set(col("b"))).as("bs"))
-        .select(explode(expr(
-          """flatten(flatten(transform(bs, (x, i) ->
-            |  transform(slice(bs, i + 2, size(bs)), (y, j) ->
-            |    transform(slice(bs, i + j + 3, size(bs)), z ->
-            |      struct(x AS ba, y AS bb, z AS bc))))))""".stripMargin))
-          .as("t"))
-        .groupBy(col("t.ba").as("brand_a"), col("t.bb").as("brand_b"),
-          col("t.bc").as("brand_c"))
+        // r15: native sorted_triples generator — same a<b<c stream as
+        // the doubly-flattened transform/slice composition (see
+        // GraphOps.coCitePairs for the pair-case rationale)
+        .select(expr("sorted_triples(bs)")
+          .as(Seq("brand_a", "brand_b", "brand_c")))
+        .groupBy(col("brand_a"), col("brand_b"), col("brand_c"))
         .agg(count(lit(1)).as("support"))
         .filter(col("support") >= Itemset3MinSupport)
       val totals = ob.groupBy(col("b")).agg(count(lit(1)).as("sb"))

@@ -128,6 +128,12 @@ object PatentPipeline {
       // before the cutoff (plus the corrected re-issue delta for
       // pid ≡ 0 mod ReissueMod), delta rows on/after it — exactly the
       // same (x, pri, src) rows the union produced, from one scan.
+      // NON-NULL assumption (ADVICE r14 #3): `od` is o_orderdate,
+      // NOT NULL by the TPC-H schema. A null od would fall into the
+      // otherwise() branch (delta) where the old three-filter union
+      // dropped it everywhere — if this pipeline is ever pointed at a
+      // source with nullable dates, guard the otherwise branch with
+      // an explicit od >= cut.
       val variants = rec.select(col("pid"), col("cl"), col("d"),
         explode(when(col("od") < cut,
           when(col("pid") % ReissueMod === 0,
