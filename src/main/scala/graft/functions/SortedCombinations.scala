@@ -113,6 +113,107 @@ case class SortedTriples(child: Expression) extends SortedCombGenerator {
     copy(child = newChild)
 }
 
+/** Ordered-merge set intersection of two SORTED bigint arrays,
+  * streamed as generator rows — replaces
+  * `explode(array_intersect(nu, nv))` in the degree-oriented triangle
+  * enumeration's witness step. array_intersect builds a hash set over
+  * one side and materializes the intersection array per row (boxed
+  * probes + one array allocation per directed edge, O(m^1.5) of them);
+  * the merge scan walks both sorted arrays once with primitive long
+  * comparisons and allocates nothing per witness. Output element SET
+  * is identical (duplicates are skipped explicitly, so set semantics
+  * hold even for non-distinct inputs); order is ascending, which is
+  * array_intersect's order too for ascending-sorted inputs — and every
+  * consumer aggregates, so order is immaterial anyway.
+  */
+case class SortedIntersect(left: Expression, right: Expression)
+    extends Expression with Generator {
+  import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+
+  override def children: Seq[Expression] = Seq(left, right)
+  override def prettyName: String = "sorted_intersect"
+  override def elementSchema: StructType =
+    StructType(Seq(StructField("w", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<bigint> arguments, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] =
+    new MergeIntersectIterable(
+      left.eval(input).asInstanceOf[ArrayData],
+      right.eval(input).asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGen = left.genCode(ctx)
+    val rGen = right.genCode(ctx)
+    val cls = classOf[MergeIntersectIterable].getName
+    val value = ctx.freshName("mergeIntersect")
+    val javaCode =
+      code"""
+         |${lGen.code}
+         |${rGen.code}
+         |$cls $value = new $cls(
+         |  ${lGen.isNull} ? null : ${lGen.value},
+         |  ${rGen.isNull} ? null : ${rGen.value});
+       """.stripMargin
+    ev.copy(code = javaCode, isNull = FalseLiteral,
+      value = JavaCode.variable(value, classOf[MergeIntersectIterable]))
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(left = newChildren(0), right = newChildren(1))
+}
+
+/** Streaming merge intersection of two sorted long arrays (set
+  * semantics — duplicates skipped), same reused-row contract as
+  * [[PairsIterable]]. */
+final class MergeIntersectIterable(a: ArrayData, b: ArrayData)
+    extends Iterable[InternalRow] {
+  override def iterator: Iterator[InternalRow] =
+    if (a == null || b == null || a.numElements() == 0 || b.numElements() == 0)
+      Iterator.empty
+    else new Iterator[InternalRow] {
+      private[this] val na = a.numElements()
+      private[this] val nb = b.numElements()
+      private[this] var i = 0
+      private[this] var j = 0
+      private[this] var ready = false
+      private[this] var cur = 0L
+      private[this] val row = new GenericInternalRow(1)
+      private def advance(): Unit = {
+        while (!ready && i < na && j < nb) {
+          val x = a.getLong(i)
+          val y = b.getLong(j)
+          if (x < y) i += 1
+          else if (x > y) j += 1
+          else {
+            cur = x; ready = true
+            i += 1; j += 1
+            // set semantics: skip duplicates of the matched value
+            while (i < na && a.getLong(i) == x) i += 1
+            while (j < nb && b.getLong(j) == x) j += 1
+          }
+        }
+      }
+      override def hasNext: Boolean = { advance(); ready }
+      override def next(): InternalRow = {
+        advance()
+        ready = false
+        row.setLong(0, cur)
+        row
+      }
+    }
+}
+
 /** Pair stream over one array: (arr(i), arr(j)) for 0 <= i < j < n.
   * The output row is REUSED across pairs — safe because GenerateExec
   * either copies it through an UnsafeProjection (interpreted path) or
@@ -180,5 +281,8 @@ object SortedCombinations {
       "sorted_pairs", exprs => SortedPairs(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_triples", exprs => SortedTriples(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect", exprs => SortedIntersect(exprs(0), exprs(1)),
+      "built-in")
   }
 }

@@ -80,3 +80,61 @@ object DevGen15 {
     spark.stop()
   }
 }
+
+/** A/B: sorted_intersect vs explode(array_intersect) on the real
+  * co-part adjacency at sf0.1. Usage: Test/runMain graft.DevGen15b */
+object DevGen15b {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.SortedCombinations.register(spark)
+    // co-part pairs -> degree-oriented adjacency (the triangleRel shape)
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val co = li.groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+      .select(expr("sorted_pairs(ps)").as(Seq("a", "b")))
+      .distinct()
+    val sym = co.select(col("a").as("u"), col("b").as("v"))
+      .union(co.select(col("b").as("u"), col("a").as("v")))
+    val vk = sym.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+      .select(col("u").as("vertex"), struct(col("dg"), col("u")).as("k"))
+    val adj = sym
+      .join(vk.select(col("vertex").as("u"), col("k").as("ku")), Seq("u"))
+      .join(vk.select(col("vertex").as("v"), col("k").as("kv")), Seq("v"))
+      .filter(col("ku") < col("kv"))
+      .groupBy(col("u"))
+      .agg(array_sort(collect_list(col("v"))).as("ns"))
+      .localCheckpoint() // off the clock
+    val dir = adj.select(col("u"), explode(col("ns")).as("v"))
+    val nu = adj.select(col("u"), col("ns").as("nu"))
+    val nv = adj.select(col("u").as("v"), col("ns").as("nv"))
+    val joined = dir.join(broadcast(nu), Seq("u")).join(broadcast(nv), Seq("v"))
+    def time(label: String, reps: Int = 3)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+      var best = Double.MaxValue
+      for (_ <- 1 to reps) {
+        val t0 = System.nanoTime()
+        mk.write.format("noop").mode("overwrite").save()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      println(f"$label%-40s $best%7.2f s (min of $reps)")
+    }
+    val oldTri = joined.select(col("u"), col("v"),
+      explode(array_intersect(col("nu"), col("nv"))).as("w"))
+    val newTri = joined.select(col("u"), col("v"),
+      expr("sorted_intersect(nu, nv)").as(Seq("w")))
+      .select(col("u"), col("v"), col("w"))
+    time("OLD array_intersect witnesses")(oldTri)
+    time("NEW sorted_intersect witnesses")(newTri)
+    val o = oldTri.count(); val n2 = newTri.count()
+    println(s"witness rows: old=$o new=$n2 equal=${o == n2}")
+    spark.stop()
+  }
+}

@@ -73,6 +73,25 @@ class Round15Spec extends SparkTestBase {
       arrs.map(a => a.size * (a.size - 1) * (a.size - 2) / 6).sum)
   }
 
+  test("sorted_intersect ≡ explode(array_intersect) on sorted long " +
+      "arrays (randomized, including duplicates and empties)") {
+    graft.functions.SortedCombinations.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    // sorted arrays WITH duplicates: set semantics must still match
+    val arrs = (0 until 200).map { i =>
+      val n = i % 17
+      (Seq.fill(n)(rnd.nextLong(30L)).sorted,
+       Seq.fill(i % 13)(rnd.nextLong(30L)).sorted)
+    }
+    val df = arrs.toDF("nu", "nv")
+    val oldW = df.select(explode(array_intersect(col("nu"), col("nv"))).as("w"))
+      .collect().map(_.getLong(0)).toSeq
+    val newW = df.select(expr("sorted_intersect(nu, nv)").as(Seq("w")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(newW == oldW, s"witnesses differ: ${newW.size} vs ${oldW.size}")
+  }
+
   test("mergeCcDelta driver union-find endgame ≡ the distributed CC " +
       "remap (measured delta under the cap)") {
     import spark.implicits._
