@@ -152,7 +152,46 @@ object SparkDialectOverrides {
       "sequence(1, (size(tok)) - 1)" -> "sequence(1, (length(tok)) - 1)"),
     // zipped generators in the Lloyd rounds: posexplode per round.
     "vec_kmeans_cells" -> kmeansRoundPatches,
-    "vec_ann_ivf_trained" -> kmeansRoundPatches)
+    "vec_ann_ivf_trained" -> kmeansRoundPatches,
+    // winnow chain: bind t and hs as LAMBDA VARIABLES (r15) — see
+    // winnowFusePatch
+    "text_winnow_fingerprint" -> winnowFusePatch(8),
+    "dedup_winnow_pairs" -> winnowFusePatch(8),
+    "dedup_containment_pairs" -> winnowFusePatch(8),
+    "pipeline_decontaminate" -> winnowFusePatch(16))
+
+  /** Fuse the transpiled winnow h/f CTE pair into ONE expression that
+    * binds the lowered text and the k-gram hash array as LAMBDA
+    * VARIABLES — the TextOps.winnowFpsOf evaluation-count discipline
+    * (r15, VERDICT r14 next-round #1 follow-through). As plain
+    * projection aliases, CollapseProject inlines `hs` (the full
+    * md5-per-position transform) into the outer window lambda and `t`
+    * (lower(text)) into every substr — O(len²·md5) per document;
+    * measured 333–371 s PER KEY in the sf0.001 sweep vs ~7 s for the
+    * DSL twin. A lambda variable evaluates exactly once per element
+    * regardless of how the optimizer collapses the surrounding
+    * projections, so the fused spelling is O(len·w) like the DSL.
+    * Values are identical term for term. */
+  private def winnowFusePatch(k: Int): Seq[(String, String)] = Seq(
+    (s"""h AS (
+        |  SELECT doc_id,
+        |    transform(sequence(1, (length(t) - ${k - 2}) - 1), i -> CAST((conv(substr(md5(substr(t, i, $k)), 1, 15), 16, 10))
+        |           AS BIGINT)) AS hs
+        |  FROM base),
+        |f AS (
+        |  SELECT doc_id,
+        |    array_sort(array_distinct(
+        |      transform(sequence(1, (size(hs) - 2) - 1), j -> array_min(slice(hs, j, (j + 3) - (j) + 1))))) AS fps
+        |  FROM h),""".stripMargin ->
+      s"""f AS (
+        |  SELECT doc_id,
+        |    element_at(transform(array(t), tt ->
+        |      element_at(transform(array(
+        |          transform(sequence(1, (length(tt) - ${k - 2}) - 1), i -> CAST((conv(substr(md5(substr(tt, i, $k)), 1, 15), 16, 10))
+        |           AS BIGINT))),
+        |        hs -> array_sort(array_distinct(
+        |          transform(sequence(1, (size(hs) - 2) - 1), j -> array_min(slice(hs, j, (j + 3) - (j) + 1)))))), 1)), 1) AS fps
+        |  FROM base),""".stripMargin))
 
   /** The three Lloyd rounds share one zipped-generator shape over
     * assignment CTEs a1/a2/a3. */

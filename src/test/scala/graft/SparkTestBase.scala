@@ -34,7 +34,14 @@ object SparkTestBase {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN (r15, VERDICT r14 what's-wrong #1): the mining
+    // shapes legitimately run bounded unpartitioned windows (every one
+    // sits above an aggregate — pinned by PlanAuditSpec's "NO query
+    // runs an unpartitioned window over unbounded raw rows" sweep),
+    // and WindowExec's per-plan WARN flooded the driver's truncated
+    // test-output tail with thousands of identical lines, hiding the
+    // suite's actual progress/summary.
+    s.sparkContext.setLogLevel("ERROR")
     s
   }
 }

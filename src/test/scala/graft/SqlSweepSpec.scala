@@ -91,69 +91,107 @@ class SqlSweepSpec extends SparkTestBase {
   private def sweepDir: String =
     sys.props.getOrElse("graft.sweep.dir", sf001)
 
+  /** sweep worker count (r15, VERDICT r14 next-round #1): the serial
+    * sweep was 1,715 s of the suite's 2,804 — 62% of the driver's
+    * `sbt test` wall, and the capture window expired mid-suite. The
+    * per-key work is dominated by DRIVER-side planning (deep
+    * recursive-CTE analysis, catalyst per fresh plan) plus tiny
+    * local[4] jobs, both of which overlap across threads (guide §2.6:
+    * actions are only sequential because the driver calls them
+    * sequentially). Each worker gets its OWN SparkSession clone
+    * (`newSession()`: isolated SQL conf, temp views, function
+    * registry, shared SparkContext), so the iterative DSL paths that
+    * pin session conf for their loop (pageRank/CC/kCore/…) pin the
+    * worker's session only — no cross-thread conf races, no poisoned
+    * restores. Results are accumulated in concurrent maps and
+    * asserted exactly as before; the assertions and floors are
+    * UNCHANGED. */
+  private val SweepWorkers = 8
+
   test("every oracle key runs via spark.sql — shared or transpiled dialect — " +
       "and matches its DSL plan; not-expressible set pinned exactly") {
-    SqlFrontend.register(spark, sweepDir)
-    val prior = sweepConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    sweepConfs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
-      val keys = SparkEntry.oracleSql.keys.toSeq.sorted
-      val shared = Seq.newBuilder[String]
-      val transpiled = Seq.newBuilder[String]
-      val skippedNE = Seq.newBuilder[String]
-      val failed = Seq.newBuilder[(String, String)]
-      for (k <- keys) {
-        val dsl0 = () => fingerprint(SparkEntry.queries(k)(spark, sweepDir))
+    val keys = SparkEntry.oracleSql.keys.toSeq.sorted
+    val outcome =
+      new java.util.concurrent.ConcurrentHashMap[String, (String, String)]
+    val keyMs = new java.util.concurrent.ConcurrentHashMap[String, Long]
+    val queue = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    keys.foreach(queue.add)
+    def work(): Unit = {
+      val s = spark.newSession()
+      SqlFrontend.register(s, sweepDir)
+      sweepConfs.foreach { case (k, v) => s.conf.set(k, v) }
+      var k = queue.poll()
+      while (k != null) {
+        val t0 = System.nanoTime()
+        val dsl0 = () => fingerprint(SparkEntry.queries(k)(s, sweepDir))
         // tier 1: the oracle text as-is
         val tier1 =
-          try Some(fingerprint(spark.sql(SparkEntry.oracleSql(k))))
+          try Some(fingerprint(s.sql(SparkEntry.oracleSql(k))))
           catch { case scala.util.control.NonFatal(_) => None }
         tier1 match {
           case Some(viaSql) =>
-            if (viaSql == dsl0()) shared += k
-            else failed += (k -> "tier1 mismatch")
+            if (viaSql == dsl0()) outcome.put(k, ("shared", ""))
+            else outcome.put(k, ("failed", "tier1 mismatch"))
           case None =>
             // tier 2: the engine's Spark-dialect spelling — mandatory
             SparkDialect.sparkSqlFor(k, SparkEntry.oracleSql(k)) match {
-              case None => skippedNE += k
+              case None => outcome.put(k, ("ne", ""))
               case Some(sql) =>
                 try {
-                  val viaSql = fingerprint(spark.sql(sql))
-                  if (viaSql == dsl0()) transpiled += k
-                  else failed += (k -> "tier2 mismatch")
+                  val viaSql = fingerprint(s.sql(sql))
+                  if (viaSql == dsl0()) outcome.put(k, ("transpiled", ""))
+                  else outcome.put(k, ("failed", "tier2 mismatch"))
                 } catch {
                   case scala.util.control.NonFatal(e) =>
-                    failed += (k -> ("tier2 " + e.getClass.getSimpleName +
-                      ": " + Option(e.getMessage).getOrElse("")
-                        .linesIterator.take(1).mkString.take(160)))
+                    outcome.put(k, ("failed",
+                      "tier2 " + e.getClass.getSimpleName +
+                        ": " + Option(e.getMessage).getOrElse("")
+                          .linesIterator.take(1).mkString.take(160)))
                 }
             }
         }
+        keyMs.put(k, (System.nanoTime() - t0) / 1000000L)
+        k = queue.poll()
       }
-      val sh = shared.result(); val tr = transpiled.result()
-      val ne = skippedNE.result(); val bad = failed.result()
-      info(s"tier1 shared-dialect ${sh.size}, tier2 Spark-dialect " +
-        s"${tr.size}, not-expressible ${ne.size} of ${keys.size}")
-      assert(bad.isEmpty, s"sweep failures:\n  ${bad.map { case (k, r) =>
-        s"$k: $r" }.mkString("\n  ")}")
-      // the not-expressible set is EXACT: every member must actually
-      // fail tier 1 (else it should graduate out), and nothing may
-      // land there undeclared
-      assert(ne.toSet == SparkDialect.notExpressible.keySet,
-        s"not-expressible drift: swept=$ne declared=" +
-          s"${SparkDialect.notExpressible.keySet.toSeq.sorted}")
-      // breadth floors RATCHETED to the r11 measurement: 151 shared
-      // (unchanged since r10) + every remaining key transpiled. Tier 2
-      // has zero headroom by construction (any error fails above), so
-      // the floor only guards tier-1 keys regressing INTO tier 2.
-      assert(sh.size >= 151,
-        s"shared-dialect breadth regressed: ${sh.size} < 151")
-      assert(sh.size + tr.size == keys.size - ne.size,
-        "coverage accounting broke")
-    } finally prior.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
     }
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (1 to SweepWorkers).map { i =>
+      val t = new Thread(() => try work() catch {
+        case e: Throwable => errs.add(e)
+      }, s"sql-sweep-$i")
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+    def of(kind: String): Seq[String] = keys.filter(k =>
+      Option(outcome.get(k)).exists(_._1 == kind))
+    val sh = of("shared"); val tr = of("transpiled"); val ne = of("ne")
+    val bad = keys.flatMap(k => Option(outcome.get(k)).collect {
+      case ("failed", why) => k -> why })
+    info(s"tier1 shared-dialect ${sh.size}, tier2 Spark-dialect " +
+      s"${tr.size}, not-expressible ${ne.size} of ${keys.size}")
+    val slow = keyMs.entrySet().toArray(Array.empty[java.util.Map.Entry[
+      String, Long]]).sortBy(-_.getValue).take(10)
+    info("slowest keys: " + slow.map(e =>
+      s"${e.getKey}=${e.getValue}ms").mkString(", "))
+    assert(outcome.size == keys.size,
+      s"sweep incomplete: ${outcome.size} of ${keys.size} keys finished")
+    assert(bad.isEmpty, s"sweep failures:\n  ${bad.map { case (k, r) =>
+      s"$k: $r" }.mkString("\n  ")}")
+    // the not-expressible set is EXACT: every member must actually
+    // fail tier 1 (else it should graduate out), and nothing may
+    // land there undeclared
+    assert(ne.toSet == SparkDialect.notExpressible.keySet,
+      s"not-expressible drift: swept=$ne declared=" +
+        s"${SparkDialect.notExpressible.keySet.toSeq.sorted}")
+    // breadth floors RATCHETED to the r11 measurement: 151 shared
+    // (unchanged since r10) + every remaining key transpiled. Tier 2
+    // has zero headroom by construction (any error fails above), so
+    // the floor only guards tier-1 keys regressing INTO tier 2.
+    assert(sh.size >= 151,
+      s"shared-dialect breadth regressed: ${sh.size} < 151")
+    assert(sh.size + tr.size == keys.size - ne.size,
+      "coverage accounting broke")
   }
 
   // ------------------------------------------------------------------
